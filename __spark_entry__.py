@@ -1,38 +1,654 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator from SURVEY.md §2 (plus
+the beyond-reference LLM-pipeline ops) to a DataFrame-producing
+callable built on ``meza_spark``; ``oracle_sql()`` gives the DuckDB
+differential oracle for each.
+
+Determinism rules used throughout (so Spark/DuckDB value-hashes match):
+  - monetary double sums go through DECIMAL(38,8) (exact, order-free)
+    then cast back to double — ``_dsum`` here, mirrored in SQL;
+  - l_quantity is integral-valued so plain double sums are exact;
+  - top-k queries carry a unique tiebreak key;
+  - timestamps are truncated/cast (date, epoch seconds) at the edge.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from meza_spark import convert as cv
+from meza_spark import process as pr
+from meza_spark.llm import dedup as du
+from meza_spark.llm import similarity as sim
+from meza_spark.llm import text as tx
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read nanos as long and convert to µs timestamp.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _dsum(c) -> F.Column:
+    """Order-independent sum for monetary doubles: exact decimal
+    accumulation, one final cast to double."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.sum(c.cast("decimal(38,8)")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q1_pricing(spark, sf_dir):
+    """Flagship: TPC-H Q1 pricing summary — filter + group + mixed aggs
+    (exercises tfilter/group/aggregate, SURVEY §2.3/§2.5)."""
+    li = pr.tfilter(_t(spark, sf_dir, "lineitem"), "l_shipdate",
+                    lambda c: c <= F.lit("1998-09-02"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        _dsum("l_extendedprice").alias("sum_base_price"),
+        _dsum(disc).alias("sum_disc_price"),
+        _dsum(charge).alias("sum_charge"),
+        (F.sum(F.col("l_quantity").cast("decimal(38,8)")).cast("double")
+         / F.count("l_quantity")).alias("avg_qty"),
+        (_dsum("l_extendedprice") / F.count("l_extendedprice")).alias("avg_price"),
+        (_dsum("l_discount") / F.count("l_discount")).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order")))
+
+
+def cut_project(spark, sf_dir):
+    return pr.cut(_t(spark, sf_dir, "lineitem"),
+                  ["l_orderkey", "l_linenumber", "l_quantity"])
+
+
+def tfilter_orders(spark, sf_dir):
+    df = pr.tfilter(_t(spark, sf_dir, "orders"), "o_orderstatus",
+                    lambda c: c == "F")
+    return df.select("o_orderkey", "o_custkey", "o_totalprice",
+                     F.date_format("o_orderdate", "yyyy-MM-dd")
+                     .alias("o_orderdate"))
+
+
+def grep_parts(spark, sf_dir):
+    df = pr.grep(_t(spark, sf_dir, "part"),
+                 rules=[{"fields": ["p_name", "p_type"], "pattern": "wid"},
+                        {"fields": ["p_brand"], "pattern": "Brand#1",
+                         "regex": True}])
+    return df.select("p_partkey", "p_name", "p_type", "p_brand")
+
+
+def unique_custseg(spark, sf_dir):
+    return pr.unique(_t(spark, sf_dir, "customer"),
+                     ["c_mktsegment", "c_nationkey"], keep="first")
+
+
+def hash_names(spark, sf_dir):
+    df = pr.cut(_t(spark, sf_dir, "customer"), ["c_custkey", "c_name"])
+    return pr.hash_(df, ["c_name"], algo="md5")
+
+
+def sort_topk(spark, sf_dir):
+    df = pr.sort(_t(spark, sf_dir, "orders"),
+                 ["o_totalprice", "o_orderkey"], reverse=[True, False])
+    return df.limit(10).select("o_orderkey", "o_totalprice")
+
+
+def fillempty_const(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value", F.when(F.col("value") < 10, None).otherwise(F.col("value")))
+    filled = pr.fillempty(ev, value=0.0, fields=["value"])
+    return filled.select("event_id", "value")
+
+
+def fillempty_ffill(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value", F.when(F.col("value") < 10, None).otherwise(F.col("value")))
+    filled = pr.fillempty(ev, method="front", fields=["value"],
+                          order_by="event_id", partition_by=["user_id"])
+    return filled.select("event_id", "user_id", "value")
+
+
+def agg_sum_qty(spark, sf_dir):
+    return pr.aggregate(_t(spark, sf_dir, "lineitem"), "l_quantity",
+                        "sum", alias="sum_qty")
+
+
+def merge_fold(spark, sf_dir):
+    df = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount")
+    return pr.merge(df, op="max", pred=lambda c: True)
+
+
+def pivot_returnflag(spark, sf_dir):
+    return pr.pivot(_t(spark, sf_dir, "lineitem")
+                    .select("l_returnflag", "l_linestatus", "l_quantity"),
+                    rows=["l_returnflag"], column="l_linestatus",
+                    data="l_quantity", op="sum", values=["F", "O"])
+
+
+def normalize_unpivot(spark, sf_dir):
+    df = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_size",
+        F.col("p_retailprice").cast("decimal(12,2)").alias("p_retailprice"))
+    return pr.normalize(df, ["p_size", "p_retailprice"], key_name="field")
+
+
+def join_inner(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cn = pr.join(c, n, on=c.c_nationkey == n.n_nationkey, broadcast=True)
+    cnr = pr.join(cn, r, on=F.col("n_regionkey") == r.r_regionkey,
+                  broadcast=True)
+    return cnr.select("c_custkey", "c_name", "n_name", "r_name")
+
+
+def join_left(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    j = pr.join(o, c, on=o.o_custkey == c.c_custkey, how="left",
+                broadcast=True)
+    return j.select("o_orderkey", "c_custkey", "c_mktsegment")
+
+
+def join_semi(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    j = pr.join(c, o, on=c.c_custkey == o.o_custkey, how="left_semi")
+    return j.select("c_custkey", "c_name")
+
+
+def join_anti(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = pr.join(c, o, on=c.c_custkey == o.o_custkey, how="left_anti")
+    return j.select("c_custkey", "c_name")
+
+
+def cross_join(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return pr.join(r, n, on=None).select("r_name", "n_name")
+
+
+def union_all(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F")
+    b = o.filter(F.col("o_orderstatus") == "O")
+    return a.unionByName(b).select("o_orderkey", "o_orderstatus")
+
+
+def intersect_keys(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+def except_keys(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("k"))
+    return o.distinct().subtract(c)
+
+
+def window_running(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = pr.everseen(ev, "value", order_by="event_id", op="max",
+                      partition_by=["user_id"])
+    return out.select("event_id", "user_id", "value",
+                      F.col("value_everseen").alias("running_max"))
+
+
+def rollup_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").alias("sum_qty"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def cube_agg(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _dsum("o_totalprice").alias("total")))
+
+
+def window_tumbling(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    return (ev.groupBy(F.unix_timestamp(hour).alias("hour_epoch"),
+                       "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _dsum("value").alias("sum_value")))
+
+
+def topk_per_group(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    out = pr.topk_per_group(o, ["o_orderpriority"],
+                            ["o_totalprice", "o_orderkey"], k=3,
+                            desc=[True, False])
+    return out.select("o_orderpriority", "o_orderkey", "o_totalprice")
+
+
+def cast_currency_int(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    messy = F.when(F.col("o_orderkey") % 97 == 0, None).otherwise(
+        F.concat(F.lit("$"), F.col("o_orderkey").cast("string")))
+    return o.select("o_orderkey",
+                    cv.to_int(messy).alias("casted"))
+
+
+def cast_bool_words(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    word = (F.when(F.col("o_orderstatus") == "F", "yes")
+             .when(F.col("o_orderstatus") == "O", "f")
+             .otherwise("True"))
+    return o.select("o_orderkey", cv.to_bool(word).alias("casted"))
+
+
+def cast_fuzzy_date(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    s = F.date_format(F.col("o_orderdate"), "MM/dd/yyyy")
+    return o.select("o_orderkey",
+                    F.date_format(cv.to_date(s), "yyyy-MM-dd").alias("casted"))
+
+
+def llm_token_count(spark, sf_dir):
+    d = tx.token_count(_t(spark, sf_dir, "documents"))
+    return d.select("doc_id", "n_tokens")
+
+
+def llm_quality(spark, sf_dir):
+    d = tx.quality_score(_t(spark, sf_dir, "documents"))
+    return d.select("doc_id", "punct_ratio", "stopword_ratio",
+                    "mean_word_len", "quality")
+
+
+def llm_langid(spark, sf_dir):
+    d = tx.lang_id(_t(spark, sf_dir, "documents"))
+    return d.select("doc_id", "lang_pred")
+
+
+def llm_fingerprint(spark, sf_dir):
+    d = tx.fingerprint(_t(spark, sf_dir, "documents"))
+    return d.select("doc_id", "fingerprint")
+
+
+def dedup_exact(spark, sf_dir):
+    return du.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    return du.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
+                                min_jaccard=0.3)
+
+
+def dedup_simhash(spark, sf_dir):
+    return du.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def ngram_jaccard_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "blk", F.concat_ws("|", "source", "lang"))
+    out = du.ngram_jaccard(docs, n=3, min_jaccard=0.05, join_on="blk")
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def embed_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return sim.cosine_topk(emb, q, k=20, round_digits=4)
+
+
+def embed_ann_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return sim.lsh_ann_topk(emb, q, k=10, n_planes=8, multiprobe=1)
+
+
+def grouped_apply(spark, sf_dir):
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": [pdf["user_id"].iloc[0]],
+            "n_events": [len(pdf)],
+            "max_value": [pdf["value"].max()],
+        })
+
+    return pr.group(ev, "user_id", apply=stats,
+                    schema="user_id bigint, n_events bigint, max_value double")
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q1_pricing(spark, SF001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing": q1_pricing,
+        "cut_project": cut_project,
+        "tfilter_orders": tfilter_orders,
+        "grep_parts": grep_parts,
+        "unique_custseg": unique_custseg,
+        "hash_names": hash_names,
+        "sort_topk": sort_topk,
+        "fillempty_const": fillempty_const,
+        "fillempty_ffill": fillempty_ffill,
+        "agg_sum_qty": agg_sum_qty,
+        "merge_fold": merge_fold,
+        "pivot_returnflag": pivot_returnflag,
+        "normalize_unpivot": normalize_unpivot,
+        "join_inner": join_inner,
+        "join_left": join_left,
+        "join_semi": join_semi,
+        "join_anti": join_anti,
+        "cross_join": cross_join,
+        "union_all": union_all,
+        "intersect_keys": intersect_keys,
+        "except_keys": except_keys,
+        "window_running": window_running,
+        "rollup_agg": rollup_agg,
+        "cube_agg": cube_agg,
+        "window_tumbling": window_tumbling,
+        "topk_per_group": topk_per_group,
+        "cast_currency_int": cast_currency_int,
+        "cast_bool_words": cast_bool_words,
+        "cast_fuzzy_date": cast_fuzzy_date,
+        "llm_token_count": llm_token_count,
+        "llm_quality": llm_quality,
+        "llm_langid": llm_langid,
+        "llm_fingerprint": llm_fingerprint,
+        "dedup_exact": dedup_exact,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "ngram_jaccard_pairs": ngram_jaccard_pairs,
+        "embed_topk": embed_topk,
+        "embed_ann_lsh": embed_ann_lsh,
+        "grouped_apply": grouped_apply,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    DSUM = "CAST(SUM(CAST({x} AS DECIMAL(38,8))) AS DOUBLE)"
+
+    def dsum(x):
+        return DSUM.format(x=x)
+
+    return {
+        "q1_pricing": f"""
+            SELECT l_returnflag, l_linestatus,
+                   SUM(l_quantity) AS sum_qty,
+                   {dsum('l_extendedprice')} AS sum_base_price,
+                   {dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+                   {dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+                   {dsum('l_quantity')} / COUNT(l_quantity) AS avg_qty,
+                   {dsum('l_extendedprice')} / COUNT(l_extendedprice) AS avg_price,
+                   {dsum('l_discount')} / COUNT(l_discount) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "cut_project": "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+        "tfilter_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+            FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "grep_parts": """
+            SELECT p_partkey, p_name, p_type, p_brand FROM part
+            WHERE (p_name LIKE '%wid%' OR p_type LIKE '%wid%')
+              AND regexp_matches(p_brand, '^(?:Brand#1)')
+        """,
+        "unique_custseg": """
+            SELECT c_mktsegment, c_nationkey, c_custkey, c_name, c_acctbal
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY c_mktsegment, c_nationkey
+                    ORDER BY c_custkey, c_name, c_acctbal) rn
+                  FROM customer) WHERE rn = 1
+        """,
+        "hash_names": "SELECT c_custkey, md5(c_name) AS c_name FROM customer",
+        "sort_topk": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "fillempty_const": """
+            SELECT event_id,
+                   COALESCE(CASE WHEN value < 10 THEN NULL ELSE value END, 0.0) AS value
+            FROM events
+        """,
+        "fillempty_ffill": """
+            SELECT event_id, user_id,
+                   LAST_VALUE(CASE WHEN value < 10 THEN NULL ELSE value END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+            FROM events
+        """,
+        "agg_sum_qty": "SELECT SUM(l_quantity) AS sum_qty FROM lineitem",
+        "merge_fold": """
+            SELECT MAX(l_quantity) AS l_quantity,
+                   MAX(l_extendedprice) AS l_extendedprice,
+                   MAX(l_discount) AS l_discount
+            FROM lineitem
+        """,
+        "pivot_returnflag": """
+            SELECT l_returnflag,
+                   SUM(l_quantity) FILTER (WHERE l_linestatus = 'F') AS "F",
+                   SUM(l_quantity) FILTER (WHERE l_linestatus = 'O') AS "O"
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "normalize_unpivot": """
+            SELECT p_partkey, 'p_size' AS field, CAST(p_size AS VARCHAR) AS data FROM part
+            UNION ALL
+            SELECT p_partkey, 'p_retailprice',
+                   CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR) FROM part
+        """,
+        "join_inner": """
+            SELECT c_custkey, c_name, n_name, r_name
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+        """,
+        "join_left": """
+            SELECT o_orderkey, c_custkey, c_mktsegment
+            FROM orders LEFT JOIN
+                 (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+                 ON o_custkey = c_custkey
+        """,
+        "join_semi": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        """,
+        "join_anti": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "cross_join": "SELECT r_name, n_name FROM region CROSS JOIN nation",
+        "union_all": """
+            SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O'
+        """,
+        "intersect_keys": """
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT s_nationkey FROM supplier
+        """,
+        "except_keys": """
+            SELECT DISTINCT o_custkey AS k FROM orders
+            EXCEPT
+            SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        """,
+        "window_running": """
+            SELECT event_id, user_id, value,
+                   MAX(value) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_max
+            FROM events
+        """,
+        "rollup_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "cube_agg": f"""
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                   {dsum('o_totalprice')} AS total
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "window_tumbling": f"""
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                   event_type, COUNT(*) AS n, {dsum('value')} AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "topk_per_group": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) rn FROM orders)
+            WHERE rn <= 3
+        """,
+        "cast_currency_int": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_orderkey END AS casted
+            FROM orders
+        """,
+        "cast_bool_words": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderstatus = 'F' THEN TRUE
+                        WHEN o_orderstatus = 'O' THEN FALSE
+                        ELSE TRUE END AS casted
+            FROM orders
+        """,
+        "cast_fuzzy_date": """
+            SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS casted
+            FROM orders
+        """,
+        "llm_token_count": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+            FROM documents
+        """,
+        "llm_quality": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     length(text) AS n_chars,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+                     length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS n_punct,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                     len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x IN ('the','and','of','to','is'))) AS n_stop
+              FROM documents),
+            r AS (
+              SELECT doc_id,
+                     CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END AS punct_ratio,
+                     CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE)/n_tok ELSE 0.0 END AS stopword_ratio,
+                     CASE WHEN n_tok > 0 THEN CAST(n_alpha AS DOUBLE)/n_tok ELSE 0.0 END AS mean_word_len,
+                     n_chars
+              FROM t)
+            SELECT doc_id, punct_ratio, stopword_ratio, mean_word_len,
+                   (CASE WHEN n_chars >= 64 AND n_chars <= 100000
+                         THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                    + CASE WHEN punct_ratio < 0.2
+                           THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                    + CASE WHEN stopword_ratio > 0.01
+                           THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                    + CASE WHEN mean_word_len >= 2.0 AND mean_word_len <= 12.0
+                           THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                   ) AS quality
+            FROM r
+        """,
+        "llm_langid": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM documents),
+            sc AS (
+              SELECT doc_id,
+                     len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en,
+                     len(list_filter(toks, x -> x IN ('der','die','und','nicht','das'))) AS s_de,
+                     len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS s_fr,
+                     len(list_filter(toks, x -> x IN ('el','los','que','de','una'))) AS s_es
+              FROM s)
+            SELECT doc_id,
+                   CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+                        WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+                        WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+                        WHEN s_es > 0 THEN 'es'
+                        ELSE 'und' END AS lang_pred
+            FROM sc
+        """,
+        "llm_fingerprint": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT doc_id, text, lang, source, n_chars
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                    ORDER BY doc_id) rn FROM documents)
+            WHERE rn = 1
+        """,
+        "ngram_jaccard_pairs": r"""
+            WITH sh AS (
+              SELECT doc_id, source || '|' || lang AS blk,
+                     list_distinct(CASE
+                       WHEN len(regexp_split_to_array(trim(lower(text)), '\s+')) < 3
+                       THEN [trim(lower(text))]
+                       ELSE list_transform(
+                         range(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) - 1),
+                         i -> regexp_split_to_array(trim(lower(text)), '\s+')[i] || ' ' ||
+                              regexp_split_to_array(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                              regexp_split_to_array(trim(lower(text)), '\s+')[i+2])
+                     END) AS grams
+              FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.05
+        """,
+        "embed_topk": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(
+                     list_sum(list_transform(list_zip(embedding, qe),
+                              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+                     (sqrt(list_sum(list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                      sqrt(list_sum(list_transform(qe,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cosine
+            FROM embeddings, q
+            ORDER BY cosine DESC, vec_id ASC LIMIT 20
+        """,
+        "grouped_apply": """
+            SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+            FROM events GROUP BY user_id
+        """,
+        # dedup_minhash_lsh, dedup_simhash, embed_ann_lsh: hash-family
+        # dependent (xxhash64 / hyperplane seeds) — not SQL-expressible;
+        # driver records rows-only checks.
+    }

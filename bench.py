@@ -1,0 +1,65 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": N, "unit": "sec", "queries":
+{...}, "sf": ...}.
+
+Each query executes via the `noop` sink so the full plan runs (no
+driver-side collect cost, no column pruning down to count(*)).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing", "cut_project", "tfilter_orders", "unique_custseg",
+    "sort_topk", "pivot_returnflag", "join_inner", "join_left",
+    "rollup_agg", "window_tumbling", "window_running", "topk_per_group",
+    "cast_fuzzy_date", "llm_token_count", "llm_quality", "llm_fingerprint",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "embed_topk",
+    "embed_ann_lsh", "grouped_apply",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    import __spark_entry__ as entry
+    from meza_spark.session import get_spark
+
+    spark = get_spark("meza_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry.queries()
+    # warmup: JVM + codegen + parquet footer caches
+    qs["sort_topk"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    times = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = round(time.time() - t0, 3)
+        times[name] = dt
+        total += dt
+
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

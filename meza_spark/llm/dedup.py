@@ -1,0 +1,250 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the whole point at 100 TB):
+  - exact dedup: hash-shuffle on a 128-bit digest of the text, never on
+    the text itself (shuffle bytes ∝ 32B/row, not document size).
+  - MinHash signatures: computed row-local with array expressions
+    (sequence/transform/aggregate) — zero shuffle, zero Python. LSH
+    banding explodes only ``bands`` rows per doc (small ints), and the
+    candidate join runs on band-hash buckets, so comparison cost is
+    O(collisions), not O(n²).
+  - SimHash: row-local 64-bit signature; near-dup candidates via
+    banding the signature into 4×16-bit chunks (Hamming ≤ 3 guarantee
+    by pigeonhole).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import shingles, shingles_from_tokens, tokens
+
+__all__ = ["exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
+           "ngram_jaccard", "simhash", "simhash_pairs"]
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", normalize: bool = False) -> DataFrame:
+    """Exact deduplication: keep the row with the smallest ``id_col``
+    per distinct text (deterministic winner).
+
+    Implemented as min-struct aggregation over ``md5(text)`` — one hash
+    shuffle whose key is a fixed-width digest. ``normalize=True`` keys
+    on the casefolded/punct-collapsed form instead (fingerprint dedupe).
+    """
+    t = F.lower(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9]+", " ")) \
+        if normalize else F.col(text_col)
+    key = F.md5(t).alias("_k")
+    other = [c for c in df.columns]
+    packed = df.select(key, F.struct(F.col(id_col), *[
+        F.col(c) for c in other if c != id_col]).alias("_row"))
+    kept = packed.groupBy("_k").agg(F.min("_row").alias("_row"))
+    return kept.select([F.col(f"_row.{c}").alias(c) for c in other])
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       num_hashes: int = 64, shingle_n: int = 3,
+                       keep_shingles: bool = False) -> DataFrame:
+    """Append ``minhash: array<bigint>`` of length ``num_hashes``.
+
+    Permutation h_i is simulated as ``h_i(x) = a_i·x + b_i mod 2^61-1``
+    over a single base ``xxhash64(shingle)`` — the standard
+    tabulation-free MinHash family. The shingle set and base hashes are
+    materialized as intermediate columns so they are computed ONCE per
+    row (a naive nested-lambda formulation re-evaluates the tokenizer
+    per hash function — 64× the work). Entirely row-local array math:
+    no explode, no shuffle, no Python.
+    """
+    _P = (1 << 61) - 1  # Mersenne prime, the classic MinHash modulus
+    coeffs = _perm_coeffs(num_hashes)
+    base = df.withColumn("_toks", tokens(F.lower(F.col(text_col))))
+    base = base.withColumn("_sh", shingles_from_tokens(F.col("_toks"), n=shingle_n)).drop("_toks")
+    # fold base hashes into [0, 2^31) so a·h + b stays inside signed-64
+    base = base.withColumn(
+        "_hs", F.transform("_sh",
+                           lambda s: F.pmod(F.xxhash64(s), F.lit((1 << 31) - 1))))
+    def perm(a, b):
+        # closure factory: a default-arg lambda would look 3-ary to
+        # F.transform, which passes (element, index) to 2-ary lambdas
+        return lambda h: F.pmod(a * h + b, F.lit(_P))
+
+    sig = F.array(*[F.array_min(F.transform("_hs", perm(a, b)))
+                    for a, b in coeffs])
+    out = base.withColumn("minhash", sig).drop("_hs")
+    return out if keep_shingles else out.drop("_sh")
+
+
+def _perm_coeffs(n: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash permutations.
+
+    Drawn from a splitmix-style LCG; `a` odd and nonzero. Coefficients
+    are kept < 2^31 so a·h + b stays within the signed-64 range
+    (h < 2^61 would overflow; we pre-fold h into [0, 2^31) first)."""
+    out = []
+    state = seed
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = ((state >> 33) | 1) % (1 << 31) or 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = (state >> 33) % (1 << 31)
+        out.append((a, b))
+    return out
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 64,
+                      bands: int = 16, shingle_n: int = 3,
+                      min_jaccard: float | None = 0.5) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs, optionally verified.
+
+    Pipeline: signature (row-local) → explode ``bands`` band-hashes →
+    self-join on (band, band_hash) buckets → distinct (a,b) pairs with
+    a < b → optional exact Jaccard verification on the shingle sets of
+    the surviving pairs only.
+
+    Returns columns ``id_a, id_b`` (+ ``jaccard`` when verified).
+
+    Scale: the shuffle key is (band, 64-bit hash); bucket sizes are the
+    only quadratic term, and real corpora keep them tiny. For skewed
+    buckets (boilerplate docs) cap the pair explosion upstream by
+    filtering giant buckets.
+    """
+    rows = num_hashes // bands
+    sigged = minhash_signatures(df, text_col, num_hashes, shingle_n,
+                                keep_shingles=True) \
+        .select(F.col(id_col).alias("_id"), "minhash", "_sh")
+
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(F.concat_ws(
+                ",", F.slice("minhash", b * rows + 1, rows)))
+            .alias("bh")))
+    banded = sigged.select("_id", "_sh", F.explode(band_arr).alias("b")) \
+        .select("_id", "_sh", "b.band", "b.bh")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (left.join(right, on=["band", "bh"])
+             .where(F.col("l._id") < F.col("r._id"))
+             .select(F.col("l._id").alias("id_a"),
+                     F.col("r._id").alias("id_b"),
+                     F.col("l._sh").alias("sh_a"),
+                     F.col("r._sh").alias("sh_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+
+    if min_jaccard is None:
+        return pairs.select("id_a", "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(0.0)
+    return (pairs.withColumn("jaccard", jac)
+            .where(F.col("jaccard") >= min_jaccard)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def ngram_jaccard(df_a: DataFrame, df_b: DataFrame | None = None,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3, min_jaccard: float = 0.0,
+                  join_on: str | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity between document pairs.
+
+    With ``join_on`` (a blocking key, e.g. ``source``) the pair space is
+    restricted to same-key pairs — at scale you ALWAYS block (either a
+    natural key or LSH buckets via ``minhash_lsh_pairs``); the
+    unblocked form is a cross join and only sane for small frames.
+    """
+    df_b = df_b if df_b is not None else df_a
+    a = df_a.select(F.col(id_col).alias("id_a"),
+                    *( [F.col(join_on)] if join_on else [] ),
+                    shingles(F.col(text_col), n).alias("sh_a"))
+    b = df_b.select(F.col(id_col).alias("id_b"),
+                    *( [F.col(join_on)] if join_on else [] ),
+                    shingles(F.col(text_col), n).alias("sh_b"))
+    joined = a.join(b, on=join_on) if join_on else a.crossJoin(b)
+    joined = joined.where(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(0.0)
+    out = joined.select("id_a", "id_b", jac.alias("jaccard"))
+    return out.where(F.col("jaccard") >= min_jaccard) if min_jaccard > 0 else out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 64,
+            out: str = "simhash") -> DataFrame:
+    """Append a ``bits``-wide SimHash signature as ``bigint``.
+
+    Row-local: token hashes vote per bit (+1/-1), sign of the vote sum
+    becomes the bit. Implemented as array aggregate over the token
+    array — no explode/shuffle; the signature is built with a single
+    fold, staying in codegen.
+    """
+    # materialize token hashes once (intermediate column), then build the
+    # per-bit vote array with the bit positions unrolled as Python ints
+    # (shiftright's count argument must be a literal int)
+    step = df.withColumn(
+        "_th", F.transform(F.array_distinct(tokens(F.lower(F.col(text_col)))),
+                           lambda t: F.xxhash64(t)))
+    votes = F.aggregate(
+        F.col("_th"),
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+                       F.lit(1).cast("long")).otherwise(F.lit(-1).cast("long"))
+                for b in range(bits)]),
+            lambda a, v: a + v))
+    step = step.withColumn("_votes", votes)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(F.element_at("_votes", b + 1) >= 0,
+                   F.shiftleft(F.lit(1).cast("long"), b))
+            .otherwise(F.lit(0).cast("long")))
+    return step.withColumn(out, sig).drop("_th", "_votes")
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
+
+    Banding: split the 64-bit signature into ``max_hamming+1`` chunks;
+    any pair within the Hamming budget shares at least one exact chunk
+    (pigeonhole), so candidates come from equality joins on
+    (chunk_index, chunk_value) — shuffle on 16-bit ints, then exact
+    Hamming verification via ``bit_count(xor)``.
+    """
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sigged = simhash(df, text_col).select(
+        F.col(id_col).alias("_id"), "simhash")
+    chunk_arr = F.array(*[
+        F.struct(
+            F.lit(ci).alias("ci"),
+            F.shiftright("simhash", ci * width)
+            .bitwiseAND(F.lit((1 << width) - 1)).alias("cv"))
+        for ci in range(chunks)])
+    banded = sigged.select("_id", "simhash", F.explode(chunk_arr).alias("c")) \
+                   .select("_id", "simhash", "c.ci", "c.cv")
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (l.join(r, on=["ci", "cv"])
+             .where(F.col("l._id") < F.col("r._id"))
+             .select(F.col("l._id").alias("id_a"),
+                     F.col("r._id").alias("id_b"),
+                     F.col("l.simhash").alias("sa"),
+                     F.col("r.simhash").alias("sb"))
+             .dropDuplicates(["id_a", "id_b"]))
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return pairs.select("id_a", "id_b", ham.alias("hamming")) \
+                .where(F.col("hamming") <= max_hamming)

@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, as any vector system at scale:
+  - ``cosine_topk``: brute-force exact scan — the baseline. Row-local
+    ``zip_with``/``aggregate`` dot products (JVM, no Python), one
+    top-k reduction. O(n·d) per query; right answer, linear cost.
+  - ``lsh_ann_topk``: random-hyperplane LSH bucketing — sign bits of
+    fixed pseudo-random hyperplane projections form a bucket key;
+    queries only scan their bucket (+ optional multi-probe neighbors).
+    The 100 TB path: bucket key is shuffle/partition-prunable.
+  - ``embedding_near_dupes``: all-pairs near-duplicate detection via
+    the same LSH buckets (embedding-cosine dedupe for training data).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["cosine_topk", "lsh_ann_topk", "embedding_near_dupes",
+           "cosine_sim"]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array columns, computed in double with a
+    deterministic left-to-right fold (stable across engines)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def cosine_topk(df: DataFrame, query: Sequence[float],
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                k: int = 10, round_digits: int | None = 4) -> DataFrame:
+    """Exact brute-force cosine top-k against a constant query vector.
+
+    The scan is embarrassingly parallel; top-k is Spark's
+    ``TakeOrderedAndProject`` (per-partition heap, k rows to driver).
+    ``round_digits`` quantizes the score for cross-engine determinism;
+    ties break on ``id_col``.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query])
+    sim = cosine_sim(F.col(vec_col), q)
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = df.select(F.col(id_col), sim.alias("cosine"))
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _bucket_key(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from fixed pseudo-random hyperplanes."""
+    key = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        pc = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(_dot(F.transform(vec, lambda x: x.cast("double")), pc) >= 0,
+                     F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        key = key.bitwiseOR(bit)
+    return key
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (splitmix-style LCG so no
+    numpy RNG state dependency)."""
+    planes = []
+    state = seed
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_ann_topk(df: DataFrame, query: Sequence[float],
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 k: int = 10, n_planes: int = 8, seed: int = 42,
+                 multiprobe: int = 1) -> DataFrame:
+    """Approximate NN: scan only the query's LSH bucket (plus buckets at
+    Hamming distance ≤ ``multiprobe`` of it).
+
+    At 100 TB the table is written partitioned/bucketed by this key, so
+    the probe is partition-pruned I/O — a few buckets instead of a full
+    scan. Here the bucket filter still saves the distance computation
+    for ~(1 - (multiprobe+1+n_planes)/2^n_planes) of rows.
+    """
+    dim = len(query)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qkey = 0
+    for i, p in enumerate(planes):
+        if sum(q * x for q, x in zip(query, p)) >= 0:
+            qkey |= 1 << i
+    probe_keys = [qkey]
+    if multiprobe >= 1:
+        probe_keys += [qkey ^ (1 << b) for b in range(n_planes)]
+
+    bucketed = df.withColumn("_bucket", _bucket_key(F.col(vec_col), planes))
+    cand = bucketed.where(F.col("_bucket").isin(probe_keys))
+    return cosine_topk(cand, query, vec_col, id_col, k)
+
+
+def embedding_near_dupes(df: DataFrame, vec_col: str = "embedding",
+                         id_col: str = "vec_id", threshold: float = 0.9,
+                         n_planes: int = 8, seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket self-join, then
+    exact cosine verification ≥ ``threshold``. Shuffle key is the
+    bucket id; the quadratic term is bounded by bucket size."""
+    planes = _hyperplanes(_dim_of(df, vec_col), n_planes, seed)
+    b = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+                  _bucket_key(F.col(vec_col), planes).alias("_bucket"))
+    l, r = b.alias("l"), b.alias("r")
+    pairs = (l.join(r, on="_bucket")
+             .where(F.col("l._id") < F.col("r._id"))
+             .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"),
+                     F.col("l._v").alias("va"), F.col("r._v").alias("vb"))
+             .dropDuplicates(["id_a", "id_b"]))
+    sim = cosine_sim(F.col("va"), F.col("vb"))
+    return pairs.select("id_a", "id_b", F.round(sim, 6).alias("cosine")) \
+                .where(F.col("cosine") >= threshold)
+
+
+def _dim_of(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+    return int(row[0]["d"]) if row else 0

@@ -1,0 +1,138 @@
+"""Text analysis operators for training-data pipelines.
+
+All expressions are JVM-side builtins (regexp/split/aggregate) — no
+Python UDFs in any hot path, so these run inside WholeStageCodegen and
+scale linearly with executors. Each operator is also expressible in
+ANSI SQL for the DuckDB differential oracle (see __spark_entry__).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["token_count", "quality_score", "lang_id", "fingerprint",
+           "shingles", "tokens"]
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic. Deterministic scoring, not a trained model.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "nicht", "das"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "de", "una"],
+}
+
+_WS = r"\s+"
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokenization; empty/blank text → empty array."""
+    t = F.trim(c)
+    return F.when(t == "", F.array().cast("array<string>")) \
+            .otherwise(F.split(t, _WS))
+
+
+def token_count(df: DataFrame, text_col: str = "text",
+                out: str = "n_tokens") -> DataFrame:
+    """Whitespace token count plus a BPE-ish subword estimate
+    (``n_subtokens``: word-boundary + digit/punct splits — a cheap
+    deterministic proxy for BPE token counts)."""
+    t = F.col(text_col)
+    bpe = F.when(F.trim(t) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(t), r"\s+|(?<=[a-z])(?=[A-Z])|(?<=\D)(?=\d)|(?<=\d)(?=\D)"))
+    return df.withColumn(out, F.size(tokens(t))) \
+             .withColumn("n_subtokens", F.size(bpe))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality features: length, punctuation ratio,
+    stopword ratio, mean word length, and a composite 0-1 score.
+
+    All ratios are single IEEE divisions of integer counts → bitwise
+    deterministic across engines (oracle-safe).
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tok = F.size(tokens(t))
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^A-Za-z0-9\s]", ""))
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_stop = F.size(F.filter(tokens(F.lower(t)),
+                             lambda w: w.isin(LANG_MARKERS["en"])))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(0.0)
+    mean_wlen = F.when(n_tok > 0, n_alpha.cast("double") / n_tok).otherwise(0.0)
+    score = (
+        F.when((n_chars >= 64) & (n_chars <= 100000), F.lit(0.4)).otherwise(0.0)
+        + F.when(punct_ratio < 0.2, F.lit(0.2)).otherwise(0.0)
+        + F.when(stop_ratio > 0.01, F.lit(0.2)).otherwise(0.0)
+        + F.when((mean_wlen >= 2.0) & (mean_wlen <= 12.0), F.lit(0.2)).otherwise(0.0)
+    )
+    return (df
+            .withColumn("n_chars_q", n_chars)
+            .withColumn("n_tokens", n_tok)
+            .withColumn("punct_ratio", punct_ratio)
+            .withColumn("stopword_ratio", stop_ratio)
+            .withColumn("mean_word_len", mean_wlen)
+            .withColumn("quality", score))
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            out: str = "lang_pred") -> DataFrame:
+    """Stopword-marker language ID: score = count of tokens in each
+    language's marker set; argmax wins, ties broken by fixed language
+    order (en, de, fr, es), 'und' (undetermined) when all zero."""
+    toks = tokens(F.lower(F.col(text_col)))
+
+    def count_in(markers):
+        # closure WITHOUT a default-arg second param: F.filter passes the
+        # element index to 2-ary lambdas, which would shadow the list
+        return F.size(F.filter(toks, lambda w: w.isin(markers)))
+
+    scores = {lang: count_in(markers)
+              for lang, markers in LANG_MARKERS.items()}
+    order = list(LANG_MARKERS)
+    expr = F.lit("und")
+    best = F.greatest(*scores.values())
+    # build reverse so earlier languages win ties
+    for lang in reversed(order):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    out_df = df.withColumn(out, expr)
+    return out_df
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                out: str = "fingerprint") -> DataFrame:
+    """Document fingerprint: md5 of the casefolded, punctuation-collapsed,
+    whitespace-normalized text — the standard "fingerprint clustering"
+    key (Open-Refine style). Exact-dup detection robust to formatting.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                   r"[^a-z0-9]+", " "))
+    return df.withColumn(out, F.md5(norm))
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct) from a token ARRAY column.
+
+    Pass a materialized token column (``withColumn('_toks', tokens(c))``)
+    when composing with other array ops — attribute references are free,
+    whereas inlining the tokenizer expression here would re-run the
+    regex split once per n-gram position.
+    """
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int"))
+                                     for j in range(n)]))
+    # when fewer tokens than n, fall back to the whole text as one shingle
+    return F.when(k <= 0, F.array(F.concat_ws(" ", toks))) \
+            .otherwise(F.array_distinct(grams))
+
+
+def shingles(c: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct) of a TEXT column — the unit
+    for MinHash/Jaccard. JVM-side: sequence + transform over the token
+    array, no explode, no shuffle. Prefer ``shingles_from_tokens`` over
+    a pre-tokenized column inside larger pipelines."""
+    return shingles_from_tokens(tokens(F.lower(c)), n)

@@ -1,0 +1,483 @@
+"""Relational / dataflow operators (reference: meza/process.py).
+
+Every operator takes and returns a ``pyspark.sql.DataFrame`` so that the
+whole pipeline stays a single Catalyst logical plan — projection pruning,
+predicate pushdown, join reordering and whole-stage codegen apply across
+operator boundaries exactly as they do for hand-written DataFrame code.
+
+Reference parity map (meza/process.py line cites in each docstring):
+    cut, tfilter, grep, unique, hash_, sort, peek, fillempty, aggregate,
+    merge, group, pivot, normalize, split, join, prepend, json_recode,
+    type_cast, detect_types (in typetools).
+
+Scale notes: none of these functions collect to the driver except
+``peek`` (bounded by ``n``). Aggregations rely on Spark's partial
+(map-side) aggregation; joins go through Catalyst's strategy choice
+(broadcast for small sides via AQE or explicit ``broadcast=True``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Sequence
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "cut", "tfilter", "grep", "unique", "hash_", "sort", "peek",
+    "fillempty", "aggregate", "merge", "group", "pivot", "normalize",
+    "split", "join", "prepend", "json_recode", "everseen", "topk_per_group",
+]
+
+
+# ---------------------------------------------------------------------------
+# projection / filtering / row ops
+# ---------------------------------------------------------------------------
+
+def cut(df: DataFrame, fields: Sequence[str], exclude: bool = False,
+        prune: bool = False) -> DataFrame:
+    """Select or drop columns (ref: meza/process.py:901-934).
+
+    ``exclude=True`` drops ``fields`` instead of keeping them;
+    ``prune=True`` additionally removes rows where every remaining
+    column is null (meza drops now-empty rows).
+
+    Spark-first: pure ``select``/``drop`` — column pruning reaches the
+    parquet scan, so at 100 TB only the kept columns are read.
+    """
+    out = df.drop(*fields) if exclude else df.select(*fields)
+    if prune:
+        out = out.na.drop(how="all")
+    return out
+
+
+def tfilter(df: DataFrame, field: str,
+            pred: Column | Callable[[Column], Column] | None = None,
+            inverse: bool = False) -> DataFrame:
+    """Filter rows by a predicate on one field (ref: meza/process.py:813-848).
+
+    ``pred`` may be a Column expression, a callable Column->Column, or
+    ``None`` (meza's default: truthiness — non-null, non-empty,
+    non-zero, non-false).
+    """
+    c = F.col(field)
+    if pred is None:
+        cond = c.isNotNull() & (c.cast("string") != "") & (
+            c.cast("string") != "0") & (c.cast("string").isNotNull())
+        cond = c.isNotNull() & (~c.cast("string").isin("", "0", "0.0", "false", "False"))
+    elif callable(pred) and not isinstance(pred, Column):
+        cond = pred(c)
+    else:
+        cond = pred
+    # meza's inverse is Python `not pred(x)` — null-safe, unlike SQL NOT
+    # (which drops NULL predicate results on both sides)
+    return df.filter(~F.coalesce(cond, F.lit(False)) if inverse else cond)
+
+
+def grep(df: DataFrame, rules: Sequence[dict[str, Any]],
+         any_match: bool = False, inverse: bool = False) -> DataFrame:
+    """Multi-rule pattern match over chosen fields
+    (ref: meza/process.py:974-1035).
+
+    Each rule is ``{'fields': [...], 'pattern': p}`` where ``p`` is:
+      - a regex string starting with its own semantics → ``rlike``
+        (meza compiles regexes and uses ``.match`` = anchored at start;
+        we preserve that by anchoring with ``^``),
+      - a plain substring → ``contains``,
+      - a callable Column->Column → applied per field.
+    A rule matches if ANY of its fields match. Rules combine with AND
+    (``any_match=False``, meza default ``all``) or OR (``any_match=True``).
+    ``inverse`` negates the total.
+
+    Spark-first: compiles to a single boolean expression tree —
+    ``rlike``/``contains`` stay JVM-side inside WholeStageCodegen.
+    """
+    import re
+
+    if not rules:
+        raise ValueError("grep requires at least one rule "
+                         "({'fields': [...], 'pattern': ...})")
+    rule_exprs = []
+    for rule in rules:
+        fields = rule["fields"]
+        pattern = rule["pattern"]
+        field_exprs = []
+        for f in fields:
+            c = F.col(f).cast("string")
+            if callable(pattern):
+                field_exprs.append(pattern(F.col(f)))
+            elif isinstance(pattern, re.Pattern):
+                # meza uses pattern.match → anchored at the start
+                field_exprs.append(c.rlike("^(?:" + pattern.pattern + ")"))
+            elif isinstance(pattern, str) and rule.get("regex"):
+                field_exprs.append(c.rlike("^(?:" + pattern + ")"))
+            else:
+                field_exprs.append(c.contains(str(pattern)))
+        expr = field_exprs[0]
+        for e in field_exprs[1:]:
+            expr = expr | e
+        rule_exprs.append(expr)
+
+    total = rule_exprs[0]
+    for e in rule_exprs[1:]:
+        total = (total | e) if any_match else (total & e)
+    return df.filter(~F.coalesce(total, F.lit(False)) if inverse else total)
+
+
+def unique(df: DataFrame, fields: Sequence[str] | None = None,
+           keep: str = "any") -> DataFrame:
+    """Deduplicate on a column subset (ref: meza/process.py:851-898).
+
+    meza's dedupe is windowed/approximate (a 4096-deep seen-deque) purely
+    to bound memory in a single-threaded generator; on Spark exact
+    distributed dedupe is the right default — a hash shuffle on the key
+    columns with map-side partial dedupe, linear scale-out.
+
+    ``keep='any'`` → ``dropDuplicates`` (fastest, hash-agg based).
+    ``keep='first'``/``'min'`` → deterministic: keeps the row with the
+    smallest value of the remaining columns (needed for oracle-stable
+    results); implemented as a min-struct aggregation, no window needed.
+    """
+    if not fields:
+        return df.dropDuplicates()
+    if keep == "any":
+        return df.dropDuplicates(list(fields))
+    other = [c for c in df.columns if c not in fields]
+    if not other:
+        return df.dropDuplicates(list(fields))
+    # min_by over a struct = deterministic "first" without a window shuffle
+    agg = F.min(F.struct(*[F.col(c) for c in other])).alias("_rest")
+    out = df.groupBy(*fields).agg(agg)
+    return out.select(*fields, *[F.col(f"_rest.{c}").alias(c) for c in other])
+
+
+def hash_(df: DataFrame, fields: Sequence[str],
+          algo: str = "md5") -> DataFrame:
+    """Replace selected column values with their hex digest
+    (ref: meza/process.py:1038-1070).
+
+    JVM-side ``md5``/``sha1``/``sha2`` builtins — no Python UDF.
+    """
+    algo = algo.lower()
+    out = df
+    for f in fields:
+        c = F.col(f).cast("string")
+        if algo == "md5":
+            h = F.md5(c)
+        elif algo == "sha1":
+            h = F.sha1(c)
+        elif algo in ("sha256", "sha2"):
+            h = F.sha2(c, 256)
+        elif algo == "sha512":
+            h = F.sha2(c, 512)
+        elif algo == "crc32":
+            h = F.crc32(c).cast("string")
+        else:
+            raise ValueError(f"unsupported hash algo: {algo}")
+        out = out.withColumn(f, h)
+    return out
+
+
+def prepend(df: DataFrame, row: dict[str, Any]) -> DataFrame:
+    """Push a row back onto the stream (ref: meza/process.py:603-631).
+
+    DataFrames are re-executable so meza's iterator-repair use case
+    vanishes; kept for API parity as a 1-row union.
+    """
+    spark = df.sparkSession
+    one = spark.createDataFrame([row], schema=df.schema)
+    return one.unionByName(df, allowMissingColumns=True)
+
+
+def peek(df: DataFrame, n: int = 5) -> tuple[DataFrame, list[dict]]:
+    """First n rows without consuming (ref: meza/process.py:634-667).
+
+    Returns ``(df, rows)`` — the df unchanged (re-executable) and the
+    sample as dicts. ``limit(n)`` short-circuits the scan.
+    """
+    rows = [r.asDict() for r in df.limit(n).collect()]
+    return df, rows
+
+
+def json_recode(df: DataFrame) -> DataFrame:
+    """Normalize every value through a JSON encode/decode round-trip
+    (ref: meza/process.py:118-158) — meza uses this to stringify
+    Decimals/dates. Spark-first: ``to_json(struct(*)) → from_json`` with
+    an all-string schema, entirely JVM-side.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([StructField(c, StringType()) for c in df.columns])
+    packed = df.select(F.to_json(F.struct(*df.columns)).alias("_j"))
+    return packed.select(F.from_json("_j", schema).alias("_s")).select("_s.*")
+
+
+# ---------------------------------------------------------------------------
+# sort / fill
+# ---------------------------------------------------------------------------
+
+def sort(df: DataFrame, keys: str | Sequence[str],
+         reverse: bool | Sequence[bool] = False) -> DataFrame:
+    """Total sort (ref: meza/process.py:36 — single asc key only there;
+    multi-key + desc are the documented generalization).
+
+    Spark performs a range-partitioned distributed sort (sampled
+    boundaries → shuffle → per-partition sort): no single node ever
+    holds the full data, unlike the reference's ``sorted(list(...))``.
+    """
+    if isinstance(keys, str):
+        keys = [keys]
+    if isinstance(reverse, bool):
+        reverse = [reverse] * len(keys)
+    cols = [F.col(k).desc() if r else F.col(k).asc()
+            for k, r in zip(keys, reverse)]
+    return df.orderBy(*cols)
+
+
+def everseen(df: DataFrame, field: str, order_by: str, op: str = "min",
+             partition_by: Sequence[str] | None = None) -> DataFrame:
+    """Running extrema over the stream (ref: meza/fntools.py:1190-1218
+    ``op_everseen``): emit the running min/max of ``field`` in
+    ``order_by`` order as column ``{field}_everseen``.
+
+    Window with ``rowsBetween(unboundedPreceding, 0)``. At scale an
+    unpartitioned ordered window is a single-reducer sort — always pass
+    ``partition_by`` when a natural key exists (the reference can't
+    express this: its single thread IS one partition).
+    """
+    w = Window.partitionBy(*(partition_by or [])).orderBy(order_by) \
+              .rowsBetween(Window.unboundedPreceding, 0)
+    fn = {"min": F.min, "max": F.max, "sum": F.sum}[op]
+    return df.withColumn(f"{field}_everseen", fn(field).over(w))
+
+
+def topk_per_group(df: DataFrame, partition_by: Sequence[str],
+                   order_by: Sequence[str], k: int,
+                   desc: bool | Sequence[bool] = True) -> DataFrame:
+    """Top-k rows per group (beyond-reference: meza composes
+    sort+islice per group by hand; SURVEY §2.4).
+
+    ``row_number`` over a partitioned window — one shuffle on the group
+    key, per-partition heap sort; include a unique tiebreak column in
+    ``order_by`` for deterministic output.
+    """
+    if isinstance(desc, bool):
+        desc = [desc] * len(order_by)
+    cols = [F.col(c).desc() if d else F.col(c).asc()
+            for c, d in zip(order_by, desc)]
+    w = Window.partitionBy(*partition_by).orderBy(*cols)
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k).drop("_rn"))
+
+
+def fillempty(df: DataFrame, value: Any = None, method: str | None = None,
+              fields: Sequence[str] | None = None,
+              fill_key: str | None = None,
+              order_by: str | Sequence[str] | None = None,
+              partition_by: Sequence[str] | None = None) -> DataFrame:
+    """Fill null holes (ref: meza/process.py:361-431, meza/fntools.py:906-994).
+
+    Modes:
+      - constant:            ``fillempty(df, value=0, fields=[...])``
+      - from another column: ``fillempty(df, fill_key='other', fields=[...])``
+      - forward fill:        ``method='front'`` (needs ``order_by``)
+      - backward fill:       ``method='back'`` (needs ``order_by``)
+
+    meza's ffill walks the generator with carried state; Spark-first it
+    is ``last(ignorenulls)`` over an ordered window. ``partition_by``
+    bounds the window per key — at 100 TB an unpartitioned ordered
+    window is a single-reducer bottleneck, so callers should always
+    pass a partition key when one exists (meza has no such concept:
+    its single thread IS one partition).
+    """
+    fields = list(fields or df.columns)
+    if fill_key is not None:
+        out = df
+        for f in fields:
+            if f == fill_key:
+                continue
+            out = out.withColumn(f, F.coalesce(F.col(f), F.col(fill_key)))
+        return out
+    if method in ("front", "back"):
+        if order_by is None:
+            raise ValueError("front/back fill requires order_by")
+        order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+        w = Window.partitionBy(*(partition_by or []))
+        if method == "front":
+            w = w.orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, 0)
+            fn = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+        else:
+            w = w.orderBy(*order_cols).rowsBetween(0, Window.unboundedFollowing)
+            fn = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
+        out = df
+        for f in fields:
+            out = out.withColumn(f, fn(F.col(f)).over(w))
+        return out
+    # constant fill; meza also treats '' as a hole for text columns
+    return df.na.fill(value, subset=fields)
+
+
+# ---------------------------------------------------------------------------
+# aggregation
+# ---------------------------------------------------------------------------
+
+_AGG_FNS: dict[str, Callable[[str], Column]] = {
+    "sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg, "mean": F.avg,
+    "count": F.count, "first": lambda c: F.first(c, ignorenulls=True),
+    "last": lambda c: F.last(c, ignorenulls=True),
+    "count_distinct": F.count_distinct,
+    "approx_count_distinct": F.approx_count_distinct,
+    "collect_list": F.collect_list, "collect_set": F.collect_set,
+    "stddev": F.stddev, "variance": F.variance, "median": F.median,
+}
+
+
+def _agg_col(op: str | Callable, field: str) -> Column:
+    if callable(op):
+        return op(field)
+    return _AGG_FNS[op](field)
+
+
+def aggregate(df: DataFrame, field: str, op: str | Callable = "sum",
+              alias: str | None = None) -> DataFrame:
+    """Whole-table aggregation of one field (ref: meza/process.py:513-553).
+
+    meza collects all non-null values into a list and applies ``op``;
+    Spark's partial/final aggregation computes the same with map-side
+    combine — O(partitions) driver traffic, not O(rows).
+    """
+    alias = alias or f"{op if isinstance(op, str) else 'agg'}_{field}"
+    return df.agg(_agg_col(op, field).alias(alias))
+
+
+def merge(df: DataFrame, op: str | Callable | None = None,
+          pred: Callable[[str], bool] | None = None) -> DataFrame:
+    """Fold all rows into one (ref: meza/process.py:434-510).
+
+    With ``op``: per-column reduce using ``op`` for the columns where
+    ``pred(column)`` holds (meza's pred takes the key), ``last`` for the
+    rest. Without ``op``: coalescing union — last non-null value per
+    column (meza's dict-union, right wins).
+
+    Note meza documents that reduce-of-mean ≠ mean
+    (meza/process.py:465-471) — Spark's agg framework does the correct
+    (sum,count) decomposition internally, which is exactly the
+    ``fntools.sum_and_count`` partial-agg pattern the reference tests.
+    """
+    aggs = []
+    for c in df.columns:
+        if op is not None and (pred is None or pred(c)):
+            aggs.append(_agg_col(op, c).alias(c))
+        else:
+            aggs.append(F.last(c, ignorenulls=True).alias(c))
+    return df.agg(*aggs)
+
+
+def group(df: DataFrame, keys: str | Sequence[str],
+          aggs: dict[str, tuple[str, str | Callable]] | None = None,
+          apply: Callable | None = None, schema=None) -> DataFrame:
+    """Group by key(s) (ref: meza/process.py:556-600).
+
+    meza sorts + ``itertools.groupby`` then applies an arbitrary Python
+    ``aggregator`` per group. Spark-first split:
+      - ``aggs={'out_name': ('field', 'op')}`` → hash aggregation with
+        map-side partial agg (no sort, one shuffle).
+      - ``apply=fn, schema=...`` → ``groupBy().applyInPandas`` for
+        arbitrary per-group logic (Arrow-batched; the grouped-map UDTF
+        path, ref §2.9).
+    Default (neither) → groups as ``(key, collect_list(struct(*)))``
+    matching meza's ``(key, list-of-rows)`` tuples.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if apply is not None:
+        return df.groupBy(*keys).applyInPandas(apply, schema=schema)
+    if aggs:
+        cols = [_agg_col(o, f).alias(name) for name, (f, o) in aggs.items()]
+        return df.groupBy(*keys).agg(*cols)
+    rest = [c for c in df.columns if c not in keys]
+    return df.groupBy(*keys).agg(
+        F.collect_list(F.struct(*rest)).alias("group"))
+
+
+def pivot(df: DataFrame, rows: Sequence[str], column: str, data: str,
+          op: str | Callable = "sum", values: Sequence[str] | None = None,
+          fill_value: Any = None, dropna: bool = True) -> DataFrame:
+    """Spreadsheet pivot (ref: meza/process.py:670-745): ``rows`` dims ×
+    distinct values of ``column`` as new columns, aggregating ``data``.
+
+    Exact Spark match: ``groupBy(rows).pivot(column).agg(op(data))``.
+    Passing ``values`` explicitly skips the distinct-values job — at
+    100 TB always pass it when the domain is known. meza's
+    ``dropna=False`` keeps all output columns; Spark's pivot already
+    emits the full column set, nulls where empty (use ``fill_value``).
+    """
+    p = df.groupBy(*rows).pivot(column, list(values) if values else None)
+    out = p.agg(_agg_col(op, data))
+    if fill_value is not None:
+        value_cols = [c for c in out.columns if c not in rows]
+        out = out.na.fill(fill_value, subset=value_cols)
+    return out
+
+
+def normalize(df: DataFrame, fields: Sequence[str], key_name: str = "column",
+              value_name: str = "data", invert: bool = False) -> DataFrame:
+    """Unpivot/melt (ref: meza/process.py:748-782): listed columns become
+    (column, data) key/value rows. ``invert=True`` melts everything BUT
+    ``fields`` (meza's keep-list mode).
+
+    Spark-first: native ``unpivot`` (codegen'd ``Expand`` node — each
+    input row fans out with no shuffle).
+    """
+    if invert:
+        ids = list(fields)
+        vals = [c for c in df.columns if c not in ids]
+    else:
+        vals = list(fields)
+        ids = [c for c in df.columns if c not in vals]
+    # unpivot requires a common type across value columns; cast to string
+    # mirrors meza (whose rows are str-typed dicts post-read)
+    casted = df.select(*ids, *[F.col(v).cast("string").alias(v) for v in vals])
+    return casted.unpivot(ids, vals, key_name, value_name)
+
+
+def split(df: DataFrame, path: str, field: str | None = None,
+          chunksize: int | None = None, fmt: str = "parquet") -> None:
+    """Partitioned write (ref: meza/process.py:957-971): split records
+    into files by group key and/or chunk size.
+
+    Spark-first: ``write.partitionBy(field)`` with
+    ``maxRecordsPerFile`` — the executor-parallel equivalent of meza's
+    suffix-named output files.
+    """
+    w = df.write.mode("overwrite")
+    if chunksize:
+        w = w.option("maxRecordsPerFile", chunksize)
+    if field:
+        w = w.partitionBy(field)
+    getattr(w, fmt)(path)
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+def join(left: DataFrame, right: DataFrame,
+         on: str | Sequence[str] | Column | None = None,
+         how: str = "inner", broadcast: bool = False) -> DataFrame:
+    """Join (ref: meza/process.py:785-810).
+
+    meza's ``join`` is a nested-loop cross product with dict-merge
+    (right wins on collision) — the docs use it to emulate a keyed
+    merge. The engine exposes the real thing: keyed
+    inner/left/right/full/semi/anti plus cross when ``on is None``.
+
+    ``broadcast=True`` hints a map-side (broadcast-hash) join for small
+    right sides — no shuffle of the big side; AQE also auto-converts
+    when the built side is under the threshold.
+    """
+    r = F.broadcast(right) if broadcast else right
+    if on is None:
+        return left.crossJoin(r)
+    return left.join(r, on=on, how=how)

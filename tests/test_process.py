@@ -1,0 +1,192 @@
+"""Operator unit tests mirroring the reference's test strategy
+(SURVEY §5: tests/test_process.py in reubano/meza — fixtures re-created
+per FIXTURES.md §9, not copied)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from meza_spark import process as pr
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    return spark.createDataFrame(
+        [(1, "alice", 30, 55.5), (2, "bob", None, 60.0),
+         (3, "carol", 25, None), (4, "dave", 25, 70.0)],
+        "id int, name string, age int, weight double")
+
+
+def test_cut_keep(people):
+    out = pr.cut(people, ["id", "name"])
+    assert out.columns == ["id", "name"]
+    assert out.count() == 4
+
+
+def test_cut_exclude_prune(spark):
+    df = spark.createDataFrame([(1, None), (None, None)], "a int, b int")
+    out = pr.cut(df, ["a"], exclude=True, prune=True)
+    assert out.columns == ["b"]
+    assert out.count() == 0
+
+
+def test_tfilter_pred_and_inverse(people):
+    assert pr.tfilter(people, "age", lambda c: c == 25).count() == 2
+    assert pr.tfilter(people, "age", lambda c: c == 25, inverse=True).count() == 2
+    # default pred = truthiness: nulls drop
+    assert pr.tfilter(people, "age").count() == 3
+
+
+def test_grep_substring_regex_any_match(people):
+    rules = [{"fields": ["name"], "pattern": "a"}]
+    assert pr.grep(people, rules).count() == 3  # alice, carol, dave
+    rules = [{"fields": ["name"], "pattern": "^[ab]", "regex": True}]
+    assert pr.grep(people, rules).count() == 2
+    both = [{"fields": ["name"], "pattern": "alice"},
+            {"fields": ["name"], "pattern": "bob"}]
+    assert pr.grep(people, both, any_match=True).count() == 2
+    assert pr.grep(people, both, any_match=False).count() == 0
+    assert pr.grep(people, both, any_match=True, inverse=True).count() == 2
+
+
+def test_unique_deterministic(people):
+    out = pr.unique(people, ["age"], keep="first")
+    rows = {r["age"]: r["id"] for r in out.collect()}
+    assert rows[25] == 3  # min id among age=25
+    assert out.count() == 3
+
+
+def test_hash_md5(spark):
+    df = spark.createDataFrame([("x",)], "v string")
+    row = pr.hash_(df, ["v"], "md5").collect()[0]
+    import hashlib
+    assert row["v"] == hashlib.md5(b"x").hexdigest()
+
+
+def test_sort_multi_key(people):
+    out = pr.sort(people, ["age", "id"], reverse=[True, False]).collect()
+    assert [r["id"] for r in out] == [1, 3, 4, 2]  # nulls last? spark: nulls first on asc... desc -> nulls last
+    ages = [r["age"] for r in out]
+    assert ages[0] == 30
+
+
+def test_peek(people):
+    df, rows = pr.peek(people, 2)
+    assert len(rows) == 2 and df.count() == 4
+
+
+def test_fillempty_constant_and_fill_key(people):
+    out = pr.fillempty(people, value=0, fields=["age"])
+    assert out.filter(F.col("age").isNull()).count() == 0
+    out2 = pr.fillempty(people, fill_key="id", fields=["age"])
+    assert out2.filter(F.col("id") == 2).collect()[0]["age"] == 2
+
+
+def test_fillempty_ffill_bfill(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, 10), (3, None), (4, None), (5, 20)],
+        "ord int, v int")
+    f = pr.fillempty(df, method="front", fields=["v"], order_by="ord")
+    got = {r["ord"]: r["v"] for r in f.collect()}
+    assert got == {1: None, 2: 10, 3: 10, 4: 10, 5: 20}
+    b = pr.fillempty(df, method="back", fields=["v"], order_by="ord")
+    got = {r["ord"]: r["v"] for r in b.collect()}
+    assert got == {1: 10, 2: 10, 3: 20, 4: 20, 5: 20}
+
+
+def test_aggregate_and_merge(people):
+    assert pr.aggregate(people, "age", "sum", alias="s").collect()[0]["s"] == 80
+    m = pr.merge(people.select("age", "weight"), op="sum",
+                 pred=lambda c: True).collect()[0]
+    assert m["age"] == 80 and m["weight"] == 185.5
+
+
+def test_merge_coalescing_union(spark):
+    # ragged dicts {a,b,c} / {a,b,d} (FIXTURES §9 merge)
+    df = spark.createDataFrame(
+        [(1, 2, 3, None), (4, 5, None, 7)], "a int, b int, c int, d int")
+    m = pr.merge(df).collect()[0]
+    assert (m["a"], m["b"], m["c"], m["d"]) == (4, 5, 3, 7)
+
+
+def test_group_modes(people):
+    g = pr.group(people, "age", aggs={"n": ("id", "count")})
+    got = {r["age"]: r["n"] for r in g.collect()}
+    assert got[25] == 2
+    lists = pr.group(people, "age").collect()
+    by_age = {r["age"]: r["group"] for r in lists}
+    assert len(by_age[25]) == 2
+
+
+def test_pivot_matches_reference_shape(spark):
+    # FIXTURES §9 pivot table: A,B,C,D with a missing cell
+    df = spark.createDataFrame(
+        [("foo", "one", "small", 1), ("foo", "one", "large", 2),
+         ("foo", "one", "large", 2), ("foo", "two", "small", 3),
+         ("foo", "two", "small", 3), ("bar", "one", "small", 4),
+         ("bar", "one", "large", 5), ("bar", "two", "small", 6),
+         ("bar", "two", "large", 7)],
+        "a string, b string, c string, d int")
+    out = pr.pivot(df, rows=["a", "b"], column="c", data="d", op="sum")
+    got = {(r["a"], r["b"]): (r["small"], r["large"]) for r in out.collect()}
+    assert got[("foo", "two")] == (6, None)  # missing cell stays null
+    assert got[("bar", "one")] == (4, 5)
+    filled = pr.pivot(df, rows=["a", "b"], column="c", data="d",
+                      op="sum", fill_value=0)
+    got = {(r["a"], r["b"]): (r["small"], r["large"]) for r in filled.collect()}
+    assert got[("foo", "two")] == (6, 0)
+
+
+def test_normalize_roundtrip(spark):
+    df = spark.createDataFrame([(1, 10, 20)], "id int, x int, y int")
+    out = pr.normalize(df, ["x", "y"], key_name="k", value_name="v")
+    got = {(r["id"], r["k"]): r["v"] for r in out.collect()}
+    assert got[(1, "x")] == "10" and got[(1, "y")] == "20"
+    inv = pr.normalize(df, ["id"], invert=True, key_name="k", value_name="v")
+    assert inv.count() == 2
+
+
+def test_join_kinds(spark):
+    l = spark.createDataFrame([(1, "a"), (2, "b")], "k int, lv string")
+    r = spark.createDataFrame([(2, "x"), (3, "y")], "k int, rv string")
+    assert pr.join(l, r, on="k").count() == 1
+    assert pr.join(l, r, on="k", how="left").count() == 2
+    assert pr.join(l, r, on="k", how="full").count() == 3
+    assert pr.join(l, r, on="k", how="left_anti").count() == 1
+    assert pr.join(l, r, on=None).count() == 4
+
+
+def test_prepend(people):
+    out = pr.prepend(people, {"id": 0, "name": "zed", "age": 1,
+                              "weight": 1.0})
+    assert out.count() == 5
+
+
+def test_everseen_running_min(spark):
+    df = spark.createDataFrame([(1, 5), (2, 3), (3, 4)], "ord int, v int")
+    out = pr.everseen(df, "v", "ord", op="min").collect()
+    got = {r["ord"]: r["v_everseen"] for r in out}
+    assert got == {1: 5, 2: 3, 3: 3}
+
+
+def test_topk_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("a", 3, 30), ("b", 4, 5)],
+        "g string, id int, v int")
+    out = pr.topk_per_group(df, ["g"], ["v", "id"], k=2, desc=[True, False])
+    got = sorted((r["g"], r["id"]) for r in out.collect())
+    assert got == [("a", 2), ("a", 3), ("b", 4)]
+
+
+def test_json_recode(spark):
+    df = spark.createDataFrame([(1, 2.5)], "a int, b double")
+    out = pr.json_recode(df).collect()[0]
+    assert out["a"] == "1" and out["b"] == "2.5"
+
+
+def test_split_partitioned_write(spark, tmp_path):
+    df = spark.createDataFrame([("x", 1), ("y", 2)], "g string, v int")
+    path = str(tmp_path / "out")
+    pr.split(df, path, field="g")
+    back = spark.read.parquet(path)
+    assert back.count() == 2
+    assert sorted(back.columns) == ["g", "v"]

@@ -1,0 +1,113 @@
+"""Local differential oracle harness — mimics the driver's t2 check.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given SF, then compares row count, column names, and an
+order-insensitive value hash (cells normalized to strings, rows sorted).
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    import datetime
+    import math
+
+    if v is None or v != v:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        return repr(v) if v != int(v) or abs(v) >= 1e15 else str(int(v))
+    if isinstance(v, bool):
+        return str(bool(v))
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        return v.isoformat()
+    return str(v)
+
+
+def frame_hash(df: pd.DataFrame) -> tuple[int, str, str]:
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = ["\x1f".join(norm_cell(v) for v in row)
+            for row in df.itertuples(index=False, name=None)]
+    rows.sort()
+    h = hashlib.sha256("\x1e".join(rows).encode()).hexdigest()[:16]
+    return len(rows), ",".join(cols), h
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) \
+        else "/root/testdata/sf0.01"
+    only = set(a for a in sys.argv[2:] if not os.path.isdir(a))
+
+    import __spark_entry__ as entry
+    from meza_spark.session import get_spark
+
+    spark = get_spark("oracle_check")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    results = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            results.append((name, "SPARK-ERROR", str(e)[:200]))
+            continue
+        spark_t = time.time() - t0
+        if name not in oracles:
+            results.append((name, "ROWS-ONLY", f"{len(sdf)} rows "
+                            f"({spark_t:.1f}s)"))
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as e:
+            results.append((name, "ORACLE-ERROR", str(e)[:200]))
+            continue
+        sn, sc, sh = frame_hash(sdf)
+        on_, oc, oh = frame_hash(odf)
+        if sn != on_:
+            results.append((name, "ROWCOUNT-MISMATCH", f"spark={sn} duck={on_}"))
+        elif sc != oc:
+            results.append((name, "SCHEMA-MISMATCH", f"spark=[{sc}] duck=[{oc}]"))
+        elif sh != oh:
+            # show first differing rows to debug
+            results.append((name, "HASH-MISMATCH", f"n={sn}"))
+        else:
+            results.append((name, "OK", f"{sn} rows ({spark_t:.1f}s)"))
+
+    fails = 0
+    for name, status, detail in results:
+        mark = "✓" if status == "OK" else ("~" if status == "ROWS-ONLY" else "✗")
+        if mark == "✗":
+            fails += 1
+        print(f"{mark} {name:24s} {status:18s} {detail}")
+    print(f"\n{len(results)} queries, {fails} failing")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
