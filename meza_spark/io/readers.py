@@ -1,0 +1,730 @@
+"""Readers (reference: meza/io.py).
+
+Two tiers, by format splittability (SURVEY §4.2.3):
+
+  - **Splittable** (csv/tsv/ndjson/text/parquet): ``spark.read`` —
+    distributed scans, predicate pushdown, schema on read. The header
+    hygiene options (sanitize/dedupe/custom_header) are driver-side
+    column renames on top (ref: meza/io.py:824-846).
+  - **Non-splittable** (xls(x)/html/yaml/dbf/sqlite/mdb/geojson
+    FeatureCollections): parsed per FILE — one task per file when
+    multiple files, driver-side for one — then ``createDataFrame``.
+    Parallelism across files, never within (ref readers:
+    meza/io.py:598-760,1033-1431).
+
+Encoding detection (ref: meza/io.py:371-431,1579-1614): BOM sniff +
+decode ladder, driver-side per file BEFORE building the scan, because
+Spark's csv reader takes one fixed encoding (SURVEY §4.1).
+
+All readers return DataFrames; row dicts are available via
+``df.toLocalIterator()`` for meza-style consumption.
+"""
+
+from __future__ import annotations
+
+import csv as _csv
+import io as _pyio
+import json as _json
+import os
+import re
+import struct
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import dedupe_names, underscorify
+
+__all__ = [
+    "read", "read_csv", "read_tsv", "read_fixed_fmt", "read_json",
+    "read_ndjson", "read_geojson", "read_yaml", "read_html", "read_xls",
+    "read_sqlite", "read_dbf", "read_mdb", "io_join", "detect_encoding",
+]
+
+
+# ---------------------------------------------------------------------------
+# encoding
+# ---------------------------------------------------------------------------
+
+_BOMS = [
+    (b"\xef\xbb\xbf", "utf-8-sig"),
+    (b"\xff\xfe\x00\x00", "utf-32-le"), (b"\x00\x00\xfe\xff", "utf-32-be"),
+    (b"\xff\xfe", "utf-16-le"), (b"\xfe\xff", "utf-16-be"),
+]
+
+
+def detect_encoding(path: str, sample_bytes: int = 1 << 16) -> str:
+    """BOM sniff + decode ladder (ref: meza/io.py:1579-1614 uses chardet;
+    we try chardet when importable, else a deterministic ladder
+    utf-8 → windows-1252 → latin-1, mirroring the reference's
+    Windows-1252 quirk handling at io.py:419-431)."""
+    with open(path, "rb") as f:
+        head = f.read(sample_bytes)
+    for bom, enc in _BOMS:
+        if head.startswith(bom):
+            return enc
+    try:
+        head.decode("utf-8")
+        return "utf-8"
+    except UnicodeDecodeError:
+        pass
+    try:
+        import chardet  # type: ignore
+
+        got = chardet.detect(head)
+        if got and got.get("encoding"):
+            return got["encoding"]
+    except ImportError:
+        pass
+    for enc in ("windows-1252", "latin-1"):
+        try:
+            head.decode(enc)
+            return enc
+        except UnicodeDecodeError:
+            continue
+    return "latin-1"  # decodes anything
+
+
+def _clean_header(names: Sequence[str], sanitize: bool = False,
+                  dedupe: bool = True) -> list[str]:
+    """Header hygiene (ref: meza/io.py:824-846): blank → column_N,
+    optional slugify, duplicate suffixing field, field_2, ..."""
+    out = []
+    for i, n in enumerate(names):
+        n = (n or "").strip().lstrip("﻿")  # BOM strip (io.py:311-368)
+        if not n:
+            n = f"column_{i + 1}"
+        elif sanitize:
+            n = underscorify(n)
+        out.append(n)
+    return dedupe_names(out) if dedupe else out
+
+
+# ---------------------------------------------------------------------------
+# CSV family (splittable fast path + reference-parity sliced path)
+# ---------------------------------------------------------------------------
+
+def read_csv(spark: SparkSession, path: str, has_header: bool = True,
+             custom_header: Sequence[str] | None = None,
+             delimiter: str = ",", quotechar: str = '"',
+             encoding: str | None = None, sanitize: bool = False,
+             dedupe: bool = True, first_row: int = 0, first_col: int = 0,
+             last_row: int | None = None,
+             infer_schema: bool = False) -> DataFrame:
+    """CSV → DataFrame (ref: meza/io.py:763-850).
+
+    Fast path (no row/col slicing): pure ``spark.read.csv`` —
+    distributed, splittable, scalable; header hygiene is a driver-side
+    rename. Sliced path (``first_row``/``first_col``/``last_row``,
+    incl. negative ``last_row`` = drop tail, ref io.py:473-479):
+    per-file python csv parse — a compatibility path for the
+    reference's messy-file semantics, not the 100 TB path.
+
+    ``encoding=None`` auto-detects per file (driver, bounded read).
+    """
+    if encoding is None:
+        encoding = detect_encoding(_first_file(path))
+
+    # Spark's CSVOptions accepts a fixed charset whitelist; map Python
+    # codec names onto it, and fall back to the python path for
+    # charsets Spark can't scan (windows-1252, mac-roman, ...).
+    # (utf-16/32 are whitelisted by Spark but its record splitting on
+    # multi-byte charsets is unreliable — python path handles them)
+    spark_charset = {
+        "utf-8": "utf-8", "utf-8-sig": "utf-8", "ascii": "us-ascii",
+        "latin-1": "iso-8859-1", "iso-8859-1": "iso-8859-1",
+    }.get(encoding.lower())
+    if spark_charset is None and first_row == 0 and first_col == 0 \
+            and last_row is None:
+        first_row = 0  # force the python path below
+        last_row = 1 << 62
+
+    if first_row == 0 and first_col == 0 and last_row is None:
+        df = (spark.read
+              .option("header", str(has_header and custom_header is None).lower())
+              .option("sep", delimiter).option("quote", quotechar)
+              .option("encoding", spark_charset)
+              .option("inferSchema", str(infer_schema).lower())
+              .option("mode", "PERMISSIVE")
+              .csv(path))
+        if custom_header is not None:
+            names = list(custom_header)
+            if has_header:  # first line was a header we're overriding: drop it
+                hdr = df.limit(1).collect()
+                df = df.exceptAll(spark.createDataFrame(hdr, df.schema))
+            names = _clean_header(names, sanitize, dedupe)
+            return df.toDF(*names[:len(df.columns)])
+        if has_header:
+            # Spark's reader pre-mangles dupe/blank headers (col0/_c2);
+            # re-derive names from the raw header line (driver, 1 line)
+            with open(_first_file(path), encoding=encoding, newline="") as f:
+                raw = next(_csv.reader(f, delimiter=delimiter,
+                                       quotechar=quotechar), None)
+            if raw is None:  # empty file → empty frame, not StopIteration
+                return df
+            names = _clean_header(raw, sanitize, dedupe)
+            if len(names) == len(df.columns):
+                return df.toDF(*names)
+            return df.toDF(*_clean_header(df.columns, sanitize, dedupe))
+        # headerless: _c0.._cN → column_1..column_N+1 (ref io.py:846)
+        return df.toDF(*[f"column_{i + 1}" for i in range(len(df.columns))])
+
+    # sliced compatibility path: python csv over whole files
+    rows = []
+    for p in _all_files(path):
+        with open(p, encoding=encoding, newline="") as f:
+            rdr = _csv.reader(f, delimiter=delimiter, quotechar=quotechar)
+            lines = [r[first_col:] for r in rdr][first_row:]
+        if last_row is not None:
+            lines = lines[:last_row] if last_row >= 0 else lines[:last_row]
+        if custom_header is not None:
+            names = list(custom_header)
+            if has_header:
+                lines = lines[1:]
+        elif has_header:
+            names, lines = lines[0], lines[1:]
+        else:
+            names = [f"column_{i + 1}" for i in range(len(lines[0]))]
+        names = _clean_header(names, sanitize, dedupe)
+        # drop fully-empty rows (ref: io.py:589-595)
+        for line in lines:
+            if any(v.strip() for v in line):
+                rows.append(dict(zip(names, line)))
+    return _records_df(spark, rows, list(rows[0].keys()) if rows else names)
+
+
+def read_tsv(spark: SparkSession, path: str, **kwargs) -> DataFrame:
+    """TSV (ref: meza/io.py:853-893 — csv with excel-tab dialect)."""
+    kwargs.setdefault("delimiter", "\t")
+    return read_csv(spark, path, **kwargs)
+
+
+def read_fixed_fmt(spark: SparkSession, path: str, widths: Sequence[int],
+                   has_header: bool = False, sanitize: bool = False,
+                   dedupe: bool = True,
+                   encoding: str | None = None) -> DataFrame:
+    """Fixed-width (ref: meza/io.py:896-960, ``widths`` = column start
+    offsets as in the reference's zip_longest schema).
+
+    Spark-first: ``spark.read.text`` (splittable, distributed) +
+    one ``substring`` per column — JVM-side slicing, no Python.
+    The header row, when present, is read driver-side.
+    """
+    starts = list(widths)
+    ends = starts[1:] + [None]
+    if encoding is None:
+        encoding = detect_encoding(_first_file(path))
+
+    if has_header:
+        with open(_first_file(path), encoding=encoding) as f:
+            hline = f.readline().rstrip("\r\n")
+        names = [hline[s:e].strip() if e else hline[s:].strip()
+                 for s, e in zip(starts, ends)]
+        names = _clean_header(names, sanitize, dedupe)
+    else:
+        names = [f"column_{i + 1}" for i in range(len(starts))]
+
+    txt = spark.read.text(path)
+    if has_header:
+        hdr_lit = F.lit(hline)
+        txt = txt.filter(F.col("value") != hdr_lit)
+    cols = []
+    for name, s, e in zip(names, starts, ends):
+        ln = (e - s) if e else (1 << 20)
+        cols.append(F.trim(F.substring("value", s + 1, ln)).alias(name))
+    return txt.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# JSON family
+# ---------------------------------------------------------------------------
+
+def read_json(spark: SparkSession, path: str,
+              newline: bool | None = None) -> DataFrame:
+    """JSON array or NDJSON (ref: meza/io.py:1121-1157 — ijson streaming
+    array parse / line-delimited map(json.loads)).
+
+    NDJSON → native splittable ``spark.read.json``. Array form →
+    ``multiLine=true`` (one task per file — arrays aren't splittable,
+    same constraint the reference's ijson stream has).
+    """
+    if newline is None:
+        with open(_first_file(path), "rb") as f:
+            head = f.read(64).lstrip()
+        newline = not head.startswith(b"[")
+    if newline:
+        return spark.read.json(path)
+    return spark.read.option("multiLine", "true").json(path)
+
+
+def read_ndjson(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.json(path)
+
+
+# --- GeoJSON ---------------------------------------------------------------
+
+def _geojson_records(path: str) -> list[dict]:
+    """FeatureCollection → flat records (ref: meza/io.py:1170-1188
+    gen_records): Point/LineString/Polygon explode to one row per
+    coordinate with ``id``, ``type``, ``lon``, ``lat`` (+``pos`` ring
+    index for polygons) + properties."""
+    with open(path, encoding="utf-8") as f:
+        collection = _json.load(f)
+    out = []
+    for feat in collection.get("features", []):
+        geom = feat.get("geometry") or {}
+        gtype = geom.get("type")
+        props = dict(feat.get("properties") or {})
+        base = {"id": feat.get("id", props.get("id")), "type": gtype}
+        coords = geom.get("coordinates", [])
+        if gtype == "Point":
+            out.append({**base, "lon": coords[0], "lat": coords[1], **props})
+        elif gtype == "LineString":
+            for lon, lat in coords:
+                out.append({**base, "lon": lon, "lat": lat, **props})
+        elif gtype == "Polygon":
+            for pos, ring in enumerate(coords):
+                for lon, lat in ring:
+                    out.append({**base, "pos": pos, "lon": lon,
+                                "lat": lat, **props})
+        else:
+            raise NotImplementedError(f"geometry type {gtype!r}")
+    return out
+
+
+def read_geojson(spark: SparkSession, path: str) -> DataFrame:
+    """GeoJSON → flat records (ref: meza/io.py:1191-1251).
+
+    A FeatureCollection is one JSON object → non-splittable; files
+    parse independently (one task per file for many files)."""
+    return _per_file(spark, path, _geojson_records)
+
+
+# ---------------------------------------------------------------------------
+# driver/per-file parsed formats
+# ---------------------------------------------------------------------------
+
+def read_yaml(spark: SparkSession, path: str) -> DataFrame:
+    """YAML (ref: meza/io.py:1254-1287, blocking there too). Needs
+    PyYAML; import-gated."""
+    try:
+        import yaml  # type: ignore
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError("read_yaml requires PyYAML") from e
+
+    def parse(p):
+        with open(p, encoding="utf-8") as f:
+            data = yaml.safe_load(f)
+        return data if isinstance(data, list) else [data]
+
+    return _per_file(spark, path, parse)
+
+
+class _TableHTMLParser:
+    """Minimal stdlib HTML table extractor (the reference uses
+    BeautifulSoup, meza/io.py:1333-1431; we avoid the dependency —
+    th-based header detection and vertical-table support included)."""
+
+    def __init__(self):
+        from html.parser import HTMLParser
+
+        outer = self
+
+        class P(HTMLParser):
+            def __init__(self):
+                super().__init__()
+                self.tables, self.rows, self.row = [], [], None
+                self.cell, self.in_cell, self.is_th = None, False, []
+
+            def handle_starttag(self, tag, attrs):
+                if tag == "table":
+                    self.rows = []
+                elif tag == "tr":
+                    self.row, self.row_th = [], []
+                elif tag in ("td", "th"):
+                    self.in_cell, self.cell = True, []
+                    self.row_th.append(tag == "th")
+
+            def handle_endtag(self, tag):
+                if tag == "table":
+                    self.tables.append(self.rows)
+                elif tag == "tr" and self.row is not None:
+                    self.rows.append((self.row, self.row_th))
+                    self.row = None
+                elif tag in ("td", "th") and self.in_cell:
+                    self.row.append("".join(self.cell).strip())
+                    self.in_cell = False
+
+            def handle_data(self, data):
+                if self.in_cell:
+                    self.cell.append(data)
+
+        self.parser = P()
+
+    def extract(self, html: str) -> list[list[tuple[list[str], list[bool]]]]:
+        self.parser.feed(html)
+        return self.parser.tables
+
+
+def read_html(spark: SparkSession, path: str, table: int = 0,
+              sanitize: bool = True, vertical: bool | None = None) -> DataFrame:
+    """HTML table (ref: meza/io.py:1333-1431): ``table=`` index,
+    th-header detection, vertical tables (first cell of each row is a
+    th → transpose, ref io.py:1412-1415)."""
+    def parse(p):
+        enc = detect_encoding(p)
+        with open(p, encoding=enc) as f:
+            tables = _TableHTMLParser().extract(f.read())
+        if not tables:
+            return []
+        rows_th = tables[table]
+        rows = [r for r, _ in rows_th]
+        th_flags = [t for _, t in rows_th]
+        is_vertical = vertical
+        if is_vertical is None:
+            is_vertical = (len(rows) > 1 and all(
+                t and t[0] and not any(t[1:]) for t in th_flags if t))
+        if is_vertical:
+            names = _clean_header([r[0] for r in rows], sanitize)
+            cols = [r[1:] for r in rows]
+            n = min(len(c) for c in cols)
+            return [dict(zip(names, [col[i] for col in cols]))
+                    for i in range(n)]
+        names = _clean_header(rows[0], sanitize)
+        return [dict(zip(names, r)) for r in rows[1:] if any(v for v in r)]
+
+    return _per_file(spark, path, parse)
+
+
+def read_xls(spark: SparkSession, path: str, sheet: int = 0,
+             sanitize: bool = True, has_header: bool = True) -> DataFrame:
+    """Excel (ref: meza/io.py:1033-1118). xlsx parsed with a minimal
+    stdlib zip+XML reader (shared strings + 1904-date handling per the
+    reference's sanitize_sheet, io.py:963-1022); legacy .xls needs
+    xlrd (import-gated)."""
+    def parse(p):
+        if p.endswith(".xlsx") or p.endswith(".xlsm"):
+            grid = _read_xlsx_grid(p, sheet)
+        else:
+            try:
+                import xlrd  # type: ignore
+            except ImportError as e:
+                raise NotImplementedError(
+                    "legacy .xls needs xlrd; convert to .xlsx") from e
+            book = xlrd.open_workbook(p)
+            sh = book.sheet_by_index(sheet)
+            grid = [[_xl_cell(sh.cell(r, c), book.datemode)
+                     for c in range(sh.ncols)] for r in range(sh.nrows)]
+        if not grid:
+            return []
+        if has_header:
+            names = _clean_header([str(v) for v in grid[0]], sanitize)
+            body = grid[1:]
+        else:
+            names = [f"column_{i+1}" for i in range(len(grid[0]))]
+            body = grid
+        return [dict(zip(names, [None if v == "" else v for v in r]))
+                for r in body if any(str(v).strip() for v in r)]
+
+    return _per_file(spark, path, parse)
+
+
+def _xl_cell(cell, datemode):  # pragma: no cover - xlrd path
+    import xlrd  # type: ignore
+
+    if cell.ctype == xlrd.XL_CELL_DATE:
+        import datetime
+        return datetime.datetime(*xlrd.xldate_as_tuple(cell.value, datemode)) \
+            .isoformat()
+    return cell.value
+
+
+def _read_xlsx_grid(path: str, sheet: int = 0) -> list[list]:
+    """Tiny xlsx reader: worksheet XML + sharedStrings, stdlib only.
+
+    Handles inline/shared strings, numbers, booleans, and the Excel
+    serial-date stringification the reference does in sanitize_sheet
+    (meza/io.py:963-1022) — dates come back as ISO strings when the
+    cell style is a date format (subset: built-in date numFmts).
+    """
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    NS = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    with zipfile.ZipFile(path) as z:
+        shared = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.findall("m:si", NS):
+                shared.append("".join(t.text or "" for t in si.iter(
+                    "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}t")))
+        # sheet index → file name via workbook order (1-based default)
+        sheet_path = f"xl/worksheets/sheet{sheet + 1}.xml"
+        root = ET.fromstring(z.read(sheet_path))
+
+    def col_idx(ref: str) -> int:
+        s = 0
+        for ch in ref:
+            if ch.isalpha():
+                s = s * 26 + (ord(ch.upper()) - 64)
+            else:
+                break
+        return s - 1
+
+    grid = []
+    for row in root.find("m:sheetData", NS).findall("m:row", NS):
+        cells = {}
+        for c in row.findall("m:c", NS):
+            ref = c.get("r", "")
+            t = c.get("t", "n")
+            v = c.find("m:v", NS)
+            is_node = c.find("m:is", NS)
+            if t == "s" and v is not None:
+                val = shared[int(v.text)]
+            elif t == "inlineStr" and is_node is not None:
+                val = "".join(tt.text or "" for tt in is_node.iter(
+                    "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}t"))
+            elif t == "b" and v is not None:
+                val = bool(int(v.text))
+            elif v is not None:
+                raw = v.text
+                try:
+                    val = int(raw)
+                except ValueError:
+                    try:
+                        val = float(raw)
+                    except ValueError:
+                        val = raw
+            else:
+                val = ""
+            cells[col_idx(ref)] = val
+        if cells:
+            width = max(cells) + 1
+            grid.append([cells.get(i, "") for i in range(width)])
+    width = max((len(r) for r in grid), default=0)
+    return [r + [""] * (width - len(r)) for r in grid]
+
+
+# --- dBase -----------------------------------------------------------------
+
+def read_dbf(spark: SparkSession, path: str,
+             sanitize: bool = True) -> DataFrame:
+    """dBase/FoxPro (ref: meza/io.py:677-722 + meza/dbf.py via dbfread).
+
+    Minimal stdlib DBF parser (format is a fixed public spec): C/N/F/L/D
+    field types; numerics → int/float, zero-padded codes stay text
+    (FIXTURES §6 semantics)."""
+    def parse(p):
+        with open(p, "rb") as f:
+            data = f.read()
+        n_recs, hdr_len, rec_len = struct.unpack("<IHH", data[4:12])
+        fields = []
+        off = 32
+        while data[off] != 0x0D:
+            name = data[off:off + 11].split(b"\x00")[0].decode("ascii")
+            ftype = chr(data[off + 11])
+            flen = data[off + 16]
+            fdec = data[off + 17]
+            fields.append((name, ftype, flen, fdec))
+            off += 32
+        names = _clean_header([f[0] for f in fields], sanitize)
+        out = []
+        pos = hdr_len
+        for _ in range(n_recs):
+            rec = data[pos:pos + rec_len]
+            pos += rec_len
+            if not rec or rec[0:1] == b"*":       # deleted record
+                continue
+            row, cur = {}, 1
+            for (name, ftype, flen, fdec), clean in zip(fields, names):
+                raw = rec[cur:cur + flen].decode("latin-1").strip()
+                cur += flen
+                if ftype in ("N", "F") and raw:
+                    if len(raw) > 1 and raw[0] == "0" and "." not in raw:
+                        # zero-padded code stays text (FIXTURES §6)
+                        row[clean] = raw
+                    elif ftype == "N" and fdec == 0:
+                        try:
+                            row[clean] = int(raw)
+                        except ValueError:
+                            row[clean] = raw
+                    else:
+                        try:
+                            row[clean] = float(raw)
+                        except ValueError:
+                            row[clean] = raw
+                elif ftype == "L":
+                    row[clean] = raw.upper() in ("T", "Y") if raw else None
+                elif ftype == "D" and len(raw) == 8:
+                    row[clean] = f"{raw[:4]}-{raw[4:6]}-{raw[6:]}"
+                else:
+                    row[clean] = raw if raw else None
+            out.append(row)
+        # per-COLUMN type consistency: if any value stayed text (e.g. a
+        # zero-padded code), the whole column is text (dbfread parity —
+        # one dtype per field)
+        for col in names:
+            vals = [r.get(col) for r in out]
+            kinds = {type(v) for v in vals if v is not None}
+            if str in kinds and len(kinds) > 1:
+                for r in out:
+                    if r.get(col) is not None:
+                        r[col] = str(r[col])
+            elif kinds == {int, float}:
+                for r in out:
+                    if r.get(col) is not None:
+                        r[col] = float(r[col])
+        return out
+
+    return _per_file(spark, path, parse)
+
+
+# --- databases -------------------------------------------------------------
+
+def read_sqlite(spark: SparkSession, path: str,
+                table: str | None = None) -> DataFrame:
+    """SQLite (ref: meza/io.py:725-760 — SELECT * FROM first table).
+
+    Driver-side stdlib sqlite3 → createDataFrame. On a cluster, point
+    ``spark.read.jdbc`` at the db instead (partitioned by rowid)."""
+    import sqlite3
+
+    con = sqlite3.connect(path)
+    try:
+        if table is None:
+            row = con.execute(
+                "SELECT name FROM sqlite_master WHERE type='table'").fetchone()
+            if row is None:
+                raise ValueError(f"no tables in {path}")
+            table = row[0]
+        cur = con.execute(f"SELECT * FROM {table}")  # noqa: S608 (table from sqlite_master)
+        names = [d[0] for d in cur.description]
+        rows = [dict(zip(names, r)) for r in cur.fetchall()]
+    finally:
+        con.close()
+    return _records_df(spark, rows, names)
+
+
+def read_mdb(spark: SparkSession, path: str,
+             table: str | None = None) -> DataFrame:
+    """MS Access via the mdbtools CLI (ref: meza/io.py:598-674 pipes
+    ``mdb-export``). Gated: raises NotImplementedError when mdbtools
+    is absent (it is not in this container)."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    if shutil.which("mdb-export") is None:
+        raise NotImplementedError(
+            "read_mdb requires mdbtools (mdb-export) on PATH")
+    if table is None:
+        tables = subprocess.run(["mdb-tables", "-1", path],
+                                capture_output=True, text=True,
+                                check=True).stdout.split()
+        table = tables[0]
+    out = subprocess.run(["mdb-export", path, table], capture_output=True,
+                         text=True, check=True).stdout
+    with tempfile.NamedTemporaryFile("w", suffix=".csv", delete=False) as f:
+        f.write(out)
+        tmp = f.name
+    return read_csv(spark, tmp)
+
+
+# ---------------------------------------------------------------------------
+# universal dispatch + concat
+# ---------------------------------------------------------------------------
+
+_READERS = {
+    "csv": read_csv, "tsv": read_tsv, "json": read_json,
+    "ndjson": read_ndjson, "jsonl": read_ndjson, "geojson": read_geojson,
+    "yml": read_yaml, "yaml": read_yaml, "html": read_html,
+    "htm": read_html, "xls": read_xls, "xlsx": read_xls,
+    "sqlite": read_sqlite, "db": read_sqlite, "dbf": read_dbf,
+    "mdb": read_mdb,
+}
+
+
+def read(spark: SparkSession, path: str, ext: str | None = None,
+         **kwargs) -> DataFrame:
+    """Universal dispatcher by extension (ref: meza/io.py:1636-1692
+    get_reader/read)."""
+    ext = (ext or os.path.splitext(path)[1].lstrip(".")).lower()
+    if ext == "parquet":
+        return spark.read.parquet(path)
+    if ext not in _READERS:
+        raise ValueError(f"unsupported extension: {ext!r}")
+    return _READERS[ext](spark, path, **kwargs)
+
+
+def io_join(spark: SparkSession, *paths: str, **kwargs) -> DataFrame:
+    """Multi-file concat (ref: meza/io.py:1695-1722, csvstack-style):
+    union with ragged-schema tolerance — missing columns become null
+    (the reference's ragged-dict semantics, SURVEY §1.1)."""
+    from functools import reduce
+
+    dfs = [read(spark, p, **kwargs) for p in paths]
+    dfs = [d.select([F.col(c).cast("string").alias(c) for c in d.columns])
+           for d in dfs]
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _first_file(path: str) -> str:
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            if not name.startswith((".", "_")):
+                return os.path.join(path, name)
+    return path
+
+
+def _all_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return [os.path.join(path, n) for n in sorted(os.listdir(path))
+                if not n.startswith((".", "_"))]
+    return [path]
+
+
+def _records_df(spark: SparkSession, rows: list[dict],
+                names: Sequence[str]) -> DataFrame:
+    """Ragged records → DataFrame: union of key sets, missing → null,
+    column order = first-seen order (SURVEY §7 hard-part 7)."""
+    cols = list(names)
+    seen = set(cols)
+    for r in rows:
+        for k in r:
+            if k not in seen:
+                seen.add(k)
+                cols.append(k)
+    if not rows:
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        return spark.createDataFrame(
+            [], StructType([StructField(c, StringType()) for c in cols]))
+    norm = [tuple(r.get(c) for c in cols) for r in rows]
+    return spark.createDataFrame(norm, schema=cols)
+
+
+def _per_file(spark: SparkSession, path: str, parse) -> DataFrame:
+    """Non-splittable format runner: one python parse per FILE.
+
+    Single file → driver parse (it's one task's work either way).
+    Many files → ``parallelize(paths).flatMap(parse)`` so each file is
+    an executor task (schema from a driver parse of the first file) —
+    SURVEY §4.2.3's across-files parallelism.
+    """
+    files = _all_files(path)
+    first_rows = parse(files[0])
+    if len(files) == 1:
+        return _records_df(spark, first_rows,
+                           list(first_rows[0].keys()) if first_rows else [])
+    template = _records_df(spark, first_rows,
+                           list(first_rows[0].keys()) if first_rows else [])
+    schema = template.schema
+    cols = template.columns
+    rest = spark.sparkContext.parallelize(files[1:], len(files) - 1) \
+        .flatMap(lambda p: [tuple(r.get(c) for c in cols)
+                            for r in parse(p)])
+    return template.unionByName(spark.createDataFrame(rest, schema=schema))

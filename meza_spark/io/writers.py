@@ -1,0 +1,129 @@
+"""Writers (reference: meza/convert.py records2* + meza/io.py write).
+
+Distributed-first: every writer has a ``single_file`` escape hatch for
+meza-parity small outputs (driver-side assembly), but the default path
+is executor-parallel ``df.write`` — at 100 TB nothing should funnel
+through the driver.
+"""
+
+from __future__ import annotations
+
+import json as _json
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["records2csv", "records2json", "records2geojson", "write"]
+
+
+def _collapse_part(dir_path: str, final_path: str, ext: str):
+    part = next(p for p in sorted(os.listdir(dir_path))
+                if p.startswith("part-") and p.endswith(ext))
+    shutil.move(os.path.join(dir_path, part), final_path)
+    shutil.rmtree(dir_path)
+
+
+def records2csv(df: DataFrame, path: str, header: bool = True,
+                single_file: bool = False, **options) -> None:
+    """DataFrame → CSV (ref: meza/convert.py:807-849; header from
+    column order, which the engine preserves end-to-end).
+
+    Default: distributed ``df.write.csv`` (one file per partition).
+    ``single_file=True``: coalesce(1) + collapse — the meza-style one
+    .csv artifact; only for driver-sized results.
+    """
+    w = df.write.mode("overwrite").option("header", str(header).lower())
+    for k, v in options.items():
+        w = w.option(k, v)
+    if single_file:
+        tmp = path + ".d"
+        w = df.coalesce(1).write.mode("overwrite") \
+            .option("header", str(header).lower())
+        for k, v in options.items():
+            w = w.option(k, v)
+        w.csv(tmp)
+        _collapse_part(tmp, path, ".csv")
+    else:
+        w.csv(path)
+
+
+def records2json(df: DataFrame, path: str, newline: bool = True,
+                 single_file: bool = False) -> None:
+    """DataFrame → JSON (ref: meza/convert.py:852-892): NDJSON by
+    default (splittable, scalable); ``newline=False`` writes one JSON
+    array (driver-assembled — bounded outputs only), matching the
+    reference's array form."""
+    if newline and not single_file:
+        df.write.mode("overwrite").json(path)
+        return
+    if newline:
+        tmp = path + ".d"
+        df.coalesce(1).write.mode("overwrite").json(tmp)
+        _collapse_part(tmp, path, ".json")
+        return
+    rows = [r.asDict(recursive=True) for r in df.collect()]
+    with open(path, "w", encoding="utf-8") as f:
+        _json.dump(rows, f, default=str)
+
+
+def records2geojson(df: DataFrame, path: str, id_col: str = "id",
+                    lon_col: str = "lon", lat_col: str = "lat",
+                    pos_col: str | None = None) -> None:
+    """Flat records → GeoJSON FeatureCollection with computed global
+    bbox (ref: meza/convert.py:998-1099, gen_subresults 980-995,
+    bbox 1061-1088).
+
+    Spark-first: per-feature assembly is a ``groupBy(id)`` +
+    ``collect_list(struct(lon,lat))`` aggregation; the bbox is a global
+    min/max agg — both distributed. Only the final FeatureCollection
+    wrapper (one JSON object by definition) materializes on the driver.
+    """
+    prop_cols = [c for c in df.columns
+                 if c not in {id_col, lon_col, lat_col, pos_col, "type"}]
+    bbox_row = df.agg(F.min(lon_col), F.min(lat_col),
+                      F.max(lon_col), F.max(lat_col)).collect()[0]
+    bbox = [float(v) for v in bbox_row]
+
+    order = [F.col(pos_col)] if pos_col and pos_col in df.columns else []
+    grouped = (df.groupBy(id_col)
+               .agg(F.first("type").alias("_gtype"),
+                    F.sort_array(F.collect_list(F.struct(
+                        *order, F.col(lon_col).alias("lon"),
+                        F.col(lat_col).alias("lat")))).alias("_coords"),
+                    *[F.first(c, ignorenulls=True).alias(c)
+                      for c in prop_cols]))
+    feats = []
+    for r in grouped.collect():
+        coords = [[c["lon"], c["lat"]] for c in r["_coords"]]
+        gtype = r["_gtype"]
+        if gtype == "Point":
+            geometry = {"type": "Point", "coordinates": coords[0]}
+        elif gtype == "LineString":
+            geometry = {"type": "LineString", "coordinates": coords}
+        else:
+            geometry = {"type": "Polygon", "coordinates": [coords]}
+        feats.append({
+            "type": "Feature", "id": r[id_col], "geometry": geometry,
+            "properties": {c: r[c] for c in prop_cols},
+        })
+    feats.sort(key=lambda f: (f["id"] is None, f["id"]))
+    collection = {"type": "FeatureCollection", "bbox": bbox,
+                  "features": feats}
+    with open(path, "w", encoding="utf-8") as f:
+        _json.dump(collection, f, default=float)
+
+
+def write(df: DataFrame, path: str, fmt: str | None = None,
+          partition_by=None, mode: str = "overwrite", **options) -> None:
+    """Generic sink dispatcher (ref: meza/io.py:1434-1501 ``write`` —
+    there a file flusher; here the ``df.write`` facade)."""
+    fmt = fmt or os.path.splitext(path)[1].lstrip(".") or "parquet"
+    fmt = {"jsonl": "json", "ndjson": "json"}.get(fmt, fmt)
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    for k, v in options.items():
+        w = w.option(k, v)
+    getattr(w, fmt)(path)

@@ -1,0 +1,322 @@
+"""Reader/writer tests mirroring the reference's io test matrix
+(SURVEY §5: encodings, header hygiene, slicing, geojson round-trip).
+Fixtures are synthesized per FIXTURES.md — no reference data copied."""
+
+import json
+import os
+import sqlite3
+import struct
+import zipfile
+
+import pytest
+
+from meza_spark import io as mio
+
+
+# ---------------------------------------------------------------------------
+# fixture builders
+# ---------------------------------------------------------------------------
+
+def _write(tmp, name, text, encoding="utf-8"):
+    p = str(tmp / name)
+    with open(p, "w", encoding=encoding, newline="") as f:
+        f.write(text)
+    return p
+
+
+def _make_xlsx(path, rows):
+    """Minimal spec-conformant xlsx: inline strings + numbers."""
+    def cell_xml(ref, v):
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        return f'<c r="{ref}" t="inlineStr"><is><t>{v}</t></is></c>'
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    body = []
+    for ri, row in enumerate(rows, start=1):
+        cells = "".join(cell_xml(f"{chr(65 + ci)}{ri}", v)
+                        for ci, v in enumerate(row))
+        body.append(f'<row r="{ri}">{cells}</row>')
+    sheet = (f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+             f'{"".join(body)}</sheetData></worksheet>')
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml",
+                   '<?xml version="1.0"?><Types xmlns="http://schemas.openxml'
+                   'formats.org/package/2006/content-types"/>')
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    return path
+
+
+def _make_dbf(path, fields, records):
+    """Minimal dBase III file: fields = [(name, type, len, dec)]."""
+    hdr_len = 32 + 32 * len(fields) + 1
+    rec_len = 1 + sum(f[2] for f in fields)
+    buf = bytearray()
+    buf += struct.pack("<BBBBIHH20x", 0x03, 24, 1, 1, len(records),
+                       hdr_len, rec_len)
+    for name, ftype, flen, fdec in fields:
+        buf += struct.pack("<11sc4xBB14x", name.encode().ljust(11, b"\x00"),
+                           ftype.encode(), flen, fdec)
+    buf += b"\x0d"
+    for rec in records:
+        buf += b" "
+        for (name, ftype, flen, fdec), val in zip(fields, rec):
+            s = str(val)
+            if ftype == "N":
+                buf += s.rjust(flen).encode()[:flen]
+            else:
+                buf += s.ljust(flen).encode()[:flen]
+    buf += b"\x1a"
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+    return path
+
+
+# ---------------------------------------------------------------------------
+# encodings (FIXTURES §7)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("enc", ["utf-8", "utf-8-sig", "latin-1",
+                                 "windows-1252", "utf-16-le", "utf-16-be"])
+def test_csv_encodings(spark, tmp_path, enc):
+    text = "a,b,c\n1,2,3\n4,5,©\n"
+    p = str(tmp_path / f"{enc}.csv")
+    raw = text.encode(enc)
+    if enc == "utf-16-le":
+        raw = b"\xff\xfe" + raw
+    elif enc == "utf-16-be":
+        raw = b"\xfe\xff" + raw
+    with open(p, "wb") as f:
+        f.write(raw)
+    detected = mio.detect_encoding(p)
+    df = mio.read_csv(spark, p, encoding=detected)
+    rows = sorted([tuple(r) for r in df.collect()])
+    assert df.columns == ["a", "b", "c"]
+    assert rows == [("1", "2", "3"), ("4", "5", "©")]
+
+
+def test_csv_header_hygiene(spark, tmp_path):
+    # dupe headers (FIXTURES §8) + sanitize
+    p = _write(tmp_path, "d.csv", "Some Col,Some Col,\n1,2,3\n")
+    df = mio.read_csv(spark, p, sanitize=True)
+    assert df.columns == ["some_col", "some_col_2", "column_3"]
+
+
+def test_csv_no_header(spark, tmp_path):
+    p = _write(tmp_path, "n.csv", "1,2,3\n4,5,6\n")
+    df = mio.read_csv(spark, p, has_header=False)
+    assert df.columns == ["column_1", "column_2", "column_3"]
+    assert df.count() == 2
+
+
+def test_csv_custom_header(spark, tmp_path):
+    p = _write(tmp_path, "c.csv", "x,y\n1,2\n")
+    df = mio.read_csv(spark, p, custom_header=["p", "q"])
+    assert df.columns == ["p", "q"]
+    assert df.collect()[0]["p"] == "1"
+
+
+def test_csv_slicing(spark, tmp_path):
+    # test_bad.csv semantics (FIXTURES §1): junk first row + junk first col
+    p = _write(tmp_path, "bad.csv", "junk,junk,junk\nx,a,b\nx,1,2\nx,3,4\n")
+    df = mio.read_csv(spark, p, first_row=1, first_col=1)
+    assert df.columns == ["a", "b"]
+    assert sorted(tuple(r) for r in df.collect()) == [("1", "2"), ("3", "4")]
+
+
+def test_csv_last_row_negative(spark, tmp_path):
+    # negative last_row keeps all but the tail (ref io.py:473-479)
+    lines = "h\n" + "".join(f"{i}\n" for i in range(10))
+    p = _write(tmp_path, "t.csv", lines)
+    df = mio.read_csv(spark, p, first_row=0, last_row=-3)
+    # header consumed after slicing; 10 data rows → minus 3 tail
+    assert df.count() == 7
+
+
+def test_tsv(spark, tmp_path):
+    p = _write(tmp_path, "t.tsv", "a\tb\n1\t2\n")
+    df = mio.read_tsv(spark, p)
+    assert df.collect()[0]["b"] == "2"
+
+
+def test_fixed_fmt_with_header(spark, tmp_path):
+    # FIXTURES §2 fixed_w_header style: widths are start offsets
+    content = ("News Paper        Founded    Int\n"
+               "Chicago Reader    1971-01-01 40 \n"
+               "Village Voice     1955-10-26 36 \n")
+    p = _write(tmp_path, "f.txt", content)
+    df = mio.read_fixed_fmt(spark, p, widths=[0, 18, 29], has_header=True,
+                            sanitize=True)
+    assert df.columns == ["news_paper", "founded", "int"]
+    got = {r["news_paper"]: r["founded"] for r in df.collect()}
+    assert got["Chicago Reader"] == "1971-01-01"
+
+
+def test_fixed_fmt_headerless(spark, tmp_path):
+    p = _write(tmp_path, "f.txt", "aa11\nbb22\n")
+    df = mio.read_fixed_fmt(spark, p, widths=[0, 2])
+    assert df.columns == ["column_1", "column_2"]
+    assert sorted(tuple(r) for r in df.collect()) == [("aa", "11"), ("bb", "22")]
+
+
+def test_json_array_and_ndjson(spark, tmp_path):
+    arr = _write(tmp_path, "a.json", json.dumps(
+        [{"text": "Chicago Reader", "integer": 40},
+         {"text": "Village Voice", "integer": 36}]))
+    nd = _write(tmp_path, "n.json", '{"a": 2, "b": 3}\n{"b": 2, "d": 4}\n')
+    da = mio.read_json(spark, arr)
+    assert da.count() == 2 and set(da.columns) == {"text", "integer"}
+    # ragged NDJSON (FIXTURES §4): union of keys, missing → null
+    dn = mio.read_json(spark, nd)
+    assert set(dn.columns) == {"a", "b", "d"}
+    rows = sorted(dn.collect(), key=lambda r: r["b"])
+    assert rows[0]["d"] == 4 and rows[0]["a"] is None
+
+
+def test_geojson_roundtrip_with_bbox(spark, tmp_path):
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "id": 11,
+         "geometry": {"type": "Point", "coordinates": [10.5, -2.25]},
+         "properties": {"iso3": "AAA"}},
+        {"type": "Feature", "id": 22,
+         "geometry": {"type": "Point", "coordinates": [-70.1, 12.6]},
+         "properties": {"iso3": "BBB"}},
+    ]}
+    src = _write(tmp_path, "g.geojson", json.dumps(fc))
+    df = mio.read_geojson(spark, src)
+    assert {"id", "type", "lon", "lat", "iso3"} <= set(df.columns)
+    assert df.count() == 2
+    out = str(tmp_path / "out.geojson")
+    mio.records2geojson(df, out)
+    with open(out) as f:
+        back = json.load(f)
+    assert back["bbox"] == [-70.1, -2.25, 10.5, 12.6]
+    ids = sorted(f["id"] for f in back["features"])
+    assert ids == [11, 22]
+    pt = next(f for f in back["features"] if f["id"] == 11)
+    assert pt["geometry"]["coordinates"] == [10.5, -2.25]
+    assert pt["properties"]["iso3"] == "AAA"
+
+
+def test_geojson_linestring_polygon(spark, tmp_path):
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "id": 1,
+         "geometry": {"type": "LineString",
+                      "coordinates": [[0, 0], [1, 1]]}, "properties": {}},
+        {"type": "Feature", "id": 2,
+         "geometry": {"type": "Polygon",
+                      "coordinates": [[[0, 0], [0, 1], [1, 1], [0, 0]]]},
+         "properties": {}},
+    ]}
+    p = _write(tmp_path, "lp.geojson", json.dumps(fc))
+    df = mio.read_geojson(spark, p)
+    assert df.filter("type = 'LineString'").count() == 2
+    assert df.filter("type = 'Polygon'").count() == 4
+    assert df.filter("type = 'Polygon'").select("pos").distinct().count() == 1
+
+
+def test_yaml(spark, tmp_path):
+    p = _write(tmp_path, "t.yml",
+               "- text: Chicago Reader\n  integer: 40\n"
+               "- text: Village Voice\n  integer: 36\n")
+    df = mio.read_yaml(spark, p)
+    got = {r["text"]: r["integer"] for r in df.collect()}
+    assert got["Chicago Reader"] == 40
+
+
+def test_html_table(spark, tmp_path):
+    html = ("<html><body><table>"
+            "<tr><th>Some Date</th><th>Value</th></tr>"
+            "<tr><td>05/04/82</td><td>234</td></tr>"
+            "<tr><td>01/01/15</td><td>100</td></tr>"
+            "</table></body></html>")
+    p = _write(tmp_path, "t.html", html)
+    df = mio.read_html(spark, p)
+    assert df.columns == ["some_date", "value"]
+    assert df.count() == 2
+
+
+def test_html_vertical_table(spark, tmp_path):
+    # vertical tables: th leads each row (ref io.py:1412-1415)
+    html = ("<table>"
+            "<tr><th>name</th><td>alice</td><td>bob</td></tr>"
+            "<tr><th>age</th><td>30</td><td>25</td></tr>"
+            "</table>")
+    p = _write(tmp_path, "v.htm", html)
+    df = mio.read_html(spark, p)
+    assert sorted(df.columns) == ["age", "name"]
+    got = {r["name"]: r["age"] for r in df.collect()}
+    assert got == {"alice": "30", "bob": "25"}
+
+
+def test_xlsx(spark, tmp_path):
+    p = str(tmp_path / "t.xlsx")
+    _make_xlsx(p, [["Some Value", "Unicode Test"],
+                   [234, "Ādam"], [100, "Iñtërnâtiônàližætiøn"]])
+    df = mio.read_xls(spark, p)
+    assert df.columns == ["some_value", "unicode_test"]
+    got = {r["some_value"]: r["unicode_test"] for r in df.collect()}
+    assert got[234] == "Ādam"
+
+
+def test_dbf(spark, tmp_path):
+    # FIXTURES §6: zero-padded codes stay text, big ints stay ints
+    p = str(tmp_path / "t.dbf")
+    _make_dbf(p, [("STATEFP10", "C", 2, 0), ("ALAND10", "N", 14, 0),
+                  ("CD111FP", "N", 2, 0)],
+              [("27", 71546663636, "08"), ("55", 12416573076, "10")])
+    df = mio.read_dbf(spark, p)
+    got = {r["statefp10"]: (r["aland10"], r["cd111fp"]) for r in df.collect()}
+    assert got["27"] == (71546663636, "08")   # zero-padded N stays text
+    assert got["55"] == (12416573076, "10")   # column-wide text consistency
+
+
+def test_sqlite(spark, tmp_path):
+    p = str(tmp_path / "t.sqlite")
+    con = sqlite3.connect(p)
+    con.execute("CREATE TABLE main_table (some_value INT, name TEXT)")
+    con.executemany("INSERT INTO main_table VALUES (?, ?)",
+                    [(234, "x"), (100, "y")])
+    con.commit()
+    con.close()
+    df = mio.read_sqlite(spark, p)
+    assert df.count() == 2 and "some_value" in df.columns
+
+
+def test_read_dispatch_and_io_join(spark, tmp_path):
+    a = _write(tmp_path, "a.csv", "x,y\n1,2\n")
+    b = _write(tmp_path, "b.csv", "y,z\n3,4\n")
+    df = mio.read(spark, a)
+    assert df.columns == ["x", "y"]
+    j = mio.io_join(spark, a, b)
+    assert set(j.columns) == {"x", "y", "z"}
+    assert j.count() == 2
+    rows = sorted(j.collect(), key=lambda r: (r["x"] is None, r["x"]))
+    assert rows[0]["z"] is None   # a.csv has no z: missing col → null
+    assert rows[1]["x"] is None   # b.csv has no x
+    with pytest.raises(ValueError):
+        mio.read(spark, "file.unknown")
+
+
+def test_mdb_gated(spark):
+    with pytest.raises(NotImplementedError):
+        mio.read_mdb(spark, "/nonexistent.mdb")
+
+
+def test_records2csv_single_file(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "n int, s string")
+    out = str(tmp_path / "out.csv")
+    mio.records2csv(df, out, single_file=True)
+    with open(out) as f:
+        lines = f.read().strip().split("\n")
+    assert lines[0] == "n,s" and len(lines) == 3
+
+
+def test_records2json_ndjson(spark, tmp_path):
+    df = spark.createDataFrame([(1,)], "n int")
+    out = str(tmp_path / "o.json")
+    mio.records2json(df, out, newline=True, single_file=True)
+    assert json.loads(open(out).read())["n"] == 1
+    arr = str(tmp_path / "a.json")
+    mio.records2json(df, arr, newline=False)
+    assert json.load(open(arr)) == [{"n": 1}]
