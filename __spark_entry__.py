@@ -325,6 +325,129 @@ def embed_ann_lsh(spark, sf_dir):
     return sim.lsh_ann_topk(emb, q, k=10, n_planes=8, multiprobe=1)
 
 
+def q3_shipping(spark, sf_dir):
+    """TPC-H Q3-style: 3-way join + filter + agg + top-k (broadcast dims,
+    one shuffle on the agg key)."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01"))
+    li = _t(spark, sf_dir, "lineitem")
+    j = (li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (j.groupBy("l_orderkey",
+                     F.date_format("o_orderdate", "yyyy-MM-dd")
+                     .alias("o_orderdate"))
+           .agg(_dsum(disc).alias("revenue")))
+    return agg.orderBy(F.col("revenue").desc(),
+                       F.col("l_orderkey").asc()).limit(10)
+
+
+def grouping_sets(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupingSets([["l_returnflag"], ["l_linestatus"], []],
+                            "l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").alias("sum_qty"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def count_distinct_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.count_distinct("l_partkey").alias("n_parts"),
+                 F.count_distinct("l_suppkey").alias("n_supps")))
+
+
+def median_qty(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.median("l_quantity").alias("med_qty"),
+                 F.min("l_quantity").alias("min_qty"),
+                 F.max("l_quantity").alias("max_qty")))
+
+
+def corr_manual(spark, sf_dir):
+    """Pearson correlation via explicit (sum, sum_sq, sum_xy) partial
+    aggregation — the fntools.sum_and_count decomposition pattern
+    (ref: meza/fntools.py:1232-1246) generalized, with decimal sums for
+    cross-engine determinism."""
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_discount")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(x).alias("sx"), _dsum(y).alias("sy"),
+        _dsum(x * x).alias("sxx"), _dsum(y * y).alias("syy"),
+        _dsum(x * y).alias("sxy"))
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx")) * \
+        F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    return agg.select("l_returnflag", (num / den).alias("corr_qty_disc"))
+
+
+def lag_lead(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "event_id", "user_id", "value",
+        (F.col("value") - F.lag("value", 1).over(w)).alias("delta_prev"),
+        F.lead("event_type", 1).over(w).alias("next_type"))
+
+
+def rank_pct(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority") \
+              .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return o.select("o_orderpriority", "o_orderkey",
+                    F.rank().over(w).alias("rnk"),
+                    F.dense_rank().over(w).alias("drnk"),
+                    F.percent_rank().over(w).alias("prnk")) \
+            .filter(F.col("rnk") <= 5)
+
+
+def date_arith(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+    return j.select(
+        "l_orderkey", "l_linenumber",
+        F.year("l_shipdate").alias("ship_year"),
+        F.month("l_shipdate").alias("ship_month"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+        .alias("ship_delay_days"))
+
+
+def ordinal_fmt(spark, sf_dir):
+    from meza_spark.functions import add_ordinal
+
+    n = _t(spark, sf_dir, "nation")
+    return n.select("n_nationkey",
+                    add_ordinal(F.col("n_nationkey")).alias("ord"))
+
+
+def multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing over real data: text → binary payload →
+    format sniff + size + content hash (JVM-side over binary)."""
+    from meza_spark.llm.multimodal import attach_media_meta
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload"))
+    out = attach_media_meta(d)
+    return out.select("doc_id", "format", "n_bytes", "payload_sha")
+
+
+def multimodal_decode(spark, sf_dir):
+    """Stub image decode via mapInPandas (deterministic fake pixels) —
+    exercises the Arrow batch path end-to-end."""
+    from meza_spark.llm.multimodal import decode_image
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"))
+    return decode_image(d)
+
+
 def grouped_apply(spark, sf_dir):
     import pandas as pd
 
@@ -388,6 +511,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_topk": embed_topk,
         "embed_ann_lsh": embed_ann_lsh,
         "grouped_apply": grouped_apply,
+        "q3_shipping": q3_shipping,
+        "grouping_sets": grouping_sets,
+        "count_distinct_agg": count_distinct_agg,
+        "median_qty": median_qty,
+        "corr_manual": corr_manual,
+        "lag_lead": lag_lead,
+        "rank_pct": rank_pct,
+        "date_arith": date_arith,
+        "ordinal_fmt": ordinal_fmt,
+        "multimodal_meta": multimodal_meta,
+        "multimodal_decode": multimodal_decode,
     }
 
 
@@ -647,6 +781,91 @@ def oracle_sql() -> dict[str, str]:
         "grouped_apply": """
             SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
             FROM events GROUP BY user_id
+        """,
+        "q3_shipping": f"""
+            SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   {dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+            ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+        """,
+        "grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+        "count_distinct_agg": """
+            SELECT l_returnflag,
+                   COUNT(DISTINCT l_partkey) AS n_parts,
+                   COUNT(DISTINCT l_suppkey) AS n_supps
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "median_qty": """
+            SELECT l_returnflag,
+                   median(l_quantity) AS med_qty,
+                   MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "corr_manual": f"""
+            WITH a AS (
+              SELECT l_returnflag, COUNT(*) AS n,
+                     {dsum('l_quantity')} AS sx, {dsum('l_discount')} AS sy,
+                     {dsum('l_quantity * l_quantity')} AS sxx,
+                     {dsum('l_discount * l_discount')} AS syy,
+                     {dsum('l_quantity * l_discount')} AS sxy
+              FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag,
+                   (CAST(n AS DOUBLE) * sxy - sx * sy) /
+                   (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+                    sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qty_disc
+            FROM a
+        """,
+        "lag_lead": """
+            SELECT event_id, user_id, value,
+                   value - LAG(value, 1) OVER w AS delta_prev,
+                   LEAD(event_type, 1) OVER w AS next_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        """,
+        "rank_pct": """
+            SELECT o_orderpriority, o_orderkey, rnk, drnk, prnk FROM (
+              SELECT o_orderpriority, o_orderkey,
+                     RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,
+                     PERCENT_RANK() OVER w AS prnk
+              FROM orders
+              WINDOW w AS (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey))
+            WHERE rnk <= 5
+        """,
+        "date_arith": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(year(l_shipdate) AS INT) AS ship_year,
+                   CAST(month(l_shipdate) AS INT) AS ship_month,
+                   CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                                  CAST(l_shipdate AS DATE)) AS INT)
+                     AS ship_delay_days
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """,
+        "ordinal_fmt": """
+            SELECT n_nationkey,
+                   CAST(n_nationkey AS VARCHAR) ||
+                   CASE WHEN n_nationkey % 100 IN (11,12,13) THEN 'th'
+                        WHEN n_nationkey % 10 = 1 THEN 'st'
+                        WHEN n_nationkey % 10 = 2 THEN 'nd'
+                        WHEN n_nationkey % 10 = 3 THEN 'rd'
+                        ELSE 'th' END AS ord
+            FROM nation
+        """,
+        "multimodal_meta": """
+            SELECT doc_id, 'unknown' AS format,
+                   octet_length(encode(text)) AS n_bytes,
+                   sha256(text) AS payload_sha
+            FROM documents
         """,
         # dedup_minhash_lsh, dedup_simhash, embed_ann_lsh: hash-family
         # dependent (xxhash64 / hyperplane seeds) — not SQL-expressible;

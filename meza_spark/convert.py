@@ -179,14 +179,31 @@ def to_datetime(c: Column, fuzzy: bool = False) -> Column:
     on tier-1 misses but still forces those rows through Python.
     """
     s = nullify(c)
-    tiers = []
+
+    def repivot(e):
+        # dateutil resolves 2-digit years inside a ±50y window around
+        # today ('82'→1982); Spark's yy pivots into 20xx. Re-pivot.
+        return F.when(F.year(e) > F.year(F.current_date()) + 49,
+                      F.add_months(e, -1200)).otherwise(e)
+
+    # Tier 0: regexp shape dispatch for the common formats — exactly one
+    # parse attempt per row instead of walking the whole format ladder
+    # (this path dominates at scale; the ladder is the long tail).
+    fast = (
+        F.when(s.rlike(r"^\d{4}-\d{2}-\d{2}([T ]\d{1,2}:\d{2}(:\d{2})?(\.\d+)?)?$"),
+               F.try_to_timestamp(s))          # ISO date/timestamp, native
+        .when(s.rlike(r"^\d{1,2}/\d{1,2}/\d{4}$"),
+              F.try_to_timestamp(s, F.lit("M/d/yyyy")))
+        .when(s.rlike(r"^\d{1,2}/\d{1,2}/\d{2}$"),
+              repivot(F.try_to_timestamp(s, F.lit("M/d/yy"))))
+        .when(s.rlike(r"^\d{8}$"),
+              F.try_to_timestamp(s, F.lit("yyyyMMdd")))
+    )
+    tiers = [fast]
     for fmt in _DT_FORMATS:
         e = F.try_to_timestamp(s, F.lit(fmt))
         if fmt.endswith("yy") and not fmt.endswith("yyyy"):
-            # dateutil resolves 2-digit years inside a ±50y window around
-            # today ('82'→1982); Spark's yy pivots into 20xx. Re-pivot.
-            e = F.when(F.year(e) > F.year(F.current_date()) + 49,
-                       F.add_months(e, -1200)).otherwise(e)
+            e = repivot(e)
         tiers.append(e)
     native = F.coalesce(*tiers)
     if not fuzzy:

@@ -1,0 +1,10 @@
+from .ops import (
+    read_stream, session_window_agg, sliding_window_agg, stream_dedupe,
+    stream_fill_running, tumbling_window_agg, write_stream,
+)
+
+__all__ = [
+    "read_stream", "write_stream", "tumbling_window_agg",
+    "sliding_window_agg", "session_window_agg", "stream_dedupe",
+    "stream_fill_running",
+]

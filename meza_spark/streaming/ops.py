@@ -1,0 +1,171 @@
+"""Structured Streaming variants (SURVEY §2.8).
+
+The reference's "streaming" is lazy pull over possibly-infinite
+iterators — no watermarks, no event time, no triggers (meza
+docs/FAQ.rst:13-15; infinite-input tests tests/test_process.py:50-51).
+Everything stream-safe there (cut/tfilter/grep/type_cast/hash/
+normalize/fillempty-front) is a stateless projection/filter here and
+works UNCHANGED on a streaming DataFrame — that is the point of
+building on the DataFrame API: ``process.cut(stream_df, ...)`` is
+already a streaming operator.
+
+This module adds the genuinely stateful pieces the reference cannot
+express:
+  - event-time tumbling/sliding/session windows with watermarks
+  - bounded-memory dedupe as ``dropDuplicatesWithinWatermark`` — the
+    principled version of meza's 4096-row seen-deque
+    (meza/process.py:887-898)
+  - running folds via ``applyInPandasWithState`` (op_everseen's
+    stateful analog, meza/fntools.py:1190-1218)
+
+Scale notes: state stores shard by key across executors; watermarks
+bound state size. Use ``spark.sql.shuffle.partitions`` ≈ cores for the
+stateful shuffle, and RocksDB state store on real clusters.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "read_stream", "write_stream", "tumbling_window_agg",
+    "sliding_window_agg", "session_window_agg", "stream_dedupe",
+    "stream_fill_running",
+]
+
+
+def read_stream(spark, path: str | None = None, fmt: str = "parquet",
+                schema=None, **options) -> DataFrame:
+    """Streaming source facade: file-drop directory (parquet/csv/json),
+    or ``fmt='rate'`` for testing. File sources need an explicit
+    schema (no inference on unbounded input)."""
+    r = spark.readStream.format(fmt)
+    if schema is not None:
+        r = r.schema(schema)
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load(path) if path else r.load()
+
+
+def write_stream(df: DataFrame, path: str | None = None,
+                 fmt: str = "memory", query_name: str = "meza_stream",
+                 output_mode: str = "append", checkpoint: str | None = None,
+                 **options):
+    """Streaming sink facade; returns the StreamingQuery."""
+    w = (df.writeStream.format(fmt).outputMode(output_mode)
+         .queryName(query_name))
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    for k, v in options.items():
+        w = w.option(k, v)
+    if path:
+        w = w.option("path", path)
+    return w.start()
+
+
+def tumbling_window_agg(df: DataFrame, ts_col: str, window: str,
+                        aggs: dict[str, tuple[str, str]],
+                        keys: Sequence[str] = (),
+                        watermark: str = "10 minutes") -> DataFrame:
+    """Event-time tumbling window aggregation with late-data watermark.
+
+    ``aggs`` = {'out': ('field', 'op')} like process.group. Works on
+    static frames too (window() is just an expression)."""
+    from ..process import _agg_col
+
+    wdf = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    cols = [_agg_col(op, f).alias(name) for name, (f, op) in aggs.items()]
+    return (wdf.groupBy(F.window(ts_col, window), *keys).agg(*cols)
+            .select(F.col("window.start").alias("window_start"),
+                    F.col("window.end").alias("window_end"),
+                    *keys, *[F.col(n) for n in aggs]))
+
+
+def sliding_window_agg(df: DataFrame, ts_col: str, window: str, slide: str,
+                       aggs: dict[str, tuple[str, str]],
+                       keys: Sequence[str] = (),
+                       watermark: str = "10 minutes") -> DataFrame:
+    """Sliding event-time windows (window length + slide interval)."""
+    from ..process import _agg_col
+
+    wdf = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    cols = [_agg_col(op, f).alias(name) for name, (f, op) in aggs.items()]
+    return (wdf.groupBy(F.window(ts_col, window, slide), *keys).agg(*cols)
+            .select(F.col("window.start").alias("window_start"),
+                    F.col("window.end").alias("window_end"),
+                    *keys, *[F.col(n) for n in aggs]))
+
+
+def session_window_agg(df: DataFrame, ts_col: str, gap: str,
+                       keys: Sequence[str],
+                       aggs: dict[str, tuple[str, str]],
+                       watermark: str = "10 minutes") -> DataFrame:
+    """Session windows: events within ``gap`` of each other merge into
+    one session per key."""
+    from ..process import _agg_col
+
+    wdf = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    cols = [_agg_col(op, f).alias(name) for name, (f, op) in aggs.items()]
+    return (wdf.groupBy(F.session_window(ts_col, gap), *keys).agg(*cols)
+            .select(F.col("session_window.start").alias("session_start"),
+                    F.col("session_window.end").alias("session_end"),
+                    *keys, *[F.col(n) for n in aggs]))
+
+
+def stream_dedupe(df: DataFrame, fields: Sequence[str], ts_col: str,
+                  watermark: str = "10 minutes") -> DataFrame:
+    """Bounded-state streaming dedupe — the watermarked version of
+    meza's seen-deque (``unique``, meza/process.py:851-898): exact
+    within the watermark horizon, state evicted beyond it."""
+    if df.isStreaming:
+        return (df.withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark(list(fields)))
+    return df.dropDuplicates(list(fields))
+
+
+def stream_fill_running(df: DataFrame, key_cols: Sequence[str],
+                        value_col: str, ts_col: str, op: str = "max",
+                        watermark: str = "10 minutes") -> DataFrame:
+    """Per-key running extrema over a stream — op_everseen
+    (meza/fntools.py:1190-1218) as a stateful streaming op via
+    ``applyInPandasWithState``.
+
+    Emits each micro-batch's rows with ``{value}_running`` appended;
+    state is one scalar per key (bounded)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if not df.isStreaming:
+        from ..process import everseen
+
+        out = everseen(df, value_col, order_by=ts_col, op=op,
+                       partition_by=list(key_cols))
+        return out.withColumnRenamed(f"{value_col}_everseen",
+                                     f"{value_col}_running")
+
+    in_cols = df.columns
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema]
+        + [f"{value_col}_running double"])
+    state_schema = "acc double"
+    agg = {"max": max, "min": min, "sum": lambda a, b: a + b}[op]
+
+    def fn(key, pdfs, state):
+        acc = state.get[0] if state.exists else None
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for _, row in pdf.iterrows():
+                v = float(row[value_col])
+                acc = v if acc is None else agg(acc, v)
+                rows.append(list(row[in_cols]) + [acc])
+        state.update((acc,))
+        yield pd.DataFrame(rows, columns=in_cols + [f"{value_col}_running"])
+
+    return (df.withWatermark(ts_col, watermark)
+            .groupBy(*key_cols)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))
