@@ -448,6 +448,34 @@ def multimodal_decode(spark, sf_dir):
     return decode_image(d)
 
 
+def stream_tumble_static(spark, sf_dir):
+    """streaming.tumbling_window_agg run on a static frame — same
+    window() expression the streaming path uses."""
+    from meza_spark.streaming import tumbling_window_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = tumbling_window_agg(ev, "ts", "1 hour",
+                              {"n": ("value", "count"),
+                               "max_value": ("value", "max")},
+                              keys=["event_type"])
+    return out.select(F.unix_timestamp("window_start").alias("ws"),
+                      "event_type", "n", "max_value")
+
+
+def stream_session_static(spark, sf_dir):
+    """streaming.session_window_agg on a static frame; oracle is the
+    classic gaps-and-islands SQL."""
+    from meza_spark.streaming import session_window_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = session_window_agg(ev, "ts", "1 hour", ["user_id"],
+                             {"n": ("value", "count"),
+                              "max_value": ("value", "max")})
+    return out.select("user_id",
+                      F.unix_timestamp("session_start").alias("ss"),
+                      "n", "max_value")
+
+
 def grouped_apply(spark, sf_dir):
     import pandas as pd
 
@@ -522,6 +550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordinal_fmt": ordinal_fmt,
         "multimodal_meta": multimodal_meta,
         "multimodal_decode": multimodal_decode,
+        "stream_tumble_static": stream_tumble_static,
+        "stream_session_static": stream_session_static,
     }
 
 
@@ -866,6 +896,26 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    sha256(text) AS payload_sha
             FROM documents
+        """,
+        "stream_tumble_static": """
+            SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS ws,
+                   event_type, COUNT(*) AS n, MAX(value) AS max_value
+            FROM events GROUP BY 1, 2
+        """,
+        "stream_session_static": """
+            WITH g AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                          OR ts - LAG(ts) OVER w > INTERVAL 1 HOUR
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (
+              SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sess
+              FROM g)
+            SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS ss,
+                   COUNT(*) AS n, MAX(value) AS max_value
+            FROM s GROUP BY user_id, sess
         """,
         # dedup_minhash_lsh, dedup_simhash, embed_ann_lsh: hash-family
         # dependent (xxhash64 / hyperplane seeds) — not SQL-expressible;

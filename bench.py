@@ -17,12 +17,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
-    "q1_pricing", "cut_project", "tfilter_orders", "unique_custseg",
-    "sort_topk", "pivot_returnflag", "join_inner", "join_left",
-    "rollup_agg", "window_tumbling", "window_running", "topk_per_group",
+    "q1_pricing", "q3_shipping", "cut_project", "tfilter_orders",
+    "unique_custseg", "sort_topk", "pivot_returnflag", "join_inner",
+    "join_left", "rollup_agg", "grouping_sets", "window_tumbling",
+    "window_running", "topk_per_group", "lag_lead", "corr_manual",
     "cast_fuzzy_date", "llm_token_count", "llm_quality", "llm_fingerprint",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "embed_topk",
-    "embed_ann_lsh", "grouped_apply",
+    "embed_ann_lsh", "multimodal_meta", "grouped_apply",
+    "stream_session_static",
 ]
 
 

@@ -14,7 +14,7 @@ from .readers import (
     read_tsv, read_xls, read_yaml,
 )
 from .writers import (
-    records2csv, records2geojson, records2json, write,
+    hash_file, records2csv, records2geojson, records2json, write,
 )
 
 __all__ = [
@@ -22,4 +22,5 @@ __all__ = [
     "read_ndjson", "read_geojson", "read_yaml", "read_html", "read_xls",
     "read_sqlite", "read_dbf", "read_mdb", "io_join", "detect_encoding",
     "records2csv", "records2json", "records2geojson", "write",
+    "hash_file",
 ]

@@ -15,7 +15,34 @@ import shutil
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["records2csv", "records2json", "records2geojson", "write"]
+__all__ = ["records2csv", "records2json", "records2geojson", "write",
+           "hash_file"]
+
+
+def hash_file(path_or_df, algo: str = "sha1", spark=None):
+    """File content digest (ref: meza/io.py:1504-1551).
+
+    Driver path: ``hash_file('/p/file')`` → hex digest via hashlib.
+    Distributed path: ``hash_file(dir, spark=spark)`` → DataFrame of
+    (path, digest) over Spark's binaryFile source — hash 1M files in
+    parallel instead of one driver loop.
+    """
+    import hashlib
+
+    if spark is not None:
+        df = spark.read.format("binaryFile").load(path_or_df)
+        if algo == "sha1":
+            h = F.sha1("content")
+        elif algo == "md5":
+            h = F.md5("content")
+        else:
+            h = F.sha2("content", int(algo.replace("sha", "") or 256))
+        return df.select("path", h.alias("digest"))
+    h = hashlib.new(algo)
+    with open(path_or_df, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
 
 
 def _collapse_part(dir_path: str, final_path: str, ext: str):
