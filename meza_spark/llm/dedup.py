@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..util import spread
 from .text import shingles, shingles_from_tokens, tokens
 
 __all__ = ["exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
@@ -62,7 +63,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     """
     _P = (1 << 61) - 1  # Mersenne prime, the classic MinHash modulus
     coeffs = _perm_coeffs(num_hashes)
-    base = df.withColumn("_toks", tokens(F.lower(F.col(text_col))))
+    base = spread(df).withColumn("_toks", tokens(F.lower(F.col(text_col))))
     base = base.withColumn("_sh", shingles_from_tokens(F.col("_toks"), n=shingle_n)).drop("_toks")
     # fold base hashes into [0, 2^31) so a·h + b stays inside signed-64
     base = base.withColumn(
@@ -161,6 +162,8 @@ def ngram_jaccard(df_a: DataFrame, df_b: DataFrame | None = None,
     unblocked form is a cross join and only sane for small frames.
     """
     df_b = df_b if df_b is not None else df_a
+    df_a = spread(df_a)
+    df_b = spread(df_b) if df_b is not df_a else df_a
     a = df_a.select(F.col(id_col).alias("id_a"),
                     *( [F.col(join_on)] if join_on else [] ),
                     shingles(F.col(text_col), n).alias("sh_a"))
@@ -192,7 +195,7 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 64,
     # materialize token hashes once (intermediate column), then build the
     # per-bit vote array with the bit positions unrolled as Python ints
     # (shiftright's count argument must be a literal int)
-    step = df.withColumn(
+    step = spread(df).withColumn(
         "_th", F.transform(F.array_distinct(tokens(F.lower(F.col(text_col)))),
                            lambda t: F.xxhash64(t)))
     votes = F.aggregate(

@@ -124,7 +124,10 @@ def decode_image(df: DataFrame, payload_col: str = "payload",
                              d["mean_pixel"], d["crc"]))
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
 
-    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+    from ..util import spread
+
+    return spread(df.select(id_col, payload_col)) \
+        .mapInPandas(run, schema=out_schema)
 
 
 def image_features(df: DataFrame, payload_col: str = "payload",
