@@ -492,6 +492,118 @@ def grouped_apply(spark, sf_dir):
                     schema="user_id bigint, n_events bigint, max_value double")
 
 
+def join_asof(spark, sf_dir):
+    """As-of join (beyond-reference, SURVEY §2.6): each event matched to
+    the user's most recent purchase at-or-before it. Single-shuffle
+    union+window plan — no range explosion."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("value").alias("p_value")))
+    left = ev.select("event_id", "user_id", "ts", "value")
+    out = pr.asof_join(left, purchases, on="ts", by=["user_id"])
+    return out.select(
+        "event_id", "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.unix_timestamp("ts_right").alias("p_ts_epoch"), "p_value")
+
+
+def join_range(spark, sf_dir):
+    """Range join: events banded into value tiers via a broadcast
+    nested-loop join against a tiny inline dim — the only sane physical
+    plan for interval joins with a small band table."""
+    ev = _t(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [(0.0, 25.0, "low"), (25.0, 100.0, "mid"),
+         (100.0, 250.0, "high"), (250.0, 1e18, "top")],
+        "lo double, hi double, tier string")
+    j = pr.join(ev, tiers,
+                on=(ev.value >= tiers.lo) & (ev.value < tiers.hi),
+                how="left", broadcast=True)
+    return j.select("event_id", "value", "tier")
+
+
+def dedup_embed_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact within `label` blocks
+    (deterministic block_on variant of the LSH-bucketed path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim.embedding_near_dupes(emb, threshold=0.3, block_on="label")
+    return out.select("id_a", "id_b",
+                      F.round("cosine", 4).alias("cosine"))
+
+
+def fillempty_bfill(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value", F.when(F.col("value") < 10, None).otherwise(F.col("value")))
+    filled = pr.fillempty(ev, method="back", fields=["value"],
+                          order_by="event_id", partition_by=["user_id"])
+    return filled.select("event_id", "user_id", "value")
+
+
+def fillempty_key(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "holey", F.when(F.col("o_orderkey") % 3 == 0, None)
+                  .otherwise(F.col("o_totalprice")))
+    filled = pr.fillempty(o, fill_key="o_totalprice", fields=["holey"])
+    return filled.select("o_orderkey", F.col("holey").alias("filled"))
+
+
+def cast_decimal(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    s = F.concat(F.lit("$"), ((k * 37) % 10000).cast("string"), F.lit("."),
+                 F.lpad(((k * 7) % 1000).cast("string"), 3, "0"))
+    return o.select("o_orderkey",
+                    cv.to_decimal(s, places=2).cast("string").alias("casted"))
+
+
+def cast_time(spark, sf_dir):
+    """`time` logical type (no Spark TIME type, SURVEY §1.5): 12-hour
+    clock strings parsed back to canonical HH:mm:ss."""
+    ev = _t(spark, sf_dir, "events")
+    s = F.date_format("ts", "h:mm:ss a")
+    return ev.select("event_id", cv.to_time(s).alias("t"))
+
+
+def json_recode_nation(spark, sf_dir):
+    return pr.json_recode(_t(spark, sf_dir, "nation"))
+
+
+def flatten_props(spark, sf_dir):
+    """Nested→flat: parse the events.props JSON into a struct, flatten
+    to parent_child scalars (meza flattens nested dicts on ingest)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "props", F.from_json("props", "struct<k:int>"))
+    return pr.flatten(ev).select("event_id", "props_k")
+
+
+def slice_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return pr.slice_rows(o, "o_orderkey", first=101, last=110) \
+             .select("o_orderkey", "o_totalprice")
+
+
+def string_funcs(spark, sf_dir):
+    from meza_spark.functions import mreplace, xmlize
+
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        mreplace(F.col("p_name"), [("a", "@"), ("e", "3")]).alias("repl"),
+        xmlize(F.concat(F.col("p_name"), F.lit(" & co"))).alias("xml"),
+        cv.to_float(F.format_number(F.col("p_retailprice"), 2))
+        .alias("price_restored"))
+
+
+def approx_distinct(spark, sf_dir):
+    """HLL++ sketch counts — approximate by design, so no value oracle
+    (rows-only check)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.approx_count_distinct("l_partkey", 0.01)
+                 .alias("approx_parts")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing(spark, SF001)
@@ -552,6 +664,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": multimodal_decode,
         "stream_tumble_static": stream_tumble_static,
         "stream_session_static": stream_session_static,
+        "join_asof": join_asof,
+        "join_range": join_range,
+        "dedup_embed_cosine": dedup_embed_cosine,
+        "fillempty_bfill": fillempty_bfill,
+        "fillempty_key": fillempty_key,
+        "cast_decimal": cast_decimal,
+        "cast_time": cast_time,
+        "json_recode_nation": json_recode_nation,
+        "flatten_props": flatten_props,
+        "slice_orders": slice_orders,
+        "string_funcs": string_funcs,
+        "approx_distinct": approx_distinct,
     }
 
 
@@ -917,7 +1041,88 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n, MAX(value) AS max_value
             FROM s GROUP BY user_id, sess
         """,
+        "join_asof": """
+            WITH p AS (SELECT user_id, ts, MAX(value) AS p_value
+                       FROM events WHERE event_type = 'purchase'
+                       GROUP BY user_id, ts)
+            SELECT e.event_id, e.user_id,
+                   CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_epoch,
+                   CAST(floor(epoch(p.ts)) AS BIGINT) AS p_ts_epoch,
+                   p.p_value
+            FROM events e ASOF LEFT JOIN p
+              ON e.user_id = p.user_id AND e.ts >= p.ts
+        """,
+        "join_range": """
+            SELECT event_id, value, tier
+            FROM events LEFT JOIN (VALUES (0.0, 25.0, 'low'),
+                                          (25.0, 100.0, 'mid'),
+                                          (100.0, 250.0, 'high'),
+                                          (250.0, 1e18, 'top'))
+                 AS t(lo, hi, tier)
+              ON value >= lo AND value < hi
+        """,
+        "dedup_embed_cosine": """
+            WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+            SELECT id_a, id_b, round(c, 4) AS cosine FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(
+                       list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+                       (sqrt(list_sum(list_transform(a.embedding,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                        sqrt(list_sum(list_transform(b.embedding,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS c
+              FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+            WHERE c >= 0.3
+        """,
+        "fillempty_bfill": """
+            SELECT event_id, user_id,
+                   FIRST_VALUE(CASE WHEN value < 10 THEN NULL ELSE value END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS value
+            FROM events
+        """,
+        "fillempty_key": """
+            SELECT o_orderkey,
+                   COALESCE(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                                 ELSE o_totalprice END, o_totalprice) AS filled
+            FROM orders
+        """,
+        "cast_decimal": """
+            SELECT o_orderkey,
+                   CAST(ROUND(CAST(((o_orderkey * 37) % 10000) || '.' ||
+                                   lpad(CAST((o_orderkey * 7) % 1000 AS VARCHAR), 3, '0')
+                              AS DECIMAL(38,8)), 2) AS VARCHAR) AS casted
+            FROM orders
+        """,
+        "cast_time": """
+            SELECT event_id, strftime(ts, '%H:%M:%S') AS t FROM events
+        """,
+        "json_recode_nation": """
+            SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
+                   n_name,
+                   CAST(n_regionkey AS VARCHAR) AS n_regionkey
+            FROM nation
+        """,
+        "flatten_props": r"""
+            SELECT event_id,
+                   CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INT) AS props_k
+            FROM events
+        """,
+        "slice_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_orderkey LIMIT 10 OFFSET 100
+        """,
+        "string_funcs": """
+            SELECT p_partkey,
+                   replace(replace(p_name, 'a', '@'), 'e', '3') AS repl,
+                   replace(replace(replace(p_name || ' & co',
+                       '&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS xml,
+                   p_retailprice AS price_restored
+            FROM part
+        """,
         # dedup_minhash_lsh, dedup_simhash, embed_ann_lsh: hash-family
         # dependent (xxhash64 / hyperplane seeds) — not SQL-expressible;
-        # driver records rows-only checks.
+        # approx_distinct: HLL sketch, approximate by design.
+        # Driver records rows-only checks for these.
     }

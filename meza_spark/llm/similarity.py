@@ -113,13 +113,25 @@ def lsh_ann_topk(df: DataFrame, query: Sequence[float],
 
 def embedding_near_dupes(df: DataFrame, vec_col: str = "embedding",
                          id_col: str = "vec_id", threshold: float = 0.9,
-                         n_planes: int = 8, seed: int = 42) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: LSH-bucket self-join, then
+                         n_planes: int = 8, seed: int = 42,
+                         block_on: str | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: bucketed self-join, then
     exact cosine verification ≥ ``threshold``. Shuffle key is the
-    bucket id; the quadratic term is bounded by bucket size."""
-    planes = _hyperplanes(_dim_of(df, vec_col), n_planes, seed)
+    bucket id; the quadratic term is bounded by bucket size.
+
+    Buckets come from random-hyperplane LSH by default (approximate:
+    pairs split across buckets are missed — recall tunes with fewer
+    planes). ``block_on`` names an existing column to use as the bucket
+    instead (e.g. a cluster/label/shard key): exact within blocks and
+    deterministic, the pattern to use when the pipeline already carries
+    a coarse grouping."""
+    if block_on is not None:
+        bucket = F.col(block_on)
+    else:
+        planes = _hyperplanes(_dim_of(df, vec_col), n_planes, seed)
+        bucket = _bucket_key(F.col(vec_col), planes)
     b = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
-                  _bucket_key(F.col(vec_col), planes).alias("_bucket"))
+                  bucket.alias("_bucket"))
     l, r = b.alias("l"), b.alias("r")
     pairs = (l.join(r, on="_bucket")
              .where(F.col("l._id") < F.col("r._id"))

@@ -29,6 +29,7 @@ __all__ = [
     "cut", "tfilter", "grep", "unique", "hash_", "sort", "peek",
     "fillempty", "aggregate", "merge", "group", "pivot", "normalize",
     "split", "join", "prepend", "json_recode", "everseen", "topk_per_group",
+    "asof_join", "flatten", "slice_rows",
 ]
 
 
@@ -481,3 +482,123 @@ def join(left: DataFrame, right: DataFrame,
     if on is None:
         return left.crossJoin(r)
     return left.join(r, on=on, how=how)
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              by: Sequence[str] | None = None,
+              direction: str = "backward", suffix: str = "_right",
+              tolerance: float | None = None) -> DataFrame:
+    """As-of join: for each left row, the single right row with the
+    nearest ``on`` value at or before it (``backward``) / at or after it
+    (``forward``), matched within ``by`` groups. Beyond-reference
+    operator (SURVEY §2.6 names as-of as an engine extension; the
+    reference has only a nested-loop cross join, meza/process.py:785-810).
+
+    Spark-first plan: ONE shuffle, no range-explosion join. Both sides
+    are unioned with a side marker, then one ordered window per ``by``
+    group carries the most recent right-side values onto each left row
+    (``last(..., ignorenulls)`` over ``rowsBetween(unboundedPreceding,
+    0)``). This is the scale-correct strategy: a naive
+    ``l.ts >= r.ts`` range join is O(|L|·|R|) per key, while the union
+    +window is O((|L|+|R|) log) within each shuffle partition, keyed by
+    ``by`` — skew maps to key skew, same mitigation (salting/AQE).
+
+    Right-side value columns land under their own names, suffixed when
+    they collide with left; the matched ``on`` value lands as
+    ``{on}{suffix}``. ``tolerance`` (same units as ``on``; seconds for
+    timestamps) voids matches farther than the bound.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    by = list(by or [])
+    rvals = [c for c in right.columns if c != on and c not in by]
+    rdt = dict(right.dtypes)
+    ldt = dict(left.dtypes)
+    tname = {c: (c + suffix if c in left.columns else c) for c in rvals}
+    on_r = on + suffix
+
+    l2 = left.select(
+        *left.columns, F.lit(1).alias("_side"),
+        F.lit(None).cast(rdt[on]).alias(on_r),
+        *[F.lit(None).cast(rdt[c]).alias(tname[c]) for c in rvals])
+    lonly = [c for c in left.columns if c != on and c not in by]
+    r2 = right.select(
+        *by, F.col(on),
+        *[F.lit(None).cast(ldt[c]).alias(c) for c in lonly],
+        F.lit(0).alias("_side"),
+        F.col(on).alias(on_r),
+        *[F.col(c).alias(tname[c]) for c in rvals]).select(*l2.columns)
+
+    u = l2.unionByName(r2)
+    carried = [on_r] + [tname[c] for c in rvals]
+    if direction == "backward":
+        # right rows sort before left at equal `on` → ties match (>=)
+        w = (Window.partitionBy(*by).orderBy(F.col(on).asc(),
+                                             F.col("_side").asc())
+             .rowsBetween(Window.unboundedPreceding, 0))
+        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+    else:
+        w = (Window.partitionBy(*by).orderBy(F.col(on).asc(),
+                                             F.col("_side").desc())
+             .rowsBetween(0, Window.unboundedFollowing))
+        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
+    out = u.select(*u.columns,
+                   *[pick(F.col(c)).over(w).alias("_m_" + c) for c in carried])
+    out = out.where(F.col("_side") == 1)
+    if tolerance is not None:
+        gap = (F.col(on).cast("double") - F.col("_m_" + on_r).cast("double"))
+        gap = gap if direction == "backward" else -gap
+        ok = gap <= F.lit(float(tolerance))
+        out = out.select(
+            *left.columns,
+            *[F.when(ok, F.col("_m_" + c)).alias(c) for c in carried])
+    else:
+        out = out.select(*left.columns,
+                         *[F.col("_m_" + c).alias(c) for c in carried])
+    return out
+
+
+def flatten(df: DataFrame, sep: str = "_") -> DataFrame:
+    """Recursively flatten struct columns to ``parent{sep}child`` scalar
+    columns (ref: meza/fntools.py:1058-1105 — meza's data model is flat,
+    nested dicts are flattened on ingest). Pure projection: no shuffle,
+    prunes to the leaves actually selected downstream."""
+    from pyspark.sql.types import StructType
+
+    def leaves(prefix_expr: str, prefix_name: str, dtype) -> list[Column]:
+        if isinstance(dtype, StructType):
+            out: list[Column] = []
+            for fld in dtype.fields:
+                out += leaves(f"{prefix_expr}.`{fld.name}`",
+                              f"{prefix_name}{sep}{fld.name}", fld.dataType)
+            return out
+        return [F.col(prefix_expr).alias(prefix_name)]
+
+    cols: list[Column] = []
+    for fld in df.schema.fields:
+        if isinstance(fld.dataType, StructType):
+            cols += leaves(f"`{fld.name}`", fld.name, fld.dataType)
+        else:
+            cols.append(F.col(f"`{fld.name}`"))
+    return df.select(*cols)
+
+
+def slice_rows(df: DataFrame, order_by: str | Sequence[str],
+               first: int = 1, last: int | None = None) -> DataFrame:
+    """Ordered row-range slice, 1-based inclusive (ref: meza's
+    first_row/last_row reader options, meza/io.py:458-479; negative
+    ``last`` keeps all but the final ``-last`` rows, the tail-skipping
+    deque at meza/io.py:473-479).
+
+    A global row_number is inherently a total order — Catalyst plans a
+    single-partition window, so this is for bounded slices (previews,
+    pagination), not bulk extraction; at scale prefer keyed filters.
+    """
+    keys = [order_by] if isinstance(order_by, str) else list(order_by)
+    if last is not None and last < 0:
+        last = df.count() + last
+    rn = F.row_number().over(Window.orderBy(*[F.col(k) for k in keys]))
+    out = df.withColumn("_rn", rn).where(F.col("_rn") >= first)
+    if last is not None:
+        out = out.where(F.col("_rn") <= last)
+    return out.drop("_rn")

@@ -190,3 +190,65 @@ def test_split_partitioned_write(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 2
     assert sorted(back.columns) == ["g", "v"]
+
+
+def test_asof_join_backward_forward_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 35.0), (4, "b", 5.0)],
+        "id int, k string, t double")
+    right = spark.createDataFrame(
+        [("a", 10.0, "x"), ("a", 30.0, "y"), ("b", 50.0, "z")],
+        "k string, t double, tag string")
+
+    back = {r["id"]: r["tag"] for r in
+            pr.asof_join(left, right, on="t", by=["k"]).collect()}
+    # tie at t=10 matches (>=); t=20 carries x; t=35 carries y; b@5 none
+    assert back == {1: "x", 2: "x", 3: "y", 4: None}
+
+    fwd = {r["id"]: r["tag"] for r in
+           pr.asof_join(left, right, on="t", by=["k"],
+                        direction="forward").collect()}
+    assert fwd == {1: "x", 2: "y", 3: None, 4: "z"}
+
+    tol = {r["id"]: r["tag"] for r in
+           pr.asof_join(left, right, on="t", by=["k"],
+                        tolerance=5.0).collect()}
+    # t=20 is 10 past the t=10 right row -> voided by tolerance
+    assert tol == {1: "x", 2: None, 3: "y", 4: None}
+
+
+def test_asof_join_name_collision_suffix(spark):
+    left = spark.createDataFrame([(1, 10.0, "L")], "id int, t double, tag string")
+    right = spark.createDataFrame([(5.0, "R")], "t double, tag string")
+    out = pr.asof_join(left, right, on="t")
+    row = out.collect()[0]
+    assert row["tag"] == "L" and row["tag_right"] == "R"
+    assert row["t_right"] == 5.0
+
+
+def test_flatten_nested_structs(spark):
+    df = spark.createDataFrame(
+        [(1, ((2, "x"), 3.0))],
+        "id int, s struct<inner: struct<a: int, b: string>, c: double>")
+    out = pr.flatten(df)
+    assert out.columns == ["id", "s_inner_a", "s_inner_b", "s_c"]
+    assert out.collect()[0].asDict() == {
+        "id": 1, "s_inner_a": 2, "s_inner_b": "x", "s_c": 3.0}
+
+
+def test_slice_rows_negative_last(spark):
+    df = spark.range(1, 11).withColumnRenamed("id", "n")
+    out = pr.slice_rows(df, "n", first=3, last=-2)  # rows 3..8
+    assert [r["n"] for r in out.collect()] == [3, 4, 5, 6, 7, 8]
+
+
+def test_embedding_near_dupes_block_on(spark):
+    from meza_spark.llm.similarity import embedding_near_dupes
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], "g"), (2, [1.0, 0.01], "g"), (3, [0.0, 1.0], "g"),
+         (4, [1.0, 0.0], "h")],
+        "vec_id int, embedding array<double>, label string")
+    out = embedding_near_dupes(df, threshold=0.9, block_on="label")
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert pairs == {(1, 2)}  # 3 is orthogonal, 4 is in another block
