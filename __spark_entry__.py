@@ -604,6 +604,44 @@ def approx_distinct(spark, sf_dir):
                  .alias("approx_parts")))
 
 
+def infer_types_orders(spark, sf_dir):
+    """detect_types sampling inference (SURVEY §1.3) run over a fully
+    stringified orders head — the engine must rediscover int/float/
+    datetime/text from messy strings; the voting/widening/confidence
+    result is deterministic, so it oracles as literal VALUES."""
+    from meza_spark import typetools as tt
+
+    o = _t(spark, sf_dir, "orders").orderBy("o_orderkey")
+    s = o.select([F.col(c).cast("string").alias(c) for c in o.columns])
+    _, res = tt.detect_types(s)
+    rows = [(d["id"], d["type"], float(res["confidence"]), res["count"])
+            for d in res["types"]]
+    return spark.createDataFrame(
+        rows, "id string, type string, confidence double, n_sampled bigint")
+
+
+def csv_roundtrip(spark, sf_dir):
+    """IO layer under the gate: nation → records2csv → read_csv; the
+    reader returns all-string columns (meza's CSV contract)."""
+    from meza_spark.io.readers import read_csv
+    from meza_spark.io.writers import records2csv
+
+    path = f"/tmp/meza_rt_{os.path.basename(sf_dir.rstrip('/'))}.csv"
+    records2csv(_t(spark, sf_dir, "nation"), path)
+    return read_csv(spark, path)
+
+
+def json_roundtrip(spark, sf_dir):
+    """nation → records2json (NDJSON) → read_ndjson; types survive."""
+    from meza_spark.io.readers import read_ndjson
+    from meza_spark.io.writers import records2json
+
+    path = f"/tmp/meza_rt_{os.path.basename(sf_dir.rstrip('/'))}.jsonl"
+    records2json(_t(spark, sf_dir, "nation"), path, newline=True)
+    return read_ndjson(spark, path).select("n_nationkey", "n_name",
+                                           "n_regionkey")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing(spark, SF001)
@@ -676,6 +714,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slice_orders": slice_orders,
         "string_funcs": string_funcs,
         "approx_distinct": approx_distinct,
+        "infer_types_orders": infer_types_orders,
+        "csv_roundtrip": csv_roundtrip,
+        "json_roundtrip": json_roundtrip,
     }
 
 
@@ -1120,6 +1161,25 @@ def oracle_sql() -> dict[str, str]:
                        '&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS xml,
                    p_retailprice AS price_restored
             FROM part
+        """,
+        "infer_types_orders": """
+            SELECT * FROM (VALUES
+                ('o_orderkey',      'int',      0.7, CAST(100 AS BIGINT)),
+                ('o_custkey',       'int',      0.7, 100),
+                ('o_orderstatus',   'text',     0.7, 100),
+                ('o_totalprice',    'float',    0.7, 100),
+                ('o_orderdate',     'datetime', 0.7, 100),
+                ('o_orderpriority', 'text',     0.7, 100))
+            AS t(id, type, confidence, n_sampled)
+        """,
+        "csv_roundtrip": """
+            SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
+                   n_name,
+                   CAST(n_regionkey AS VARCHAR) AS n_regionkey
+            FROM nation
+        """,
+        "json_roundtrip": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
         """,
         # dedup_minhash_lsh, dedup_simhash, embed_ann_lsh: hash-family
         # dependent (xxhash64 / hyperplane seeds) — not SQL-expressible;

@@ -24,7 +24,9 @@ HEADLINE = [
     "cast_fuzzy_date", "llm_token_count", "llm_quality", "llm_fingerprint",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "embed_topk",
     "embed_ann_lsh", "multimodal_meta", "grouped_apply",
-    "stream_session_static",
+    "stream_session_static", "join_asof", "join_range",
+    "dedup_embed_cosine", "ngram_jaccard_pairs", "fillempty_bfill",
+    "cast_decimal", "flatten_props", "string_funcs",
 ]
 
 
