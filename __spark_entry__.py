@@ -642,6 +642,30 @@ def json_roundtrip(spark, sf_dir):
                                            "n_regionkey")
 
 
+def type_predicates(spark, sf_dir):
+    """meza's currency-aware type predicates as JVM Column exprs
+    (ref: meza/fntools.py:454-586): '$12.50' numeric, '0123' NOT
+    numeric (leading zero), 'n/a' a null word, 'y' a bool."""
+    from meza_spark.functions import (is_bool_col, is_int_col,
+                                      is_null_col, is_numeric_col)
+
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    messy = (F.when(k % 5 == 0, F.concat(F.lit("$"), k.cast("string"),
+                                         F.lit(".50")))
+              .when(k % 5 == 1, F.concat(F.lit("0"), k.cast("string")))
+              .when(k % 5 == 2, F.lit("n/a"))
+              .when(k % 5 == 3, F.lit("y"))
+              .otherwise(F.concat(F.lit("1,"), F.lpad((k % 1000)
+                         .cast("string"), 3, "0"))))
+    return p.select(
+        "p_partkey", messy.alias("s"),
+        is_numeric_col(messy).alias("is_num"),
+        is_int_col(messy).alias("is_int"),
+        is_bool_col(messy).alias("is_bool"),
+        is_null_col(messy).alias("is_null_word"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing(spark, SF001)
@@ -717,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infer_types_orders": infer_types_orders,
         "csv_roundtrip": csv_roundtrip,
         "json_roundtrip": json_roundtrip,
+        "type_predicates": type_predicates,
     }
 
 
@@ -1180,6 +1205,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_roundtrip": """
             SELECT n_nationkey, n_name, n_regionkey FROM nation
+        """,
+        "type_predicates": """
+            SELECT p_partkey,
+                   CASE WHEN p_partkey % 5 = 0
+                          THEN '$' || CAST(p_partkey AS VARCHAR) || '.50'
+                        WHEN p_partkey % 5 = 1
+                          THEN '0' || CAST(p_partkey AS VARCHAR)
+                        WHEN p_partkey % 5 = 2 THEN 'n/a'
+                        WHEN p_partkey % 5 = 3 THEN 'y'
+                        ELSE '1,' || lpad(CAST(p_partkey % 1000 AS VARCHAR),
+                                          3, '0') END AS s,
+                   p_partkey % 5 IN (0, 4) AS is_num,
+                   p_partkey % 5 = 4 AS is_int,
+                   p_partkey % 5 = 3 AS is_bool,
+                   p_partkey % 5 = 2 AS is_null_word
+            FROM part
         """,
         # dedup_minhash_lsh, dedup_simhash, embed_ann_lsh: hash-family
         # dependent (xxhash64 / hyperplane seeds) — not SQL-expressible;

@@ -39,7 +39,58 @@ __all__ = [
     "read", "read_csv", "read_tsv", "read_fixed_fmt", "read_json",
     "read_ndjson", "read_geojson", "read_yaml", "read_html", "read_xls",
     "read_sqlite", "read_dbf", "read_mdb", "io_join", "detect_encoding",
+    "get_ext", "ctype2ext", "to_filepath",
 ]
+
+# HTTP content-type → extension (ref: meza/convert.py:47-78 ctype2ext)
+_CTYPE_EXT = {
+    "text/csv": "csv", "text/tab-separated-values": "tsv",
+    "application/json": "json", "application/x-ndjson": "jsonl",
+    "application/geo+json": "geojson", "text/html": "html",
+    "application/vnd.ms-excel": "xls", "application/xlsx": "xlsx",
+    "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet":
+        "xlsx",
+    "text/yaml": "yaml", "application/x-yaml": "yaml",
+    "application/dbase": "dbf", "application/dbf": "dbf",
+    "application/x-sqlite3": "sqlite", "application/x-msaccess": "mdb",
+    "text/plain": "txt", "application/octet-stream": "bin",
+}
+
+
+def get_ext(path: str) -> str:
+    """Lower-cased extension without the dot (ref: meza/fntools.py:288-309),
+    query strings/fragments stripped for URLs."""
+    import posixpath
+    from urllib.parse import urlparse
+
+    p = urlparse(path)
+    base = posixpath.basename(p.path) if p.scheme else path
+    ext = base.rsplit(".", 1)[-1] if "." in base else ""
+    return ext.lower()
+
+
+def ctype2ext(content_type: str) -> str:
+    """HTTP content-type → file extension (ref: meza/convert.py:47-78)."""
+    ct = content_type.split(";")[0].strip().lower()
+    return _CTYPE_EXT.get(ct, ct.rsplit("/", 1)[-1])
+
+
+def to_filepath(url: str, dest_dir: str = "/tmp",
+                content_type: str | None = None) -> str:
+    """URL → deterministic local file path (ref: meza/convert.py:513-556):
+    basename preserved, extension derived from content-type when the
+    URL has none. Download itself is the caller's job (the engine reads
+    distributed storage natively; this is for driver-side fetches of
+    non-splittable formats)."""
+    import os as _os
+    import posixpath
+    from urllib.parse import urlparse
+
+    p = urlparse(url)
+    base = posixpath.basename(p.path) or "download"
+    if "." not in base and content_type:
+        base = f"{base}.{ctype2ext(content_type)}"
+    return _os.path.join(dest_dir, base)
 
 
 # ---------------------------------------------------------------------------

@@ -109,3 +109,35 @@ def test_type_cast_schema_driven(spark):
     kinds = dict(out.dtypes)
     assert kinds["integer"] == "bigint" and kinds["float"] == "double"
     assert kinds["date"] == "date" and kinds["datetime"] == "timestamp"
+
+
+def test_column_type_predicates(spark):
+    from pyspark.sql import functions as F
+
+    from meza_spark.functions import (is_bool_col, is_int_col, is_null_col,
+                                      is_numeric_col)
+
+    # corpus mirrors meza tests/test_fntools.py:35-75 incl. the
+    # currency-zero regression (#36) and the leading-zero rule
+    cases = [
+        ("$0.00", True, False), ("2e12", True, False), ("1,000", True, True),
+        ("02139", False, False), ("1.5", True, False), ("-42", True, True),
+        ("£1,234.56", True, False), ("abc", False, False),
+    ]
+    df = spark.createDataFrame([(s,) for s, *_ in cases], "s string")
+    got = {r["s"]: (r["num"], r["int"]) for r in df.select(
+        "s", is_numeric_col(F.col("s")).alias("num"),
+        is_int_col(F.col("s")).alias("int")).collect()}
+    for s, num, isint in cases:
+        assert got[s] == (num, isint), s
+
+    df2 = spark.createDataFrame(
+        [("y",), ("FALSE",), ("n/a",), ("",), ("x",)], "s string")
+    rows = {r["s"]: (r["b"], r["nl"]) for r in df2.select(
+        "s", is_bool_col(F.col("s")).alias("b"),
+        is_null_col(F.col("s")).alias("nl")).collect()}
+    assert rows["y"] == (True, False)
+    assert rows["FALSE"] == (True, False)
+    assert rows["n/a"] == (False, True)
+    assert rows[""] == (False, True)
+    assert rows["x"] == (False, False)

@@ -320,3 +320,18 @@ def test_records2json_ndjson(spark, tmp_path):
     arr = str(tmp_path / "a.json")
     mio.records2json(df, arr, newline=False)
     assert json.load(open(arr)) == [{"n": 1}]
+
+
+def test_path_utilities():
+    from meza_spark.io.readers import ctype2ext, get_ext, to_filepath
+
+    assert get_ext("a/b/data.CSV") == "csv"
+    assert get_ext("https://x.test/d/file.jsonl?tok=1#frag") == "jsonl"
+    assert get_ext("noext") == ""
+    assert ctype2ext("text/csv; charset=utf-8") == "csv"
+    assert ctype2ext("application/vnd.openxmlformats-officedocument"
+                     ".spreadsheetml.sheet") == "xlsx"
+    assert ctype2ext("application/weird") == "weird"
+    assert to_filepath("https://x.test/report", dest_dir="/tmp",
+                       content_type="text/csv") == "/tmp/report.csv"
+    assert to_filepath("https://x.test/a/b.csv") == "/tmp/b.csv"
