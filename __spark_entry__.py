@@ -666,6 +666,19 @@ def type_predicates(spark, sf_dir):
         is_null_col(messy).alias("is_null_word"))
 
 
+def stream_sliding_static(spark, sf_dir):
+    """streaming.sliding_window_agg (2h window, 1h slide) on a static
+    frame; oracle unrolls each event into its two covering windows."""
+    from meza_spark.streaming import sliding_window_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = sliding_window_agg(ev, "ts", "2 hours", "1 hour",
+                             {"n": ("value", "count"),
+                              "sum_value": ("value", _dsum)})
+    return out.select(F.unix_timestamp("window_start").alias("ws"),
+                      "n", "sum_value")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing(spark, SF001)
@@ -742,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip": csv_roundtrip,
         "json_roundtrip": json_roundtrip,
         "type_predicates": type_predicates,
+        "stream_sliding_static": stream_sliding_static,
     }
 
 
@@ -1221,6 +1235,14 @@ def oracle_sql() -> dict[str, str]:
                    p_partkey % 5 = 3 AS is_bool,
                    p_partkey % 5 = 2 AS is_null_word
             FROM part
+        """,
+        "stream_sliding_static": f"""
+            WITH w AS (
+              SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+                       - 3600 * k AS ws, value
+              FROM events CROSS JOIN (VALUES (0), (1)) AS off(k))
+            SELECT ws, COUNT(*) AS n, {dsum('value')} AS sum_value
+            FROM w GROUP BY ws
         """,
         # dedup_minhash_lsh, dedup_simhash, embed_ann_lsh: hash-family
         # dependent (xxhash64 / hyperplane seeds) — not SQL-expressible;

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["records2csv", "records2json", "records2geojson", "write",
+           "write_bucketed",
            "hash_file"]
 
 
@@ -154,3 +155,25 @@ def write(df: DataFrame, path: str, fmt: str | None = None,
     for k, v in options.items():
         w = w.option(k, v)
     getattr(w, fmt)(path)
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_by: str | list[str],
+                   n_buckets: int = 32, sort_by=None,
+                   fmt: str = "parquet", mode: str = "overwrite") -> None:
+    """Bucketed table write — the co-located-join primitive at scale.
+
+    Two tables bucketed on the same key with the same bucket count
+    sort-merge-join WITHOUT an Exchange on either side: the shuffle is
+    paid once at write time, then every subsequent join/groupBy on the
+    bucket key is shuffle-free. This is the 100 TB answer for a fact
+    table joined repeatedly on the same key (orders⋈lineitem); the
+    reference has no analog (its only join is a nested loop,
+    meza/process.py:785-810).
+    """
+    cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    w = (df.write.mode(mode).format(fmt)
+         .bucketBy(n_buckets, *cols))
+    if sort_by:
+        sb = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        w = w.sortBy(*sb)
+    w.saveAsTable(table)

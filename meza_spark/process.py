@@ -29,7 +29,7 @@ __all__ = [
     "cut", "tfilter", "grep", "unique", "hash_", "sort", "peek",
     "fillempty", "aggregate", "merge", "group", "pivot", "normalize",
     "split", "join", "prepend", "json_recode", "everseen", "topk_per_group",
-    "asof_join", "flatten", "slice_rows",
+    "asof_join", "flatten", "slice_rows", "salted_join",
 ]
 
 
@@ -602,3 +602,28 @@ def slice_rows(df: DataFrame, order_by: str | Sequence[str],
     if last is not None:
         out = out.where(F.col("_rn") <= last)
     return out.drop("_rn")
+
+
+def salted_join(left: DataFrame, right: DataFrame, on: str | Sequence[str],
+                how: str = "inner", salt: int = 16) -> DataFrame:
+    """Skew-resistant equi-join: the left (large, skewed) side gets a
+    uniform random salt 0..salt-1 appended to the key; the right side is
+    replicated ``salt`` times so every (key, salt) pair still matches.
+    A hot key's rows then spread over ``salt`` reducers instead of one.
+
+    Use when one join key dominates (power-law ids) and the right side
+    is too big to broadcast but small enough to replicate ``salt``×.
+    AQE's skew-join split covers sort-merge plans automatically —
+    salting remains the portable fix and also works for groupBy-style
+    hot keys. Inner and left joins only (the replicated right makes
+    right/full semantics ambiguous).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner'|'left'")
+    keys = [on] if isinstance(on, str) else list(on)
+    lsalt = left.withColumn("_salt",
+                            (F.rand(seed=42) * salt).cast("int"))
+    rsalt = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    out = lsalt.join(rsalt, on=keys + ["_salt"], how=how)
+    return out.drop("_salt")

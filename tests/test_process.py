@@ -252,3 +252,40 @@ def test_embedding_near_dupes_block_on(spark):
     out = embedding_near_dupes(df, threshold=0.9, block_on="label")
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert pairs == {(1, 2)}  # 3 is orthogonal, 4 is in another block
+
+
+def test_salted_join_matches_plain_join(spark):
+    left = spark.createDataFrame(
+        [(i % 3, i) for i in range(300)], "k int, v int")  # skewed-ish
+    right = spark.createDataFrame([(0, "a"), (1, "b"), (5, "x")],
+                                  "k int, tag string")
+    plain = pr.join(left, right, on="k").select("k", "v", "tag")
+    salted = pr.salted_join(left, right, on="k").select("k", "v", "tag")
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, salted.collect()))
+    lplain = pr.join(left, right, on="k", how="left")
+    lsalted = pr.salted_join(left, right, on="k", how="left")
+    assert lplain.count() == lsalted.count() == 300
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    from meza_spark.io.writers import write_bucketed
+
+    a = spark.createDataFrame([(i, i * 2) for i in range(100)],
+                              "k bigint, va bigint")
+    b = spark.createDataFrame([(i, i * 3) for i in range(100)],
+                              "k bigint, vb bigint")
+    write_bucketed(a, "bk_a", "k", n_buckets=4, sort_by="k")
+    write_bucketed(b, "bk_b", "k", n_buckets=4, sort_by="k")
+    # disable broadcast so the join would otherwise need an exchange
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bk_a").join(spark.table("bk_b"), "k")
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "simple")
+        assert "Exchange" not in plan, plan
+        assert j.count() == 100
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
