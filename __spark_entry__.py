@@ -679,6 +679,42 @@ def stream_sliding_static(spark, sf_dir):
                       "n", "sum_value")
 
 
+def merge_union(spark, sf_dir):
+    """merge() union form (no op): coalescing dict-union — last
+    non-null per column (ref: meza/process.py:507-509). Each column is
+    non-null on exactly one row so the fold is deterministic."""
+    n = _t(spark, sf_dir, "nation")
+    holey = n.select(
+        F.when(F.col("n_nationkey") == 3, F.col("n_name")).alias("a"),
+        F.when(F.col("n_nationkey") == 7, F.col("n_regionkey")).alias("b"))
+    return pr.merge(holey)
+
+
+def group_collect(spark, sf_dir):
+    """group() default aggregator=list (ref: meza/process.py:566-567):
+    per-key member lists, sorted for determinism."""
+    c = _t(spark, sf_dir, "customer")
+    g = pr.group(c.select("c_mktsegment", "c_custkey"), "c_mktsegment",
+                 aggs={"ids": ("c_custkey", "collect_list")})
+    return g.select("c_mktsegment", F.sort_array("ids").alias("ids"))
+
+
+def udaf_range(spark, sf_dir):
+    """Arbitrary Python aggregator per group (meza's `op`/`aggregator`
+    callables, SURVEY §2.9) as a pandas GROUPED_AGG UDAF — Arrow-batched,
+    partial-agg free, order-insensitive (max-min) so it oracles exactly."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: `from __future__ import annotations` turns
+    # hints into strings, which defeats pandas_udf signature inference
+    prange = pandas_udf(lambda v: float(v.max() - v.min()),
+                        "double", PandasUDFType.GROUPED_AGG)
+
+    o = _t(spark, sf_dir, "orders")
+    return pr.group(o, "o_orderpriority",
+                    aggs={"price_range": ("o_totalprice", prange)})
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing(spark, SF001)
@@ -756,6 +792,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_roundtrip": json_roundtrip,
         "type_predicates": type_predicates,
         "stream_sliding_static": stream_sliding_static,
+        "merge_union": merge_union,
+        "group_collect": group_collect,
+        "udaf_range": udaf_range,
     }
 
 
@@ -1243,6 +1282,19 @@ def oracle_sql() -> dict[str, str]:
               FROM events CROSS JOIN (VALUES (0), (1)) AS off(k))
             SELECT ws, COUNT(*) AS n, {dsum('value')} AS sum_value
             FROM w GROUP BY ws
+        """,
+        "merge_union": """
+            SELECT (SELECT n_name FROM nation WHERE n_nationkey = 3) AS a,
+                   (SELECT n_regionkey FROM nation WHERE n_nationkey = 7) AS b
+        """,
+        "group_collect": """
+            SELECT c_mktsegment, list_sort(list(c_custkey)) AS ids
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "udaf_range": """
+            SELECT o_orderpriority,
+                   MAX(o_totalprice) - MIN(o_totalprice) AS price_range
+            FROM orders GROUP BY o_orderpriority
         """,
         # dedup_minhash_lsh, dedup_simhash, embed_ann_lsh: hash-family
         # dependent (xxhash64 / hyperplane seeds) — not SQL-expressible;

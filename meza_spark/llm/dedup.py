@@ -127,21 +127,29 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             F.xxhash64(F.concat_ws(
                 ",", F.slice("minhash", b * rows + 1, rows)))
             .alias("bh")))
-    banded = sigged.select("_id", "_sh", F.explode(band_arr).alias("b")) \
-        .select("_id", "_sh", "b.band", "b.bh")
+    # candidates carry IDS ONLY through the band explode+self-join: the
+    # heavy shingle arrays would otherwise be duplicated `bands`× into
+    # the shuffle — at scale that IS the job cost. Shingles re-attach to
+    # the (small) surviving candidate set afterwards.
+    banded = sigged.select("_id", F.explode(band_arr).alias("b")) \
+        .select("_id", "b.band", "b.bh")
 
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (left.join(right, on=["band", "bh"])
              .where(F.col("l._id") < F.col("r._id"))
              .select(F.col("l._id").alias("id_a"),
-                     F.col("r._id").alias("id_b"),
-                     F.col("l._sh").alias("sh_a"),
-                     F.col("r._sh").alias("sh_b"))
+                     F.col("r._id").alias("id_b"))
              .dropDuplicates(["id_a", "id_b"]))
 
     if min_jaccard is None:
         return pairs.select("id_a", "id_b")
+    sh = sigged.select("_id", "_sh")
+    pairs = (pairs
+             .join(sh.select(F.col("_id").alias("id_a"),
+                             F.col("_sh").alias("sh_a")), on="id_a")
+             .join(sh.select(F.col("_id").alias("id_b"),
+                             F.col("_sh").alias("sh_b")), on="id_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(0.0)

@@ -27,6 +27,14 @@ def norm_cell(v):
     import datetime
     import math
 
+    import numpy as np
+
+    # list-valued cells (collect_list / duckdb list()) normalize
+    # element-wise; spark returns Python lists, duckdb numpy arrays
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, np.generic):
+        v = v.item()
     if v is None or v != v:
         return "NULL"
     if isinstance(v, float):
