@@ -29,7 +29,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["media_schema", "attach_media_meta", "decode_image",
+__all__ = ["media_schema", "attach_media_meta", "decode_image", "resize_image",
            "image_features", "frame_sample"]
 
 # canonical media metadata struct carried alongside the binary payload
@@ -187,3 +187,43 @@ def frame_sample(df: DataFrame, payload_col: str = "payload",
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def resize_image(df: DataFrame, width: int, height: int,
+                 payload_col: str = "payload",
+                 id_col: str = "media_id") -> DataFrame:
+    """Resize plumbing: payload → resized payload + dims via
+    ``mapInPandas`` (Arrow batches, executor-local, no shuffle).
+
+    STUB decode/encode (no imaging libs in this container): emits a
+    deterministic fake payload of the right nominal size
+    (sha256-chained), with the real batch shape, schema, and
+    partitioning — swap ``_fake_resize`` for PIL/libvips per batch in a
+    real deployment.
+    """
+    out_schema = StructType([
+        StructField(id_col, LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ])
+    nominal = max(16, (width * height) // 64)
+
+    def _fake_resize(b: bytes) -> bytes:
+        buf, h = b"", bytes(b) + struct.pack("<ii", width, height)
+        while len(buf) < nominal:
+            h = hashlib.sha256(h).digest()
+            buf += h
+        return buf[:nominal]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [(mid, _fake_resize(payload), width, height)
+                    for mid, payload in zip(pdf[id_col], pdf[payload_col])
+                    if payload is not None]
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    from ..util import spread
+
+    return spread(df.select(id_col, payload_col)) \
+        .mapInPandas(run, schema=out_schema)

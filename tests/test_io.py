@@ -335,3 +335,43 @@ def test_path_utilities():
     assert to_filepath("https://x.test/report", dest_dir="/tmp",
                        content_type="text/csv") == "/tmp/report.csv"
     assert to_filepath("https://x.test/a/b.csv") == "/tmp/b.csv"
+
+
+def test_python_datasource_per_file_parallel(spark, tmp_path):
+    import yaml as _yaml
+
+    from meza_spark.io.datasource import register
+
+    d = tmp_path / "yamls"
+    d.mkdir()
+    for i in range(3):
+        (d / f"part{i}.yaml").write_text(_yaml.safe_dump(
+            [{"name": f"row{i}_{j}", "qty": i * 10 + j} for j in range(4)]))
+    register(spark)
+    df = (spark.read.format("meza")
+          .option("path", str(d)).option("fmt", "yaml").load())
+    assert df.columns == ["name", "qty"]
+    assert df.count() == 12
+    # one input partition per file
+    assert df.rdd.getNumPartitions() == 3
+    assert df.filter(df.qty == "21").count() == 1  # strings contract
+
+
+def test_python_datasource_xlsx(spark, tmp_path):
+    from meza_spark.io.datasource import register
+    from meza_spark.io.writers import records2csv  # noqa: F401  (env check)
+
+    # build a minimal xlsx with the engine's own test helper if present;
+    # otherwise reuse the grid writer from test_xlsx
+    import test_io as self_mod  # this module
+    make = getattr(self_mod, "_make_xlsx", None)
+    if make is None:
+        import pytest
+        pytest.skip("no xlsx fixture builder in this suite")
+    p = tmp_path / "wb.xlsx"
+    make(p, [["City", "Pop"], ["Oslo", 700000], ["Bergen", 280000]])
+    register(spark)
+    df = (spark.read.format("meza")
+          .option("path", str(p)).option("fmt", "xlsx").load())
+    assert df.columns == ["city", "pop"]
+    assert df.count() == 2
