@@ -1,0 +1,64 @@
+"""Physical-plan regression tests.
+
+The README's "Verified physical plans" section is enforced here: if an
+operator change stops a filter from reaching the parquet scan, widens a
+pruned ReadSchema, or degrades a broadcast join to shuffle, these fail.
+"""
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df, mode="formatted"):
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode)
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    plan = _plan(entry.q1_pricing(spark, SF))
+    assert "PushedFilters" in plan
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # ReadSchema pruned: the 16-column lineitem scan reads only 7
+    scan_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert scan_schema.count(":") <= 8, scan_schema
+    assert "l_comment" not in scan_schema
+
+
+def test_cut_projection_reaches_scan(spark):
+    plan = _plan(entry.cut_project(spark, SF))
+    scan_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    for kept in ("l_orderkey", "l_linenumber", "l_quantity"):
+        assert kept in scan_schema
+    assert "l_extendedprice" not in scan_schema
+    assert "Exchange" not in plan  # pure projection: no shuffle
+
+
+def test_q3_broadcasts_both_dims(spark):
+    simple = _plan(entry.q3_shipping(spark, SF), "simple")
+    assert simple.count("BroadcastHashJoin") == 2, simple
+    plan = _plan(entry.q3_shipping(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_join_asof_no_range_explosion(spark):
+    plan = _plan(entry.join_asof(spark, SF))
+    assert "NestedLoop" not in plan
+    assert "Window" in plan
+
+
+def test_join_range_broadcast_nested_loop(spark):
+    plan = _plan(entry.join_range(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_exact_dedup_shuffles_digest_not_text(spark):
+    from meza_spark.llm.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(exact_dedup(docs), "simple")
+    # the exchange key must be the md5 digest column, not raw text
+    exch = [ln for ln in plan.splitlines() if "Exchange hashpartitioning"
+            in ln]
+    assert exch and "_k" in exch[0], plan
