@@ -41,8 +41,12 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry.queries()
-    # warmup: JVM + codegen + parquet footer caches
+    # warmup: JVM + codegen + parquet footer caches, and the Python
+    # worker pool (first Arrow-UDF query otherwise pays worker spawn)
     qs["sort_topk"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    spark.range(64).repartition(32) \
+        .mapInPandas(lambda it: it, "id long") \
+        .write.format("noop").mode("overwrite").save()
 
     times = {}
     total = 0.0
