@@ -274,7 +274,7 @@ def cast_fuzzy_date(spark, sf_dir):
 
 def llm_token_count(spark, sf_dir):
     d = tx.token_count(_t(spark, sf_dir, "documents"))
-    return d.select("doc_id", "n_tokens")
+    return d.select("doc_id", "n_tokens", "n_subtokens")
 
 
 def llm_quality(spark, sf_dir):
@@ -954,7 +954,13 @@ def oracle_sql() -> dict[str, str]:
         "llm_token_count": r"""
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                             + len(regexp_extract_all(text, '[a-z][A-Z]'))
+                             + len(regexp_extract_all(text, '[^0-9\s][0-9]'))
+                             + len(regexp_extract_all(text, '[0-9][^0-9\s]'))
+                   END AS n_subtokens
             FROM documents
         """,
         "llm_quality": r"""

@@ -39,8 +39,12 @@ def token_count(df: DataFrame, text_col: str = "text",
     (``n_subtokens``: word-boundary + digit/punct splits — a cheap
     deterministic proxy for BPE token counts)."""
     t = F.col(text_col)
+    # boundary classes exclude whitespace so the zero-width splits can't
+    # fire adjacent to a \s+ split (which would emit empty pieces);
+    # count = whitespace tokens + in-word case/digit transitions
     bpe = F.when(F.trim(t) == "", F.array().cast("array<string>")).otherwise(
-        F.split(F.trim(t), r"\s+|(?<=[a-z])(?=[A-Z])|(?<=\D)(?=\d)|(?<=\d)(?=\D)"))
+        F.split(F.trim(t),
+                r"\s+|(?<=[a-z])(?=[A-Z])|(?<=[^\d\s])(?=\d)|(?<=\d)(?=[^\d\s])"))
     return df.withColumn(out, F.size(tokens(t))) \
              .withColumn("n_subtokens", F.size(bpe))
 
