@@ -715,6 +715,31 @@ def udaf_range(spark, sf_dir):
                     aggs={"price_range": ("o_totalprice", prange)})
 
 
+def join_salted(spark, sf_dir):
+    """Skew-resistant salted join — salt placement is random but the
+    JOIN RESULT is salt-invariant, so it oracles as a plain join."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    j = pr.salted_join(o, c, on="o_custkey", salt=8)
+    return j.select("o_orderkey", "o_custkey", "c_mktsegment")
+
+
+def join_asof_fwd(spark, sf_dir):
+    """Forward as-of with tolerance: each event matched to the user's
+    NEXT purchase within 2 hours."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("value").alias("p_value")))
+    left = ev.select("event_id", "user_id", "ts")
+    out = pr.asof_join(left, purchases, on="ts", by=["user_id"],
+                       direction="forward", tolerance=7200.0)
+    return out.select(
+        "event_id", "user_id",
+        F.unix_timestamp("ts_right").alias("p_ts_epoch"), "p_value")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing(spark, SF001)
@@ -795,6 +820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_union": merge_union,
         "group_collect": group_collect,
         "udaf_range": udaf_range,
+        "join_salted": join_salted,
+        "join_asof_fwd": join_asof_fwd,
     }
 
 
@@ -1301,6 +1328,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority,
                    MAX(o_totalprice) - MIN(o_totalprice) AS price_range
             FROM orders GROUP BY o_orderpriority
+        """,
+        "join_salted": """
+            SELECT o_orderkey, o_custkey, c_mktsegment
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "join_asof_fwd": """
+            WITH p AS (SELECT user_id, ts, MAX(value) AS p_value
+                       FROM events WHERE event_type = 'purchase'
+                       GROUP BY user_id, ts),
+            m AS (
+              SELECT e.event_id, e.user_id, e.ts AS ets, p.ts AS pts,
+                     p.p_value
+              FROM events e ASOF LEFT JOIN p
+                ON e.user_id = p.user_id AND e.ts <= p.ts)
+            SELECT event_id, user_id,
+                   CASE WHEN pts - ets <= INTERVAL 2 HOUR
+                        THEN CAST(floor(epoch(pts)) AS BIGINT) END AS p_ts_epoch,
+                   CASE WHEN pts - ets <= INTERVAL 2 HOUR
+                        THEN p_value END AS p_value
+            FROM m
         """,
         # dedup_minhash_lsh, dedup_simhash, embed_ann_lsh: hash-family
         # dependent (xxhash64 / hyperplane seeds) — not SQL-expressible;
