@@ -740,6 +740,25 @@ def join_asof_fwd(spark, sf_dir):
         F.unix_timestamp("ts_right").alias("p_ts_epoch"), "p_value")
 
 
+def agg_salted(spark, sf_dir):
+    """Two-phase salted aggregation (hot-key safe) — result is
+    salt-invariant, so it oracles as a plain GROUP BY."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = pr.salted_agg(li, "l_returnflag",
+                        {"sum_qty": ("l_quantity", "sum"),
+                         "n": ("l_quantity", "count"),
+                         "max_qty": ("l_quantity", "max")}, salt=8)
+    return out.select("l_returnflag", "sum_qty", "n", "max_qty")
+
+
+def embed_ann_ivf(spark, sf_dir):
+    """IVF ANN (k-means coarse quantizer, nprobe cells probed) —
+    centroids are seed/trainer dependent → rows-only check."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return sim.ivf_ann_topk(emb, q, k=10, nlist=8, nprobe=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing(spark, SF001)
@@ -822,6 +841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udaf_range": udaf_range,
         "join_salted": join_salted,
         "join_asof_fwd": join_asof_fwd,
+        "agg_salted": agg_salted,
+        "embed_ann_ivf": embed_ann_ivf,
     }
 
 
@@ -1332,6 +1353,11 @@ def oracle_sql() -> dict[str, str]:
         "join_salted": """
             SELECT o_orderkey, o_custkey, c_mktsegment
             FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "agg_salted": """
+            SELECT l_returnflag, SUM(l_quantity) AS sum_qty,
+                   COUNT(l_quantity) AS n, MAX(l_quantity) AS max_qty
+            FROM lineitem GROUP BY l_returnflag
         """,
         "join_asof_fwd": """
             WITH p AS (SELECT user_id, ts, MAX(value) AS p_value

@@ -19,8 +19,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_topk", "lsh_ann_topk", "embedding_near_dupes",
-           "cosine_sim"]
+__all__ = ["cosine_topk", "lsh_ann_topk", "ivf_ann_topk",
+           "embedding_near_dupes", "cosine_sim"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -146,3 +146,47 @@ def embedding_near_dupes(df: DataFrame, vec_col: str = "embedding",
 def _dim_of(df: DataFrame, vec_col: str) -> int:
     row = df.select(F.size(vec_col).alias("d")).limit(1).collect()
     return int(row[0]["d"]) if row else 0
+
+
+def ivf_ann_topk(df: DataFrame, query, k: int = 10,
+                 nlist: int = 16, nprobe: int = 2,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 seed: int = 42) -> DataFrame:
+    """IVF-style ANN: coarse-quantize vectors to ``nlist`` centroids
+    (k-means), probe the ``nprobe`` centroids nearest the query, exact
+    cosine inside the probed cells only.
+
+    Scale shape: train once on a bounded sample (driver holds nlist
+    centroids, not data), assignment is a row-local argmin over nlist
+    dot products, and the probed scan touches ~nprobe/nlist of the
+    corpus. The index (assignments) can be persisted with the table and
+    reused across queries — the classic IVF trade of recall for scan
+    fraction.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = df.select(array_to_vector(
+        F.transform(vec_col, lambda x: x.cast("double"))).alias("features"))
+    km = KMeans(k=nlist, seed=seed, maxIter=10).fit(train)
+    centroids = [list(map(float, c)) for c in km.clusterCenters()]
+
+    def _cell(vec: Column) -> Column:
+        # argmin over nlist squared distances, row-local
+        dists = F.array(*[
+            F.aggregate(
+                F.zip_with(vec, F.array(*[F.lit(x) for x in c]),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, v: acc + v)
+            for c in centroids])
+        return F.array_position(dists, F.array_min(dists))
+
+    qd = [float(x) for x in query]
+    qdist = [(sum((a - b) ** 2 for a, b in zip(qd, c)), i)
+             for i, c in enumerate(centroids)]
+    probes = [i + 1 for _, i in sorted(qdist)[:nprobe]]  # 1-based cells
+
+    cand = df.withColumn(
+        "_cell", _cell(F.transform(vec_col, lambda x: x.cast("double")))) \
+        .where(F.col("_cell").isin(probes))
+    return cosine_topk(cand, query, vec_col, id_col, k)

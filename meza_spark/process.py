@@ -29,7 +29,7 @@ __all__ = [
     "cut", "tfilter", "grep", "unique", "hash_", "sort", "peek",
     "fillempty", "aggregate", "merge", "group", "pivot", "normalize",
     "split", "join", "prepend", "json_recode", "everseen", "topk_per_group",
-    "asof_join", "flatten", "slice_rows", "salted_join",
+    "asof_join", "flatten", "slice_rows", "salted_join", "salted_agg",
 ]
 
 
@@ -627,3 +627,37 @@ def salted_join(left: DataFrame, right: DataFrame, on: str | Sequence[str],
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
     out = lsalt.join(rsalt, on=keys + ["_salt"], how=how)
     return out.drop("_salt")
+
+
+_SALT_DECOMP = {
+    "sum": ("sum", F.sum), "count": ("sum", F.count),
+    "min": ("min", F.min), "max": ("max", F.max),
+}
+
+
+def salted_agg(df: DataFrame, keys: str | Sequence[str],
+               aggs: dict[str, tuple[str, str]], salt: int = 16) -> DataFrame:
+    """Skew-resistant two-phase aggregation for hot grouping keys.
+
+    Phase 1 groups by (keys…, random salt) so a dominant key's rows
+    land on ``salt`` reducers; phase 2 re-combines the partials by the
+    real keys. Only decomposable ops (sum/count/min/max — ``count``
+    recombines with ``sum``) are accepted: that is what makes the
+    two-phase split algebraically exact. AQE's skew handling covers
+    sort-merge JOINS, not aggregations; map-side partial aggregation
+    already helps, but a truly hot key still funnels its partials to
+    one reducer — salting bounds that at ``1/salt``.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    for name, (_f, op) in aggs.items():
+        if op not in _SALT_DECOMP:
+            raise ValueError(
+                f"salted_agg: op {op!r} for {name!r} is not decomposable "
+                f"(supported: {sorted(_SALT_DECOMP)})")
+    salted = df.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[_SALT_DECOMP[op][1](f).alias(name)
+          for name, (f, op) in aggs.items()])
+    refn = {name: _SALT_DECOMP[op][0] for name, (_f, op) in aggs.items()}
+    return partial.groupBy(*keys).agg(
+        *[_AGG_FNS[refn[name]](name).alias(name) for name in aggs])

@@ -289,3 +289,36 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_salted_agg_matches_plain(spark):
+    df = spark.createDataFrame(
+        [(("hot" if i % 10 else "cold"), float(i)) for i in range(1000)],
+        "k string, v double")
+    got = {r["k"]: (r["s"], r["n"], r["mx"]) for r in
+           pr.salted_agg(df, "k", {"s": ("v", "sum"), "n": ("v", "count"),
+                                   "mx": ("v", "max")}, salt=8).collect()}
+    want = {r["k"]: (r["s"], r["n"], r["mx"]) for r in
+            df.groupBy("k").agg(
+                __import__("pyspark.sql.functions", fromlist=["x"]).sum("v").alias("s"),
+                F.count("v").alias("n"), F.max("v").alias("mx")).collect()}
+    assert got == want
+
+    import pytest
+    with pytest.raises(ValueError):
+        pr.salted_agg(df, "k", {"a": ("v", "avg")})
+
+
+def test_ivf_ann_recall(spark):
+    from meza_spark.llm.similarity import cosine_topk, ivf_ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id = 0").select("embedding").collect()[0][0]
+    exact = {r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()}
+    # probing every cell must reproduce exact search
+    full = {r["vec_id"] for r in
+            ivf_ann_topk(emb, q, k=10, nlist=8, nprobe=8).collect()}
+    assert full == exact
+    part = {r["vec_id"] for r in
+            ivf_ann_topk(emb, q, k=10, nlist=8, nprobe=3).collect()}
+    assert len(part & exact) >= 5  # partial probe keeps decent recall
