@@ -26,7 +26,9 @@ HEADLINE = [
     "embed_ann_lsh", "multimodal_meta", "grouped_apply",
     "stream_session_static", "join_asof", "join_range",
     "dedup_embed_cosine", "ngram_jaccard_pairs", "fillempty_bfill",
-    "cast_decimal", "flatten_props", "string_funcs",
+    "cast_decimal", "flatten_props", "string_funcs", "join_salted",
+    "agg_salted", "udaf_range", "group_collect", "type_predicates",
+    "infer_types_orders",
 ]
 
 
