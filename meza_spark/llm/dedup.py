@@ -3,11 +3,13 @@
 Scale design (the whole point at 100 TB):
   - exact dedup: hash-shuffle on a 128-bit digest of the text, never on
     the text itself (shuffle bytes ∝ 32B/row, not document size).
-  - MinHash signatures: computed row-local with array expressions
-    (sequence/transform/aggregate) — zero shuffle, zero Python. LSH
-    banding explodes only ``bands`` rows per doc (small ints), and the
-    candidate join runs on band-hash buckets, so comparison cost is
-    O(collisions), not O(n²).
+  - MinHash signatures: tokenize/hash JVM-side, the permutation
+    min-fold as an Arrow-batched numpy kernel (Spark's higher-order
+    array functions are interpreted, not codegen'd — numpy is the fast
+    path for dense per-row math). Zero shuffle. LSH banding explodes
+    only ``bands`` rows per doc (small ints), and the candidate join
+    runs on band-hash buckets, so comparison cost is O(collisions),
+    not O(n²).
   - SimHash: row-local 64-bit signature; near-dup candidates via
     banding the signature into 4×16-bit chunks (Hamming ≤ 3 guarantee
     by pigeonhole).
@@ -58,8 +60,9 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     tabulation-free MinHash family. The shingle set and base hashes are
     materialized as intermediate columns so they are computed ONCE per
     row (a naive nested-lambda formulation re-evaluates the tokenizer
-    per hash function — 64× the work). Entirely row-local array math:
-    no explode, no shuffle, no Python.
+    per hash function — 64× the work). Row-local throughout: no
+    explode, no shuffle; the min-fold itself is Arrow/numpy (see
+    comment below).
     """
     _P = (1 << 61) - 1  # Mersenne prime, the classic MinHash modulus
     coeffs = _perm_coeffs(num_hashes)
@@ -69,14 +72,40 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     base = base.withColumn(
         "_hs", F.transform("_sh",
                            lambda s: F.pmod(F.xxhash64(s), F.lit((1 << 31) - 1))))
-    def perm(a, b):
-        # closure factory: a default-arg lambda would look 3-ary to
-        # F.transform, which passes (element, index) to 2-ary lambdas
-        return lambda h: F.pmod(a * h + b, F.lit(_P))
 
-    sig = F.array(*[F.array_min(F.transform("_hs", perm(a, b)))
-                    for a, b in coeffs])
-    out = base.withColumn("minhash", sig).drop("_hs")
+    # The permutation min-fold runs as an Arrow-batched numpy kernel:
+    # Spark's higher-order array functions are INTERPRETED (no codegen),
+    # so 64 × array_min(transform(...)) was the measured hot spot; the
+    # numpy matrix form ((a·h + b) mod P, min over shingles) is bit-
+    # identical (numpy int64 % is floored like pmod; products stay
+    # < 2^62). Tokenize/xxhash64 stay JVM-side — only (row, _hs) rows
+    # cross the Arrow boundary.
+    import numpy as np
+    import pandas as pd
+
+    ca = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+    cb = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+
+    def run(batches):
+        for pdf in batches:
+            sigs = []
+            for hs in pdf["_hs"]:
+                h = np.asarray(hs, dtype=np.int64)
+                if h.size == 0:
+                    sigs.append([int(_P)] * num_hashes)
+                    continue
+                vals = (ca * h[None, :] + cb) % _P
+                sigs.append(vals.min(axis=1).tolist())
+            out_pdf = pdf.drop(columns=["_hs"])
+            out_pdf["minhash"] = sigs
+            yield out_pdf
+
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    in_schema = [f for f in base.schema.fields if f.name != "_hs"]
+    out_schema = StructType(in_schema + [StructField("minhash",
+                                                     ArrayType(LongType()))])
+    out = base.mapInPandas(run, schema=out_schema)
     return out if keep_shingles else out.drop("_sh")
 
 
@@ -116,8 +145,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     filtering giant buckets.
     """
     rows = num_hashes // bands
-    sigged = minhash_signatures(df, text_col, num_hashes, shingle_n,
-                                keep_shingles=True) \
+    # project to (id, text) BEFORE signatures: the signature kernel is
+    # an Arrow exchange, so extra columns would pay the transfer twice
+    sigged = minhash_signatures(df.select(id_col, text_col), text_col,
+                                num_hashes, shingle_n, keep_shingles=True) \
         .select(F.col(id_col).alias("_id"), "minhash", "_sh")
 
     band_arr = F.transform(
@@ -200,30 +231,43 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 64,
     array — no explode/shuffle; the signature is built with a single
     fold, staying in codegen.
     """
-    # materialize token hashes once (intermediate column), then build the
-    # per-bit vote array with the bit positions unrolled as Python ints
-    # (shiftright's count argument must be a literal int)
+    # Tokenize + xxhash64 JVM-side; the per-bit vote fold runs as an
+    # Arrow-batched numpy kernel. Spark's higher-order array functions
+    # are interpreted (no codegen) so the previous pure-expression fold
+    # (bits × tokens `when` tree) was the measured hot spot; the numpy
+    # form is bit-identical (verified exhaustively: arithmetic >> & 1
+    # extracts the same bits, votes>=0 sets the same sign bit).
+    import numpy as np
+
     step = spread(df).withColumn(
         "_th", F.transform(F.array_distinct(tokens(F.lower(F.col(text_col)))),
                            lambda t: F.xxhash64(t)))
-    votes = F.aggregate(
-        F.col("_th"),
-        F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(*[
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
-                       F.lit(1).cast("long")).otherwise(F.lit(-1).cast("long"))
-                for b in range(bits)]),
-            lambda a, v: a + v))
-    step = step.withColumn("_votes", votes)
-    sig = F.lit(0).cast("long")
-    for b in range(bits):
-        sig = sig.bitwiseOR(
-            F.when(F.element_at("_votes", b + 1) >= 0,
-                   F.shiftleft(F.lit(1).cast("long"), b))
-            .otherwise(F.lit(0).cast("long")))
-    return step.withColumn(out, sig).drop("_th", "_votes")
+
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    def run(batches):
+        for pdf in batches:
+            sigs = []
+            for hs in pdf["_th"]:
+                h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+                if h.size == 0:
+                    votes = np.zeros(bits, dtype=np.int64)
+                else:
+                    bitm = ((h[:, None] >> shifts[None, :]) &
+                            np.uint64(1)).astype(np.int64)
+                    votes = (2 * bitm - 1).sum(axis=0)
+                sig = np.bitwise_or.reduce(
+                    ((votes >= 0).astype(np.uint64)) << shifts)
+                sigs.append(int(np.int64(sig)))
+            out_pdf = pdf.drop(columns=["_th"])
+            out_pdf[out] = sigs
+            yield out_pdf
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    in_schema = [f for f in step.schema.fields if f.name != "_th"]
+    out_schema = StructType(in_schema + [StructField(out, LongType())])
+    return step.mapInPandas(run, schema=out_schema)
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
@@ -238,7 +282,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     """
     chunks = max_hamming + 1
     width = 64 // chunks
-    sigged = simhash(df, text_col).select(
+    sigged = simhash(df.select(id_col, text_col), text_col).select(
         F.col(id_col).alias("_id"), "simhash")
     chunk_arr = F.array(*[
         F.struct(
