@@ -133,12 +133,40 @@ def embedding_near_dupes(df: DataFrame, vec_col: str = "embedding",
     b = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
                   bucket.alias("_bucket"))
     l, r = b.alias("l"), b.alias("r")
-    pairs = (l.join(r, on="_bucket")
-             .where(F.col("l._id") < F.col("r._id"))
-             .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"),
-                     F.col("l._v").alias("va"), F.col("r._v").alias("vb"))
-             .dropDuplicates(["id_a", "id_b"]))
-    sim = cosine_sim(F.col("va"), F.col("vb"))
+    # candidate generation and dedupe on IDS ONLY (the embedding arrays
+    # would otherwise ride every bucket collision through the shuffle);
+    # vectors re-attach to the deduped candidate set
+    cand = (l.join(r, on="_bucket")
+            .where(F.col("l._id") < F.col("r._id"))
+            .select(F.col("l._id").alias("id_a"),
+                    F.col("r._id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    pairs = (cand
+             .join(v.select(F.col("_id").alias("id_a"),
+                            F.col("_v").alias("va")), on="id_a")
+             .join(v.select(F.col("_id").alias("id_b"),
+                            F.col("_v").alias("vb")), on="id_b"))
+    # pairwise rescoring is the O(pairs × dim) term → vectorized numpy
+    # kernel (Spark HOF folds are interpreted). cumsum[:, -1] reproduces
+    # the fold's left-to-right summation order exactly, so scores are
+    # bit-identical to the Column-expression cosine_sim.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _cos(a: "pd.Series", b: "pd.Series") -> "pd.Series":
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack([np.asarray(x, dtype=np.float64) for x in a])
+        B = np.stack([np.asarray(x, dtype=np.float64) for x in b])
+        dot = np.cumsum(A * B, axis=1)[:, -1]
+        na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+        nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
+        return pd.Series(dot / (na * nb))
+
+    cos = pandas_udf(_cos, "double", PandasUDFType.SCALAR)
+    sim = cos(F.col("va"), F.col("vb"))
     return pairs.select("id_a", "id_b", F.round(sim, 6).alias("cosine")) \
                 .where(F.col("cosine") >= threshold)
 
