@@ -208,7 +208,12 @@ def to_datetime(c: Column, fuzzy: bool = False) -> Column:
     native = F.coalesce(*tiers)
     if not fuzzy:
         return native
-    return F.coalesce(native, _fuzzy_ts(s))
+    # Catalyst extracts Python UDFs into an eval node that runs for
+    # EVERY row regardless of coalesce laziness — so mask the UDF's
+    # input to null where the native tiers already parsed: the Arrow
+    # transfer still happens, but dateutil (the expensive part) only
+    # runs on actual tier-1 misses.
+    return F.coalesce(native, _fuzzy_ts(F.when(native.isNull(), s)))
 
 
 def to_date(c: Column, fuzzy: bool = False) -> Column:
