@@ -64,25 +64,34 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     explode, no shuffle; the min-fold itself is Arrow/numpy (see
     comment below).
     """
-    _P = (1 << 61) - 1  # Mersenne prime, the classic MinHash modulus
-    coeffs = _perm_coeffs(num_hashes)
+    base = _shingle_hashes(df, text_col, shingle_n)
+    out = _minhash_from_hashes(base, num_hashes)
+    return out if keep_shingles else out.drop("_sh")
+
+
+def _shingle_hashes(df: DataFrame, text_col: str, shingle_n: int) -> DataFrame:
+    """JVM-side tokenize → shingle (``_sh``) → folded base hashes
+    (``_hs`` in [0, 2^31) so a·h + b stays inside signed-64)."""
     base = spread(df).withColumn("_toks", tokens(F.lower(F.col(text_col))))
-    base = base.withColumn("_sh", shingles_from_tokens(F.col("_toks"), n=shingle_n)).drop("_toks")
-    # fold base hashes into [0, 2^31) so a·h + b stays inside signed-64
     base = base.withColumn(
+        "_sh", shingles_from_tokens(F.col("_toks"), n=shingle_n)).drop("_toks")
+    return base.withColumn(
         "_hs", F.transform("_sh",
                            lambda s: F.pmod(F.xxhash64(s), F.lit((1 << 31) - 1))))
 
-    # The permutation min-fold runs as an Arrow-batched numpy kernel:
-    # Spark's higher-order array functions are INTERPRETED (no codegen),
-    # so 64 × array_min(transform(...)) was the measured hot spot; the
-    # numpy matrix form ((a·h + b) mod P, min over shingles) is bit-
-    # identical (numpy int64 % is floored like pmod; products stay
-    # < 2^62). Tokenize/xxhash64 stay JVM-side — only (row, _hs) rows
-    # cross the Arrow boundary.
-    import numpy as np
-    import pandas as pd
 
+def _minhash_from_hashes(base: DataFrame, num_hashes: int) -> DataFrame:
+    """The permutation min-fold as an Arrow-batched numpy kernel:
+    Spark's higher-order array functions are INTERPRETED (no codegen),
+    so 64 × array_min(transform(...)) was the measured hot spot; the
+    numpy matrix form ((a·h + b) mod P, min over shingles) is bit-
+    identical (numpy int64 % is floored like pmod; products stay
+    < 2^62). Tokenize/xxhash64 stay JVM-side. Callers control the Arrow
+    payload: every column of ``base`` except ``_hs`` passes through."""
+    import numpy as np
+
+    _P = (1 << 61) - 1  # Mersenne prime, the classic MinHash modulus
+    coeffs = _perm_coeffs(num_hashes)
     ca = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
     cb = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
 
@@ -105,8 +114,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     in_schema = [f for f in base.schema.fields if f.name != "_hs"]
     out_schema = StructType(in_schema + [StructField("minhash",
                                                      ArrayType(LongType()))])
-    out = base.mapInPandas(run, schema=out_schema)
-    return out if keep_shingles else out.drop("_sh")
+    return base.mapInPandas(run, schema=out_schema)
 
 
 def _perm_coeffs(n: int, seed: int = 7) -> list[tuple[int, int]]:
@@ -145,11 +153,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     filtering giant buckets.
     """
     rows = num_hashes // bands
-    # project to (id, text) BEFORE signatures: the signature kernel is
-    # an Arrow exchange, so extra columns would pay the transfer twice
-    sigged = minhash_signatures(df.select(id_col, text_col), text_col,
-                                num_hashes, shingle_n, keep_shingles=True) \
-        .select(F.col(id_col).alias("_id"), "minhash", "_sh")
+    # The signature kernel is an Arrow exchange — send ONLY (id, _hs)
+    # through it (text/shingle strings are the heavy columns; at scale
+    # the transfer is the cost). Shingles for the verification step are
+    # re-derived JVM-side on a separate, Catalyst-pruned branch.
+    hashed = _shingle_hashes(df.select(id_col, text_col), text_col, shingle_n)
+    sigged = _minhash_from_hashes(
+        hashed.select(F.col(id_col).alias("_id"), "_hs"), num_hashes)
 
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -175,7 +185,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
     if min_jaccard is None:
         return pairs.select("id_a", "id_b")
-    sh = sigged.select("_id", "_sh")
+    sh = hashed.select(F.col(id_col).alias("_id"), "_sh")
     pairs = (pairs
              .join(sh.select(F.col("_id").alias("id_a"),
                              F.col("_sh").alias("sh_a")), on="id_a")
@@ -227,21 +237,29 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 64,
     """Append a ``bits``-wide SimHash signature as ``bigint``.
 
     Row-local: token hashes vote per bit (+1/-1), sign of the vote sum
-    becomes the bit. Implemented as array aggregate over the token
-    array — no explode/shuffle; the signature is built with a single
-    fold, staying in codegen.
+    becomes the bit. No explode, no shuffle.
     """
-    # Tokenize + xxhash64 JVM-side; the per-bit vote fold runs as an
-    # Arrow-batched numpy kernel. Spark's higher-order array functions
-    # are interpreted (no codegen) so the previous pure-expression fold
-    # (bits × tokens `when` tree) was the measured hot spot; the numpy
-    # form is bit-identical (verified exhaustively: arithmetic >> & 1
-    # extracts the same bits, votes>=0 sets the same sign bit).
-    import numpy as np
+    step = _token_hashes(df, text_col)
+    return _simhash_from_hashes(step, bits, out)
 
-    step = spread(df).withColumn(
+
+def _token_hashes(df: DataFrame, text_col: str) -> DataFrame:
+    """JVM-side distinct-token xxhash64 array as ``_th``."""
+    return spread(df).withColumn(
         "_th", F.transform(F.array_distinct(tokens(F.lower(F.col(text_col)))),
                            lambda t: F.xxhash64(t)))
+
+
+def _simhash_from_hashes(step: DataFrame, bits: int,
+                         out: str = "simhash") -> DataFrame:
+    # The per-bit vote fold runs as an Arrow-batched numpy kernel.
+    # Spark's higher-order array functions are interpreted (no codegen)
+    # so the previous pure-expression fold (bits × tokens `when` tree)
+    # was the measured hot spot; the numpy form is bit-identical
+    # (arithmetic >> & 1 extracts the same bits, votes>=0 sets the same
+    # sign bit). Callers control the Arrow payload: every column of
+    # ``step`` except ``_th`` passes through the exchange.
+    import numpy as np
 
     shifts = np.arange(bits, dtype=np.uint64)
 
@@ -282,8 +300,10 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     """
     chunks = max_hamming + 1
     width = 64 // chunks
-    sigged = simhash(df.select(id_col, text_col), text_col).select(
-        F.col(id_col).alias("_id"), "simhash")
+    # lean Arrow payload: only (id, _th) crosses into the vote kernel
+    sigged = _simhash_from_hashes(
+        _token_hashes(df.select(id_col, text_col), text_col)
+        .select(F.col(id_col).alias("_id"), "_th"), bits=64)
     chunk_arr = F.array(*[
         F.struct(
             F.lit(ci).alias("ci"),
