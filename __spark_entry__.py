@@ -759,6 +759,26 @@ def embed_ann_ivf(spark, sf_dir):
     return sim.ivf_ann_topk(emb, q, k=10, nlist=8, nprobe=3)
 
 
+def hello_world_pipeline(spark, sf_dir):
+    """The reference's canonical pipeline (meza README.rst:91-133,
+    SURVEY §3.2) end-to-end: write part to CSV → read_csv (all strings)
+    → detect_types → type_cast → cut → merge(max). Gates the whole
+    vertical slice: IO, inference, messy casts, projection, fold."""
+    from meza_spark import typetools as tt
+    from meza_spark.io.readers import read_csv
+    from meza_spark.io.writers import records2csv
+
+    path = f"/tmp/meza_hw_{os.path.basename(sf_dir.rstrip('/'))}.csv"
+    records2csv(_t(spark, sf_dir, "part")
+                .select("p_partkey", "p_name", "p_size", "p_retailprice"),
+                path)
+    raw = read_csv(spark, path)
+    _, res = tt.detect_types(raw.orderBy(cv.to_int(F.col("p_partkey"))))
+    casted = cv.type_cast(raw, res["types"])
+    numeric = pr.cut(casted, ["p_name"], exclude=True)
+    return pr.merge(numeric, op="max", pred=lambda c: True)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing(spark, SF001)
@@ -843,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_asof_fwd": join_asof_fwd,
         "agg_salted": agg_salted,
         "embed_ann_ivf": embed_ann_ivf,
+        "hello_world_pipeline": hello_world_pipeline,
     }
 
 
@@ -1358,6 +1379,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, SUM(l_quantity) AS sum_qty,
                    COUNT(l_quantity) AS n, MAX(l_quantity) AS max_qty
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "hello_world_pipeline": """
+            SELECT MAX(p_partkey) AS p_partkey, MAX(p_size) AS p_size,
+                   MAX(p_retailprice) AS p_retailprice
+            FROM part
         """,
         "join_asof_fwd": """
             WITH p AS (SELECT user_id, ts, MAX(value) AS p_value
