@@ -488,7 +488,9 @@ def grouped_apply(spark, sf_dir):
             "max_value": [pdf["value"].max()],
         })
 
-    return pr.group(ev, "user_id", apply=stats,
+    # project to the columns the UDF reads — applyInPandas ships every
+    # input column through Arrow, so unused columns are pure transfer
+    return pr.group(ev.select("user_id", "value"), "user_id", apply=stats,
                     schema="user_id bigint, n_events bigint, max_value double")
 
 

@@ -213,12 +213,19 @@ def ngram_jaccard(df_a: DataFrame, df_b: DataFrame | None = None,
     df_b = df_b if df_b is not None else df_a
     df_a = spread(df_a)
     df_b = spread(df_b) if df_b is not df_a else df_a
+    # shingle STRINGS are hashed to int64 before the pair join: the
+    # set-intersection cost (and join/shuffle payload) drops to 8B per
+    # distinct shingle, and |A∩B|/|A∪B| is unchanged unless xxhash64
+    # collides inside one pair's union set (P ≈ |union|²/2^64 — for
+    # real shingle counts, negligible against any rounding).
+    hashed = lambda c: F.array_distinct(  # noqa: E731
+        F.transform(shingles(c, n), lambda s: F.xxhash64(s)))
     a = df_a.select(F.col(id_col).alias("id_a"),
                     *( [F.col(join_on)] if join_on else [] ),
-                    shingles(F.col(text_col), n).alias("sh_a"))
+                    hashed(F.col(text_col)).alias("sh_a"))
     b = df_b.select(F.col(id_col).alias("id_b"),
                     *( [F.col(join_on)] if join_on else [] ),
-                    shingles(F.col(text_col), n).alias("sh_b"))
+                    hashed(F.col(text_col)).alias("sh_b"))
     joined = a.join(b, on=join_on) if join_on else a.crossJoin(b)
     joined = joined.where(F.col("id_a") < F.col("id_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
