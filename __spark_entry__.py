@@ -781,6 +781,28 @@ def hello_world_pipeline(spark, sf_dir):
     return pr.merge(numeric, op="max", pred=lambda c: True)
 
 
+def q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5-style: 6-table join, dims broadcast, the only shuffles
+    are lineitem⋈orders (largest pair) and the final agg key."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) &
+        (F.col("o_orderdate") < F.lit("1997-01-01")))
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    j = (li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+         .join(F.broadcast(c), (o.o_custkey == c.c_custkey) &
+               (c.c_nationkey == s.s_nationkey))
+         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (j.groupBy("n_name").agg(_dsum(rev).alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("n_name")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing(spark, SF001)
@@ -866,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_salted": agg_salted,
         "embed_ann_ivf": embed_ann_ivf,
         "hello_world_pipeline": hello_world_pipeline,
+        "q5_local_supplier": q5_local_supplier,
     }
 
 
@@ -1386,6 +1409,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT MAX(p_partkey) AS p_partkey, MAX(p_size) AS p_size,
                    MAX(p_retailprice) AS p_retailprice
             FROM part
+        """,
+        "q5_local_supplier": f"""
+            SELECT n_name,
+                   {dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name
         """,
         "join_asof_fwd": """
             WITH p AS (SELECT user_id, ts, MAX(value) AS p_value

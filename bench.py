@@ -17,7 +17,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
-    "q1_pricing", "q3_shipping", "cut_project", "tfilter_orders",
+    "q1_pricing", "q3_shipping", "q5_local_supplier", "cut_project", "tfilter_orders",
     "unique_custseg", "sort_topk", "pivot_returnflag", "join_inner",
     "join_left", "rollup_agg", "grouping_sets", "window_tumbling",
     "window_running", "topk_per_group", "lag_lead", "corr_manual",
