@@ -803,6 +803,42 @@ def q5_local_supplier(spark, sf_dir):
             .orderBy(F.col("revenue").desc(), F.col("n_name")))
 
 
+def io_join_ragged(spark, sf_dir):
+    """Multi-file concat with ragged schemas (meza io.join / csvstack):
+    two CSVs with overlapping-but-different columns union with nulls."""
+    from meza_spark.io.readers import io_join
+    from meza_spark.io.writers import records2csv
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    p1 = f"/tmp/meza_ioj_{tag}_a.csv"
+    p2 = f"/tmp/meza_ioj_{tag}_b.csv"
+    records2csv(_t(spark, sf_dir, "nation")
+                .select("n_nationkey", "n_name"), p1)
+    records2csv(_t(spark, sf_dir, "nation")
+                .select("n_nationkey", "n_regionkey"), p2)
+    return io_join(spark, p1, p2)
+
+
+def geojson_roundtrip(spark, sf_dir):
+    """GeoJSON write→read round-trip (meza's one nested format):
+    nation as synthetic Points → records2geojson (FeatureCollection +
+    bbox) → read_geojson (explode back to flat records)."""
+    from meza_spark.io.readers import read_geojson
+    from meza_spark.io.writers import records2geojson
+
+    path = f"/tmp/meza_geo_{os.path.basename(sf_dir.rstrip('/'))}.geojson"
+    pts = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("id"),
+        F.lit("Point").alias("type"),
+        (F.col("n_nationkey") * 7 % 360 - 180).cast("double").alias("lon"),
+        (F.col("n_regionkey") * 13 % 180 - 90).cast("double").alias("lat"))
+    records2geojson(pts, path)
+    back = read_geojson(spark, path)
+    return back.select(F.col("id").cast("bigint").alias("id"),
+                       F.col("lon").cast("double").alias("lon"),
+                       F.col("lat").cast("double").alias("lat"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing(spark, SF001)
@@ -889,6 +925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ann_ivf": embed_ann_ivf,
         "hello_world_pipeline": hello_world_pipeline,
         "q5_local_supplier": q5_local_supplier,
+        "io_join_ragged": io_join_ragged,
+        "geojson_roundtrip": geojson_roundtrip,
     }
 
 
@@ -1441,6 +1479,21 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN pts - ets <= INTERVAL 2 HOUR
                         THEN p_value END AS p_value
             FROM m
+        """,
+        "io_join_ragged": """
+            SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
+                   n_name, CAST(NULL AS VARCHAR) AS n_regionkey
+            FROM nation
+            UNION ALL
+            SELECT CAST(n_nationkey AS VARCHAR), NULL,
+                   CAST(n_regionkey AS VARCHAR)
+            FROM nation
+        """,
+        "geojson_roundtrip": """
+            SELECT n_nationkey AS id,
+                   CAST((n_nationkey * 7) % 360 - 180 AS DOUBLE) AS lon,
+                   CAST((n_regionkey * 13) % 180 - 90 AS DOUBLE) AS lat
+            FROM nation
         """,
         # dedup_minhash_lsh, dedup_simhash, embed_ann_lsh: hash-family
         # dependent (xxhash64 / hyperplane seeds) — not SQL-expressible;
