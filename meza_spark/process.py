@@ -277,7 +277,8 @@ def fillempty(df: DataFrame, value: Any = None, method: str | None = None,
               fields: Sequence[str] | None = None,
               fill_key: str | None = None,
               order_by: str | Sequence[str] | None = None,
-              partition_by: Sequence[str] | None = None) -> DataFrame:
+              partition_by: Sequence[str] | None = None,
+              limit: int | None = None) -> DataFrame:
     """Fill null holes (ref: meza/process.py:361-431, meza/fntools.py:906-994).
 
     Modes:
@@ -305,16 +306,30 @@ def fillempty(df: DataFrame, value: Any = None, method: str | None = None,
         if order_by is None:
             raise ValueError("front/back fill requires order_by")
         order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
-        w = Window.partitionBy(*(partition_by or []))
+        # `back` = `front` over the REVERSED order: one code path, and
+        # the limit arithmetic (rows since donor) holds either way
         if method == "front":
-            w = w.orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, 0)
-            fn = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+            ordering = [F.col(c).asc() for c in order_cols]
         else:
-            w = w.orderBy(*order_cols).rowsBetween(0, Window.unboundedFollowing)
-            fn = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
+            ordering = [F.col(c).desc() for c in order_cols]
+        worder = Window.partitionBy(*(partition_by or [])).orderBy(*ordering)
+        wframe = worder.rowsBetween(Window.unboundedPreceding, 0)
         out = df
         for f in fields:
-            out = out.withColumn(f, fn(F.col(f)).over(w))
+            filled = F.last(F.col(f), ignorenulls=True).over(wframe)
+            if limit is not None:
+                # meza's `limit` caps CONSECUTIVE fills: a hole farther
+                # than `limit` rows from its donor stays null
+                rn = F.row_number().over(worder)
+                donor_rn = F.max(
+                    F.when(F.col(f).isNotNull(), rn)).over(wframe)
+                filled = F.when(
+                    F.col(f).isNotNull() |
+                    ((rn - donor_rn) <= limit), filled)
+            out = out.withColumn("_fill_" + f, filled)
+        for f in fields:
+            out = out.withColumn(f, F.col("_fill_" + f)) \
+                     .drop("_fill_" + f)
         return out
     # constant fill; meza also treats '' as a hole for text columns
     return df.na.fill(value, subset=fields)

@@ -322,3 +322,18 @@ def test_ivf_ann_recall(spark):
     part = {r["vec_id"] for r in
             ivf_ann_topk(emb, q, k=10, nlist=8, nprobe=3).collect()}
     assert len(part & exact) >= 5  # partial probe keeps decent recall
+
+
+def test_fillempty_limit_consecutive(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, None), (4, None), (5, 20), (6, None)],
+        "ord int, v int")
+    out = pr.fillempty(df, method="front", fields=["v"], order_by="ord",
+                       limit=2)
+    got = {r["ord"]: r["v"] for r in out.collect()}
+    # ord=4 is 3 rows past the donor at ord=1 -> stays null
+    assert got == {1: 10, 2: 10, 3: 10, 4: None, 5: 20, 6: 20}
+    back = pr.fillempty(df, method="back", fields=["v"], order_by="ord",
+                        limit=1)
+    got = {r["ord"]: r["v"] for r in back.collect()}
+    assert got == {1: 10, 2: None, 3: None, 4: 20, 5: 20, 6: None}
