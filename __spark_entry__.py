@@ -839,6 +839,17 @@ def geojson_roundtrip(spark, sf_dir):
                        F.col("lat").cast("double").alias("lat"))
 
 
+def window_dist(spark, sf_dir):
+    """Distribution window functions: ntile / cume_dist / row_number."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority") \
+              .orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey"))
+    return o.select("o_orderpriority", "o_orderkey",
+                    F.ntile(4).over(w).alias("quartile"),
+                    F.cume_dist().over(w).alias("cd"),
+                    F.row_number().over(w).alias("rn"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing(spark, SF001)
@@ -927,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier": q5_local_supplier,
         "io_join_ragged": io_join_ragged,
         "geojson_roundtrip": geojson_roundtrip,
+        "window_dist": window_dist,
     }
 
 
@@ -1479,6 +1491,15 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN pts - ets <= INTERVAL 2 HOUR
                         THEN p_value END AS p_value
             FROM m
+        """,
+        "window_dist": """
+            SELECT o_orderpriority, o_orderkey,
+                   NTILE(4) OVER w AS quartile,
+                   CUME_DIST() OVER w AS cd,
+                   ROW_NUMBER() OVER w AS rn
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice ASC, o_orderkey)
         """,
         "io_join_ragged": """
             SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
