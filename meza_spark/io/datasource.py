@@ -57,7 +57,8 @@ def _parse(fmt: str, path: str) -> list[dict]:
             return []
         rows = [r for r, _ in tables[0]]
         names = R._clean_header(rows[0], sanitize=True)
-        return [dict(zip(names, r)) for r in rows[1:] if any(rows)]
+        return [dict(zip(names, r)) for r in rows[1:]
+                if any(v for v in r)]
     raise ValueError(f"meza datasource: unsupported fmt {fmt!r}")
 
 

@@ -192,18 +192,18 @@ def read_csv(spark: SparkSession, path: str, has_header: bool = True,
 
     if first_row == 0 and first_col == 0 and last_row is None:
         df = (spark.read
-              .option("header", str(has_header and custom_header is None).lower())
+              .option("header", str(has_header).lower())
               .option("sep", delimiter).option("quote", quotechar)
               .option("encoding", spark_charset)
               .option("inferSchema", str(infer_schema).lower())
               .option("mode", "PERMISSIVE")
               .csv(path))
         if custom_header is not None:
-            names = list(custom_header)
-            if has_header:  # first line was a header we're overriding: drop it
-                hdr = df.limit(1).collect()
-                df = df.exceptAll(spark.createDataFrame(hdr, df.schema))
-            names = _clean_header(names, sanitize, dedupe)
+            # Let Spark consume per-file headers (header=true above) and
+            # just rename — subtracting a collected "first row" is wrong
+            # for multi-file globs and can delete data rows that happen
+            # to equal the header.
+            names = _clean_header(list(custom_header), sanitize, dedupe)
             return df.toDF(*names[:len(df.columns)])
         if has_header:
             # Spark's reader pre-mangles dupe/blank headers (col0/_c2);
@@ -317,8 +317,12 @@ def read_ndjson(spark: SparkSession, path: str) -> DataFrame:
 def _geojson_records(path: str) -> list[dict]:
     """FeatureCollection → flat records (ref: meza/io.py:1170-1188
     gen_records): Point/LineString/Polygon explode to one row per
-    coordinate with ``id``, ``type``, ``lon``, ``lat`` (+``pos`` ring
-    index for polygons) + properties."""
+    coordinate with ``id``, ``type``, ``lon``, ``lat`` + ``pos`` (ring
+    index, polygons) + ``seq`` (vertex order within a ring/line) +
+    properties. ``seq`` is what lets ``records2geojson`` rebuild
+    LineString vertex order and Polygon ring structure exactly — the
+    reference preserves coordinate order implicitly via generator
+    order; a distributed engine must carry it as data."""
     with open(path, encoding="utf-8") as f:
         collection = _json.load(f)
     out = []
@@ -331,12 +335,13 @@ def _geojson_records(path: str) -> list[dict]:
         if gtype == "Point":
             out.append({**base, "lon": coords[0], "lat": coords[1], **props})
         elif gtype == "LineString":
-            for lon, lat in coords:
-                out.append({**base, "lon": lon, "lat": lat, **props})
+            for seq, (lon, lat) in enumerate(coords):
+                out.append({**base, "seq": seq, "lon": lon, "lat": lat,
+                            **props})
         elif gtype == "Polygon":
             for pos, ring in enumerate(coords):
-                for lon, lat in ring:
-                    out.append({**base, "pos": pos, "lon": lon,
+                for seq, (lon, lat) in enumerate(ring):
+                    out.append({**base, "pos": pos, "seq": seq, "lon": lon,
                                 "lat": lat, **props})
         else:
             raise NotImplementedError(f"geometry type {gtype!r}")
@@ -755,7 +760,50 @@ def _records_df(spark: SparkSession, rows: list[dict],
         return spark.createDataFrame(
             [], StructType([StructField(c, StringType()) for c in cols]))
     norm = [tuple(r.get(c) for c in cols) for r in rows]
-    return spark.createDataFrame(norm, schema=cols)
+    try:
+        return spark.createDataFrame(norm, schema=cols)
+    except ValueError:
+        # A column that is None in every row (always-null GeoJSON
+        # property, empty DBF field) defeats Spark's type inference
+        # ("Some of types cannot be determined"); build an explicit
+        # schema from observed python values, all-None → string.
+        import datetime as _dt
+        import decimal as _dec
+
+        from pyspark.sql.types import (BooleanType, DateType, DecimalType,
+                                       DoubleType, LongType, StringType,
+                                       StructField, StructType,
+                                       TimestampType)
+
+        def _spark_type(i):
+            saw_int = saw_float = False
+            for row in norm:
+                v = row[i]
+                if v is None:
+                    continue
+                if isinstance(v, bool):
+                    return BooleanType()
+                if isinstance(v, int):
+                    saw_int = True
+                elif isinstance(v, float):
+                    saw_float = True
+                elif isinstance(v, _dec.Decimal):
+                    return DecimalType(38, 18)
+                elif isinstance(v, _dt.datetime):
+                    return TimestampType()
+                elif isinstance(v, _dt.date):
+                    return DateType()
+                else:
+                    return StringType()
+            if saw_float:
+                return DoubleType()
+            if saw_int:
+                return LongType()
+            return StringType()
+
+        schema = StructType([StructField(c, _spark_type(i))
+                             for i, c in enumerate(cols)])
+        return spark.createDataFrame(norm, schema=schema)
 
 
 def _per_file(spark: SparkSession, path: str, parse) -> DataFrame:

@@ -98,40 +98,64 @@ def records2json(df: DataFrame, path: str, newline: bool = True,
 
 def records2geojson(df: DataFrame, path: str, id_col: str = "id",
                     lon_col: str = "lon", lat_col: str = "lat",
-                    pos_col: str | None = None) -> None:
+                    pos_col: str = "pos", seq_col: str = "seq") -> None:
     """Flat records → GeoJSON FeatureCollection with computed global
     bbox (ref: meza/convert.py:998-1099, gen_subresults 980-995,
     bbox 1061-1088).
 
     Spark-first: per-feature assembly is a ``groupBy(id)`` +
-    ``collect_list(struct(lon,lat))`` aggregation; the bbox is a global
-    min/max agg — both distributed. Only the final FeatureCollection
-    wrapper (one JSON object by definition) materializes on the driver.
+    ``collect_list(struct(pos,seq,lon,lat))`` aggregation sorted by
+    (ring, vertex order); the bbox is a global min/max agg — both
+    distributed. Only the final FeatureCollection wrapper (one JSON
+    object by definition) materializes on the driver.
+
+    Geometry fidelity: ``read_geojson`` emits ``seq`` (vertex order)
+    and ``pos`` (polygon ring index); sorting on (pos, seq) rebuilds
+    LineString vertex order exactly and groups Polygon coordinates
+    back into their original rings. When those columns are absent
+    (hand-built frames), vertices fall back to (lon, lat) sort —
+    deterministic, but order-preserving only for Points.
     """
-    prop_cols = [c for c in df.columns
-                 if c not in {id_col, lon_col, lat_col, pos_col, "type"}]
+    has_pos = pos_col in df.columns
+    has_seq = seq_col in df.columns
+    skip = {id_col, lon_col, lat_col, "type"}
+    skip |= {pos_col} if has_pos else set()
+    skip |= {seq_col} if has_seq else set()
+    prop_cols = [c for c in df.columns if c not in skip]
     bbox_row = df.agg(F.min(lon_col), F.min(lat_col),
                       F.max(lon_col), F.max(lat_col)).collect()[0]
     bbox = [float(v) for v in bbox_row]
 
-    order = [F.col(pos_col)] if pos_col and pos_col in df.columns else []
+    pos_expr = (F.coalesce(F.col(pos_col).cast("long"), F.lit(0))
+                if has_pos else F.lit(0))
+    seq_parts = ([F.coalesce(F.col(seq_col).cast("long"),
+                             F.lit(0)).alias("seq")] if has_seq else [])
     grouped = (df.groupBy(id_col)
                .agg(F.first("type").alias("_gtype"),
                     F.sort_array(F.collect_list(F.struct(
-                        *order, F.col(lon_col).alias("lon"),
+                        pos_expr.alias("pos"), *seq_parts,
+                        F.col(lon_col).alias("lon"),
                         F.col(lat_col).alias("lat")))).alias("_coords"),
                     *[F.first(c, ignorenulls=True).alias(c)
                       for c in prop_cols]))
     feats = []
     for r in grouped.collect():
-        coords = [[c["lon"], c["lat"]] for c in r["_coords"]]
         gtype = r["_gtype"]
         if gtype == "Point":
-            geometry = {"type": "Point", "coordinates": coords[0]}
+            c0 = r["_coords"][0]
+            geometry = {"type": "Point", "coordinates": [c0["lon"],
+                                                         c0["lat"]]}
         elif gtype == "LineString":
-            geometry = {"type": "LineString", "coordinates": coords}
+            geometry = {"type": "LineString",
+                        "coordinates": [[c["lon"], c["lat"]]
+                                        for c in r["_coords"]]}
         else:
-            geometry = {"type": "Polygon", "coordinates": [coords]}
+            rings: list[list[list[float]]] = []
+            for c in r["_coords"]:  # already sorted by (pos, seq)
+                while len(rings) <= c["pos"]:
+                    rings.append([])
+                rings[c["pos"]].append([c["lon"], c["lat"]])
+            geometry = {"type": "Polygon", "coordinates": rings}
         feats.append({
             "type": "Feature", "id": r[id_col], "geometry": geometry,
             "properties": {c: r[c] for c in prop_cols},

@@ -65,8 +65,6 @@ def tfilter(df: DataFrame, field: str,
     """
     c = F.col(field)
     if pred is None:
-        cond = c.isNotNull() & (c.cast("string") != "") & (
-            c.cast("string") != "0") & (c.cast("string").isNotNull())
         cond = c.isNotNull() & (~c.cast("string").isin("", "0", "0.0", "false", "False"))
     elif callable(pred) and not isinstance(pred, Column):
         cond = pred(c)

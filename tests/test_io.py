@@ -215,6 +215,33 @@ def test_geojson_linestring_polygon(spark, tmp_path):
     assert df.filter("type = 'Polygon'").select("pos").distinct().count() == 1
 
 
+def test_geojson_line_polygon_roundtrip_order(spark, tmp_path):
+    # Vertex order NOT sorted by lon/lat, and a 2-ring polygon: the
+    # round trip must preserve order and ring structure exactly via
+    # the reader-emitted (pos, seq) indices.
+    line = [[5.0, 0.0], [1.0, 2.0], [3.0, -1.0], [0.0, 0.0]]
+    outer = [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]]
+    hole = [[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 2.0], [1.0, 1.0]]
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "id": 1,
+         "geometry": {"type": "LineString", "coordinates": line},
+         "properties": {"name": "zig"}},
+        {"type": "Feature", "id": 2,
+         "geometry": {"type": "Polygon", "coordinates": [outer, hole]},
+         "properties": {"name": "donut"}},
+    ]}
+    src = _write(tmp_path, "rt.geojson", json.dumps(fc))
+    df = mio.read_geojson(spark, src)
+    out = str(tmp_path / "rt_out.geojson")
+    mio.records2geojson(df, out)
+    with open(out) as f:
+        back = json.load(f)
+    by_id = {f["id"]: f for f in back["features"]}
+    assert by_id[1]["geometry"]["coordinates"] == line
+    assert by_id[1]["properties"] == {"name": "zig"}
+    assert by_id[2]["geometry"]["coordinates"] == [outer, hole]
+
+
 def test_yaml(spark, tmp_path):
     p = _write(tmp_path, "t.yml",
                "- text: Chicago Reader\n  integer: 40\n"
