@@ -313,6 +313,21 @@ def ngram_jaccard_pairs(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def dedup_near_e2e(spark, sf_dir):
+    """Near-dup dedup end-to-end, records in → records out: exact
+    n-gram Jaccard pairs within (source, lang) blocks → distributed
+    connected components → keep the min-doc_id representative per
+    cluster. The deterministic-block twin of the minhash/simhash paths
+    (same cluster+keep machinery, exact pair generation)."""
+    from meza_spark.llm.cluster import near_dedup
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "blk", F.concat_ws("|", "source", "lang"))
+    kept = near_dedup(docs, method="ngram", n=3, min_jaccard=0.01,
+                      join_on="blk")
+    return kept.select("doc_id", "lang", "source", "n_chars")
+
+
 def embed_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -894,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
+        "dedup_near_e2e": dedup_near_e2e,
         "embed_topk": embed_topk,
         "embed_ann_lsh": embed_ann_lsh,
         "grouped_apply": grouped_apply,
@@ -1187,6 +1203,37 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
             WHERE CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.05
+        """,
+        "dedup_near_e2e": r"""
+            WITH RECURSIVE sh AS (
+              SELECT doc_id, source || '|' || lang AS blk,
+                     list_distinct(CASE
+                       WHEN len(regexp_split_to_array(trim(lower(text)), '\s+')) < 3
+                       THEN [trim(lower(text))]
+                       ELSE list_transform(
+                         range(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) - 1),
+                         i -> regexp_split_to_array(trim(lower(text)), '\s+')[i] || ' ' ||
+                              regexp_split_to_array(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                              regexp_split_to_array(trim(lower(text)), '\s+')[i+2])
+                     END) AS grams
+              FROM documents),
+            prs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+              WHERE CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.01),
+            edges AS (
+              SELECT id_a AS s, id_b AS d FROM prs
+              UNION
+              SELECT id_b, id_a FROM prs),
+            reach(v, l) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.d, r.l FROM edges e JOIN reach r ON e.s = r.v),
+            labels AS (SELECT v, min(l) AS component FROM reach GROUP BY v)
+            SELECT d.doc_id, d.lang, d.source, d.n_chars
+            FROM documents d JOIN labels lb ON d.doc_id = lb.v
+            WHERE lb.component = d.doc_id
         """,
         "embed_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

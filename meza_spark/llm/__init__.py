@@ -4,6 +4,7 @@ analysis, multimodal column plumbing — all designed for 100 TB scale
 (no driver materialization, shuffle only where semantically required).
 """
 
+from .cluster import connected_components, near_dedup
 from .dedup import (
     exact_dedup, minhash_signatures, minhash_lsh_pairs, ngram_jaccard,
     simhash, simhash_pairs,
@@ -16,6 +17,7 @@ from .text import (
 __all__ = [
     "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
     "ngram_jaccard", "simhash", "simhash_pairs",
+    "connected_components", "near_dedup",
     "cosine_topk", "lsh_ann_topk", "embedding_near_dupes",
     "token_count", "quality_score", "lang_id", "fingerprint", "shingles",
 ]
