@@ -137,20 +137,27 @@ def _perm_coeffs(n: int, seed: int = 7) -> list[tuple[int, int]]:
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 64,
                       bands: int = 16, shingle_n: int = 3,
-                      min_jaccard: float | None = 0.5) -> DataFrame:
+                      min_jaccard: float | None = 0.5,
+                      max_bucket: int | None = 1000) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs, optionally verified.
 
     Pipeline: signature (row-local) → explode ``bands`` band-hashes →
-    self-join on (band, band_hash) buckets → distinct (a,b) pairs with
-    a < b → optional exact Jaccard verification on the shingle sets of
-    the surviving pairs only.
+    skip oversized buckets → self-join on (band, band_hash) buckets →
+    distinct (a,b) pairs with a < b → optional exact Jaccard
+    verification on the shingle sets of the surviving pairs only.
 
     Returns columns ``id_a, id_b`` (+ ``jaccard`` when verified).
 
     Scale: the shuffle key is (band, 64-bit hash); bucket sizes are the
-    only quadratic term, and real corpora keep them tiny. For skewed
-    buckets (boilerplate docs) cap the pair explosion upstream by
-    filtering giant buckets.
+    only quadratic term. ``max_bucket`` bounds it: buckets larger than
+    the cap (boilerplate-heavy corpora collapse thousands of docs into
+    one band bucket → O(bucket²) pair explosion) are dropped BEFORE the
+    self-join. A pair sharing any other, sane-sized band bucket still
+    surfaces; pairs found only via a mega-bucket are near-identical
+    boilerplate a pipeline handles better with ``exact_dedup``
+    (normalize=True) anyway. The dropped (band, bh) keys are exposed on
+    the result as ``result._dropped_buckets`` (lazy DataFrame; count it
+    to report). ``max_bucket=None`` disables the cap.
     """
     rows = num_hashes // bands
     # The signature kernel is an Arrow exchange — send ONLY (id, _hs)
@@ -175,6 +182,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     banded = sigged.select("_id", F.explode(band_arr).alias("b")) \
         .select("_id", "b.band", "b.bh")
 
+    banded, dropped = _cap_buckets(banded, ["band", "bh"], max_bucket)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (left.join(right, on=["band", "bh"])
@@ -184,7 +192,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
              .dropDuplicates(["id_a", "id_b"]))
 
     if min_jaccard is None:
-        return pairs.select("id_a", "id_b")
+        out = pairs.select("id_a", "id_b")
+        out._dropped_buckets = dropped
+        return out
     sh = hashed.select(F.col(id_col).alias("_id"), "_sh")
     pairs = (pairs
              .join(sh.select(F.col("_id").alias("id_a"),
@@ -194,9 +204,28 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(0.0)
-    return (pairs.withColumn("jaccard", jac)
-            .where(F.col("jaccard") >= min_jaccard)
-            .select("id_a", "id_b", "jaccard"))
+    out = (pairs.withColumn("jaccard", jac)
+           .where(F.col("jaccard") >= min_jaccard)
+           .select("id_a", "id_b", "jaccard"))
+    out._dropped_buckets = dropped
+    return out
+
+
+def _cap_buckets(banded: DataFrame, keys: list[str],
+                 max_bucket: int | None):
+    """Drop LSH buckets larger than ``max_bucket`` before a self-join.
+
+    One count-aggregate on the bucket key, then a broadcast anti-join
+    against only the OVERSIZED keys (rare by construction — that's why
+    they're broadcastable). Returns (capped, dropped-keys df | None).
+    """
+    if max_bucket is None:
+        return banded, None
+    sizes = banded.groupBy(*keys).agg(F.count("*").alias("bucket_size"))
+    dropped = sizes.where(F.col("bucket_size") > max_bucket)
+    capped = banded.join(F.broadcast(dropped.select(*keys)),
+                         on=keys, how="left_anti")
+    return capped, dropped
 
 
 def ngram_jaccard(df_a: DataFrame, df_b: DataFrame | None = None,
@@ -296,7 +325,8 @@ def _simhash_from_hashes(step: DataFrame, bits: int,
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  max_bucket: int | None = 1000) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
 
     Banding: split the 64-bit signature into ``max_hamming+1`` chunks;
@@ -304,6 +334,12 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     (pigeonhole), so candidates come from equality joins on
     (chunk_index, chunk_value) — shuffle on 16-bit ints, then exact
     Hamming verification via ``bit_count(xor)``.
+
+    ``max_bucket`` bounds the quadratic term exactly as in
+    :func:`minhash_lsh_pairs`: chunk buckets larger than the cap are
+    dropped before the self-join (a hot 16-bit chunk value shared by a
+    boilerplate-heavy corpus is otherwise O(bucket²)); dropped keys
+    ride on ``result._dropped_buckets``. ``None`` disables.
     """
     chunks = max_hamming + 1
     width = 64 // chunks
@@ -319,6 +355,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
         for ci in range(chunks)])
     banded = sigged.select("_id", "simhash", F.explode(chunk_arr).alias("c")) \
                    .select("_id", "simhash", "c.ci", "c.cv")
+    banded, dropped = _cap_buckets(banded, ["ci", "cv"], max_bucket)
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (l.join(r, on=["ci", "cv"])
              .where(F.col("l._id") < F.col("r._id"))
@@ -328,5 +365,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
                      F.col("r.simhash").alias("sb"))
              .dropDuplicates(["id_a", "id_b"]))
     ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return pairs.select("id_a", "id_b", ham.alias("hamming")) \
-                .where(F.col("hamming") <= max_hamming)
+    out = pairs.select("id_a", "id_b", ham.alias("hamming")) \
+               .where(F.col("hamming") <= max_hamming)
+    out._dropped_buckets = dropped
+    return out

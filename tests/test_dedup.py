@@ -1,0 +1,65 @@
+"""MinHash/SimHash candidate generation: bucket-cap behavior + parity."""
+
+from meza_spark.llm.dedup import minhash_lsh_pairs, simhash_pairs
+
+
+def _docs(spark):
+    # small varied corpus with two obvious near-dup groups
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "spark structured streaming handles late data with watermarks"),
+        (4, "spark structured streaming handles late data with watermark"),
+        (5, "completely unrelated sentence about cooking pasta al dente"),
+        (6, "another standalone document mentioning graph algorithms"),
+        (7, "yet more filler text that matches nothing else at all"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _pairs_set(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def test_minhash_cap_parity_on_normal_corpus(spark):
+    docs = _docs(spark)
+    capped = minhash_lsh_pairs(docs, min_jaccard=0.3, max_bucket=1000)
+    uncapped = minhash_lsh_pairs(docs, min_jaccard=0.3, max_bucket=None)
+    assert _pairs_set(capped) == _pairs_set(uncapped) != set()
+    assert uncapped._dropped_buckets is None
+    assert capped._dropped_buckets.count() == 0
+
+
+def test_simhash_cap_parity_on_normal_corpus(spark):
+    docs = _docs(spark)
+    capped = simhash_pairs(docs, max_hamming=6, max_bucket=1000)
+    uncapped = simhash_pairs(docs, max_hamming=6, max_bucket=None)
+    assert _pairs_set(capped) == _pairs_set(uncapped)
+
+
+def test_minhash_hot_bucket_is_dropped(spark):
+    # 40 identical boilerplate docs: every band collapses to ONE bucket
+    # of 40 members -> 16 oversized buckets dropped, zero pair blowup;
+    # the two distinct docs still pair with nothing.
+    rows = [(i, "identical boilerplate footer text repeated everywhere")
+            for i in range(40)]
+    rows += [(100, "a unique document present only once in the corpus"),
+             (101, "a unique document present only once in the corpse")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs, min_jaccard=0.3, max_bucket=10)
+    got = _pairs_set(pairs)
+    assert (100, 101) in got
+    assert all(a >= 100 for a, _ in got)  # no boilerplate pair survived
+    dropped = {tuple(r) for r in
+               pairs._dropped_buckets.select("band", "bucket_size").collect()}
+    assert dropped == {(b, 40) for b in range(16)}
+
+
+def test_simhash_hot_bucket_is_dropped(spark):
+    rows = [(i, "identical boilerplate footer text repeated everywhere")
+            for i in range(40)]
+    rows += [(100, "a unique document present only once in the corpus")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = simhash_pairs(docs, max_hamming=3, max_bucket=10)
+    assert _pairs_set(pairs) == set()
+    assert pairs._dropped_buckets.count() == 4  # all 4 chunks oversized
