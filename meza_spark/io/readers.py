@@ -111,6 +111,10 @@ def detect_encoding(path: str, sample_bytes: int = 1 << 16) -> str:
     Windows-1252 quirk handling at io.py:419-431)."""
     with open(path, "rb") as f:
         head = f.read(sample_bytes)
+    return _detect_bytes(head)
+
+
+def _detect_bytes(head: bytes) -> str:
     for bom, enc in _BOMS:
         if head.startswith(bom):
             return enc
@@ -134,6 +138,62 @@ def detect_encoding(path: str, sample_bytes: int = 1 << 16) -> str:
         except UnicodeDecodeError:
             continue
     return "latin-1"  # decodes anything
+
+
+def _tail_clean(path: str, encoding: str,
+                sample_bytes: int = 1 << 16) -> bool:
+    """Does the LAST ``sample_bytes`` of the file decode with
+    ``encoding``? Up-front detection samples only the head; a file
+    that is clean early and broken late would crash (or silently
+    mangle) Spark's charset-fixed reader mid-scan. Up to 3 leading
+    bytes of the tail sample are slack — the slice may start inside a
+    multi-byte sequence."""
+    with open(path, "rb") as f:
+        f.seek(0, 2)
+        size = f.tell()
+        if size <= sample_bytes:
+            return True  # head sample covered the whole file
+        f.seek(size - sample_bytes)
+        tail = f.read(sample_bytes)
+    for skip in range(4):
+        try:
+            tail[skip:].decode(encoding)
+            return True
+        except UnicodeDecodeError:
+            continue
+        except LookupError:
+            return True  # unknown-to-python alias: let the read decide
+    return False
+
+
+def _decode_with_recovery(data: bytes, encoding: str) -> str:
+    """Decode with MID-STREAM re-detection (ref: meza/io.py:481-502:
+    the reference catches UnicodeDecodeError mid-read, re-detects,
+    reopens and resumes at the saved position). On failure the clean
+    prefix is kept, the encoding is re-detected from the failure
+    offset onward, and decoding resumes there; if re-detection does
+    not change its mind, the offending byte passes through latin-1
+    (which decodes anything) and the loop continues."""
+    enc = encoding
+    pos = 0
+    parts = []
+    while pos < len(data):
+        try:
+            parts.append(data[pos:].decode(enc))
+            break
+        except UnicodeDecodeError as err:
+            parts.append(data[pos:pos + err.start].decode(enc))
+            pos += err.start
+            new_enc = _detect_bytes(data[pos:pos + (1 << 16)])
+            if new_enc.lower() == enc.lower():
+                parts.append(data[pos:pos + 1].decode("latin-1"))
+                pos += 1
+            else:
+                enc = new_enc
+        except LookupError:  # chardet named a codec python lacks
+            parts.append(data[pos:].decode("latin-1"))
+            break
+    return "".join(parts)
 
 
 def _clean_header(names: Sequence[str], sanitize: bool = False,
@@ -185,6 +245,12 @@ def read_csv(spark: SparkSession, path: str, has_header: bool = True,
         "utf-8": "utf-8", "utf-8-sig": "utf-8", "ascii": "us-ascii",
         "latin-1": "iso-8859-1", "iso-8859-1": "iso-8859-1",
     }.get(encoding.lower())
+    # head-detected charset must also hold at the END of the file: a
+    # file clean early and broken late (detection samples 64 KiB) must
+    # take the python path, whose decoder recovers mid-stream
+    if spark_charset is not None and not _tail_clean(_first_file(path),
+                                                     encoding):
+        spark_charset = None
     if spark_charset is None and first_row == 0 and first_col == 0 \
             and last_row is None:
         first_row = 0  # force the python path below
@@ -220,12 +286,17 @@ def read_csv(spark: SparkSession, path: str, has_header: bool = True,
         # headerless: _c0.._cN → column_1..column_N+1 (ref io.py:846)
         return df.toDF(*[f"column_{i + 1}" for i in range(len(df.columns))])
 
-    # sliced compatibility path: python csv over whole files
+    # sliced compatibility path: python csv over whole files, with
+    # mid-stream encoding recovery (ref meza/io.py:481-502)
+    import io as _io
+
     rows = []
     for p in _all_files(path):
-        with open(p, encoding=encoding, newline="") as f:
-            rdr = _csv.reader(f, delimiter=delimiter, quotechar=quotechar)
-            lines = [r[first_col:] for r in rdr][first_row:]
+        with open(p, "rb") as f:
+            text = _decode_with_recovery(f.read(), encoding)
+        rdr = _csv.reader(_io.StringIO(text, newline=""),
+                          delimiter=delimiter, quotechar=quotechar)
+        lines = [r[first_col:] for r in rdr][first_row:]
         if last_row is not None:
             lines = lines[:last_row] if last_row >= 0 else lines[:last_row]
         if custom_header is not None:

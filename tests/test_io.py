@@ -133,6 +133,40 @@ def test_csv_last_row_negative(spark, tmp_path):
     assert df.count() == 7
 
 
+def test_csv_mid_read_encoding_recovery(spark, tmp_path):
+    # clean utf-8 (with multibyte chars) for >64 KiB, then the file
+    # switches to windows-1252 — detection sees only the clean head;
+    # the read must recover mid-stream (ref meza/io.py:481-502) and
+    # decode BOTH halves correctly
+    n_head = 3000  # ~90 KiB of utf-8 rows, past the 64 KiB sample
+    head = "".join(f"café {i},naïve {i}\n" for i in range(n_head))
+    tail = "".join(f"caf\xe9 tail {i},fianc\xe9e {i}\n" for i in range(50))
+    p = tmp_path / "switch.csv"
+    p.write_bytes(("a,b\n" + head).encode("utf-8") +
+                  tail.encode("windows-1252"))
+    df = mio.read_csv(spark, str(p))
+    rows = df.collect()
+    assert len(rows) == n_head + 50
+    got = {r["a"] for r in rows}
+    assert "café 0" in got and f"café {n_head - 1}" in got
+    assert "café tail 0" in got and "café tail 49" in got
+    assert {r["b"] for r in rows if r["a"] == "café tail 49"} \
+        == {"fiancée 49"}
+
+
+def test_decode_with_recovery_unit():
+    from meza_spark.io.readers import _decode_with_recovery
+
+    data = "héllo utf8 ".encode("utf-8") + "à la 1252".encode("windows-1252")
+    out = _decode_with_recovery(data, "utf-8")
+    assert out.startswith("héllo utf8 ")
+    assert out.endswith("la 1252")
+    assert "à" in out
+    # pure clean input is returned verbatim
+    assert _decode_with_recovery("plain".encode(), "utf-8") == "plain"
+    assert _decode_with_recovery(b"", "utf-8") == ""
+
+
 def test_tsv(spark, tmp_path):
     p = _write(tmp_path, "t.tsv", "a\tb\n1\t2\n")
     df = mio.read_tsv(spark, p)
