@@ -557,6 +557,27 @@ def fillempty_bfill(spark, sf_dir):
     return filled.select("event_id", "user_id", "value")
 
 
+def fillempty_str(spark, sf_dir):
+    """Constant fill with meza's full hole definition: NULL *and* ''
+    count as holes for string columns (ref meza/fntools.py:921-923)."""
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "seg", F.when(F.col("c_custkey") % 5 == 0, F.lit(""))
+                .when(F.col("c_custkey") % 7 == 0, F.lit(None))
+                .otherwise(F.col("c_mktsegment")))
+    filled = pr.fillempty(c, value="UNKNOWN", fields=["seg"])
+    return filled.select("c_custkey", "seg")
+
+
+def fillempty_pred(spark, sf_dir):
+    """Constant fill with a custom hole predicate (ref
+    meza/fntools.py:906-994 `pred`)."""
+    o = _t(spark, sf_dir, "orders")
+    filled = pr.fillempty(o, value="3-MEDIUM", fields=["o_orderpriority"],
+                          pred=lambda col: col.startswith("5"))
+    return filled.select("o_orderkey",
+                         F.col("o_orderpriority").alias("prio"))
+
+
 def fillempty_key(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").withColumn(
         "holey", F.when(F.col("o_orderkey") % 3 == 0, None)
@@ -931,6 +952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embed_cosine": dedup_embed_cosine,
         "fillempty_bfill": fillempty_bfill,
         "fillempty_key": fillempty_key,
+        "fillempty_str": fillempty_str,
+        "fillempty_pred": fillempty_pred,
         "cast_decimal": cast_decimal,
         "cast_time": cast_time,
         "json_recode_nation": json_recode_nation,
@@ -1402,6 +1425,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey,
                    COALESCE(CASE WHEN o_orderkey % 3 = 0 THEN NULL
                                  ELSE o_totalprice END, o_totalprice) AS filled
+            FROM orders
+        """,
+        "fillempty_str": """
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 5 = 0 OR c_custkey % 7 = 0
+                        THEN 'UNKNOWN' ELSE c_mktsegment END AS seg
+            FROM customer
+        """,
+        "fillempty_pred": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderpriority LIKE '5%' THEN '3-MEDIUM'
+                        ELSE o_orderpriority END AS prio
             FROM orders
         """,
         "cast_decimal": """

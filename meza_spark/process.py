@@ -276,14 +276,23 @@ def fillempty(df: DataFrame, value: Any = None, method: str | None = None,
               fill_key: str | None = None,
               order_by: str | Sequence[str] | None = None,
               partition_by: Sequence[str] | None = None,
-              limit: int | None = None) -> DataFrame:
-    """Fill null holes (ref: meza/process.py:361-431, meza/fntools.py:906-994).
+              limit: int | None = None,
+              pred: Callable[[Column], Column] | None = None) -> DataFrame:
+    """Fill empty holes (ref: meza/process.py:361-431, meza/fntools.py:906-994).
 
     Modes:
       - constant:            ``fillempty(df, value=0, fields=[...])``
       - from another column: ``fillempty(df, fill_key='other', fields=[...])``
       - forward fill:        ``method='front'`` (needs ``order_by``)
       - backward fill:       ``method='back'`` (needs ``order_by``)
+
+    Hole definition (meza's ``fill`` default pred is
+    ``x is None or x == ''``, fntools.py:921-923): NULL always, plus
+    the empty string for string-typed columns. ``pred`` (a
+    Column→Column boolean) widens it — a value is a hole when it is
+    null OR ``pred(value)`` holds, e.g. ``pred=lambda c: c == 'N/A'``.
+    Holes are normalized to real NULLs up front, so every mode sees
+    one hole shape.
 
     meza's ffill walks the generator with carried state; Spark-first it
     is ``last(ignorenulls)`` over an ordered window. ``partition_by``
@@ -293,6 +302,18 @@ def fillempty(df: DataFrame, value: Any = None, method: str | None = None,
     its single thread IS one partition).
     """
     fields = list(fields or df.columns)
+    dtypes = dict(df.dtypes)
+    for f in fields:
+        if f == fill_key:
+            continue
+        c = F.col(f)
+        if pred is not None:
+            hole = F.coalesce(pred(c), F.lit(False))
+        elif dtypes.get(f) == "string":
+            hole = c == ""
+        else:
+            continue
+        df = df.withColumn(f, F.when(~hole, c))
     if fill_key is not None:
         out = df
         for f in fields:
@@ -329,7 +350,7 @@ def fillempty(df: DataFrame, value: Any = None, method: str | None = None,
             out = out.withColumn(f, F.col("_fill_" + f)) \
                      .drop("_fill_" + f)
         return out
-    # constant fill; meza also treats '' as a hole for text columns
+    # constant fill ('' holes already normalized to NULL above)
     return df.na.fill(value, subset=fields)
 
 

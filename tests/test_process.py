@@ -93,6 +93,26 @@ def test_fillempty_ffill_bfill(spark):
     assert got == {1: 10, 2: 10, 3: 20, 4: 20, 5: 20}
 
 
+def test_fillempty_empty_string_hole_and_pred(spark):
+    # meza's fill treats '' as a hole for text (fntools.py:921-923);
+    # pred widens the hole definition — and both apply across modes
+    df = spark.createDataFrame(
+        [(1, "a"), (2, ""), (3, None), (4, "N/A"), (5, "b")],
+        "ord int, v string")
+    const = pr.fillempty(df, value="X", fields=["v"])
+    got = {r["ord"]: r["v"] for r in const.collect()}
+    assert got == {1: "a", 2: "X", 3: "X", 4: "N/A", 5: "b"}
+    # pred REPLACES the ''-default (meza: custom pred overrides
+    # `x is None or x == ''`); null is always a hole
+    predf = pr.fillempty(df, value="X", fields=["v"],
+                         pred=lambda c: c == "N/A")
+    got = {r["ord"]: r["v"] for r in predf.collect()}
+    assert got == {1: "a", 2: "", 3: "X", 4: "X", 5: "b"}
+    ff = pr.fillempty(df, method="front", fields=["v"], order_by="ord")
+    got = {r["ord"]: r["v"] for r in ff.collect()}
+    assert got == {1: "a", 2: "a", 3: "a", 4: "N/A", 5: "b"}
+
+
 def test_aggregate_and_merge(people):
     assert pr.aggregate(people, "age", "sum", alias="s").collect()[0]["s"] == 80
     m = pr.merge(people.select("age", "weight"), op="sum",
