@@ -13,7 +13,8 @@ Determinism rules used throughout (so Spark/DuckDB value-hashes match):
   - timestamps are truncated/cast (date, epoch seconds) at the edge.
 """
 
-from __future__ import annotations
+# no `from __future__ import annotations`: stringified hints break
+# pandas_udf type-hint inference for closure-defined UDFs (udaf_range)
 
 import os
 from collections.abc import Callable
@@ -741,12 +742,12 @@ def udaf_range(spark, sf_dir):
     """Arbitrary Python aggregator per group (meza's `op`/`aggregator`
     callables, SURVEY §2.9) as a pandas GROUPED_AGG UDAF — Arrow-batched,
     partial-agg free, order-insensitive (max-min) so it oracles exactly."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-    # explicit functionType: `from __future__ import annotations` turns
-    # hints into strings, which defeats pandas_udf signature inference
-    prange = pandas_udf(lambda v: float(v.max() - v.min()),
-                        "double", PandasUDFType.GROUPED_AGG)
+    @pandas_udf("double")
+    def prange(v: pd.Series) -> float:
+        return float(v.max() - v.min())
 
     o = _t(spark, sf_dir, "orders")
     return pr.group(o, "o_orderpriority",

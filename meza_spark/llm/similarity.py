@@ -12,8 +12,10 @@ Two tiers, as any vector system at scale:
     the same LSH buckets (embedding-cosine dedupe for training data).
 """
 
-from __future__ import annotations
-
+# NOTE: deliberately NO `from __future__ import annotations` here — it
+# would stringify the pandas-UDF type hints, and pandas_udf cannot
+# resolve `pd.Series` strings for functions defined inside closures
+# (pd is not in the module globals get_type_hints consults).
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -153,9 +155,10 @@ def embedding_near_dupes(df: DataFrame, vec_col: str = "embedding",
     # bit-identical to the Column-expression cosine_sim.
     import numpy as np
     import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    def _cos(a: "pd.Series", b: "pd.Series") -> "pd.Series":
+    @pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
         if len(a) == 0:
             return pd.Series([], dtype="float64")
         A = np.stack([np.asarray(x, dtype=np.float64) for x in a])
@@ -165,7 +168,6 @@ def embedding_near_dupes(df: DataFrame, vec_col: str = "embedding",
         nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
         return pd.Series(dot / (na * nb))
 
-    cos = pandas_udf(_cos, "double", PandasUDFType.SCALAR)
     sim = cos(F.col("va"), F.col("vb"))
     return pairs.select("id_a", "id_b", F.round(sim, 6).alias("cosine")) \
                 .where(F.col("cosine") >= threshold)
@@ -176,10 +178,29 @@ def _dim_of(df: DataFrame, vec_col: str) -> int:
     return int(row[0]["d"]) if row else 0
 
 
+def _ivf_train_df(df: DataFrame, vec_col: str, fit_sample: int) -> DataFrame:
+    """Bounded k-means training input: at most ``fit_sample`` vectors
+    (LocalLimit per partition + one GlobalLimit — no full scan)."""
+    from pyspark.ml.functions import array_to_vector
+
+    return (df.limit(fit_sample)
+            .select(array_to_vector(
+                F.transform(vec_col,
+                            lambda x: x.cast("double"))).alias("features")))
+
+
+def _fit_kmeans(df: DataFrame, vec_col: str, nlist: int, seed: int,
+                fit_sample: int):
+    from pyspark.ml.clustering import KMeans
+
+    return KMeans(k=nlist, seed=seed, maxIter=10).fit(
+        _ivf_train_df(df, vec_col, fit_sample))
+
+
 def ivf_ann_topk(df: DataFrame, query, k: int = 10,
                  nlist: int = 16, nprobe: int = 2,
                  vec_col: str = "embedding", id_col: str = "vec_id",
-                 seed: int = 42) -> DataFrame:
+                 seed: int = 42, fit_sample: int = 100_000) -> DataFrame:
     """IVF-style ANN: coarse-quantize vectors to ``nlist`` centroids
     (k-means), probe the ``nprobe`` centroids nearest the query, exact
     cosine inside the probed cells only.
@@ -190,13 +211,12 @@ def ivf_ann_topk(df: DataFrame, query, k: int = 10,
     corpus. The index (assignments) can be persisted with the table and
     reused across queries — the classic IVF trade of recall for scan
     fraction.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
-    train = df.select(array_to_vector(
-        F.transform(vec_col, lambda x: x.cast("double"))).alias("features"))
-    km = KMeans(k=nlist, seed=seed, maxIter=10).fit(train)
+    ``fit_sample`` caps the k-means training input (``limit``, which
+    Spark satisfies without a full scan): centroid quality needs a few
+    thousand points per cell, not 10 passes over a 100 TB corpus.
+    """
+    km = _fit_kmeans(df, vec_col, nlist, seed, fit_sample)
     centroids = [list(map(float, c)) for c in km.clusterCenters()]
 
     def _cell(vec: Column) -> Column:

@@ -62,3 +62,14 @@ def test_exact_dedup_shuffles_digest_not_text(spark):
     exch = [ln for ln in plan.splitlines() if "Exchange hashpartitioning"
             in ln]
     assert exch and "_k" in exch[0], plan
+
+
+def test_ivf_kmeans_fit_input_is_bounded(spark):
+    # the k-means training frame must carry a GlobalLimit: fitting on
+    # the full corpus is 10 distributed passes over every vector
+    from meza_spark.llm.similarity import _ivf_train_df
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(_ivf_train_df(emb, "embedding", 100), "extended")
+    assert "GlobalLimit 100" in plan, plan
+    assert _ivf_train_df(emb, "embedding", 7).count() == 7
