@@ -624,18 +624,47 @@ def slice_rows(df: DataFrame, order_by: str | Sequence[str],
     ``last`` keeps all but the final ``-last`` rows, the tail-skipping
     deque at meza/io.py:473-479).
 
-    A global row_number is inherently a total order — Catalyst plans a
-    single-partition window, so this is for bounded slices (previews,
-    pagination), not bulk extraction; at scale prefer keyed filters.
+    Scale-safe two-pass global numbering — NO single-partition window:
+      1. range-repartition + sortWithinPartitions on the keys (the
+         distributed half of a global sort) and persist, so both
+         passes see identical partition contents;
+      2. pass 1: count rows per partition — a partitions-sized agg;
+      3. cumulative offsets on the driver (O(partitions) integers);
+      4. pass 2: keep rows where ``offset[pid] + local_index`` falls
+         in [first, last], via a broadcast join against the tiny
+         offset table. The local index comes from
+         ``monotonically_increasing_id``'s documented layout
+         (partition id in the upper bits, the within-partition record
+         number in the lower 33).
+    Every partition filters locally in parallel; the old
+    ``row_number() OVER ()`` formulation funneled the whole frame
+    through one reducer.
     """
     keys = [order_by] if isinstance(order_by, str) else list(order_by)
+    cols = df.columns
+    tagged = (df.repartitionByRange(*[F.col(k) for k in keys])
+              .sortWithinPartitions(*keys)
+              .withColumn("_pid", F.spark_partition_id())
+              .withColumn("_idx", F.monotonically_increasing_id()
+                          .bitwiseAND(F.lit((1 << 33) - 1))))
+    tagged = tagged.persist()
+    counts = {r["_pid"]: r["n"] for r in
+              tagged.groupBy("_pid").agg(F.count("*").alias("n"))
+              .collect()}
+    if not counts:
+        return df
     if last is not None and last < 0:
-        last = df.count() + last
-    rn = F.row_number().over(Window.orderBy(*[F.col(k) for k in keys]))
-    out = df.withColumn("_rn", rn).where(F.col("_rn") >= first)
+        last = sum(counts.values()) + last
+    offsets, acc = [], 0
+    for p in sorted(counts):
+        offsets.append((p, acc))
+        acc += counts[p]
+    off_df = df.sparkSession.createDataFrame(offsets, "_pid int, _off long")
+    rn = F.col("_off") + F.col("_idx") + 1  # 1-based global row number
+    out = tagged.join(F.broadcast(off_df), on="_pid").where(rn >= first)
     if last is not None:
-        out = out.where(F.col("_rn") <= last)
-    return out.drop("_rn")
+        out = out.where(rn <= last)
+    return out.select(*cols)
 
 
 def salted_join(left: DataFrame, right: DataFrame, on: str | Sequence[str],

@@ -64,6 +64,13 @@ def test_exact_dedup_shuffles_digest_not_text(spark):
     assert exch and "_k" in exch[0], plan
 
 
+def test_slice_rows_has_no_global_window(spark):
+    # the two-pass offset slice must not plan a WindowExec (the old
+    # row_number() OVER (ORDER BY ...) was a single-reducer sort)
+    plan = _plan(entry.slice_orders(spark, SF), "simple")
+    assert "Window" not in plan, plan
+
+
 def test_ivf_kmeans_fit_input_is_bounded(spark):
     # the k-means training frame must carry a GlobalLimit: fitting on
     # the full corpus is 10 distributed passes over every vector
