@@ -558,6 +558,25 @@ def fillempty_bfill(spark, sf_dir):
     return filled.select("event_id", "user_id", "value")
 
 
+def unique_keyfunc(spark, sf_dir):
+    """Keyfunc dedupe (meza's `pred`, ref meza/process.py:861-862):
+    dedup key is a derived expression, winner is the min full-row
+    struct — deterministic, so it oracles exactly."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment")
+    return pr.unique(c, pred=F.col("c_custkey") % 97)
+
+
+def unique_bufsize(spark, sf_dir):
+    """Windowed (bounded-buffer) dedupe parity mode (ref
+    meza/process.py:887): keep a row iff the previous occurrence of
+    its key in event order is more than bufsize rows back."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type")
+    return pr.unique(ev, pred=F.col("user_id"), bufsize=50,
+                     order_by="event_id")
+
+
 def fillempty_str(spark, sf_dir):
     """Constant fill with meza's full hole definition: NULL *and* ''
     count as holes for string columns (ref meza/fntools.py:921-923)."""
@@ -955,6 +974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fillempty_key": fillempty_key,
         "fillempty_str": fillempty_str,
         "fillempty_pred": fillempty_pred,
+        "unique_keyfunc": unique_keyfunc,
+        "unique_bufsize": unique_bufsize,
         "cast_decimal": cast_decimal,
         "cast_time": cast_time,
         "json_recode_nation": json_recode_nation,
@@ -1427,6 +1448,26 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(CASE WHEN o_orderkey % 3 = 0 THEN NULL
                                  ELSE o_totalprice END, o_totalprice) AS filled
             FROM orders
+        """,
+        "unique_keyfunc": """
+            SELECT c_custkey, c_name, c_mktsegment FROM (
+              SELECT c_custkey, c_name, c_mktsegment,
+                     ROW_NUMBER() OVER (PARTITION BY c_custkey % 97
+                       ORDER BY c_custkey, c_name, c_mktsegment) AS rn
+              FROM customer)
+            WHERE rn = 1
+        """,
+        "unique_bufsize": """
+            WITH t AS (
+              SELECT event_id, user_id, event_type,
+                     ROW_NUMBER() OVER (ORDER BY event_id) AS g
+              FROM events),
+            d AS (
+              SELECT *, g - LAG(g) OVER (PARTITION BY user_id ORDER BY g)
+                        AS dist
+              FROM t)
+            SELECT event_id, user_id, event_type FROM d
+            WHERE dist IS NULL OR dist > 50
         """,
         "fillempty_str": """
             SELECT c_custkey,

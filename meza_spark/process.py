@@ -54,20 +54,43 @@ def cut(df: DataFrame, fields: Sequence[str], exclude: bool = False,
     return out
 
 
+def _value_pred_column(fn: Callable, col: Column) -> Column:
+    """Apply a callable predicate to a column, with meza's value-level
+    escape hatch (ref: meza/process.py:823-826 — meza predicates take
+    the raw VALUE).
+
+    If ``fn(col)`` yields a Column, it was a Column→Column expression
+    (the fast, JVM-side path — note plain comparisons like
+    ``lambda v: v > 10`` already are). Otherwise the callable is a
+    value-level Python predicate and gets wrapped in a row-at-a-time
+    UDF — the SLOW path (no codegen, per-row Python round-trips):
+    parity convenience, not something to put in a 100 TB hot loop.
+    """
+    try:
+        res = fn(col)
+        if isinstance(res, Column):
+            return res
+    except Exception:
+        pass
+    return F.udf(lambda v: bool(fn(v)), "boolean")(col)
+
+
 def tfilter(df: DataFrame, field: str,
-            pred: Column | Callable[[Column], Column] | None = None,
+            pred: Column | Callable | None = None,
             inverse: bool = False) -> DataFrame:
     """Filter rows by a predicate on one field (ref: meza/process.py:813-848).
 
-    ``pred`` may be a Column expression, a callable Column->Column, or
-    ``None`` (meza's default: truthiness — non-null, non-empty,
-    non-zero, non-false).
+    ``pred`` may be a Column expression, a callable Column->Column
+    (JVM-side, preferred), a value-level Python callable (auto-wrapped
+    in a UDF — slow path, see ``_value_pred_column``), or ``None``
+    (meza's default: truthiness — non-null, non-empty, non-zero,
+    non-false).
     """
     c = F.col(field)
     if pred is None:
         cond = c.isNotNull() & (~c.cast("string").isin("", "0", "0.0", "false", "False"))
     elif callable(pred) and not isinstance(pred, Column):
-        cond = pred(c)
+        cond = _value_pred_column(pred, c)
     else:
         cond = pred
     # meza's inverse is Python `not pred(x)` — null-safe, unlike SQL NOT
@@ -105,8 +128,9 @@ def grep(df: DataFrame, rules: Sequence[dict[str, Any]],
         field_exprs = []
         for f in fields:
             c = F.col(f).cast("string")
-            if callable(pattern):
-                field_exprs.append(pattern(F.col(f)))
+            if callable(pattern) and not isinstance(pattern, Column):
+                # Column-fn fast path, value-level python pred fallback
+                field_exprs.append(_value_pred_column(pattern, F.col(f)))
             elif isinstance(pattern, re.Pattern):
                 # meza uses pattern.match → anchored at the start
                 field_exprs.append(c.rlike("^(?:" + pattern.pattern + ")"))
@@ -126,19 +150,61 @@ def grep(df: DataFrame, rules: Sequence[dict[str, Any]],
 
 
 def unique(df: DataFrame, fields: Sequence[str] | None = None,
-           keep: str = "any") -> DataFrame:
-    """Deduplicate on a column subset (ref: meza/process.py:851-898).
+           keep: str = "any",
+           pred: Column | Callable[[DataFrame], Column] | None = None,
+           bufsize: int | None = None,
+           order_by: str | Sequence[str] | None = None) -> DataFrame:
+    """Deduplicate on a column subset or derived key
+    (ref: meza/process.py:851-898).
 
-    meza's dedupe is windowed/approximate (a 4096-deep seen-deque) purely
-    to bound memory in a single-threaded generator; on Spark exact
-    distributed dedupe is the right default — a hash shuffle on the key
-    columns with map-side partial dedupe, linear scale-out.
+    meza's dedupe is windowed/approximate (a ``bufsize``-deep
+    seen-deque, default 4096) purely to bound memory in a
+    single-threaded generator; on Spark exact distributed dedupe is
+    the right default — a hash shuffle on the key columns with
+    map-side partial dedupe, linear scale-out.
 
     ``keep='any'`` → ``dropDuplicates`` (fastest, hash-agg based).
     ``keep='first'``/``'min'`` → deterministic: keeps the row with the
     smallest value of the remaining columns (needed for oracle-stable
     results); implemented as a min-struct aggregation, no window needed.
+
+    ``pred`` is meza's keyfunc (process.py:861-862): a Column
+    expression (or a callable ``df → Column``) whose VALUE is the
+    dedup key — e.g. ``pred=F.lower(F.col('name'))`` for
+    case-insensitive dedupe. It overrides ``fields``.
+
+    ``bufsize`` + ``order_by`` is the windowed parity mode
+    (process.py:887): a row is kept iff the previous occurrence of its
+    key, in global ``order_by`` order, is more than ``bufsize`` rows
+    back (meza measures the window in kept distinct keys; row distance
+    is the shuffle-friendly equivalent — both bound the dedupe
+    horizon). Fully distributed: the global index is two-pass
+    partition offsets, the distance check a per-key window.
     """
+    if callable(pred) and not isinstance(pred, Column):
+        pred = pred(df)
+
+    if bufsize is not None:
+        if order_by is None:
+            raise ValueError("bufsize dedupe requires order_by")
+        key = pred if pred is not None else \
+            F.struct(*[F.col(f) for f in (fields or df.columns)])
+        cols = df.columns
+        tagged, _ = _global_index(df, order_by)
+        if tagged is None:
+            return df
+        tagged = tagged.withColumn("_key", key)
+        w = Window.partitionBy("_key").orderBy("_gidx")
+        dist = F.col("_gidx") - F.lag("_gidx").over(w)
+        return (tagged.withColumn("_dist", dist)
+                .where(F.col("_dist").isNull() | (F.col("_dist") > bufsize))
+                .select(*cols))
+
+    if pred is not None:
+        agg = F.min(F.struct(*[F.col(c) for c in df.columns])).alias("_r")
+        out = df.groupBy(pred.alias("_key")).agg(agg)
+        return out.select(*[F.col(f"_r.{c}").alias(c) for c in df.columns])
+
     if not fields:
         return df.dropDuplicates()
     if keep == "any":
@@ -640,8 +706,32 @@ def slice_rows(df: DataFrame, order_by: str | Sequence[str],
     ``row_number() OVER ()`` formulation funneled the whole frame
     through one reducer.
     """
-    keys = [order_by] if isinstance(order_by, str) else list(order_by)
     cols = df.columns
+    tagged, total = _global_index(df, order_by)
+    if tagged is None:
+        return df
+    if last is not None and last < 0:
+        last = total + last
+    rn = F.col("_gidx") + 1  # 1-based global row number
+    out = tagged.where(rn >= first)
+    if last is not None:
+        out = out.where(rn <= last)
+    return out.select(*cols)
+
+
+def _global_index(df: DataFrame, order_by: str | Sequence[str]):
+    """Distributed 0-based global row index ``_gidx`` in key order, by
+    two-pass partition offsets (no single-partition window). Returns
+    ``(tagged_df, total_rows)``; ``(None, 0)`` for an empty frame.
+
+    Pass 1 counts rows per range-partition (a partitions-sized agg);
+    the driver folds counts into cumulative offsets; pass 2 adds
+    ``offset[pid] + local_index`` via a broadcast join, where the
+    local index is ``monotonically_increasing_id``'s documented low 33
+    bits (the within-partition record number). The sorted frame is
+    persisted so both passes see identical partition contents.
+    """
+    keys = [order_by] if isinstance(order_by, str) else list(order_by)
     tagged = (df.repartitionByRange(*[F.col(k) for k in keys])
               .sortWithinPartitions(*keys)
               .withColumn("_pid", F.spark_partition_id())
@@ -652,19 +742,16 @@ def slice_rows(df: DataFrame, order_by: str | Sequence[str],
               tagged.groupBy("_pid").agg(F.count("*").alias("n"))
               .collect()}
     if not counts:
-        return df
-    if last is not None and last < 0:
-        last = sum(counts.values()) + last
+        return None, 0
     offsets, acc = [], 0
     for p in sorted(counts):
         offsets.append((p, acc))
         acc += counts[p]
     off_df = df.sparkSession.createDataFrame(offsets, "_pid int, _off long")
-    rn = F.col("_off") + F.col("_idx") + 1  # 1-based global row number
-    out = tagged.join(F.broadcast(off_df), on="_pid").where(rn >= first)
-    if last is not None:
-        out = out.where(rn <= last)
-    return out.select(*cols)
+    tagged = (tagged.join(F.broadcast(off_df), on="_pid")
+              .withColumn("_gidx", F.col("_off") + F.col("_idx"))
+              .drop("_pid", "_idx", "_off"))
+    return tagged, acc
 
 
 def salted_join(left: DataFrame, right: DataFrame, on: str | Sequence[str],

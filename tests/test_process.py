@@ -93,6 +93,51 @@ def test_fillempty_ffill_bfill(spark):
     assert got == {1: 10, 2: 10, 3: 20, 4: 20, 5: 20}
 
 
+def test_unique_keyfunc(spark):
+    df = spark.createDataFrame(
+        [(1, "Alice"), (2, "ALICE"), (3, "bob")], "id int, name string")
+    out = pr.unique(df, pred=F.lower(F.col("name")))
+    assert sorted(r["id"] for r in out.collect()) == [1, 3]
+    # callable df -> Column form
+    out2 = pr.unique(df, pred=lambda d: F.lower(d["name"]))
+    assert sorted(r["id"] for r in out2.collect()) == [1, 3]
+
+
+def test_unique_bufsize_windowed(spark):
+    # key 'a' at rows 1,3,10 with bufsize 5: row3 dropped (dist 2),
+    # row10 kept (dist 7 > 5); 'b' unique throughout
+    rows = [(1, "a"), (2, "b"), (3, "a")] + \
+           [(i, f"x{i}") for i in range(4, 10)] + [(10, "a")]
+    df = spark.createDataFrame(rows, "ord int, k string")
+    out = pr.unique(df, pred=F.col("k"), bufsize=5, order_by="ord")
+    assert sorted(r["ord"] for r in out.collect()) == \
+        [1, 2] + list(range(4, 10)) + [10]
+    with pytest.raises(ValueError):
+        pr.unique(df, bufsize=5)
+
+
+def test_tfilter_value_level_python_pred(people):
+    # len() on a Column raises -> auto-wrapped in a UDF (escape hatch)
+    out = pr.tfilter(people, "name", pred=lambda v: v is not None
+                     and len(v) == 3)
+    assert sorted(r["name"] for r in out.collect() if r["name"]) \
+        == sorted(n for n in [r["name"] for r in people.collect()]
+                  if n and len(n) == 3)
+    # Column-fn path still works untouched
+    out2 = pr.tfilter(people, "age", pred=lambda c: c > 25)
+    assert all(r["age"] > 25 for r in out2.collect())
+
+
+def test_grep_value_level_python_pattern(people):
+    out = pr.grep(people, [{"fields": ["name"],
+                            "pattern": lambda v: bool(v)
+                            and v.lower().startswith("a")}])
+    names = {r["name"] for r in out.collect()}
+    assert names == {n for n in
+                     (r["name"] for r in people.collect())
+                     if n and n.lower().startswith("a")}
+
+
 def test_fillempty_empty_string_hole_and_pred(spark):
     # meza's fill treats '' as a hole for text (fntools.py:921-923);
     # pred widens the hole definition — and both apply across modes
