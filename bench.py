@@ -32,6 +32,51 @@ HEADLINE = [
 ]
 
 
+# --- scaling-slope section -------------------------------------------------
+# The largest driver-provided SF is 0.1; to expose the scaling SLOPE
+# (fixed per-query overhead dominates at sf0.1) we synthesize a 10×
+# replica of it — key-shifted unions so joins keep their selectivity —
+# cache it in /tmp, and re-run the join/agg headliners on it.
+SCALE_FACTOR = 10
+SCALE_KEYS = {  # key columns shifted per replica; dims stay single-copy
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "nation": [],
+    "region": [],
+}
+SCALE_QUERIES = ["q1_pricing", "q3_shipping", "q5_local_supplier",
+                 "join_inner", "topk_per_group", "window_running",
+                 "dedup_exact"]
+
+
+def _build_scaled(spark, entry, sf_dir: str, out_dir: str):
+    from pyspark.sql import functions as F
+
+    stride = 1 << 33  # beyond any base key value
+    for table, keys in SCALE_KEYS.items():
+        dst = os.path.join(out_dir, f"{table}.parquet")
+        if os.path.exists(dst):
+            continue
+        base = entry._t(spark, sf_dir, table)
+        if keys:
+            parts = []
+            for i in range(SCALE_FACTOR):
+                rep = base
+                for k in keys:
+                    rep = rep.withColumn(k, F.col(k) + (i * stride))
+                parts.append(rep)
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+        else:
+            df = base
+        df.write.mode("overwrite").parquet(dst)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -67,13 +112,45 @@ def main():
         times[name] = round(best, 3)
         total += times[name]
 
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_sec",
         "value": round(total, 3),
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+
+    # scaling slope: same join/agg headliners at a 10× synthetic SF.
+    # sub-linear slope (t_x10 / t_x1 < 10) = fixed overhead amortizing;
+    # super-linear = a real scale problem. Opt out: SPARK_GRAFT_SCALE=0.
+    if os.environ.get("SPARK_GRAFT_SCALE", "1") != "0" and sf == "0.1":
+        scale_dir = f"/tmp/meza_bench_sf{sf}_x{SCALE_FACTOR}"
+        t0 = time.time()
+        _build_scaled(spark, entry, sf_dir, scale_dir)
+        gen_sec = round(time.time() - t0, 3)
+        stimes = {}
+        for name in SCALE_QUERIES:
+            fn = qs.get(name)
+            if fn is None:
+                continue
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, scale_dir).write.format("noop") \
+                    .mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            stimes[name] = round(best, 3)
+        out["scale"] = {
+            "factor": SCALE_FACTOR, "gen_sec": gen_sec,
+            "queries": stimes,
+            "total_sec": round(sum(stimes.values()), 3),
+            "slope_vs_sf": {
+                n: round(stimes[n] / times[n], 2)
+                for n in stimes if times.get(n)},
+        }
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
