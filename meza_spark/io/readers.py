@@ -709,11 +709,22 @@ def read_dbf(spark: SparkSession, path: str,
 # --- databases -------------------------------------------------------------
 
 def read_sqlite(spark: SparkSession, path: str,
-                table: str | None = None) -> DataFrame:
+                table: str | None = None,
+                num_partitions: int | None = None) -> DataFrame:
     """SQLite (ref: meza/io.py:725-760 — SELECT * FROM first table).
 
-    Driver-side stdlib sqlite3 → createDataFrame. On a cluster, point
-    ``spark.read.jdbc`` at the db instead (partitioned by rowid)."""
+    Default: driver-side stdlib sqlite3 → createDataFrame (the
+    reference's shape — fine for config-sized dbs).
+
+    ``num_partitions=N`` is the distributed path without a JDBC jar:
+    the driver reads only min/max rowid, splits the range into N
+    slices, and each EXECUTOR task opens the db file itself (sqlite
+    readers don't lock each other out) and scans
+    ``WHERE rowid BETWEEN lo AND hi`` — an index-backed range scan, so
+    N tasks each touch ~1/N of the table. Requires the path to be
+    visible on executors (shared fs), which local mode and any
+    NFS/alluxio-style cluster layout satisfies.
+    """
     import sqlite3
 
     con = sqlite3.connect(path)
@@ -724,12 +735,54 @@ def read_sqlite(spark: SparkSession, path: str,
             if row is None:
                 raise ValueError(f"no tables in {path}")
             table = row[0]
-        cur = con.execute(f"SELECT * FROM {table}")  # noqa: S608 (table from sqlite_master)
-        names = [d[0] for d in cur.description]
-        rows = [dict(zip(names, r)) for r in cur.fetchall()]
+        if num_partitions is None:
+            cur = con.execute(f"SELECT * FROM {table}")  # noqa: S608 (table from sqlite_master)
+            names = [d[0] for d in cur.description]
+            rows = [dict(zip(names, r)) for r in cur.fetchall()]
+            return _records_df(spark, rows, names)
+        cur = con.execute(
+            f"SELECT min(rowid), max(rowid) FROM {table}")  # noqa: S608
+        lo, hi = cur.fetchone()
+        info = con.execute(f"PRAGMA table_info({table})").fetchall()
     finally:
         con.close()
-    return _records_df(spark, rows, names)
+    from pyspark.sql.types import (BinaryType, DoubleType, LongType,
+                                   StringType, StructField, StructType)
+
+    def _decl_type(decl: str):
+        d = (decl or "").upper()
+        if "INT" in d:
+            return LongType()
+        if any(t in d for t in ("REAL", "FLOA", "DOUB", "NUMER", "DEC")):
+            return DoubleType()
+        if "BLOB" in d or d == "":
+            return BinaryType() if "BLOB" in d else StringType()
+        return StringType()
+
+    schema = StructType([StructField(c[1], _decl_type(c[2]))
+                         for c in info])
+    if lo is None:
+        return spark.createDataFrame([], schema)
+    step = max(1, (hi - lo + 1) // num_partitions)
+    bounds = [(lo + i * step,
+               (lo + (i + 1) * step - 1) if i < num_partitions - 1 else hi)
+              for i in range(num_partitions)]
+    bounds = [(a, b) for a, b in bounds if a <= b]
+
+    def scan(rng):
+        import sqlite3 as s3
+
+        a, b = rng
+        c = s3.connect(path)
+        try:
+            return [tuple(r) for r in c.execute(
+                f"SELECT * FROM {table} WHERE rowid BETWEEN ? AND ?",  # noqa: S608
+                (a, b))]
+        finally:
+            c.close()
+
+    rdd = spark.sparkContext.parallelize(bounds, len(bounds)).flatMap(scan)
+    return spark.createDataFrame(rdd, schema=schema)
 
 
 def read_mdb(spark: SparkSession, path: str,

@@ -81,8 +81,10 @@ def records2json(df: DataFrame, path: str, newline: bool = True,
                  single_file: bool = False) -> None:
     """DataFrame → JSON (ref: meza/convert.py:852-892): NDJSON by
     default (splittable, scalable); ``newline=False`` writes one JSON
-    array (driver-assembled — bounded outputs only), matching the
-    reference's array form."""
+    array — a single object by definition, but STREAMED to disk via
+    ``toJSON().toLocalIterator()`` (executors serialize, the driver
+    holds one partition at a time, never the whole result), matching
+    the reference's array form without its all-in-memory cost."""
     if newline and not single_file:
         df.write.mode("overwrite").json(path)
         return
@@ -91,9 +93,12 @@ def records2json(df: DataFrame, path: str, newline: bool = True,
         df.coalesce(1).write.mode("overwrite").json(tmp)
         _collapse_part(tmp, path, ".json")
         return
-    rows = [r.asDict(recursive=True) for r in df.collect()]
     with open(path, "w", encoding="utf-8") as f:
-        _json.dump(rows, f, default=str)
+        f.write("[")
+        for i, line in enumerate(df.toJSON().toLocalIterator()):
+            f.write(",\n " if i else "")
+            f.write(line)
+        f.write("]")
 
 
 def records2geojson(df: DataFrame, path: str, id_col: str = "id",

@@ -344,6 +344,36 @@ def test_sqlite(spark, tmp_path):
     assert df.count() == 2 and "some_value" in df.columns
 
 
+def test_sqlite_distributed_rowid_ranges(spark, tmp_path):
+    p = str(tmp_path / "big.sqlite")
+    con = sqlite3.connect(p)
+    con.execute("CREATE TABLE t (k INTEGER, v TEXT, x REAL)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)",
+                    [(i, f"row{i}", i / 2) for i in range(1000)])
+    con.commit()
+    con.close()
+    df = mio.read_sqlite(spark, p, num_partitions=7)
+    assert df.rdd.getNumPartitions() == 7
+    assert df.count() == 1000
+    assert dict(df.dtypes) == {"k": "bigint", "v": "string", "x": "double"}
+    got = {r["k"]: (r["v"], r["x"]) for r in df.collect()}
+    assert got[0] == ("row0", 0.0) and got[999] == ("row999", 499.5)
+    # driver-path and distributed-path agree
+    drv = {r["k"]: (r["v"], r["x"])
+           for r in mio.read_sqlite(spark, p).collect()}
+    assert got == drv
+
+
+def test_sqlite_distributed_empty_table(spark, tmp_path):
+    p = str(tmp_path / "empty.sqlite")
+    con = sqlite3.connect(p)
+    con.execute("CREATE TABLE t (k INTEGER, v TEXT)")
+    con.commit()
+    con.close()
+    df = mio.read_sqlite(spark, p, num_partitions=4)
+    assert df.count() == 0 and df.columns == ["k", "v"]
+
+
 def test_read_dispatch_and_io_join(spark, tmp_path):
     a = _write(tmp_path, "a.csv", "x,y\n1,2\n")
     b = _write(tmp_path, "b.csv", "y,z\n3,4\n")
