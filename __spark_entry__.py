@@ -550,6 +550,19 @@ def dedup_embed_cosine(spark, sf_dir):
                       F.round("cosine", 4).alias("cosine"))
 
 
+def dedup_near_embed_e2e(spark, sf_dir):
+    """Embedding near-dup dedup end-to-end (records in → records out):
+    exact cosine pairs within deterministic `label` blocks → connected
+    components → keep min-vec_id per cluster. The embedding twin of
+    dedup_near_e2e."""
+    from meza_spark.llm.cluster import near_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    kept = near_dedup(emb, method="embedding", id_col="vec_id",
+                      threshold=0.3, block_on="label")
+    return kept.select("vec_id", "label")
+
+
 def fillempty_bfill(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").withColumn(
         "value", F.when(F.col("value") < 10, None).otherwise(F.col("value")))
@@ -970,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_asof": join_asof,
         "join_range": join_range,
         "dedup_embed_cosine": dedup_embed_cosine,
+        "dedup_near_embed_e2e": dedup_near_embed_e2e,
         "fillempty_bfill": fillempty_bfill,
         "fillempty_key": fillempty_key,
         "fillempty_str": fillempty_str,
@@ -1435,6 +1449,33 @@ def oracle_sql() -> dict[str, str]:
                                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS c
               FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
             WHERE c >= 0.3
+        """,
+        "dedup_near_embed_e2e": """
+            WITH RECURSIVE prs AS (
+              SELECT id_a, id_b FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(
+                         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+                         (sqrt(list_sum(list_transform(a.embedding,
+                                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                          sqrt(list_sum(list_transform(b.embedding,
+                                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS c
+                FROM embeddings a JOIN embeddings b
+                  ON a.label = b.label AND a.vec_id < b.vec_id)
+              WHERE c >= 0.3),
+            edges AS (
+              SELECT id_a AS s, id_b AS d FROM prs
+              UNION
+              SELECT id_b, id_a FROM prs),
+            reach(v, l) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT e2.d, r.l FROM edges e2 JOIN reach r ON e2.s = r.v),
+            labels AS (SELECT v, min(l) AS comp FROM reach GROUP BY v)
+            SELECT em.vec_id, em.label
+            FROM embeddings em JOIN labels lb ON em.vec_id = lb.v
+            WHERE lb.comp = em.vec_id
         """,
         "fillempty_bfill": """
             SELECT event_id, user_id,
