@@ -215,16 +215,27 @@ def _cap_buckets(banded: DataFrame, keys: list[str],
                  max_bucket: int | None):
     """Drop LSH buckets larger than ``max_bucket`` before a self-join.
 
-    One count-aggregate on the bucket key, then a broadcast anti-join
-    against only the OVERSIZED keys (rare by construction — that's why
-    they're broadcastable). Returns (capped, dropped-keys df | None).
+    The size check is a COUNT window over the bucket key — it hash-
+    partitions on exactly the key the subsequent self-join shuffles
+    on, so Catalyst plans one exchange (reused across both join
+    branches) and the signature kernel below it still executes once.
+    (A separate groupBy-count branch would defeat exchange reuse and
+    re-run the expensive Arrow signature kernel per branch.)
+
+    Returns (capped, dropped-keys df | None); the dropped-bucket frame
+    is an independent lazy branch, costed only if the caller evaluates
+    it.
     """
     if max_bucket is None:
         return banded, None
-    sizes = banded.groupBy(*keys).agg(F.count("*").alias("bucket_size"))
-    dropped = sizes.where(F.col("bucket_size") > max_bucket)
-    capped = banded.join(F.broadcast(dropped.select(*keys)),
-                         on=keys, how="left_anti")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    capped = (banded.withColumn("_bsz", F.count("*").over(w))
+              .where(F.col("_bsz") <= max_bucket).drop("_bsz"))
+    dropped = (banded.groupBy(*keys)
+               .agg(F.count("*").alias("bucket_size"))
+               .where(F.col("bucket_size") > max_bucket))
     return capped, dropped
 
 
