@@ -40,10 +40,14 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     per round, no change-count join. ``localCheckpoint`` truncates the
     iterative lineage each round.
     """
-    edges = pairs.select(F.col(id_a).cast("long").alias("s"),
-                         F.col(id_b).cast("long").alias("d"))
-    edges = edges.union(edges.select(F.col("d").alias("s"),
-                                     F.col("s").alias("d"))).distinct()
+    # symmetrize with ONE scan of the (possibly expensive) pair
+    # subtree: explode each pair into both directions — a union of the
+    # frame with its swap would execute pair generation twice
+    a, b = F.col(id_a).cast("long"), F.col(id_b).cast("long")
+    edges = (pairs.select(F.explode(F.array(
+        F.struct(a.alias("s"), b.alias("d")),
+        F.struct(b.alias("s"), a.alias("d")))).alias("e"))
+        .select("e.s", "e.d").distinct())
     edges = edges.localCheckpoint()
     labels = (edges.select(F.col("s").alias("v")).distinct()
               .select("v", F.col("v").alias("label"))
