@@ -294,6 +294,17 @@ def llm_fingerprint(spark, sf_dir):
     return d.select("doc_id", "fingerprint")
 
 
+def llm_repetition(spark, sf_dir):
+    """Gopher-style repetition filters: duplicated-line/word fractions
+    + the most-repeated-token count, all row-local JVM expressions."""
+    d = tx.repetition_signals(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        F.col("max_word_count").cast("bigint").alias("max_word_count"))
+
+
 def dedup_exact(spark, sf_dir):
     return du.exact_dedup(_t(spark, sf_dir, "documents"))
 
@@ -959,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_quality": llm_quality,
         "llm_langid": llm_langid,
         "llm_fingerprint": llm_fingerprint,
+        "llm_repetition": llm_repetition,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
@@ -1236,6 +1248,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
             FROM documents
+        """,
+        "llm_repetition": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\n'),
+                                 x -> trim(x) <> '') AS lines,
+                     CASE WHEN trim(lower(text)) = ''
+                          THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                     END AS toks
+              FROM documents)
+            SELECT doc_id,
+                   round(CASE WHEN len(lines) > 0
+                         THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                                    / len(lines)
+                         ELSE 0.0 END, 6) AS dup_line_frac,
+                   round(CASE WHEN len(toks) > 0
+                         THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                                    / len(toks)
+                         ELSE 0.0 END, 6) AS dup_word_frac,
+                   CASE WHEN len(toks) > 0
+                        THEN list_max(list_transform(list_distinct(toks),
+                               w -> len(list_filter(toks, x -> x = w))))
+                        ELSE 0 END AS max_word_count
+            FROM s
         """,
         "dedup_exact": """
             SELECT doc_id, text, lang, source, n_chars

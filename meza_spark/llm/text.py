@@ -12,7 +12,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["token_count", "quality_score", "lang_id", "fingerprint",
-           "shingles", "tokens"]
+           "repetition_signals", "shingles", "tokens"]
 
 # Tiny per-language stopword marker sets for the n-gram/stopword
 # language-ID heuristic. Deterministic scoring, not a trained model.
@@ -103,6 +103,47 @@ def lang_id(df: DataFrame, text_col: str = "text",
         expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
     out_df = df.withColumn(out, expr)
     return out_df
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, public):
+    the fraction of duplicated lines and duplicated words — boilerplate
+    and listicle spam score high on both and get culled before
+    training.
+
+      - ``dup_line_frac``: 1 − distinct/total over ``\\n``-split lines
+        (blank lines excluded)
+      - ``dup_word_frac``: 1 − distinct/total over whitespace tokens
+        (casefolded)
+      - ``max_word_count``: occurrences of the most-repeated token —
+        the "same word 500×" degenerate-doc detector
+
+    Row-local array expressions only (split/distinct/aggregate): no
+    shuffle, no Python, runs inside codegen.
+    """
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, r"\n"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    dup_line = F.when(
+        n_lines > 0,
+        1.0 - F.size(F.array_distinct(lines)).cast("double") / n_lines
+    ).otherwise(0.0)
+    toks = tokens(F.lower(t))
+    n_tok = F.size(toks)
+    dup_word = F.when(
+        n_tok > 0,
+        1.0 - F.size(F.array_distinct(toks)).cast("double") / n_tok
+    ).otherwise(0.0)
+    # max occurrence count of any single token: for each distinct token
+    # count its occurrences — O(distinct × total) row-local, fine for
+    # document-sized arrays
+    per_tok = F.transform(
+        F.array_distinct(toks),
+        lambda w: F.size(F.filter(toks, lambda x: x == w)))
+    max_word = F.when(n_tok > 0, F.array_max(per_tok)).otherwise(0)
+    return (df.withColumn("dup_line_frac", dup_line)
+            .withColumn("dup_word_frac", dup_word)
+            .withColumn("max_word_count", max_word))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text",
