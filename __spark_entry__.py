@@ -294,6 +294,36 @@ def llm_fingerprint(spark, sf_dir):
     return d.select("doc_id", "fingerprint")
 
 
+def sample_hash(spark, sf_dir):
+    """Deterministic md5-threshold sampling (reproducible data mixing:
+    same kept set on any engine / partitioning / cluster size)."""
+    from meza_spark.llm.sampling import hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_sample(d, "doc_id", 0.25, seed=1) \
+        .select("doc_id", "lang", "source")
+
+
+def sample_stratified(spark, sf_dir):
+    """Per-stratum deterministic sampling — keep 100% of 'wiki', 20%
+    of 'web', 0% of everything else."""
+    from meza_spark.llm.sampling import stratified_hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        d, "doc_id", "source", {"src0": 1.0, "src1": 0.2},
+        default=0.0, seed=1).select("doc_id", "source")
+
+
+def pack_shards_q(spark, sf_dir):
+    """Token-budget shard assignment: global exclusive cumsum of
+    n_chars over doc_id order, two-pass (no global window)."""
+    from meza_spark.llm.sampling import pack_shards
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pack_shards(d, "n_chars", budget=50_000, order_by="doc_id")
+
+
 def llm_repetition(spark, sf_dir):
     """Gopher-style repetition filters: duplicated-line/word fractions
     + the most-repeated-token count, all row-local JVM expressions."""
@@ -971,6 +1001,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_langid": llm_langid,
         "llm_fingerprint": llm_fingerprint,
         "llm_repetition": llm_repetition,
+        "sample_hash": sample_hash,
+        "sample_stratified": sample_stratified,
+        "pack_shards": pack_shards_q,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
@@ -1247,6 +1280,31 @@ def oracle_sql() -> dict[str, str]:
         "llm_fingerprint": """
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "sample_hash": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE md5(CAST(doc_id AS VARCHAR) || '#1')
+                  < '4000000000000000'
+        """,
+        "sample_stratified": """
+            SELECT doc_id, source FROM documents
+            WHERE CASE
+              WHEN source = 'src0'
+                THEN md5(CAST(doc_id AS VARCHAR) || '#1') < 'g'
+              WHEN source = 'src1'
+                THEN md5(CAST(doc_id AS VARCHAR) || '#1')
+                     < '3333333333333400'
+              ELSE md5(CAST(doc_id AS VARCHAR) || '#1')
+                   < '0000000000000000'
+            END
+        """,
+        "pack_shards": """
+            SELECT doc_id, n_chars,
+                   CAST(FLOOR(
+                     COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) / 50000.0) AS BIGINT) AS shard_id
             FROM documents
         """,
         "llm_repetition": r"""

@@ -1,0 +1,107 @@
+"""Deterministic sampling + shard packing for training-data pipelines.
+
+Data mixing wants REPRODUCIBLE subsampling: the same row set regardless
+of partitioning, executor count, or engine — which rules out
+``df.sample`` (RNG is partition-dependent). Hash sampling keys the
+keep-decision on a content hash, so it is stable, stratifiable, and
+expressible in any engine (the DuckDB oracle runs the same md5
+comparison).
+
+Shard packing assigns documents to fixed token-budget shards by global
+cumulative sum — the step before writing training shards. Spark-first:
+the global cumsum is two-pass (per-partition sums → driver offsets →
+per-partition window), never a single-reducer window.
+"""
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["hash_sample", "stratified_hash_sample", "pack_shards"]
+
+
+def _hex_threshold(fraction: float) -> str:
+    """fraction of keyspace → 16-hex-digit threshold string. Comparing
+    lowercase fixed-width hex strings is numeric comparison, so both
+    Spark and any SQL oracle can evaluate ``md5(key) < threshold``.
+    fraction 1.0 → 'g', which sorts above every hex digest."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    if fraction >= 1.0:
+        return "g"
+    return format(int(fraction * (1 << 64)), "016x")
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float,
+                seed: int = 0) -> DataFrame:
+    """Deterministic ``fraction``-sample: keep rows whose
+    ``md5(key || seed)`` falls below the fraction of the hash space.
+
+    Same rows every run, every partitioning, every engine; sampling
+    different ``seed`` values yields independent (disjoint-ish)
+    samples. Row-local filter — pushes down, no shuffle.
+    """
+    h = F.md5(F.concat(F.col(key_col).cast("string"),
+                       F.lit(f"#{seed}")))
+    return df.where(h < _hex_threshold(fraction))
+
+
+def stratified_hash_sample(df: DataFrame, key_col: str, strata_col: str,
+                           fractions: dict, default: float = 0.0,
+                           seed: int = 0) -> DataFrame:
+    """Per-stratum deterministic sampling — the data-mixing primitive
+    (e.g. keep 100% of books, 10% of common-crawl). ``fractions`` maps
+    stratum value → fraction; unlisted strata get ``default``.
+
+    One row-local CASE over md5 thresholds: no shuffle, no RNG state,
+    reproducible across engines and cluster sizes.
+    """
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f"#{seed}")))
+    expr = None
+    for value, frac in fractions.items():
+        test = (F.col(strata_col) == value, h < _hex_threshold(frac))
+        expr = F.when(*test) if expr is None else expr.when(*test)
+    keep = (h < _hex_threshold(default)) if expr is None \
+        else expr.otherwise(h < _hex_threshold(default))
+    return df.where(keep)
+
+
+def pack_shards(df: DataFrame, weight_col: str, budget: int,
+                order_by: str | Sequence[str],
+                out: str = "shard_id") -> DataFrame:
+    """Assign each row a shard id so consecutive rows (in ``order_by``
+    order) accumulate ~``budget`` weight per shard:
+    ``shard_id = floor(exclusive_cumsum(weight) / budget)`` — the
+    deterministic pre-step to writing fixed-size training shards
+    (``df.write.partitionBy(out)``).
+
+    Scale shape: global cumulative sum WITHOUT a global window —
+    range-repartition + sortWithinPartitions, per-partition weight
+    sums (pass 1), driver-side exclusive offsets (O(partitions)), then
+    a per-partition running-sum window (pass 2) whose partition key is
+    the physical partition id, so no reducer sees more than one
+    partition's rows.
+    """
+    keys = [order_by] if isinstance(order_by, str) else list(order_by)
+    cols = df.columns
+    tagged = (df.repartitionByRange(*[F.col(k) for k in keys])
+              .sortWithinPartitions(*keys)
+              .withColumn("_pid", F.spark_partition_id())).persist()
+    psums = {r["_pid"]: r["s"] for r in
+             tagged.groupBy("_pid")
+             .agg(F.sum(weight_col).alias("s")).collect()}
+    if not psums:
+        return df.withColumn(out, F.lit(0).cast("bigint"))
+    offsets, acc = [], 0
+    for p in sorted(psums):
+        offsets.append((p, acc))
+        acc += psums[p] or 0
+    off = df.sparkSession.createDataFrame(offsets, "_pid int, _off long")
+    w = (Window.partitionBy("_pid").orderBy(*keys)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    local_ex = F.coalesce(F.sum(weight_col).over(w), F.lit(0))
+    shard = F.floor((F.col("_off") + local_ex) / budget).cast("bigint")
+    return (tagged.join(F.broadcast(off), on="_pid")
+            .withColumn(out, shard)
+            .select(*cols, out))

@@ -1,0 +1,52 @@
+"""Deterministic sampling + shard packing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from meza_spark.llm.sampling import (hash_sample, pack_shards,
+                                     stratified_hash_sample)
+
+
+def test_hash_sample_deterministic_and_sized(spark):
+    df = spark.range(4000).withColumnRenamed("id", "k")
+    a = {r["k"] for r in hash_sample(df, "k", 0.3, seed=7).collect()}
+    b = {r["k"] for r in
+         hash_sample(df.repartition(13), "k", 0.3, seed=7).collect()}
+    assert a == b  # partitioning-invariant
+    assert 0.25 < len(a) / 4000 < 0.35
+    # monotone: a smaller fraction is a subset of a larger one
+    small = {r["k"] for r in hash_sample(df, "k", 0.1, seed=7).collect()}
+    assert small <= a
+    # different seed → different set
+    c = {r["k"] for r in hash_sample(df, "k", 0.3, seed=8).collect()}
+    assert a != c
+    assert hash_sample(df, "k", 1.0).count() == 4000
+    assert hash_sample(df, "k", 0.0).count() == 0
+    with pytest.raises(ValueError):
+        hash_sample(df, "k", 1.5)
+
+
+def test_stratified_hash_sample(spark):
+    df = spark.range(3000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, "keep_all")
+         .when(F.col("id") % 3 == 1, "keep_some")
+         .otherwise("other").alias("src"))
+    out = stratified_hash_sample(df, "k", "src",
+                                 {"keep_all": 1.0, "keep_some": 0.5})
+    by_src = {r["src"]: r["n"] for r in
+              out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert by_src["keep_all"] == 1000
+    assert 350 < by_src.get("keep_some", 0) < 650
+    assert "other" not in by_src
+
+
+def test_pack_shards_budget(spark):
+    df = spark.range(1, 101).select(F.col("id").alias("k"),
+                                    F.lit(10).alias("w"))
+    out = pack_shards(df, "w", budget=100, order_by="k")
+    rows = sorted(out.collect(), key=lambda r: r["k"])
+    # 10 rows of weight 10 per 100-budget shard, in key order
+    assert [r["shard_id"] for r in rows] == [i // 10 for i in range(100)]
+    sums = out.groupBy("shard_id").agg(F.sum("w").alias("s")).collect()
+    assert all(r["s"] == 100 for r in sums)
