@@ -827,7 +827,27 @@ _READERS = {
 def read(spark: SparkSession, path: str, ext: str | None = None,
          **kwargs) -> DataFrame:
     """Universal dispatcher by extension (ref: meza/io.py:1636-1692
-    get_reader/read)."""
+    get_reader/read).
+
+    ``http(s)://`` / ``ftp://`` URLs are fetched to a temp file first
+    (driver-side, for the non-splittable python-parsed formats — the
+    reference's requests-based remote reads, meza/io.py:278-301);
+    distributed storage URIs (s3a/hdfs/...) go straight to Spark."""
+    if path.split("://", 1)[0] in ("http", "https", "ftp"):
+        import tempfile
+        import urllib.request
+        from urllib.parse import urlparse
+
+        name = os.path.basename(urlparse(path).path) or "download"
+        ext = (ext or os.path.splitext(name)[1].lstrip(".")).lower()
+        with tempfile.NamedTemporaryFile(suffix=f"_{name}",
+                                         delete=False) as f:
+            with urllib.request.urlopen(path) as resp:  # noqa: S310
+                ext = ext or ctype2ext(
+                    resp.headers.get("content-type", ""))
+                while chunk := resp.read(1 << 20):
+                    f.write(chunk)
+            path = f.name
     ext = (ext or os.path.splitext(path)[1].lstrip(".")).lower()
     if ext == "parquet":
         return spark.read.parquet(path)

@@ -374,6 +374,25 @@ def test_sqlite_distributed_empty_table(spark, tmp_path):
     assert df.count() == 0 and df.columns == ["k", "v"]
 
 
+def test_read_url(spark, tmp_path):
+    # http URL → temp-file fetch → extension dispatch (ref the
+    # reference's requests-based remote reads, meza/io.py:278-301)
+    import http.server
+    import threading
+
+    _write(tmp_path, "remote.csv", "a,b\n1,2\n3,4\n")
+    handler = lambda *args: http.server.SimpleHTTPRequestHandler(  # noqa: E731
+        *args, directory=str(tmp_path))
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/remote.csv"
+        df = mio.read(spark, url)
+        assert df.columns == ["a", "b"] and df.count() == 2
+    finally:
+        srv.shutdown()
+
+
 def test_read_dispatch_and_io_join(spark, tmp_path):
     a = _write(tmp_path, "a.csv", "x,y\n1,2\n")
     b = _write(tmp_path, "b.csv", "y,z\n3,4\n")
