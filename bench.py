@@ -29,6 +29,9 @@ HEADLINE = [
     "cast_decimal", "flatten_props", "string_funcs", "join_salted",
     "agg_salted", "udaf_range", "group_collect", "type_predicates",
     "infer_types_orders",
+    # round-2 operators
+    "dedup_near_e2e", "llm_repetition", "sample_hash", "pack_shards",
+    "unique_bufsize", "slice_orders",
 ]
 
 

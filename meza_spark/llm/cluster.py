@@ -49,8 +49,13 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         F.struct(b.alias("s"), a.alias("d")))).alias("e"))
         .select("e.s", "e.d").distinct())
     edges = edges.localCheckpoint()
-    labels = (edges.select(F.col("s").alias("v")).distinct()
-              .select("v", F.col("v").alias("label"))
+    # init folds the first propagation in: label₀(v) = min(v, min
+    # neighbor) — the groupBy doubles as the distinct-vertices pass
+    # (every vertex appears as `s` in the symmetrized edge list), and
+    # near-clique duplicate clusters converge on the very next round
+    labels = (edges.groupBy("s").agg(F.min("d").alias("_nd"))
+              .select(F.col("s").alias("v"),
+                      F.least("s", "_nd").alias("label"))
               .localCheckpoint())
     _sum = lambda df: df.agg(  # noqa: E731
         F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
@@ -67,14 +72,18 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                                on="v", how="left")
                    .select("v", F.least(
                        "label", F.coalesce("nl", "label")).alias("label")))
-        # pointer jumping: every label value is itself a vertex id, so
-        # label(label(v)) is defined; chasing it halves chain depth
-        lbl2 = stepped.select(F.col("v").alias("_lv"),
-                              F.col("label").alias("_ll"))
-        labels = (stepped.join(lbl2, stepped["label"] == F.col("_lv"),
-                               "left")
-                  .select("v", F.coalesce("_ll", "label").alias("label"))
-                  .localCheckpoint())
+        # pointer jumping ×3: every label value is itself a vertex id,
+        # so label(label(v)) is defined; each chase halves chain depth
+        # in the label forest. Three chases per round are label-side
+        # joins only (tiny vs the edge join) and compress paths ~8× —
+        # long-chain graphs converge in ~log₈(diameter) edge rounds
+        for _j in range(3):
+            lbl2 = stepped.select(F.col("v").alias("_lv"),
+                                  F.col("label").alias("_ll"))
+            stepped = (stepped.join(
+                lbl2, stepped["label"] == F.col("_lv"), "left")
+                .select("v", F.coalesce("_ll", "label").alias("label")))
+        labels = stepped.localCheckpoint()
         cur = _sum(labels)
         if cur == prev:
             break
