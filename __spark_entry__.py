@@ -335,6 +335,88 @@ def llm_repetition(spark, sf_dir):
         F.col("max_word_count").cast("bigint").alias("max_word_count"))
 
 
+def llm_c4_flags(spark, sf_dir):
+    """C4-style quality filters (terminal-punctuation line fraction,
+    short-line fraction, lorem-ipsum / curly-brace markers, composite
+    keep verdict) — row-local codegen'd expressions."""
+    d = tx.c4_quality_flags(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.round("term_punct_line_frac", 6).alias("term_punct_line_frac"),
+        F.round("short_line_frac", 6).alias("short_line_frac"),
+        "has_lorem_ipsum", "has_curly_brace", "c4_keep")
+
+
+def llm_pii_scrub(spark, sf_dir):
+    """PII redaction: synthesize a contact blob from customer fields
+    (phone shape derived from the key — testdata has no c_phone), scrub
+    emails/IPs/phones/card numbers to typed tokens via chained JVM
+    regexp_replace."""
+    c = _t(spark, sf_dir, "customer")
+    phone = F.concat(
+        F.lit("555-"),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"))
+    blob = F.concat(F.lit("reach user"), F.col("c_custkey"),
+                    F.lit("@example.com or "), phone,
+                    F.lit(" ip 10.0."), F.col("c_custkey") % 256,
+                    F.lit(".17 card 4111111111111111 ok"))
+    d = c.select("c_custkey", blob.alias("contact"))
+    return tx.scrub_pii(d, text_col="contact")
+
+
+def dedup_lines_corpus(spark, sf_dir):
+    """Corpus-level duplicate-line removal (CCNet-style): drop lines
+    whose normalized form repeats across documents; rebuild docs."""
+    kept = du.dedup_lines(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        min_count=2)
+    return kept.select("doc_id", "text")
+
+
+def sample_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by md5 band — split
+    never changes under growth/repartition (no randomSplit)."""
+    from meza_spark.llm.sampling import split_train_val
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return split_train_val(d, "doc_id", val_fraction=0.125,
+                           test_fraction=0.125, seed=7)
+
+
+def shuffle_rank(spark, sf_dir):
+    """Deterministic global shuffle: rank by md5(id) via one
+    range-partitioned sort + two-pass partition offsets."""
+    from meza_spark.llm.sampling import global_shuffle
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return global_shuffle(d, "doc_id", seed=3)
+
+
+def embed_normalize(spark, sf_dir):
+    """L2-normalize embeddings; unit vectors returned rounded (6dp)
+    for cross-engine float determinism."""
+    from meza_spark.llm.similarity import normalize_embeddings
+
+    d = normalize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return d.select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x, 6)).alias("unit"))
+
+
+def embed_cosine_join(spark, sf_dir):
+    """Two-corpus similarity join (contamination-scan shape): even
+    vec_ids vs odd vec_ids, exact within shared label blocks."""
+    from meza_spark.llm.similarity import cosine_join
+
+    e = _t(spark, sf_dir, "embeddings")
+    left = e.filter(F.col("vec_id") % 2 == 0)
+    right = e.filter(F.col("vec_id") % 2 == 1)
+    out = cosine_join(left, right, threshold=0.3, block_on="label")
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
 def dedup_exact(spark, sf_dir):
     return du.exact_dedup(_t(spark, sf_dir, "documents"))
 
@@ -754,6 +836,96 @@ def json_roundtrip(spark, sf_dir):
                                            "n_regionkey")
 
 
+def _rt_path(sf_dir: str, ext: str) -> str:
+    return f"/tmp/meza_rt_{os.path.basename(sf_dir.rstrip('/'))}.{ext}"
+
+
+def tsv_roundtrip(spark, sf_dir):
+    """nation → records2tsv → read_tsv (excel-tab dialect,
+    ref: meza/io.py:853-893); all-string CSV-family contract."""
+    from meza_spark.io.readers import read_tsv
+    from meza_spark.io.writers import records2tsv
+
+    path = _rt_path(sf_dir, "tsv")
+    records2tsv(_t(spark, sf_dir, "nation"), path)
+    return read_tsv(spark, path)
+
+
+def fixed_roundtrip(spark, sf_dir):
+    """nation → records2fixed → read_fixed_fmt (ref: meza/io.py:896-960);
+    substring slicing is JVM-side, values trim-normalized strings."""
+    from meza_spark.io.readers import read_fixed_fmt
+    from meza_spark.io.writers import records2fixed
+
+    path = _rt_path(sf_dir, "fixed.txt")
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    col_widths = [14, 28, 12]
+    records2fixed(nat, path, widths=col_widths)
+    starts = [0, 14, 42]
+    return read_fixed_fmt(spark, path, widths=starts, has_header=True)
+
+
+def html_roundtrip(spark, sf_dir):
+    """nation → records2html → read_html (th-header detection,
+    ref: meza/io.py:1333-1431); cells are strings."""
+    from meza_spark.io.readers import read_html
+    from meza_spark.io.writers import records2html
+
+    path = _rt_path(sf_dir, "html")
+    records2html(_t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"), path)
+    return read_html(spark, path)
+
+
+def xlsx_roundtrip(spark, sf_dir):
+    """nation → records2xlsx (stdlib zip+XML) → read_xls
+    (ref: meza/io.py:1033-1118); numeric cells survive as ints."""
+    from meza_spark.io.readers import read_xls
+    from meza_spark.io.writers import records2xlsx
+
+    path = _rt_path(sf_dir, "xlsx")
+    records2xlsx(_t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"), path)
+    return read_xls(spark, path)
+
+
+def dbf_roundtrip(spark, sf_dir):
+    """nation → records2dbf (dBase III spec) → read_dbf
+    (ref: meza/io.py:677-722); N fields back to ints, C to strings."""
+    from meza_spark.io.readers import read_dbf
+    from meza_spark.io.writers import records2dbf
+
+    path = _rt_path(sf_dir, "dbf")
+    records2dbf(_t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"), path)
+    return read_dbf(spark, path)
+
+
+def sqlite_roundtrip(spark, sf_dir):
+    """nation → records2sqlite → read_sqlite (ref: meza/io.py:725-760);
+    INTEGER/TEXT affinity preserves types end-to-end."""
+    from meza_spark.io.readers import read_sqlite
+    from meza_spark.io.writers import records2sqlite
+
+    path = _rt_path(sf_dir, "sqlite")
+    records2sqlite(_t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"), path, table="nation")
+    return read_sqlite(spark, path, table="nation")
+
+
+def yaml_roundtrip(spark, sf_dir):
+    """nation → records2yaml → read_yaml (ref: meza/io.py:1254-1287);
+    PyYAML scalars keep python types."""
+    from meza_spark.io.readers import read_yaml
+    from meza_spark.io.writers import records2yaml
+
+    path = _rt_path(sf_dir, "yaml")
+    records2yaml(_t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"), path)
+    return read_yaml(spark, path)
+
+
 def type_predicates(spark, sf_dir):
     """meza's currency-aware type predicates as JVM Column exprs
     (ref: meza/fntools.py:454-586): '$12.50' numeric, '0123' NOT
@@ -1001,6 +1173,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_langid": llm_langid,
         "llm_fingerprint": llm_fingerprint,
         "llm_repetition": llm_repetition,
+        "llm_c4_flags": llm_c4_flags,
+        "llm_pii_scrub": llm_pii_scrub,
+        "dedup_lines_corpus": dedup_lines_corpus,
+        "sample_split": sample_split,
+        "shuffle_rank": shuffle_rank,
+        "embed_normalize": embed_normalize,
+        "embed_cosine_join": embed_cosine_join,
         "sample_hash": sample_hash,
         "sample_stratified": sample_stratified,
         "pack_shards": pack_shards_q,
@@ -1045,6 +1224,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infer_types_orders": infer_types_orders,
         "csv_roundtrip": csv_roundtrip,
         "json_roundtrip": json_roundtrip,
+        "tsv_roundtrip": tsv_roundtrip,
+        "fixed_roundtrip": fixed_roundtrip,
+        "html_roundtrip": html_roundtrip,
+        "xlsx_roundtrip": xlsx_roundtrip,
+        "dbf_roundtrip": dbf_roundtrip,
+        "sqlite_roundtrip": sqlite_roundtrip,
+        "yaml_roundtrip": yaml_roundtrip,
         "type_predicates": type_predicates,
         "stream_sliding_static": stream_sliding_static,
         "merge_union": merge_union,
@@ -1286,6 +1472,112 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source FROM documents
             WHERE md5(CAST(doc_id AS VARCHAR) || '#1')
                   < '4000000000000000'
+        """,
+        "llm_c4_flags": r"""
+            SELECT doc_id,
+                   round(CASE WHEN nl > 0
+                         THEN CAST(endp AS DOUBLE) / nl ELSE 0.0 END, 6)
+                     AS term_punct_line_frac,
+                   round(CASE WHEN nl > 0
+                         THEN CAST(shortl AS DOUBLE) / nl ELSE 0.0 END, 6)
+                     AS short_line_frac,
+                   lorem AS has_lorem_ipsum,
+                   curly AS has_curly_brace,
+                   ((nl >= 5 OR (CASE WHEN nl > 0
+                      THEN CAST(endp AS DOUBLE) / nl ELSE 0.0 END) >= 0.6)
+                    AND NOT lorem AND NOT curly) AS c4_keep
+            FROM (
+              SELECT doc_id,
+                len(list_filter(string_split(text, chr(10)),
+                    x -> trim(x) <> '')) AS nl,
+                len(list_filter(string_split(text, chr(10)),
+                    x -> trim(x) <> ''
+                         AND regexp_matches(trim(x), '[.!?"]$'))) AS endp,
+                len(list_filter(string_split(text, chr(10)),
+                    x -> trim(x) <> ''
+                         AND len(regexp_split_to_array(trim(x), '\s+')) < 3))
+                  AS shortl,
+                contains(lower(text), 'lorem ipsum') AS lorem,
+                contains(text, '{') AS curly
+              FROM documents)
+        """,
+        "llm_pii_scrub": r"""
+            SELECT c_custkey,
+                   regexp_replace(regexp_replace(regexp_replace(
+                     regexp_replace(
+                       'reach user' || CAST(c_custkey AS VARCHAR)
+                       || '@example.com or 555-'
+                       || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+                       || '-'
+                       || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                       || ' ip 10.0.' || CAST(c_custkey % 256 AS VARCHAR)
+                       || '.17 card 4111111111111111 ok',
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                     '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+                     '\b\d{13,19}\b', '<CARD>', 'g') AS contact
+            FROM customer
+        """,
+        "dedup_lines_corpus": """
+            WITH l AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     unnest(range(1, len(string_split(text, chr(10))) + 1))
+                       AS i
+              FROM documents),
+            freq AS (
+              SELECT lower(trim(line)) AS norm
+              FROM l WHERE trim(line) <> ''
+              GROUP BY 1 HAVING count(*) >= 2)
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY i) AS text
+            FROM l LEFT JOIN freq ON lower(trim(l.line)) = freq.norm
+            WHERE freq.norm IS NULL
+            GROUP BY doc_id
+        """,
+        "sample_split": """
+            SELECT doc_id, lang,
+                   CASE WHEN md5(CAST(doc_id AS VARCHAR) || '#7')
+                             < '2000000000000000' THEN 'val'
+                        WHEN md5(CAST(doc_id AS VARCHAR) || '#7')
+                             < '4000000000000000' THEN 'test'
+                        ELSE 'train' END AS split
+            FROM documents
+        """,
+        "shuffle_rank": """
+            SELECT doc_id,
+                   row_number() OVER (
+                     ORDER BY md5(CAST(doc_id AS VARCHAR) || '#3')) - 1
+                     AS shuffle_rank
+            FROM documents
+        """,
+        "embed_normalize": """
+            SELECT vec_id,
+                   CASE WHEN n > 0
+                        THEN list_transform(v, x -> round(x / n, 6))
+                        ELSE v END AS unit
+            FROM (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                     sqrt(list_sum(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+              FROM embeddings)
+        """,
+        "embed_cosine_join": """
+            SELECT id_a, id_b, round(c, 4) AS cosine FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(
+                       list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+                       (sqrt(list_sum(list_transform(a.embedding,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                        sqrt(list_sum(list_transform(b.embedding,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS c
+              FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND a.vec_id % 2 = 0
+                   AND b.vec_id % 2 = 1)
+            WHERE c >= 0.3
         """,
         "sample_stratified": """
             SELECT doc_id, source FROM documents
@@ -1667,6 +1959,36 @@ def oracle_sql() -> dict[str, str]:
             FROM nation
         """,
         "json_roundtrip": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
+        """,
+        "tsv_roundtrip": """
+            SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
+                   n_name,
+                   CAST(n_regionkey AS VARCHAR) AS n_regionkey
+            FROM nation
+        """,
+        "fixed_roundtrip": """
+            SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
+                   n_name,
+                   CAST(n_regionkey AS VARCHAR) AS n_regionkey
+            FROM nation
+        """,
+        "html_roundtrip": """
+            SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
+                   n_name,
+                   CAST(n_regionkey AS VARCHAR) AS n_regionkey
+            FROM nation
+        """,
+        "xlsx_roundtrip": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
+        """,
+        "dbf_roundtrip": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
+        """,
+        "sqlite_roundtrip": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
+        """,
+        "yaml_roundtrip": """
             SELECT n_nationkey, n_name, n_regionkey FROM nation
         """,
         "type_predicates": """

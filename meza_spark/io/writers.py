@@ -15,7 +15,9 @@ import shutil
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["records2csv", "records2json", "records2geojson", "write",
+__all__ = ["records2csv", "records2tsv", "records2json", "records2geojson",
+           "records2fixed", "records2html", "records2xlsx", "records2dbf",
+           "records2sqlite", "records2yaml", "write",
            "write_bucketed",
            "hash_file"]
 
@@ -206,3 +208,263 @@ def write_bucketed(df: DataFrame, table: str, bucket_by: str | list[str],
         sb = [sort_by] if isinstance(sort_by, str) else list(sort_by)
         w = w.sortBy(*sb)
     w.saveAsTable(table)
+
+
+# ---------------------------------------------------------------------------
+# single-artifact sinks (meza-parity formats)
+#
+# TSV/fixed-width/HTML/XLSX/DBF/SQLite/YAML are one-file formats the
+# reference can read (meza/io.py read_* family); meza itself only ever
+# WRITES csv/json/geojson (meza/convert.py), so these sinks close the
+# round-trip the reference leaves open.  They are driver-side streamed
+# writers by design: the formats are non-splittable single artifacts
+# (config tables, exports), so the scalable path for big data remains
+# ``write()`` (parquet/csv/json); every function below streams
+# ``toLocalIterator()`` so the driver holds ONE partition at a time,
+# never the full result.
+# ---------------------------------------------------------------------------
+
+def _string_rows(df: DataFrame):
+    """Iterate rows with cells normalized to display strings."""
+    for row in df.toLocalIterator():
+        yield ["" if v is None else str(v) for v in row]
+
+
+def records2tsv(df: DataFrame, path: str, header: bool = True,
+                single_file: bool = False, **options) -> None:
+    """DataFrame → TSV (ref: meza/io.py:853-893 excel-tab dialect)."""
+    options.setdefault("delimiter", "\t")
+    records2csv(df, path, header=header, single_file=single_file, **options)
+
+
+def records2fixed(df: DataFrame, path: str,
+                  widths: "list[int] | None" = None,
+                  header: bool = True) -> None:
+    """DataFrame → fixed-width text (inverse of read_fixed_fmt,
+    ref: meza/io.py:896-960).
+
+    Column widths default to the observed max display width — computed
+    DISTRIBUTED as one ``max(length(...))`` aggregate, not by scanning
+    rows on the driver. Cells are left-aligned space-padded, matching
+    the reference's ``zip_longest`` slicing contract (read back with
+    ``widths=[0, w0, w0+w1, ...]`` start offsets).
+    """
+    cols = df.columns
+    sdf = df.select([F.coalesce(F.col(c).cast("string"), F.lit(""))
+                     .alias(c) for c in cols])
+    if widths is None:
+        maxes = sdf.agg(*[F.max(F.length(c)).alias(c) for c in cols]) \
+            .collect()[0]
+        widths = [max(int(maxes[c] or 0), len(c) if header else 0) + 1
+                  for c in cols]
+    with open(path, "w", encoding="utf-8") as f:
+        if header:
+            f.write("".join(c.ljust(w) for c, w in zip(cols, widths))
+                    .rstrip() + "\n")
+        for cells in _string_rows(sdf):
+            f.write("".join(v.ljust(w) for v, w in zip(cells, widths))
+                    .rstrip() + "\n")
+
+
+def records2html(df: DataFrame, path: str, table_attrs: str = "") -> None:
+    """DataFrame → one HTML <table> with a <th> header row (inverse of
+    read_html, ref: meza/io.py:1333-1431)."""
+    from html import escape
+
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("<!DOCTYPE html><html><body><table%s>\n"
+                % ((" " + table_attrs) if table_attrs else ""))
+        f.write("<tr>" + "".join(f"<th>{escape(c)}</th>"
+                                 for c in df.columns) + "</tr>\n")
+        for cells in _string_rows(df):
+            f.write("<tr>" + "".join(f"<td>{escape(v)}</td>"
+                                     for v in cells) + "</tr>\n")
+        f.write("</table></body></html>\n")
+
+
+def records2xlsx(df: DataFrame, path: str) -> None:
+    """DataFrame → minimal spec-conformant .xlsx (inverse of read_xls,
+    ref: meza/io.py:1033-1118): stdlib zipfile + worksheet XML, inline
+    strings, numeric cells as <v>. Booleans use the native ``b`` cell
+    type; everything else stringifies."""
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    def cell_xml(ref, v):
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        return (f'<c r="{ref}" t="inlineStr"><is><t>{escape(str(v))}'
+                '</t></is></c>')
+
+    def col_ref(ci):
+        s = ""
+        ci += 1
+        while ci:
+            ci, r = divmod(ci - 1, 26)
+            s = chr(65 + r) + s
+        return s
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    ct = ('<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats'
+          '.org/package/2006/content-types">'
+          '<Default Extension="rels" ContentType="application/vnd.openxml'
+          'formats-package.relationships+xml"/>'
+          '<Default Extension="xml" ContentType="application/xml"/>'
+          '<Override PartName="/xl/workbook.xml" ContentType="application/'
+          'vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+          '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="appl'
+          'ication/vnd.openxmlformats-officedocument.spreadsheetml.workshee'
+          't+xml"/></Types>')
+    rels = ('<?xml version="1.0"?><Relationships xmlns="http://schemas.open'
+            'xmlformats.org/package/2006/relationships"><Relationship Id="r'
+            'Id1" Type="http://schemas.openxmlformats.org/officeDocument/20'
+            '06/relationships/officeDocument" Target="xl/workbook.xml"/>'
+            '</Relationships>')
+    wb = (f'<?xml version="1.0"?><workbook {ns} xmlns:r="http://schemas.ope'
+          'nxmlformats.org/officeDocument/2006/relationships"><sheets><shee'
+          't name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>')
+    wb_rels = ('<?xml version="1.0"?><Relationships xmlns="http://schemas.o'
+               'penxmlformats.org/package/2006/relationships"><Relationship'
+               ' Id="rId1" Type="http://schemas.openxmlformats.org/officeDo'
+               'cument/2006/relationships/worksheet" Target="worksheets/she'
+               'et1.xml"/></Relationships>')
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("_rels/.rels", rels)
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        with z.open("xl/worksheets/sheet1.xml", "w") as sf:
+            sf.write(f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+                     .encode())
+            hdr = "".join(cell_xml(f"{col_ref(ci)}1", c)
+                          for ci, c in enumerate(df.columns))
+            sf.write(f'<row r="1">{hdr}</row>'.encode())
+            ri = 2
+            for row in df.toLocalIterator():
+                cells = "".join(cell_xml(f"{col_ref(ci)}{ri}", v)
+                                for ci, v in enumerate(row))
+                sf.write(f'<row r="{ri}">{cells}</row>'.encode())
+                ri += 1
+            sf.write(b"</sheetData></worksheet>")
+
+
+def records2dbf(df: DataFrame, path: str) -> None:
+    """DataFrame → dBase III .dbf (inverse of read_dbf,
+    ref: meza/io.py:677-722; field descriptors per the public spec).
+
+    Field specs derive from the schema: int/long → N(dec=0),
+    float/double/decimal → N(dec=6), boolean → L, date → D, else
+    C(max observed width). Widths come from one distributed
+    ``max(length)`` aggregate; the record count is patched into the
+    header after the streamed write (single data pass).
+    """
+    import struct
+
+    cols = df.columns
+    specs = []  # (name, type, len, dec)
+    for f_ in df.schema.fields:
+        t = f_.dataType.simpleString()
+        if t in ("tinyint", "smallint", "int", "bigint"):
+            specs.append((f_.name, "N", None, 0))
+        elif t in ("float", "double") or t.startswith("decimal"):
+            specs.append((f_.name, "N", None, 6))
+        elif t == "boolean":
+            specs.append((f_.name, "L", 1, 0))
+        elif t == "date":
+            specs.append((f_.name, "D", 8, 0))
+        else:
+            specs.append((f_.name, "C", None, 0))
+    disp = df.select([
+        (F.date_format(c, "yyyyMMdd") if s[1] == "D" else
+         F.when(F.col(c), "T").otherwise("F") if s[1] == "L" else
+         F.col(c).cast("string")).alias(c)
+        for c, s in zip(cols, specs)])
+    need = [c for c, s in zip(cols, specs) if s[2] is None]
+    if need:
+        maxes = disp.agg(*[F.max(F.length(c)).alias(c) for c in need]) \
+            .collect()[0]
+        specs = [(n, t, ln if ln is not None
+                  else min(max(int(maxes[n] or 1), 1), 254), dec)
+                 for (n, t, ln, dec) in specs]
+    hdr_len = 32 + 32 * len(specs) + 1
+    rec_len = 1 + sum(s[2] for s in specs)
+    n = 0
+    with open(path, "wb") as f:
+        f.write(struct.pack("<BBBBIHH20x", 0x03, 24, 1, 1, 0,
+                            hdr_len, rec_len))
+        for name, ftype, flen, fdec in specs:
+            f.write(struct.pack("<11sc4xBB14x",
+                                name.encode("ascii", "replace")[:11]
+                                .ljust(11, b"\x00"),
+                                ftype.encode(), flen, fdec))
+        f.write(b"\x0d")
+        for row in disp.toLocalIterator():
+            f.write(b" ")
+            for (name, ftype, flen, fdec), val in zip(specs, row):
+                s = "" if val is None else str(val)
+                raw = (s.rjust(flen) if ftype == "N" else s.ljust(flen))
+                f.write(raw.encode("ascii", "replace")[:flen])
+            n += 1
+        f.write(b"\x1a")
+        f.seek(4)
+        f.write(struct.pack("<I", n))
+
+
+def records2sqlite(df: DataFrame, path: str,
+                   table: str = "main_table",
+                   batch_size: int = 10_000) -> None:
+    """DataFrame → SQLite table (inverse of read_sqlite,
+    ref: meza/io.py:725-760), stdlib sqlite3, batched executemany."""
+    import sqlite3
+
+    type_map = {"tinyint": "INTEGER", "smallint": "INTEGER",
+                "int": "INTEGER", "bigint": "INTEGER",
+                "float": "REAL", "double": "REAL", "boolean": "INTEGER"}
+    cols = ", ".join(
+        f'"{f_.name}" {type_map.get(f_.dataType.simpleString(), "TEXT")}'
+        for f_ in df.schema.fields)
+    norm = df.select([
+        F.col(f_.name).cast("long").alias(f_.name)
+        if f_.dataType.simpleString() == "boolean" else
+        F.col(f_.name).cast("string").alias(f_.name)
+        if f_.dataType.simpleString() not in type_map else F.col(f_.name)
+        for f_ in df.schema.fields])
+    con = sqlite3.connect(path)
+    try:
+        con.execute(f'DROP TABLE IF EXISTS "{table}"')
+        con.execute(f'CREATE TABLE "{table}" ({cols})')
+        ph = ", ".join("?" * len(df.columns))
+        batch = []
+        for row in norm.toLocalIterator():
+            batch.append(tuple(row))
+            if len(batch) >= batch_size:
+                con.executemany(f'INSERT INTO "{table}" VALUES ({ph})',
+                                batch)
+                batch = []
+        if batch:
+            con.executemany(f'INSERT INTO "{table}" VALUES ({ph})', batch)
+        con.commit()
+    finally:
+        con.close()
+
+
+def records2yaml(df: DataFrame, path: str) -> None:
+    """DataFrame → YAML list-of-mappings (inverse of read_yaml,
+    ref: meza/io.py:1254-1287). Import-gated on PyYAML; streams one
+    record block at a time."""
+    try:
+        import yaml  # type: ignore
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError("records2yaml requires PyYAML") from e
+
+    cols = df.columns
+    with open(path, "w", encoding="utf-8") as f:
+        for row in df.toLocalIterator():
+            f.write(yaml.safe_dump([{c: row[c] for c in cols}],
+                                   sort_keys=False,
+                                   default_flow_style=False,
+                                   allow_unicode=True))

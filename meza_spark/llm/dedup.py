@@ -23,8 +23,9 @@ from pyspark.sql import functions as F
 from ..util import spread
 from .text import shingles, shingles_from_tokens, tokens
 
-__all__ = ["exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
-           "ngram_jaccard", "simhash", "simhash_pairs"]
+__all__ = ["exact_dedup", "dedup_lines", "minhash_signatures",
+           "minhash_lsh_pairs", "ngram_jaccard", "simhash",
+           "simhash_pairs"]
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -44,6 +45,50 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
         F.col(c) for c in other if c != id_col]).alias("_row"))
     kept = packed.groupBy("_k").agg(F.min("_row").alias("_row"))
     return kept.select([F.col(f"_row.{c}").alias(c) for c in other])
+
+
+def dedup_lines(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", min_count: int = 2,
+                normalize: bool = True) -> DataFrame:
+    """Corpus-level duplicate-LINE removal (the CCNet/RefinedWeb
+    boilerplate scrub): drop every line whose normalized form occurs
+    ``min_count``+ times ACROSS THE WHOLE CORPUS, keep document
+    structure otherwise intact. Headers, nav bars and cookie banners
+    repeat across pages; prose doesn't.
+
+    The reference's closest op is record-level ``unique``
+    (ref: meza/process.py:851-898); this is its sub-record analog for
+    training pipelines.
+
+    Scale shape: two shuffles, both on fixed-width keys —
+      1. line-frequency: explode lines, count by 64-bit ``xxhash64``
+         of the normalized line (never shuffles line text);
+      2. reassembly: collect surviving (idx, line) per doc and rebuild
+         with ``array_sort`` + ``concat_ws`` — grouped by the doc key.
+    Empty/blank lines are structural, not boilerplate: they are never
+    counted and never dropped.
+    """
+    other = [c for c in df.columns if c != text_col]
+    lines = df.select(
+        *other, F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("_idx", "_line"))
+    norm = F.lower(F.trim(F.col("_line"))) if normalize \
+        else F.col("_line")
+    lines = lines.withColumn("_h", F.xxhash64(norm))
+    freq = (lines.filter(F.trim(F.col("_line")) != "")
+            .groupBy("_h").agg(F.count("*").alias("_cnt"))
+            .filter(F.col("_cnt") >= min_count)
+            .select("_h"))
+    # blank lines never enter freq, so the anti-join keeps them; docs
+    # whose every line is boilerplate drop out entirely (pure-nav pages)
+    kept = lines.join(freq, on="_h", how="left_anti")
+    rebuilt = (kept.groupBy(*other)
+               .agg(F.array_sort(F.collect_list(F.struct(
+                   F.col("_idx"), F.col("_line")))).alias("_parts")))
+    return rebuilt.select(
+        *other,
+        F.concat_ws("\n", F.transform(
+            F.col("_parts"), lambda p: p["_line"])).alias(text_col))
 
 
 # ---------------------------------------------------------------------------

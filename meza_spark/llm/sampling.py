@@ -18,7 +18,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_sample", "stratified_hash_sample", "pack_shards"]
+__all__ = ["hash_sample", "stratified_hash_sample", "split_train_val",
+           "global_shuffle", "pack_shards"]
 
 
 def _hex_threshold(fraction: float) -> str:
@@ -65,6 +66,66 @@ def stratified_hash_sample(df: DataFrame, key_col: str, strata_col: str,
     keep = (h < _hex_threshold(default)) if expr is None \
         else expr.otherwise(h < _hex_threshold(default))
     return df.where(keep)
+
+
+def split_train_val(df: DataFrame, key_col: str,
+                    val_fraction: float = 0.01,
+                    test_fraction: float = 0.0,
+                    seed: int = 0, out: str = "split") -> DataFrame:
+    """Deterministic train/val(/test) assignment by hash threshold:
+    ``md5(key || seed)`` partitions the keyspace into contiguous
+    bands — val first, then test, remainder train.
+
+    The contract that matters for training pipelines: a document's
+    split NEVER changes when the corpus grows, shrinks, or is
+    repartitioned (unlike ``randomSplit``), so eval contamination
+    can't creep in between pipeline runs. Row-local CASE, no shuffle.
+    """
+    if val_fraction + test_fraction > 1.0:
+        raise ValueError("val_fraction + test_fraction must be <= 1")
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f"#{seed}")))
+    v_th = _hex_threshold(val_fraction)
+    t_th = _hex_threshold(min(val_fraction + test_fraction, 1.0))
+    expr = F.when(h < v_th, "val")
+    if test_fraction > 0:
+        expr = expr.when(h < t_th, "test")
+    return df.withColumn(out, expr.otherwise("train"))
+
+
+def global_shuffle(df: DataFrame, key_col: str, seed: int = 0,
+                   out: str = "shuffle_rank") -> DataFrame:
+    """Deterministic global shuffle for training order: rank every row
+    by ``md5(key || seed)`` — a reproducible pseudo-random permutation
+    (same order on any engine / cluster size / partition layout),
+    unlike ``df.orderBy(rand())``.
+
+    Scale shape: one range-partitioned distributed sort on a 32-char
+    key (Spark samples boundaries, shuffles once, sorts partitions
+    locally). The emitted 0-based ``out`` rank is a two-pass
+    per-partition offset computation — count per partition, driver
+    cumsum, local row_number — NO single-reducer window.
+    """
+    cols = df.columns
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f"#{seed}")))
+    tagged = (df.withColumn("_hk", h)
+              .repartitionByRange(F.col("_hk"))
+              .sortWithinPartitions("_hk")
+              .withColumn("_pid", F.spark_partition_id())).persist()
+    counts = {r["_pid"]: r["c"] for r in
+              tagged.groupBy("_pid").agg(F.count("*").alias("c"))
+              .collect()}
+    offsets, acc = [], 0
+    for p in sorted(counts):
+        offsets.append((p, acc))
+        acc += counts[p]
+    if not offsets:
+        return df.withColumn(out, F.lit(0).cast("bigint"))
+    off = df.sparkSession.createDataFrame(offsets, "_pid int, _off long")
+    local = F.row_number().over(
+        Window.partitionBy("_pid").orderBy("_hk")) - 1
+    return (tagged.join(F.broadcast(off), on="_pid")
+            .withColumn(out, (F.col("_off") + local).cast("bigint"))
+            .select(*cols, out))
 
 
 def pack_shards(df: DataFrame, weight_col: str, budget: int,

@@ -22,7 +22,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["cosine_topk", "lsh_ann_topk", "ivf_ann_topk",
-           "embedding_near_dupes", "cosine_sim"]
+           "embedding_near_dupes", "cosine_join",
+           "normalize_embeddings", "cosine_sim"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -156,6 +157,76 @@ def embedding_near_dupes(df: DataFrame, vec_col: str = "embedding",
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack([np.asarray(x, dtype=np.float64) for x in a])
+        B = np.stack([np.asarray(x, dtype=np.float64) for x in b])
+        dot = np.cumsum(A * B, axis=1)[:, -1]
+        na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+        nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
+        return pd.Series(dot / (na * nb))
+
+    sim = cos(F.col("va"), F.col("vb"))
+    return pairs.select("id_a", "id_b", F.round(sim, 6).alias("cosine")) \
+                .where(F.col("cosine") >= threshold)
+
+
+def normalize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                         out: str | None = None) -> DataFrame:
+    """L2-normalize an embedding column (unit vectors make cosine a
+    plain dot product downstream). Row-local array transform in
+    double; zero vectors pass through unchanged rather than NaN."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    n = _norm(v)
+    unit = F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
+    return df.withColumn(out or vec_col, unit)
+
+
+def cosine_join(left: DataFrame, right: DataFrame,
+                threshold: float = 0.9,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                block_on: str | None = None,
+                n_planes: int = 8, seed: int = 42,
+                max_bucket: int | None = 10_000) -> DataFrame:
+    """Two-table similarity join: all (left, right) pairs with cosine
+    ≥ ``threshold`` — the cross-corpus linkage op (eval-contamination
+    scans, corpus-vs-corpus overlap audits).
+
+    Same scale shape as :func:`embedding_near_dupes` but A×B instead
+    of self: both sides bucket on the SAME hyperplanes (or a shared
+    ``block_on`` column — exact within blocks, deterministic), the
+    bucket join carries ids only, vectors re-attach to the candidate
+    set, and a vectorized numpy kernel rescores. ``max_bucket`` drops
+    buckets whose LEFT-side size exceeds the cap (hot-bucket guard).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if block_on is not None:
+        lb = F.col(block_on)
+        rb = F.col(block_on)
+    else:
+        planes = _hyperplanes(_dim_of(left, vec_col), n_planes, seed)
+        lb = _bucket_key(F.col(vec_col), planes)
+        rb = _bucket_key(F.col(vec_col), planes)
+    lk = left.select(F.col(id_col).alias("id_a"), lb.alias("_bucket"))
+    rk = right.select(F.col(id_col).alias("id_b"), rb.alias("_bucket"))
+    if max_bucket is not None:
+        from pyspark.sql import Window
+        cnt = F.count("*").over(Window.partitionBy("_bucket"))
+        lk = lk.withColumn("_c", cnt).where(F.col("_c") <= max_bucket) \
+               .drop("_c")
+    cand = (lk.join(rk, on="_bucket")
+            .select("id_a", "id_b").dropDuplicates(["id_a", "id_b"]))
+    va = left.select(F.col(id_col).alias("id_a"),
+                     F.col(vec_col).alias("va"))
+    vb = right.select(F.col(id_col).alias("id_b"),
+                      F.col(vec_col).alias("vb"))
+    pairs = cand.join(va, on="id_a").join(vb, on="id_b")
 
     @pandas_udf("double")
     def cos(a: pd.Series, b: pd.Series) -> pd.Series:

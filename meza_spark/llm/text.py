@@ -12,7 +12,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["token_count", "quality_score", "lang_id", "fingerprint",
-           "repetition_signals", "shingles", "tokens"]
+           "repetition_signals", "c4_quality_flags", "scrub_pii",
+           "shingles", "tokens"]
 
 # Tiny per-language stopword marker sets for the n-gram/stopword
 # language-ID heuristic. Deterministic scoring, not a trained model.
@@ -144,6 +145,71 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (df.withColumn("dup_line_frac", dup_line)
             .withColumn("dup_word_frac", dup_word)
             .withColumn("max_word_count", max_word))
+
+
+def c4_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style document filters (Raffel et al. 2020 §2.2, public):
+    the cleanup pass the original C4 corpus applied to Common Crawl,
+    as boolean/ratio columns so the caller picks thresholds.
+
+      - ``term_punct_line_frac``: fraction of non-blank lines ending
+        in terminal punctuation (``. ! ? "``) — C4 keeps only lines
+        that do; prose scores ~1, nav/menus ~0
+      - ``short_line_frac``: fraction of non-blank lines under 3 words
+        (C4 drops lines < 3 words)
+      - ``has_lorem_ipsum``: placeholder-text marker
+      - ``has_curly_brace``: ``{`` present — C4's code/JS detector
+      - ``c4_keep``: the composite C4 verdict with its published
+        defaults (≥3 sentences proxy: ≥5 non-blank lines OR
+        term_punct_line_frac ≥ 0.6; no lorem ipsum; no curly brace)
+
+    Row-local splits and ratios only: codegen'd, shuffle-free, and
+    every ratio is one IEEE division of two ints (oracle-exact).
+    """
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, r"\n"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    endp = F.size(F.filter(
+        lines, lambda x: F.trim(x).rlike('[.!?"]$')))
+    shortl = F.size(F.filter(
+        lines, lambda x: F.size(F.split(F.trim(x), _WS)) < 3))
+    term_frac = F.when(n_lines > 0,
+                       endp.cast("double") / n_lines).otherwise(0.0)
+    short_frac = F.when(n_lines > 0,
+                        shortl.cast("double") / n_lines).otherwise(0.0)
+    lorem = F.lower(t).contains("lorem ipsum")
+    curly = t.contains("{")
+    keep = ((n_lines >= 5) | (term_frac >= 0.6)) & ~lorem & ~curly
+    return (df.withColumn("term_punct_line_frac", term_frac)
+            .withColumn("short_line_frac", short_frac)
+            .withColumn("has_lorem_ipsum", lorem)
+            .withColumn("has_curly_brace", curly)
+            .withColumn("c4_keep", keep))
+
+
+# PII patterns restricted to syntax valid in BOTH Java regex (Spark)
+# and RE2 (DuckDB) so the differential oracle can mirror them exactly:
+# no backreferences, no lookaround.
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b\d{13,19}\b", "<CARD>"),
+]
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text",
+              out: str | None = None) -> DataFrame:
+    """Replace emails / IPv4s / US-style phone numbers / long digit
+    runs (card-shaped) with typed placeholder tokens — the standard
+    pre-training redaction pass. Pattern order matters (IP before
+    phone before card, so digit runs are claimed most-specific-first);
+    all four are chained ``regexp_replace`` JVM expressions.
+    """
+    c = F.col(text_col)
+    for pat, tok in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tok)
+    return df.withColumn(out or text_col, c)
 
 
 def fingerprint(df: DataFrame, text_col: str = "text",

@@ -47,6 +47,16 @@ def get_spark(
         master = f"local[{cpus}]" if cpus else "local[*]"
 
     builder = SparkSession.builder.appName(app_name).master(master)
+    # Local mode runs driver + all executor threads in ONE JVM whose
+    # default heap is 1 GiB — 32 task slots starve and iterative
+    # checkpoints OOM. Size the heap to the machine (env-overridable);
+    # on a real cluster spark-submit's --driver-memory/--executor-memory
+    # take precedence over this launch-time conf.
+    if master.startswith("local"):
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        builder = builder.config("spark.driver.maxResultSize", "4g")
     for k, v in _DEFAULTS.items():
         builder = builder.config(k, v)
     if shuffle_partitions is None:

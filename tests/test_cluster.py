@@ -70,3 +70,48 @@ def test_near_dedup_unknown_method(spark):
     df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         near_dedup(df, method="nope")
+
+
+def test_cosine_join_matches_bruteforce(spark):
+    from meza_spark.llm.similarity import cosine_join, cosine_sim
+    from pyspark.sql import functions as F
+
+    import random
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)], i % 3)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    left = df.filter(F.col("vec_id") % 2 == 0)
+    right = df.filter(F.col("vec_id") % 2 == 1)
+    got = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in cosine_join(left, right, threshold=0.5,
+                                block_on="label").collect()}
+    l = left.select(F.col("vec_id").alias("id_a"),
+                    F.col("embedding").alias("va"),
+                    F.col("label").alias("la"))
+    r_ = right.select(F.col("vec_id").alias("id_b"),
+                      F.col("embedding").alias("vb"),
+                      F.col("label").alias("lb"))
+    brute = (l.join(r_, F.col("la") == F.col("lb"))
+             .select("id_a", "id_b",
+                     F.round(cosine_sim(F.col("va"), F.col("vb")), 6)
+                     .alias("c"))
+             .where(F.col("c") >= 0.5))
+    want = {(r["id_a"], r["id_b"]): r["c"] for r in brute.collect()}
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_normalize_embeddings_unit_norm(spark):
+    from meza_spark.llm.similarity import normalize_embeddings
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["embedding"]
+           for r in normalize_embeddings(df).collect()}
+    assert abs(out[1][0] - 0.6) < 1e-12 and abs(out[1][1] - 0.8) < 1e-12
+    assert out[2] == [0.0, 0.0]          # zero vector passes through
+    assert out[3] == [1.0, 0.0]

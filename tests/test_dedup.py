@@ -63,3 +63,23 @@ def test_simhash_hot_bucket_is_dropped(spark):
     pairs = simhash_pairs(docs, max_hamming=3, max_bucket=10)
     assert _pairs_set(pairs) == set()
     assert pairs._dropped_buckets.count() == 4  # all 4 chunks oversized
+
+
+def test_dedup_lines_corpus_level(spark):
+    from meza_spark.llm.dedup import dedup_lines
+
+    rows = [
+        (1, "COOKIE BANNER\nreal prose one\n\nfooter nav"),
+        (2, "cookie banner\nreal prose two\nfooter nav"),
+        (3, "unique document three"),
+        (4, "FOOTER NAV"),                 # all-boilerplate doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r["text"]
+           for r in dedup_lines(df, min_count=2).collect()}
+    # repeated lines removed case-insensitively; blank lines kept
+    assert got[1] == "real prose one\n"
+    assert got[2] == "real prose two"
+    assert got[3] == "unique document three"
+    # pure-boilerplate doc drops out entirely
+    assert 4 not in got

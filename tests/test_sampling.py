@@ -50,3 +50,38 @@ def test_pack_shards_budget(spark):
     assert [r["shard_id"] for r in rows] == [i // 10 for i in range(100)]
     sums = out.groupBy("shard_id").agg(F.sum("w").alias("s")).collect()
     assert all(r["s"] == 100 for r in sums)
+
+
+def test_split_train_val_deterministic(spark):
+    from meza_spark.llm.sampling import split_train_val
+
+    df = spark.range(1, 2001).select(F.col("id").alias("k"))
+    out = {r["k"]: r["split"]
+           for r in split_train_val(df, "k", val_fraction=0.1,
+                                    test_fraction=0.1, seed=5).collect()}
+    n_val = sum(1 for v in out.values() if v == "val")
+    n_test = sum(1 for v in out.values() if v == "test")
+    assert 120 < n_val < 280 and 120 < n_test < 280
+    # invariance: a grown, repartitioned corpus assigns the same splits
+    big = spark.range(1, 4001).select(F.col("id").alias("k"))
+    out2 = {r["k"]: r["split"]
+            for r in split_train_val(big.repartition(13), "k",
+                                     val_fraction=0.1, test_fraction=0.1,
+                                     seed=5).collect()}
+    assert all(out2[k] == v for k, v in out.items())
+
+
+def test_global_shuffle_is_permutation(spark):
+    from meza_spark.llm.sampling import global_shuffle
+
+    df = spark.range(0, 500).select(F.col("id").alias("k"))
+    out = global_shuffle(df, "k", seed=1).collect()
+    ranks = sorted(r["shuffle_rank"] for r in out)
+    assert ranks == list(range(500))
+    # deterministic under different partitioning
+    out2 = global_shuffle(df.repartition(17), "k", seed=1).collect()
+    m1 = {r["k"]: r["shuffle_rank"] for r in out}
+    m2 = {r["k"]: r["shuffle_rank"] for r in out2}
+    assert m1 == m2
+    # actually shuffled: not identity order
+    assert any(m1[k] != k for k in m1)

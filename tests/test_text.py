@@ -24,3 +24,44 @@ def test_repetition_signals(spark):
     assert got[4]["max_word_count"] == 0
     assert got[5]["dup_word_frac"] == (1.0 - 1.0 / 3.0)
     assert got[5]["max_word_count"] == 3
+
+
+def test_c4_quality_flags(spark):
+    from meza_spark.llm.text import c4_quality_flags
+
+    rows = [
+        (1, 'Good prose here.\nIt continues nicely!\nAnd ends well.'),
+        (2, 'Home\nAbout\nContact'),            # nav menu: no punctuation
+        (3, 'function() { return 1; }'),        # code
+        (4, 'Lorem ipsum dolor sit amet.'),     # placeholder
+        (5, ''),                                # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in c4_quality_flags(df).collect()}
+    assert got[1]["term_punct_line_frac"] == 1.0
+    assert got[1]["c4_keep"] is True
+    assert got[2]["term_punct_line_frac"] == 0.0
+    assert got[2]["short_line_frac"] == 1.0
+    assert got[2]["c4_keep"] is False
+    assert got[3]["has_curly_brace"] is True and got[3]["c4_keep"] is False
+    assert got[4]["has_lorem_ipsum"] is True and got[4]["c4_keep"] is False
+    assert got[5]["term_punct_line_frac"] == 0.0
+
+
+def test_scrub_pii(spark):
+    from meza_spark.llm.text import scrub_pii
+
+    rows = [(1, "mail a.b+c@x-corp.io, ip 192.168.0.1, "
+                "call 555-123-4567, card 4111111111111111 end")]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = scrub_pii(df).collect()[0]["text"]
+    assert out == ("mail <EMAIL>, ip <IP>, call <PHONE>, "
+                   "card <CARD> end")
+
+
+def test_scrub_pii_preserves_short_numbers(spark):
+    from meza_spark.llm.text import scrub_pii
+
+    df = spark.createDataFrame([(1, "year 2024 and zip 90210")],
+                               "id int, text string")
+    assert scrub_pii(df).collect()[0]["text"] == "year 2024 and zip 90210"
