@@ -646,7 +646,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
                    *[pick(F.col(c)).over(w).alias("_m_" + c) for c in carried])
     out = out.where(F.col("_side") == 1)
     if tolerance is not None:
-        gap = (F.col(on).cast("double") - F.col("_m_" + on_r).cast("double"))
+        # TIMESTAMP_NTZ has no direct double cast in Spark 4; go via
+        # timestamp (epoch seconds) for any timestamp-typed `on`
+        def _num(c: Column) -> Column:
+            if ldt[on].startswith("timestamp"):
+                return c.cast("timestamp").cast("double")
+            return c.cast("double")
+
+        gap = _num(F.col(on)) - _num(F.col("_m_" + on_r))
         gap = gap if direction == "backward" else -gap
         ok = gap <= F.lit(float(tolerance))
         out = out.select(
