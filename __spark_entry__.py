@@ -1132,6 +1132,33 @@ def window_dist(spark, sf_dir):
                     F.row_number().over(w).alias("rn"))
 
 
+def sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (30 min) of the event stream — batch
+    twin of the streaming session window; one shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    out = pr.sessionize(ev, "user_id", "ts", gap_seconds=1800,
+                        tiebreak="event_id")
+    return out.select("event_id", "user_id", "session_id")
+
+
+def profile_orders(spark, sf_dir):
+    """Single-scan per-column profile (count/nulls/distinct/min/max/
+    mean) over three orders columns, long form."""
+    from meza_spark.profile import profile
+
+    return profile(_t(spark, sf_dir, "orders"),
+                   ["o_orderkey", "o_totalprice", "o_orderstatus"])
+
+
+def histogram_value(spark, sf_dir):
+    """Fixed-width histogram of events.value, explicit bounds (one
+    scan + nbins-row aggregate), edge-bucket clamping exercised."""
+    from meza_spark.profile import histogram
+
+    return histogram(_t(spark, sf_dir, "events"), "value",
+                     nbins=10, lo=0.0, hi=100.0)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing(spark, SF001)
@@ -1245,7 +1272,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_join_ragged": io_join_ragged,
         "geojson_roundtrip": geojson_roundtrip,
         "window_dist": window_dist,
+        "sessionize_events": sessionize_events,
+        "profile_orders": profile_orders,
+        "histogram_value": histogram_value,
     }
+
+
+def _profile_oracle(num_cols: list[str], str_cols: list[str],
+                    table: str) -> str:
+    """Generate the UNION-ALL differential oracle for ``profile`` —
+    one SELECT per (column, metric), mirroring profile()'s metric set
+    and value_num/value_str routing exactly."""
+    parts = []
+    for c in num_cols:
+        parts += [
+            f"SELECT '{c}' AS \"column\", 'count' AS metric, "
+            f"CAST(COUNT({c}) AS DOUBLE) AS value_num, "
+            f"CAST(NULL AS VARCHAR) AS value_str FROM {table}",
+            f"SELECT '{c}', 'nulls', CAST(SUM(CASE WHEN {c} IS NULL "
+            f"THEN 1 ELSE 0 END) AS DOUBLE), NULL FROM {table}",
+            f"SELECT '{c}', 'distinct', "
+            f"CAST(COUNT(DISTINCT {c}) AS DOUBLE), NULL FROM {table}",
+            f"SELECT '{c}', 'min', CAST(MIN({c}) AS DOUBLE), NULL "
+            f"FROM {table}",
+            f"SELECT '{c}', 'max', CAST(MAX({c}) AS DOUBLE), NULL "
+            f"FROM {table}",
+            f"SELECT '{c}', 'mean', CAST(SUM(CAST({c} AS "
+            f"DECIMAL(38,8))) AS DOUBLE) / COUNT({c}), NULL "
+            f"FROM {table}",
+        ]
+    for c in str_cols:
+        parts += [
+            f"SELECT '{c}', 'count', CAST(COUNT({c}) AS DOUBLE), "
+            f"CAST(NULL AS VARCHAR) FROM {table}",
+            f"SELECT '{c}', 'nulls', CAST(SUM(CASE WHEN {c} IS NULL "
+            f"THEN 1 ELSE 0 END) AS DOUBLE), NULL FROM {table}",
+            f"SELECT '{c}', 'distinct', "
+            f"CAST(COUNT(DISTINCT {c}) AS DOUBLE), NULL FROM {table}",
+            f"SELECT '{c}', 'min', CAST(NULL AS DOUBLE), "
+            f"CAST(MIN({c}) AS VARCHAR) FROM {table}",
+            f"SELECT '{c}', 'max', NULL, CAST(MAX({c}) AS VARCHAR) "
+            f"FROM {table}",
+        ]
+    return " UNION ALL ".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2097,6 +2166,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST((n_nationkey * 7) % 360 - 180 AS DOUBLE) AS lon,
                    CAST((n_regionkey * 13) % 180 - 90 AS DOUBLE) AS lat
             FROM nation
+        """,
+        "sessionize_events": """
+            SELECT event_id, user_id, CAST(session_id AS BIGINT) AS session_id
+            FROM (
+              SELECT event_id, user_id,
+                     SUM(new_sess) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                       THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+              )
+            )
+        """,
+        "profile_orders": _profile_oracle(
+            num_cols=["o_orderkey", "o_totalprice"],
+            str_cols=["o_orderstatus"], table="orders"),
+        "histogram_value": """
+            WITH c AS (
+              SELECT LEAST(GREATEST(CAST(FLOOR(
+                       (CAST(value AS DOUBLE) - 0.0) / 10.0) AS BIGINT),
+                     0), 9) AS bucket
+              FROM events WHERE value IS NOT NULL),
+            agg AS (SELECT bucket, COUNT(*) AS n FROM c GROUP BY bucket)
+            SELECT t.bucket,
+                   CAST(t.bucket * 10.0 AS DOUBLE) AS lo,
+                   CAST((t.bucket + 1) * 10.0 AS DOUBLE) AS hi,
+                   COALESCE(agg.n, 0) AS n
+            FROM range(10) t(bucket) LEFT JOIN agg USING (bucket)
         """,
         # dedup_minhash_lsh, dedup_simhash, embed_ann_lsh: hash-family
         # dependent (xxhash64 / hyperplane seeds) — not SQL-expressible;

@@ -30,6 +30,7 @@ __all__ = [
     "fillempty", "aggregate", "merge", "group", "pivot", "normalize",
     "split", "join", "prepend", "json_recode", "everseen", "topk_per_group",
     "asof_join", "flatten", "slice_rows", "salted_join", "salted_agg",
+    "sessionize",
 ]
 
 
@@ -316,6 +317,45 @@ def everseen(df: DataFrame, field: str, order_by: str, op: str = "min",
               .rowsBetween(Window.unboundedPreceding, 0)
     fn = {"min": F.min, "max": F.max, "sum": F.sum}[op]
     return df.withColumn(f"{field}_everseen", fn(field).over(w))
+
+
+def sessionize(df: DataFrame, key: str | Sequence[str], ts_col: str,
+               gap_seconds: int = 1800,
+               tiebreak: str | Sequence[str] | None = None,
+               session_col: str = "session_id") -> DataFrame:
+    """Gap-based sessionization: number each row's session within its
+    key (beyond-reference batch twin of
+    ``streaming.ops.session_window_agg``; SURVEY §2.8 frames sessions
+    as a streaming concern, but training-data/event pipelines need the
+    batch form too).
+
+    A row starts a new session when it is the key's first event or the
+    gap to the previous event exceeds ``gap_seconds``. Sessions are
+    numbered 1..n per key in event-time order.
+
+    Plan: one shuffle on ``key``; both the ``lag`` and the running
+    ``sum`` ride the SAME per-key window ordering, so Spark evaluates
+    them in a single WindowExec pass — no second sort, no second
+    exchange. Per-key windows scale horizontally; skew only if one key
+    dominates the corpus (then pre-split by day and renumber).
+
+    Pass ``tiebreak`` (e.g. an event id) whenever ``ts_col`` can tie —
+    required for run-to-run determinism under parallel input order.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    tb = ([tiebreak] if isinstance(tiebreak, str) else list(tiebreak or []))
+    w = Window.partitionBy(*keys).orderBy(ts_col, *tb)
+    ts = F.col(ts_col).cast("timestamp").cast("double")
+    prev = F.lag(ts).over(w)
+    new_sess = F.when(
+        prev.isNull() | ((ts - prev) > F.lit(float(gap_seconds))),
+        F.lit(1)).otherwise(F.lit(0))
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    # two withColumns, one WindowExec: same partitioning+ordering, and
+    # window functions can't nest, so the flag materializes first
+    return (df.withColumn("_new_sess", new_sess)
+            .withColumn(session_col, F.sum("_new_sess").over(run))
+            .drop("_new_sess"))
 
 
 def topk_per_group(df: DataFrame, partition_by: Sequence[str],

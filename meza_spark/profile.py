@@ -1,0 +1,114 @@
+"""Single-pass data profiling + histograms.
+
+Beyond-reference: meza's closest facility is ``typetools.guess_type_by_
+value`` sampling (ref: meza/typetools.py:103-141) — it inspects types
+but never summarizes values. A 100 TB training-data pipeline needs a
+cheap "what's in this table" pass before any cleaning decision:
+null rates, cardinalities, ranges, means — per column, in ONE scan.
+
+Scale design:
+  - ``profile`` builds every statistic as a column expression in a
+    single ``agg`` → one scan, partial aggregation map-side, one
+    single-row result; the wide→long unpivot happens on that one row.
+    Exact ``countDistinct`` over many columns expands the aggregate
+    (one Expand pass, still a single scan); pass ``approx=True`` to
+    use HLL sketches instead — at 100 TB that is the right default.
+  - ``histogram`` with explicit bounds is one scan + one tiny shuffle
+    (nbins groups); auto bounds cost one extra min/max scan first.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["profile", "histogram"]
+
+_NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+
+def profile(df: DataFrame, cols: Sequence[str] | None = None,
+            approx: bool = False) -> DataFrame:
+    """Per-column stats in long form: ``(column, metric, value_num,
+    value_str)``, metrics ``count / nulls / distinct / min / max /
+    mean`` (mean for numeric and decimal columns only).
+
+    Numeric min/max/mean land in ``value_num`` (double); string and
+    temporal min/max land in ``value_str``. One aggregation job total.
+    """
+    dtypes = dict(df.dtypes)
+    cols = list(cols) if cols is not None else df.columns
+    aggs, plan = [], []   # plan: (col, metric, is_numeric, agg_alias)
+
+    def _add(col: str, metric: str, expr, numeric: bool):
+        alias = f"{col}__{metric}"
+        aggs.append(expr.alias(alias))
+        plan.append((col, metric, numeric, alias))
+
+    for c in cols:
+        t = dtypes[c]
+        num = t in _NUMERIC or t.startswith("decimal")
+        _add(c, "count", F.count(F.col(c)).cast("double"), True)
+        _add(c, "nulls",
+             F.sum(F.col(c).isNull().cast("long")).cast("double"), True)
+        dexpr = (F.approx_count_distinct(c) if approx
+                 else F.countDistinct(c))
+        _add(c, "distinct", dexpr.cast("double"), True)
+        if num:
+            _add(c, "min", F.min(c).cast("double"), True)
+            _add(c, "max", F.max(c).cast("double"), True)
+            _add(c, "mean",
+                 (F.sum(F.col(c).cast("decimal(38,8)")).cast("double")
+                  / F.count(F.col(c))), True)
+        else:
+            _add(c, "min", F.min(F.col(c).cast("string")), False)
+            _add(c, "max", F.max(F.col(c).cast("string")), False)
+    row = df.agg(*aggs)
+    # unpivot the single row: stack(n, 'col','metric',num,str, ...)
+    parts = []
+    for col, metric, numeric, alias in plan:
+        vn = f"CAST(`{alias}` AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+        vs = "CAST(NULL AS STRING)" if numeric else f"CAST(`{alias}` AS STRING)"
+        parts.append(f"'{col}', '{metric}', {vn}, {vs}")
+    stack = (f"stack({len(plan)}, {', '.join(parts)}) "
+             "AS (`column`, metric, value_num, value_str)")
+    return row.select(F.expr(stack))
+
+
+def histogram(df: DataFrame, col: str, nbins: int = 10,
+              lo: float | None = None,
+              hi: float | None = None) -> DataFrame:
+    """Fixed-width histogram: ``(bucket, lo, hi, n)``, empty buckets
+    included (so the output shape is nbins rows regardless of data).
+
+    With explicit ``lo``/``hi`` this is one scan + an nbins-row
+    aggregate; values outside the range clamp into the edge buckets.
+    Auto bounds (``lo``/``hi`` None) cost one extra min/max scan —
+    fine interactively, pass bounds in production. Empty buckets are
+    restored with a broadcast range join against ``spark.range(nbins)``
+    (metadata-only build side, no shuffle added).
+    """
+    if lo is None or hi is None:
+        b = df.agg(F.min(col), F.max(col)).collect()[0]
+        lo = float(b[0]) if lo is None else lo
+        hi = float(b[1]) if hi is None else hi
+    if hi <= lo:
+        hi = lo + 1.0
+    width = (hi - lo) / nbins
+    bucket = F.least(
+        F.greatest(F.floor((F.col(col).cast("double") - F.lit(lo))
+                           / F.lit(width)), F.lit(0)),
+        F.lit(nbins - 1)).cast("long")
+    counts = (df.where(F.col(col).isNotNull())
+              .select(bucket.alias("bucket"))
+              .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
+    scaffold = (df.sparkSession.range(nbins)
+                .select(F.col("id").alias("bucket")))
+    return (scaffold.join(F.broadcast(counts), "bucket", "left")
+            .select("bucket",
+                    (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("lo"),
+                    (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width))
+                    .alias("hi"),
+                    F.coalesce("n", F.lit(0)).alias("n")))

@@ -1,0 +1,112 @@
+"""Tests for meza_spark.profile (profile/histogram) and
+process.sessionize."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from meza_spark import process as pr
+from meza_spark.profile import histogram, profile
+
+
+def test_sessionize_gap_splits(spark):
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: 3 events inside one session, then a 2h gap
+        (1, 1, t0),
+        (2, 1, t0 + dt.timedelta(minutes=10)),
+        (3, 1, t0 + dt.timedelta(minutes=20)),
+        (4, 1, t0 + dt.timedelta(hours=2, minutes=20)),
+        # user 2: single event
+        (5, 2, t0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    out = pr.sessionize(df, "user_id", "ts", gap_seconds=1800,
+                        tiebreak="event_id")
+    got = {r["event_id"]: r["session_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1}
+
+
+def test_sessionize_boundary_exact_gap_is_same_session(spark):
+    # gap strictly greater than gap_seconds starts a new session;
+    # exactly gap_seconds does not (matches the oracle's `>`)
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, 1, t0), (2, 1, t0 + dt.timedelta(seconds=1800)),
+         (3, 1, t0 + dt.timedelta(seconds=3601))],
+        ["event_id", "user_id", "ts"])
+    out = pr.sessionize(df, "user_id", "ts", gap_seconds=1800,
+                        tiebreak="event_id")
+    got = {r["event_id"]: r["session_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2}
+
+
+def test_sessionize_single_window_pass(spark):
+    # lag + running sum share one (partition, order) → one WindowExec
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame([(1, 1, t0)], ["event_id", "user_id", "ts"])
+    out = pr.sessionize(df, "user_id", "ts", tiebreak="event_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") <= 2  # one WindowExec node (+header line)
+    assert plan.count("Exchange") <= 1
+
+
+def test_profile_metrics(spark):
+    df = spark.createDataFrame(
+        [(1, 2.0, "a"), (2, None, "b"), (3, 4.0, None), (2, 6.0, "a")],
+        ["k", "v", "s"])
+    out = profile(df, ["k", "v", "s"])
+    got = {(r["column"], r["metric"]): (r["value_num"], r["value_str"])
+           for r in out.collect()}
+    assert got[("k", "count")] == (4.0, None)
+    assert got[("k", "distinct")] == (3.0, None)
+    assert got[("k", "nulls")] == (0.0, None)
+    assert got[("k", "mean")] == (2.0, None)
+    assert got[("v", "nulls")] == (1.0, None)
+    assert got[("v", "min")] == (2.0, None)
+    assert got[("v", "max")] == (6.0, None)
+    assert got[("s", "min")] == (None, "a")
+    assert got[("s", "max")] == (None, "b")
+    assert got[("s", "nulls")] == (1.0, None)
+    # 6 metrics per numeric col + 5 per string col
+    assert out.count() == 6 + 6 + 5
+
+
+def test_profile_single_job(spark):
+    # all stats fold into ONE aggregate: the plan has exactly one scan
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("m"))
+    out = profile(df, ["id", "m"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan") <= 1
+
+
+def test_profile_approx_mode(spark):
+    df = spark.range(1000).select((F.col("id") % 50).alias("x"))
+    got = {r["metric"]: r["value_num"]
+           for r in profile(df, approx=True).collect()}
+    assert abs(got["distinct"] - 50) <= 5  # HLL within tolerance
+
+
+def test_histogram_clamps_and_fills(spark):
+    df = spark.createDataFrame(
+        [(float(v),) for v in [-5, 0, 1, 9.99, 10, 55, 99, 150]]
+        + [(None,)], ["x"])
+    out = histogram(df, "x", nbins=10, lo=0.0, hi=100.0)
+    rows = {r["bucket"]: r for r in out.collect()}
+    assert len(rows) == 10                      # empty buckets present
+    assert rows[0]["n"] == 4                    # -5 clamps into 0
+    assert rows[1]["n"] == 1                    # 10 → bucket 1
+    assert rows[9]["n"] == 2                    # 99 and clamped 150
+    assert rows[5]["n"] == 1
+    assert rows[2]["n"] == 0
+    assert rows[0]["lo"] == 0.0 and rows[0]["hi"] == 10.0
+    assert sum(r["n"] for r in rows.values()) == 8  # null dropped
+
+
+def test_histogram_auto_bounds(spark):
+    df = spark.range(10).select(F.col("id").cast("double").alias("x"))
+    out = histogram(df, "x", nbins=3)
+    rows = sorted(out.collect(), key=lambda r: r["bucket"])
+    assert [r["n"] for r in rows] == [3, 3, 4]
+    assert rows[0]["lo"] == 0.0 and rows[2]["hi"] == 9.0
