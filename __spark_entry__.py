@@ -1159,6 +1159,31 @@ def histogram_value(spark, sf_dir):
                      nbins=10, lo=0.0, hi=100.0)
 
 
+def dedup_incremental(spark, sf_dir):
+    """Bloom-gated incremental dedup of a 'new batch' against a 'seen
+    corpus': seen = even doc_ids; new = odd doc_ids plus relabeled
+    copies of some seen texts (guaranteed dups). Bloom pre-filter →
+    exact anti-join on survivors — result is exact, hence oracle-able."""
+    from meza_spark.llm.bloom import dedup_against
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    seen = docs.where(F.col("doc_id") % 2 == 0)
+    copies = (docs.where((F.col("doc_id") % 2 == 0)
+                         & (F.col("doc_id") < 50))
+              .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    new = docs.where(F.col("doc_id") % 2 == 1).unionByName(copies)
+    kept = dedup_against(new, seen, on="text", fpr=0.01)
+    return kept.select("doc_id")
+
+
+def ngram_span_dup(spark, sf_dir):
+    """Exact duplicated-span pairs: docs sharing a verbatim 10-token
+    window (hashed n-gram inverted index, JVM-side hashing)."""
+    pairs = du.ngram_span_pairs(_t(spark, sf_dir, "documents"),
+                                n=10, max_bucket=None)
+    return pairs.select("id_a", "id_b")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing(spark, SF001)
@@ -1275,6 +1300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": sessionize_events,
         "profile_orders": profile_orders,
         "histogram_value": histogram_value,
+        "dedup_incremental": dedup_incremental,
+        "ngram_span_dup": ngram_span_dup,
     }
 
 
@@ -2199,6 +2226,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST((t.bucket + 1) * 10.0 AS DOUBLE) AS hi,
                    COALESCE(agg.n, 0) AS n
             FROM range(10) t(bucket) LEFT JOIN agg USING (bucket)
+        """,
+        "dedup_incremental": """
+            WITH seen AS (SELECT doc_id, text FROM documents
+                          WHERE doc_id % 2 = 0),
+            newb AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents
+              WHERE doc_id % 2 = 0 AND doc_id < 50)
+            SELECT n.doc_id FROM newb n
+            WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.text = n.text)
+        """,
+        "ngram_span_dup": r"""
+            WITH toks AS (SELECT doc_id,
+                                 regexp_split_to_array(trim(text), '\s+') AS t
+                          FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+9], ' ') AS g
+              FROM toks, LATERAL (SELECT UNNEST(range(1, len(t) - 10 + 2)) AS i) u
+              WHERE len(t) >= 10)
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM grams a JOIN grams b
+              ON a.g = b.g AND a.doc_id < b.doc_id
         """,
         # dedup_minhash_lsh, dedup_simhash, embed_ann_lsh: hash-family
         # dependent (xxhash64 / hyperplane seeds) — not SQL-expressible;

@@ -83,3 +83,53 @@ def test_dedup_lines_corpus_level(spark):
     assert got[3] == "unique document three"
     # pure-boilerplate doc drops out entirely
     assert 4 not in got
+
+
+def test_ngram_span_pairs_exact(spark):
+    from meza_spark.llm.dedup import ngram_span_pairs
+
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, f"intro words {shared} closing remarks"),
+        (2, f"other leading text {shared}"),
+        (3, "totally different content with no overlap at all here now"),
+        (4, "short doc"),                       # < n tokens: skipped
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = ngram_span_pairs(docs, n=10)
+    assert _pairs_set(pairs) == {(1, 2)}
+
+
+def test_ngram_span_pairs_no_partial_overlap(spark):
+    from meza_spark.llm.dedup import ngram_span_pairs
+
+    # 9-token shared run < n=10 → NOT a pair
+    run9 = "a b c d e f g h i"
+    docs = spark.createDataFrame(
+        [(1, f"{run9} x1 y1 z1"), (2, f"{run9} x2 y2 z2")],
+        ["doc_id", "text"])
+    assert _pairs_set(ngram_span_pairs(docs, n=10)) == set()
+
+
+def test_ngram_span_hot_gram_capped(spark):
+    from meza_spark.llm.dedup import ngram_span_pairs
+
+    boiler = "this exact legal disclaimer footer appears on every single page"
+    rows = [(i, f"{boiler} plus unique tail {i}") for i in range(30)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = ngram_span_pairs(docs, n=10, max_bucket=10)
+    assert _pairs_set(capped) == set()
+    assert capped._dropped_buckets.count() > 0
+    uncapped = ngram_span_pairs(docs, n=10, max_bucket=None)
+    assert uncapped.count() == 30 * 29 // 2
+
+
+def test_ngram_span_plan_jvm_only(spark):
+    from meza_spark.llm.dedup import ngram_span_pairs
+
+    docs = spark.createDataFrame([(1, "a b c d e f g h i j k")],
+                                 ["doc_id", "text"])
+    plan = (ngram_span_pairs(docs, n=10)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Python" not in plan        # hashing never leaves the JVM
+    assert "BatchEvalPython" not in plan
