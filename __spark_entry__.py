@@ -1184,6 +1184,24 @@ def ngram_span_dup(spark, sf_dir):
     return pairs.select("id_a", "id_b")
 
 
+def embed_centroid_assign(spark, sf_dir):
+    """Nearest-centroid assignment against a fixed 8-vector codebook
+    (vec_id < 8): broadcast argmax, deterministic → exact oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = (emb.where(F.col("vec_id") < 8)
+             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    return sim.nearest_centroid(emb, cents)
+
+
+def embed_kmeans(spark, sf_dir):
+    """Learned k-means topic clusters (bounded-sample fit + broadcast
+    assignment). Centroid-dependent → rows-only check; stability is
+    pinned by seed."""
+    out = sim.kmeans_clusters(_t(spark, sf_dir, "embeddings"), k=8,
+                              fit_sample=10_000)
+    return out.select("vec_id", "centroid_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing(spark, SF001)
@@ -1302,6 +1320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_value": histogram_value,
         "dedup_incremental": dedup_incremental,
         "ngram_span_dup": ngram_span_dup,
+        "embed_centroid_assign": embed_centroid_assign,
+        "embed_kmeans": embed_kmeans,
     }
 
 
@@ -2250,6 +2270,27 @@ def oracle_sql() -> dict[str, str]:
             FROM grams a JOIN grams b
               ON a.g = b.g AND a.doc_id < b.doc_id
         """,
+        "embed_centroid_assign": """
+            WITH cents AS (SELECT vec_id AS cid, embedding AS ce
+                           FROM embeddings WHERE vec_id < 8),
+            scored AS (
+              SELECT e.vec_id, c.cid,
+                     round(
+                       list_sum(list_transform(list_zip(e.embedding, c.ce),
+                                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+                       (sqrt(list_sum(list_transform(e.embedding,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                        sqrt(list_sum(list_transform(c.ce,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS c
+              FROM embeddings e CROSS JOIN cents c)
+            SELECT vec_id, cid AS centroid_id, c AS cosine FROM (
+              SELECT vec_id, cid, c,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY c DESC, cid ASC) AS rn
+              FROM scored) WHERE rn = 1
+        """,
+        # embed_kmeans: learned centroids (MLlib k-means) — seed-pinned
+        # but optimizer-dependent; rows-only check.
         # dedup_minhash_lsh, dedup_simhash, embed_ann_lsh: hash-family
         # dependent (xxhash64 / hyperplane seeds) — not SQL-expressible;
         # approx_distinct: HLL sketch, approximate by design.

@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["cosine_topk", "lsh_ann_topk", "ivf_ann_topk",
            "embedding_near_dupes", "cosine_join",
-           "normalize_embeddings", "cosine_sim"]
+           "normalize_embeddings", "cosine_sim",
+           "nearest_centroid", "kmeans_clusters"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -242,6 +243,65 @@ def cosine_join(left: DataFrame, right: DataFrame,
     sim = cos(F.col("va"), F.col("vb"))
     return pairs.select("id_a", "id_b", F.round(sim, 6).alias("cosine")) \
                 .where(F.col("cosine") >= threshold)
+
+
+def nearest_centroid(df: DataFrame, centroids: DataFrame,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     cent_id_col: str = "centroid_id",
+                     cent_vec_col: str | None = None,
+                     round_digits: int | None = 6) -> DataFrame:
+    """Assign every vector to its most-cosine-similar centroid:
+    ``(id, centroid_id, cosine)`` — the building block of topic
+    bucketing / coarse quantization over a *given* codebook.
+
+    ``centroids`` is a small frame (k rows). Plan: broadcast cross
+    join (no shuffle of the big side) → row-local JVM cosine → argmax
+    per row via ``max(struct(sim, -cid))`` — partial aggregation
+    map-side, so the only exchange is the k-row broadcast. Ties break
+    toward the smallest centroid id (deterministic, and ``round_digits``
+    quantizes the score so cross-engine comparisons agree).
+
+    Scale: cost is O(n·k·d) row-local flops with zero data movement of
+    the corpus — exactly how you want assignment to look at 100 TB.
+    For k beyond a few hundred, switch to ``ivf_ann_topk``-style
+    pre-bucketing instead of widening the broadcast.
+    """
+    cvec = cent_vec_col or vec_col
+    cents = F.broadcast(centroids.select(
+        F.col(cent_id_col).cast("long").alias("_cid"),
+        F.col(cvec).alias("_cvec")))
+    sim = cosine_sim(F.col(vec_col), F.col("_cvec"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (df.crossJoin(cents)
+              .select(F.col(id_col), F.col("_cid"), sim.alias("_sim")))
+    best = (scored.groupBy(id_col)
+            .agg(F.max(F.struct(F.col("_sim").alias("s"),
+                                (-F.col("_cid")).alias("nc"))).alias("b")))
+    return best.select(id_col,
+                       (-F.col("b.nc")).alias(cent_id_col),
+                       F.col("b.s").alias("cosine"))
+
+
+def kmeans_clusters(df: DataFrame, k: int = 8,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    seed: int = 42, fit_sample: int = 100_000,
+                    max_iter: int = 10) -> DataFrame:
+    """Full k-means topic clustering: fit on a bounded sample
+    (``limit`` — no full scan, same policy as IVF), then assign the
+    whole corpus with ``nearest_centroid`` against the learned
+    codebook. Returns ``(id, centroid_id, cosine)``.
+
+    The fit touches ≤ ``fit_sample`` rows; assignment is the
+    broadcast-argmax scan above. Centroid-dependent, hence
+    approximate-by-nature (rows-only oracle)."""
+    km = _fit_kmeans(df, vec_col, k, seed, fit_sample)
+    spark = df.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c])
+         for i, c in enumerate(km.clusterCenters())],
+        f"centroid_id long, {vec_col} array<double>")
+    return nearest_centroid(df, cents, vec_col=vec_col, id_col=id_col)
 
 
 def _dim_of(df: DataFrame, vec_col: str) -> int:

@@ -115,3 +115,47 @@ def test_normalize_embeddings_unit_norm(spark):
     assert abs(out[1][0] - 0.6) < 1e-12 and abs(out[1][1] - 0.8) < 1e-12
     assert out[2] == [0.0, 0.0]          # zero vector passes through
     assert out[3] == [1.0, 0.0]
+
+
+def test_nearest_centroid_assigns_and_tiebreaks(spark):
+    from meza_spark.llm.similarity import nearest_centroid
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id long, embedding array<double>")
+    vecs = spark.createDataFrame(
+        [(10, [2.0, 0.1]),     # → centroid 0
+         (11, [0.1, 3.0]),     # → centroid 1
+         (12, [1.0, 1.0])],    # exact tie → smaller centroid id 0
+        "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: (r["centroid_id"], r["cosine"])
+           for r in nearest_centroid(vecs, cents).collect()}
+    assert got[10][0] == 0 and got[11][0] == 1
+    assert got[12][0] == 0 and abs(got[12][1] - 0.707107) < 1e-6
+
+
+def test_nearest_centroid_plan_broadcast_no_big_shuffle(spark, sf_dir):
+    from meza_spark.llm.similarity import nearest_centroid
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = (emb.where("vec_id < 8")
+             .selectExpr("vec_id AS centroid_id", "embedding"))
+    plan = (nearest_centroid(emb, cents)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan      # assignment is pure JVM
+
+
+def test_kmeans_clusters_covers_corpus(spark, sf_dir):
+    from meza_spark.llm.similarity import kmeans_clusters
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = kmeans_clusters(emb, k=4, fit_sample=200).collect()
+    assert len(out) == emb.count()            # every vector assigned
+    assert {r["centroid_id"] for r in out} <= set(range(4))
+    assert len({r["centroid_id"] for r in out}) >= 2  # non-degenerate
+    # deterministic under fixed seed
+    again = kmeans_clusters(emb, k=4, fit_sample=200).collect()
+    assert {(r["vec_id"], r["centroid_id"]) for r in out} == \
+           {(r["vec_id"], r["centroid_id"]) for r in again}
