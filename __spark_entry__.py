@@ -1202,6 +1202,35 @@ def embed_kmeans(spark, sf_dir):
     return out.select("vec_id", "centroid_id")
 
 
+def orc_roundtrip(spark, sf_dir):
+    """Columnar sibling of csv_roundtrip: nation → write(orc) →
+    read_orc; schema survives exactly (no stringly CSV contract)."""
+    from meza_spark.io.readers import read_orc
+    from meza_spark.io.writers import write
+
+    path = f"/tmp/meza_rt_{os.path.basename(sf_dir.rstrip('/'))}_orc"
+    write(_t(spark, sf_dir, "nation"), path, fmt="orc")
+    return read_orc(spark, path)
+
+
+def xml_roundtrip(spark, sf_dir):
+    """XML ingest: region serialized to flat XML driver-side (tiny dim
+    table), then read_xml auto-detects the row tag and rebuilds
+    records; values are stringly (markup contract, like CSV)."""
+    from meza_spark.io.readers import read_xml
+
+    path = f"/tmp/meza_rt_{os.path.basename(sf_dir.rstrip('/'))}.xml"
+    rows = _t(spark, sf_dir, "region").collect()
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("<regions>\n")
+        for r in rows:
+            f.write(f"  <region><r_regionkey>{r['r_regionkey']}"
+                    f"</r_regionkey><r_name>{r['r_name']}</r_name>"
+                    "</region>\n")
+        f.write("</regions>\n")
+    return read_xml(spark, path)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing(spark, SF001)
@@ -1322,6 +1351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_span_dup": ngram_span_dup,
         "embed_centroid_assign": embed_centroid_assign,
         "embed_kmeans": embed_kmeans,
+        "orc_roundtrip": orc_roundtrip,
+        "xml_roundtrip": xml_roundtrip,
     }
 
 
@@ -2288,6 +2319,11 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY vec_id
                                         ORDER BY c DESC, cid ASC) AS rn
               FROM scored) WHERE rn = 1
+        """,
+        "orc_roundtrip": "SELECT * FROM nation",
+        "xml_roundtrip": """
+            SELECT CAST(r_regionkey AS VARCHAR) AS r_regionkey, r_name
+            FROM region
         """,
         # embed_kmeans: learned centroids (MLlib k-means) — seed-pinned
         # but optimizer-dependent; rows-only check.

@@ -38,8 +38,8 @@ from ..functions import dedupe_names, underscorify
 __all__ = [
     "read", "read_csv", "read_tsv", "read_fixed_fmt", "read_json",
     "read_ndjson", "read_geojson", "read_yaml", "read_html", "read_xls",
-    "read_sqlite", "read_dbf", "read_mdb", "io_join", "detect_encoding",
-    "get_ext", "ctype2ext", "to_filepath",
+    "read_sqlite", "read_dbf", "read_mdb", "read_orc", "read_xml",
+    "io_join", "detect_encoding", "get_ext", "ctype2ext", "to_filepath",
 ]
 
 # HTTP content-type → extension (ref: meza/convert.py:47-78 ctype2ext)
@@ -811,6 +811,60 @@ def read_mdb(spark: SparkSession, path: str,
 
 
 # ---------------------------------------------------------------------------
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    """ORC (beyond-reference: columnar formats are the native
+    interchange at scale; splittable, predicate-pushdown-capable —
+    symmetric with the parquet fast path in ``read``)."""
+    return spark.read.options(**options).orc(path)
+
+
+def read_xml(spark: SparkSession, path: str, row_tag: str | None = None,
+             sanitize: bool = True, dedupe: bool = False) -> DataFrame:
+    """XML records (beyond-reference: meza stops at HTML tables,
+    ref meza/io.py:1333-1431; flat XML exports are the same shape).
+
+    Driver-side stdlib ``ElementTree`` parse per file — same per-file
+    model as ``read_html`` (non-splittable markup; at scale many files
+    parallelize via ``io_join``/the custom datasource, not one giant
+    file). The record element is ``row_tag`` or auto-detected as the
+    most common direct child tag of the root; attributes and leaf
+    children become columns, namespaces are stripped to local names.
+    """
+    import xml.etree.ElementTree as ET
+    from collections import Counter
+
+    def _local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1]
+
+    rows: list[dict] = []
+    cols: list[str] = []
+    for p in _all_files(path):
+        root = ET.parse(p).getroot()  # noqa: S314 (stdlib parser, local file)
+        tag = row_tag
+        if tag is None:
+            counts = Counter(_local(ch.tag) for ch in root)
+            if not counts:
+                continue
+            tag = counts.most_common(1)[0][0]
+        for el in root.iter():
+            if _local(el.tag) != tag:
+                continue
+            rec = {_local(k): v for k, v in el.attrib.items()}
+            for ch in el:
+                if len(ch) == 0:  # leaf → column
+                    rec[_local(ch.tag)] = ((ch.text or "").strip()
+                                           or None)
+            if rec:
+                rows.append(rec)
+                for k in rec:
+                    if k not in cols:
+                        cols.append(k)
+    names = _clean_header(cols, sanitize, dedupe)
+    remap = dict(zip(cols, names))
+    rows = [{remap[k]: v for k, v in r.items()} for r in rows]
+    return _records_df(spark, rows, names)
+
+
 # universal dispatch + concat
 # ---------------------------------------------------------------------------
 
@@ -820,7 +874,7 @@ _READERS = {
     "yml": read_yaml, "yaml": read_yaml, "html": read_html,
     "htm": read_html, "xls": read_xls, "xlsx": read_xls,
     "sqlite": read_sqlite, "db": read_sqlite, "dbf": read_dbf,
-    "mdb": read_mdb,
+    "mdb": read_mdb, "orc": read_orc, "xml": read_xml,
 }
 
 

@@ -485,3 +485,46 @@ def test_python_datasource_xlsx(spark, tmp_path):
           .option("path", str(p)).option("fmt", "xlsx").load())
     assert df.columns == ["city", "pop"]
     assert df.count() == 2
+
+
+def test_read_orc_roundtrip(spark, tmp_path):
+    from meza_spark.io.readers import read, read_orc
+    from meza_spark.io.writers import write
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    path = str(tmp_path / "t_orc")
+    write(df, path, fmt="orc")
+    back = read_orc(spark, path)
+    assert back.schema == df.schema              # schema survives
+    assert sorted(r["k"] for r in back.collect()) == [1, 2]
+    assert read(spark, path, ext="orc").count() == 2  # dispatcher
+
+
+def test_read_xml_autodetect_and_attrs(spark, tmp_path):
+    from meza_spark.io.readers import read_xml
+
+    p = tmp_path / "cat.xml"
+    p.write_text("""<?xml version="1.0"?>
+<catalog>
+  <meta>ignored singleton</meta>
+  <item sku="A1"><name>widget</name><price>3.50</price></item>
+  <item sku="B2"><name> gadget </name><price>4</price><extra/></item>
+</catalog>""")
+    out = read_xml(spark, str(p))
+    rows = {r["sku"]: r for r in out.collect()}
+    assert set(rows) == {"A1", "B2"}             # row tag auto = item
+    assert rows["A1"]["name"] == "widget"
+    assert rows["B2"]["name"] == "gadget"        # text stripped
+    assert rows["B2"]["extra"] is None           # empty leaf → null
+
+
+def test_read_xml_namespaces_and_row_tag(spark, tmp_path):
+    from meza_spark.io.readers import read_xml
+
+    p = tmp_path / "ns.xml"
+    p.write_text("""<root xmlns:x="urn:z">
+  <x:rec><x:id>1</x:id></x:rec>
+  <x:rec><x:id>2</x:id></x:rec>
+</root>""")
+    out = read_xml(spark, str(p), row_tag="rec")
+    assert sorted(r["id"] for r in out.collect()) == ["1", "2"]
