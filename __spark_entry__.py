@@ -1231,6 +1231,44 @@ def xml_roundtrip(spark, sf_dir):
     return read_xml(spark, path)
 
 
+def llm_char_entropy(spark, sf_dir):
+    """Shannon bits/char per document — row-local run-length fold,
+    zero shuffle (vs the naive per-character explode)."""
+    out = tx.char_entropy(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id", "char_entropy")
+
+
+def winsorize_value(spark, sf_dir):
+    """Percentile clamp of events.value at [p5, p95] (exact mode so
+    the DuckDB quantile_cont twin is bit-comparable)."""
+    from meza_spark.profile import winsorize
+
+    ev = _t(spark, sf_dir, "events")
+    out = winsorize(ev, "value", 0.05, 0.95, exact=True, out="value_w")
+    return out.select("event_id", F.round("value_w", 6).alias("value_w"))
+
+
+def skew_topkeys(spark, sf_dir):
+    """Top-10 heaviest join keys with corpus share — the pre-join
+    skew diagnostic feeding the salted_join decision."""
+    from meza_spark.profile import skew_report
+
+    return skew_report(_t(spark, sf_dir, "lineitem"), "l_suppkey",
+                       top=10)
+
+
+def stream_enrich_static(spark, sf_dir):
+    """streaming.stream_static_join on static frames — the identical
+    broadcast enrich plan a micro-batch executes."""
+    from meza_spark.streaming import stream_static_join
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    out = stream_static_join(ev, cust, on="user_id", how="left")
+    return out.select("event_id", "user_id", "c_mktsegment")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing(spark, SF001)
@@ -1353,6 +1391,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_kmeans": embed_kmeans,
         "orc_roundtrip": orc_roundtrip,
         "xml_roundtrip": xml_roundtrip,
+        "llm_char_entropy": llm_char_entropy,
+        "winsorize_value": winsorize_value,
+        "skew_topkeys": skew_topkeys,
+        "stream_enrich_static": stream_enrich_static,
     }
 
 
@@ -2324,6 +2366,42 @@ def oracle_sql() -> dict[str, str]:
         "xml_roundtrip": """
             SELECT CAST(r_regionkey AS VARCHAR) AS r_regionkey, r_name
             FROM region
+        """,
+        "llm_char_entropy": """
+            WITH chars AS (
+              SELECT doc_id, substring(text, i, 1) AS ch, len(text) AS n
+              FROM documents,
+                   LATERAL (SELECT UNNEST(range(1, len(text) + 1)) AS i) u
+              WHERE len(text) > 0),
+            per AS (SELECT doc_id, n, COUNT(*) AS c
+                    FROM chars GROUP BY doc_id, ch, n),
+            ent AS (SELECT doc_id,
+                           round(-SUM((CAST(c AS DOUBLE) / n)
+                                 * log2(CAST(c AS DOUBLE) / n)), 6)
+                           AS char_entropy
+                    FROM per GROUP BY doc_id)
+            SELECT d.doc_id, COALESCE(e.char_entropy, 0.0) AS char_entropy
+            FROM documents d LEFT JOIN ent e USING (doc_id)
+        """,
+        "winsorize_value": """
+            WITH q AS (SELECT quantile_cont(value, 0.05) AS lo,
+                              quantile_cont(value, 0.95) AS hi
+                       FROM events)
+            SELECT event_id,
+                   round(LEAST(GREATEST(CAST(value AS DOUBLE), lo), hi),
+                         6) AS value_w
+            FROM events, q
+        """,
+        "skew_topkeys": """
+            SELECT l_suppkey, COUNT(*) AS n,
+                   CAST(COUNT(*) AS DOUBLE)
+                     / (SELECT COUNT(*) FROM lineitem) AS share
+            FROM lineitem GROUP BY l_suppkey
+            ORDER BY n DESC, l_suppkey ASC LIMIT 10
+        """,
+        "stream_enrich_static": """
+            SELECT e.event_id, e.user_id, c.c_mktsegment
+            FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         """,
         # embed_kmeans: learned centroids (MLlib k-means) — seed-pinned
         # but optimizer-dependent; rows-only check.

@@ -32,6 +32,8 @@ HEADLINE = [
     # round-2 operators
     "dedup_near_e2e", "llm_repetition", "sample_hash", "pack_shards",
     "unique_bufsize", "slice_orders",
+    "sessionize_events", "profile_orders", "histogram_value",
+    "dedup_incremental", "ngram_span_dup", "embed_centroid_assign",
 ]
 
 

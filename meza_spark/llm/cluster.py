@@ -21,6 +21,33 @@ from pyspark.sql import functions as F
 __all__ = ["connected_components", "near_dedup"]
 
 
+def _stats_barrier(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` and return a frame whose lineage AND size
+    statistics are both reset to reality.
+
+    Why not plain ``localCheckpoint``: its ``LogicalRDD`` keeps the
+    *estimated* statistics of the plan it replaced (``originStats``).
+    Catalyst's default size estimate for a join is the PRODUCT of its
+    children's sizes, so in an iterative loop the per-round estimate
+    compounds multiplicatively: with j self-joins per round the
+    sizeInBytes digit count grows ~(j+1)ˣ per round, and by round ~6
+    the optimizer is multiplying 10⁷-digit BigIntegers — planning time
+    explodes from <1 s to minutes while the DATA is unchanged
+    (observed: 1 s → 5.8 s → 109 s rounds on a 5 k-vertex graph).
+
+    The barrier: persist → count (stats become the measured cache
+    size) → localCheckpoint (lineage truncates; originStats now carry
+    the small, real number) → unpersist (the checkpoint blocks are
+    independent of the cache). One extra cheap job per round buys
+    constant-time planning for any number of rounds.
+    """
+    df = df.persist()
+    df.count()
+    out = df.localCheckpoint()
+    df.unpersist()
+    return out
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
                          max_iter: int = 30) -> DataFrame:
@@ -37,8 +64,10 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 
     Convergence check is a monotone invariant: labels only decrease,
     so an unchanged ``sum(label)`` is a fixpoint — one cheap aggregate
-    per round, no change-count join. ``localCheckpoint`` truncates the
-    iterative lineage each round.
+    per round, no change-count join. Each round is cut with
+    ``_stats_barrier`` — persist→count→localCheckpoint — which
+    truncates BOTH the lineage and Catalyst's size estimate (see the
+    helper's docstring for why plain localCheckpoint is not enough).
     """
     # symmetrize with ONE scan of the (possibly expensive) pair
     # subtree: explode each pair into both directions — a union of the
@@ -83,7 +112,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             stepped = (stepped.join(
                 lbl2, stepped["label"] == F.col("_lv"), "left")
                 .select("v", F.coalesce("_ll", "label").alias("label")))
-        labels = stepped.localCheckpoint()
+        labels = _stats_barrier(stepped)
         cur = _sum(labels)
         if cur == prev:
             break

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["token_count", "quality_score", "lang_id", "fingerprint",
            "repetition_signals", "c4_quality_flags", "scrub_pii",
-           "shingles", "tokens"]
+           "shingles", "tokens", "char_entropy"]
 
 # Tiny per-language stopword marker sets for the n-gram/stopword
 # language-ID heuristic. Deterministic scoring, not a trained model.
@@ -145,6 +145,45 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (df.withColumn("dup_line_frac", dup_line)
             .withColumn("dup_word_frac", dup_word)
             .withColumn("max_word_count", max_word))
+
+
+def char_entropy(df: DataFrame, text_col: str = "text",
+                 out: str = "char_entropy",
+                 round_digits: int | None = 6) -> DataFrame:
+    """Shannon entropy (bits/char) of each document's character
+    distribution — the classic perplexity proxy: gibberish and
+    single-char spam score low, natural prose ~4 bits, random base64
+    ~6 bits. A standard pre-training quality feature alongside the
+    Gopher/C4 flags above.
+
+    Plan shape: entirely ROW-LOCAL — sort the char array, find
+    equal-run boundaries with an index filter, fold
+    ``-(c/n)·log2(c/n)`` over the run lengths. No explode, no
+    (doc, char) shuffle (the naive distributed formulation ships one
+    row per CHARACTER — at 100 TB that is the whole corpus through a
+    shuffle); this runs inside codegen with zero data movement.
+    ``try_element_at`` keeps the boundary probe ANSI-safe at i=n.
+    """
+    t = F.col(text_col)
+    chars = F.split(t, "")
+    n = F.size(chars)
+    srt = F.array_sort(chars)
+    # 1-based end positions of equal-char runs in sorted order
+    ends = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: ~F.element_at(srt, i).eqNullSafe(
+            F.try_element_at(srt, i + 1)))
+    starts = F.concat(F.array(F.lit(0)),
+                      F.slice(ends, 1, F.size(ends) - 1))
+    counts = F.zip_with(ends, starts, lambda e, s: e - s)
+    p = lambda c: c.cast("double") / n  # noqa: E731
+    ent = -F.aggregate(
+        counts, F.lit(0.0),
+        lambda acc, c: acc + p(c) * F.log2(p(c)))
+    ent = F.when(F.length(t) > 0, ent).otherwise(F.lit(0.0))
+    if round_digits is not None:
+        ent = F.round(ent, round_digits)
+    return df.withColumn(out, ent)
 
 
 def c4_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -24,7 +24,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile", "histogram"]
+__all__ = ["profile", "histogram", "winsorize", "skew_report"]
 
 _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
 
@@ -112,3 +112,50 @@ def histogram(df: DataFrame, col: str, nbins: int = 10,
                     (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width))
                     .alias("hi"),
                     F.coalesce("n", F.lit(0)).alias("n")))
+
+
+def winsorize(df: DataFrame, col: str, p_lo: float = 0.01,
+              p_hi: float = 0.99, exact: bool = False,
+              out: str | None = None) -> DataFrame:
+    """Clamp ``col`` to its [p_lo, p_hi] percentile bounds — the
+    standard outlier guard before scaling/normalizing a feature.
+
+    Two passes: one aggregate for the two bounds (a 2-float scalar to
+    the driver — not a data collect), one map to clamp. Default is
+    ``percentile_approx`` (KLL-style sketch, bounded memory — the only
+    sane choice at 100 TB); ``exact=True`` switches to exact
+    interpolated ``percentile`` (per-group value buffer: fine to a few
+    hundred million rows per executor, NOT for petabytes — use it when
+    the column is small or pre-aggregated, or for differential
+    testing).
+    """
+    fn = "percentile" if exact else "percentile_approx"
+    row = df.agg(F.expr(
+        f"{fn}({col}, array({p_lo!r}, {p_hi!r}))").alias("q")).collect()[0]
+    lo, hi = (float(row["q"][0]), float(row["q"][1]))
+    clamped = F.least(F.greatest(F.col(col).cast("double"), F.lit(lo)),
+                      F.lit(hi))
+    return df.withColumn(out or col, clamped)
+
+
+def skew_report(df: DataFrame, key: str | list[str],
+                top: int = 10) -> DataFrame:
+    """Key-skew diagnosis before a join/groupBy on ``key``: the
+    ``top`` heaviest keys with their row counts and corpus share —
+    the number you look at to decide between a plain, salted
+    (``process.salted_join``) or broadcast strategy.
+
+    One groupBy shuffle + a k-row TakeOrdered; the grand total rides
+    a broadcast one-row aggregate (no second scan of the grouped
+    side, no driver round-trip in the plan). Deterministic: ties
+    break on the key itself.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select(*keys, "n",
+                    (F.col("n").cast("double") / F.col("_total"))
+                    .alias("share"))
+            .orderBy(F.col("n").desc(), *[F.col(k).asc() for k in keys])
+            .limit(top))

@@ -1,10 +1,11 @@
 from .ops import (
     read_stream, session_window_agg, sliding_window_agg, stream_dedupe,
-    stream_fill_running, tumbling_window_agg, write_stream,
+    stream_fill_running, stream_static_join, tumbling_window_agg,
+    write_stream,
 )
 
 __all__ = [
     "read_stream", "write_stream", "tumbling_window_agg",
     "sliding_window_agg", "session_window_agg", "stream_dedupe",
-    "stream_fill_running",
+    "stream_fill_running", "stream_static_join",
 ]

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "read_stream", "write_stream", "tumbling_window_agg",
     "sliding_window_agg", "session_window_agg", "stream_dedupe",
-    "stream_fill_running",
+    "stream_fill_running", "stream_static_join",
 ]
 
 
@@ -169,3 +169,19 @@ def stream_fill_running(df: DataFrame, key_cols: Sequence[str],
             .groupBy(*key_cols)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+def stream_static_join(stream_df: DataFrame, static_df: DataFrame,
+                       on: str | list, how: str = "left") -> DataFrame:
+    """Enrich a stream with a static dimension (the canonical
+    stream⋈dim pattern: events joined to a reference table).
+
+    Structured Streaming supports stream-static equi-joins natively
+    for inner/left; the static side is re-planned per micro-batch, so
+    an updated dim table directory is picked up without restarting the
+    query. The explicit ``broadcast`` hint keeps every micro-batch
+    join shuffle-free (dim tables are small by definition; without the
+    hint a large-stats dim could tip AQE into shuffling the BATCH side
+    each micro-batch, which at production rates dominates latency).
+    """
+    return stream_df.join(F.broadcast(static_df), on=on, how=how)

@@ -6,7 +6,7 @@ import datetime as dt
 from pyspark.sql import functions as F
 
 from meza_spark import process as pr
-from meza_spark.profile import histogram, profile
+from meza_spark.profile import histogram, profile, skew_report, winsorize
 
 
 def test_sessionize_gap_splits(spark):
@@ -110,3 +110,27 @@ def test_histogram_auto_bounds(spark):
     rows = sorted(out.collect(), key=lambda r: r["bucket"])
     assert [r["n"] for r in rows] == [3, 3, 4]
     assert rows[0]["lo"] == 0.0 and rows[2]["hi"] == 9.0
+
+
+def test_winsorize_clamps(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(101)], ["x"])
+    out = winsorize(df, "x", 0.05, 0.95, exact=True, out="xw")
+    vals = sorted(r["xw"] for r in out.collect())
+    assert vals[0] == 5.0 and vals[-1] == 95.0       # tails clamped
+    assert 50.0 in vals                               # interior untouched
+    assert len(vals) == 101
+
+
+def test_winsorize_approx_mode_runs(spark):
+    df = spark.range(1000).select(F.col("id").cast("double").alias("x"))
+    out = winsorize(df, "x", 0.01, 0.99)
+    mx = out.agg(F.max("x")).collect()[0][0]
+    assert mx <= 999.0
+
+
+def test_skew_report_shares(spark):
+    rows = [("hot",)] * 80 + [("warm",)] * 15 + [("cold",)] * 5
+    df = spark.createDataFrame(rows, ["k"])
+    out = skew_report(df, "k", top=2).collect()
+    assert [r["k"] for r in out] == ["hot", "warm"]
+    assert out[0]["n"] == 80 and abs(out[0]["share"] - 0.8) < 1e-12

@@ -107,3 +107,31 @@ def test_session_window_static(spark):
                                 {"n": ("v", "count")})
     ns = sorted(r["n"] for r in out.collect())
     assert ns == [1, 2]    # 30-min gap splits the session
+
+
+def test_stream_static_join_enriches(spark, tmp_path):
+    import time
+
+    from meza_spark.streaming import (read_stream, stream_static_join,
+                                      write_stream)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame([(1, "a"), (2, "b"), (3, "zz")],
+                          ["k", "v"]).coalesce(1) \
+        .write.mode("overwrite").parquet(str(src))
+    dim = spark.createDataFrame([("a", "alpha"), ("b", "beta")],
+                                ["v", "label"])
+    stream = read_stream(spark, str(src), fmt="parquet",
+                         schema="k long, v string")
+    joined = stream_static_join(stream, dim, on="v", how="left")
+    q = write_stream(joined, fmt="memory",
+                     query_name="t_enrich", output_mode="append",
+                     checkpoint=str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+        out = {r["k"]: r["label"]
+               for r in spark.sql("SELECT * FROM t_enrich").collect()}
+    finally:
+        q.stop()
+    assert out == {1: "alpha", 2: "beta", 3: None}

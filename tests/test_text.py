@@ -65,3 +65,27 @@ def test_scrub_pii_preserves_short_numbers(spark):
     df = spark.createDataFrame([(1, "year 2024 and zip 90210")],
                                "id int, text string")
     assert scrub_pii(df).collect()[0]["text"] == "year 2024 and zip 90210"
+
+
+def test_char_entropy_values(spark):
+    from meza_spark.llm.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r["char_entropy"]
+           for r in char_entropy(df).collect()}
+    assert got[1] == 0.0            # single symbol → 0 bits
+    assert abs(got[2] - 1.0) < 1e-9  # two equiprobable symbols → 1 bit
+    assert abs(got[3] - 2.0) < 1e-9  # four → 2 bits
+    assert got[4] == 0.0            # empty text
+
+
+def test_char_entropy_no_shuffle_no_python(spark):
+    from meza_spark.llm.text import char_entropy
+
+    df = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+    plan = (char_entropy(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Exchange" not in plan    # row-local: zero data movement
+    assert "Python" not in plan
