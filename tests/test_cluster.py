@@ -159,3 +159,16 @@ def test_kmeans_clusters_covers_corpus(spark, sf_dir):
     again = kmeans_clusters(emb, k=4, fit_sample=200).collect()
     assert {(r["vec_id"], r["centroid_id"]) for r in out} == \
            {(r["vec_id"], r["centroid_id"]) for r in again}
+
+
+def test_cc_stale_pointer_resolution(spark):
+    # path 1-2-3-4-5: after contraction a vertex can point at a
+    # label-node that merged later; the resolution chase must still
+    # land every vertex on the component min
+    from meza_spark.llm.cluster import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 5)], ["id_a", "id_b"])
+    got = {r["id"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
