@@ -7,12 +7,16 @@ cheap "what's in this table" pass before any cleaning decision:
 null rates, cardinalities, ranges, means — per column, in ONE scan.
 
 Scale design:
-  - ``profile`` builds every statistic as a column expression in a
-    single ``agg`` → one scan, partial aggregation map-side, one
-    single-row result; the wide→long unpivot happens on that one row.
-    Exact ``countDistinct`` over many columns expands the aggregate
-    (one Expand pass, still a single scan); pass ``approx=True`` to
-    use HLL sketches instead — at 100 TB that is the right default.
+  - ``profile`` folds count/nulls/min/max/mean into ONE aggregation
+    scan. Exact distincts deliberately run as one single-distinct
+    aggregate per column, cross-joined onto the single-row result:
+    packing N ``countDistinct`` into one agg makes Catalyst rewrite
+    via Expand(×N+1) + SortAggregate KEYED BY the high-cardinality
+    columns — a full wide sort (measured 2.7 s vs 0.6 s at sf0.1 for
+    3 columns). The per-column scans each prune to one column
+    (columnar source → cheap) and hash-aggregate without the blowup.
+    ``approx=True`` keeps everything in the one scan with HLL
+    sketches — at 100 TB that is the right default.
   - ``histogram`` with explicit bounds is one scan + one tiny shuffle
     (nbins groups); auto bounds cost one extra min/max scan first.
 """
@@ -36,7 +40,9 @@ def profile(df: DataFrame, cols: Sequence[str] | None = None,
     mean`` (mean for numeric and decimal columns only).
 
     Numeric min/max/mean land in ``value_num`` (double); string and
-    temporal min/max land in ``value_str``. One aggregation job total.
+    temporal min/max land in ``value_str``. One aggregation scan for
+    everything but exact distincts; see the module docstring for why
+    exact distincts run one-per-column.
     """
     dtypes = dict(df.dtypes)
     cols = list(cols) if cols is not None else df.columns
@@ -47,15 +53,21 @@ def profile(df: DataFrame, cols: Sequence[str] | None = None,
         aggs.append(expr.alias(alias))
         plan.append((col, metric, numeric, alias))
 
+    distincts = []
     for c in cols:
         t = dtypes[c]
         num = t in _NUMERIC or t.startswith("decimal")
         _add(c, "count", F.count(F.col(c)).cast("double"), True)
         _add(c, "nulls",
              F.sum(F.col(c).isNull().cast("long")).cast("double"), True)
-        dexpr = (F.approx_count_distinct(c) if approx
-                 else F.countDistinct(c))
-        _add(c, "distinct", dexpr.cast("double"), True)
+        if approx:
+            _add(c, "distinct",
+                 F.approx_count_distinct(c).cast("double"), True)
+        else:
+            alias = f"{c}__distinct"
+            distincts.append(
+                df.agg(F.countDistinct(c).cast("double").alias(alias)))
+            plan.append((c, "distinct", True, alias))
         if num:
             _add(c, "min", F.min(c).cast("double"), True)
             _add(c, "max", F.max(c).cast("double"), True)
@@ -66,6 +78,8 @@ def profile(df: DataFrame, cols: Sequence[str] | None = None,
             _add(c, "min", F.min(F.col(c).cast("string")), False)
             _add(c, "max", F.max(F.col(c).cast("string")), False)
     row = df.agg(*aggs)
+    for d in distincts:   # 1-row × 1-row cross joins, all broadcast
+        row = row.crossJoin(d)
     # unpivot the single row: stack(n, 'col','metric',num,str, ...)
     parts = []
     for col, metric, numeric, alias in plan:

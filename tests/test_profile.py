@@ -72,13 +72,20 @@ def test_profile_metrics(spark):
     assert out.count() == 6 + 6 + 5
 
 
-def test_profile_single_job(spark):
-    # all stats fold into ONE aggregate: the plan has exactly one scan
+def test_profile_plan_shape(spark):
     df = spark.range(100).select(
         F.col("id"), (F.col("id") % 7).alias("m"))
-    out = profile(df, ["id", "m"])
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    # approx mode: everything folds into ONE aggregate / one scan
+    plan = (profile(df, ["id", "m"], approx=True)
+            ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Scan") <= 1
+    # exact mode: per-column distincts — NO Expand/SortAggregate
+    # rewrite (the multi-countDistinct blowup), joins all broadcast
+    plan = (profile(df, ["id", "m"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Expand" not in plan
+    assert "SortAggregate" not in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_profile_approx_mode(spark):
