@@ -367,6 +367,17 @@ def ngram_jaccard(df_a: DataFrame, df_b: DataFrame | None = None,
                     hashed(F.col(text_col)).alias("sh_b"))
     joined = a.join(b, on=join_on) if join_on else a.crossJoin(b)
     joined = joined.where(F.col("id_a") < F.col("id_b"))
+    if min_jaccard > 0:
+        # size-ratio prefilter (standard set-similarity-join bound):
+        # J(A,B) ≤ min/max of the set sizes, so pairs violating
+        # |A| ≥ j·|B| ∧ |B| ≥ j·|A| can't reach the threshold — two
+        # int compares prune them BEFORE the O(|A|+|B|) intersect.
+        # At j=0.8 this kills most of a blocked pair space; at j→0 it
+        # passes everything and costs nothing.
+        sa, sb = F.size("sh_a"), F.size("sh_b")
+        joined = joined.where(
+            F.least(sa, sb).cast("double")
+            >= F.lit(min_jaccard) * F.greatest(sa, sb))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(0.0)
