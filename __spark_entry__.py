@@ -1269,6 +1269,39 @@ def stream_enrich_static(spark, sf_dir):
     return out.select("event_id", "user_id", "c_mktsegment")
 
 
+def check_constraints(spark, sf_dir):
+    """Declarative DQ contract over orders: row-local rules in one
+    scan + unique groupBy + FK anti-join → (rule, violations)."""
+    from meza_spark.quality import check
+
+    o = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return check(o, [
+        {"name": "orderkey_not_null", "type": "not_null",
+         "field": "o_orderkey"},
+        {"name": "orderkey_unique", "type": "unique",
+         "fields": ["o_orderkey"]},
+        {"name": "price_range", "type": "range",
+         "field": "o_totalprice", "lo": 0.0, "hi": 100000.0},
+        {"name": "status_regex", "type": "regex",
+         "field": "o_orderstatus", "pattern": "[FOP]"},
+        {"name": "cust_fk", "type": "ref", "field": "o_custkey",
+         "ref": cust, "ref_field": "c_custkey"},
+    ])
+
+
+def scd2_events(spark, sf_dir):
+    """Event log → SCD2 validity intervals per user, collapsing
+    unchanged event_type runs (lag filter + lead close-off)."""
+    ev = _t(spark, sf_dir, "events")
+    out = pr.scd2_intervals(ev, "user_id", "ts", attrs=["event_type"],
+                            collapse=True, tiebreak="event_id")
+    return out.select(
+        "event_id", "user_id", "event_type",
+        F.unix_timestamp("valid_from").alias("vf"),
+        F.unix_timestamp("valid_to").alias("vt"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing(spark, SF001)
@@ -1395,6 +1428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_value": winsorize_value,
         "skew_topkeys": skew_topkeys,
         "stream_enrich_static": stream_enrich_static,
+        "check_constraints": check_constraints,
+        "scd2_events": scd2_events,
     }
 
 
@@ -2402,6 +2437,45 @@ def oracle_sql() -> dict[str, str]:
         "stream_enrich_static": """
             SELECT e.event_id, e.user_id, c.c_mktsegment
             FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        """,
+        "check_constraints": """
+            SELECT 'orderkey_not_null' AS rule,
+                   COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS violations
+            FROM orders
+            UNION ALL
+            SELECT 'orderkey_unique',
+                   CAST(COALESCE(SUM(c - 1), 0) AS BIGINT)
+            FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+            UNION ALL
+            SELECT 'price_range',
+                   COUNT(*) FILTER (WHERE o_totalprice IS NOT NULL AND
+                     (o_totalprice < 0.0 OR o_totalprice > 100000.0))
+            FROM orders
+            UNION ALL
+            SELECT 'status_regex',
+                   COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL AND
+                     NOT regexp_matches(o_orderstatus, '^(?:[FOP])$'))
+            FROM orders
+            UNION ALL
+            SELECT 'cust_fk', COUNT(*)
+            FROM orders o
+            WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+              SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        """,
+        "scd2_events": """
+            WITH collapsed AS (
+              SELECT event_id, user_id, event_type, ts FROM (
+                SELECT event_id, user_id, event_type, ts,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS pet
+                FROM events)
+              WHERE pet IS DISTINCT FROM event_type)
+            SELECT event_id, user_id, event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS vf,
+                   CAST(floor(epoch(lead(ts) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id)))
+                     AS BIGINT) AS vt
+            FROM collapsed
         """,
         # embed_kmeans: learned centroids (MLlib k-means) — seed-pinned
         # but optimizer-dependent; rows-only check.

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["records2csv", "records2tsv", "records2json", "records2geojson",
            "records2fixed", "records2html", "records2xlsx", "records2dbf",
-           "records2sqlite", "records2yaml", "write",
+           "records2sqlite", "records2yaml", "records2xml", "write",
            "write_bucketed",
            "hash_file"]
 
@@ -280,6 +280,26 @@ def records2html(df: DataFrame, path: str, table_attrs: str = "") -> None:
             f.write("<tr>" + "".join(f"<td>{escape(v)}</td>"
                                      for v in cells) + "</tr>\n")
         f.write("</table></body></html>\n")
+
+
+def records2xml(df: DataFrame, path: str, root_tag: str = "records",
+                row_tag: str = "record") -> None:
+    """DataFrame → flat XML (inverse of ``read_xml``): one ``row_tag``
+    element per row, one leaf child per column; NULL cells are omitted
+    (read_xml yields them back as NULL). Streamed via
+    ``toLocalIterator`` like the other single-artifact writers."""
+    from xml.sax.saxutils import escape
+
+    cols = df.columns
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(f"<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<{root_tag}>\n")
+        for row in df.toLocalIterator():
+            f.write(f"  <{row_tag}>")
+            for c, v in zip(cols, row):
+                if v is not None:
+                    f.write(f"<{c}>{escape(str(v))}</{c}>")
+            f.write(f"</{row_tag}>\n")
+        f.write(f"</{root_tag}>\n")
 
 
 def records2xlsx(df: DataFrame, path: str) -> None:

@@ -30,7 +30,7 @@ __all__ = [
     "fillempty", "aggregate", "merge", "group", "pivot", "normalize",
     "split", "join", "prepend", "json_recode", "everseen", "topk_per_group",
     "asof_join", "flatten", "slice_rows", "salted_join", "salted_agg",
-    "sessionize",
+    "sessionize", "scd2_intervals",
 ]
 
 
@@ -356,6 +356,41 @@ def sessionize(df: DataFrame, key: str | Sequence[str], ts_col: str,
     return (df.withColumn("_new_sess", new_sess)
             .withColumn(session_col, F.sum("_new_sess").over(run))
             .drop("_new_sess"))
+
+
+def scd2_intervals(df: DataFrame, key: str | Sequence[str], ts_col: str,
+                   attrs: Sequence[str] | None = None,
+                   collapse: bool = False,
+                   tiebreak: str | Sequence[str] | None = None) -> DataFrame:
+    """Event log → slowly-changing-dimension type-2 validity intervals:
+    each row gains ``valid_from`` (its timestamp) and ``valid_to`` (the
+    key's next event, NULL while current). The standard build for
+    as-of-joinable dimension history (the batch complement of
+    ``asof_join``).
+
+    ``collapse=True`` first drops rows whose ``attrs`` equal the key's
+    previous row (lag compare), so intervals span unchanged runs — the
+    actual SCD2 semantic rather than one interval per event.
+
+    Plan: one shuffle on ``key``; lag (collapse) and lead (valid_to)
+    share the same window partitioning+ordering, and the lead after a
+    filter re-sorts locally without a second exchange. Pass
+    ``tiebreak`` whenever ``ts_col`` can tie within a key.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    tb = ([tiebreak] if isinstance(tiebreak, str) else list(tiebreak or []))
+    w = Window.partitionBy(*keys).orderBy(ts_col, *tb)
+    if collapse:
+        if not attrs:
+            raise ValueError("scd2_intervals: collapse=True needs attrs")
+        same = F.lit(True)
+        for a in attrs:
+            same = same & F.lag(a).over(w).eqNullSafe(F.col(a))
+        df = (df.withColumn("_same", same)
+              .where(~F.coalesce("_same", F.lit(False))).drop("_same"))
+        w = Window.partitionBy(*keys).orderBy(ts_col, *tb)
+    return (df.withColumn("valid_from", F.col(ts_col))
+            .withColumn("valid_to", F.lead(ts_col).over(w)))
 
 
 def topk_per_group(df: DataFrame, partition_by: Sequence[str],

@@ -115,3 +115,17 @@ def test_yaml_roundtrip(spark, small, tmp_path):
     got = _by_k(back, "k")
     assert got[1] == (1, "alpha", True)
     assert got[3] == (3, "γuni", True)
+
+
+def test_xml_roundtrip_writer(spark, tmp_path):
+    from meza_spark.io.readers import read_xml
+    from meza_spark.io.writers import records2xml
+
+    df = spark.createDataFrame(
+        [(1, "a<b", None), (2, "plain", "z&y")], ["k", "v", "w"])
+    path = str(tmp_path / "rt.xml")
+    records2xml(df, path)
+    back = {r["k"]: r for r in read_xml(spark, path).collect()}
+    assert back["1"]["v"] == "a<b"       # escaping round-trips
+    assert back["1"]["w"] is None        # NULL omitted → read as NULL
+    assert back["2"]["w"] == "z&y"
