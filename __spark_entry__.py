@@ -1302,6 +1302,19 @@ def scd2_events(spark, sf_dir):
         F.unix_timestamp("valid_to").alias("vt"))
 
 
+def window_firstlast(spark, sf_dir):
+    """first_value / last_value / nth_value over per-user event-time
+    frames (full-partition frame for last/nth determinism)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return ev.select(
+        "event_id", "user_id",
+        F.first_value("event_type").over(w).alias("first_et"),
+        F.last_value("event_type").over(w).alias("last_et"),
+        F.nth_value("event_type", 2).over(w).alias("second_et"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing(spark, SF001)
@@ -1430,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_enrich_static": stream_enrich_static,
         "check_constraints": check_constraints,
         "scd2_events": scd2_events,
+        "window_firstlast": window_firstlast,
     }
 
 
@@ -2476,6 +2490,16 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY user_id ORDER BY ts, event_id)))
                      AS BIGINT) AS vt
             FROM collapsed
+        """,
+        "window_firstlast": """
+            SELECT event_id, user_id,
+                   first_value(event_type) OVER w AS first_et,
+                   last_value(event_type) OVER w AS last_et,
+                   nth_value(event_type, 2) OVER w AS second_et
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING)
         """,
         # embed_kmeans: learned centroids (MLlib k-means) — seed-pinned
         # but optimizer-dependent; rows-only check.

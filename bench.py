@@ -34,6 +34,7 @@ HEADLINE = [
     "unique_bufsize", "slice_orders",
     "sessionize_events", "profile_orders", "histogram_value",
     "dedup_incremental", "ngram_span_dup", "embed_centroid_assign",
+    "check_constraints", "scd2_events",
 ]
 
 

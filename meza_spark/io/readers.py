@@ -51,6 +51,7 @@ _CTYPE_EXT = {
     "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet":
         "xlsx",
     "text/yaml": "yaml", "application/x-yaml": "yaml",
+    "application/xml": "xml", "text/xml": "xml",
     "application/dbase": "dbf", "application/dbf": "dbf",
     "application/x-sqlite3": "sqlite", "application/x-msaccess": "mdb",
     "text/plain": "txt", "application/octet-stream": "bin",
