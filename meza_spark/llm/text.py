@@ -135,16 +135,35 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         n_tok > 0,
         1.0 - F.size(F.array_distinct(toks)).cast("double") / n_tok
     ).otherwise(0.0)
-    # max occurrence count of any single token: for each distinct token
-    # count its occurrences — O(distinct × total) row-local, fine for
-    # document-sized arrays
-    per_tok = F.transform(
-        F.array_distinct(toks),
-        lambda w: F.size(F.filter(toks, lambda x: x == w)))
-    max_word = F.when(n_tok > 0, F.array_max(per_tok)).otherwise(0)
-    return (df.withColumn("dup_line_frac", dup_line)
+    # max occurrence count of any single token via sort + run lengths:
+    # O(n log n) row-local (the distinct×total nested scan is
+    # quadratic on degenerate same-word spam — the very docs this
+    # filter exists to catch). Sorted array materialized as a column:
+    # an inline expression would re-sort per lambda element (see
+    # char_entropy).
+    step = df.withColumn("_rs_srt", F.array_sort(toks))
+    max_word = F.when(n_tok > 0,
+                      F.array_max(_run_lengths(F.col("_rs_srt")))
+                      ).otherwise(0)
+    return (step.withColumn("dup_line_frac", dup_line)
             .withColumn("dup_word_frac", dup_word)
-            .withColumn("max_word_count", max_word))
+            .withColumn("max_word_count", max_word)
+            .drop("_rs_srt"))
+
+
+def _run_lengths(srt: Column) -> Column:
+    """Lengths of equal-element runs in an already-sorted array —
+    the row-local frequency kernel shared by ``char_entropy`` and
+    ``repetition_signals``. ``try_element_at`` keeps the boundary
+    probe at i=n ANSI-safe."""
+    n = F.size(srt)
+    ends = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: ~F.element_at(srt, i).eqNullSafe(
+            F.try_element_at(srt, i + 1)))
+    starts = F.concat(F.array(F.lit(0)),
+                      F.slice(ends, 1, F.size(ends) - 1))
+    return F.zip_with(ends, starts, lambda e, s: e - s)
 
 
 def char_entropy(df: DataFrame, text_col: str = "text",
@@ -165,17 +184,14 @@ def char_entropy(df: DataFrame, text_col: str = "text",
     ``try_element_at`` keeps the boundary probe ANSI-safe at i=n.
     """
     t = F.col(text_col)
-    chars = F.split(t, "")
-    n = F.size(chars)
-    srt = F.array_sort(chars)
-    # 1-based end positions of equal-char runs in sorted order
-    ends = F.filter(
-        F.sequence(F.lit(1), n),
-        lambda i: ~F.element_at(srt, i).eqNullSafe(
-            F.try_element_at(srt, i + 1)))
-    starts = F.concat(F.array(F.lit(0)),
-                      F.slice(ends, 1, F.size(ends) - 1))
-    counts = F.zip_with(ends, starts, lambda e, s: e - s)
+    # the sorted array MUST be a materialized column: referencing the
+    # array_sort(...) expression inside _run_lengths' element lambda
+    # makes Spark re-evaluate the sort PER ELEMENT — O(n²·log n) per
+    # document (measured ~100 s for 500 docs vs <1 s materialized)
+    step = df.withColumn("_ce_srt", F.array_sort(F.split(t, "")))
+    srt = F.col("_ce_srt")
+    n = F.size(srt)
+    counts = _run_lengths(srt)
     p = lambda c: c.cast("double") / n  # noqa: E731
     ent = -F.aggregate(
         counts, F.lit(0.0),
@@ -183,7 +199,7 @@ def char_entropy(df: DataFrame, text_col: str = "text",
     ent = F.when(F.length(t) > 0, ent).otherwise(F.lit(0.0))
     if round_digits is not None:
         ent = F.round(ent, round_digits)
-    return df.withColumn(out, ent)
+    return step.withColumn(out, ent).drop("_ce_srt")
 
 
 def c4_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
