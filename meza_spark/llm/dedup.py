@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..util import spread
-from .text import shingles, shingles_from_tokens, tokens
+from .text import shingles_from_tokens, tokens
 
 __all__ = ["exact_dedup", "dedup_lines", "minhash_signatures",
            "minhash_lsh_pairs", "ngram_jaccard", "ngram_span_pairs",
@@ -357,14 +357,20 @@ def ngram_jaccard(df_a: DataFrame, df_b: DataFrame | None = None,
     # distinct shingle, and |A∩B|/|A∪B| is unchanged unless xxhash64
     # collides inside one pair's union set (P ≈ |union|²/2^64 — for
     # real shingle counts, negligible against any rounding).
-    hashed = lambda c: F.array_distinct(  # noqa: E731
-        F.transform(shingles(c, n), lambda s: F.xxhash64(s)))
-    a = df_a.select(F.col(id_col).alias("id_a"),
-                    *( [F.col(join_on)] if join_on else [] ),
-                    hashed(F.col(text_col)).alias("sh_a"))
-    b = df_b.select(F.col(id_col).alias("id_b"),
-                    *( [F.col(join_on)] if join_on else [] ),
-                    hashed(F.col(text_col)).alias("sh_b"))
+    # tokens materialized per side BEFORE shingling: an inline
+    # tokenizer expression would re-run the regex split per n-gram
+    # position inside the shingle transform (see shingles_from_tokens)
+    def _side(df, idc):
+        step = (df.withColumn("_tk", tokens(F.lower(F.col(text_col))))
+                .withColumn("_sh", shingles_from_tokens(F.col("_tk"), n)))
+        return step.select(
+            F.col(id_col).alias(idc),
+            *([F.col(join_on)] if join_on else []),
+            F.array_distinct(F.transform(
+                "_sh", lambda s: F.xxhash64(s))).alias(f"sh{idc[2:]}"))
+
+    a = _side(df_a, "id_a")
+    b = _side(df_b, "id_b")
     if min_jaccard > 0:
         # size computed PER SIDE (once per row, rides the join as one
         # int) — computing F.size on the joined output would re-derive
