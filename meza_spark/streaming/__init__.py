@@ -1,5 +1,5 @@
 from .ops import (
-    read_stream, session_window_agg, sliding_window_agg, stream_dedupe,
+    foreach_batch_sink, read_stream, session_window_agg, sliding_window_agg, stream_dedupe,
     stream_fill_running, stream_static_join, tumbling_window_agg,
     write_stream,
 )
@@ -8,4 +8,5 @@ __all__ = [
     "read_stream", "write_stream", "tumbling_window_agg",
     "sliding_window_agg", "session_window_agg", "stream_dedupe",
     "stream_fill_running", "stream_static_join",
+    "foreach_batch_sink",
 ]

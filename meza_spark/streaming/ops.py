@@ -185,3 +185,26 @@ def stream_static_join(stream_df: DataFrame, static_df: DataFrame,
     each micro-batch, which at production rates dominates latency).
     """
     return stream_df.join(F.broadcast(static_df), on=on, how=how)
+
+
+def foreach_batch_sink(df: DataFrame, fn, query_name: str = "meza_feb",
+                       checkpoint: str | None = None,
+                       output_mode: str = "append", **options):
+    """Custom sink via ``foreachBatch``: ``fn(batch_df, batch_id)``
+    runs per micro-batch with a BATCH DataFrame — the escape hatch for
+    sinks Structured Streaming lacks natively (meza's write() targets:
+    sqlite, dbf, xlsx...; or idempotent JDBC upserts).
+
+    Exactly-once caveat, stated rather than hidden: foreachBatch is
+    at-least-once on retry; pair ``batch_id`` with an idempotent or
+    transactional write (e.g. overwrite-by-batch-id partitions) for
+    effective exactly-once. A checkpoint location makes batch ids
+    stable across restarts.
+    """
+    w = (df.writeStream.foreachBatch(fn).outputMode(output_mode)
+         .queryName(query_name))
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    for k, v in options.items():
+        w = w.option(k, v)
+    return w.start()

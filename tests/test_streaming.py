@@ -135,3 +135,27 @@ def test_stream_static_join_enriches(spark, tmp_path):
     finally:
         q.stop()
     assert out == {1: "alpha", 2: "beta", 3: None}
+
+
+def test_foreach_batch_sink_delivers_batches(spark, tmp_path):
+    from meza_spark.streaming import foreach_batch_sink, read_stream
+
+    src = tmp_path / "feb_src"
+    src.mkdir()
+    spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]).coalesce(1) \
+        .write.mode("overwrite").parquet(str(src))
+    seen = []
+
+    def collect_batch(batch_df, batch_id):
+        seen.append((batch_id, {r["k"] for r in batch_df.collect()}))
+
+    stream = read_stream(spark, str(src), fmt="parquet",
+                         schema="k long, v string")
+    q = foreach_batch_sink(stream, collect_batch,
+                           checkpoint=str(tmp_path / "feb_ck"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(seen) == 1
+    assert seen[0][1] == {1, 2}
