@@ -1315,6 +1315,50 @@ def window_firstlast(spark, sf_dir):
         F.nth_value("event_type", 2).over(w).alias("second_et"))
 
 
+def q6_forecast(spark, sf_dir):
+    """TPC-H Q6: pure filter + single agg — the predicate-pushdown
+    showcase (all three filters reach the parquet scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sel = li.where((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                   & (F.col("l_shipdate") < F.lit("1997-01-01"))
+                   & (F.col("l_discount").between(0.05, 0.07))
+                   & (F.col("l_quantity") < 24))
+    return sel.agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"))
+                   .alias("revenue"))
+
+
+def q12_priority(spark, sf_dir):
+    """TPC-H Q12 shape on the synthetic schema (no shipmode column):
+    join + conditional aggregation (CASE inside SUM) — high/low
+    order-priority line counts per return flag."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    sel = (li.where((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                    & (F.col("l_shipdate") < F.lit("1997-01-01")))
+           .join(o, F.col("l_orderkey") == F.col("o_orderkey")))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (sel.groupBy("l_returnflag").agg(
+        F.sum(hi.cast("long")).alias("high_line_count"),
+        F.sum((~hi).cast("long")).alias("low_line_count"))
+        .orderBy("l_returnflag"))
+
+
+def q14_promo(spark, sf_dir):
+    """TPC-H Q14 shape: join + conditional-ratio aggregate (ECONOMY
+    parts' revenue share); part side broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    sel = (li.where((F.col("l_shipdate") >= F.lit("1996-09-01"))
+                    & (F.col("l_shipdate") < F.lit("1996-10-01")))
+           .join(F.broadcast(p),
+                 F.col("l_partkey") == F.col("p_partkey")))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(
+        F.lit(0.0))
+    return sel.agg(
+        (F.lit(100.0) * _dsum(promo) / _dsum(rev)).alias("promo_revenue"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing(spark, SF001)
@@ -1444,6 +1488,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "check_constraints": check_constraints,
         "scd2_events": scd2_events,
         "window_firstlast": window_firstlast,
+        "q6_forecast": q6_forecast,
+        "q12_priority": q12_priority,
+        "q14_promo": q14_promo,
     }
 
 
@@ -2500,6 +2547,32 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING
                                   AND UNBOUNDED FOLLOWING)
+        """,
+        "q6_forecast": f"""
+            SELECT {dsum('l_extendedprice * l_discount')} AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "q12_priority": """
+            SELECT l_returnflag,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS high_line_count,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "q14_promo": f"""
+            SELECT 100.0 * {dsum("CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+                   / {dsum('l_extendedprice * (1 - l_discount)')} AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+              AND l_shipdate < TIMESTAMP '1996-10-01'
         """,
         # embed_kmeans: learned centroids (MLlib k-means) — seed-pinned
         # but optimizer-dependent; rows-only check.

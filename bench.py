@@ -34,7 +34,8 @@ HEADLINE = [
     "unique_bufsize", "slice_orders",
     "sessionize_events", "profile_orders", "histogram_value",
     "dedup_incremental", "ngram_span_dup", "embed_centroid_assign",
-    "check_constraints", "scd2_events",
+    "check_constraints", "scd2_events", "window_firstlast",
+    "q6_forecast", "q12_priority", "q14_promo",
 ]
 
 
