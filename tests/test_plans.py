@@ -80,3 +80,26 @@ def test_ivf_kmeans_fit_input_is_bounded(spark):
     plan = _plan(_ivf_train_df(emb, "embedding", 100), "extended")
     assert "GlobalLimit 100" in plan, plan
     assert _ivf_train_df(emb, "embedding", 7).count() == 7
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    import __spark_entry__ as e
+
+    df = e.queries()["q6_forecast"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # filters reach the parquet reader (plan string truncates the
+    # list, so match the prefix) and the scan prunes to the 4 columns
+    # the query touches
+    assert "PushedFilters: [IsNotNull(" in plan
+    assert "GreaterThanOrEqual(l_shipda" in plan
+    assert ("ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+            "l_discount:double,l_shipdate:timestamp" in plan)
+
+
+def test_q14_part_side_broadcast(spark):
+    import __spark_entry__ as e
+
+    df = e.queries()["q14_promo"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
