@@ -1359,6 +1359,17 @@ def q14_promo(spark, sf_dir):
         (F.lit(100.0) * _dsum(promo) / _dsum(rev)).alias("promo_revenue"))
 
 
+def zorder_lineitem(spark, sf_dir):
+    """Morton/Z-order key of (l_partkey, l_suppkey) — the layout
+    clustering primitive; pure JVM bit interleave."""
+    from meza_spark.layout import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        zorder_key(["l_partkey", "l_suppkey"], bits=21).alias("z"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing(spark, SF001)
@@ -1491,6 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast": q6_forecast,
         "q12_priority": q12_priority,
         "q14_promo": q14_promo,
+        "zorder_lineitem": zorder_lineitem,
     }
 
 
@@ -1531,6 +1543,15 @@ def _profile_oracle(num_cols: list[str], str_cols: list[str],
             f"FROM {table}",
         ]
     return " UNION ALL ".join(parts)
+
+
+def _zorder_oracle_expr(cols: list[str], bits: int) -> str:
+    """Morton interleave as a flat OR of shift/mask terms — mirrors
+    meza_spark.layout.zorder_key bit for bit."""
+    k = len(cols)
+    terms = [f"(((CAST({c} AS BIGINT) >> {i}) & 1) << {i * k + j})"
+             for i in range(bits) for j, c in enumerate(cols)]
+    return " | ".join(terms)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2573,6 +2594,11 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-09-01'
               AND l_shipdate < TIMESTAMP '1996-10-01'
+        """,
+        "zorder_lineitem": f"""
+            SELECT l_orderkey, l_linenumber,
+                   {_zorder_oracle_expr(['l_partkey', 'l_suppkey'], 21)} AS z
+            FROM lineitem
         """,
         # embed_kmeans: learned centroids (MLlib k-means) — seed-pinned
         # but optimizer-dependent; rows-only check.

@@ -35,7 +35,7 @@ HEADLINE = [
     "sessionize_events", "profile_orders", "histogram_value",
     "dedup_incremental", "ngram_span_dup", "embed_centroid_assign",
     "check_constraints", "scd2_events", "window_firstlast",
-    "q6_forecast", "q12_priority", "q14_promo",
+    "q6_forecast", "q12_priority", "q14_promo", "zorder_lineitem",
 ]
 
 
