@@ -58,28 +58,41 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     deterministic across engines (oracle-safe).
     """
     t = F.col(text_col)
-    n_chars = F.length(t)
-    n_tok = F.size(tokens(t))
-    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^A-Za-z0-9\s]", ""))
-    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
-    n_stop = F.size(F.filter(tokens(F.lower(t)),
-                             lambda w: w.isin(LANG_MARKERS["en"])))
-    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
-    stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(0.0)
-    mean_wlen = F.when(n_tok > 0, n_alpha.cast("double") / n_tok).otherwise(0.0)
+    # counts materialized as columns so the tokenizer/regex run ONCE
+    # per row — the inline form re-evaluated tokens(t) per referencing
+    # expression (~5× per row; multi-referenced columns survive
+    # CollapseProject, inline expressions don't)
+    step = (df
+            .withColumn("n_chars_q", F.length(t))
+            .withColumn("n_tokens", F.size(tokens(t)))
+            .withColumn("_n_punct", F.col("n_chars_q") - F.length(
+                F.regexp_replace(t, r"[^A-Za-z0-9\s]", "")))
+            .withColumn("_n_alpha",
+                        F.length(F.regexp_replace(t, r"[^A-Za-z]", "")))
+            .withColumn("_n_stop", F.size(F.filter(
+                tokens(F.lower(t)),
+                lambda w: w.isin(LANG_MARKERS["en"])))))
+    nc, nt = F.col("n_chars_q"), F.col("n_tokens")
+    step = (step
+            .withColumn("punct_ratio", F.when(
+                nc > 0, F.col("_n_punct").cast("double") / nc)
+                .otherwise(0.0))
+            .withColumn("stopword_ratio", F.when(
+                nt > 0, F.col("_n_stop").cast("double") / nt)
+                .otherwise(0.0))
+            .withColumn("mean_word_len", F.when(
+                nt > 0, F.col("_n_alpha").cast("double") / nt)
+                .otherwise(0.0)))
     score = (
-        F.when((n_chars >= 64) & (n_chars <= 100000), F.lit(0.4)).otherwise(0.0)
-        + F.when(punct_ratio < 0.2, F.lit(0.2)).otherwise(0.0)
-        + F.when(stop_ratio > 0.01, F.lit(0.2)).otherwise(0.0)
-        + F.when((mean_wlen >= 2.0) & (mean_wlen <= 12.0), F.lit(0.2)).otherwise(0.0)
+        F.when((nc >= 64) & (nc <= 100000), F.lit(0.4)).otherwise(0.0)
+        + F.when(F.col("punct_ratio") < 0.2, F.lit(0.2)).otherwise(0.0)
+        + F.when(F.col("stopword_ratio") > 0.01, F.lit(0.2)).otherwise(0.0)
+        + F.when((F.col("mean_word_len") >= 2.0)
+                 & (F.col("mean_word_len") <= 12.0),
+                 F.lit(0.2)).otherwise(0.0)
     )
-    return (df
-            .withColumn("n_chars_q", n_chars)
-            .withColumn("n_tokens", n_tok)
-            .withColumn("punct_ratio", punct_ratio)
-            .withColumn("stopword_ratio", stop_ratio)
-            .withColumn("mean_word_len", mean_wlen)
-            .withColumn("quality", score))
+    return (step.withColumn("quality", score)
+            .drop("_n_punct", "_n_alpha", "_n_stop"))
 
 
 def lang_id(df: DataFrame, text_col: str = "text",
@@ -87,7 +100,10 @@ def lang_id(df: DataFrame, text_col: str = "text",
     """Stopword-marker language ID: score = count of tokens in each
     language's marker set; argmax wins, ties broken by fixed language
     order (en, de, fr, es), 'und' (undetermined) when all zero."""
-    toks = tokens(F.lower(F.col(text_col)))
+    # tokenizer materialized once; per-language marker counts reference
+    # the column (inline toks would re-tokenize once per language)
+    step = df.withColumn("_li_tk", tokens(F.lower(F.col(text_col))))
+    toks = F.col("_li_tk")
 
     def count_in(markers):
         # closure WITHOUT a default-arg second param: F.filter passes the
@@ -102,8 +118,7 @@ def lang_id(df: DataFrame, text_col: str = "text",
     # build reverse so earlier languages win ties
     for lang in reversed(order):
         expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
-    out_df = df.withColumn(out, expr)
-    return out_df
+    return step.withColumn(out, expr).drop("_li_tk")
 
 
 def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -123,13 +138,17 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     shuffle, no Python, runs inside codegen.
     """
     t = F.col(text_col)
-    lines = F.filter(F.split(t, r"\n"), lambda x: F.trim(x) != "")
+    # split/tokenize materialized once per row — each is referenced by
+    # several downstream expressions (size, distinct, sort)
+    step = (df.withColumn("_rs_ln", F.filter(
+        F.split(t, r"\n"), lambda x: F.trim(x) != ""))
+        .withColumn("_rs_tk", tokens(F.lower(t))))
+    lines, toks = F.col("_rs_ln"), F.col("_rs_tk")
     n_lines = F.size(lines)
     dup_line = F.when(
         n_lines > 0,
         1.0 - F.size(F.array_distinct(lines)).cast("double") / n_lines
     ).otherwise(0.0)
-    toks = tokens(F.lower(t))
     n_tok = F.size(toks)
     dup_word = F.when(
         n_tok > 0,
@@ -141,14 +160,14 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     # filter exists to catch). Sorted array materialized as a column:
     # an inline expression would re-sort per lambda element (see
     # char_entropy).
-    step = df.withColumn("_rs_srt", F.array_sort(toks))
+    step = step.withColumn("_rs_srt", F.array_sort(toks))
     max_word = F.when(n_tok > 0,
                       F.array_max(_run_lengths(F.col("_rs_srt")))
                       ).otherwise(0)
     return (step.withColumn("dup_line_frac", dup_line)
             .withColumn("dup_word_frac", dup_word)
             .withColumn("max_word_count", max_word)
-            .drop("_rs_srt"))
+            .drop("_rs_srt", "_rs_ln", "_rs_tk"))
 
 
 def _run_lengths(srt: Column) -> Column:
@@ -222,7 +241,10 @@ def c4_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     every ratio is one IEEE division of two ints (oracle-exact).
     """
     t = F.col(text_col)
-    lines = F.filter(F.split(t, r"\n"), lambda x: F.trim(x) != "")
+    # line array materialized once (referenced by 3 counters below)
+    df = df.withColumn("_c4_ln", F.filter(
+        F.split(t, r"\n"), lambda x: F.trim(x) != ""))
+    lines = F.col("_c4_ln")
     n_lines = F.size(lines)
     endp = F.size(F.filter(
         lines, lambda x: F.trim(x).rlike('[.!?"]$')))
@@ -239,7 +261,8 @@ def c4_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("short_line_frac", short_frac)
             .withColumn("has_lorem_ipsum", lorem)
             .withColumn("has_curly_brace", curly)
-            .withColumn("c4_keep", keep))
+            .withColumn("c4_keep", keep)
+            .drop("_c4_ln"))
 
 
 # PII patterns restricted to syntax valid in BOTH Java regex (Spark)
