@@ -1370,6 +1370,20 @@ def zorder_lineitem(spark, sf_dir):
         zorder_key(["l_partkey", "l_suppkey"], bits=21).alias("z"))
 
 
+def cms_suppkey_counts(spark, sf_dir):
+    """Count-min sketch build (one distributed pass, tree-merged
+    tables) + join-free broadcast lookup of every distinct supplier
+    key. Width ≫ distinct keys here, so the fixed-hash estimates are
+    collision-free and match exact counts — which is what the oracle
+    checks; at real cardinalities the same op is ε-approximate."""
+    from meza_spark.llm.sketch import build_cms, cms_lookup
+
+    li = _t(spark, sf_dir, "lineitem")
+    cms = build_cms(li, "l_suppkey", depth=5, width=1 << 16)
+    keys = li.select("l_suppkey").distinct()
+    return cms_lookup(keys, "l_suppkey", cms)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing(spark, SF001)
@@ -1503,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_priority": q12_priority,
         "q14_promo": q14_promo,
         "zorder_lineitem": zorder_lineitem,
+        "cms_suppkey_counts": cms_suppkey_counts,
     }
 
 
@@ -2599,6 +2614,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber,
                    {_zorder_oracle_expr(['l_partkey', 'l_suppkey'], 21)} AS z
             FROM lineitem
+        """,
+        "cms_suppkey_counts": """
+            SELECT l_suppkey, COUNT(*) AS est_count
+            FROM lineitem GROUP BY l_suppkey
         """,
         # embed_kmeans: learned centroids (MLlib k-means) — seed-pinned
         # but optimizer-dependent; rows-only check.
