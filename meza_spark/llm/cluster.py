@@ -105,9 +105,19 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     ce = (edges.join(lmap("s"), on="s").join(lmap("d"), on="d")
           .select(F.col("_ns").alias("s"), F.col("_nd").alias("d"))
           .where(F.col("s") != F.col("d")).distinct())
-    ce = _stats_barrier(ce)
+    def _barrier_count(df):
+        """_stats_barrier variant returning (frame, row count): the
+        materializing count doubles as the loop's emptiness check —
+        no separate head() job per round."""
+        df = df.persist()
+        cnt = df.count()
+        out = df.localCheckpoint()
+        df.unpersist()
+        return out, cnt
+
+    ce, n_ce = _barrier_count(ce)
     for _ in range(max_iter):
-        if not ce.head(1):  # quotient has no edges → fully merged
+        if n_ce == 0:  # quotient has no edges → fully merged
             break
         # 1) min neighbor label per label-node on the quotient graph
         m = ce.groupBy("s").agg(F.min("d").alias("nl"))
@@ -123,7 +133,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         ce = (ce.join(lmap("s"), on="s").join(lmap("d"), on="d")
               .select(F.col("_ns").alias("s"), F.col("_nd").alias("d"))
               .where(F.col("s") != F.col("d")).distinct())
-        ce = _stats_barrier(ce)
+        ce, n_ce = _barrier_count(ce)
     # resolution: contraction leaves a union-find FOREST — a vertex may
     # point at a label-node that itself merged later. Chase
     # label(v) ← label(label(v)) to the fixpoint; fixpoints are exactly
