@@ -1384,6 +1384,18 @@ def cms_suppkey_counts(spark, sf_dir):
     return cms_lookup(keys, "l_suppkey", cms)
 
 
+def vocab_top(spark, sf_dir):
+    """Corpus vocabulary top-50: explode + map-side-combined count +
+    TakeOrdered."""
+    return tx.vocab_topk(_t(spark, sf_dir, "documents"), k=50)
+
+
+def tfidf_terms(spark, sf_dir):
+    """Per-doc top-3 characteristic terms by smoothed TF-IDF — one
+    tokenize pass feeding tf and df aggregations."""
+    return tx.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing(spark, SF001)
@@ -1518,6 +1530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo": q14_promo,
         "zorder_lineitem": zorder_lineitem,
         "cms_suppkey_counts": cms_suppkey_counts,
+        "vocab_top": vocab_top,
+        "tfidf_terms": tfidf_terms,
     }
 
 
@@ -2618,6 +2632,33 @@ def oracle_sql() -> dict[str, str]:
         "cms_suppkey_counts": """
             SELECT l_suppkey, COUNT(*) AS est_count
             FROM lineitem GROUP BY l_suppkey
+        """,
+        "vocab_top": r"""
+            SELECT token, COUNT(*) AS n FROM (
+              SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                                                  '\s+')) AS token
+              FROM documents WHERE trim(text) <> '')
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
+        """,
+        "tfidf_terms": r"""
+            WITH pairs AS (
+              SELECT doc_id AS _id,
+                     unnest(regexp_split_to_array(trim(lower(text)),
+                                                  '\s+')) AS term
+              FROM documents WHERE trim(text) <> ''),
+            tf AS (SELECT _id, term, COUNT(*) AS tf
+                   FROM pairs GROUP BY _id, term),
+            dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT COUNT(*) AS _n FROM documents),
+            scored AS (
+              SELECT tf._id, tf.term, tf.tf, dfreq.df,
+                     round(tf.tf * (ln(CAST(_n + 1 AS DOUBLE)
+                                       / (df + 1)) + 1), 6) AS score
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+            SELECT _id AS doc_id, term, tf, df, score, rank FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY _id
+                        ORDER BY score DESC, term ASC) AS rank
+              FROM scored) WHERE rank <= 3
         """,
         # embed_kmeans: learned centroids (MLlib k-means) — seed-pinned
         # but optimizer-dependent; rows-only check.

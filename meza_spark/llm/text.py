@@ -13,7 +13,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["token_count", "quality_score", "lang_id", "fingerprint",
            "repetition_signals", "c4_quality_flags", "scrub_pii",
-           "shingles", "tokens", "char_entropy"]
+           "shingles", "tokens", "char_entropy", "vocab_topk",
+           "tfidf_top_terms"]
 
 # Tiny per-language stopword marker sets for the n-gram/stopword
 # language-ID heuristic. Deterministic scoring, not a trained model.
@@ -325,3 +326,64 @@ def shingles(c: Column, n: int = 3) -> Column:
     array, no explode, no shuffle. Prefer ``shingles_from_tokens`` over
     a pre-tokenized column inside larger pipelines."""
     return shingles_from_tokens(tokens(F.lower(c)), n)
+
+
+def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 100,
+               min_count: int = 1) -> DataFrame:
+    """Corpus vocabulary: the ``k`` most frequent casefolded tokens
+    with counts — the first pass of any tokenizer/vocab build.
+
+    One explode + one count shuffle keyed by token (partial
+    aggregation combines map-side, so the shuffle carries one row per
+    distinct token per partition, not per occurrence); top-k is a
+    TakeOrdered (k rows to the driver, no global sort). Ties break
+    lexicographically for determinism.
+    """
+    toks = df.select(F.explode(tokens(F.lower(F.col(text_col))))
+                     .alias("token"))
+    counts = (toks.groupBy("token")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .where(F.col("n") >= min_count))
+    return (counts.orderBy(F.col("n").desc(), F.col("token").asc())
+            .limit(k))
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 5,
+                    round_digits: int = 6) -> DataFrame:
+    """Top-``k`` characteristic terms per document by smoothed TF-IDF
+    (``tf · (ln((N+1)/(df+1)) + 1)``, the standard sklearn-style
+    smooth-idf — public formula). Returns
+    ``(id, term, tf, df, score, rank)``.
+
+    Plan: ONE tokenize+explode pass feeds both aggregations —
+    per-(doc, term) tf and per-term document frequency; the idf join
+    is on the term key (no row explosion: |terms| ≤ |tokens|), and the
+    per-doc top-k is a window over the doc key. The corpus size N is
+    a broadcast one-row aggregate, not a driver round-trip.
+    Deterministic: idf's log runs over small rationals (same IEEE
+    result across engines — the char_entropy precedent), the score
+    rounds, ranks tie-break on the term.
+    """
+    from pyspark.sql import Window
+
+    pairs = (df.select(F.col(id_col).alias("_id"),
+                       F.explode(tokens(F.lower(F.col(text_col))))
+                       .alias("term")))
+    tf = (pairs.groupBy("_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = (tf.groupBy("term")
+             .agg(F.count(F.lit(1)).alias("df")))
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (tf.join(dfreq, on="term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("score", F.round(
+                  F.col("tf") * (F.log((F.col("_n") + 1).cast("double")
+                                       / (F.col("df") + 1)) + 1),
+                  round_digits)))
+    w = Window.partitionBy("_id").orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("_id").alias(id_col), "term", "tf", "df",
+                    "score", "rank"))

@@ -89,3 +89,45 @@ def test_char_entropy_no_shuffle_no_python(spark):
             .executedPlan().toString())
     assert "Exchange" not in plan    # row-local: zero data movement
     assert "Python" not in plan
+
+
+def test_vocab_topk(spark):
+    from meza_spark.llm.text import vocab_topk
+
+    df = spark.createDataFrame(
+        [("the cat sat",), ("THE the dog",), ("",)], ["text"])
+    out = vocab_topk(df, k=2)
+    rows = [(r["token"], r["n"]) for r in out.collect()]
+    assert rows == [("the", 3), ("cat", 1)]  # tie cat/dog/sat → lexical
+
+
+def test_tfidf_top_terms(spark):
+    from meza_spark.llm.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"),
+         (2, "banana cherry"),
+         (3, "cherry cherry cherry durian")],
+        ["doc_id", "text"])
+    out = tfidf_top_terms(df, k=1)
+    best = {r["doc_id"]: r["term"] for r in out.collect()}
+    # the doc-specific repeated term wins over corpus-common ones
+    assert best == {1: "apple", 2: "banana", 3: "cherry"}
+    row = {r["doc_id"]: r for r in out.collect()}
+    assert row[1]["tf"] == 2 and row[1]["df"] == 1
+    assert row[1]["rank"] == 1
+
+
+def test_tfidf_single_tokenize_pass(spark):
+    from meza_spark.llm.text import tfidf_top_terms
+
+    df = spark.createDataFrame([(1, "a b"), (2, "b c")],
+                               ["doc_id", "text"])
+    plan = (tfidf_top_terms(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    # dfreq derives FROM the tf aggregate, so the join's two branches
+    # share the tf exchange (AQE reuses it at runtime — statically the
+    # subtree prints on both sides, hence <= 2 Generate nodes, never
+    # a third independent tokenize)
+    assert plan.count("Generate") <= 2
+    assert "Python" not in plan
