@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_incremental", "ngram_span_dup", "embed_centroid_assign",
     "check_constraints", "scd2_events", "window_firstlast",
     "q6_forecast", "q12_priority", "q14_promo", "zorder_lineitem",
+    "cms_suppkey_counts", "vocab_top", "tfidf_terms",
 ]
 
 
