@@ -1396,6 +1396,19 @@ def tfidf_terms(spark, sf_dir):
     return tx.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+def hll_users_by_type(spark, sf_dir):
+    """Mergeable per-key HLL sketches → distinct-user estimates
+    (native DataSketches aggregate, JVM-side; sketch-dependent →
+    rows-only check like approx_distinct)."""
+    from meza_spark.llm.hll import distinct_sketches, hll_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    per = distinct_sketches(ev, "user_id", keys=["event_type"])
+    return per.select("event_type",
+                      hll_estimate("sketch").cast("long")
+                      .alias("approx_users"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing(spark, SF001)
@@ -1532,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_suppkey_counts": cms_suppkey_counts,
         "vocab_top": vocab_top,
         "tfidf_terms": tfidf_terms,
+        "hll_users_by_type": hll_users_by_type,
     }
 
 
@@ -2660,6 +2674,8 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY score DESC, term ASC) AS rank
               FROM scored) WHERE rank <= 3
         """,
+        # hll_users_by_type: DataSketches HLL registers — engine-
+        # specific sketch, rows-only check (like approx_distinct).
         # embed_kmeans: learned centroids (MLlib k-means) — seed-pinned
         # but optimizer-dependent; rows-only check.
         # dedup_minhash_lsh, dedup_simhash, embed_ann_lsh: hash-family

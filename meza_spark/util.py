@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["spread"]
+__all__ = ["spread", "plan_stats", "compact"]
 
 
 def spread(df: DataFrame, factor: int = 1) -> DataFrame:
@@ -27,3 +27,54 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def plan_stats(df: DataFrame) -> dict:
+    """Physical-plan audit counters — the numbers the plan-regression
+    tests pin: shuffle exchanges, broadcasts, scans, Python boundaries,
+    sort-merge joins. ``plan_stats(df)["python"] == 0`` is the
+    'JVM-only hot path' assertion in one call."""
+    p = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "exchanges": p.count("Exchange") - p.count("BroadcastExchange")
+        - p.count("ReusedExchange"),
+        "broadcasts": p.count("BroadcastExchange"),
+        "reused_exchanges": p.count("ReusedExchange"),
+        "scans": p.count("Scan "),
+        "python": p.count("Python"),
+        "sort_merge_joins": p.count("SortMergeJoin"),
+        "broadcast_joins": p.count("BroadcastHashJoin")
+        + p.count("BroadcastNestedLoopJoin"),
+        "window_execs": p.count("Window"),
+    }
+
+
+def compact(spark, path: str, target_file_mb: int = 256,
+            fmt: str = "parquet") -> int:
+    """Small-files compaction: rewrite a table directory into
+    ~``target_file_mb`` files (the lakehouse OPTIMIZE pattern —
+    thousands of kilobyte part-files turn listings and scan task
+    scheduling into the bottleneck long before IO does).
+
+    Sizes come from the filesystem, the rewrite is one coalesce (no
+    shuffle; file boundaries only). Returns the new file count.
+    Writes to a sibling temp dir then swaps, so a crash never leaves
+    the table half-compacted.
+    """
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path) for f in fs
+        if not f.startswith(("_", ".")))
+    n_files = max(1, math.ceil(total / (target_file_mb << 20)))
+    df = getattr(spark.read, fmt)(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    getattr(df.coalesce(n_files).write.mode("overwrite"), fmt)(tmp)
+    bak = path.rstrip("/") + "._compact_old"
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    return n_files
