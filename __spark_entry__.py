@@ -1409,6 +1409,18 @@ def hll_users_by_type(spark, sf_dir):
                       .alias("approx_users"))
 
 
+def join_normalized(spark, sf_dir):
+    """Messy-key join: region names perturbed with case/punctuation
+    noise still match via the normalized-key equi-join."""
+    r = _t(spark, sf_dir, "region")
+    messy = r.select(
+        F.concat(F.upper(F.col("r_name")), F.lit("!!")).alias("m_name"),
+        F.col("r_regionkey").alias("m_key"))
+    out = pr.normalized_join(r, messy, left_on="r_name",
+                             right_on="m_name")
+    return out.select("r_regionkey", "r_name", "m_name", "m_key")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing(spark, SF001)
@@ -1546,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top": vocab_top,
         "tfidf_terms": tfidf_terms,
         "hll_users_by_type": hll_users_by_type,
+        "join_normalized": join_normalized,
     }
 
 
@@ -2673,6 +2686,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, ROW_NUMBER() OVER (PARTITION BY _id
                         ORDER BY score DESC, term ASC) AS rank
               FROM scored) WHERE rank <= 3
+        """,
+        "join_normalized": r"""
+            WITH messy AS (SELECT upper(r_name) || '!!' AS m_name,
+                                  r_regionkey AS m_key FROM region)
+            SELECT r.r_regionkey, r.r_name, m.m_name, m.m_key
+            FROM region r JOIN messy m
+              ON trim(regexp_replace(lower(r.r_name), '[^a-z0-9]+', ' ', 'g'))
+               = trim(regexp_replace(lower(m.m_name), '[^a-z0-9]+', ' ', 'g'))
         """,
         # hll_users_by_type: DataSketches HLL registers — engine-
         # specific sketch, rows-only check (like approx_distinct).

@@ -30,7 +30,7 @@ __all__ = [
     "fillempty", "aggregate", "merge", "group", "pivot", "normalize",
     "split", "join", "prepend", "json_recode", "everseen", "topk_per_group",
     "asof_join", "flatten", "slice_rows", "salted_join", "salted_agg",
-    "sessionize", "scd2_intervals",
+    "sessionize", "scd2_intervals", "normalized_join",
 ]
 
 
@@ -738,6 +738,32 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         out = out.select(*left.columns,
                          *[F.col("_m_" + c).alias(c) for c in carried])
     return out
+
+
+def normalized_join(left: DataFrame, right: DataFrame,
+                    left_on: str, right_on: str | None = None,
+                    how: str = "inner",
+                    normalizer: Callable | None = None) -> DataFrame:
+    """Equi-join on NORMALIZED string keys — the messy-data join
+    (meza pairs `underscorify`/`slugify` hygiene with joins by hand,
+    ref meza/fntools.py:267-324 + process.py:785; this fuses them):
+    casefold, trim, collapse non-alphanumerics to single spaces on
+    both sides, then a plain equi-join.
+
+    ``normalizer`` overrides the default Column→Column cleaner. The
+    normalized key is computed per side BEFORE the join (one
+    projection; the join itself stays a hash join on the derived
+    key — broadcast/SMJ selection is untouched). Both original key
+    columns survive in the output.
+    """
+    right_on = right_on or left_on
+    # trim AFTER collapsing: punctuation at the edges would otherwise
+    # leave leading/trailing spaces in the key
+    norm = normalizer or (lambda c: F.trim(F.regexp_replace(
+        F.lower(c), r"[^a-z0-9]+", " ")))
+    lk = left.withColumn("_nk", norm(F.col(left_on)))
+    rk = right.withColumn("_nk", norm(F.col(right_on)))
+    return lk.join(rk, on="_nk", how=how).drop("_nk")
 
 
 def flatten(df: DataFrame, sep: str = "_") -> DataFrame:

@@ -208,3 +208,27 @@ def foreach_batch_sink(df: DataFrame, fn, query_name: str = "meza_feb",
     for k, v in options.items():
         w = w.option(k, v)
     return w.start()
+
+
+def stream_stream_join(left: DataFrame, right: DataFrame, on: str,
+                       left_ts: str, right_ts: str,
+                       watermark: str = "10 minutes",
+                       time_bound: str = "15 minutes",
+                       how: str = "inner") -> DataFrame:
+    """Watermarked stream-stream equi-join with an event-time bound —
+    the two-streams correlation primitive (clicks ⋈ impressions).
+
+    Both sides carry watermarks and the join condition includes
+    ``|left_ts - right_ts| ≤ time_bound``: together these let the
+    state store EVICT rows older than watermark+bound instead of
+    buffering both streams forever — the difference between bounded
+    and unbounded state at production rates. Outer variants emit the
+    unmatched side only once its watermark passes (late-data safe).
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[on] == rw[on])
+        & (rw[right_ts] >= F.expr(f"{left_ts} - INTERVAL {time_bound}"))
+        & (rw[right_ts] <= F.expr(f"{left_ts} + INTERVAL {time_bound}")))
+    return lw.join(rw, cond, how)

@@ -402,3 +402,18 @@ def test_fillempty_limit_consecutive(spark):
                         limit=1)
     got = {r["ord"]: r["v"] for r in back.collect()}
     assert got == {1: 10, 2: None, 3: None, 4: 20, 5: 20, 6: None}
+
+
+def test_normalized_join_messy_keys(spark):
+    from meza_spark.process import normalized_join
+
+    left = spark.createDataFrame(
+        [("United  States",), ("Côte d'Ivoire",), ("nowhere",)], ["name"])
+    right = spark.createDataFrame(
+        [("UNITED-STATES!", 1), ("côte d’ivoire", 2), ("Japan", 3)],
+        ["label", "v"])
+    out = normalized_join(left, right, left_on="name",
+                          right_on="label")
+    got = {r["name"]: r["v"] for r in out.collect()}
+    assert got["United  States"] == 1      # case/punct/spacing noise
+    assert "nowhere" not in got

@@ -159,3 +159,37 @@ def test_foreach_batch_sink_delivers_batches(spark, tmp_path):
         q.stop()
     assert len(seen) == 1
     assert seen[0][1] == {1, 2}
+
+
+def test_stream_stream_join_time_bounded(spark, tmp_path):
+    import datetime as dt
+
+    from meza_spark.streaming import (read_stream, stream_stream_join,
+                                      write_stream)
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    l_src, r_src = tmp_path / "ss_l", tmp_path / "ss_r"
+    spark.createDataFrame(
+        [(1, "k1", t0), (2, "k2", t0)],
+        ["lid", "k", "lts"]).coalesce(1).write.parquet(str(l_src))
+    spark.createDataFrame(
+        [(10, "k1", t0 + dt.timedelta(minutes=5)),     # within bound
+         (11, "k2", t0 + dt.timedelta(hours=2)),       # outside bound
+         (12, "k3", t0)],                              # no key match
+        ["rid", "k", "rts"]).coalesce(1).write.parquet(str(r_src))
+    ls = read_stream(spark, str(l_src), fmt="parquet",
+                     schema="lid long, k string, lts timestamp")
+    rs = read_stream(spark, str(r_src), fmt="parquet",
+                     schema="rid long, k string, rts timestamp")
+    joined = stream_stream_join(ls, rs, "k", "lts", "rts",
+                                time_bound="15 minutes")
+    q = write_stream(joined.select("lid", "rid"), fmt="memory",
+                     query_name="t_ssj", output_mode="append",
+                     checkpoint=str(tmp_path / "ssj_ck"))
+    try:
+        q.processAllAvailable()
+        got = {(r["lid"], r["rid"])
+               for r in spark.sql("SELECT * FROM t_ssj").collect()}
+    finally:
+        q.stop()
+    assert got == {(1, 10)}
