@@ -1421,6 +1421,17 @@ def join_normalized(spark, sf_dir):
     return out.select("r_regionkey", "r_name", "m_name", "m_key")
 
 
+def dedup_span_e2e(spark, sf_dir):
+    """Verbatim-span dedup end-to-end: 10-token exact-span pairs →
+    connected components → keep min-doc_id per cluster (the
+    substring-dedup pipeline, records in → records out)."""
+    from meza_spark.llm.cluster import near_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = near_dedup(docs, method="span", n=10, max_bucket=None)
+    return kept.select("doc_id", "lang", "source", "n_chars")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing(spark, SF001)
@@ -1559,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": tfidf_terms,
         "hll_users_by_type": hll_users_by_type,
         "join_normalized": join_normalized,
+        "dedup_span_e2e": dedup_span_e2e,
     }
 
 
@@ -2686,6 +2698,31 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, ROW_NUMBER() OVER (PARTITION BY _id
                         ORDER BY score DESC, term ASC) AS rank
               FROM scored) WHERE rank <= 3
+        """,
+        "dedup_span_e2e": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+9], ' ') AS g
+              FROM toks,
+                   LATERAL (SELECT UNNEST(range(1, len(t) - 10 + 2)) AS i) u
+              WHERE len(t) >= 10),
+            prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                    FROM grams a JOIN grams b
+                      ON a.g = b.g AND a.doc_id < b.doc_id),
+            edges AS (SELECT id_a AS s, id_b AS d FROM prs
+                      UNION SELECT id_b, id_a FROM prs),
+            reach(v, l) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.d, r.l FROM edges e JOIN reach r ON e.s = r.v),
+            labels AS (SELECT v, min(l) AS component
+                       FROM reach GROUP BY v)
+            SELECT d.doc_id, d.lang, d.source, d.n_chars
+            FROM documents d JOIN labels lb ON d.doc_id = lb.v
+            WHERE lb.component = d.doc_id
         """,
         "join_normalized": r"""
             WITH messy AS (SELECT upper(r_name) || '!!' AS m_name,

@@ -179,6 +179,10 @@ def near_dedup(df: DataFrame, method: str = "minhash",
       - ``'ngram'``    → :func:`~meza_spark.llm.dedup.ngram_jaccard`
         (``n``, ``min_jaccard``, ``join_on``) — exact within blocks,
         fully deterministic: the oracle-testable variant
+      - ``'span'``     → :func:`~meza_spark.llm.dedup.
+        ngram_span_pairs` (``n``, ``max_bucket``) — verbatim n-token
+        span sharing; exact and deterministic (Lee-et-al-style
+        substring dedup end-to-end)
       - ``'embedding'`` → :func:`~meza_spark.llm.similarity.
         embedding_near_dupes` (``vec_col``, ``threshold``,
         ``n_planes``, ``block_on``)
@@ -199,6 +203,11 @@ def near_dedup(df: DataFrame, method: str = "minhash",
     elif method == "ngram":
         pairs = ngram_jaccard(df, text_col=text_col, id_col=id_col,
                               **kwargs)
+    elif method == "span":
+        from .dedup import ngram_span_pairs
+
+        pairs = ngram_span_pairs(df, text_col=text_col, id_col=id_col,
+                                 **kwargs)
     elif method == "embedding":
         pairs = embedding_near_dupes(df, id_col=id_col, **kwargs)
     else:
