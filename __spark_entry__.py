@@ -1432,6 +1432,30 @@ def dedup_span_e2e(spark, sf_dir):
     return kept.select("doc_id", "lang", "source", "n_chars")
 
 
+def join_fuzzy_lev(spark, sf_dir):
+    """Typo-tolerant join: nation names vs 1-edit-perturbed copies via
+    JVM levenshtein (broadcast cross join at dim size)."""
+    n = _t(spark, sf_dir, "nation")
+    messy = n.select(
+        F.concat(F.substring("n_name", 1, 3), F.lit("X"),
+                 F.expr("substring(n_name, 5)")).alias("m_name"),
+        F.col("n_nationkey").alias("m_key"))
+    out = pr.fuzzy_join(n, messy, left_on="n_name", right_on="m_name",
+                        max_distance=1)
+    return out.select("n_nationkey", "n_name", "m_name", "m_key",
+                      "distance")
+
+
+def pct_by_priority(spark, sf_dir):
+    """Exact per-group percentiles: p25/p50/p75 of order totals per
+    priority (interpolated, DuckDB quantile_cont twin)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("p75")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing(spark, SF001)
@@ -1571,6 +1595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users_by_type": hll_users_by_type,
         "join_normalized": join_normalized,
         "dedup_span_e2e": dedup_span_e2e,
+        "join_fuzzy_lev": join_fuzzy_lev,
+        "pct_by_priority": pct_by_priority,
     }
 
 
@@ -2723,6 +2749,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.lang, d.source, d.n_chars
             FROM documents d JOIN labels lb ON d.doc_id = lb.v
             WHERE lb.component = d.doc_id
+        """,
+        "join_fuzzy_lev": """
+            WITH messy AS (
+              SELECT substring(n_name, 1, 3) || 'X'
+                     || substring(n_name, 5) AS m_name,
+                     n_nationkey AS m_key
+              FROM nation)
+            SELECT n.n_nationkey, n.n_name, m.m_name, m.m_key,
+                   levenshtein(n.n_name, m.m_name) AS distance
+            FROM nation n CROSS JOIN messy m
+            WHERE levenshtein(n.n_name, m.m_name) <= 1
+        """,
+        "pct_by_priority": """
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+                   round(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+                   round(quantile_cont(o_totalprice, 0.75), 6) AS p75
+            FROM orders GROUP BY o_orderpriority
         """,
         "join_normalized": r"""
             WITH messy AS (SELECT upper(r_name) || '!!' AS m_name,

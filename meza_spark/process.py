@@ -30,7 +30,7 @@ __all__ = [
     "fillempty", "aggregate", "merge", "group", "pivot", "normalize",
     "split", "join", "prepend", "json_recode", "everseen", "topk_per_group",
     "asof_join", "flatten", "slice_rows", "salted_join", "salted_agg",
-    "sessionize", "scd2_intervals", "normalized_join",
+    "sessionize", "scd2_intervals", "normalized_join", "fuzzy_join",
 ]
 
 
@@ -764,6 +764,33 @@ def normalized_join(left: DataFrame, right: DataFrame,
     lk = left.withColumn("_nk", norm(F.col(left_on)))
     rk = right.withColumn("_nk", norm(F.col(right_on)))
     return lk.join(rk, on="_nk", how=how).drop("_nk")
+
+
+def fuzzy_join(left: DataFrame, right: DataFrame,
+               left_on: str, right_on: str | None = None,
+               max_distance: int = 2,
+               block_on: tuple[str, str] | None = None) -> DataFrame:
+    """Edit-distance join: match rows whose keys are within
+    ``max_distance`` Levenshtein edits — typo-tolerant record linkage
+    (JVM ``levenshtein`` expression, no Python).
+
+    UNBLOCKED this is a cross join with an O(|a|·|b|) distance per
+    pair — fine for dimension-sized sides (one side broadcasts), NOT
+    for two fact tables. At scale pass ``block_on=(left_col,
+    right_col)``: equality on the block key (e.g. first letter +
+    length bucket, a phonetic code, a city) turns the plan into a
+    hash join with the distance as a post-filter. A ``distance``
+    column is appended.
+    """
+    right_on = right_on or left_on
+    dist = F.levenshtein(F.col(left_on), F.col(right_on))
+    if block_on is not None:
+        lb, rb = block_on
+        out = left.join(right, F.col(lb) == F.col(rb))
+    else:
+        out = left.crossJoin(right)
+    return (out.withColumn("distance", dist)
+            .where(F.col("distance") <= max_distance))
 
 
 def flatten(df: DataFrame, sep: str = "_") -> DataFrame:

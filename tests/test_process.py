@@ -417,3 +417,22 @@ def test_normalized_join_messy_keys(spark):
     got = {r["name"]: r["v"] for r in out.collect()}
     assert got["United  States"] == 1      # case/punct/spacing noise
     assert "nowhere" not in got
+
+
+def test_fuzzy_join_blocked_and_unblocked(spark):
+    from meza_spark.process import fuzzy_join
+
+    left = spark.createDataFrame(
+        [("smith", "s"), ("jones", "j")], ["name", "blk"])
+    right = spark.createDataFrame(
+        [("smyth", "s", 1), ("stone", "s", 2), ("jonez", "j", 3)],
+        ["label", "blk2", "v"])
+    un = fuzzy_join(left, right, left_on="name", right_on="label",
+                    max_distance=1)
+    got = {(r["name"], r["label"]) for r in un.collect()}
+    assert got == {("smith", "smyth"), ("jones", "jonez")}
+    bl = fuzzy_join(left, right, left_on="name", right_on="label",
+                    max_distance=1, block_on=("blk", "blk2"))
+    assert {(r["name"], r["label"]) for r in bl.collect()} == got
+    plan = bl._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan   # block key → hash join
