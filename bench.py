@@ -61,6 +61,30 @@ SCALE_QUERIES = ["q1_pricing", "q3_shipping", "q5_local_supplier",
                  "dedup_exact"]
 
 
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+# The driver's sf0.1 parquet is ONE file with ONE row group per table;
+# parquet cannot be split below row-group granularity, so every scan is
+# single-threaded regardless of spark.sql.files.* settings — a data
+# LAYOUT pathology, not an engine property (at 100 TB every table has
+# thousands of row groups). Rewrite each table once (identical rows,
+# multi-file layout, cost reported as layout.gen_sec) so the timed
+# queries measure the engine, not one core reading one row group.
+SPLIT_FILES = 32
+
+
+def _build_split(spark, sf_dir: str, out_dir: str):
+    for table in TABLES:
+        src = os.path.join(sf_dir, f"{table}.parquet")
+        dst = os.path.join(out_dir, f"{table}.parquet")
+        if not os.path.exists(src) or os.path.exists(dst):
+            continue
+        df = spark.read.parquet(src)
+        n = SPLIT_FILES if df.count() >= 10_000 else 1
+        df.repartition(n).write.mode("overwrite").parquet(dst)
+
+
 def _build_scaled(spark, entry, sf_dir: str, out_dir: str):
     from pyspark.sql import functions as F
 
@@ -96,6 +120,18 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry.queries()
+
+    # splittable layout (see SPLIT_FILES note above); opt out with
+    # SPARK_GRAFT_SPLIT=0 to time the raw single-row-group layout
+    layout = None
+    if os.environ.get("SPARK_GRAFT_SPLIT", "1") != "0":
+        split_dir = f"/tmp/meza_bench_split_sf{sf}"
+        t0 = time.time()
+        _build_split(spark, sf_dir, split_dir)
+        layout = {"files_per_table": SPLIT_FILES,
+                  "gen_sec": round(time.time() - t0, 3)}
+        sf_dir = split_dir
+
     # warmup: JVM + codegen + parquet footer caches, and the Python
     # worker pool (first Arrow-UDF query otherwise pays worker spawn)
     qs["sort_topk"](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -127,6 +163,8 @@ def main():
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if layout is not None:
+        out["layout"] = layout
 
     # scaling slope: same join/agg headliners at a 10× synthetic SF.
     # sub-linear slope (t_x10 / t_x1 < 10) = fixed overhead amortizing;

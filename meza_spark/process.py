@@ -568,7 +568,15 @@ def group(df: DataFrame, keys: str | Sequence[str],
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     if apply is not None:
-        return df.groupBy(*keys).applyInPandas(apply, schema=schema)
+        # Pre-partition by the grouping keys with an EXPLICIT partition
+        # count: AQE's byte-based coalescing would otherwise fold the
+        # tiny shuffle ahead of a Pandas UDF into one partition and
+        # serialize all the Python work (bytes ≠ cost for UDF stages).
+        # An explicit-count repartition is exempt from AQE coalescing,
+        # and groupBy on the same keys reuses it — no second Exchange.
+        n = df.sparkSession.sparkContext.defaultParallelism
+        return (df.repartition(n, *[F.col(k) for k in keys])
+                .groupBy(*keys).applyInPandas(apply, schema=schema))
     if aggs:
         cols = [_agg_col(o, f).alias(name) for name, (f, o) in aggs.items()]
         return df.groupBy(*keys).agg(*cols)
