@@ -1456,6 +1456,155 @@ def pct_by_priority(spark, sf_dir):
         F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("p75")))
 
 
+def q4_exists(spark, sf_dir):
+    """TPC-H Q4 shape (EXISTS decorrelated to a left-semi join): count
+    orders per priority having at least one late-shipped line. The
+    semi-join carries only l_orderkey; Catalyst pushes the date filter
+    to both scans."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    sel = o.where((F.col("o_orderdate") >= F.lit("1996-01-01"))
+                  & (F.col("o_orderdate") < F.lit("1996-07-01")))
+    late = (li.join(sel.select("o_orderkey", "o_orderdate"),
+                    F.col("l_orderkey") == F.col("o_orderkey"))
+            .where(F.col("l_shipdate")
+                   > F.date_add(F.col("o_orderdate").cast("date"), 60))
+            .select("l_orderkey").distinct())
+    return (sel.join(late, sel["o_orderkey"] == late["l_orderkey"],
+                     "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+def q10_returned(spark, sf_dir):
+    """TPC-H Q10: returned-item revenue per customer, top 20. Big join
+    (lineitem × orders) shuffles on the key; customer and nation dims
+    broadcast."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01")))
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(F.round(_dsum(rev), 4).alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+            .limit(20))
+
+
+def q13_custdist(spark, sf_dir):
+    """TPC-H Q13: customer distribution by order count — LEFT join so
+    zero-order customers count, double aggregation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+                .groupBy(c["c_custkey"])
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+def q18_bigorders(spark, sf_dir):
+    """TPC-H Q18: large-volume orders (HAVING sum(qty) > t), then
+    re-join customer + lineitem for the report. The HAVING prunes to a
+    tiny keyset that broadcasts into the final joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("sum_qty"))
+           .where(F.col("sum_qty") > 150))
+    return (o.join(big, o["o_orderkey"] == big["l_orderkey"])
+            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .select("c_name", "c_custkey", "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("o_orderdate"),
+                    "o_totalprice", "sum_qty")
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+            .limit(20))
+
+
+def q22_idle_cust(spark, sf_dir):
+    """TPC-H Q22 shape: customers above the average positive balance
+    who never placed a big-ticket order — scalar subquery (one-row
+    broadcast, decimal-exact avg) + left-anti join, grouped by nation
+    bucket."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = (c.where(F.col("c_acctbal") > 0.0)
+               .agg((F.sum(F.col("c_acctbal").cast("decimal(38,8)"))
+                     / F.count("*")).cast("double").alias("a")))
+    rich = (c.crossJoin(F.broadcast(avg_bal))
+            .where(F.col("c_acctbal") > F.col("a")))
+    big = o.where(F.col("o_totalprice") > 300000)
+    idle = rich.join(big, rich["c_custkey"] == big["o_custkey"],
+                     "left_anti")
+    return (idle.groupBy((F.col("c_nationkey") % 5).alias("cntry_grp"))
+            .agg(F.count("*").alias("numcust"),
+                 F.round(_dsum("c_acctbal"), 4).alias("totacctbal"))
+            .orderBy("cntry_grp"))
+
+
+def merge_upsert(spark, sf_dir):
+    """MERGE INTO (upsert) gate: apply a derived change-set (10% price
+    updates + key-shifted inserts) to orders via one full-outer join."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    updates = (o.where(F.col("o_orderkey") % 10 == 0)
+               .withColumn("o_totalprice",
+                           F.round(F.col("o_totalprice") * 1.1, 4)))
+    inserts = (o.where(F.col("o_orderkey") % 97 == 0)
+               .select((F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                       F.lit("N").alias("o_orderstatus"),
+                       F.col("o_totalprice")))
+    src = updates.unionByName(inserts)
+    out = pr.merge_into(o, src, on="o_orderkey",
+                        update_cols=["o_totalprice"])
+    return out.select("o_orderkey", "o_orderstatus",
+                      F.round("o_totalprice", 4).alias("o_totalprice"))
+
+
+def sample_temperature(spark, sf_dir):
+    """Temperature (|D|^alpha) corpus mixing over the language strata —
+    deterministic md5-threshold downsampling, exact oracle twin."""
+    from meza_spark.llm.sampling import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_sample(docs, "doc_id", "lang",
+                              alpha=0.5, seed=1) \
+        .select("doc_id", "lang", "source")
+
+
+def embed_ann_pq(spark, sf_dir):
+    """Product-quantization ANN: 8-byte codes, ADC top-10 with exact
+    refine of 4×k candidates (approximate: codebook-dependent)."""
+    from meza_spark.llm.pq import pq_ann_topk, pq_encode, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [(1.0 if i % 7 == 0 else 0.1) for i in range(64)]
+    cb = pq_train(emb, m=8, nbits=6, fit_sample=2000, seed=13)
+    enc = pq_encode(emb, cb)
+    return pq_ann_topk(enc, q, cb, k=10, vec_col="embedding", refine=4)
+
+
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup end-to-end: k-means cells → within-cell cosine pairs →
+    connected components → keep min-id (approximate: centroids)."""
+    from meza_spark.llm.cluster import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    kept = semantic_dedup(emb, k_clusters=8, threshold=0.98,
+                          fit_sample=2000, seed=7)
+    return kept.select("vec_id", "label")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing(spark, SF001)
@@ -1597,6 +1746,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_e2e": dedup_span_e2e,
         "join_fuzzy_lev": join_fuzzy_lev,
         "pct_by_priority": pct_by_priority,
+        "q4_exists": q4_exists,
+        "q10_returned": q10_returned,
+        "q13_custdist": q13_custdist,
+        "q18_bigorders": q18_bigorders,
+        "q22_idle_cust": q22_idle_cust,
+        "merge_upsert": merge_upsert,
+        "sample_temperature": sample_temperature,
+        "embed_ann_pq": embed_ann_pq,
+        "dedup_semantic": dedup_semantic,
     }
 
 
@@ -2776,12 +2934,113 @@ def oracle_sql() -> dict[str, str]:
               ON trim(regexp_replace(lower(r.r_name), '[^a-z0-9]+', ' ', 'g'))
                = trim(regexp_replace(lower(m.m_name), '[^a-z0-9]+', ' ', 'g'))
         """,
+        "q4_exists": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-07-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > CAST(o.o_orderdate AS DATE)
+                                     + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q10_returned": f"""
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   round({dsum("l_extendedprice * (1 - l_discount)")}, 4)
+                     AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+        """,
+        "q13_custdist": """
+            SELECT c_count, COUNT(*) AS custdist FROM (
+              SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+              FROM customer c LEFT JOIN (
+                SELECT * FROM orders
+                WHERE o_orderpriority <> '1-URGENT') o
+                ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey)
+            GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+        """,
+        "q18_bigorders": """
+            SELECT c_name, c_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_totalprice, sum_qty
+            FROM orders
+            JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING SUM(l_quantity) > 150) big
+              ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+        """,
+        "q22_idle_cust": f"""
+            WITH a AS (
+              SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,8)))
+                          / COUNT(*) AS DOUBLE) AS avg_bal
+              FROM customer WHERE c_acctbal > 0.0)
+            SELECT c_nationkey % 5 AS cntry_grp,
+                   COUNT(*) AS numcust,
+                   round({dsum('c_acctbal')}, 4) AS totacctbal
+            FROM customer, a
+            WHERE c_acctbal > a.avg_bal
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice > 300000)
+            GROUP BY cntry_grp ORDER BY cntry_grp
+        """,
+        "merge_upsert": """
+            WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                       FROM orders),
+            src AS (
+              SELECT o_orderkey, o_orderstatus,
+                     round(o_totalprice * 1.1, 4) AS o_totalprice
+              FROM o WHERE o_orderkey % 10 = 0
+              UNION ALL
+              SELECT o_orderkey + 100000000, 'N', o_totalprice
+              FROM o WHERE o_orderkey % 97 = 0)
+            SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+                   CASE WHEN t.o_orderkey IS NOT NULL
+                        THEN t.o_orderstatus ELSE s.o_orderstatus
+                        END AS o_orderstatus,
+                   round(CASE
+                     WHEN t.o_orderkey IS NOT NULL
+                          AND s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                     WHEN t.o_orderkey IS NOT NULL THEN t.o_totalprice
+                     ELSE s.o_totalprice END, 4) AS o_totalprice
+            FROM o t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+        """,
+        "sample_temperature": """
+            WITH c AS (SELECT lang, COUNT(*) AS cnt
+                       FROM documents GROUP BY lang),
+            r AS (SELECT lang,
+                         round(pow(cnt, -0.5)
+                               / (SELECT max(pow(cnt, -0.5)) FROM c), 6)
+                           AS rate
+                  FROM c)
+            SELECT d.doc_id, d.lang, d.source
+            FROM documents d JOIN r USING (lang)
+            WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || '#1'), 1, 15)
+                  < CASE WHEN rate >= 1.0 THEN 'g'
+                         ELSE printf('%015x',
+                              CAST(floor(rate * 1152921504606846976.0)
+                                   AS BIGINT)) END
+        """,
         # hll_users_by_type: DataSketches HLL registers — engine-
         # specific sketch, rows-only check (like approx_distinct).
         # embed_kmeans: learned centroids (MLlib k-means) — seed-pinned
         # but optimizer-dependent; rows-only check.
         # dedup_minhash_lsh, dedup_simhash, embed_ann_lsh: hash-family
         # dependent (xxhash64 / hyperplane seeds) — not SQL-expressible;
-        # approx_distinct: HLL sketch, approximate by design.
+        # embed_ann_pq, dedup_semantic: learned codebooks/centroids —
+        # approximate by design; approx_distinct: HLL sketch.
         # Driver records rows-only checks for these.
     }

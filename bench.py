@@ -37,6 +37,9 @@ HEADLINE = [
     "check_constraints", "scd2_events", "window_firstlast",
     "q6_forecast", "q12_priority", "q14_promo", "zorder_lineitem",
     "cms_suppkey_counts", "vocab_top", "tfidf_terms",
+    "q4_exists", "q10_returned", "q13_custdist", "q18_bigorders",
+    "q22_idle_cust", "merge_upsert", "sample_temperature",
+    "embed_ann_pq", "dedup_semantic",
 ]
 
 

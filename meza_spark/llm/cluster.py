@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "near_dedup"]
+__all__ = ["connected_components", "near_dedup", "semantic_dedup"]
 
 
 def _stats_barrier(df: DataFrame) -> DataFrame:
@@ -213,6 +213,50 @@ def near_dedup(df: DataFrame, method: str = "minhash",
     else:
         raise ValueError(f"near_dedup: unknown method {method!r}")
 
+    comp = connected_components(pairs.select("id_a", "id_b"),
+                                max_iter=max_iter)
+    drop = comp.where(F.col("component") != F.col("id")) \
+               .select(F.col("id").alias(id_col))
+    return df.join(drop, on=id_col, how="left_anti")
+
+
+def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
+                   id_col: str = "vec_id", k_clusters: int = 16,
+                   threshold: float = 0.95, seed: int = 42,
+                   fit_sample: int = 100_000,
+                   max_iter: int = 30) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication", 2023 — public): k-means the embedding space into
+    ``k_clusters`` cells, find cosine-≥-threshold pairs WITHIN each
+    cell only, and keep one representative (min id) per duplicate
+    group. Records in, records out.
+
+    Scale shape — each stage is one already-scale-audited operator:
+      1. codebook fit on a bounded sample (``kmeans_clusters`` →
+         ``limit(fit_sample)``, no full scan);
+      2. assignment = broadcast-argmax scan (no corpus shuffle);
+      3. candidate pairs shuffle on the cell id and carry ids only
+         (``embedding_near_dupes(block_on=...)``), so the quadratic
+         term is bounded by cell size — pick ``k_clusters`` ≈ n/10⁴
+         at scale;
+      4. pair → cluster → keep via edge-contraction connected
+         components (ids only).
+
+    Within-cell pruning is exact; cross-cell near-dupes are missed by
+    design (the paper's trade). Approximate-by-nature (centroids), so
+    rows-only at oracle time; deterministic for a fixed seed.
+    """
+    from .similarity import embedding_near_dupes, kmeans_clusters
+
+    assign = kmeans_clusters(df, k=k_clusters, vec_col=vec_col,
+                             id_col=id_col, seed=seed,
+                             fit_sample=fit_sample) \
+        .select(id_col, "centroid_id")
+    work = df.select(id_col, vec_col).join(assign, on=id_col)
+    pairs = embedding_near_dupes(work, vec_col=vec_col, id_col=id_col,
+                                 threshold=threshold,
+                                 block_on="centroid_id")
     comp = connected_components(pairs.select("id_a", "id_b"),
                                 max_iter=max_iter)
     drop = comp.where(F.col("component") != F.col("id")) \

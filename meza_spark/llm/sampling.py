@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["hash_sample", "stratified_hash_sample", "split_train_val",
-           "global_shuffle", "pack_shards"]
+           "global_shuffle", "pack_shards", "temperature_sample"]
 
 
 def _hex_threshold(fraction: float) -> str:
@@ -66,6 +66,42 @@ def stratified_hash_sample(df: DataFrame, key_col: str, strata_col: str,
     keep = (h < _hex_threshold(default)) if expr is None \
         else expr.otherwise(h < _hex_threshold(default))
     return df.where(keep)
+
+
+def temperature_sample(df: DataFrame, key_col: str, strata_col: str,
+                       alpha: float = 0.7, seed: int = 0) -> DataFrame:
+    """Temperature-based corpus mixing (the ``|D_s|^α`` rule of
+    multilingual LM training — mBERT/XLM-R exponential smoothing,
+    public): rebalance strata toward the mixture
+    ``p_s ∝ c_s^α`` by deterministically downsampling stratum ``s`` at
+    rate ``r_s = c_s^(α-1) / max_s' c_s'^(α-1)`` — the smallest
+    stratum keeps everything, large strata shed mass, and α=1 is a
+    no-op while α=0 targets the uniform mixture.
+
+    Two steps, both scale-flat: a strata-sized ``groupBy().count()``
+    (collected — strata counts are small by definition), then ONE
+    row-local CASE of md5-threshold comparisons exactly like
+    :func:`stratified_hash_sample` — no shuffle of the corpus, no RNG
+    state, reproducible on any engine/cluster/partitioning.
+
+    Rates are rounded to 6 digits and thresholds use a 60-bit hash
+    prefix so an external SQL oracle reproduces the row set exactly.
+    """
+    counts = {r[0]: r[1] for r in
+              df.groupBy(strata_col).count().collect()}
+    if not counts:
+        return df
+    mx = max(c ** (alpha - 1.0) for c in counts.values())
+    h = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"),
+                       F.lit(f"#{seed}"))), 1, 15)
+    expr = None
+    for value in sorted(counts):
+        rate = round((counts[value] ** (alpha - 1.0)) / mx, 6)
+        th = "g" if rate >= 1.0 else format(int(rate * (1 << 60)), "015x")
+        test = (F.col(strata_col) == value, h < F.lit(th))
+        expr = F.when(*test) if expr is None else expr.when(*test)
+    return df.where(expr.otherwise(F.lit(False)))
 
 
 def split_train_val(df: DataFrame, key_col: str,
