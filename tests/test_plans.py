@@ -103,3 +103,46 @@ def test_q14_part_side_broadcast(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q10_dims_broadcast(spark):
+    simple = _plan(entry.q10_returned(spark, SF), "simple")
+    # customer and nation ride broadcasts; only lineitem×orders may
+    # shuffle
+    assert simple.count("BroadcastHashJoin") >= 2, simple
+    plan = _plan(entry.q10_returned(spark, SF))
+    assert "EqualTo(l_returnflag,R)" in plan  # pushed to the scan
+
+
+def test_merge_into_single_join_no_window(spark):
+    t = spark.range(100).select(
+        entry.F.col("id").alias("k"),
+        (entry.F.col("id") * 2.0).alias("v"))
+    s = spark.range(50).select(
+        entry.F.col("id").alias("k"),
+        (entry.F.col("id") * 3.0).alias("v"))
+    from meza_spark.process import merge_into
+
+    plan = _plan(merge_into(t, s, on="k"), "simple")
+    # exactly one join, no window, no extra aggregate pass
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert n_joins == 1, plan
+    assert "Window" not in plan
+
+
+def test_temperature_sample_no_corpus_shuffle(spark):
+    from meza_spark.llm.sampling import temperature_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = temperature_sample(docs, "doc_id", "lang", alpha=0.5)
+    plan = _plan(out, "simple")
+    # the keep-filter is row-local: no Exchange in the output plan
+    # (the strata-count groupBy ran eagerly at build time)
+    assert "Exchange" not in plan, plan
+
+
+def test_q22_scalar_subquery_broadcast(spark):
+    plan = _plan(entry.q22_idle_cust(spark, SF), "simple")
+    assert "BroadcastNestedLoopJoin" in plan  # one-row avg broadcast
+    assert plan.count("SortMergeJoin") <= 1
