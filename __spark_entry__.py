@@ -1594,6 +1594,31 @@ def embed_ann_pq(spark, sf_dir):
     return pq_ann_topk(enc, q, cb, k=10, vec_col="embedding", refine=4)
 
 
+def embed_ann_ivfpq(spark, sf_dir):
+    """IVF+PQ composite ANN (FAISS IVFx,PQy layout): coarse cells +
+    residual PQ codes, 2-cell probe, exact refine (approximate:
+    codebook-dependent)."""
+    from meza_spark.llm.pq import ivfpq_ann_topk, ivfpq_encode, ivfpq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [(1.0 if i % 7 == 0 else 0.1) for i in range(64)]
+    co, cb = ivfpq_train(emb, nlist=8, m=8, nbits=6, fit_sample=2000,
+                         seed=13)
+    enc = ivfpq_encode(emb, co, cb)
+    return ivfpq_ann_topk(enc, q, co, cb, k=10, nprobe=3,
+                          vec_col="embedding", refine=4)
+
+
+def llm_logprob(spark, sf_dir):
+    """Unigram log-probability quality scoring (perplexity proxy):
+    corpus-trained frequency table, broadcast scoring join, decimal
+    per-doc mean."""
+    from meza_spark.llm.text import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob(docs)
+
+
 def dedup_semantic(spark, sf_dir):
     """SemDeDup end-to-end: k-means cells → within-cell cosine pairs →
     connected components → keep min-id (approximate: centroids)."""
@@ -1754,6 +1779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": merge_upsert,
         "sample_temperature": sample_temperature,
         "embed_ann_pq": embed_ann_pq,
+        "embed_ann_ivfpq": embed_ann_ivfpq,
+        "llm_logprob": llm_logprob,
         "dedup_semantic": dedup_semantic,
     }
 
@@ -3033,6 +3060,25 @@ def oracle_sql() -> dict[str, str]:
                          ELSE printf('%015x',
                               CAST(floor(rate * 1152921504606846976.0)
                                    AS BIGINT)) END
+        """,
+        "llm_logprob": r"""
+            WITH pairs AS (
+              SELECT doc_id AS _id,
+                     unnest(regexp_split_to_array(trim(lower(text)),
+                                                  '\s+')) AS term
+              FROM documents WHERE trim(text) <> ''),
+            freq AS (SELECT term, COUNT(*) AS n FROM pairs GROUP BY term),
+            tot AS (SELECT SUM(n) AS total FROM freq),
+            scored AS (
+              SELECT _id, COUNT(*) AS n_tokens,
+                     CAST(SUM(CAST(ln(n / total) AS DECIMAL(38,18)))
+                          AS DOUBLE) / COUNT(*) AS lp
+              FROM pairs JOIN freq USING (term) CROSS JOIN tot
+              GROUP BY _id)
+            SELECT d.doc_id,
+                   COALESCE(s.n_tokens, 0) AS n_tokens,
+                   round(s.lp, 6) AS logprob
+            FROM documents d LEFT JOIN scored s ON d.doc_id = s._id
         """,
         # hll_users_by_type: DataSketches HLL registers — engine-
         # specific sketch, rows-only check (like approx_distinct).

@@ -39,7 +39,7 @@ HEADLINE = [
     "cms_suppkey_counts", "vocab_top", "tfidf_terms",
     "q4_exists", "q10_returned", "q13_custdist", "q18_bigorders",
     "q22_idle_cust", "merge_upsert", "sample_temperature",
-    "embed_ann_pq", "dedup_semantic",
+    "embed_ann_pq", "embed_ann_ivfpq", "llm_logprob", "dedup_semantic",
 ]
 
 

@@ -39,7 +39,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pq_train", "pq_encode", "pq_ann_topk"]
+__all__ = ["pq_train", "pq_encode", "pq_ann_topk",
+           "ivfpq_train", "ivfpq_encode", "ivfpq_ann_topk"]
 
 
 def _sample_matrix(df: DataFrame, vec_col: str, fit_sample: int) -> np.ndarray:
@@ -168,4 +169,136 @@ def pq_ann_topk(df: DataFrame, query: Sequence[float],
 
     cand = df.join(scored.select(id_col), on=id_col, how="left_semi")
     return cosine_topk(cand, list(query), vec_col=vec_col,
+                       id_col=id_col, k=k, round_digits=round_digits)
+
+
+def ivfpq_train(df: DataFrame, vec_col: str = "embedding",
+                nlist: int = 16, m: int = 8, nbits: int = 8,
+                fit_sample: int = 100_000, iters: int = 10,
+                seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """Train the IVF+PQ composite index (FAISS ``IVFx,PQy`` — the
+    standard billion-to-trillion-scale layout): a coarse ``nlist``-cell
+    k-means partitions the space, and PQ codebooks quantize the
+    RESIDUAL (vector − its cell centroid), which carries far less
+    variance than the raw vector — same bytes, better recall.
+
+    One bounded driver-side sample feeds both fits. Returns
+    ``(coarse (nlist, d), codebooks (m, 2^nbits, d/m))`` — kilobytes,
+    closure-broadcast by encode/query.
+    """
+    x = _sample_matrix(df, vec_col, fit_sample)
+    if x.size == 0:
+        raise ValueError("ivfpq_train: no vectors to train on")
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"ivfpq_train: dim {d} not divisible by m={m}")
+    coarse = _kmeans_1d(x, nlist, iters, seed)
+    d2 = ((x * x).sum(1)[:, None] - 2.0 * (x @ coarse.T)
+          + (coarse * coarse).sum(1)[None, :])
+    resid = x - coarse[d2.argmin(1)]
+    dsub, k = d // m, 1 << nbits
+    books = np.stack([
+        _kmeans_1d(np.ascontiguousarray(resid[:, j * dsub:(j + 1) * dsub]),
+                   k, iters, seed + 1 + j)
+        for j in range(m)])
+    return coarse, books
+
+
+def ivfpq_encode(df: DataFrame, coarse: np.ndarray,
+                 codebooks: np.ndarray, vec_col: str = "embedding",
+                 cell_col: str = "ivf_cell",
+                 code_col: str = "pq_code") -> DataFrame:
+    """One distributed pass: assign the coarse cell, PQ-encode the
+    residual. At rest, write the result partitioned/clustered by
+    ``cell_col`` so queries partition-prune to their probed cells —
+    that layout, plus the m-byte codes, is what makes the 100 TB probe
+    an I/O nibble instead of a scan."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    co = np.ascontiguousarray(coarse, dtype=np.float64)
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, k, dsub = cb.shape
+    co2 = (co * co).sum(1)
+    cb2 = (cb * cb).sum(2)
+
+    @pandas_udf(f"struct<{cell_col}:smallint,{code_col}:array<smallint>>")
+    def enc(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({cell_col: pd.Series([], dtype="int16"),
+                                 code_col: pd.Series([], dtype="object")})
+        X = np.stack([np.asarray(e, dtype=np.float64) for e in v])
+        n = X.shape[0]
+        cells = (co2[None, :] - 2.0 * (X @ co.T)).argmin(1)
+        R = (X - co[cells]).reshape(n, m, dsub)
+        dots = np.einsum("nmd,mkd->nmk", R, cb)
+        codes = (cb2[None, :, :] - 2.0 * dots).argmin(2).astype(np.int16)
+        return pd.DataFrame({cell_col: cells.astype(np.int16),
+                             code_col: list(codes)})
+
+    packed = df.withColumn("_ivfpq", enc(F.col(vec_col)))
+    return (packed.withColumn(cell_col, F.col(f"_ivfpq.{cell_col}"))
+            .withColumn(code_col, F.col(f"_ivfpq.{code_col}"))
+            .drop("_ivfpq"))
+
+
+def ivfpq_ann_topk(df: DataFrame, query, coarse: np.ndarray,
+                   codebooks: np.ndarray, k: int = 10, nprobe: int = 2,
+                   id_col: str = "vec_id", cell_col: str = "ivf_cell",
+                   code_col: str = "pq_code", vec_col: str | None = None,
+                   refine: int = 0, round_digits: int = 4) -> DataFrame:
+    """Probe the ``nprobe`` cells nearest the query; score their rows
+    by ADC against per-cell residual tables (the query's residual
+    differs per cell, so each probed cell gets its own (m × 2^nbits)
+    table — all precomputed on the driver, a few KB).
+
+    The ``cell IN probes`` filter is an ordinary pushable predicate:
+    over a cell-partitioned table it prunes I/O before any compute.
+    Scan payload is (id, cell, m smallints). ``refine`` re-scores the
+    top ``refine × k`` exactly by cosine (needs ``vec_col``).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    co = np.ascontiguousarray(coarse, dtype=np.float64)
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, kk, dsub = cb.shape
+    q = np.asarray(list(query), dtype=np.float64)
+    cd = ((co - q[None, :]) ** 2).sum(1)
+    probes = np.argsort(cd, kind="stable")[:nprobe].astype(int)
+    # per-probed-cell ADC tables over the cell-residual query
+    tables = {}
+    for c in probes:
+        r = (q - co[c]).reshape(m, 1, dsub)
+        tables[int(c)] = ((cb - r) ** 2).sum(2)
+
+    @pandas_udf("double")
+    def dist(cells: pd.Series, codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype="float64")
+        C = np.stack([np.asarray(c, dtype=np.int64) for c in codes])
+        out = np.empty(len(codes))
+        cells_np = cells.to_numpy()
+        for c, tab in tables.items():
+            mask = cells_np == c
+            if mask.any():
+                out[mask] = tab[np.arange(m)[None, :], C[mask]].sum(1)
+        return pd.Series(out)
+
+    cand = df.where(F.col(cell_col).isin([int(c) for c in probes]))
+    fetch = k * refine if refine else k
+    scored = (cand.select(F.col(id_col),
+                          dist(F.col(cell_col),
+                               F.col(code_col)).alias("_d"))
+              .orderBy(F.col("_d").asc(), F.col(id_col).asc())
+              .limit(fetch))
+    if not refine:
+        return scored.select(
+            id_col, F.round(-F.col("_d"), round_digits).alias("score"))
+    if vec_col is None:
+        raise ValueError("ivfpq_ann_topk: refine requires vec_col")
+    from .similarity import cosine_topk
+
+    sel = df.join(scored.select(id_col), on=id_col, how="left_semi")
+    return cosine_topk(sel, list(query), vec_col=vec_col,
                        id_col=id_col, k=k, round_digits=round_digits)

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 __all__ = ["token_count", "quality_score", "lang_id", "fingerprint",
            "repetition_signals", "c4_quality_flags", "scrub_pii",
            "shingles", "tokens", "char_entropy", "vocab_topk",
-           "tfidf_top_terms"]
+           "tfidf_top_terms", "unigram_logprob"]
 
 # Tiny per-language stopword marker sets for the n-gram/stopword
 # language-ID heuristic. Deterministic scoring, not a trained model.
@@ -387,3 +387,48 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
             .where(F.col("rank") <= k)
             .select(F.col("_id").alias(id_col), "term", "tf", "df",
                     "score", "rank"))
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    round_digits: int = 6,
+                    broadcast_vocab: bool = True) -> DataFrame:
+    """Mean unigram log-probability per document — the deterministic
+    perplexity proxy (CCNet-style pipelines score documents with a
+    language model and drop the tails; the unigram LM version keeps
+    the shape of that signal while staying exact, engine-portable,
+    and trainable in one aggregation over the corpus itself).
+
+    Returns ``(id, n_tokens, logprob)`` with
+    ``logprob = mean_t ln(count(t) / total_tokens)`` — gibberish and
+    rare-token soup score low, common prose scores high. Documents
+    with no tokens get a null score.
+
+    Scale shape: one tokenize/explode pass feeds BOTH the frequency
+    table (token-keyed count with map-side partial agg) and the
+    scoring join; the vocab is broadcast when
+    ``broadcast_vocab=True`` (Zipf keeps real vocabularies millions
+    of rows — broadcastable far longer than you'd guess; flip to
+    ``False`` to let the join shuffle on the token key instead). The
+    per-doc mean accumulates in decimal so partition order can't
+    change the result.
+    """
+    pairs = df.select(F.col(id_col).alias("_id"),
+                      F.explode(tokens(F.lower(F.col(text_col))))
+                      .alias("term"))
+    freq = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("_n"))
+    total = freq.agg(F.sum("_n").alias("_total"))
+    if broadcast_vocab:
+        freq = F.broadcast(freq)
+    lp = F.log(F.col("_n") / F.col("_total"))
+    scored = (pairs.join(freq, on="term")
+              .crossJoin(F.broadcast(total))
+              .groupBy("_id")
+              .agg(F.count(F.lit(1)).alias("n_tokens"),
+                   (F.sum(lp.cast("decimal(38,18)")).cast("double")
+                    / F.count(F.lit(1))).alias("_lp")))
+    out = (df.select(F.col(id_col))
+           .join(scored, F.col(id_col) == F.col("_id"), "left")
+           .select(id_col, F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                   F.round("_lp", round_digits).alias("logprob")))
+    return out

@@ -81,3 +81,43 @@ def test_pq_scan_reads_codes_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     # no join / no exchange of the corpus beyond the top-k reduction
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivfpq_recall_and_determinism(spark):
+    from meza_spark.llm.pq import ivfpq_ann_topk, ivfpq_encode, ivfpq_train
+    from meza_spark.llm.similarity import cosine_topk
+
+    df, centers = _clustered_df(spark)
+    co, cb = ivfpq_train(df, nlist=8, m=4, nbits=6, fit_sample=400,
+                         seed=11)
+    assert co.shape == (8, 16) and cb.shape == (4, 64, 4)
+    enc = ivfpq_encode(df, co, cb).persist()
+    cells = enc.select("ivf_cell").distinct().count()
+    assert 2 <= cells <= 8
+    q = [float(x) for x in centers[0]]
+    exact = [r["vec_id"] for r in cosine_topk(df, q, k=10).collect()]
+    approx = [r["vec_id"] for r in
+              ivfpq_ann_topk(enc, q, co, cb, k=10, nprobe=2).collect()]
+    assert len(set(exact) & set(approx)) >= 7
+    refined = [r["vec_id"] for r in
+               ivfpq_ann_topk(enc, q, co, cb, k=10, nprobe=2,
+                              vec_col="embedding", refine=4).collect()]
+    assert len(set(exact) & set(refined)) >= 9
+    # deterministic across partitionings
+    a = {r["vec_id"]: (r["ivf_cell"], list(r["pq_code"]))
+         for r in enc.collect()}
+    b = {r["vec_id"]: (r["ivf_cell"], list(r["pq_code"]))
+         for r in ivfpq_encode(df.repartition(7), co, cb).collect()}
+    assert a == b
+
+
+def test_ivfpq_probe_filter_prunes(spark):
+    from meza_spark.llm.pq import ivfpq_ann_topk, ivfpq_encode, ivfpq_train
+
+    df, centers = _clustered_df(spark)
+    co, cb = ivfpq_train(df, nlist=8, m=4, nbits=4, fit_sample=400, seed=11)
+    enc = ivfpq_encode(df, co, cb)
+    plan = ivfpq_ann_topk(enc, [float(x) for x in centers[0]], co, cb,
+                          k=5, nprobe=2) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "ivf_cell" in plan and ("IN" in plan or "in(" in plan.lower())

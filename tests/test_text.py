@@ -131,3 +131,21 @@ def test_tfidf_single_tokenize_pass(spark):
     # a third independent tokenize)
     assert plan.count("Generate") <= 2
     assert "Python" not in plan
+
+
+def test_unigram_logprob(spark):
+    from meza_spark.llm.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the the the"), (3, "zyx qwv"),
+         (4, "   ")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_tokens"], r["logprob"])
+           for r in unigram_logprob(df).collect()}
+    assert out[4] == (0, None)          # token-less doc: null score
+    assert out[2][0] == 3
+    # 'the' appears 4/8 times -> doc 2 score = ln(0.5)
+    import math
+    assert abs(out[2][1] - round(math.log(4 / 8), 6)) < 1e-9
+    # rare-token doc scores lowest
+    assert out[3][1] < out[1][1] < out[2][1]
