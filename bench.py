@@ -40,6 +40,10 @@ HEADLINE = [
     "q4_exists", "q10_returned", "q13_custdist", "q18_bigorders",
     "q22_idle_cust", "merge_upsert", "sample_temperature",
     "embed_ann_pq", "embed_ann_ivfpq", "llm_logprob", "dedup_semantic",
+    # full TPC-H suite completion
+    "q2_mincost", "q7_volume", "q8_mktshare", "q9_profit", "q11_value",
+    "q15_topsupp", "q16_partcnt", "q17_smallqty", "q19_disjunct",
+    "q20_promo", "q21_waiting",
 ]
 
 
@@ -54,6 +58,7 @@ SCALE_KEYS = {  # key columns shifted per replica; dims stay single-copy
     "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
     "customer": ["c_custkey"],
     "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
     "nation": [],
@@ -61,7 +66,7 @@ SCALE_KEYS = {  # key columns shifted per replica; dims stay single-copy
 }
 SCALE_QUERIES = ["q1_pricing", "q3_shipping", "q5_local_supplier",
                  "join_inner", "topk_per_group", "window_running",
-                 "dedup_exact"]
+                 "dedup_exact", "q9_profit", "q21_waiting"]
 
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

@@ -146,3 +146,41 @@ def test_q22_scalar_subquery_broadcast(spark):
     plan = _plan(entry.q22_idle_cust(spark, SF), "simple")
     assert "BroadcastNestedLoopJoin" in plan  # one-row avg broadcast
     assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q9_dims_broadcast_single_fact_shuffle(spark):
+    plan = _plan(entry.q9_profit(spark, SF), "simple")
+    # part/supplier/nation broadcast; the only sort-merge-eligible
+    # join is lineitem x orders on orderkey
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert plan.count("SortMergeJoin") <= 1, plan
+    full = _plan(entry.q9_profit(spark, SF))
+    assert "StringContains(p_name,red)" in full  # filter reached scan
+
+
+def test_q21_reuses_orderkey_exchange(spark):
+    plan = _plan(entry.q21_waiting(spark, SF))
+    # the decorrelated exists/not-exists runs off ONE per-order agg:
+    # no nested-loop join anywhere
+    assert "NestedLoop" not in plan
+    # orders' status filter is pushed to the scan
+    assert "EqualTo(o_orderstatus,F)" in plan
+
+
+def test_q17_no_cartesian_and_pushed_brand(spark):
+    plan = _plan(entry.q17_smallqty(spark, SF))
+    assert "NestedLoop" not in plan
+    assert "EqualTo(p_brand,Brand#3)" in plan
+
+
+def test_q15_max_is_broadcast_not_rescan(spark):
+    plan = _plan(entry.q15_topsupp(spark, SF), "simple")
+    # the scalar max is a window over the per-supplier agg, so
+    # lineitem is scanned exactly once (plus the supplier dim)
+    assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_q19_single_broadcast_join(spark):
+    plan = _plan(entry.q19_disjunct(spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
