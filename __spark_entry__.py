@@ -1898,6 +1898,46 @@ def q21_waiting(spark, sf_dir):
             .orderBy(F.col("numwait").desc(), "s_name").limit(100))
 
 
+def decontam_flag(spark, sf_dir):
+    """Benchmark decontamination (flag mode): docs sharing a verbatim
+    8-gram with the held-out benchmark slice (doc_id % 50 == 0) get
+    contaminated=true. Benchmark gram hashes broadcast; the corpus
+    never shuffles its text."""
+    from meza_spark.llm.decontam import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    train = docs.where(F.col("doc_id") % 50 != 0)
+    return (decontaminate(train, bench, n=8, mode="flag")
+            .select("doc_id", "contaminated").orderBy("doc_id"))
+
+
+def llm_gopher(spark, sf_dir):
+    """Gopher quality rules over documents: per-rule booleans +
+    composite keep + violated-rule reasons array."""
+    docs = _t(spark, sf_dir, "documents")
+    return (tx.gopher_filter(docs)
+            .select("doc_id", "gopher_word_count_ok",
+                    "gopher_mean_word_length_ok", "gopher_symbol_ratio_ok",
+                    "gopher_alpha_word_frac_ok", "gopher_stopword_count_ok",
+                    "gopher_keep", "gopher_drop_reasons")
+            .orderBy("doc_id"))
+
+
+def llm_normalize(spark, sf_dir):
+    """Text normalization gate: deterministically messy up documents
+    (curly quotes, long dash, NBSP, tabs, double spaces) with JVM
+    expressions, then normalize back — both steps mirrored in the
+    DuckDB oracle. The optional NFKC pandas-UDF step is unit-tested
+    (DuckDB has no NFKC)."""
+    docs = _t(spark, sf_dir, "documents")
+    messy = docs.withColumn("text", F.concat(
+        F.lit("“"), F.col("text"), F.lit("” —\tx"),
+        F.lit("  "), F.col("lang"), F.lit("  end")))
+    return (tx.normalize_text(messy).select("doc_id", "text")
+            .orderBy("doc_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing(spark, SF001)
@@ -2055,6 +2095,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunct": q19_disjunct,
         "q20_promo": q20_promo,
         "q21_waiting": q21_waiting,
+        "decontam_flag": decontam_flag,
+        "llm_gopher": llm_gopher,
+        "llm_normalize": llm_normalize,
         "merge_upsert": merge_upsert,
         "sample_temperature": sample_temperature,
         "embed_ann_pq": embed_ann_pq,
@@ -3480,6 +3523,99 @@ def oracle_sql() -> dict[str, str]:
             WHERE ns > 1 AND nr = 1
             GROUP BY s_name
             ORDER BY numwait DESC, s_name LIMIT 100
+        """,
+        "decontam_flag": r"""
+            WITH toksb AS (
+              SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM documents WHERE doc_id % 50 = 0),
+            gb AS (
+              SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS g
+              FROM toksb,
+                   LATERAL (SELECT UNNEST(range(1, len(t) - 8 + 2)) AS i) u
+              WHERE len(t) >= 8),
+            docs AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM documents WHERE doc_id % 50 <> 0),
+            hits AS (
+              SELECT DISTINCT doc_id
+              FROM docs,
+                   LATERAL (SELECT UNNEST(range(1, len(t) - 8 + 2)) AS i) u
+              WHERE len(t) >= 8
+                AND array_to_string(t[i:i+7], ' ') IN (SELECT g FROM gb))
+            SELECT doc_id, doc_id IN (SELECT doc_id FROM hits)
+                   AS contaminated
+            FROM documents WHERE doc_id % 50 <> 0
+            ORDER BY doc_id
+        """,
+        "llm_gopher": r"""
+            WITH toks AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents),
+            feat AS (
+              SELECT doc_id,
+                     len(t) AS nw,
+                     CASE WHEN len(t) > 0 THEN
+                       CAST(length(array_to_string(t, '')) AS DOUBLE)
+                       / len(t) ELSE 0.0 END AS mwl,
+                     CASE WHEN len(t) > 0 THEN
+                       CAST((len(string_split(text, '#')) - 1)
+                            + (len(string_split(text, '...')) - 1)
+                            AS DOUBLE) / len(t) ELSE 0.0 END AS symr,
+                     CASE WHEN len(t) > 0 THEN
+                       CAST(len(list_filter(t,
+                            x -> regexp_matches(x, '[A-Za-z]')))
+                            AS DOUBLE) / len(t) ELSE 0.0 END AS alphaf,
+                     len(list_filter(['the','and','of','to','is'],
+                         s -> list_contains(
+                             list_transform(t, x -> lower(x)), s)))
+                       AS nstop
+              FROM toks),
+            flags AS (
+              SELECT doc_id,
+                     (nw >= 50 AND nw <= 100000) AS gopher_word_count_ok,
+                     (mwl >= 3.0 AND mwl <= 10.0)
+                       AS gopher_mean_word_length_ok,
+                     (symr <= 0.1) AS gopher_symbol_ratio_ok,
+                     (alphaf >= 0.8) AS gopher_alpha_word_frac_ok,
+                     (nstop >= 2) AS gopher_stopword_count_ok
+              FROM feat)
+            SELECT doc_id, gopher_word_count_ok,
+                   gopher_mean_word_length_ok, gopher_symbol_ratio_ok,
+                   gopher_alpha_word_frac_ok, gopher_stopword_count_ok,
+                   (gopher_word_count_ok AND gopher_mean_word_length_ok
+                    AND gopher_symbol_ratio_ok AND gopher_alpha_word_frac_ok
+                    AND gopher_stopword_count_ok) AS gopher_keep,
+                   list_filter([
+                     CASE WHEN NOT gopher_word_count_ok
+                          THEN 'word_count' END,
+                     CASE WHEN NOT gopher_mean_word_length_ok
+                          THEN 'mean_word_length' END,
+                     CASE WHEN NOT gopher_symbol_ratio_ok
+                          THEN 'symbol_ratio' END,
+                     CASE WHEN NOT gopher_alpha_word_frac_ok
+                          THEN 'alpha_word_frac' END,
+                     CASE WHEN NOT gopher_stopword_count_ok
+                          THEN 'stopword_count' END],
+                     x -> x IS NOT NULL) AS gopher_drop_reasons
+            FROM flags ORDER BY doc_id
+        """,
+        "llm_normalize": """
+            SELECT doc_id,
+              trim(regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(
+                     '“' || text || '” —\tx  ' || lang
+                        || '  end',
+                     '[‘’‛]', '''', 'g'),
+                     '[“”‟]', '"', 'g'),
+                     '[–—―]', '-', 'g'),
+                     '[   ]', ' ', 'g'),
+                     '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'),
+                     '[ \t]+', ' ', 'g'),
+                     ' ?\n ?', '\n', 'g')) AS text
+            FROM documents ORDER BY doc_id
         """,
         "merge_upsert": """
             WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice

@@ -44,6 +44,7 @@ HEADLINE = [
     "q2_mincost", "q7_volume", "q8_mktshare", "q9_profit", "q11_value",
     "q15_topsupp", "q16_partcnt", "q17_smallqty", "q19_disjunct",
     "q20_promo", "q21_waiting",
+    "decontam_flag", "llm_gopher", "llm_normalize",
 ]
 
 

@@ -1,0 +1,75 @@
+"""Benchmark decontamination: remove (or flag) training documents that
+share a verbatim word n-gram with an evaluation/benchmark set.
+
+The standard pre-training hygiene step (GPT-3 §C / PaLM-style 8-gram to
+13-gram overlap): any training doc containing an n-gram that also
+occurs in a benchmark document is contaminated.
+
+Scale shape (the 100 TB plan):
+  - the benchmark side is small by nature (eval sets are thousands of
+    docs, not billions) → its distinct gram hashes BROADCAST;
+  - the corpus side explodes to (id, gram_hash) JVM-side — grams are
+    hashed to int64 (xxhash64) before the join so no text rides it;
+  - the broadcast semi-join filters on the map side; the only shuffle
+    is the ids-only distinct of contaminated doc ids.
+
+No reference analog (meza has no corpus ops); part of the
+beyond-reference training-data layer mandated by the build charter.
+"""
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import shingles_from_tokens, tokens
+
+__all__ = ["contaminated_ids", "decontaminate"]
+
+
+def _gram_hashes(df: DataFrame, text_col: str, id_col: str,
+                 n: int) -> DataFrame:
+    """(id, gram_hash int64) pairs, distinct per doc, all JVM-side."""
+    toks = tokens(F.lower(F.col(text_col)))
+    grams = shingles_from_tokens(F.col("_toks"), n)
+    return (df.select(id_col, toks.alias("_toks"))
+            .select(id_col, F.explode(grams).alias("_g"))
+            .select(id_col, F.xxhash64("_g").alias("gram_hash")))
+
+
+def contaminated_ids(docs: DataFrame, benchmark: DataFrame,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     n: int = 8) -> DataFrame:
+    """Distinct ids of training docs sharing an ``n``-gram with any
+    benchmark doc. The benchmark gram set is broadcast; docs' grams
+    never shuffle."""
+    bench = (benchmark
+             .select(F.explode(shingles_from_tokens(
+                 tokens(F.lower(F.col(text_col))), n)).alias("_g"))
+             .select(F.xxhash64("_g").alias("gram_hash"))
+             .distinct())
+    hits = _gram_hashes(docs, text_col, id_col, n) \
+        .join(F.broadcast(bench), "gram_hash", "left_semi")
+    return hits.select(id_col).distinct()
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 8, mode: str = "remove") -> DataFrame:
+    """Records in, records out (the engine-wide dedup contract).
+
+    ``mode='remove'``: drop contaminated docs (left-anti join on the
+    ids-only contaminated set).
+    ``mode='flag'``: keep every row, add a ``contaminated`` boolean —
+    the audit form. The contaminated-id set is broadcast: eval
+    contamination is rare by construction, so the set is small; for a
+    pathological corpus (benchmark embedded verbatim everywhere) use
+    ``mode='remove'`` whose anti-join Spark may plan as shuffle.
+    """
+    ids = contaminated_ids(docs, benchmark, text_col, id_col, n)
+    if mode == "remove":
+        return docs.join(ids, on=id_col, how="left_anti")
+    if mode == "flag":
+        flag = ids.withColumn("contaminated", F.lit(True))
+        return (docs.join(F.broadcast(flag), on=id_col, how="left")
+                .withColumn("contaminated",
+                            F.coalesce("contaminated", F.lit(False))))
+    raise ValueError(f"decontaminate: unknown mode {mode!r}")

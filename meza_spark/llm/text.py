@@ -4,9 +4,10 @@ All expressions are JVM-side builtins (regexp/split/aggregate) — no
 Python UDFs in any hot path, so these run inside WholeStageCodegen and
 scale linearly with executors. Each operator is also expressible in
 ANSI SQL for the DuckDB differential oracle (see __spark_entry__).
-"""
 
-from __future__ import annotations
+No `from __future__ import annotations`: stringified hints break
+pandas_udf type-hint inference for the NFKC step in normalize_text.
+"""
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -14,7 +15,8 @@ from pyspark.sql import functions as F
 __all__ = ["token_count", "quality_score", "lang_id", "fingerprint",
            "repetition_signals", "c4_quality_flags", "scrub_pii",
            "shingles", "tokens", "char_entropy", "vocab_topk",
-           "tfidf_top_terms", "unigram_logprob"]
+           "tfidf_top_terms", "unigram_logprob", "gopher_filter",
+           "normalize_text"]
 
 # Tiny per-language stopword marker sets for the n-gram/stopword
 # language-ID heuristic. Deterministic scoring, not a trained model.
@@ -432,3 +434,102 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
            .select(id_col, F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
                    F.round("_lp", round_digits).alias("logprob")))
     return out
+
+
+def gopher_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, Table A1 —
+    public): the pre-training keep/drop heuristics, as per-rule
+    booleans plus the composite ``gopher_keep`` and a ``gopher_drop_
+    reasons`` array naming every violated rule (audit form).
+
+    Rules (document level; the two line-fraction rules live in
+    :func:`c4_quality_flags`/:func:`repetition_signals`):
+      - 50 ≤ word count ≤ 100,000
+      - 3 ≤ mean word length ≤ 10
+      - symbol-to-word ratio ≤ 0.1 (``#`` and ``...``)
+      - ≥ 80% of words contain at least one alphabetic character
+      - ≥ 2 of the 5 English stopword markers present
+
+    Shuffle-free row-local expressions; every ratio is one IEEE
+    division of two ints (oracle-exact).
+    """
+    t = F.col(text_col)
+    df = df.withColumn("_gf_toks", tokens(t))
+    toks = F.col("_gf_toks")
+    n_words = F.size(toks)
+    mean_wlen = F.when(n_words > 0,
+                       F.length(F.concat_ws("", toks)).cast("double")
+                       / n_words).otherwise(0.0)
+    n_sym = (F.size(F.split(t, r"#", -1)) - 1) \
+        + (F.size(F.split(t, r"\.\.\.", -1)) - 1)
+    sym_ratio = F.when(n_words > 0,
+                       n_sym.cast("double") / n_words).otherwise(0.0)
+    n_alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.when(n_words > 0,
+                        n_alpha_words.cast("double") / n_words) \
+        .otherwise(0.0)
+    n_stop_hits = F.size(F.filter(
+        F.array(*[F.lit(s) for s in LANG_MARKERS["en"]]),
+        lambda s: F.array_contains(F.transform(toks, F.lower), s)))
+    rules = [
+        ("word_count", (n_words >= 50) & (n_words <= 100_000)),
+        ("mean_word_length", (mean_wlen >= 3.0) & (mean_wlen <= 10.0)),
+        ("symbol_ratio", sym_ratio <= 0.1),
+        ("alpha_word_frac", alpha_frac >= 0.8),
+        ("stopword_count", n_stop_hits >= 2),
+    ]
+    out = df
+    keep = F.lit(True)
+    for name, ok in rules:
+        out = out.withColumn(f"gopher_{name}_ok", ok)
+        keep = keep & F.col(f"gopher_{name}_ok")
+    reasons = F.filter(
+        F.array(*[F.when(~F.col(f"gopher_{n}_ok"), F.lit(n))
+                  for n, _ in rules]),
+        lambda x: x.isNotNull())
+    return (out.withColumn("gopher_keep", keep)
+            .withColumn("gopher_drop_reasons", reasons)
+            .drop("_gf_toks"))
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   out: str | None = None, lowercase: bool = False,
+                   unicode_form: str | None = None) -> DataFrame:
+    """Canonical text cleanup before hashing/dedup/tokenization:
+
+      - strip C0/C1 control chars (except ``\\n`` and ``\\t``)
+      - standardize curly quotes / long dashes / NBSP to ASCII
+      - collapse runs of spaces/tabs, trim line edges, trim ends
+      - optional casefold (``lowercase=True``)
+      - optional Unicode normalization (``unicode_form='NFC'|'NFKC'``)
+        — the ONLY step that leaves the JVM (Arrow-batched pandas UDF
+        over ``str.normalize``); leave ``None`` to stay whole-stage
+        codegen end-to-end.
+
+    The JVM steps mirror 1:1 to RE2 so the differential oracle can
+    replay them; NFKC parity is unit-tested instead (DuckDB exposes
+    NFC only).
+    """
+    c = F.col(text_col)
+    c = F.regexp_replace(c, "[‘’‛]", "'")
+    c = F.regexp_replace(c, "[“”‟]", '"')
+    c = F.regexp_replace(c, "[–—―]", "-")
+    c = F.regexp_replace(c, "[   ]", " ")
+    c = F.regexp_replace(c, "[\\x00-\\x08\\x0b-\\x1f\\x7f]", "")
+    c = F.regexp_replace(c, "[ \\t]+", " ")
+    c = F.regexp_replace(c, " ?\\n ?", "\n")
+    c = F.trim(c)
+    if lowercase:
+        c = F.lower(c)
+    if unicode_form is not None:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        form = str(unicode_form)
+
+        @pandas_udf("string")
+        def _norm(s: pd.Series) -> pd.Series:
+            return s.str.normalize(form)
+
+        c = _norm(c)
+    return df.withColumn(out or text_col, c)

@@ -149,3 +149,45 @@ def test_unigram_logprob(spark):
     assert abs(out[2][1] - round(math.log(4 / 8), 6)) < 1e-9
     # rare-token doc scores lowest
     assert out[3][1] < out[1][1] < out[2][1]
+
+
+def test_gopher_filter_rules(spark):
+    long_good = ("the quick brown fox and the lazy dog of every town "
+                 "is running to the market with many other animals "
+                 "carrying baskets of fresh fruit and loaves of bread "
+                 "while singing songs about the weather and the roads "
+                 "until the evening comes and all of them return home "
+                 "to rest beside the fire with warm tea and stories")
+    rows = [
+        (1, long_good),                       # passes everything
+        (2, "too short to keep"),             # word_count fails
+        (3, "#### " * 60),                    # symbol ratio + alpha fail
+    ]
+    from meza_spark.llm.text import gopher_filter
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in gopher_filter(df).collect()}
+    assert out[1]["gopher_keep"] is True
+    assert out[1]["gopher_drop_reasons"] == []
+    assert out[2]["gopher_keep"] is False
+    assert "word_count" in out[2]["gopher_drop_reasons"]
+    assert out[3]["gopher_symbol_ratio_ok"] is False
+    assert out[3]["gopher_alpha_word_frac_ok"] is False
+
+
+def test_normalize_text_jvm_steps(spark):
+    from meza_spark.llm.text import normalize_text
+
+    raw = "“Hello”  —\tworld\x07 ‘quoted’ \n  next line  "
+    df = spark.createDataFrame([(1, raw)], ["id", "text"])
+    got = normalize_text(df).collect()[0]["text"]
+    assert got == '"Hello" - world \'quoted\'\nnext line'
+
+
+def test_normalize_text_nfkc_udf(spark):
+    from meza_spark.llm.text import normalize_text
+
+    # ﬁ ligature + fullwidth digits only NFKC-fold
+    df = spark.createDataFrame([(1, "ﬁle ５５")], ["id", "text"])
+    got = normalize_text(df, unicode_form="NFKC").collect()[0]["text"]
+    assert got == "file 55"
