@@ -1379,7 +1379,7 @@ def cms_suppkey_counts(spark, sf_dir):
     from meza_spark.llm.sketch import build_cms, cms_lookup
 
     li = _t(spark, sf_dir, "lineitem")
-    cms = build_cms(li, "l_suppkey", depth=5, width=1 << 16)
+    cms = build_cms(li, "l_suppkey", depth=5, width=1 << 13)
     keys = li.select("l_suppkey").distinct()
     return cms_lookup(keys, "l_suppkey", cms)
 
