@@ -1912,6 +1912,20 @@ def decontam_flag(spark, sf_dir):
             .select("doc_id", "contaminated").orderBy("doc_id"))
 
 
+def dedup_near_best(spark, sf_dir):
+    """Quality-aware near-dedup: same deterministic ngram-block
+    clusters as dedup_near_e2e, but each cluster keeps its LONGEST
+    member (ties → min doc_id) instead of the id minimum — the winner
+    rule a training pipeline actually wants."""
+    from meza_spark.llm.cluster import near_dedup
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "blk", F.concat_ws("|", "source", "lang"))
+    kept = near_dedup(docs, method="ngram", n=3, min_jaccard=0.01,
+                      join_on="blk", keep="best", score_col="n_chars")
+    return kept.select("doc_id", "lang", "source", "n_chars")
+
+
 def llm_gopher(spark, sf_dir):
     """Gopher quality rules over documents: per-rule booleans +
     composite keep + violated-rule reasons array."""
@@ -2096,6 +2110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_promo": q20_promo,
         "q21_waiting": q21_waiting,
         "decontam_flag": decontam_flag,
+        "dedup_near_best": dedup_near_best,
         "llm_gopher": llm_gopher,
         "llm_normalize": llm_normalize,
         "merge_upsert": merge_upsert,
@@ -3523,6 +3538,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE ns > 1 AND nr = 1
             GROUP BY s_name
             ORDER BY numwait DESC, s_name LIMIT 100
+        """,
+        "dedup_near_best": r"""
+            WITH RECURSIVE sh AS (
+              SELECT doc_id, source || '|' || lang AS blk,
+                     list_distinct(CASE
+                       WHEN len(regexp_split_to_array(trim(lower(text)), '\s+')) < 3
+                       THEN [trim(lower(text))]
+                       ELSE list_transform(
+                         range(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) - 1),
+                         i -> regexp_split_to_array(trim(lower(text)), '\s+')[i] || ' ' ||
+                              regexp_split_to_array(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                              regexp_split_to_array(trim(lower(text)), '\s+')[i+2])
+                     END) AS grams
+              FROM documents),
+            prs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+              WHERE CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.01),
+            edges AS (
+              SELECT id_a AS s, id_b AS d FROM prs
+              UNION
+              SELECT id_b, id_a FROM prs),
+            reach(v, l) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.d, r.l FROM edges e JOIN reach r ON e.s = r.v),
+            labels AS (SELECT v, min(l) AS component FROM reach GROUP BY v)
+            SELECT d.doc_id, d.lang, d.source, d.n_chars
+            FROM documents d JOIN labels lb ON d.doc_id = lb.v
+            QUALIFY row_number() OVER (
+              PARTITION BY lb.component
+              ORDER BY d.n_chars DESC, d.doc_id) = 1
         """,
         "decontam_flag": r"""
             WITH toksb AS (

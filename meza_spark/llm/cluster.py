@@ -162,7 +162,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 
 def near_dedup(df: DataFrame, method: str = "minhash",
                text_col: str = "text", id_col: str = "doc_id",
-               max_iter: int = 30, **kwargs) -> DataFrame:
+               max_iter: int = 30, keep: str = "min_id",
+               score_col: str | None = None, **kwargs) -> DataFrame:
     """End-to-end near-duplicate removal: records in, records out
     (the reference's ``unique`` contract, ref meza/process.py:851-898,
     lifted to fuzzy matching).
@@ -190,6 +191,14 @@ def near_dedup(df: DataFrame, method: str = "minhash",
     The final keep is a left-anti join of ``df`` against the (small)
     set of non-representative duplicate ids — broadcastable whenever
     the duplicate fraction is, which is the common case.
+
+    ``keep='min_id'`` (default) keeps the min-``id_col`` member of
+    each cluster. ``keep='best'`` keeps the member with the highest
+    ``score_col`` (ties → min id) — the quality-aware winner a
+    training pipeline wants (keep the longest / highest-quality copy,
+    not the accidental id minimum). Winner selection runs only over
+    cluster MEMBERS (the duplicate subset), as a per-component
+    window — never a corpus-wide sort.
     """
     from .dedup import minhash_lsh_pairs, ngram_jaccard, simhash_pairs
     from .similarity import embedding_near_dupes
@@ -215,8 +224,23 @@ def near_dedup(df: DataFrame, method: str = "minhash",
 
     comp = connected_components(pairs.select("id_a", "id_b"),
                                 max_iter=max_iter)
-    drop = comp.where(F.col("component") != F.col("id")) \
-               .select(F.col("id").alias(id_col))
+    if keep == "min_id":
+        drop = comp.where(F.col("component") != F.col("id")) \
+                   .select(F.col("id").alias(id_col))
+    elif keep == "best":
+        if score_col is None:
+            raise ValueError("keep='best' requires score_col")
+        members = comp.join(
+            df.select(F.col(id_col).alias("id"), score_col), on="id")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("component").orderBy(
+            F.col(score_col).desc(), F.col("id").asc())
+        drop = (members.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") > 1)
+                .select(F.col("id").alias(id_col)))
+    else:
+        raise ValueError(f"near_dedup: unknown keep {keep!r}")
     return df.join(drop, on=id_col, how="left_anti")
 
 

@@ -172,3 +172,25 @@ def test_cc_stale_pointer_resolution(spark):
     got = {r["id"]: r["component"]
            for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_near_dedup_keep_best(spark):
+    # two near-identical docs; keep='best' must keep the LONGER one
+    # (min_id would keep doc 1)
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", 10),
+        (2, "alpha beta gamma delta epsilon zeta eta theta", 20),
+        (3, "completely different text entirely here", 5),
+    ]
+    from meza_spark.llm.cluster import near_dedup
+
+    df = spark.createDataFrame(rows, ["doc_id", "text", "n_chars"])
+    kept = sorted(r["doc_id"] for r in
+                  near_dedup(df, method="ngram", n=3, min_jaccard=0.3,
+                             keep="best", score_col="n_chars").collect())
+    assert kept == [2, 3]
+    # and the default still keeps the id minimum
+    kept_min = sorted(r["doc_id"] for r in
+                      near_dedup(df, method="ngram", n=3,
+                                 min_jaccard=0.3).collect())
+    assert kept_min == [1, 3]
