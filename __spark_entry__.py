@@ -587,6 +587,47 @@ def multimodal_decode(spark, sf_dir):
     return decode_image(d)
 
 
+def multimodal_headers(spark, sf_dir):
+    """REAL container-header parse (stdlib byte logic, no Pillow):
+    synthesize valid PNG/GIF/WAV payloads per doc (deterministic from
+    doc_id/n_chars), then extract width/height/sample-rate/duration
+    via the Arrow-batched header walker. Rows-only gate (payload
+    bytes aren't expressible in the SQL oracle); exact parses are
+    unit-pinned in tests/test_multimodal.py."""
+    import struct
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from meza_spark.llm.multimodal import parse_media_headers
+
+    @pandas_udf("binary")
+    def _payload(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+        out = []
+        for i, n in zip(doc_id, n_chars):
+            w, h = int(n) % 500 + 1, int(i) % 300 + 1
+            if i % 3 == 0:
+                out.append(b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13)
+                           + b"IHDR" + struct.pack(">IIBBBBB", w, h,
+                                                   8, 6, 0, 0, 0))
+            elif i % 3 == 1:
+                out.append(b"GIF89a" + struct.pack("<HH", w, h) + b"\0\0")
+            else:
+                rate, sec = 8000, int(n) % 5 + 1
+                data = b"\x00" * (rate * 2 * sec)
+                out.append(
+                    b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                    + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                            rate * 2, 2, 16)
+                    + b"data" + struct.pack("<I", len(data)) + data)
+        return pd.Series(out)
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        _payload("doc_id", "n_chars").alias("payload"))
+    return parse_media_headers(d).orderBy("media_id")
+
+
 def stream_tumble_static(spark, sf_dir):
     """streaming.tumbling_window_agg run on a static frame — same
     window() expression the streaming path uses."""
@@ -2111,6 +2152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting": q21_waiting,
         "decontam_flag": decontam_flag,
         "dedup_near_best": dedup_near_best,
+        "multimodal_headers": multimodal_headers,
         "llm_gopher": llm_gopher,
         "llm_normalize": llm_normalize,
         "merge_upsert": merge_upsert,

@@ -30,7 +30,7 @@ from pyspark.sql.types import (
 )
 
 __all__ = ["media_schema", "attach_media_meta", "decode_image", "resize_image",
-           "image_features", "frame_sample"]
+           "image_features", "frame_sample", "parse_media_headers"]
 
 # canonical media metadata struct carried alongside the binary payload
 MEDIA_META_FIELDS = [
@@ -222,6 +222,107 @@ def resize_image(df: DataFrame, width: int, height: int,
                     for mid, payload in zip(pdf[id_col], pdf[payload_col])
                     if payload is not None]
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    from ..util import spread
+
+    return spread(df.select(id_col, payload_col)) \
+        .mapInPandas(run, schema=out_schema)
+
+
+def _parse_headers(b: bytes) -> dict:
+    """REAL (stdlib-only) container-header parse — no decode, no
+    Pillow: PNG IHDR, JPEG SOF marker walk, GIF logical screen
+    descriptor, BMP info header, WAV RIFF fmt/data chunks. Returns
+    whatever the container declares; unknown formats → format only.
+
+    This is the filter-stage metadata a pipeline needs (drop tiny
+    images, cap durations) without touching pixel/sample data.
+    """
+    out = {"format": "unknown", "width": None, "height": None,
+           "channels": None, "sample_rate": None, "duration_ms": None}
+    if len(b) < 12:
+        return out
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+        out["format"] = "png"
+        w, h = struct.unpack(">II", b[16:24])
+        out["width"], out["height"] = int(w), int(h)
+    elif b[:3] == b"\xff\xd8\xff":
+        out["format"] = "jpeg"
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seglen = struct.unpack(">H", b[i + 2:i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", b[i + 5:i + 9])
+                out["width"], out["height"] = int(w), int(h)
+                out["channels"] = b[i + 9] if i + 9 < len(b) else None
+                break
+            i += 2 + seglen
+    elif b[:6] in (b"GIF87a", b"GIF89a"):
+        out["format"] = "gif"
+        w, h = struct.unpack("<HH", b[6:10])
+        out["width"], out["height"] = int(w), int(h)
+    elif b[:2] == b"BM" and len(b) >= 26:
+        out["format"] = "bmp"
+        w, h = struct.unpack("<ii", b[18:26])
+        out["width"], out["height"] = int(w), abs(int(h))
+    elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        out["format"] = "wav"
+        pos, byte_rate, data_sz = 12, None, None
+        while pos + 8 <= len(b):
+            cid = b[pos:pos + 4]
+            sz = struct.unpack("<I", b[pos + 4:pos + 8])[0]
+            if cid == b"fmt " and pos + 24 <= len(b):
+                out["channels"] = struct.unpack(
+                    "<H", b[pos + 10:pos + 12])[0]
+                out["sample_rate"] = struct.unpack(
+                    "<I", b[pos + 12:pos + 16])[0]
+                byte_rate = struct.unpack("<I", b[pos + 16:pos + 20])[0]
+            elif cid == b"data":
+                data_sz = sz
+            pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+        if byte_rate and data_sz is not None:
+            out["duration_ms"] = int(data_sz * 1000 // byte_rate)
+    elif b[4:8] == b"ftyp":
+        out["format"] = "mp4"
+    return out
+
+
+def parse_media_headers(df: DataFrame, payload_col: str = "payload",
+                        id_col: str = "media_id") -> DataFrame:
+    """Container-header metadata for every payload via Arrow-batched
+    ``mapInPandas`` — the real (non-stub) sibling of ``decode_image``:
+    width/height/channels for PNG/JPEG/GIF/BMP, sample rate/channels/
+    duration for WAV, format sniff for MP4. One pass, no shuffle;
+    only headers are touched, so throughput is I/O-bound on the blob
+    column, not CPU-bound on decode."""
+    out_schema = StructType([
+        StructField(id_col, LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ])
+    names = [f.name for f in out_schema]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                d = _parse_headers(bytes(payload))
+                rows.append((mid, d["format"], d["width"], d["height"],
+                             d["channels"], d["sample_rate"],
+                             d["duration_ms"]))
+            yield pd.DataFrame(rows, columns=names)
 
     from ..util import spread
 
