@@ -587,6 +587,18 @@ def multimodal_decode(spark, sf_dir):
     return decode_image(d)
 
 
+def psi_drift_price(spark, sf_dir):
+    """PSI drift monitor: order-price distribution of urgent orders vs
+    the rest — two scans, nbins-row aggregates, broadcast scaffold."""
+    from meza_spark.profile import psi_drift
+
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderpriority") == "1-URGENT")
+    b = o.where(F.col("o_orderpriority") != "1-URGENT")
+    return psi_drift(a, b, "o_totalprice", nbins=10,
+                     lo=0.0, hi=600000.0)
+
+
 def multimodal_headers(spark, sf_dir):
     """REAL container-header parse (stdlib byte logic, no Pillow):
     synthesize valid PNG/GIF/WAV payloads per doc (deterministic from
@@ -2153,6 +2165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_flag": decontam_flag,
         "dedup_near_best": dedup_near_best,
         "multimodal_headers": multimodal_headers,
+        "psi_drift_price": psi_drift_price,
         "llm_gopher": llm_gopher,
         "llm_normalize": llm_normalize,
         "merge_upsert": merge_upsert,
@@ -3580,6 +3593,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE ns > 1 AND nr = 1
             GROUP BY s_name
             ORDER BY numwait DESC, s_name LIMIT 100
+        """,
+        "psi_drift_price": """
+            WITH a AS (
+              SELECT LEAST(GREATEST(FLOOR((CAST(o_totalprice AS DOUBLE)
+                       - 0.0) / 60000.0), 0), 9) AS bucket,
+                     COUNT(*) AS n
+              FROM orders WHERE o_orderpriority = '1-URGENT'
+                AND o_totalprice IS NOT NULL
+              GROUP BY bucket),
+            b AS (
+              SELECT LEAST(GREATEST(FLOOR((CAST(o_totalprice AS DOUBLE)
+                       - 0.0) / 60000.0), 0), 9) AS bucket,
+                     COUNT(*) AS n
+              FROM orders WHERE o_orderpriority <> '1-URGENT'
+                AND o_totalprice IS NOT NULL
+              GROUP BY bucket),
+            sc AS (SELECT UNNEST(range(0, 10)) AS bucket),
+            j AS (
+              SELECT sc.bucket,
+                     COALESCE(CAST(a.n AS DOUBLE)
+                              / (SELECT SUM(n) FROM a), 0.0) AS frac_a,
+                     COALESCE(CAST(b.n AS DOUBLE)
+                              / (SELECT SUM(n) FROM b), 0.0) AS frac_b
+              FROM sc LEFT JOIN a ON sc.bucket = a.bucket
+                      LEFT JOIN b ON sc.bucket = b.bucket)
+            SELECT bucket, frac_a, frac_b,
+                   0.0 + bucket * 60000.0 AS lo,
+                   0.0 + (bucket + 1) * 60000.0 AS hi,
+                   round((frac_a - frac_b)
+                         * ln((frac_a + 1e-06) / (frac_b + 1e-06)), 6)
+                     AS psi
+            FROM j ORDER BY bucket
         """,
         "dedup_near_best": r"""
             WITH RECURSIVE sh AS (

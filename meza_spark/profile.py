@@ -28,7 +28,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile", "histogram", "winsorize", "skew_report"]
+__all__ = ["profile", "histogram", "winsorize", "skew_report", "psi_drift"]
 
 _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
 
@@ -173,3 +173,57 @@ def skew_report(df: DataFrame, key: str | list[str],
                     .alias("share"))
             .orderBy(F.col("n").desc(), *[F.col(k).asc() for k in keys])
             .limit(top))
+
+
+def psi_drift(df_a: DataFrame, df_b: DataFrame, col: str,
+              nbins: int = 10, lo: float | None = None,
+              hi: float | None = None, eps: float = 1e-6) -> DataFrame:
+    """Population Stability Index between two snapshots of a column —
+    the standard production drift monitor (banking/ML-ops heuristic:
+    <0.1 stable, 0.1-0.25 shifting, >0.25 drifted).
+
+    Output: one row per bucket ``(bucket, lo, hi, frac_a, frac_b,
+    psi)`` with ``psi = (frac_a - frac_b) · ln((frac_a+ε)/(frac_b+ε))``
+    rounded to 6 places; ``sum(psi)`` is the headline index.
+
+    Scale: each side is one scan → nbins-row aggregate; the bucket
+    scaffold is a metadata-only ``spark.range`` broadcast. Pass
+    explicit ``lo``/``hi`` in production (auto bounds cost one extra
+    min/max scan of ``df_a`` and make the bins data-dependent).
+    """
+    if lo is None or hi is None:
+        b = df_a.agg(F.min(col), F.max(col)).collect()[0]
+        lo = float(b[0]) if lo is None else lo
+        hi = float(b[1]) if hi is None else hi
+    if hi <= lo:
+        hi = lo + 1.0
+    width = (hi - lo) / nbins
+    bucket = F.least(
+        F.greatest(F.floor((F.col(col).cast("double") - F.lit(lo))
+                           / F.lit(width)), F.lit(0)),
+        F.lit(nbins - 1)).cast("long")
+
+    def _fracs(df, name):
+        counts = (df.where(F.col(col).isNotNull())
+                  .select(bucket.alias("bucket"))
+                  .groupBy("bucket").agg(F.count(F.lit(1)).alias("_n")))
+        total = counts.agg(F.sum("_n").alias("_t"))
+        return (counts.crossJoin(F.broadcast(total))
+                .select("bucket", (F.col("_n").cast("double")
+                                   / F.col("_t")).alias(name)))
+
+    scaffold = (df_a.sparkSession.range(nbins)
+                .select(F.col("id").alias("bucket")))
+    j = (scaffold
+         .join(F.broadcast(_fracs(df_a, "frac_a")), "bucket", "left")
+         .join(F.broadcast(_fracs(df_b, "frac_b")), "bucket", "left")
+         .select("bucket",
+                 F.coalesce("frac_a", F.lit(0.0)).alias("frac_a"),
+                 F.coalesce("frac_b", F.lit(0.0)).alias("frac_b")))
+    pa, pb = F.col("frac_a"), F.col("frac_b")
+    psi = (pa - pb) * F.log((pa + F.lit(eps)) / (pb + F.lit(eps)))
+    return (j.withColumn("lo", F.lit(lo) + F.col("bucket") * F.lit(width))
+            .withColumn("hi", F.lit(lo) + (F.col("bucket") + 1)
+                        * F.lit(width))
+            .withColumn("psi", F.round(psi, 6))
+            .orderBy("bucket"))

@@ -141,3 +141,23 @@ def test_skew_report_shares(spark):
     out = skew_report(df, "k", top=2).collect()
     assert [r["k"] for r in out] == ["hot", "warm"]
     assert out[0]["n"] == 80 and abs(out[0]["share"] - 0.8) < 1e-12
+
+
+def test_psi_drift_identical_is_zero(spark):
+    from meza_spark.profile import psi_drift
+
+    df = spark.range(1000).select((F.col("id") % 100).alias("v"))
+    out = psi_drift(df, df, "v", nbins=5, lo=0.0, hi=100.0).collect()
+    assert len(out) == 5
+    assert all(abs(r["psi"]) < 1e-9 for r in out)
+    assert abs(sum(r["frac_a"] for r in out) - 1.0) < 1e-9
+
+
+def test_psi_drift_detects_shift(spark):
+    from meza_spark.profile import psi_drift
+
+    a = spark.range(1000).select((F.col("id") % 50).alias("v"))
+    b = spark.range(1000).select((F.col("id") % 50 + 50).alias("v"))
+    out = psi_drift(a, b, "v", nbins=4, lo=0.0, hi=100.0).collect()
+    total = sum(r["psi"] for r in out)
+    assert total > 0.25  # fully disjoint distributions → big PSI
