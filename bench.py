@@ -45,6 +45,7 @@ HEADLINE = [
     "q15_topsupp", "q16_partcnt", "q17_smallqty", "q19_disjunct",
     "q20_promo", "q21_waiting",
     "decontam_flag", "llm_gopher", "llm_normalize",
+    "dedup_near_best", "psi_drift_price", "multimodal_headers",
 ]
 
 
@@ -67,7 +68,8 @@ SCALE_KEYS = {  # key columns shifted per replica; dims stay single-copy
 }
 SCALE_QUERIES = ["q1_pricing", "q3_shipping", "q5_local_supplier",
                  "join_inner", "topk_per_group", "window_running",
-                 "dedup_exact", "q9_profit", "q21_waiting"]
+                 "dedup_exact", "q9_profit", "q21_waiting",
+                 "dedup_near_e2e", "decontam_flag"]
 
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

@@ -184,3 +184,25 @@ def test_q19_single_broadcast_join(spark):
     plan = _plan(entry.q19_disjunct(spark, SF), "simple")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_gopher_filter_no_shuffle(spark):
+    from meza_spark.llm.text import gopher_filter
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(gopher_filter(docs), "simple")
+    assert "Exchange" not in plan  # row-local rules only
+
+
+def test_psi_drift_scaffold_broadcast(spark):
+    from meza_spark.profile import psi_drift
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    a = o.where(entry.F.col("o_orderpriority") == "1-URGENT")
+    b = o.where(entry.F.col("o_orderpriority") != "1-URGENT")
+    plan = _plan(psi_drift(a, b, "o_totalprice", lo=0.0, hi=600000.0),
+                 "simple")
+    # per-side fraction frames and the totals join all broadcast; the
+    # only exchanges are the two nbins-row aggregations
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
