@@ -111,6 +111,16 @@ def _build_scaled(spark, entry, sf_dir: str, out_dir: str):
                 rep = base
                 for k in keys:
                     rep = rep.withColumn(k, F.col(k) + (i * stride))
+                if table == "documents":
+                    # keep duplicate DENSITY constant: naive replication
+                    # gives every doc 10 verbatim copies, quadratically
+                    # densifying near-dup pair blocks (slope 13× — a
+                    # data artifact, not an engine property). Distinct
+                    # per-replica sources put replicas in different
+                    # dedup blocks, like a genuinely bigger crawl.
+                    rep = rep.withColumn(
+                        "source", F.concat_ws("#", F.col("source"),
+                                              F.lit(str(i))))
                 parts.append(rep)
             df = parts[0]
             for p in parts[1:]:
