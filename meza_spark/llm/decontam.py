@@ -53,23 +53,52 @@ def contaminated_ids(docs: DataFrame, benchmark: DataFrame,
 
 def decontaminate(docs: DataFrame, benchmark: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
-                  n: int = 8, mode: str = "remove") -> DataFrame:
+                  n: int = 8, mode: str = "remove",
+                  strategy: str | None = None) -> DataFrame:
     """Records in, records out (the engine-wide dedup contract).
 
-    ``mode='remove'``: drop contaminated docs (left-anti join on the
-    ids-only contaminated set).
+    ``mode='remove'``: drop contaminated docs.
     ``mode='flag'``: keep every row, add a ``contaminated`` boolean —
-    the audit form. The contaminated-id set is broadcast: eval
-    contamination is rare by construction, so the set is small; for a
-    pathological corpus (benchmark embedded verbatim everywhere) use
-    ``mode='remove'`` whose anti-join Spark may plan as shuffle.
+    the audit form.
+
+    Two physical strategies (``strategy=None`` picks automatically):
+      - ``'join'`` (batch default): explode doc grams → broadcast
+        semi-join the bench gram set → ids-only distinct → anti/flag
+        join. Scales to arbitrarily large benchmark sets.
+      - ``'array'`` (streaming default — the id-join would be a
+        stream-stream join): the bench gram-hash set rides as ONE
+        one-row array through a broadcast cross join and each row
+        checks ``arrays_overlap`` locally. Fully STATELESS, so it
+        runs on a streaming frame with no watermark; right-sized for
+        real eval sets (≤ ~1M grams — the per-row overlap probe walks
+        the doc's grams against a hashed lookup of the smaller side).
     """
-    ids = contaminated_ids(docs, benchmark, text_col, id_col, n)
-    if mode == "remove":
-        return docs.join(ids, on=id_col, how="left_anti")
-    if mode == "flag":
+    if strategy is None:
+        strategy = "array" if docs.isStreaming else "join"
+    if mode not in ("remove", "flag"):
+        raise ValueError(f"decontaminate: unknown mode {mode!r}")
+    if strategy == "join":
+        ids = contaminated_ids(docs, benchmark, text_col, id_col, n)
+        if mode == "remove":
+            return docs.join(ids, on=id_col, how="left_anti")
         flag = ids.withColumn("contaminated", F.lit(True))
         return (docs.join(F.broadcast(flag), on=id_col, how="left")
                 .withColumn("contaminated",
                             F.coalesce("contaminated", F.lit(False))))
-    raise ValueError(f"decontaminate: unknown mode {mode!r}")
+    if strategy != "array":
+        raise ValueError(f"decontaminate: unknown strategy {strategy!r}")
+    bench_row = (benchmark
+                 .select(F.explode(shingles_from_tokens(
+                     tokens(F.lower(F.col(text_col))), n)).alias("_g"))
+                 .select(F.xxhash64("_g").alias("_gh")).distinct()
+                 .agg(F.collect_set("_gh").alias("_bench_grams")))
+    doc_grams = F.transform(
+        shingles_from_tokens(tokens(F.lower(F.col(text_col))), n),
+        lambda g: F.xxhash64(g))
+    hit = F.arrays_overlap(doc_grams, F.col("_bench_grams"))
+    out = (docs.crossJoin(F.broadcast(bench_row))
+           .withColumn("contaminated", F.coalesce(hit, F.lit(False))))
+    if mode == "remove":
+        return out.where(~F.col("contaminated")) \
+            .drop("_bench_grams", "contaminated")
+    return out.drop("_bench_grams")

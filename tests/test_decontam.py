@@ -55,3 +55,18 @@ def test_benchmark_side_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
     # no text column rides the join: gram hashes only
     assert "SortMergeJoin" not in plan
+
+
+def test_array_strategy_matches_join_strategy(spark):
+    docs, bench = _frames(spark)
+    a = {r["doc_id"]: r["contaminated"] for r in
+         decontaminate(docs, bench, n=8, mode="flag",
+                       strategy="array").collect()}
+    j = {r["doc_id"]: r["contaminated"] for r in
+         decontaminate(docs, bench, n=8, mode="flag",
+                       strategy="join").collect()}
+    assert a == j == {1: True, 2: False, 3: True, 4: False}
+    removed = sorted(r["doc_id"] for r in
+                     decontaminate(docs, bench, n=8, mode="remove",
+                                   strategy="array").collect())
+    assert removed == [2, 4]

@@ -193,3 +193,37 @@ def test_stream_stream_join_time_bounded(spark, tmp_path):
     finally:
         q.stop()
     assert got == {(1, 10)}
+
+
+def test_streaming_decontam_flag_and_gopher(spark, tmp_path):
+    """The new text ops are stream-safe: gopher_filter is stateless;
+    decontaminate(mode='flag') is a stream-static broadcast join of
+    the static benchmark gram set — both run on a streaming frame."""
+    from meza_spark.llm.decontam import decontaminate
+    from meza_spark.llm.text import gopher_filter
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    rows = [(1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "totally unrelated words about nothing in particular")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+    sdf = st.read_stream(spark, str(src / "b1"), schema=df.schema)
+    bench = spark.createDataFrame(
+        [(9, "x the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+
+    flagged = decontaminate(sdf, bench, n=8, mode="flag")
+    scored = gopher_filter(flagged)
+    assert scored.isStreaming
+    q = st.write_stream(scored.select("doc_id", "contaminated",
+                                      "gopher_keep"),
+                        fmt="memory", query_name="deco",
+                        checkpoint=str(tmp_path / "ckd"))
+    try:
+        _wait(q, 2, spark, "deco")
+        got = {r["doc_id"]: r["contaminated"]
+               for r in spark.sql("SELECT * FROM deco").collect()}
+        assert got == {1: True, 2: False}
+    finally:
+        q.stop()
