@@ -587,6 +587,42 @@ def multimodal_decode(spark, sf_dir):
     return decode_image(d)
 
 
+# one SQL text, two engines: runs verbatim through spark.sql AND the
+# DuckDB oracle — the engine's full ANSI surface (joins, windows,
+# QUALIFY-free rank filter) with zero dialect translation.
+_SQL_WINDOW_RANK = """
+    SELECT * FROM (
+      SELECT n_name,
+             year(o_orderdate) AS o_year,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(38,8))) AS DOUBLE) AS revenue,
+             RANK() OVER (
+               PARTITION BY year(o_orderdate)
+               ORDER BY SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(38,8))) DESC, n_name
+             ) AS rnk
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      GROUP BY n_name, year(o_orderdate)
+    ) t WHERE rnk <= 3
+    ORDER BY o_year, rnk, n_name
+"""
+
+
+def sql_window_rank(spark, sf_dir):
+    """The spark.sql surface: top-3 supplier nations by revenue per
+    year — the SAME SQL text executes on Spark (here) and DuckDB (the
+    oracle), no dialect translation. meza has no SQL at all; the
+    engine gets the full ANSI surface from Catalyst for free."""
+    from meza_spark.session import load_tables
+
+    load_tables(spark, sf_dir,
+                ["lineitem", "orders", "supplier", "nation"])
+    return spark.sql(_SQL_WINDOW_RANK)
+
+
 def psi_drift_price(spark, sf_dir):
     """PSI drift monitor: order-price distribution of urgent orders vs
     the rest — two scans, nbins-row aggregates, broadcast scaffold."""
@@ -2166,6 +2202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_best": dedup_near_best,
         "multimodal_headers": multimodal_headers,
         "psi_drift_price": psi_drift_price,
+        "sql_window_rank": sql_window_rank,
         "llm_gopher": llm_gopher,
         "llm_normalize": llm_normalize,
         "merge_upsert": merge_upsert,
@@ -3594,6 +3631,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s_name
             ORDER BY numwait DESC, s_name LIMIT 100
         """,
+        "sql_window_rank": _SQL_WINDOW_RANK,
         "psi_drift_price": """
             WITH a AS (
               SELECT LEAST(GREATEST(FLOOR((CAST(o_totalprice AS DOUBLE)

@@ -64,3 +64,37 @@ def test_to_float_roundtrips_repr(spark, xs):
            df.select("i", cv.to_float(F.col("s")).alias("v")).collect()}
     for i, x in enumerate(xs):
         assert got[i] == x, (x, got[i])
+
+
+@given(st.lists(st.text(min_size=0, max_size=80), min_size=1,
+                max_size=20))
+@settings(**_SETTINGS)
+def test_normalize_text_idempotent(spark, texts):
+    """normalize ∘ normalize == normalize: a second pass over already-
+    clean text must change nothing (the canonical-form property)."""
+    from meza_spark.llm.text import normalize_text
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "i int, text string")
+    once = normalize_text(df).withColumnRenamed("text", "t1")
+    twice = normalize_text(once, text_col="t1", out="t2")
+    for r in twice.collect():
+        assert r["t1"] == r["t2"], repr((r["t1"], r["t2"]))
+
+
+@given(st.lists(st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)),
+    min_size=0, max_size=120), min_size=1, max_size=15))
+@settings(**_SETTINGS)
+def test_gopher_reasons_consistent_with_keep(spark, texts):
+    """gopher_keep is true iff the reasons array is empty, on ANY
+    unicode input; all per-rule flags are non-null booleans."""
+    from meza_spark.llm.text import gopher_filter
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "i int, text string")
+    for r in gopher_filter(df).collect():
+        assert r["gopher_keep"] == (len(r["gopher_drop_reasons"]) == 0)
+        for f in ("word_count", "mean_word_length", "symbol_ratio",
+                  "alpha_word_frac", "stopword_count"):
+            assert r[f"gopher_{f}_ok"] in (True, False)
