@@ -1733,15 +1733,19 @@ def q2_mincost(spark, sf_dir):
     distinct (l_partkey, l_suppkey); cost proxy = s_acctbal. One fact
     shuffle (distinct on partkey, reused by the window min); supplier/
     nation/region/part all broadcast."""
-    ps = (_t(spark, sf_dir, "lineitem")
-          .select("l_partkey", "l_suppkey").distinct())
+    li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     p = _t(spark, sf_dir, "part").where(
         (F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
-    j = (ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
-         .join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+    # broadcast-join the FILTERED part dim before the pair distinct:
+    # the map-side join shrinks lineitem to matching parts first, so
+    # the distinct shuffles a sliver, not every (part,supp) pair
+    ps = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+          .select("l_partkey", "l_suppkey", "p_partkey", "p_name",
+                  "p_size", "p_type").distinct())
+    j = (ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
          .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
          .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
     w = Window.partitionBy("p_partkey")
@@ -1893,16 +1897,18 @@ def q16_partcnt(spark, sf_dir):
     """TPC-H Q16 shape (supplier counts per part attribute group).
     partsupp proxy = distinct lineitem pairs; "complaint" suppliers
     proxy = negative balance, excluded via broadcast anti-join."""
-    ps = (_t(spark, sf_dir, "lineitem")
-          .select("l_partkey", "l_suppkey").distinct())
+    li = _t(spark, sf_dir, "lineitem")
     bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0) \
         .select("s_suppkey")
     p = _t(spark, sf_dir, "part").where(
         (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO") &
         F.col("p_size").isin(1, 5, 10, 15, 20, 25))
-    j = (ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey,
+    # both broadcast filters run map-side BEFORE the pair distinct —
+    # the shuffle carries only qualifying (part,supp) pairs
+    j = (li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey,
                  "left_anti")
-         .join(F.broadcast(p), ps.l_partkey == p.p_partkey))
+         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+         .select("l_suppkey", "p_brand", "p_type", "p_size").distinct())
     return (j.groupBy("p_brand", "p_type", "p_size")
             .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
             .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type",
