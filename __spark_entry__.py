@@ -1765,21 +1765,25 @@ def q7_volume(spark, sf_dir):
         (F.col("l_shipdate") >= F.lit("1996-01-01")) &
         (F.col("l_shipdate") <= F.lit("1997-12-31")))
     o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    s = _t(spark, sf_dir, "supplier")
-    n1 = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
-    n2 = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
-    j = (li.join(o, li.l_orderkey == o.o_orderkey)
-         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-         .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
-         .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
-         .where(((F.col("supp_nation") == "NATION_3") &
-                 (F.col("cust_nation") == "NATION_7")) |
-                ((F.col("supp_nation") == "NATION_7") &
-                 (F.col("cust_nation") == "NATION_3"))))
+    # pre-reduce BOTH fact inputs to the two nations before the big
+    # orderkey shuffle: suppliers/customers outside {N3,N7} never ride
+    # it (2/25 of each side instead of all of it); the asymmetric
+    # pair filter then runs on the tiny joined remainder
+    nations = ["NATION_3", "NATION_7"]
+    n1 = _t(spark, sf_dir, "nation").where(F.col("n_name").isin(nations)) \
+        .select(F.col("n_nationkey").alias("s_nk"),
+                F.col("n_name").alias("supp_nation"))
+    n2 = _t(spark, sf_dir, "nation").where(F.col("n_name").isin(nations)) \
+        .select(F.col("n_nationkey").alias("c_nk"),
+                F.col("n_name").alias("cust_nation"))
+    s = _t(spark, sf_dir, "supplier") \
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+    c = _t(spark, sf_dir, "customer") \
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+    j = (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+         .join(o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+               li.l_orderkey == o.o_orderkey)
+         .where(F.col("supp_nation") != F.col("cust_nation")))
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (j.groupBy("supp_nation", "cust_nation",
                       F.year("l_shipdate").alias("l_year"))
@@ -1795,19 +1799,21 @@ def q8_mktshare(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01")) &
         (F.col("o_orderdate") <= F.lit("1997-12-31")))
-    c = _t(spark, sf_dir, "customer")
     s = _t(spark, sf_dir, "supplier")
     p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
-    nc = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
     ns = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    # region filter folds into the customer dim BEFORE it broadcasts:
+    # only AMERICA customers (1/5) ride the build side
+    nc = (_t(spark, sf_dir, "nation")
+          .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+          .select(F.col("n_nationkey").alias("c_nk")))
+    c = (_t(spark, sf_dir, "customer")
+         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk")))
     j = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-         .join(o, li.l_orderkey == o.o_orderkey)
-         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-         .join(F.broadcast(nc), c.c_nationkey == F.col("c_nk"))
-         .join(F.broadcast(r), F.col("c_rk") == r.r_regionkey)
+         .join(o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+               li.l_orderkey == o.o_orderkey)
          .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
          .join(F.broadcast(ns), s.s_nationkey == F.col("s_nk")))
     vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
