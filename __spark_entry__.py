@@ -914,6 +914,18 @@ def csv_roundtrip(spark, sf_dir):
     return read_csv(spark, path)
 
 
+def csv_distributed_roundtrip(spark, sf_dir):
+    """Messy-file CSV path, executor-parallel: nation → multi-file
+    records2csv → read_csv_distributed (binaryFile + per-task decode
+    with mid-stream recovery). One task per file at scale."""
+    from meza_spark.io.readers import read_csv_distributed
+    from meza_spark.io.writers import records2csv
+
+    path = f"/tmp/meza_rtd_{os.path.basename(sf_dir.rstrip('/'))}.csv"
+    records2csv(_t(spark, sf_dir, "nation"), path)
+    return read_csv_distributed(spark, path)
+
+
 def json_roundtrip(spark, sf_dir):
     """nation → records2json (NDJSON) → read_ndjson; types survive."""
     from meza_spark.io.readers import read_ndjson
@@ -2215,6 +2227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_headers": multimodal_headers,
         "psi_drift_price": psi_drift_price,
         "sql_window_rank": sql_window_rank,
+        "csv_distributed_roundtrip": csv_distributed_roundtrip,
         "llm_gopher": llm_gopher,
         "llm_normalize": llm_normalize,
         "merge_upsert": merge_upsert,
@@ -3644,6 +3657,12 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY numwait DESC, s_name LIMIT 100
         """,
         "sql_window_rank": _SQL_WINDOW_RANK,
+        "csv_distributed_roundtrip": """
+            SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
+                   n_name,
+                   CAST(n_regionkey AS VARCHAR) AS n_regionkey
+            FROM nation
+        """,
         "psi_drift_price": """
             WITH a AS (
               SELECT LEAST(GREATEST(FLOOR((CAST(o_totalprice AS DOUBLE)

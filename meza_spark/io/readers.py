@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from ..functions import dedupe_names, underscorify
 
 __all__ = [
-    "read", "read_csv", "read_tsv", "read_fixed_fmt", "read_json",
+    "read", "read_csv", "read_csv_distributed", "read_tsv", "read_fixed_fmt", "read_json",
     "read_ndjson", "read_geojson", "read_yaml", "read_html", "read_xls",
     "read_sqlite", "read_dbf", "read_mdb", "read_orc", "read_xml",
     "io_join", "detect_encoding", "get_ext", "ctype2ext", "to_filepath",
@@ -1026,3 +1026,80 @@ def _per_file(spark: SparkSession, path: str, parse) -> DataFrame:
         .flatMap(lambda p: [tuple(r.get(c) for c in cols)
                             for r in parse(p)])
     return template.unionByName(spark.createDataFrame(rest, schema=schema))
+
+
+def read_csv_distributed(spark: SparkSession, path: str,
+                         has_header: bool = True,
+                         custom_header: Sequence[str] | None = None,
+                         delimiter: str = ",", quotechar: str = '"',
+                         encoding: str | None = None,
+                         sanitize: bool = False, dedupe: bool = True,
+                         first_row: int = 0, first_col: int = 0,
+                         last_row: int | None = None) -> DataFrame:
+    """EXECUTOR-parallel version of the messy-file CSV path: per-file
+    encoding detection + mid-stream recovery + row/col slicing, but
+    parsed on executors instead of the driver (ref semantics:
+    meza/io.py:456-502; the reference is single-threaded, this is
+    one task per file).
+
+    Each file rides Spark's ``binaryFile`` source as one row; a
+    ``mapInPandas`` stage decodes it (BOM sniff → ladder → mid-stream
+    re-detection, same helpers as the driver path) and csv-parses it
+    locally. A directory of 10k mixed-encoding exports becomes a
+    10k-task scan — the right shape for non-splittable messy files.
+    For ONE huge clean file use ``read_csv`` (splittable scan);
+    ``binaryFile`` necessarily materializes a whole file per task.
+
+    Schema (all strings, meza's reader contract) comes from a bounded
+    driver read of the first file's header region; ragged files pad
+    missing columns with null and drop extras beyond the header.
+    """
+    import io as _io
+    import itertools as _it
+
+    import pandas as _pd
+
+    first = _first_file(path)
+    with open(first, "rb") as f:
+        head_bytes = f.read(1 << 16)
+    head_text = _decode_with_recovery(
+        head_bytes, encoding or _detect_bytes(head_bytes))
+    head_rows = list(_it.islice(
+        _csv.reader(_io.StringIO(head_text, newline=""),
+                    delimiter=delimiter, quotechar=quotechar),
+        first_row + 1))
+    if custom_header is not None:
+        names = list(custom_header)
+    elif has_header and head_rows:
+        names = head_rows[first_row][first_col:]
+    else:
+        width = len(head_rows[first_row][first_col:]) if head_rows else 0
+        names = [f"column_{i + 1}" for i in range(width)]
+    names = _clean_header(names, sanitize, dedupe)
+    n = len(names)
+    schema = ", ".join(f"`{c}` string" for c in names)
+
+    skip_first = bool(has_header)
+    enc_hint = encoding
+
+    def _parse(batches):
+        for pdf in batches:
+            out: list[list] = []
+            for content in pdf["content"]:
+                data = bytes(content)
+                text = _decode_with_recovery(
+                    data, enc_hint or _detect_bytes(data[:1 << 16]))
+                rdr = _csv.reader(_io.StringIO(text, newline=""),
+                                  delimiter=delimiter, quotechar=quotechar)
+                lines = [r[first_col:] for r in rdr][first_row:]
+                if last_row is not None:
+                    lines = lines[:last_row]
+                if skip_first:
+                    lines = lines[1:]
+                for line in lines:
+                    if any(v.strip() for v in line):
+                        out.append((line + [None] * n)[:n])
+            yield _pd.DataFrame(out, columns=names)
+
+    return (spark.read.format("binaryFile").load(path)
+            .select("content").mapInPandas(_parse, schema))

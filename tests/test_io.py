@@ -528,3 +528,34 @@ def test_read_xml_namespaces_and_row_tag(spark, tmp_path):
 </root>""")
     out = read_xml(spark, str(p), row_tag="rec")
     assert sorted(r["id"] for r in out.collect()) == ["1", "2"]
+
+
+def test_read_csv_distributed_mixed_encodings(spark, tmp_path):
+    """Executor-parallel messy-CSV: three files in three encodings
+    (one switching encoding mid-file) parse to one union."""
+    from meza_spark.io.readers import read_csv_distributed
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    (d / "a.csv").write_bytes("id,name\n1,café\n".encode("utf-8"))
+    (d / "b.csv").write_bytes("id,name\n2,Ñoño\n".encode("latin-1"))
+    # clean-utf8 prefix, latin-1 tail: forces mid-stream re-detection
+    (d / "c.csv").write_bytes(b"id,name\n3,plain\n4," +
+                              "résumé".encode("latin-1") + b"\n")
+    out = read_csv_distributed(spark, str(d))
+    rows = {r["id"]: r["name"] for r in out.collect()}
+    assert rows == {"1": "café", "2": "Ñoño", "3": "plain",
+                    "4": "résumé"}
+
+
+def test_read_csv_distributed_headerless_and_ragged(spark, tmp_path):
+    from meza_spark.io.readers import read_csv_distributed
+
+    d = tmp_path / "rag"
+    d.mkdir()
+    (d / "a.csv").write_text("1,x,extra\n")
+    (d / "b.csv").write_text("2\n")
+    out = read_csv_distributed(spark, str(d), has_header=False,
+                               custom_header=["id", "val"])
+    rows = sorted((r["id"], r["val"]) for r in out.collect())
+    assert rows == [("1", "x"), ("2", None)]
