@@ -1053,7 +1053,12 @@ def read_csv_distributed(spark: SparkSession, path: str,
     Schema (all strings, meza's reader contract) comes from a bounded
     driver read of the first file's header region; ragged files pad
     missing columns with null and drop extras beyond the header.
+
+    Gzipped members decompress in-task (magic-byte sniff — .csv.gz
+    log drops just work); ``delimiter='auto'`` sniffs the dialect
+    from the first file with stdlib ``csv.Sniffer``.
     """
+    import gzip as _gzip
     import io as _io
     import itertools as _it
 
@@ -1062,6 +1067,17 @@ def read_csv_distributed(spark: SparkSession, path: str,
     first = _first_file(path)
     with open(first, "rb") as f:
         head_bytes = f.read(1 << 16)
+    if head_bytes[:2] == b"\x1f\x8b":
+        with open(first, "rb") as f:
+            head_bytes = _gzip.decompress(f.read())[:1 << 16]
+    if delimiter == "auto":
+        sample = _decode_with_recovery(
+            head_bytes, encoding or _detect_bytes(head_bytes))
+        try:
+            delimiter = _csv.Sniffer().sniff(
+                sample[:4096], delimiters=",;\t|").delimiter
+        except _csv.Error:
+            delimiter = ","
     head_text = _decode_with_recovery(
         head_bytes, encoding or _detect_bytes(head_bytes))
     head_rows = list(_it.islice(
@@ -1087,6 +1103,8 @@ def read_csv_distributed(spark: SparkSession, path: str,
             out: list[list] = []
             for content in pdf["content"]:
                 data = bytes(content)
+                if data[:2] == b"\x1f\x8b":
+                    data = _gzip.decompress(data)
                 text = _decode_with_recovery(
                     data, enc_hint or _detect_bytes(data[:1 << 16]))
                 rdr = _csv.reader(_io.StringIO(text, newline=""),

@@ -559,3 +559,19 @@ def test_read_csv_distributed_headerless_and_ragged(spark, tmp_path):
                                custom_header=["id", "val"])
     rows = sorted((r["id"], r["val"]) for r in out.collect())
     assert rows == [("1", "x"), ("2", None)]
+
+
+def test_read_csv_distributed_gzip_and_sniff(spark, tmp_path):
+    import gzip
+
+    from meza_spark.io.readers import read_csv_distributed
+
+    d = tmp_path / "gz"
+    d.mkdir()
+    (d / "a.csv.gz").write_bytes(
+        gzip.compress(b"id;name\n1;one\n2;two\n"))
+    (d / "b.csv.gz").write_bytes(
+        gzip.compress(b"id;name\n3;three\n"))
+    out = read_csv_distributed(spark, str(d), delimiter="auto")
+    rows = {r["id"]: r["name"] for r in out.collect()}
+    assert rows == {"1": "one", "2": "two", "3": "three"}
