@@ -623,6 +623,27 @@ def sql_window_rank(spark, sf_dir):
     return spark.sql(_SQL_WINDOW_RANK)
 
 
+def url_features_docs(spark, sf_dir):
+    """URL/domain filter keys: synthesize a deterministic URL per doc
+    (both engines build the same string), then decompose it with
+    row-local regexp — scheme/host/registrable-domain/path-depth."""
+    from meza_spark.llm.url import url_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("https://www."), F.col("source"),
+                 F.when(F.col("doc_id") % 4 == 0, F.lit(".co.uk"))
+                 .otherwise(F.lit(".com")),
+                 F.lit("/docs/"), F.col("lang"), F.lit("/item"),
+                 F.col("doc_id").cast("string"),
+                 F.when(F.col("doc_id") % 3 == 0, F.lit("?ref=feed"))
+                 .otherwise(F.lit(""))).alias("url"))
+    return (url_features(d)
+            .select("doc_id", "scheme", "host", "reg_domain", "path",
+                    "path_depth", "has_query", "is_ip_host")
+            .orderBy("doc_id"))
+
+
 def psi_drift_price(spark, sf_dir):
     """PSI drift monitor: order-price distribution of urgent orders vs
     the rest — two scans, nbins-row aggregates, broadcast scaffold."""
@@ -2228,6 +2249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift_price": psi_drift_price,
         "sql_window_rank": sql_window_rank,
         "csv_distributed_roundtrip": csv_distributed_roundtrip,
+        "url_features_docs": url_features_docs,
         "llm_gopher": llm_gopher,
         "llm_normalize": llm_normalize,
         "merge_upsert": merge_upsert,
@@ -3655,6 +3677,49 @@ def oracle_sql() -> dict[str, str]:
             WHERE ns > 1 AND nr = 1
             GROUP BY s_name
             ORDER BY numwait DESC, s_name LIMIT 100
+        """,
+        "url_features_docs": r"""
+            WITH urls AS (
+              SELECT doc_id,
+                     'https://www.' || source ||
+                     CASE WHEN doc_id % 4 = 0 THEN '.co.uk'
+                          ELSE '.com' END ||
+                     '/docs/' || lang || '/item' ||
+                     CAST(doc_id AS VARCHAR) ||
+                     CASE WHEN doc_id % 3 = 0 THEN '?ref=feed'
+                          ELSE '' END AS url
+              FROM documents),
+            feat AS (
+              SELECT doc_id, url,
+                     lower(regexp_extract(url,
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                     lower(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)',
+                       1)) AS host,
+                     regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)',
+                       1) AS path
+              FROM urls)
+            SELECT doc_id, scheme, host,
+                   CASE WHEN regexp_matches(host,
+                          '^\d{1,3}(\.\d{1,3}){3}$') THEN host
+                        WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+                             IN ('co.uk','ac.uk','gov.uk','com.au',
+                                 'net.au','co.jp','com.br','co.in',
+                                 'com.cn','com.mx')
+                             AND regexp_extract(host,
+                               '([^.]+\.[^.]+\.[^.]+)$', 1) <> ''
+                        THEN regexp_extract(host,
+                               '([^.]+\.[^.]+\.[^.]+)$', 1)
+                        ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+                   END AS reg_domain,
+                   path,
+                   len(list_filter(string_split(path, '/'),
+                                   s -> s <> '')) AS path_depth,
+                   contains(url, '?') AS has_query,
+                   regexp_matches(host, '^\d{1,3}(\.\d{1,3}){3}$')
+                     AS is_ip_host
+            FROM feat ORDER BY doc_id
         """,
         "sql_window_rank": _SQL_WINDOW_RANK,
         "csv_distributed_roundtrip": """

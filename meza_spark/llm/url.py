@@ -1,0 +1,56 @@
+"""URL/domain features for crawl curation — the filter keys of the
+C4/RefinedWeb-style pipeline stages (domain blocklists, per-domain
+caps, URL dedup) as pure JVM regexp expressions.
+
+No reference analog (meza has no web ops); beyond-reference layer.
+Every expression mirrors 1:1 into RE2 for the DuckDB oracle.
+"""
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["url_features", "registered_domain"]
+
+# common second-level public suffixes where the registrable domain is
+# THREE labels (example.co.uk) — the pragmatic subset; a production
+# deployment swaps in the full public-suffix list
+_TWO_LEVEL_TLDS = ("co.uk", "ac.uk", "gov.uk", "com.au", "net.au",
+                   "co.jp", "com.br", "co.in", "com.cn", "com.mx")
+
+
+def registered_domain(host: Column) -> Column:
+    """Registrable domain from a hostname: last two labels, or last
+    three when the suffix is a known two-level TLD; IP literals pass
+    through unchanged."""
+    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    three = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    suffix2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    use3 = suffix2.isin(*_TWO_LEVEL_TLDS) & (three != "")
+    return F.when(is_ip, host).otherwise(F.when(use3, three).otherwise(two))
+
+
+def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Decompose a URL column into filter keys — all row-local regexp
+    (codegen'd, shuffle-free):
+
+      - ``scheme``, ``host`` (lowercased, port stripped), ``path``
+      - ``reg_domain`` — registrable domain (per-domain caps/blocks)
+      - ``path_depth`` — number of non-empty path segments
+      - ``has_query`` — ``?`` present (session-id spam marker)
+      - ``is_ip_host`` — numeric-IP host (crawl-quality signal)
+    """
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1))
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+    depth = F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
+    return (df.withColumn("scheme", scheme)
+            .withColumn("host", host)
+            .withColumn("reg_domain", registered_domain(host))
+            .withColumn("path", path)
+            .withColumn("path_depth", depth)
+            .withColumn("has_query", u.contains("?"))
+            .withColumn("is_ip_host",
+                        host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")))
