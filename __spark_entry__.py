@@ -1895,6 +1895,11 @@ def q11_value(spark, sf_dir):
         .cast("decimal(38,8)")
     per_part = (j.groupBy("l_partkey")
                 .agg(F.sum(val).alias("_v")))
+    # barrier: the scalar-total branch would otherwise RE-EXECUTE the
+    # whole join+agg subtree (Catalyst doesn't dedupe common
+    # subplans); materialize the per-part frame once — it's one row
+    # per part, orders of magnitude smaller than the fact
+    per_part = per_part.localCheckpoint()
     # threshold scales with SF: 1.5× the mean per-part value, not a
     # fixed fraction of the total (which would converge to zero rows
     # as the part count grows with the corpus)

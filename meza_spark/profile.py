@@ -207,6 +207,9 @@ def psi_drift(df_a: DataFrame, df_b: DataFrame, col: str,
         counts = (df.where(F.col(col).isNotNull())
                   .select(bucket.alias("bucket"))
                   .groupBy("bucket").agg(F.count(F.lit(1)).alias("_n")))
+        # nbins-row barrier: without it the totals branch re-runs the
+        # whole scan+agg (no common-subplan reuse in Catalyst)
+        counts = counts.localCheckpoint()
         total = counts.agg(F.sum("_n").alias("_t"))
         return (counts.crossJoin(F.broadcast(total))
                 .select("bucket", (F.col("_n").cast("double")
