@@ -406,9 +406,9 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     rare-token soup score low, common prose scores high. Documents
     with no tokens get a null score.
 
-    Scale shape: one tokenize/explode pass feeds BOTH the frequency
-    table (token-keyed count with map-side partial agg) and the
-    scoring join; the vocab is broadcast when
+    Scale shape: the tokenize/explode pass runs once for the vocab
+    build (then a materialization barrier — see below) and once for
+    the scoring join; the vocab is broadcast when
     ``broadcast_vocab=True`` (Zipf keeps real vocabularies millions
     of rows — broadcastable far longer than you'd guess; flip to
     ``False`` to let the join shuffle on the token key instead). The
@@ -419,6 +419,11 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
                       F.explode(tokens(F.lower(F.col(text_col))))
                       .alias("term"))
     freq = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("_n"))
+    # barrier the vocab: the scalar-total branch and the scoring join
+    # would otherwise EACH re-run the tokenize+explode+agg subtree
+    # (Catalyst has no common-subplan reuse); the vocab is Zipf-
+    # bounded, so materializing it once is cheap at any corpus size
+    freq = freq.localCheckpoint()
     total = freq.agg(F.sum("_n").alias("_total"))
     if broadcast_vocab:
         freq = F.broadcast(freq)
