@@ -1967,10 +1967,14 @@ def q17_smallqty(spark, sf_dir):
     p = _t(spark, sf_dir, "part").where(
         (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL"))
     fact = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-    avg_q = (fact.groupBy("p_partkey")
-             .agg((F.sum(F.col("l_quantity").cast("decimal(38,8)"))
-                   .cast("double") / F.count("*")).alias("_avg")))
-    return (fact.join(avg_q, "p_partkey")
+    # the correlated avg as a PARTITIONED WINDOW instead of an agg
+    # joined back: one partkey shuffle, one subtree — the join form
+    # re-executed the broadcast-join fact scan for the agg branch
+    # (Catalyst has no common-subplan reuse)
+    w = Window.partitionBy("p_partkey")
+    avg_q = (F.sum(F.col("l_quantity").cast("decimal(38,8)")).over(w)
+             .cast("double") / F.count("*").over(w))
+    return (fact.withColumn("_avg", avg_q)
             .where(F.col("l_quantity") < 0.2 * F.col("_avg"))
             .agg((_dsum("l_extendedprice") / 7.0).alias("avg_yearly")))
 
@@ -2023,14 +2027,18 @@ def q21_waiting(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F") \
         .select("o_orderkey")
     fin = li.join(o, li.l_orderkey == o.o_orderkey)
-    stats = (fin.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("_ns"),
-        F.countDistinct(F.when(F.col("l_returnflag") == "R",
-                               F.col("l_suppkey"))).alias("_nr")))
-    blamed = (fin.where(F.col("l_returnflag") == "R")
-              .select("l_orderkey", "l_suppkey").distinct()
-              .join(stats.where((F.col("_ns") > 1) & (F.col("_nr") == 1)),
-                    "l_orderkey"))
+    # single subtree: collapse to (order, supplier, has_r) pairs, then
+    # compute ns/nr as PARTITIONED WINDOWS over those pairs — the
+    # agg-joined-back form re-executed the fact join for each branch
+    pairs = (fin.groupBy("l_orderkey", "l_suppkey")
+             .agg(F.max((F.col("l_returnflag") == "R").cast("int"))
+                  .alias("_has_r")))
+    w = Window.partitionBy("l_orderkey")
+    blamed = (pairs
+              .withColumn("_ns", F.count("*").over(w))
+              .withColumn("_nr", F.sum("_has_r").over(w))
+              .where((F.col("_has_r") == 1) & (F.col("_ns") > 1) &
+                     (F.col("_nr") == 1)))
     s = _t(spark, sf_dir, "supplier")
     return (blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
             .groupBy("s_name").agg(F.count("*").alias("numwait"))
