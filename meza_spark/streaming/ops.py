@@ -53,10 +53,19 @@ def read_stream(spark, path: str | None = None, fmt: str = "parquet",
 def write_stream(df: DataFrame, path: str | None = None,
                  fmt: str = "memory", query_name: str = "meza_stream",
                  output_mode: str = "append", checkpoint: str | None = None,
-                 **options):
-    """Streaming sink facade; returns the StreamingQuery."""
+                 available_now: bool = False, **options):
+    """Streaming sink facade; returns the StreamingQuery.
+
+    ``available_now=True`` = INCREMENTAL BATCH: process everything
+    currently available, then stop — with a ``checkpoint``, each
+    invocation picks up only files that arrived since the last run
+    (the nightly-pipeline "process only the new data" contract, state
+    tracked by the engine, no manifest bookkeeping).
+    """
     w = (df.writeStream.format(fmt).outputMode(output_mode)
          .queryName(query_name))
+    if available_now:
+        w = w.trigger(availableNow=True)
     if checkpoint:
         w = w.option("checkpointLocation", checkpoint)
     for k, v in options.items():

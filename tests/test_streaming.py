@@ -227,3 +227,33 @@ def test_streaming_decontam_flag_and_gopher(spark, tmp_path):
         assert got == {1: True, 2: False}
     finally:
         q.stop()
+
+
+def test_available_now_incremental_runs(spark, tmp_path):
+    """Two pipeline invocations over a growing directory: run 1
+    processes the initial file and stops; run 2 (same checkpoint)
+    processes ONLY the file added in between — the incremental-batch
+    contract."""
+    src = tmp_path / "inc"
+    src.mkdir()
+    sink = tmp_path / "out"
+    ck = tmp_path / "ck"
+    schema = "id long, v string"
+    spark.createDataFrame([(1, "a")], schema).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+
+    def run_once():
+        sdf = st.read_stream(spark, str(src), schema=schema,
+                             maxFilesPerTrigger="100")
+        q = st.write_stream(sdf, path=str(sink), fmt="parquet",
+                            checkpoint=str(ck), available_now=True)
+        q.awaitTermination(60)
+
+    run_once()
+    assert spark.read.parquet(str(sink)).count() == 1
+    spark.createDataFrame([(2, "b"), (3, "c")], schema).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    run_once()
+    got = sorted(r["id"] for r in
+                 spark.read.parquet(str(sink)).collect())
+    assert got == [1, 2, 3]  # run 2 appended only the new rows
