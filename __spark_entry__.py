@@ -682,7 +682,7 @@ def multimodal_headers(spark, sf_dir):
             elif i % 3 == 1:
                 out.append(b"GIF89a" + struct.pack("<HH", w, h) + b"\0\0")
             else:
-                rate, sec = 8000, int(n) % 5 + 1
+                rate, sec = 4000, int(n) % 2 + 1
                 data = b"\x00" * (rate * 2 * sec)
                 out.append(
                     b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"

@@ -37,7 +37,7 @@ from ..functions import dedupe_names, underscorify
 
 __all__ = [
     "read", "read_csv", "read_csv_distributed", "read_tsv", "read_fixed_fmt", "read_json",
-    "read_ndjson", "read_geojson", "read_yaml", "read_html", "read_xls",
+    "read_ndjson", "read_ndjson_quarantine", "read_geojson", "read_yaml", "read_html", "read_xls",
     "read_sqlite", "read_dbf", "read_mdb", "read_orc", "read_xml",
     "io_join", "detect_encoding", "get_ext", "ctype2ext", "to_filepath",
 ]
@@ -382,6 +382,39 @@ def read_json(spark: SparkSession, path: str,
 
 def read_ndjson(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.json(path)
+
+
+def read_ndjson_quarantine(spark: SparkSession, path: str,
+                           schema=None) -> tuple[DataFrame, DataFrame]:
+    """NDJSON with corrupt-record quarantine: returns ``(good, bad)``
+    — the production ingestion contract (never drop silently, never
+    abort the batch on one mangled line).
+
+    ``good`` carries the parsed rows; ``bad`` carries the raw text of
+    every line Spark couldn't parse (PERMISSIVE mode +
+    ``columnNameOfCorruptRecord``), ready for a quarantine sink.
+    Cost: one scan, split by a null-check on the corrupt column.
+    """
+    r = (spark.read
+         .option("mode", "PERMISSIVE")
+         .option("columnNameOfCorruptRecord", "_corrupt"))
+    if schema is not None:
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        if isinstance(schema, StructType) and \
+                "_corrupt" not in schema.fieldNames():
+            schema = StructType(list(schema.fields)
+                                + [StructField("_corrupt", StringType())])
+        r = r.schema(schema)
+    df = r.json(path)
+    if "_corrupt" not in df.columns:  # every line parsed cleanly
+        return df, df.sparkSession.createDataFrame(
+            [], "corrupt_record string")
+    df = df.cache()  # one scan feeds both splits
+    good = df.where(F.col("_corrupt").isNull()).drop("_corrupt")
+    bad = df.where(F.col("_corrupt").isNotNull()) \
+        .select(F.col("_corrupt").alias("corrupt_record"))
+    return good, bad
 
 
 # --- GeoJSON ---------------------------------------------------------------

@@ -575,3 +575,27 @@ def test_read_csv_distributed_gzip_and_sniff(spark, tmp_path):
     out = read_csv_distributed(spark, str(d), delimiter="auto")
     rows = {r["id"]: r["name"] for r in out.collect()}
     assert rows == {"1": "one", "2": "two", "3": "three"}
+
+
+def test_ndjson_quarantine_split(spark, tmp_path):
+    from meza_spark.io.readers import read_ndjson_quarantine
+
+    p = tmp_path / "q.jsonl"
+    p.write_text('{"a": 1, "b": "x"}\n'
+                 'THIS IS NOT JSON\n'
+                 '{"a": 2, "b": "y"}\n'
+                 '{"a": broken\n')
+    good, bad = read_ndjson_quarantine(spark, str(p))
+    assert sorted(r["a"] for r in good.collect()) == [1, 2]
+    bad_rows = [r["corrupt_record"] for r in bad.collect()]
+    assert len(bad_rows) == 2
+    assert "THIS IS NOT JSON" in bad_rows[0] + bad_rows[1]
+
+
+def test_ndjson_quarantine_clean_file(spark, tmp_path):
+    from meza_spark.io.readers import read_ndjson_quarantine
+
+    p = tmp_path / "clean.jsonl"
+    p.write_text('{"a": 1}\n{"a": 2}\n')
+    good, bad = read_ndjson_quarantine(spark, str(p))
+    assert good.count() == 2 and bad.count() == 0
