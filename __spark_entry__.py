@@ -3814,7 +3814,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS g
               FROM toksb,
                    LATERAL (SELECT UNNEST(range(1, len(t) - 8 + 2)) AS i) u
-              WHERE len(t) >= 8),
+              WHERE len(t) >= 8
+              UNION
+              -- whole-text fallback for sub-n benchmark docs (mirrors
+              -- shingles_from_tokens' k<=0 branch)
+              SELECT DISTINCT array_to_string(t, ' ') FROM toksb
+              WHERE len(t) < 8),
             docs AS (
               SELECT doc_id,
                      regexp_split_to_array(trim(lower(text)), '\s+') AS t
@@ -3824,7 +3829,11 @@ def oracle_sql() -> dict[str, str]:
               FROM docs,
                    LATERAL (SELECT UNNEST(range(1, len(t) - 8 + 2)) AS i) u
               WHERE len(t) >= 8
-                AND array_to_string(t[i:i+7], ' ') IN (SELECT g FROM gb))
+                AND array_to_string(t[i:i+7], ' ') IN (SELECT g FROM gb)
+              UNION
+              SELECT doc_id FROM docs
+              WHERE len(t) < 8
+                AND array_to_string(t, ' ') IN (SELECT g FROM gb))
             SELECT doc_id, doc_id IN (SELECT doc_id FROM hits)
                    AS contaminated
             FROM documents WHERE doc_id % 50 <> 0

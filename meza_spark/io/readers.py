@@ -391,29 +391,35 @@ def read_ndjson_quarantine(spark: SparkSession, path: str,
     abort the batch on one mangled line).
 
     ``good`` carries the parsed rows; ``bad`` carries the raw text of
-    every line Spark couldn't parse (PERMISSIVE mode +
-    ``columnNameOfCorruptRecord``), ready for a quarantine sink.
-    Cost: one scan, split by a null-check on the corrupt column.
-    """
-    r = (spark.read
-         .option("mode", "PERMISSIVE")
-         .option("columnNameOfCorruptRecord", "_corrupt"))
-    if schema is not None:
-        from pyspark.sql.types import StringType, StructField, StructType
+    every unparseable line, ready for a quarantine sink.
 
-        if isinstance(schema, StructType) and \
-                "_corrupt" not in schema.fieldNames():
-            schema = StructType(list(schema.fields)
-                                + [StructField("_corrupt", StringType())])
-        r = r.schema(schema)
-    df = r.json(path)
-    if "_corrupt" not in df.columns:  # every line parsed cleanly
-        return df, df.sparkSession.createDataFrame(
-            [], "corrupt_record string")
-    df = df.cache()  # one scan feeds both splits
-    good = df.where(F.col("_corrupt").isNull()).drop("_corrupt")
-    bad = df.where(F.col("_corrupt").isNotNull()) \
-        .select(F.col("_corrupt").alias("corrupt_record"))
+    Built on the TEXT source + ``from_json`` rather than the json
+    source's corrupt-record column: Spark refuses to query only the
+    corrupt column without caching the scan (a per-call cache with no
+    unpersist handle would leak executor storage), while the text
+    form is a plain splittable scan per returned frame. ``schema``
+    (StructType or DDL string) skips inference; without it one
+    driver-bounded inference pass reads the data first.
+    """
+    from pyspark.sql.types import StructType
+
+    if schema is None:
+        schema = spark.read.json(path).schema
+        if "_corrupt_record" in schema.fieldNames():
+            schema = StructType([f for f in schema.fields
+                                 if f.name != "_corrupt_record"])
+    elif isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    raw = spark.read.text(path).where(F.trim("value") != "")
+    # validity = try_parse_json (null on malformed); from_json alone
+    # returns an all-null STRUCT for garbage, indistinguishable from a
+    # legitimately-null record
+    parsed = raw.select(
+        "value", F.from_json("value", schema).alias("_j"),
+        F.expr("try_parse_json(value)").isNotNull().alias("_ok"))
+    good = parsed.where(F.col("_ok")).select("_j.*")
+    bad = parsed.where(~F.col("_ok")) \
+        .select(F.col("value").alias("corrupt_record"))
     return good, bad
 
 
@@ -1101,8 +1107,11 @@ def read_csv_distributed(spark: SparkSession, path: str,
     with open(first, "rb") as f:
         head_bytes = f.read(1 << 16)
     if head_bytes[:2] == b"\x1f\x8b":
-        with open(first, "rb") as f:
-            head_bytes = _gzip.decompress(f.read())[:1 << 16]
+        # stream-decompress ONLY the header region — never the whole
+        # member (a multi-GB .csv.gz would otherwise inflate on the
+        # driver just to sniff 64 KB)
+        with _gzip.open(first, "rb") as f:
+            head_bytes = f.read(1 << 16)
     if delimiter == "auto":
         sample = _decode_with_recovery(
             head_bytes, encoding or _detect_bytes(head_bytes))
@@ -1119,12 +1128,17 @@ def read_csv_distributed(spark: SparkSession, path: str,
         first_row + 1))
     if custom_header is not None:
         names = list(custom_header)
-    elif has_header and head_rows:
+    elif has_header and len(head_rows) > first_row:
         names = head_rows[first_row][first_col:]
-    else:
-        width = len(head_rows[first_row][first_col:]) if head_rows else 0
+    else:  # empty/short first file: fall back to positional names
+        width = (len(head_rows[first_row][first_col:])
+                 if len(head_rows) > first_row else 0)
         names = [f"column_{i + 1}" for i in range(width)]
     names = _clean_header(names, sanitize, dedupe)
+    if not names:
+        raise ValueError(
+            f"read_csv_distributed: could not derive a header from "
+            f"{first!r} (empty first file?); pass custom_header=")
     n = len(names)
     schema = ", ".join(f"`{c}` string" for c in names)
 

@@ -81,8 +81,11 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
         ids = contaminated_ids(docs, benchmark, text_col, id_col, n)
         if mode == "remove":
             return docs.join(ids, on=id_col, how="left_anti")
+        # no forced broadcast: the contaminated set is usually tiny
+        # (AQE converts to broadcast at runtime) but is UNBOUNDED on a
+        # pathological corpus — a hint here could OOM the driver
         flag = ids.withColumn("contaminated", F.lit(True))
-        return (docs.join(F.broadcast(flag), on=id_col, how="left")
+        return (docs.join(flag, on=id_col, how="left")
                 .withColumn("contaminated",
                             F.coalesce("contaminated", F.lit(False))))
     if strategy != "array":

@@ -253,6 +253,9 @@ def _parse_headers(b: bytes) -> dict:
             if b[i] != 0xFF:
                 break
             marker = b[i + 1]
+            if marker == 0xFF:  # fill/padding byte before a marker
+                i += 1
+                continue
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue

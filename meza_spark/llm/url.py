@@ -25,8 +25,7 @@ def registered_domain(host: Column) -> Column:
     is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
     two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     three = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
-    suffix2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
-    use3 = suffix2.isin(*_TWO_LEVEL_TLDS) & (three != "")
+    use3 = two.isin(*_TWO_LEVEL_TLDS) & (three != "")
     return F.when(is_ip, host).otherwise(F.when(use3, three).otherwise(two))
 
 

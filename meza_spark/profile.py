@@ -193,8 +193,12 @@ def psi_drift(df_a: DataFrame, df_b: DataFrame, col: str,
     """
     if lo is None or hi is None:
         b = df_a.agg(F.min(col), F.max(col)).collect()[0]
-        lo = float(b[0]) if lo is None else lo
-        hi = float(b[1]) if hi is None else hi
+        # empty/all-null snapshot → arbitrary unit range (both sides
+        # produce zero counts, PSI comes out 0) instead of float(None)
+        lo = (float(b[0]) if b[0] is not None else 0.0) \
+            if lo is None else lo
+        hi = (float(b[1]) if b[1] is not None else 1.0) \
+            if hi is None else hi
     if hi <= lo:
         hi = lo + 1.0
     width = (hi - lo) / nbins
