@@ -358,14 +358,14 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
     smooth-idf — public formula). Returns
     ``(id, term, tf, df, score, rank)``.
 
-    Plan: ONE tokenize+explode pass feeds both aggregations —
-    per-(doc, term) tf and per-term document frequency; the idf join
-    is on the term key (no row explosion: |terms| ≤ |tokens|), and the
-    per-doc top-k is a window over the doc key. The corpus size N is
-    a broadcast one-row aggregate, not a driver round-trip.
-    Deterministic: idf's log runs over small rationals (same IEEE
-    result across engines — the char_entropy precedent), the score
-    rounds, ranks tie-break on the term.
+    Plan: ONE tokenize+explode pass → per-(doc, term) tf; the
+    per-term document frequency is a WINDOW over that same frame
+    partitioned by term (an agg-joined-back form would re-execute
+    the whole tokenize subtree — Catalyst has no common-subplan
+    reuse). The corpus size N is a broadcast one-row aggregate over
+    a pruned scan. Deterministic: idf's log runs over small
+    rationals (same IEEE result across engines — the char_entropy
+    precedent), the score rounds, ranks tie-break on the term.
     """
     from pyspark.sql import Window
 
@@ -374,10 +374,9 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
                        .alias("term")))
     tf = (pairs.groupBy("_id", "term")
           .agg(F.count(F.lit(1)).alias("tf")))
-    dfreq = (tf.groupBy("term")
-             .agg(F.count(F.lit(1)).alias("df")))
     n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
-    scored = (tf.join(dfreq, on="term")
+    scored = (tf.withColumn("df", F.count("*").over(
+                  Window.partitionBy("term")))
               .crossJoin(F.broadcast(n_docs))
               .withColumn("score", F.round(
                   F.col("tf") * (F.log((F.col("_n") + 1).cast("double")
