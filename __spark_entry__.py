@@ -623,6 +623,22 @@ def sql_window_rank(spark, sf_dir):
     return spark.sql(_SQL_WINDOW_RANK)
 
 
+def resample_events(spark, sf_dir):
+    """Gap-filled hourly resample per event type: missing hours
+    materialize as rows, counts and running max fill forward — the
+    time-series densify (scaffold generated from per-key spans, agg
+    shuffle + one partitioned window)."""
+    ev = _t(spark, sf_dir, "events")
+    out = pr.resample(ev, "ts", "3600", keys="event_type",
+                      aggs={"n_events": ("ts", "count"),
+                            "max_value": ("value", "max")},
+                      fill="ffill")
+    return (out.select("event_type",
+                       F.unix_timestamp("bucket_ts").alias("bucket_s"),
+                       "n_events", "max_value")
+            .orderBy("event_type", "bucket_s"))
+
+
 def url_features_docs(spark, sf_dir):
     """URL/domain filter keys: synthesize a deterministic URL per doc
     (both engines build the same string), then decompose it with
@@ -2263,6 +2279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_window_rank": sql_window_rank,
         "csv_distributed_roundtrip": csv_distributed_roundtrip,
         "url_features_docs": url_features_docs,
+        "resample_events": resample_events,
         "llm_gopher": llm_gopher,
         "llm_normalize": llm_normalize,
         "merge_upsert": merge_upsert,
@@ -3690,6 +3707,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE ns > 1 AND nr = 1
             GROUP BY s_name
             ORDER BY numwait DESC, s_name LIMIT 100
+        """,
+        "resample_events": """
+            WITH g AS (
+              SELECT event_type,
+                     (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bk,
+                     COUNT(*) AS n_events,
+                     MAX(value) AS max_value
+              FROM events GROUP BY event_type, bk),
+            span AS (SELECT event_type, MIN(bk) AS lo, MAX(bk) AS hi
+                     FROM g GROUP BY event_type),
+            sc AS (SELECT event_type,
+                          UNNEST(range(lo, hi + 1, 3600)) AS bk
+                   FROM span)
+            SELECT sc.event_type, sc.bk AS bucket_s,
+                   last_value(g.n_events IGNORE NULLS) OVER (
+                     PARTITION BY sc.event_type ORDER BY sc.bk
+                     ROWS UNBOUNDED PRECEDING) AS n_events,
+                   last_value(g.max_value IGNORE NULLS) OVER (
+                     PARTITION BY sc.event_type ORDER BY sc.bk
+                     ROWS UNBOUNDED PRECEDING) AS max_value
+            FROM sc LEFT JOIN g
+              ON sc.event_type = g.event_type AND sc.bk = g.bk
+            ORDER BY sc.event_type, bucket_s
         """,
         "url_features_docs": r"""
             WITH urls AS (

@@ -31,7 +31,7 @@ __all__ = [
     "split", "join", "prepend", "json_recode", "everseen", "topk_per_group",
     "asof_join", "flatten", "slice_rows", "salted_join", "salted_agg",
     "sessionize", "scd2_intervals", "normalized_join", "fuzzy_join",
-    "merge_into",
+    "merge_into", "resample",
 ]
 
 
@@ -1008,3 +1008,54 @@ def merge_into(target: DataFrame, source: DataFrame,
     if delete_unmatched:
         out = out.where(F.col("_s").isNotNull())
     return out.select(*cols)
+
+
+def resample(df: DataFrame, ts_col: str, step: str,
+             keys: str | Sequence[str] = (),
+             aggs: dict[str, tuple[str, str]] | None = None,
+             fill: str | None = None) -> DataFrame:
+    """Regular-grid time-series resample with GAP MATERIALIZATION:
+    bucket rows to ``step`` (seconds, e.g. '3600'), aggregate per
+    (key, bucket), then left-join a generated per-key scaffold of
+    EVERY bucket between that key's min and max — missing intervals
+    come back as real rows (null aggregates), which
+    ``fill='ffill'`` then fills from the last observed bucket and
+    ``fill='zero'`` zero-fills.
+
+    The gap-filling resample is the standard time-series densify
+    (pandas ``resample().ffill()``, TimescaleDB ``time_bucket_gapfill``
+    — public semantics; meza itself has no time ops). Scale shape:
+    one agg shuffle on (key, bucket); the scaffold is
+    ``sequence()``+``explode`` off the per-key min/max aggregate (its
+    size is the OUTPUT size, not the input); ffill is one partitioned
+    window, no Python anywhere.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    aggs = aggs or {"n": (ts_col, "count")}
+    step_s = int(step)
+    bucket = (F.floor(F.unix_timestamp(F.col(ts_col)) / step_s)
+              * step_s).cast("long")
+    agg_exprs = [getattr(F, how)(col).alias(name)
+                 for name, (col, how) in aggs.items()]
+    got = (df.withColumn("_bk", bucket)
+           .groupBy(*keys, "_bk").agg(*agg_exprs))
+    # per-key bucket span → scaffold of every step in [min, max]
+    span = got.groupBy(*keys).agg(F.min("_bk").alias("_lo"),
+                                  F.max("_bk").alias("_hi"))
+    scaffold = span.select(
+        *keys, F.explode(F.sequence(
+            F.col("_lo"), F.col("_hi"),
+            F.lit(step_s).cast("long"))).alias("_bk"))
+    out = scaffold.join(got, [*keys, "_bk"], "left")
+    if fill == "zero":
+        for name in aggs:
+            out = out.withColumn(name, F.coalesce(name, F.lit(0)))
+    elif fill == "ffill":
+        w = (Window.partitionBy(*keys) if keys else
+             Window.partitionBy(F.lit(1)))
+        w = w.orderBy("_bk").rowsBetween(Window.unboundedPreceding, 0)
+        for name in aggs:
+            out = out.withColumn(
+                name, F.last(name, ignorenulls=True).over(w))
+    return out.withColumn("bucket_ts", F.timestamp_seconds("_bk")) \
+        .drop("_bk")

@@ -436,3 +436,32 @@ def test_fuzzy_join_blocked_and_unblocked(spark):
     assert {(r["name"], r["label"]) for r in bl.collect()} == got
     plan = bl._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan   # block key → hash join
+
+
+def test_resample_gap_fill_modes(spark):
+    import datetime as _dt
+
+    from meza_spark.process import resample
+
+    base = _dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [("a", base, 1.0),
+            ("a", base + _dt.timedelta(hours=3), 5.0),  # 2-hour gap
+            ("b", base, 2.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = resample(df, "ts", "3600", keys="k",
+                   aggs={"n": ("ts", "count"), "mx": ("v", "max")},
+                   fill="ffill")
+    got = {(r["k"], r["bucket_ts"].hour): (r["n"], r["mx"])
+           for r in out.collect()}
+    # a: hours 0..3 materialized; gap hours carry forward hour-0 value
+    assert got[("a", 0)] == (1, 1.0)
+    assert got[("a", 1)] == (1, 1.0)   # gap row, ffilled
+    assert got[("a", 2)] == (1, 1.0)
+    assert got[("a", 3)] == (1, 5.0)
+    assert got[("b", 0)] == (1, 2.0)
+    assert len(got) == 5
+    # zero mode: gaps become 0 instead
+    z = resample(df, "ts", "3600", keys="k",
+                 aggs={"n": ("ts", "count")}, fill="zero")
+    gz = {(r["k"], r["bucket_ts"].hour): r["n"] for r in z.collect()}
+    assert gz[("a", 1)] == 0 and gz[("a", 2)] == 0
