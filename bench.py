@@ -46,6 +46,7 @@ HEADLINE = [
     "q20_promo", "q21_waiting",
     "decontam_flag", "llm_gopher", "llm_normalize",
     "dedup_near_best", "psi_drift_price", "multimodal_headers",
+    "resample_events", "url_features_docs", "sql_window_rank",
 ]
 
 

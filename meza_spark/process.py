@@ -1057,5 +1057,24 @@ def resample(df: DataFrame, ts_col: str, step: str,
         for name in aggs:
             out = out.withColumn(
                 name, F.last(name, ignorenulls=True).over(w))
+    elif fill == "linear":
+        # linear interpolation between the neighboring observed
+        # buckets (numeric aggs only): y = y₀ + (y₁−y₀)·(t−t₀)/(t₁−t₀)
+        # — two partitioned window passes (prev/next carry), no Python
+        base = (Window.partitionBy(*keys) if keys else
+                Window.partitionBy(F.lit(1))).orderBy("_bk")
+        wb = base.rowsBetween(Window.unboundedPreceding, 0)
+        wf = base.rowsBetween(0, Window.unboundedFollowing)
+        for name in aggs:
+            obs_bk = F.when(F.col(name).isNotNull(), F.col("_bk"))
+            y0 = F.last(name, ignorenulls=True).over(wb)
+            t0 = F.last(obs_bk, ignorenulls=True).over(wb)
+            y1 = F.first(name, ignorenulls=True).over(wf)
+            t1 = F.first(obs_bk, ignorenulls=True).over(wf)
+            interp = F.when(F.col(name).isNotNull(), F.col(name)) \
+                .when(y0.isNull(), y1).when(y1.isNull(), y0) \
+                .otherwise(y0 + (y1 - y0)
+                           * (F.col("_bk") - t0) / (t1 - t0))
+            out = out.withColumn(name, interp)
     return out.withColumn("bucket_ts", F.timestamp_seconds("_bk")) \
         .drop("_bk")

@@ -465,3 +465,18 @@ def test_resample_gap_fill_modes(spark):
                  aggs={"n": ("ts", "count")}, fill="zero")
     gz = {(r["k"], r["bucket_ts"].hour): r["n"] for r in z.collect()}
     assert gz[("a", 1)] == 0 and gz[("a", 2)] == 0
+
+
+def test_resample_linear_interpolation(spark):
+    import datetime as _dt
+
+    from meza_spark.process import resample
+
+    base = _dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [("a", base, 10.0),
+            ("a", base + _dt.timedelta(hours=3), 40.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = resample(df, "ts", "3600", keys="k",
+                   aggs={"mx": ("v", "max")}, fill="linear")
+    got = {r["bucket_ts"].hour: r["mx"] for r in out.collect()}
+    assert got == {0: 10.0, 1: 20.0, 2: 30.0, 3: 40.0}
