@@ -623,6 +623,18 @@ def sql_window_rank(spark, sf_dir):
     return spark.sql(_SQL_WINDOW_RANK)
 
 
+def sample_quality(spark, sf_dir):
+    """Quality-weighted deterministic sampling: score documents with
+    the heuristic quality composite, keep each with probability
+    quality² via md5-threshold coin flips — row-local, engine-exact."""
+    from meza_spark.llm.sampling import quality_sample
+
+    scored = tx.quality_score(_t(spark, sf_dir, "documents"))
+    return (quality_sample(scored, "doc_id", "quality", gamma=2.0,
+                           seed=3)
+            .select("doc_id", "quality").orderBy("doc_id"))
+
+
 def resample_events(spark, sf_dir):
     """Gap-filled hourly resample per event type: missing hours
     materialize as rows, counts and running max fill forward — the
@@ -2280,7 +2292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_distributed_roundtrip": csv_distributed_roundtrip,
         "url_features_docs": url_features_docs,
         "resample_events": resample_events,
-        "llm_gopher": llm_gopher,
+        "sample_quality": sample_quality,
+    "llm_gopher": llm_gopher,
         "llm_normalize": llm_normalize,
         "merge_upsert": merge_upsert,
         "sample_temperature": sample_temperature,
@@ -3707,6 +3720,62 @@ def oracle_sql() -> dict[str, str]:
             WHERE ns > 1 AND nr = 1
             GROUP BY s_name
             ORDER BY numwait DESC, s_name LIMIT 100
+        """,
+        "sample_quality": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     length(text) AS n_chars,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS n_tok,
+                     length(text) - length(regexp_replace(text,
+                       '[^A-Za-z0-9\s]', '', 'g')) AS n_punct,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       AS n_alpha,
+                     len(list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\s+'),
+                       x -> x IN ('the','and','of','to','is'))) AS n_stop
+              FROM documents),
+            r AS (
+              SELECT doc_id,
+                     CASE WHEN n_chars > 0
+                          THEN CAST(n_punct AS DOUBLE)/n_chars
+                          ELSE 0.0 END AS punct_ratio,
+                     CASE WHEN n_tok > 0
+                          THEN CAST(n_stop AS DOUBLE)/n_tok
+                          ELSE 0.0 END AS stopword_ratio,
+                     CASE WHEN n_tok > 0
+                          THEN CAST(n_alpha AS DOUBLE)/n_tok
+                          ELSE 0.0 END AS mean_word_len,
+                     n_chars
+              FROM t),
+            q AS (
+              SELECT doc_id,
+                     (CASE WHEN n_chars >= 64 AND n_chars <= 100000
+                           THEN CAST(0.4 AS DOUBLE)
+                           ELSE CAST(0.0 AS DOUBLE) END
+                      + CASE WHEN punct_ratio < 0.2
+                             THEN CAST(0.2 AS DOUBLE)
+                             ELSE CAST(0.0 AS DOUBLE) END
+                      + CASE WHEN stopword_ratio > 0.01
+                             THEN CAST(0.2 AS DOUBLE)
+                             ELSE CAST(0.0 AS DOUBLE) END
+                      + CASE WHEN mean_word_len >= 2.0
+                                  AND mean_word_len <= 12.0
+                             THEN CAST(0.2 AS DOUBLE)
+                             ELSE CAST(0.0 AS DOUBLE) END) AS quality
+              FROM r)
+            SELECT doc_id, quality FROM (
+              SELECT doc_id, quality,
+                     round(pow(LEAST(1.0, GREATEST(0.0, quality)),
+                               2.0), 6) AS rate
+              FROM q)
+            WHERE substr(md5(CAST(doc_id AS VARCHAR) || '#3'), 1, 15)
+                  < CASE WHEN rate >= 1.0 THEN 'g'
+                         ELSE printf('%015x',
+                              CAST(floor(rate * 1152921504606846976.0)
+                                   AS BIGINT)) END
+            ORDER BY doc_id
         """,
         "resample_events": """
             WITH g AS (

@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["hash_sample", "stratified_hash_sample", "split_train_val",
-           "global_shuffle", "pack_shards", "temperature_sample"]
+           "global_shuffle", "pack_shards", "temperature_sample",
+           "quality_sample"]
 
 
 def _hex_threshold(fraction: float) -> str:
@@ -202,3 +203,29 @@ def pack_shards(df: DataFrame, weight_col: str, budget: int,
     return (tagged.join(F.broadcast(off), on="_pid")
             .withColumn(out, shard)
             .select(*cols, out))
+
+
+def quality_sample(df: DataFrame, key_col: str, score_col: str,
+                   gamma: float = 1.0, seed: int = 0) -> DataFrame:
+    """Quality-weighted sampling: keep each row with probability
+    ``clamp(score, 0, 1) ** gamma`` — the curation step that keeps
+    high-quality documents and probabilistically thins the tail
+    (DataComp/FineWeb-style quality weighting, public pattern), made
+    DETERMINISTIC: the coin flip is ``md5(key || seed)`` against a
+    per-row 60-bit threshold, so the same rows survive on every run,
+    partitioning, and engine. ``gamma > 1`` sharpens toward
+    high-quality docs; ``gamma < 1`` flattens.
+
+    Row-local filter: no shuffle, no RNG state, pushes down.
+    """
+    score = F.least(F.lit(1.0), F.greatest(
+        F.lit(0.0), F.col(score_col).cast("double")))
+    rate = F.round(F.pow(score, F.lit(float(gamma))), 6)
+    h15 = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"),
+                       F.lit(f"#{seed}"))), 1, 15)
+    thr = F.when(rate >= 1.0, F.lit("g")).otherwise(
+        F.format_string(
+            "%015x",
+            F.floor(rate * F.lit(1152921504606846976.0)).cast("long")))
+    return df.where(h15 < thr)

@@ -85,3 +85,30 @@ def test_global_shuffle_is_permutation(spark):
     assert m1 == m2
     # actually shuffled: not identity order
     assert any(m1[k] != k for k in m1)
+
+
+def test_quality_sample_monotone_and_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from meza_spark.llm.sampling import quality_sample
+
+    df = spark.range(4000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, 0.9).otherwise(0.1).alias("q"))
+    kept = quality_sample(df, "id", "q", gamma=1.0, seed=1)
+    a = kept.groupBy("q").count().collect()
+    rates = {round(r["q"], 1): r["count"] / 2000 for r in a}
+    # empirical keep-rate tracks the score (±10 pts at n=2000)
+    assert abs(rates[0.9] - 0.9) < 0.1
+    assert abs(rates[0.1] - 0.1) < 0.1
+    # deterministic: same seed → identical survivor set
+    k1 = sorted(r["id"] for r in kept.collect())
+    k2 = sorted(r["id"] for r in
+                quality_sample(df, "id", "q", seed=1).collect())
+    assert k1 == k2
+    # score 1.0 keeps everything; 0.0 keeps nothing
+    edge = spark.range(100).select(
+        F.col("id"), F.when(F.col("id") < 50, 1.0).otherwise(0.0)
+        .alias("q"))
+    ke = quality_sample(edge, "id", "q", seed=0)
+    assert sorted(r["id"] for r in ke.collect()) == list(range(50))
