@@ -47,6 +47,7 @@ HEADLINE = [
     "decontam_flag", "llm_gopher", "llm_normalize",
     "dedup_near_best", "psi_drift_price", "multimodal_headers",
     "resample_events", "url_features_docs", "sql_window_rank",
+    "sample_quality",
 ]
 
 
