@@ -71,7 +71,7 @@ SCALE_KEYS = {  # key columns shifted per replica; dims stay single-copy
 SCALE_QUERIES = ["q1_pricing", "q3_shipping", "q5_local_supplier",
                  "join_inner", "topk_per_group", "window_running",
                  "dedup_exact", "q9_profit", "q21_waiting",
-                 "dedup_near_e2e", "decontam_flag"]
+                 "dedup_near_e2e", "decontam_flag", "resample_events"]
 
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
