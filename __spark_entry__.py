@@ -651,6 +651,20 @@ def resample_events(spark, sf_dir):
             .orderBy("event_type", "bucket_s"))
 
 
+def resample_linear(spark, sf_dir):
+    """Linear-interpolation resample: per-type hourly grid with gaps
+    filled by the line between neighboring observed buckets — two
+    partitioned window passes, no Python."""
+    ev = _t(spark, sf_dir, "events")
+    out = pr.resample(ev, "ts", "3600", keys="event_type",
+                      aggs={"max_value": ("value", "max")},
+                      fill="linear")
+    return (out.select("event_type",
+                       F.unix_timestamp("bucket_ts").alias("bucket_s"),
+                       F.round("max_value", 6).alias("max_value"))
+            .orderBy("event_type", "bucket_s"))
+
+
 def url_features_docs(spark, sf_dir):
     """URL/domain filter keys: synthesize a deterministic URL per doc
     (both engines build the same string), then decompose it with
@@ -2292,6 +2306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_distributed_roundtrip": csv_distributed_roundtrip,
         "url_features_docs": url_features_docs,
         "resample_events": resample_events,
+        "resample_linear": resample_linear,
         "sample_quality": sample_quality,
     "llm_gopher": llm_gopher,
         "llm_normalize": llm_normalize,
@@ -3776,6 +3791,49 @@ def oracle_sql() -> dict[str, str]:
                               CAST(floor(rate * 1152921504606846976.0)
                                    AS BIGINT)) END
             ORDER BY doc_id
+        """,
+        "resample_linear": """
+            WITH g AS (
+              SELECT event_type,
+                     (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) * 3600
+                       AS bk,
+                     MAX(value) AS mv
+              FROM events GROUP BY event_type, bk),
+            span AS (SELECT event_type, MIN(bk) AS lo, MAX(bk) AS hi
+                     FROM g GROUP BY event_type),
+            sc AS (SELECT event_type,
+                          UNNEST(range(lo, hi + 1, 3600)) AS bk
+                   FROM span),
+            j AS (
+              SELECT sc.event_type, sc.bk, g.mv
+              FROM sc LEFT JOIN g
+                ON sc.event_type = g.event_type AND sc.bk = g.bk),
+            w AS (
+              SELECT event_type, bk, mv,
+                     last_value(mv IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY bk
+                       ROWS UNBOUNDED PRECEDING) AS y0,
+                     last_value(CASE WHEN mv IS NOT NULL THEN bk END
+                                IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY bk
+                       ROWS UNBOUNDED PRECEDING) AS t0,
+                     first_value(mv IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY bk
+                       ROWS BETWEEN CURRENT ROW
+                                AND UNBOUNDED FOLLOWING) AS y1,
+                     first_value(CASE WHEN mv IS NOT NULL THEN bk END
+                                 IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY bk
+                       ROWS BETWEEN CURRENT ROW
+                                AND UNBOUNDED FOLLOWING) AS t1
+              FROM j)
+            SELECT event_type, bk AS bucket_s,
+                   round(CASE WHEN mv IS NOT NULL THEN mv
+                              WHEN y0 IS NULL THEN y1
+                              WHEN y1 IS NULL THEN y0
+                              ELSE y0 + (y1 - y0) * (bk - t0)
+                                   / (t1 - t0) END, 6) AS max_value
+            FROM w ORDER BY event_type, bucket_s
         """,
         "resample_events": """
             WITH g AS (
