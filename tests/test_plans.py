@@ -206,3 +206,36 @@ def test_psi_drift_scaffold_broadcast(spark):
     # only exchanges are the two nbins-row aggregations
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q7_single_fact_shuffle_join(spark):
+    simple = _plan(entry.q7_volume(spark, SF), "simple")
+    # supplier/customer pre-reduced to the two nations and broadcast;
+    # the only sort-merge join is lineitem x orders on orderkey
+    assert simple.count("SortMergeJoin") <= 1, simple
+    full = _plan(entry.q7_volume(spark, SF))
+    assert "In(n_name, [NATION_3,NATION_7])" in full  # pushed to scan
+
+
+def test_q8_region_folds_into_customer_build_side(spark):
+    simple = _plan(entry.q8_mktshare(spark, SF), "simple")
+    assert simple.count("SortMergeJoin") <= 1, simple
+    full = _plan(entry.q8_mktshare(spark, SF))
+    assert "EqualTo(r_name,AMERICA)" in full
+    assert "EqualTo(p_type,PROMO)" in full
+
+
+def test_resample_scaffold_not_fact_sized(spark):
+    from meza_spark.process import resample
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "ts", entry.F.timestamp_micros(entry.F.expr("ts div 1000"))
+        if dict(spark.read.parquet(f"{SF}/events.parquet").dtypes)
+        .get("ts") == "bigint" else entry.F.col("ts"))
+    out = resample(ev, "ts", "3600", keys="event_type",
+                   aggs={"n": ("ts", "count")}, fill="ffill")
+    plan = _plan(out, "simple")
+    # scaffold generates from the per-key span AGGREGATE (explode over
+    # sequence), never re-scanning the fact for the grid
+    assert plan.count("Scan parquet") <= 2, plan
+    assert "Generate explode" in plan
