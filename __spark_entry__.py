@@ -395,14 +395,20 @@ def shuffle_rank(spark, sf_dir):
 
 
 def embed_normalize(spark, sf_dir):
-    """L2-normalize embeddings; unit vectors returned rounded (6dp)
-    for cross-engine float determinism."""
+    """L2-normalize embeddings; unit vector emitted as a comma-joined
+    string of integer micro-units (floor(x*1e6+0.5)) — scalar column so
+    the driver's pandas canonicalizer can sort it (r2 verdict #1), and
+    integer rendering is identical across Spark/DuckDB (float→string
+    formatting is not)."""
     from meza_spark.llm.similarity import normalize_embeddings
 
     d = normalize_embeddings(_t(spark, sf_dir, "embeddings"))
     return d.select(
         "vec_id",
-        F.transform("embedding", lambda x: F.round(x, 6)).alias("unit"))
+        F.concat_ws(",", F.transform(
+            "embedding",
+            lambda x: F.floor(x * 1000000 + F.lit(0.5)).cast("string"),
+        )).alias("unit"))
 
 
 def embed_cosine_join(spark, sf_dir):
@@ -422,12 +428,27 @@ def dedup_exact(spark, sf_dir):
 
 
 def dedup_minhash_lsh(spark, sf_dir):
-    return du.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
-                                min_jaccard=0.3)
+    """LSH candidate generation + exact-Jaccard verification (the
+    production minhash-dedup pattern). Oracle-gated (r2 verdict #3):
+    the DuckDB twin computes exact all-pairs Jaccard >= 0.3 — equality
+    holds because the seeded 64-perm/16-band LSH has verified recall
+    1.0 on this corpus's true-pair set (all true pairs have J >= 0.9;
+    catch prob per pair 1-(1-J^4)^16 > 1-5e-8, fixed seeds)."""
+    out = du.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
+                               min_jaccard=0.3)
+    return out.select("id_a", "id_b",
+                      F.round("jaccard", 6).alias("jaccard"))
 
 
 def dedup_simhash(spark, sf_dir):
-    return du.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    """SimHash pairs, hamming <= 3. Oracle-gated (r2 verdict #3): with
+    token_hash='md5' the 64-bit fingerprint is bit-reproducible in
+    DuckDB (per-bit vote sums from md5 hex digits), and the pigeonhole
+    banding is EXACT (any pair within the budget shares a 16-bit
+    chunk), so the emitted set equals the oracle's brute-force
+    all-pairs hamming join."""
+    return du.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3,
+                            token_hash="md5")
 
 
 def ngram_jaccard_pairs(spark, sf_dir):
@@ -1144,7 +1165,11 @@ def group_collect(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     g = pr.group(c.select("c_mktsegment", "c_custkey"), "c_mktsegment",
                  aggs={"ids": ("c_custkey", "collect_list")})
-    return g.select("c_mktsegment", F.sort_array("ids").alias("ids"))
+    # comma-joined string (scalar) so the driver's pandas canonicalizer
+    # can sort the column (array cells are unhashable — r2 verdict #1)
+    return g.select("c_mktsegment", F.array_join(
+        F.transform(F.sort_array("ids"), lambda x: x.cast("string")),
+        ",").alias("ids"))
 
 
 def udaf_range(spark, sf_dir):
@@ -2123,7 +2148,11 @@ def llm_gopher(spark, sf_dir):
             .select("doc_id", "gopher_word_count_ok",
                     "gopher_mean_word_length_ok", "gopher_symbol_ratio_ok",
                     "gopher_alpha_word_frac_ok", "gopher_stopword_count_ok",
-                    "gopher_keep", "gopher_drop_reasons")
+                    "gopher_keep",
+                    # scalar string, not array<string>: driver pandas
+                    # canonicalizer can't sort array cells (r2 verdict #1)
+                    F.array_join("gopher_drop_reasons", ",")
+                     .alias("gopher_drop_reasons"))
             .orderBy("doc_id"))
 
 
@@ -2673,9 +2702,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embed_normalize": """
             SELECT vec_id,
-                   CASE WHEN n > 0
-                        THEN list_transform(v, x -> round(x / n, 6))
-                        ELSE v END AS unit
+                   array_to_string(
+                     list_transform(
+                       CASE WHEN n > 0
+                            THEN list_transform(v, x -> x / n)
+                            ELSE v END,
+                       x -> CAST(CAST(floor(x * 1000000 + 0.5) AS BIGINT)
+                                 AS VARCHAR)),
+                     ',') AS unit
             FROM (
               SELECT vec_id,
                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
@@ -2768,6 +2802,61 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
             WHERE CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.05
+        """,
+        # Exact all-pairs Jaccard >= 0.3 — equals the LSH+verify output
+        # because the seeded LSH has recall 1.0 on this corpus (every
+        # true pair has J >= 0.9; see dedup_minhash_lsh docstring).
+        "dedup_minhash_lsh": r"""
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(CASE
+                       WHEN len(regexp_split_to_array(trim(lower(text)), '\s+')) < 3
+                       THEN [array_to_string(
+                              regexp_split_to_array(trim(lower(text)), '\s+'), ' ')]
+                       ELSE list_transform(
+                         range(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) - 1),
+                         i -> regexp_split_to_array(trim(lower(text)), '\s+')[i] || ' ' ||
+                              regexp_split_to_array(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                              regexp_split_to_array(trim(lower(text)), '\s+')[i+2])
+                     END) AS grams
+              FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.3
+        """,
+        # Brute-force 64-bit SimHash + all-pairs hamming <= 3. The
+        # fingerprint is recomputed bit-for-bit from md5 hex digits:
+        # bit j of hash(token) = bit (j%4) of hex digit 15-(j//4)
+        # (big-endian first 16 chars), per-bit votes sum 2*bit-1, sign
+        # -> bit. Equality with the Spark query is exact: pigeonhole
+        # banding has recall 1 within the hamming budget.
+        "dedup_simhash": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN trim(lower(text)) = ''
+                       THEN []::VARCHAR[]
+                       ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                     END) AS t
+              FROM documents),
+            sig AS (
+              SELECT doc_id,
+                     list_transform(range(0, 64), j ->
+                       CASE WHEN coalesce(list_sum(list_transform(t, tok ->
+                         2 * (((strpos('0123456789abcdef',
+                                substring(md5(tok), 16 - (j // 4), 1)) - 1)
+                               >> (j % 4)) & 1) - 1)), 0) >= 0
+                       THEN 1 ELSE 0 END) AS f
+              FROM toks)
+            SELECT id_a, id_b, hamming FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     list_sum(list_transform(range(0, 64), j ->
+                       CASE WHEN a.f[j+1] <> b.f[j+1] THEN 1 ELSE 0 END))
+                       AS hamming
+              FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+            WHERE hamming <= 3
         """,
         "dedup_near_e2e": r"""
             WITH RECURSIVE sh AS (
@@ -3139,7 +3228,10 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT n_regionkey FROM nation WHERE n_nationkey = 7) AS b
         """,
         "group_collect": """
-            SELECT c_mktsegment, list_sort(list(c_custkey)) AS ids
+            SELECT c_mktsegment,
+                   array_to_string(list_transform(
+                     list_sort(list(c_custkey)),
+                     x -> CAST(x AS VARCHAR)), ',') AS ids
             FROM customer GROUP BY c_mktsegment
         """,
         "udaf_range": """
@@ -4045,7 +4137,7 @@ def oracle_sql() -> dict[str, str]:
                    (gopher_word_count_ok AND gopher_mean_word_length_ok
                     AND gopher_symbol_ratio_ok AND gopher_alpha_word_frac_ok
                     AND gopher_stopword_count_ok) AS gopher_keep,
-                   list_filter([
+                   array_to_string(list_filter([
                      CASE WHEN NOT gopher_word_count_ok
                           THEN 'word_count' END,
                      CASE WHEN NOT gopher_mean_word_length_ok
@@ -4056,7 +4148,7 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'alpha_word_frac' END,
                      CASE WHEN NOT gopher_stopword_count_ok
                           THEN 'stopword_count' END],
-                     x -> x IS NOT NULL) AS gopher_drop_reasons
+                     x -> x IS NOT NULL), ',') AS gopher_drop_reasons
             FROM flags ORDER BY doc_id
         """,
         "llm_normalize": """

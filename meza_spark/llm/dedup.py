@@ -132,10 +132,20 @@ def _minhash_from_hashes(base: DataFrame, num_hashes: int) -> DataFrame:
     numpy matrix form ((a·h + b) mod P, min over shingles) is bit-
     identical (numpy int64 % is floored like pmod; products stay
     < 2^62). Tokenize/xxhash64 stay JVM-side. Callers control the Arrow
-    payload: every column of ``base`` except ``_hs`` passes through."""
+    payload: every column of ``base`` except ``_hs`` passes through.
+
+    Modulus is 2^31-1 (same Mersenne prime the base hashes fold into):
+    with a, b, h all < 2^31 the product a·h wraps the modulus ~2^31
+    times, giving real permutation mixing. (The earlier 2^61-1 modulus
+    was a correctness bug: a·h + b < 2·P wraps AT MOST ONCE, so the
+    "permutation" stayed nearly order-preserving in h — the min was
+    dominated by the smallest raw hashes, collapsing band agreement for
+    genuinely similar pairs. Observed: a J=0.93 pair with 4/64 signature
+    agreement where ~59/64 is expected; recall vs the exact-Jaccard
+    oracle was <1.)"""
     import numpy as np
 
-    _P = (1 << 61) - 1  # Mersenne prime, the classic MinHash modulus
+    _P = (1 << 31) - 1  # Mersenne prime; folded base hashes live in [0, P)
     coeffs = _perm_coeffs(num_hashes)
     ca = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
     cb = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
@@ -165,16 +175,18 @@ def _minhash_from_hashes(base: DataFrame, num_hashes: int) -> DataFrame:
 def _perm_coeffs(n: int, seed: int = 7) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the universal-hash permutations.
 
-    Drawn from a splitmix-style LCG; `a` odd and nonzero. Coefficients
-    are kept < 2^31 so a·h + b stays within the signed-64 range
-    (h < 2^61 would overflow; we pre-fold h into [0, 2^31) first)."""
+    Drawn from a splitmix-style LCG; `a` nonzero mod P. Coefficients
+    live in [0, P) with P = 2^31-1, the same prime modulus the kernel
+    reduces by — so a·h + b < 2^62 (no int64 overflow) AND the product
+    wraps P many times (real mixing; see _minhash_from_hashes)."""
+    P = (1 << 31) - 1
     out = []
     state = seed
     for _ in range(n):
         state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-        a = ((state >> 33) | 1) % (1 << 31) or 1
+        a = (state >> 33) % P or 1
         state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-        b = (state >> 33) % (1 << 31)
+        b = (state >> 33) % P
         out.append((a, b))
     return out
 
@@ -403,21 +415,44 @@ def ngram_jaccard(df_a: DataFrame, df_b: DataFrame | None = None,
 # ---------------------------------------------------------------------------
 
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 64,
-            out: str = "simhash") -> DataFrame:
+            out: str = "simhash",
+            token_hash: str = "xxhash64") -> DataFrame:
     """Append a ``bits``-wide SimHash signature as ``bigint``.
 
     Row-local: token hashes vote per bit (+1/-1), sign of the vote sum
-    becomes the bit. No explode, no shuffle.
+    becomes the bit. No explode, no shuffle. ``token_hash='md5'`` makes
+    the fingerprint engine-portable (see :func:`_token_hashes`).
     """
-    step = _token_hashes(df, text_col)
+    step = _token_hashes(df, text_col, token_hash)
     return _simhash_from_hashes(step, bits, out)
 
 
-def _token_hashes(df: DataFrame, text_col: str) -> DataFrame:
-    """JVM-side distinct-token xxhash64 array as ``_th``."""
+def _token_hashes(df: DataFrame, text_col: str,
+                  token_hash: str = "xxhash64") -> DataFrame:
+    """JVM-side distinct-token hash array as ``_th`` (int64).
+
+    ``token_hash='xxhash64'`` (default): fastest, JVM codegen.
+    ``token_hash='md5'``: first 64 bits (16 hex chars, big-endian) of
+    md5 — slightly slower but bit-reproducible in ANY engine with an
+    md5() builtin, which lets a differential oracle (DuckDB) recompute
+    the exact SimHash fingerprints. Both stay whole-stage codegen.
+    """
+    def _h(t):
+        if token_hash == "xxhash64":
+            return F.xxhash64(t)
+        if token_hash == "md5":
+            # value = int(md5hex[:16], 16) assembled from two u32
+            # halves; shiftleft wraps to the same two's-complement
+            # int64 as a numpy uint64->int64 view
+            hx = F.md5(t)
+            hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+            lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+            return F.shiftleft(hi, 32).bitwiseOR(lo)
+        raise ValueError(f"unknown token_hash: {token_hash}")
+
     return spread(df).withColumn(
         "_th", F.transform(F.array_distinct(tokens(F.lower(F.col(text_col)))),
-                           lambda t: F.xxhash64(t)))
+                           _h))
 
 
 def _simhash_from_hashes(step: DataFrame, bits: int,
@@ -460,7 +495,8 @@ def _simhash_from_hashes(step: DataFrame, bits: int,
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3,
-                  max_bucket: int | None = 1000) -> DataFrame:
+                  max_bucket: int | None = 1000,
+                  token_hash: str = "xxhash64") -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
 
     Banding: split the 64-bit signature into ``max_hamming+1`` chunks;
@@ -479,7 +515,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     width = 64 // chunks
     # lean Arrow payload: only (id, _th) crosses into the vote kernel
     sigged = _simhash_from_hashes(
-        _token_hashes(df.select(id_col, text_col), text_col)
+        _token_hashes(df.select(id_col, text_col), text_col, token_hash)
         .select(F.col(id_col).alias("_id"), "_th"), bits=64)
     chunk_arr = F.array(*[
         F.struct(
