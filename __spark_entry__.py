@@ -598,14 +598,72 @@ def multimodal_meta(spark, sf_dir):
 
 
 def multimodal_decode(spark, sf_dir):
-    """Stub image decode via mapInPandas (deterministic fake pixels) —
-    exercises the Arrow batch path end-to-end."""
-    from meza_spark.llm.multimodal import decode_image
+    """REAL image decode, hash-gated (r2 verdict #4): synthesize a
+    24-bit BMP per doc whose pixel bytes follow a closed-form pattern
+    of (doc_id, n_chars), run the actual byte-level BMP decoder
+    (row padding, bottom-up order, BGR swap), and emit pixel stats the
+    DuckDB oracle recomputes arithmetically. Gates encode+decode
+    end-to-end; PNG/JPEG stay honestly gated (no Pillow)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from meza_spark.llm.multimodal import _encode_bmp, decode_image
+
+    @pandas_udf("binary")
+    def _bmp(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+        out = []
+        for i, n in zip(doc_id, n_chars):
+            w, h = int(n) % 24 + 1, int(i) % 16 + 1
+            j = np.arange(w * h * 3, dtype=np.int64)
+            px = ((int(i) * 7 + j * 11) % 256).astype(np.uint8)
+            out.append(_encode_bmp(px.reshape(h, w, 3)))
+        return pd.Series(out)
 
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
-        F.encode("text", "utf-8").alias("payload"))
-    return decode_image(d)
+        _bmp("doc_id", "n_chars").alias("payload"))
+    out = decode_image(d)
+    return out.select("media_id", "width", "height", "channels",
+                      F.round("mean_pixel", 6).alias("mean_pixel"))
+
+
+def multimodal_audio(spark, sf_dir):
+    """REAL WAV PCM decode, hash-gated: synthesize 16-bit mono WAV per
+    doc with a closed-form sample pattern, decode via the RIFF walker +
+    numpy sample stats, oracle recomputes mean/rms/peak arithmetically
+    (integer sample sums are exact in double; /2^15 and sqrt are
+    correctly rounded in both engines)."""
+    import numpy as np
+    import pandas as pd
+    import struct as _struct
+    from pyspark.sql.functions import pandas_udf
+
+    from meza_spark.llm.multimodal import decode_audio
+
+    @pandas_udf("binary")
+    def _wav(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for i in doc_id:
+            n = 400 + int(i) % 97
+            s = np.arange(n, dtype=np.int64)
+            v = ((int(i) * 31 + s * 7) % 2001 - 1000).astype("<i2")
+            data = v.tobytes()
+            out.append(
+                b"RIFF" + _struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, 4000,
+                                         8000, 2, 16)
+                + b"data" + _struct.pack("<I", len(data)) + data)
+        return pd.Series(out)
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), _wav("doc_id").alias("payload"))
+    out = decode_audio(d)
+    return out.select("media_id", "sample_rate", "channels", "n_samples",
+                      "duration_ms",
+                      F.round("mean_amp", 6).alias("mean_amp"),
+                      F.round("rms", 6).alias("rms"),
+                      F.round("peak", 6).alias("peak"))
 
 
 # one SQL text, two engines: runs verbatim through spark.sql AND the
@@ -723,9 +781,11 @@ def multimodal_headers(spark, sf_dir):
     """REAL container-header parse (stdlib byte logic, no Pillow):
     synthesize valid PNG/GIF/WAV payloads per doc (deterministic from
     doc_id/n_chars), then extract width/height/sample-rate/duration
-    via the Arrow-batched header walker. Rows-only gate (payload
-    bytes aren't expressible in the SQL oracle); exact parses are
-    unit-pinned in tests/test_multimodal.py."""
+    via the Arrow-batched header walker. Hash-gated (r3): the parsed
+    fields are exactly the synthesizer's arithmetic on (doc_id,
+    n_chars), so the DuckDB oracle computes them directly — gating the
+    full struct.pack -> header-walk roundtrip. Byte-level edge cases
+    stay unit-pinned in tests/test_multimodal.py."""
     import struct
 
     import pandas as pd
@@ -963,12 +1023,21 @@ def string_funcs(spark, sf_dir):
 
 
 def approx_distinct(spark, sf_dir):
-    """HLL++ sketch counts — approximate by design, so no value oracle
-    (rows-only check)."""
+    """HLL++ sketch counts, hash-gated via a tolerance contract (r2
+    verdict #3): emit the EXACT distinct count plus a boolean asserting
+    the sketch estimate landed within 5x the requested rsd (0.01).
+    The oracle recomputes the exact count and pins the flag true — so
+    the gate fails if the sketch ever drifts outside its error bound,
+    at ANY sf, without pinning the estimate itself."""
     li = _t(spark, sf_dir, "lineitem")
-    return (li.groupBy("l_returnflag")
-            .agg(F.approx_count_distinct("l_partkey", 0.01)
-                 .alias("approx_parts")))
+    est = (li.groupBy("l_returnflag")
+           .agg(F.approx_count_distinct("l_partkey", 0.01)
+                .alias("approx_parts"),
+                F.countDistinct("l_partkey").alias("exact_parts")))
+    ok = (F.abs(F.col("approx_parts") - F.col("exact_parts"))
+          <= F.greatest(F.col("exact_parts") * 0.05, F.lit(1.0)))
+    return est.select("l_returnflag", "exact_parts",
+                      ok.alias("within_bound"))
 
 
 def infer_types_orders(spark, sf_dir):
@@ -1587,15 +1656,22 @@ def tfidf_terms(spark, sf_dir):
 
 def hll_users_by_type(spark, sf_dir):
     """Mergeable per-key HLL sketches → distinct-user estimates
-    (native DataSketches aggregate, JVM-side; sketch-dependent →
-    rows-only check like approx_distinct)."""
+    (native DataSketches aggregate, JVM-side). Hash-gated via the same
+    tolerance contract as approx_distinct: exact count + a pinned-true
+    flag that the sketch estimate is within 5%."""
     from meza_spark.llm.hll import distinct_sketches, hll_estimate
 
     ev = _t(spark, sf_dir, "events")
     per = distinct_sketches(ev, "user_id", keys=["event_type"])
-    return per.select("event_type",
-                      hll_estimate("sketch").cast("long")
-                      .alias("approx_users"))
+    est = per.select("event_type",
+                     hll_estimate("sketch").cast("long")
+                     .alias("approx_users"))
+    exact = (ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("exact_users")))
+    j = est.join(exact, on="event_type")
+    ok = (F.abs(F.col("approx_users") - F.col("exact_users"))
+          <= F.greatest(F.col("exact_users") * 0.05, F.lit(1.0)))
+    return j.select("event_type", "exact_users", ok.alias("within_bound"))
 
 
 def join_normalized(spark, sf_dir):
@@ -2240,6 +2316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordinal_fmt": ordinal_fmt,
         "multimodal_meta": multimodal_meta,
         "multimodal_decode": multimodal_decode,
+        "multimodal_audio": multimodal_audio,
         "stream_tumble_static": stream_tumble_static,
         "stream_session_static": stream_session_static,
         "join_asof": join_asof,
@@ -2991,6 +3068,63 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS payload_sha
             FROM documents
         """,
+        # The synthesized BMP's pixel bytes follow (doc_id*7 + j*11) %
+        # 256 over j in [0, w*h*3); recomputing the stats arithmetically
+        # gates the real _encode_bmp -> _decode_bmp byte path (padding,
+        # bottom-up rows, BGR swap) end-to-end.
+        "multimodal_decode": """
+            SELECT doc_id AS media_id,
+                   CAST(n_chars % 24 + 1 AS INTEGER) AS width,
+                   CAST(doc_id % 16 + 1 AS INTEGER) AS height,
+                   CAST(3 AS INTEGER) AS channels,
+                   round(list_avg(list_transform(
+                     range(0, (n_chars % 24 + 1) * (doc_id % 16 + 1) * 3),
+                     j -> (doc_id * 7 + j * 11) % 256)), 6) AS mean_pixel
+            FROM documents
+        """,
+        # 16-bit mono WAV with samples (doc_id*31 + j*7) % 2001 - 1000;
+        # integer sums are exact in double and /2^15, sqrt are
+        # correctly rounded, so stats match the numpy decoder exactly.
+        "multimodal_audio": """
+            WITH v AS (
+              SELECT doc_id, 400 + doc_id % 97 AS n,
+                     list_transform(range(0, 400 + doc_id % 97),
+                       j -> (doc_id * 31 + j * 7) % 2001 - 1000) AS vs
+              FROM documents)
+            SELECT doc_id AS media_id,
+                   CAST(4000 AS INTEGER) AS sample_rate,
+                   CAST(1 AS INTEGER) AS channels,
+                   CAST(n AS BIGINT) AS n_samples,
+                   CAST((n * 1000) // 4000 AS BIGINT) AS duration_ms,
+                   round((list_sum(vs) / CAST(n AS DOUBLE)) / 32768, 6)
+                     AS mean_amp,
+                   round(sqrt(list_sum(list_transform(vs,
+                       x -> CAST(x * x AS DOUBLE))) / n) / 32768, 6) AS rms,
+                   round(list_max(list_transform(vs, x -> abs(x)))
+                         / 32768.0, 6) AS peak
+            FROM v
+        """,
+        # The synthesized payloads encode pure arithmetic of (doc_id,
+        # n_chars); recomputing it here gates the full
+        # struct.pack -> _parse_headers roundtrip.
+        "multimodal_headers": """
+            SELECT doc_id AS media_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'png'
+                                   WHEN 1 THEN 'gif'
+                                   ELSE 'wav' END AS format,
+                   CASE WHEN doc_id % 3 IN (0, 1)
+                        THEN CAST(n_chars % 500 + 1 AS INTEGER) END AS width,
+                   CASE WHEN doc_id % 3 IN (0, 1)
+                        THEN CAST(doc_id % 300 + 1 AS INTEGER) END AS height,
+                   CASE WHEN doc_id % 3 = 2
+                        THEN CAST(1 AS INTEGER) END AS channels,
+                   CASE WHEN doc_id % 3 = 2
+                        THEN CAST(4000 AS INTEGER) END AS sample_rate,
+                   CASE WHEN doc_id % 3 = 2
+                        THEN CAST((n_chars % 2 + 1) * 1000 AS BIGINT)
+                        END AS duration_ms
+            FROM documents ORDER BY doc_id
+        """,
         "stream_tumble_static": """
             SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS ws,
                    event_type, COUNT(*) AS n, MAX(value) AS max_value
@@ -3504,6 +3638,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber,
                    {_zorder_oracle_expr(['l_partkey', 'l_suppkey'], 21)} AS z
             FROM lineitem
+        """,
+        # Tolerance-contract gates: the query emits the EXACT count and
+        # a flag that the sketch estimate is within bound; the oracle
+        # pins the flag true. Fails iff the sketch drifts out of bound.
+        "approx_distinct": """
+            SELECT l_returnflag,
+                   COUNT(DISTINCT l_partkey) AS exact_parts,
+                   TRUE AS within_bound
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "hll_users_by_type": """
+            SELECT event_type,
+                   COUNT(DISTINCT user_id) AS exact_users,
+                   TRUE AS within_bound
+            FROM events GROUP BY event_type
         """,
         "cms_suppkey_counts": """
             SELECT l_suppkey, COUNT(*) AS est_count

@@ -52,6 +52,7 @@ HEADLINE = [
     "q20_promo", "q21_waiting",
     "decontam_flag", "llm_gopher", "llm_normalize",
     "dedup_near_best", "psi_drift_price", "multimodal_headers",
+    "multimodal_decode", "multimodal_audio",
     "resample_events", "url_features_docs", "sql_window_rank",
     "sample_quality",
 ]

@@ -29,9 +29,71 @@ def test_attach_media_meta_jvm_side(spark, media):
 
 
 def test_decode_image_deterministic(spark, media):
-    a = {r["media_id"]: r["crc"] for r in decode_image(media).collect()}
-    b = {r["media_id"]: r["crc"] for r in decode_image(media).collect()}
+    # unknown payloads: 'stub' keeps the legacy deterministic fake
+    a = {r["media_id"]: r["crc"]
+         for r in decode_image(media, unsupported="stub").collect()}
+    b = {r["media_id"]: r["crc"]
+         for r in decode_image(media, unsupported="stub").collect()}
     assert a == b and len(a) == 6
+
+
+def test_decode_image_unsupported_modes(spark, media):
+    import pytest as _pytest
+
+    # default is the honest gate: unknown payloads raise
+    with _pytest.raises(Exception):
+        decode_image(media).collect()
+    # 'skip' drops undecodable rows (curation-pipeline behavior)
+    assert decode_image(media, unsupported="skip").count() == 0
+
+
+def test_decode_image_real_bmp(spark):
+    import numpy as np
+
+    from meza_spark.llm.multimodal import _encode_bmp
+
+    px = np.arange(5 * 3 * 3, dtype=np.uint8).reshape(3, 5, 3)
+    payload = _encode_bmp(px)
+    df = spark.createDataFrame([(1, bytearray(payload))],
+                               "media_id long, payload binary")
+    r = decode_image(df).collect()[0]
+    assert (r["width"], r["height"], r["channels"]) == (5, 3, 3)
+    assert abs(r["mean_pixel"] - px.mean()) < 1e-12
+
+
+def test_decode_image_real_netpbm(spark):
+    ppm = b"P6\n2 2\n255\n" + bytes(range(12))
+    pgm = b"P5 3 1 255 " + bytes([10, 20, 30])
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(pgm))],
+        "media_id long, payload binary")
+    rows = {r["media_id"]: r for r in decode_image(df).collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == (2, 2, 3)
+    assert abs(rows[1]["mean_pixel"] - sum(range(12)) / 12) < 1e-12
+    assert (rows[2]["width"], rows[2]["height"], rows[2]["channels"]) == (3, 1, 1)
+    assert rows[2]["mean_pixel"] == 20.0
+
+
+def test_decode_audio_real_wav(spark):
+    import struct
+
+    import numpy as np
+
+    from meza_spark.llm.multimodal import decode_audio
+
+    samples = np.array([0, 16384, -16384, 32767], dtype="<i2")
+    data = samples.tobytes()
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+           + b"data" + struct.pack("<I", len(data)) + data)
+    df = spark.createDataFrame([(7, bytearray(wav))],
+                               "media_id long, payload binary")
+    r = decode_audio(df).collect()[0]
+    s = samples.astype(float) / 32768.0
+    assert (r["sample_rate"], r["channels"], r["n_samples"]) == (8000, 1, 4)
+    assert r["duration_ms"] == 4 * 1000 // 8000
+    assert abs(r["rms"] - float(np.sqrt((s * s).mean()))) < 1e-12
+    assert r["peak"] == float(np.abs(s).max())
 
 
 def test_image_features_fixed_width(spark, media):
@@ -46,6 +108,40 @@ def test_resize_image_schema_and_size(spark, media):
     assert all((r["width"], r["height"]) == (32, 24) for r in rows)
     sizes = {len(r["payload"]) for r in rows}
     assert len(sizes) == 1  # nominal resized size is uniform
+
+
+def test_resize_image_real_bmp_roundtrip(spark):
+    import numpy as np
+
+    from meza_spark.llm.multimodal import _decode_bmp, _encode_bmp
+
+    # 4x4 image with distinct quadrant colors; NN-downsample to 2x2
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    px[:2, :2] = 10
+    px[:2, 2:] = 20
+    px[2:, :2] = 30
+    px[2:, 2:] = 40
+    df = spark.createDataFrame([(1, bytearray(_encode_bmp(px)))],
+                               "media_id long, payload binary")
+    r = resize_image(df, 2, 2).collect()[0]
+    small = _decode_bmp(bytes(r["payload"]))
+    assert small.shape == (2, 2, 3)
+    assert small[0, 0, 0] == 10 and small[0, 1, 0] == 20
+    assert small[1, 0, 0] == 30 and small[1, 1, 0] == 40
+
+
+def test_image_features_real_gray_gradient(spark):
+    import numpy as np
+
+    from meza_spark.llm.multimodal import _encode_bmp
+
+    # constant-value image -> every feature equals value/255
+    px = np.full((8, 8, 3), 51, dtype=np.uint8)
+    df = spark.createDataFrame([(1, bytearray(_encode_bmp(px)))],
+                               "media_id long, payload binary")
+    r = image_features(df, resize_to=16).collect()[0]
+    assert len(r["features"]) == 16
+    assert all(abs(v - 0.2) < 1e-6 for v in r["features"])
 
 
 def test_frame_sample_one_row_per_frame(spark, media):
