@@ -1295,7 +1295,8 @@ def agg_salted(spark, sf_dir):
 
 def embed_ann_ivf(spark, sf_dir):
     """IVF ANN (k-means coarse quantizer, nprobe cells probed) —
-    centroids are seed/trainer dependent → rows-only check."""
+    centroids from the seeded deterministic numpy fit → VALUES-pinned
+    oracle (tools/pin_oracles.py) at the driver's correctness SF."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return sim.ivf_ann_topk(emb, q, k=10, nlist=8, nprobe=3)
@@ -1453,8 +1454,8 @@ def embed_centroid_assign(spark, sf_dir):
 
 def embed_kmeans(spark, sf_dir):
     """Learned k-means topic clusters (bounded-sample fit + broadcast
-    assignment). Centroid-dependent → rows-only check; stability is
-    pinned by seed."""
+    assignment). Deterministic (hash-ordered sample + seeded numpy Lloyd) →
+    VALUES-pinned oracle at the driver's correctness SF."""
     out = sim.kmeans_clusters(_t(spark, sf_dir, "embeddings"), k=8,
                               fit_sample=10_000)
     return out.select("vec_id", "centroid_id")
@@ -1849,7 +1850,8 @@ def sample_temperature(spark, sf_dir):
 
 def embed_ann_pq(spark, sf_dir):
     """Product-quantization ANN: 8-byte codes, ADC top-10 with exact
-    refine of 4×k candidates (approximate: codebook-dependent)."""
+    refine of 4×k candidates. Deterministic seeded codebooks →
+    VALUES-pinned oracle at the driver's correctness SF."""
     from meza_spark.llm.pq import pq_ann_topk, pq_encode, pq_train
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1861,8 +1863,8 @@ def embed_ann_pq(spark, sf_dir):
 
 def embed_ann_ivfpq(spark, sf_dir):
     """IVF+PQ composite ANN (FAISS IVFx,PQy layout): coarse cells +
-    residual PQ codes, 2-cell probe, exact refine (approximate:
-    codebook-dependent)."""
+    residual PQ codes, 2-cell probe, exact refine. Deterministic
+    seeded codebooks → VALUES-pinned oracle."""
     from meza_spark.llm.pq import ivfpq_ann_topk, ivfpq_encode, ivfpq_train
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1886,7 +1888,8 @@ def llm_logprob(spark, sf_dir):
 
 def dedup_semantic(spark, sf_dir):
     """SemDeDup end-to-end: k-means cells → within-cell cosine pairs →
-    connected components → keep min-id (approximate: centroids)."""
+    connected components → keep min-id. Deterministic seeded fit →
+    VALUES-pinned oracle at the driver's correctness SF."""
     from meza_spark.llm.cluster import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -2473,7 +2476,7 @@ def _zorder_oracle_expr(cols: list[str], bits: int) -> str:
     return " | ".join(terms)
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_base() -> dict[str, str]:
     DSUM = "CAST(SUM(CAST({x} AS DECIMAL(38,8))) AS DOUBLE)"
 
     def dsum(x):
@@ -4372,13 +4375,20 @@ def oracle_sql() -> dict[str, str]:
                    round(s.lp, 6) AS logprob
             FROM documents d LEFT JOIN scored s ON d.doc_id = s._id
         """,
-        # hll_users_by_type: DataSketches HLL registers — engine-
-        # specific sketch, rows-only check (like approx_distinct).
-        # embed_kmeans: learned centroids (MLlib k-means) — seed-pinned
-        # but optimizer-dependent; rows-only check.
-        # dedup_minhash_lsh, dedup_simhash, embed_ann_lsh: hash-family
-        # dependent (xxhash64 / hyperplane seeds) — not SQL-expressible;
-        # embed_ann_pq, dedup_semantic: learned codebooks/centroids —
-        # approximate by design; approx_distinct: HLL sketch.
-        # Driver records rows-only checks for these.
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    out = _oracle_sql_base()
+    # VALUES-pinned oracles for the seeded k-means/ANN/SemDeDup queries
+    # (bit-deterministic across engine configs — hash-ordered fit
+    # samples + seeded numpy Lloyd; verified under different
+    # cpu/shuffle settings). Captured at the driver's correctness SF
+    # by tools/pin_oracles.py; regenerate after operator changes.
+    try:
+        from _oracle_pins import PINNED
+
+        out.update(PINNED)
+    except ImportError:
+        pass
+    return out

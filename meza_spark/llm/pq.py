@@ -43,11 +43,29 @@ __all__ = ["pq_train", "pq_encode", "pq_ann_topk",
            "ivfpq_train", "ivfpq_encode", "ivfpq_ann_topk"]
 
 
-def _sample_matrix(df: DataFrame, vec_col: str, fit_sample: int) -> np.ndarray:
+def _sample_matrix(df: DataFrame, vec_col: str, fit_sample: int,
+                   id_col: str | None = None) -> np.ndarray:
     """Bounded training sample → (n, d) float64 matrix on the driver.
-    ``limit`` is satisfied with LocalLimit+GlobalLimit (no full scan);
-    at 100 TB this reads a handful of input splits."""
-    rows = df.select(vec_col).limit(fit_sample).collect()
+
+    When an ``id_col`` exists the sample is HASH-ORDERED
+    (``ORDER BY xxhash64(id), id LIMIT n`` → TakeOrderedAndProject:
+    per-partition top-k + driver merge, no full sort): a deterministic
+    pseudo-random sample whose membership AND row order are invariant
+    to partition layout, parallelism, and engine config — plain
+    ``limit`` returns whatever splits get scheduled first, which made
+    every seeded fit downstream (k-means init indexes rows!)
+    nondeterministic across sessions. Falls back to ``limit`` when no
+    id column is available."""
+    cols = [c.lower() for c in df.columns]
+    if id_col is None and "vec_id" in cols:
+        id_col = df.columns[cols.index("vec_id")]
+    if id_col is not None and id_col in df.columns:
+        picked = (df.select(id_col, vec_col)
+                  .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+                  .limit(fit_sample).select(vec_col))
+    else:
+        picked = df.select(vec_col).limit(fit_sample)
+    rows = picked.collect()
     return np.array([r[0] for r in rows], dtype=np.float64)
 
 

@@ -293,13 +293,14 @@ def kmeans_clusters(df: DataFrame, k: int = 8,
     codebook. Returns ``(id, centroid_id, cosine)``.
 
     The fit touches ≤ ``fit_sample`` rows; assignment is the
-    broadcast-argmax scan above. Centroid-dependent, hence
-    approximate-by-nature (rows-only oracle)."""
-    km = _fit_kmeans(df, vec_col, k, seed, fit_sample)
+    broadcast-argmax scan above. Deterministic end-to-end (r3):
+    hash-ordered sample + seeded numpy Lloyd, invariant to partition
+    layout and engine config."""
+    cents_np = _fit_kmeans(df, vec_col, k, seed, fit_sample,
+                           id_col=id_col)
     spark = df.sparkSession
     cents = spark.createDataFrame(
-        [(i, [float(x) for x in c])
-         for i, c in enumerate(km.clusterCenters())],
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents_np)],
         f"centroid_id long, {vec_col} array<double>")
     return nearest_centroid(df, cents, vec_col=vec_col, id_col=id_col)
 
@@ -309,23 +310,38 @@ def _dim_of(df: DataFrame, vec_col: str) -> int:
     return int(row[0]["d"]) if row else 0
 
 
-def _ivf_train_df(df: DataFrame, vec_col: str, fit_sample: int) -> DataFrame:
-    """Bounded k-means training input: at most ``fit_sample`` vectors
-    (LocalLimit per partition + one GlobalLimit — no full scan)."""
-    from pyspark.ml.functions import array_to_vector
-
-    return (df.limit(fit_sample)
-            .select(array_to_vector(
-                F.transform(vec_col,
-                            lambda x: x.cast("double"))).alias("features")))
+def _ivf_train_df(df: DataFrame, vec_col: str, fit_sample: int,
+                  id_col: str | None = None) -> DataFrame:
+    """Bounded k-means training input: at most ``fit_sample`` vectors.
+    With an id column the sample is hash-ordered (TakeOrderedAndProject
+    — per-partition top-k, no full sort, no full scan) so membership
+    and order are partition-layout-invariant; else LocalLimit+
+    GlobalLimit."""
+    vecs = df.select(
+        *( [F.col(id_col)] if id_col and id_col in df.columns else [] ),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"))
+    if id_col and id_col in df.columns:
+        vecs = vecs.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+    return vecs.limit(fit_sample).select("_v")
 
 
 def _fit_kmeans(df: DataFrame, vec_col: str, nlist: int, seed: int,
-                fit_sample: int):
-    from pyspark.ml.clustering import KMeans
+                fit_sample: int, id_col: str | None = None,
+                iters: int = 10):
+    """Seeded driver-side numpy Lloyd over the bounded sample — the
+    FAISS coarse-quantizer pattern (train small, assign distributed).
+    Replaced pyspark.ml KMeans (r3): the ML fit's k-means|| init
+    depends on RDD partition layout, so identical data could yield
+    different centroids under a different session config; the numpy
+    fit on a hash-ordered sample is bit-deterministic everywhere, and
+    skips several Spark jobs per fit. Returns (nlist, d) float64."""
+    import numpy as np
 
-    return KMeans(k=nlist, seed=seed, maxIter=10).fit(
-        _ivf_train_df(df, vec_col, fit_sample))
+    from .pq import _kmeans_1d
+
+    rows = _ivf_train_df(df, vec_col, fit_sample, id_col=id_col).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    return _kmeans_1d(x, nlist, iters, seed)
 
 
 def ivf_ann_topk(df: DataFrame, query, k: int = 10,
@@ -343,12 +359,13 @@ def ivf_ann_topk(df: DataFrame, query, k: int = 10,
     reused across queries — the classic IVF trade of recall for scan
     fraction.
 
-    ``fit_sample`` caps the k-means training input (``limit``, which
-    Spark satisfies without a full scan): centroid quality needs a few
-    thousand points per cell, not 10 passes over a 100 TB corpus.
+    ``fit_sample`` caps the k-means training input (hash-ordered
+    top-k, no full scan): centroid quality needs a few thousand points
+    per cell, not 10 passes over a 100 TB corpus.
     """
-    km = _fit_kmeans(df, vec_col, nlist, seed, fit_sample)
-    centroids = [list(map(float, c)) for c in km.clusterCenters()]
+    cents_np = _fit_kmeans(df, vec_col, nlist, seed, fit_sample,
+                           id_col=id_col)
+    centroids = [list(map(float, c)) for c in cents_np]
 
     def _cell(vec: Column) -> Column:
         # argmin over nlist squared distances, row-local

@@ -75,9 +75,22 @@ def main():
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    # VALUES-pinned oracles are captured at one SF; at any other SF
+    # they don't apply (different data → different seeded output)
+    try:
+        from _oracle_pins import PIN_SF, PINNED
+
+        pin_ok = sf_dir.rstrip("/").endswith(f"sf{PIN_SF}")
+        pinned_names = set() if pin_ok else set(PINNED)
+    except ImportError:
+        pinned_names = set()
     results = []
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if name in pinned_names:
+            results.append((name, "PINNED-SKIP",
+                            f"VALUES pin applies at sf{PIN_SF} only"))
             continue
         t0 = time.time()
         try:
@@ -109,7 +122,8 @@ def main():
 
     fails = 0
     for name, status, detail in results:
-        mark = "✓" if status == "OK" else ("~" if status == "ROWS-ONLY" else "✗")
+        mark = "✓" if status == "OK" else (
+            "~" if status in ("ROWS-ONLY", "PINNED-SKIP") else "✗")
         if mark == "✗":
             fails += 1
         print(f"{mark} {name:24s} {status:18s} {detail}")
