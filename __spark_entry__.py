@@ -656,8 +656,13 @@ def multimodal_audio(spark, sf_dir):
                 + b"data" + _struct.pack("<I", len(data)) + data)
         return pd.Series(out)
 
-    d = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id"), _wav("doc_id").alias("payload"))
+    # deterministic 1/10 subset: the gate checks decode EXACTNESS, not
+    # synthesis throughput — full-corpus audio decode rate is covered
+    # by multimodal_decode/headers in the bench
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.col("doc_id") % 10 == 0)
+         .select(F.col("doc_id").alias("media_id"),
+                 _wav("doc_id").alias("payload")))
     out = decode_audio(d)
     return out.select("media_id", "sample_rate", "channels", "n_samples",
                       "duration_ms",
@@ -3093,7 +3098,7 @@ def _oracle_sql_base() -> dict[str, str]:
               SELECT doc_id, 400 + doc_id % 97 AS n,
                      list_transform(range(0, 400 + doc_id % 97),
                        j -> (doc_id * 31 + j * 7) % 2001 - 1000) AS vs
-              FROM documents)
+              FROM documents WHERE doc_id % 10 = 0)
             SELECT doc_id AS media_id,
                    CAST(4000 AS INTEGER) AS sample_rate,
                    CAST(1 AS INTEGER) AS channels,

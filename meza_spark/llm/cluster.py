@@ -50,7 +50,9 @@ def _stats_barrier(df: DataFrame) -> DataFrame:
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
-                         max_iter: int = 30) -> DataFrame:
+                         max_iter: int = 30,
+                         small_quotient_threshold: int = 1_000_000
+                         ) -> DataFrame:
     """Label each vertex of the pair graph with the min vertex id of
     its connected component. Returns ``(id, component)``.
 
@@ -128,7 +130,9 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     # label points at a quotient NODE (one init hop, no stale chains
     # yet), and the union-find map covers every quotient node, so one
     # re-point reaches the final roots — no chase loop needed.
-    if 0 < n_ce <= 1_000_000:
+    # ``small_quotient_threshold`` is exposed so tests can force the
+    # distributed loop (set 0) and keep it regression-covered.
+    if 0 < n_ce <= small_quotient_threshold:
         parent: dict = {}
 
         def _find(x):
@@ -157,24 +161,46 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                 .select(F.col("v").alias("id"),
                         F.coalesce("_root", "label").alias("component")))
 
+    # Fused per-round barrier (r2 verdict #5: "one count job per
+    # round, not two"): persist BOTH new frames, run ONE materializing
+    # count (ce depends on the new labels, so counting ce fills both
+    # caches and CacheManager records measured stats for each), then
+    # cut lineage with two cache-read localCheckpoints (cheap jobs —
+    # no recompute) and drop the caches. Previously each round paid
+    # two full materializing counts (labels + edges barriers).
+    n_rounds = 0
     for _ in range(max_iter):
         if n_ce == 0:  # quotient has no edges → fully merged
             break
+        n_rounds += 1
         # 1) min neighbor label per label-node on the quotient graph
         m = ce.groupBy("s").agg(F.min("d").alias("nl"))
         # 2) vertex labels re-point: label := min(label, m[label])
-        labels = (labels.join(m.select(F.col("s").alias("label"), "nl"),
-                              on="label", how="left")
-                  .select("v", F.least(
-                      "label", F.coalesce("nl", "label")).alias("label")))
-        labels = _stats_barrier(labels)
+        new_labels = (labels.join(m.select(F.col("s").alias("label"), "nl"),
+                                  on="label", how="left")
+                      .select("v", F.least(
+                          "label", F.coalesce("nl", "label")).alias("label"))
+                      .persist())
+        labels = new_labels
         # 3) contract: re-label both endpoints through the updated
         # vertex map (label-nodes are vertices, so the map covers
         # them), drop the now-internal edges, dedupe
-        ce = (ce.join(lmap("s"), on="s").join(lmap("d"), on="d")
-              .select(F.col("_ns").alias("s"), F.col("_nd").alias("d"))
-              .where(F.col("s") != F.col("d")).distinct())
-        ce, n_ce = _barrier_count(ce)
+        new_ce = (ce.join(lmap("s"), on="s").join(lmap("d"), on="d")
+                  .select(F.col("_ns").alias("s"), F.col("_nd").alias("d"))
+                  .where(F.col("s") != F.col("d")).distinct()
+                  .persist())
+        n_ce = new_ce.count()  # the round's ONE materializing job
+        labels = new_labels.localCheckpoint()
+        ce = new_ce.localCheckpoint()
+        new_labels.unpersist()
+        new_ce.unpersist()
+    if n_rounds == 0:
+        # no contraction round ran (quotient had no cross-label edges):
+        # the init labels are already the fixpoint — if any vertex had
+        # label(label(v)) < label(v), the edge between them would be a
+        # cross-label quotient edge. Skip the chase loop entirely
+        # (r2 verdict #5 early-exit).
+        return labels.select(*out_cols)
     # resolution: contraction leaves a union-find FOREST — a vertex may
     # point at a label-node that itself merged later. Chase
     # label(v) ← label(label(v)) to the fixpoint; fixpoints are exactly

@@ -39,6 +39,38 @@ def test_cc_empty(spark):
     assert comp.columns == ["id", "component"]
 
 
+def test_cc_distributed_loop_matches_fast_path(spark):
+    # the <=1M-edge driver fast path otherwise shadows the distributed
+    # contraction loop at every test scale; forcing the threshold to 0
+    # keeps the O(log D) loop (and its fused per-round barrier)
+    # regression-covered on the same graphs
+    graphs = [
+        [(1, 2), (2, 3), (10, 11)],                 # two components
+        [(i, i + 1) for i in range(40)],            # deep path (chase loop)
+        [(5, 2), (2, 5), (2, 7), (7, 5)],           # dup/unordered edges
+        [(i, j) for i in range(8) for j in range(i + 1, 8)],  # clique
+    ]
+    for edges in graphs:
+        fast = {(r["id"], r["component"])
+                for r in connected_components(_pairs(spark, edges)).collect()}
+        dist = {(r["id"], r["component"])
+                for r in connected_components(
+                    _pairs(spark, edges),
+                    small_quotient_threshold=0).collect()}
+        assert fast == dist, edges
+
+
+def test_cc_distributed_no_merge_early_exit(spark):
+    # star graphs collapse in the init hop: the first quotient has no
+    # cross-label edges, so the distributed path must return the init
+    # labels directly (n_rounds == 0 -> no chase loop)
+    edges = [(0, i) for i in range(1, 6)] + [(10, 11)]
+    got = {r["id"]: r["component"]
+           for r in connected_components(
+               _pairs(spark, edges), small_quotient_threshold=0).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 10: 10, 11: 10}
+
+
 def test_near_dedup_ngram_keeps_min_representative(spark):
     rows = [
         (1, "the quick brown fox jumps over the lazy dog", "a"),
