@@ -1149,6 +1149,20 @@ def xlsx_roundtrip(spark, sf_dir):
     return read_xls(spark, path)
 
 
+def xls_roundtrip(spark, sf_dir):
+    """nation → records2xls (stdlib OLE2+BIFF8 writer) → read_xls's
+    native BIFF8 reader (ref: meza/io.py:1033-1118) — the legacy-Excel
+    twin of xlsx_roundtrip, r2 verdict #7; RK ints and SST strings
+    survive exactly."""
+    from meza_spark.io.readers import read_xls
+    from meza_spark.io.writers import records2xls
+
+    path = _rt_path(sf_dir, "xls")
+    records2xls(_t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"), path)
+    return read_xls(spark, path)
+
+
 def dbf_roundtrip(spark, sf_dir):
     """nation → records2dbf (dBase III spec) → read_dbf
     (ref: meza/io.py:677-722); N fields back to ints, C to strings."""
@@ -2351,6 +2365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fixed_roundtrip": fixed_roundtrip,
         "html_roundtrip": html_roundtrip,
         "xlsx_roundtrip": xlsx_roundtrip,
+        "xls_roundtrip": xls_roundtrip,
         "dbf_roundtrip": dbf_roundtrip,
         "sqlite_roundtrip": sqlite_roundtrip,
         "yaml_roundtrip": yaml_roundtrip,
@@ -3330,6 +3345,9 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM nation
         """,
         "xlsx_roundtrip": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
+        """,
+        "xls_roundtrip": """
             SELECT n_nationkey, n_name, n_regionkey FROM nation
         """,
         "dbf_roundtrip": """

@@ -372,6 +372,21 @@ def records2xlsx(df: DataFrame, path: str) -> None:
             sf.write(b"</sheetData></worksheet>")
 
 
+def records2xls(df: DataFrame, path: str) -> None:
+    """DataFrame → legacy BIFF8 .xls (inverse of the native read_xls
+    path, ref: meza/io.py:1033-1118): header row + cells via the
+    stdlib OLE2/BIFF writer in io/xls.py — RK for small ints, NUMBER
+    for doubles, SST+LABELSST for strings, BOOLERR for booleans,
+    serial-date NUMBER cells for datetimes. Driver-side single
+    artifact like the other office sinks (bounded toLocalIterator)."""
+    from .xls import write_biff
+
+    grid: list[list] = [list(df.columns)]
+    for row in df.toLocalIterator():
+        grid.append(list(row))
+    write_biff(grid, path)
+
+
 def records2dbf(df: DataFrame, path: str) -> None:
     """DataFrame → dBase III .dbf (inverse of read_dbf,
     ref: meza/io.py:677-722; field descriptors per the public spec).

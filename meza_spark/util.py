@@ -29,12 +29,32 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     return df
 
 
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """Plan text for assertions/audits — the ONE place that touches
+    PySpark internals (``_jdf``/``PythonSQLUtils`` are not stable API
+    and vanish under Spark Connect): every plan-pinning test and
+    tools/plan_audit.py route through here, so an API change is a
+    one-function fix. Falls back to capturing ``df.explain(mode)``
+    stdout, which is supported on every execution backend."""
+    try:
+        return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore
+            df._jdf.queryExecution(), mode)
+    except Exception:
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode=mode)
+        return buf.getvalue()
+
+
 def plan_stats(df: DataFrame) -> dict:
     """Physical-plan audit counters — the numbers the plan-regression
     tests pin: shuffle exchanges, broadcasts, scans, Python boundaries,
     sort-merge joins. ``plan_stats(df)["python"] == 0`` is the
     'JVM-only hot path' assertion in one call."""
-    p = df._jdf.queryExecution().executedPlan().toString()
+    p = explain_str(df, "simple")
     return {
         "exchanges": p.count("Exchange") - p.count("BroadcastExchange")
         - p.count("ReusedExchange"),

@@ -62,6 +62,7 @@ def test_probe_is_join_free(spark):
     probed = might_contain(
         spark.range(50).select(F.col("id").cast("string").alias("k")),
         "k", bloom)
-    plan = probed._jdf.queryExecution().executedPlan().toString()
+    from meza_spark.util import explain_str
+    plan = explain_str(probed, "simple")
     assert "Join" not in plan
     assert "Exchange" not in plan

@@ -172,8 +172,9 @@ def test_nearest_centroid_plan_broadcast_no_big_shuffle(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents = (emb.where("vec_id < 8")
              .selectExpr("vec_id AS centroid_id", "embedding"))
-    plan = (nearest_centroid(emb, cents)
-            ._jdf.queryExecution().executedPlan().toString())
+    from meza_spark.util import explain_str
+
+    plan = explain_str(nearest_centroid(emb, cents), "simple")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
     assert "Python" not in plan      # assignment is pure JVM

@@ -3,6 +3,7 @@
 import pyspark.sql.functions as F
 
 from meza_spark.llm.decontam import contaminated_ids, decontaminate
+from meza_spark.util import explain_str
 
 
 def _frames(spark):
@@ -50,8 +51,7 @@ def test_short_doc_whole_text_fallback(spark):
 def test_benchmark_side_broadcasts(spark):
     docs, bench = _frames(spark)
     ids = contaminated_ids(docs, bench, n=8)
-    plan = ids._sc._jvm.PythonSQLUtils.explainString(
-        ids._jdf.queryExecution(), "simple")
+    plan = explain_str(ids, "simple")
     assert "BroadcastHashJoin" in plan
     # no text column rides the join: gram hashes only
     assert "SortMergeJoin" not in plan

@@ -129,7 +129,8 @@ def test_ngram_span_plan_jvm_only(spark):
 
     docs = spark.createDataFrame([(1, "a b c d e f g h i j k")],
                                  ["doc_id", "text"])
-    plan = (ngram_span_pairs(docs, n=10)
-            ._jdf.queryExecution().executedPlan().toString())
+    from meza_spark.util import explain_str
+
+    plan = explain_str(ngram_span_pairs(docs, n=10), "simple")
     assert "Python" not in plan        # hashing never leaves the JVM
     assert "BatchEvalPython" not in plan

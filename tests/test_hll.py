@@ -4,7 +4,7 @@ from pyspark.sql import functions as F
 
 from meza_spark.llm.hll import (distinct_sketches, hll_estimate,
                                 hll_merge)
-from meza_spark.util import compact, plan_stats
+from meza_spark.util import compact, explain_str, plan_stats
 
 
 def test_hll_estimate_accuracy(spark):
@@ -33,7 +33,7 @@ def test_hll_per_key_then_rollup(spark):
     rolled = (per.agg(hll_merge("sketch").alias("u"))
               .select(hll_estimate("u").alias("n")).collect()[0]["n"])
     assert abs(rolled - 400) / 400 < 0.05
-    plan = per._jdf.queryExecution().executedPlan().toString()
+    plan = explain_str(per, "simple")
     assert "Python" not in plan      # native DataSketches exprs
 
 

@@ -599,3 +599,20 @@ def test_ndjson_quarantine_clean_file(spark, tmp_path):
     p.write_text('{"a": 1}\n{"a": 2}\n')
     good, bad = read_ndjson_quarantine(spark, str(p))
     assert good.count() == 2 and bad.count() == 0
+
+
+def test_ndjson_quarantine_non_object_lines(spark, tmp_path):
+    # valid JSON that is not an object (scalar/array/string) must land
+    # in quarantine, not become silent all-null rows
+    from meza_spark.io.readers import read_ndjson_quarantine
+
+    p = tmp_path / "scalars.jsonl"
+    p.write_text('{"a": 1}\n'
+                 '42\n'
+                 '[1, 2]\n'
+                 '"just a string"\n'
+                 '  {"a": 2}\n')
+    good, bad = read_ndjson_quarantine(spark, str(p))
+    assert sorted(r["a"] for r in good.collect()) == [1, 2]
+    bad_rows = {r["corrupt_record"].strip() for r in bad.collect()}
+    assert bad_rows == {"42", "[1, 2]", '"just a string"'}

@@ -30,8 +30,10 @@ def test_zorder_key_validation(spark):
 def test_zorder_key_jvm_only(spark):
     df = spark.range(10).select(F.col("id").alias("x"),
                                 (F.col("id") * 3).alias("y"))
-    plan = (df.select(zorder_key(["x", "y"]).alias("z"))
-            ._jdf.queryExecution().executedPlan().toString())
+    from meza_spark.util import explain_str
+
+    plan = explain_str(df.select(zorder_key(["x", "y"]).alias("z")),
+                       "simple")
     assert "Python" not in plan
 
 

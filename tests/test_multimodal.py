@@ -23,8 +23,9 @@ def test_attach_media_meta_jvm_side(spark, media):
     assert {r["format"] for r in rows} == {"unknown"}
     assert all(r["n_bytes"] == len(r["payload"]) for r in rows)
     # sha over binary is JVM-side: no Python appears in the plan
-    plan = out._sc._jvm.PythonSQLUtils.explainString(
-        out._jdf.queryExecution(), "simple")
+    from meza_spark.util import explain_str
+
+    plan = explain_str(out, "simple")
     assert "Python" not in plan
 
 

@@ -7,12 +7,13 @@ pruned ReadSchema, or degrades a broadcast join to shuffle, these fail.
 
 import __spark_entry__ as entry
 
+from meza_spark.util import explain_str
+
 SF = "/root/testdata/sf0.001"
 
 
 def _plan(df, mode="formatted"):
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), mode)
+    return explain_str(df, mode)
 
 
 def test_q1_filter_pushdown_and_pruning(spark):
@@ -86,7 +87,7 @@ def test_q6_filters_pushed_to_scan(spark):
     import __spark_entry__ as e
 
     df = e.queries()["q6_forecast"](spark, "/root/testdata/sf0.001")
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = explain_str(df, "simple")
     # filters reach the parquet reader (plan string truncates the
     # list, so match the prefix) and the scan prunes to the 4 columns
     # the query touches
@@ -100,7 +101,7 @@ def test_q14_part_side_broadcast(spark):
     import __spark_entry__ as e
 
     df = e.queries()["q14_promo"](spark, "/root/testdata/sf0.001")
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = explain_str(df, "simple")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 

@@ -77,8 +77,11 @@ def test_pq_scan_reads_codes_only(spark):
     df, centers = _clustered_df(spark)
     cb = pq_train(df, m=4, nbits=4, fit_sample=300, seed=11)
     enc = pq_encode(df, cb)
-    plan = pq_ann_topk(enc, [float(x) for x in centers[0]], cb, k=5) \
-        ._jdf.queryExecution().executedPlan().toString()
+    from meza_spark.util import explain_str
+
+    plan = explain_str(
+        pq_ann_topk(enc, [float(x) for x in centers[0]], cb, k=5),
+        "simple")
     # no join / no exchange of the corpus beyond the top-k reduction
     assert "TakeOrderedAndProject" in plan
 
@@ -117,7 +120,9 @@ def test_ivfpq_probe_filter_prunes(spark):
     df, centers = _clustered_df(spark)
     co, cb = ivfpq_train(df, nlist=8, m=4, nbits=4, fit_sample=400, seed=11)
     enc = ivfpq_encode(df, co, cb)
-    plan = ivfpq_ann_topk(enc, [float(x) for x in centers[0]], co, cb,
-                          k=5, nprobe=2) \
-        ._jdf.queryExecution().optimizedPlan().toString()
+    from meza_spark.util import explain_str
+
+    plan = explain_str(
+        ivfpq_ann_topk(enc, [float(x) for x in centers[0]], co, cb,
+                       k=5, nprobe=2), "extended")
     assert "ivf_cell" in plan and ("IN" in plan or "in(" in plan.lower())

@@ -6,6 +6,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from meza_spark import process as pr
+from meza_spark.util import explain_str
 
 
 @pytest.fixture(scope="module")
@@ -346,8 +347,7 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         j = spark.table("bk_a").join(spark.table("bk_b"), "k")
-        plan = j._sc._jvm.PythonSQLUtils.explainString(
-            j._jdf.queryExecution(), "simple")
+        plan = explain_str(j, "simple")
         assert "Exchange" not in plan, plan
         assert j.count() == 100
     finally:
@@ -434,7 +434,7 @@ def test_fuzzy_join_blocked_and_unblocked(spark):
     bl = fuzzy_join(left, right, left_on="name", right_on="label",
                     max_distance=1, block_on=("blk", "blk2"))
     assert {(r["name"], r["label"]) for r in bl.collect()} == got
-    plan = bl._jdf.queryExecution().executedPlan().toString()
+    plan = explain_str(bl, "simple")
     assert "NestedLoop" not in plan   # block key → hash join
 
 

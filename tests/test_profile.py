@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from meza_spark import process as pr
 from meza_spark.profile import histogram, profile, skew_report, winsorize
+from meza_spark.util import explain_str
 
 
 def test_sessionize_gap_splits(spark):
@@ -46,7 +47,7 @@ def test_sessionize_single_window_pass(spark):
     t0 = dt.datetime(2024, 1, 1)
     df = spark.createDataFrame([(1, 1, t0)], ["event_id", "user_id", "ts"])
     out = pr.sessionize(df, "user_id", "ts", tiebreak="event_id")
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = explain_str(out, "simple")
     assert plan.count("Window") <= 2  # one WindowExec node (+header line)
     assert plan.count("Exchange") <= 1
 
@@ -76,13 +77,11 @@ def test_profile_plan_shape(spark):
     df = spark.range(100).select(
         F.col("id"), (F.col("id") % 7).alias("m"))
     # approx mode: everything folds into ONE aggregate / one scan
-    plan = (profile(df, ["id", "m"], approx=True)
-            ._jdf.queryExecution().executedPlan().toString())
+    plan = explain_str(profile(df, ["id", "m"], approx=True), "simple")
     assert plan.count("Scan") <= 1
     # exact mode: per-column distincts — NO Expand/SortAggregate
     # rewrite (the multi-countDistinct blowup), joins all broadcast
-    plan = (profile(df, ["id", "m"])
-            ._jdf.queryExecution().executedPlan().toString())
+    plan = explain_str(profile(df, ["id", "m"]), "simple")
     assert "Expand" not in plan
     assert "SortAggregate" not in plan
     assert "SortMergeJoin" not in plan

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from meza_spark import process as pr
 from meza_spark.quality import check
+from meza_spark.util import explain_str
 
 
 def test_check_rule_kinds(spark):
@@ -51,7 +52,7 @@ def test_check_single_scan_for_row_local_rules(spark):
         {"type": "range", "field": "k", "lo": 0, "hi": 1000},
         {"type": "predicate", "cond": F.col("k") >= 0},
     ])
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = explain_str(out, "simple")
     assert plan.count("Scan") <= 1       # all fold into one aggregate
 
 

@@ -4,6 +4,7 @@ import numpy as np
 from pyspark.sql import functions as F
 
 from meza_spark.llm.sketch import CountMinSketch, build_cms, cms_lookup
+from meza_spark.util import explain_str
 
 
 def _skewed(spark):
@@ -56,7 +57,7 @@ def test_cms_lookup_join_free(spark):
     df = _skewed(spark)
     cms = build_cms(df, "k", depth=4, width=2048)
     probed = cms_lookup(df.limit(50), "k", cms)
-    plan = probed._jdf.queryExecution().executedPlan().toString()
+    plan = explain_str(probed, "simple")
     assert "Join" not in plan
     got = {r["k"]: r["est_count"] for r in probed.collect()}
     assert got["k40"] == 40 if "k40" in got else True

@@ -85,8 +85,9 @@ def test_char_entropy_no_shuffle_no_python(spark):
     from meza_spark.llm.text import char_entropy
 
     df = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
-    plan = (char_entropy(df)._jdf.queryExecution()
-            .executedPlan().toString())
+    from meza_spark.util import explain_str
+
+    plan = explain_str(char_entropy(df), "simple")
     assert "Exchange" not in plan    # row-local: zero data movement
     assert "Python" not in plan
 
@@ -123,8 +124,9 @@ def test_tfidf_single_tokenize_pass(spark):
 
     df = spark.createDataFrame([(1, "a b"), (2, "b c")],
                                ["doc_id", "text"])
-    plan = (tfidf_top_terms(df)._jdf.queryExecution()
-            .executedPlan().toString())
+    from meza_spark.util import explain_str
+
+    plan = explain_str(tfidf_top_terms(df), "simple")
     # dfreq derives FROM the tf aggregate, so the join's two branches
     # share the tf exchange (AQE reuses it at runtime — statically the
     # subtree prints on both sides, hence <= 2 Generate nodes, never

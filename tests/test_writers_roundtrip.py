@@ -80,6 +80,71 @@ def test_xlsx_roundtrip_types(spark, small, tmp_path):
     assert got[3][2] == 0.0
 
 
+def test_xls_biff_roundtrip_types(spark, small, tmp_path):
+    p = str(tmp_path / "t.xls")
+    mw.records2xls(small, p)
+    back = mio.read_xls(spark, p)
+    got = _by_k(back, "k")
+    assert got[1] == (1, "alpha", 10.5, True)
+    assert got[2] == (2, "beta, with comma", -3.0, False)
+
+
+def test_xls_biff_cell_records_and_dates(tmp_path):
+    # exercise the BIFF record zoo directly: RK int, NUMBER double,
+    # SST string dedupe, BOOLERR, serial dates (incl. pre-1900-03-01
+    # and the 1904 system), large-int NUMBER fallback
+    from meza_spark.io.xls import read_biff_grid, write_biff
+
+    grid = [
+        ["s", "i", "f", "d", "b"],
+        ["dup", 3, 1.5, datetime.date(2020, 2, 29), True],
+        ["dup", -7, 2.25, datetime.datetime(1999, 12, 31, 12, 0), False],
+        ["unié", 2 ** 40, 0.001, datetime.date(1900, 1, 1), True],
+    ]
+    p = str(tmp_path / "z.xls")
+    write_biff(grid, p)
+    back = read_biff_grid(p)
+    assert back[0] == ["s", "i", "f", "d", "b"]
+    assert back[1] == ["dup", 3, 1.5, "2020-02-29", True]
+    assert back[2] == ["dup", -7, 2.25, "1999-12-31T12:00:00", False]
+    # ints beyond RK's 30-bit range ride a NUMBER double (Excel has no
+    # integer cell type past RK)
+    assert back[3] == ["unié", float(2 ** 40), 0.001, "1900-01-01", True]
+
+    p4 = str(tmp_path / "z1904.xls")
+    write_biff([["d"], [datetime.date(2004, 1, 2)]], p4, date1904=True)
+    assert read_biff_grid(p4)[1] == ["2004-01-02"]
+
+
+def test_xls_mulrk_decode(tmp_path):
+    # hand-build a sheet with a MULRK record (writer emits single RKs,
+    # so craft the record directly to keep the branch covered)
+    import struct
+
+    from meza_spark.io.xls import (_cfb_single_stream, _rec,
+                                   _short_unistr, read_biff_grid)
+
+    bof_g = _rec(0x0809, struct.pack("<HHHHII", 0x600, 0x5, 0, 0, 0, 0))
+    bof_s = _rec(0x0809, struct.pack("<HHHHII", 0x600, 0x10, 0, 0, 0, 0))
+    xfs = b"".join(_rec(0x00E0, b"\x00" * 20) for _ in range(16))
+    rks = struct.pack("<HH", 0, 0)  # row 0, first col 0
+    for v in (100, 225):            # 100 and 2.25 (cents flag)
+        rks += struct.pack("<HI", 15, ((v & 0x3FFFFFFF) << 2) | 0x02
+                           | (0x01 if v == 225 else 0))
+    rks += struct.pack("<H", 1)     # last col
+    sheet = bof_s + _rec(0x00BD, rks) + _rec(0x000A, b"")
+    bs = struct.pack("<IBB", 0, 0, 0) + _short_unistr("S")
+    glob_len = len(bof_g) + len(_rec(0x0085, bs)) + len(xfs) \
+        + len(_rec(0x000A, b""))
+    bs = struct.pack("<IBB", glob_len, 0, 0) + _short_unistr("S")
+    wb = bof_g + _rec(0x0085, bs) + xfs + _rec(0x000A, b"") + sheet
+    wb += b"\x00" * max(0, 4096 - len(wb))
+    p = str(tmp_path / "mulrk.xls")
+    with open(p, "wb") as f:
+        f.write(_cfb_single_stream("Workbook", wb))
+    assert read_biff_grid(p) == [[100, 2.25]]
+
+
 def test_dbf_roundtrip_types(spark, tmp_path):
     df = spark.createDataFrame(
         [(27, "minnesota", 71546663636, 1.25,
