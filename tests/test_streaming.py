@@ -257,3 +257,76 @@ def test_available_now_incremental_runs(spark, tmp_path):
     got = sorted(r["id"] for r in
                  spark.read.parquet(str(sink)).collect())
     assert got == [1, 2, 3]  # run 2 appended only the new rows
+
+
+def _curate(df, bench):
+    """The incremental-curation pipeline under test: Gopher quality
+    rules -> deterministic quality-weighted sampling -> benchmark
+    decontamination — every stage row-local/stateless, so the SAME
+    function runs on a batch frame and a streaming frame."""
+    from meza_spark.llm.decontam import decontaminate
+    from meza_spark.llm.sampling import quality_sample
+    from meza_spark.llm.text import gopher_filter
+
+    out = gopher_filter(df).where("gopher_keep")
+    out = out.withColumn("q", (F.length("text") / 400.0))
+    out = quality_sample(out, "doc_id", "q", gamma=0.5, seed=3)
+    out = decontaminate(out, bench, strategy="array", mode="remove")
+    return out.select("doc_id", "text")
+
+
+def test_streaming_curation_pipeline_batch_parity(spark, tmp_path):
+    """r2 verdict #10: one LLM-curation pipeline end-to-end as
+    readStream -> transforms -> writeStream(AvailableNow), asserting
+    row parity with the identical batch run over the same growing
+    directory (two incremental invocations, checkpointed)."""
+    import random
+
+    rnd = random.Random(11)
+    words = ("the and of to is quick brown fox lazy dog data spark "
+             "stream batch corpus quality filter sample training").split()
+
+    def doc(i, n):
+        return (i, " ".join(rnd.choice(words) for _ in range(n)))
+
+    batch1 = [doc(i, 60 + i % 120) for i in range(60)]
+    batch1 += [(100 + i, "short text") for i in range(5)]      # gopher-drop
+    schema = "doc_id long, text string"
+    # benchmark set contaminating a known slice: exact copies of two
+    # corpus docs (8-gram overlap guaranteed: docs are >=60 tokens)
+    bench = spark.createDataFrame([batch1[3], batch1[7]], schema)
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    sink = tmp_path / "curated"
+    ck = tmp_path / "ck"
+    spark.createDataFrame(batch1, schema).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+
+    def run_stream_once():
+        sdf = st.read_stream(spark, str(src), schema=schema)
+        q = st.write_stream(_curate(sdf, bench), path=str(sink),
+                            fmt="parquet", checkpoint=str(ck),
+                            available_now=True)
+        q.awaitTermination(120)
+
+    run_stream_once()
+    got1 = sorted(r["doc_id"]
+                  for r in spark.read.parquet(str(sink)).collect())
+    want1 = sorted(r["doc_id"] for r in _curate(
+        spark.read.parquet(str(src)), bench).collect())
+    assert got1 == want1 and len(got1) > 0
+    assert 103 not in got1 and 107 not in got1   # decontaminated
+
+    # second drop: only the new files are processed, parity holds on
+    # the union
+    batch2 = [doc(200 + i, 80 + i % 40) for i in range(30)]
+    spark.createDataFrame(batch2, schema).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    run_stream_once()
+    got2 = sorted(r["doc_id"]
+                  for r in spark.read.parquet(str(sink)).collect())
+    want2 = sorted(r["doc_id"] for r in _curate(
+        spark.read.parquet(str(src)), bench).collect())
+    assert got2 == want2
+    assert len(got2) > len(got1)
