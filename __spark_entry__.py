@@ -1462,6 +1462,18 @@ def ngram_span_dup(spark, sf_dir):
     return pairs.select("id_a", "id_b")
 
 
+def dedup_span_rewrite(spark, sf_dir):
+    """Duplicated-span REMOVAL (Lee-et-al rewrite step, r3): every
+    10-token window occurring 2+ times corpus-wide is stripped from
+    all but its first occurrence; documents are rebuilt from surviving
+    tokens. Hash-gated: the DuckDB oracle replays the winner election
+    and cover set on the window TEXT (Spark keys on xxhash64 of it)."""
+    out = du.remove_duplicate_spans(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        n=10, min_count=2)
+    return out.select("doc_id", "text")
+
+
 def embed_centroid_assign(spark, sf_dir):
     """Nearest-centroid assignment against a fixed 8-vector codebook
     (vec_id < 8): broadcast argmax, deterministic → exact oracle."""
@@ -2388,6 +2400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_value": histogram_value,
         "dedup_incremental": dedup_incremental,
         "ngram_span_dup": ngram_span_dup,
+        "dedup_span_rewrite": dedup_span_rewrite,
         "embed_centroid_assign": embed_centroid_assign,
         "embed_kmeans": embed_kmeans,
         "orc_roundtrip": orc_roundtrip,
@@ -3512,6 +3525,42 @@ def _oracle_sql_base() -> dict[str, str]:
               WHERE doc_id % 2 = 0 AND doc_id < 50)
             SELECT n.doc_id FROM newb n
             WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.text = n.text)
+        """,
+        # Winner election + cover replay on the window TEXT (Spark
+        # keys on xxhash64 of the same text); docs reassemble from
+        # surviving 0-based token indices, fully-covered or empty docs
+        # come back as ''.
+        "dedup_span_rewrite": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                     END AS tk
+              FROM documents),
+            w AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                     array_to_string(list_slice(tk, i + 1, i + 10), ' ')
+                       AS gram
+              FROM t, UNNEST(range(0, len(tk) - 9)) AS u(i)),
+            f AS (
+              SELECT gram, MIN(doc_id * 1048576 + pos) AS winner
+              FROM w GROUP BY gram HAVING COUNT(*) >= 2),
+            cov AS (
+              SELECT DISTINCT w.doc_id, w.pos + j AS ix
+              FROM w JOIN f USING (gram), UNNEST(range(0, 10)) AS o(j)
+              WHERE w.doc_id * 1048576 + w.pos <> f.winner),
+            toks AS (
+              SELECT t.doc_id, tk[i + 1] AS tok, CAST(i AS BIGINT) AS ix
+              FROM t, UNNEST(range(0, len(tk))) AS u(i)),
+            kept AS (
+              SELECT k.doc_id,
+                     string_agg(k.tok, ' ' ORDER BY k.ix) AS text
+              FROM toks k LEFT JOIN cov
+                ON k.doc_id = cov.doc_id AND k.ix = cov.ix
+              WHERE cov.ix IS NULL
+              GROUP BY k.doc_id)
+            SELECT d.doc_id, coalesce(kept.text, '') AS text
+            FROM documents d LEFT JOIN kept USING (doc_id)
         """,
         "ngram_span_dup": r"""
             WITH toks AS (SELECT doc_id,

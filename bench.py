@@ -39,7 +39,8 @@ HEADLINE = [
     "dedup_near_e2e", "llm_repetition", "sample_hash", "pack_shards",
     "unique_bufsize", "slice_orders",
     "sessionize_events", "profile_orders", "histogram_value",
-    "dedup_incremental", "ngram_span_dup", "embed_centroid_assign",
+    "dedup_incremental", "ngram_span_dup", "dedup_span_rewrite",
+    "embed_centroid_assign",
     "check_constraints", "scd2_events", "window_firstlast",
     "q6_forecast", "q12_priority", "q14_promo", "zorder_lineitem",
     "cms_suppkey_counts", "vocab_top", "tfidf_terms",

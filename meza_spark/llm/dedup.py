@@ -25,7 +25,7 @@ from .text import shingles_from_tokens, tokens
 
 __all__ = ["exact_dedup", "dedup_lines", "minhash_signatures",
            "minhash_lsh_pairs", "ngram_jaccard", "ngram_span_pairs",
-           "simhash", "simhash_pairs"]
+           "remove_duplicate_spans", "simhash", "simhash_pairs"]
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -338,6 +338,82 @@ def ngram_span_pairs(df: DataFrame, text_col: str = "text",
                    F.col("r._id").alias("id_b"))
            .dropDuplicates(["id_a", "id_b"]))
     out._dropped_buckets = dropped
+    return out
+
+
+def remove_duplicate_spans(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", n: int = 10,
+                           min_count: int = 2,
+                           max_bucket: int | None = 100_000) -> DataFrame:
+    """Corpus-wide duplicated-span REMOVAL — the rewrite step of
+    Lee-et-al substring dedup (``ngram_span_pairs`` only reports the
+    pairs): every n-token window occurring ``min_count``+ times across
+    the corpus is removed from every document EXCEPT its first
+    occurrence (winner = smallest ``(doc_id, position)``), and each
+    document's text is rebuilt from its surviving tokens.
+
+    Semantics notes (deterministic, oracle-tested):
+      - Fixed window length ``n`` approximates "any substring ≥ n":
+        a duplicated run of length L ≥ n yields L-n+1 duplicated
+        windows whose union covers the whole run — so full runs are
+        removed, as in the suffix-array original.
+      - A winner keeps its span unless ANOTHER duplicated window it
+        doesn't win also covers those tokens (overlap ties — rare and
+        resolved the same way everywhere).
+      - Rebuild joins surviving tokens with single spaces (whitespace
+        normalization — the win is dedup, not byte identity).
+
+    Scale shape: windows shuffle as ``(int64 hash)`` keys only —
+    window text never rides a shuffle; winner election is one
+    min-aggregate; covered token indices shuffle as ``(id, int)``
+    pairs; rebuild is one groupBy(id) over ints plus a broadcast-less
+    join back to the full rows. ``max_bucket`` caps pathological
+    windows (a boilerplate n-gram shared by millions of docs) exactly
+    like the LSH caps: over-cap windows are left in place rather than
+    exploding the cover join — report and handle those with
+    ``dedup_lines``/``exact_dedup``.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_t"))
+    pos_max = 1 << 20  # encode winner as one orderable int64
+    win = (base.where(F.size("_t") >= n)
+           .select("_id", F.posexplode(
+               F.transform(
+                   F.sequence(F.lit(1), F.size("_t") - (n - 1)),
+                   _gram_hasher(F.col("_t"), n)))
+               .alias("_pos", "gh")))
+    # _pos from posexplode is 0-based here (sequence index), window
+    # start token index == _pos
+    freq = (win.groupBy("gh")
+            .agg(F.count("*").alias("_cnt"),
+                 F.min(F.col("_id") * pos_max + F.col("_pos"))
+                 .alias("_winner"))
+            .where(F.col("_cnt") >= min_count))
+    if max_bucket is not None:
+        freq = freq.where(F.col("_cnt") <= max_bucket)
+    # non-winner occurrences of duplicated windows → covered indices
+    covered = (win.join(freq, on="gh")
+               .where(F.col("_id") * pos_max + F.col("_pos")
+                      != F.col("_winner"))
+               .select("_id", F.explode(
+                   F.sequence(F.col("_pos"),
+                              F.col("_pos") + (n - 1))).alias("_ix"))
+               .dropDuplicates(["_id", "_ix"]))
+    cov = covered.groupBy("_id").agg(
+        F.collect_set("_ix").alias("_cov"))
+    joined = base.join(cov, on="_id", how="left")
+
+    def _keep(tk, cv):
+        return F.filter(tk, lambda x, i: ~F.array_contains(cv, i))
+
+    rebuilt = F.when(F.col("_cov").isNull(), F.concat_ws(" ", "_t")) \
+        .otherwise(F.concat_ws(" ", _keep(F.col("_t"), F.col("_cov"))))
+    out = joined.select(F.col("_id").alias(id_col),
+                        rebuilt.alias(text_col))
+    others = [c for c in df.columns if c not in (id_col, text_col)]
+    if others:
+        out = df.drop(text_col).join(out, on=id_col)
+        out = out.select(id_col, text_col, *others)
     return out
 
 

@@ -134,3 +134,46 @@ def test_ngram_span_plan_jvm_only(spark):
     plan = explain_str(ngram_span_pairs(docs, n=10), "simple")
     assert "Python" not in plan        # hashing never leaves the JVM
     assert "BatchEvalPython" not in plan
+
+
+def test_remove_duplicate_spans_keeps_first_occurrence(spark):
+    from meza_spark.llm.dedup import remove_duplicate_spans
+
+    boil = "one two three four five"          # 5-token duplicated run
+    rows = [
+        (1, f"alpha {boil} beta"),            # first occurrence -> kept
+        (2, f"gamma {boil} delta"),           # later -> span stripped
+        (3, "totally unique text here now"),  # untouched
+        (4, boil),                            # exact dup of the run
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["text"]
+           for r in remove_duplicate_spans(df, n=5).collect()}
+    assert out[1] == f"alpha {boil} beta"
+    assert out[2] == "gamma delta"
+    assert out[3] == "totally unique text here now"
+    assert out[4] == ""                       # fully covered non-winner
+    # doc count preserved: records in, records out
+    assert len(out) == 4
+
+
+def test_remove_duplicate_spans_within_one_doc(spark):
+    from meza_spark.llm.dedup import remove_duplicate_spans
+
+    run = "a b c d e"
+    df = spark.createDataFrame(
+        [(1, f"{run} x {run}")], ["doc_id", "text"])
+    out = remove_duplicate_spans(df, n=5).collect()[0]["text"]
+    assert out == f"{run} x"                  # second in-doc copy stripped
+
+
+def test_remove_duplicate_spans_carries_other_columns(spark):
+    from meza_spark.llm.dedup import remove_duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, "p q r s t u", "web"), (2, "p q r s t u", "wiki")],
+        ["doc_id", "text", "source"])
+    rows = {r["doc_id"]: r for r in
+            remove_duplicate_spans(df, n=6).collect()}
+    assert rows[1]["source"] == "web" and rows[2]["source"] == "wiki"
+    assert rows[1]["text"] == "p q r s t u" and rows[2]["text"] == ""
