@@ -1462,6 +1462,29 @@ def ngram_span_dup(spark, sf_dir):
     return pairs.select("id_a", "id_b")
 
 
+def chunk_docs(spark, sf_dir):
+    """Token-window chunking (size 32, overlap 8): one row per chunk
+    with id/start/token-count/text — the context-window prep step.
+    Row-local explode, no shuffle; hash-gated against a DuckDB replay
+    of the same stride arithmetic and token slices."""
+    from meza_spark.llm.text import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(d, size=32, overlap=8)
+
+
+def sample_stratified_count(spark, sf_dir):
+    """Exact-count per-stratum sampling: 40 docs per lang (hash-order
+    selection, deterministic across partitioning/engines); strata
+    smaller than the budget keep everything."""
+    from meza_spark.llm.sampling import stratified_topk_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    langs = [r["lang"] for r in d.select("lang").distinct().collect()]
+    return stratified_topk_sample(d, "doc_id", "lang",
+                                  {lg: 40 for lg in langs})
+
+
 def dedup_span_rewrite(spark, sf_dir):
     """Duplicated-span REMOVAL (Lee-et-al rewrite step, r3): every
     10-token window occurring 2+ times corpus-wide is stripped from
@@ -2401,6 +2424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": dedup_incremental,
         "ngram_span_dup": ngram_span_dup,
         "dedup_span_rewrite": dedup_span_rewrite,
+        "chunk_docs": chunk_docs,
+        "sample_stratified_count": sample_stratified_count,
         "embed_centroid_assign": embed_centroid_assign,
         "embed_kmeans": embed_kmeans,
         "orc_roundtrip": orc_roundtrip,
@@ -3525,6 +3550,36 @@ def _oracle_sql_base() -> dict[str, str]:
               WHERE doc_id % 2 = 0 AND doc_id < 50)
             SELECT n.doc_id FROM newb n
             WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.text = n.text)
+        """,
+        "chunk_docs": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\s+')
+                     END AS tk
+              FROM documents),
+            c AS (
+              SELECT doc_id, CAST(u.i AS INT) AS chunk_start,
+                     list_slice(tk, u.i + 1, u.i + 32) AS piece
+              FROM t, UNNEST(range(0, ((len(tk) - 1) // 24) * 24 + 1, 24))
+                   AS u(i)
+              WHERE len(tk) > 0)
+            SELECT doc_id,
+                   CAST(chunk_start // 24 AS INT) AS chunk_id,
+                   chunk_start,
+                   CAST(len(piece) AS INT) AS chunk_n_tokens,
+                   array_to_string(piece, ' ') AS chunk
+            FROM c
+        """,
+        "sample_stratified_count": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || '#0'),
+                                doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 40
         """,
         # Winner election + cover replay on the window TEXT (Spark
         # keys on xxhash64 of the same text); docs reassemble from

@@ -18,7 +18,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_sample", "stratified_hash_sample", "split_train_val",
+__all__ = ["hash_sample", "stratified_hash_sample",
+           "stratified_topk_sample", "split_train_val",
            "global_shuffle", "pack_shards", "temperature_sample",
            "quality_sample"]
 
@@ -103,6 +104,33 @@ def temperature_sample(df: DataFrame, key_col: str, strata_col: str,
         test = (F.col(strata_col) == value, h < F.lit(th))
         expr = F.when(*test) if expr is None else expr.when(*test)
     return df.where(expr.otherwise(F.lit(False)))
+
+
+def stratified_topk_sample(df: DataFrame, key_col: str, strata_col: str,
+                           counts: dict, default: int = 0,
+                           seed: int = 0) -> DataFrame:
+    """Exact-COUNT stratified sampling: keep exactly ``counts[stratum]``
+    rows per stratum (all rows when the stratum is smaller), chosen by
+    hash order — the "give me 10k examples per language" primitive
+    fraction-based sampling can't express. Deterministic: selection is
+    ``row_number() over (partition by stratum order by md5(key||seed),
+    key) <= k`` — same rows on any partitioning or engine, and the
+    oracle replays it verbatim.
+
+    Scale: one shuffle on the stratum key. A mega-stratum serializes
+    its rank into one task — for web-scale strata pre-thin with
+    ``hash_sample(frac≈2k/|stratum|)`` first, then exact-rank the
+    small survivor set (two-stage top-k, same result distribution).
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.concat(F.col(key_col).cast("string"),
+                       F.lit(f"#{seed}"))),
+        F.col(key_col))
+    k = F.coalesce(*[F.when(F.col(strata_col) == s, F.lit(int(c)))
+                     for s, c in counts.items()],
+                   F.lit(int(default))) if counts else F.lit(int(default))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k).drop("_rn"))
 
 
 def split_train_val(df: DataFrame, key_col: str,

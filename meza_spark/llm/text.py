@@ -14,9 +14,9 @@ from pyspark.sql import functions as F
 
 __all__ = ["token_count", "quality_score", "lang_id", "fingerprint",
            "repetition_signals", "c4_quality_flags", "scrub_pii",
-           "shingles", "tokens", "char_entropy", "vocab_topk",
-           "tfidf_top_terms", "unigram_logprob", "gopher_filter",
-           "normalize_text"]
+           "shingles", "tokens", "char_entropy", "chunk_documents",
+           "vocab_topk", "tfidf_top_terms", "unigram_logprob",
+           "gopher_filter", "normalize_text"]
 
 # Tiny per-language stopword marker sets for the n-gram/stopword
 # language-ID heuristic. Deterministic scoring, not a trained model.
@@ -328,6 +328,45 @@ def shingles(c: Column, n: int = 3) -> Column:
     array, no explode, no shuffle. Prefer ``shingles_from_tokens`` over
     a pre-tokenized column inside larger pipelines."""
     return shingles_from_tokens(tokens(F.lower(c)), n)
+
+
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", size: int = 512,
+                    overlap: int = 0,
+                    chunk_col: str = "chunk") -> DataFrame:
+    """Token-window chunking: split each document into fixed-size
+    token chunks with optional overlap — the context-window prep step
+    (training-sequence packing inputs, RAG passage splitting). One row
+    per chunk: every input column + ``chunk_id`` (0-based within doc),
+    ``chunk_start`` (token offset), ``chunk_n_tokens``, and the chunk
+    text (tokens re-joined with single spaces).
+
+    Row-local: tokenize → chunk-start sequence (stride = size -
+    overlap) → posexplode → slice. No shuffle, no Python — the explode
+    multiplies rows ~len/stride inside the same task, so the operator
+    streams at scan speed and the planner can push any downstream
+    chunk-level filter into the same stage. Empty docs produce zero
+    chunks (records-out contract: chunks, not docs).
+    """
+    if not 0 <= overlap < size:
+        raise ValueError("chunk_documents: need 0 <= overlap < size")
+    stride = size - overlap
+    toks = tokens(F.col(text_col))
+    base = df.withColumn("_t", toks).where(F.size("_t") > 0)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            ((F.size("_t") - 1) / stride).cast("int") * stride, F.lit(0)),
+        F.lit(stride))
+    others = [c for c in df.columns if c != text_col]
+    out = base.select(*others, F.col("_t"),
+                      F.posexplode(starts).alias("chunk_id", "chunk_start"))
+    piece = F.slice("_t", F.col("chunk_start") + 1, size)
+    return (out.select(
+        *others,
+        "chunk_id", "chunk_start",
+        F.size(piece).alias("chunk_n_tokens"),
+        F.concat_ws(" ", piece).alias(chunk_col)))
 
 
 def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 100,

@@ -112,3 +112,27 @@ def test_quality_sample_monotone_and_deterministic(spark):
         .alias("q"))
     ke = quality_sample(edge, "id", "q", seed=0)
     assert sorted(r["id"] for r in ke.collect()) == list(range(50))
+
+
+def test_stratified_topk_exact_counts_and_determinism(spark):
+    from meza_spark.llm.sampling import stratified_topk_sample
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    got = stratified_topk_sample(df, "doc_id", "lang",
+                                 {"en": 7, "de": 3})
+    by = {}
+    for r in got.collect():
+        by.setdefault(r["lang"], []).append(r["doc_id"])
+    assert len(by["en"]) == 7 and len(by["de"]) == 3
+    # partition-layout invariance
+    g2 = stratified_topk_sample(df.repartition(13), "doc_id", "lang",
+                                {"en": 7, "de": 3})
+    assert sorted(r["doc_id"] for r in g2.collect()) == sorted(
+        by["en"] + by["de"])
+    # stratum smaller than budget keeps everything; unlisted -> default 0
+    g3 = stratified_topk_sample(df.where("lang = 'de'"), "doc_id",
+                                "lang", {"de": 1000})
+    assert g3.count() == 20
+    g4 = stratified_topk_sample(df, "doc_id", "lang", {"de": 2})
+    assert g4.count() == 2

@@ -193,3 +193,36 @@ def test_normalize_text_nfkc_udf(spark):
     df = spark.createDataFrame([(1, "ﬁle ５５")], ["id", "text"])
     got = normalize_text(df, unicode_form="NFKC").collect()[0]["text"]
     assert got == "file 55"
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from meza_spark.llm.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, "")],
+        ["doc_id", "text"])
+    out = chunk_documents(df, size=4, overlap=2)
+    rows = sorted((r["doc_id"], r["chunk_id"], r["chunk_start"],
+                   r["chunk_n_tokens"], r["chunk"])
+                  for r in out.collect())
+    assert rows == [
+        (1, 0, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 2, 4, "t2 t3 t4 t5"),
+        (1, 2, 4, 4, "t4 t5 t6 t7"),
+        (1, 3, 6, 4, "t6 t7 t8 t9"),
+        (1, 4, 8, 2, "t8 t9"),
+        (2, 0, 0, 2, "a b"),
+    ]  # empty doc -> zero chunks
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        chunk_documents(df, size=4, overlap=4)
+
+
+def test_chunk_documents_no_shuffle_no_python(spark):
+    from meza_spark.llm.text import chunk_documents
+    from meza_spark.util import plan_stats
+
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    st = plan_stats(chunk_documents(df, size=2, overlap=1))
+    assert st["exchanges"] == 0 and st["python"] == 0
