@@ -98,3 +98,70 @@ def test_gopher_reasons_consistent_with_keep(spark, texts):
         for f in ("word_count", "mean_word_length", "symbol_ratio",
                   "alpha_word_frac", "stopword_count"):
             assert r[f"gopher_{f}_ok"] in (True, False)
+
+
+# --- BIFF8 .xls writer/reader property ------------------------------------
+
+_xls_cell = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(-(1 << 28), 1 << 28),
+    st.floats(min_value=-1e12, max_value=1e12,
+              allow_nan=False, allow_infinity=False),
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=255),
+            max_size=24),
+    st.dates(min_value=__import__("datetime").date(1900, 3, 1),
+             max_value=__import__("datetime").date(2200, 1, 1)),
+)
+
+
+@given(st.lists(st.lists(_xls_cell, min_size=1, max_size=6),
+                min_size=1, max_size=12).filter(
+                    lambda g: len({len(r) for r in g}) == 1))
+@settings(max_examples=12, deadline=None)
+def test_biff_roundtrip_property(tmp_path_factory, grid):
+    """write_biff -> read_biff_grid is the identity modulo documented
+    coercions: bools stay bool; RK-range ints stay int; floats stay
+    float; strings (latin-1'able) survive; dates come back ISO;
+    None/'' cells read back as ''."""
+    import datetime
+
+    from meza_spark.io.xls import read_biff_grid, write_biff
+
+    p = str(tmp_path_factory.mktemp("xlsprop") / "g.xls")
+    write_biff(grid, p)
+    back = read_biff_grid(p)
+
+    # trailing all-empty rows/cols are not materialized by BIFF readers
+    def norm(g):
+        rows = [[("" if v is None else v) for v in r] for r in g]
+        while rows and all(v == "" for v in rows[-1]):
+            rows.pop()
+        while rows and rows[0] and all(
+                r and r[-1] == "" for r in rows):
+            rows = [r[:-1] for r in rows]
+        return rows
+
+    want = norm([[_expected(v) for v in row] for row in grid])
+    got = norm(back) if back else []
+    # reader returns a dense grid padded to the max written extent
+    assert len(got) == len(want)
+    for wr, gr in zip(want, got):
+        assert gr[:len(wr)] == wr, (wr, gr)
+        assert all(v == "" for v in gr[len(wr):])
+
+
+def _expected(v):
+    import datetime
+
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, float):
+        return v
+    if isinstance(v, int):
+        return v
+    return str(v).encode("latin-1", "replace").decode("latin-1")
