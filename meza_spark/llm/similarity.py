@@ -134,45 +134,67 @@ def embedding_near_dupes(df: DataFrame, vec_col: str = "embedding",
     else:
         planes = _hyperplanes(_dim_of(df, vec_col), n_planes, seed)
         bucket = _bucket_key(F.col(vec_col), planes)
-    b = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+    b = df.select(F.col(id_col).alias("_id"),
+                  F.transform(vec_col, lambda x: x.cast("double"))
+                  .alias("_v"),
                   bucket.alias("_bucket"))
-    l, r = b.alias("l"), b.alias("r")
-    # candidate generation and dedupe on IDS ONLY (the embedding arrays
-    # would otherwise ride every bucket collision through the shuffle);
-    # vectors re-attach to the deduped candidate set
-    cand = (l.join(r, on="_bucket")
-            .where(F.col("l._id") < F.col("r._id"))
-            .select(F.col("l._id").alias("id_a"),
-                    F.col("r._id").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"]))
-    v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    pairs = (cand
-             .join(v.select(F.col("_id").alias("id_a"),
-                            F.col("_v").alias("va")), on="id_a")
-             .join(v.select(F.col("_id").alias("id_b"),
-                            F.col("_v").alias("vb")), on="id_b"))
-    # pairwise rescoring is the O(pairs × dim) term → vectorized numpy
-    # kernel (Spark HOF folds are interpreted). cumsum[:, -1] reproduces
-    # the fold's left-to-right summation order exactly, so scores are
-    # bit-identical to the Column-expression cosine_sim.
+
+    # Per-bucket grouped kernel (r3 perf): the previous shape (ids-only
+    # self-join → re-attach BOTH vectors per candidate pair → scalar
+    # UDF) shipped 2·d doubles through the shuffle for EVERY candidate
+    # pair — at sf0.1 that was ~1.5M pair-rows × 128 doubles, the
+    # measured cost of the query. Here each bucket's vectors shuffle
+    # ONCE (n rows, not n²), pairs are scored inside the kernel with
+    # the same cumsum fold (bit-identical to cosine_sim's left-to-right
+    # summation), and only surviving pairs leave the task. The
+    # quadratic term is still bounded by bucket size — same knob as
+    # before (n_planes / block_on granularity).
     import numpy as np
     import pandas as pd
-    from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("double")
-    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        if len(a) == 0:
-            return pd.Series([], dtype="float64")
-        A = np.stack([np.asarray(x, dtype=np.float64) for x in a])
-        B = np.stack([np.asarray(x, dtype=np.float64) for x in b])
-        dot = np.cumsum(A * B, axis=1)[:, -1]
-        na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
-        nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
-        return pd.Series(dot / (na * nb))
+    # conservative in-kernel cutoff: the authoritative filter below is
+    # Spark's round(cos, 6) >= threshold (engine rounding semantics
+    # identical to the previous implementation); the kernel keeps a
+    # 1e-6 margin so boundary pairs can't be lost to float rounding
+    cut = threshold - 1e-6
 
-    sim = cos(F.col("va"), F.col("vb"))
-    return pairs.select("id_a", "id_b", F.round(sim, 6).alias("cosine")) \
-                .where(F.col("cosine") >= threshold)
+    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "_cos": pd.Series([], dtype="float64")})
+        order = np.argsort(pdf["_id"].to_numpy(), kind="stable")
+        ids = pdf["_id"].to_numpy()[order]
+        A = np.stack([np.asarray(x, dtype=np.float64)
+                      for x in pdf["_v"].to_numpy()[order]])
+        norms = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+        out_a, out_b, out_c = [], [], []
+        for i in range(n - 1):
+            dots = np.cumsum(A[i] * A[i + 1:], axis=1)[:, -1]
+            cos = dots / (norms[i] * norms[i + 1:])
+            keep = np.nonzero(cos >= cut)[0]
+            if keep.size:
+                out_a.append(np.full(keep.size, ids[i]))
+                out_b.append(ids[i + 1:][keep])
+                out_c.append(cos[keep])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "_cos": pd.Series([], dtype="float64")})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "_cos": np.concatenate(out_c)})
+
+    scored = b.groupBy("_bucket").applyInPandas(
+        score_block, schema="id_a long, id_b long, _cos double")
+    # multi-bucket collisions (LSH path) can emit a pair twice with the
+    # same score — dedupe on ids; block_on emits each pair once
+    out = (scored.dropDuplicates(["id_a", "id_b"])
+           .select("id_a", "id_b",
+                   F.round(F.col("_cos"), 6).alias("cosine"))
+           .where(F.col("cosine") >= threshold))
+    return out
 
 
 def normalize_embeddings(df: DataFrame, vec_col: str = "embedding",
