@@ -1462,6 +1462,17 @@ def ngram_span_dup(spark, sf_dir):
     return pairs.select("id_a", "id_b")
 
 
+def pack_sequences_q(spark, sf_dir):
+    """Concat-and-chunk training sequences (size 64): documents laid
+    end-to-end in deterministic hash order, fixed-size token sequences
+    spanning doc boundaries — the pretraining batch-prep op. Hash-gated
+    against a DuckDB replay of the cumsum placement and slices."""
+    from meza_spark.llm.sampling import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(d, size=64)
+
+
 def chunk_docs(spark, sf_dir):
     """Token-window chunking (size 32, overlap 8): one row per chunk
     with id/start/token-count/text — the context-window prep step.
@@ -2425,6 +2436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_span_dup": ngram_span_dup,
         "dedup_span_rewrite": dedup_span_rewrite,
         "chunk_docs": chunk_docs,
+        "pack_sequences": pack_sequences_q,
         "sample_stratified_count": sample_stratified_count,
         "embed_centroid_assign": embed_centroid_assign,
         "embed_kmeans": embed_kmeans,
@@ -3550,6 +3562,41 @@ def _oracle_sql_base() -> dict[str, str]:
               WHERE doc_id % 2 = 0 AND doc_id < 50)
             SELECT n.doc_id FROM newb n
             WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.text = n.text)
+        """,
+        "pack_sequences": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\s+')
+                     END AS tk,
+                     md5(CAST(doc_id AS VARCHAR) || '#0') AS ok
+              FROM documents),
+            nz AS (
+              SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n, ok
+              FROM t WHERE len(tk) > 0),
+            o AS (
+              SELECT doc_id, tk, n,
+                     coalesce(SUM(n) OVER (
+                       ORDER BY ok, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS g
+              FROM nz),
+            p AS (
+              SELECT doc_id, CAST(s AS BIGINT) AS seq_id,
+                     greatest(s * 64, g) AS gs,
+                     least((s + 1) * 64, g + n) AS ge,
+                     list_slice(tk,
+                       CAST(greatest(s * 64, g) - g + 1 AS BIGINT),
+                       CAST(least((s + 1) * 64, g + n) - g AS BIGINT))
+                       AS piece
+              FROM o, UNNEST(range(CAST(g // 64 AS BIGINT),
+                                   CAST((g + n - 1) // 64 + 1 AS BIGINT)))
+                   AS u(s))
+            SELECT seq_id, CAST(SUM(ge - gs) AS INT) AS n_tokens,
+                   COUNT(*) AS n_docs,
+                   string_agg(array_to_string(piece, ' '), ' '
+                              ORDER BY gs) AS text
+            FROM p GROUP BY seq_id
         """,
         "chunk_docs": r"""
             WITH t AS (

@@ -40,7 +40,7 @@ HEADLINE = [
     "unique_bufsize", "slice_orders",
     "sessionize_events", "profile_orders", "histogram_value",
     "dedup_incremental", "ngram_span_dup", "dedup_span_rewrite",
-    "chunk_docs", "sample_stratified_count",
+    "chunk_docs", "sample_stratified_count", "pack_sequences",
     "embed_centroid_assign",
     "check_constraints", "scd2_events", "window_firstlast",
     "q6_forecast", "q12_priority", "q14_promo", "zorder_lineitem",

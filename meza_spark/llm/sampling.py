@@ -18,9 +18,12 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .text import tokens
+
 __all__ = ["hash_sample", "stratified_hash_sample",
            "stratified_topk_sample", "split_train_val",
-           "global_shuffle", "pack_shards", "temperature_sample",
+           "global_shuffle", "pack_shards", "pack_sequences",
+           "temperature_sample",
            "quality_sample"]
 
 
@@ -231,6 +234,72 @@ def pack_shards(df: DataFrame, weight_col: str, budget: int,
     return (tagged.join(F.broadcast(off), on="_pid")
             .withColumn(out, shard)
             .select(*cols, out))
+
+
+def pack_sequences(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", size: int = 512,
+                   seed: int = 0) -> DataFrame:
+    """Concat-and-chunk training sequences: tokenize documents, lay
+    them end-to-end in a deterministic hash order, and emit
+    fixed-``size`` token sequences that SPAN document boundaries — the
+    standard pretraining batch-prep step (every sequence is exactly
+    ``size`` tokens except the final remainder). Returns one row per
+    sequence: ``seq_id``, ``n_tokens``, ``n_docs`` (documents
+    contributing), ``text`` (tokens re-joined with spaces).
+
+    Scale shape: the global token offset comes from the same two-pass
+    exclusive cumsum as :func:`pack_shards` (per-partition sums →
+    driver offsets → partition-local window; no global single-reducer
+    window). Each document then explodes into only the 1-2+ sequences
+    it touches (rows ≈ docs, not tokens), pieces carry pre-sliced
+    token arrays once through one shuffle on ``seq_id``, and assembly
+    is an array-sort + concat per sequence. Deterministic: hash order
+    on ``(md5(id||seed), id)`` is partitioning- and engine-invariant.
+    """
+    toks = tokens(F.col(text_col))
+    base = (df.select(F.col(id_col).alias("_id"), toks.alias("_t"))
+            .where(F.size("_t") > 0)
+            .withColumn("_n", F.size("_t").cast("long"))
+            .withColumn("_ok", F.md5(F.concat(
+                F.col("_id").cast("string"), F.lit(f"#{seed}")))))
+    tagged = (base.repartitionByRange("_ok", "_id")
+              .sortWithinPartitions("_ok", "_id")
+              .withColumn("_pid", F.spark_partition_id())).persist()
+    psums = {r["_pid"]: r["s"] for r in
+             tagged.groupBy("_pid").agg(F.sum("_n").alias("s")).collect()}
+    if not psums:
+        return df.sparkSession.createDataFrame(
+            [], "seq_id long, n_tokens int, n_docs long, text string")
+    offsets, acc = [], 0
+    for p in sorted(psums):
+        offsets.append((p, acc))
+        acc += psums[p] or 0
+    off = df.sparkSession.createDataFrame(offsets, "_pid int, _off long")
+    w = (Window.partitionBy("_pid").orderBy("_ok", "_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    local_ex = F.coalesce(F.sum("_n").over(w), F.lit(0).cast("long"))
+    placed = (tagged.join(F.broadcast(off), on="_pid")
+              .withColumn("_g", F.col("_off") + local_ex))  # global start
+    # the sequences this doc touches: floor(g/size) .. floor((g+n-1)/size)
+    seqs = F.sequence(F.floor(F.col("_g") / size),
+                      F.floor((F.col("_g") + F.col("_n") - 1) / size))
+    pieces = placed.select(
+        "_id", "_t", "_g", "_n", F.explode(seqs).alias("seq_id"))
+    gstart = F.greatest(F.col("seq_id") * size, F.col("_g"))
+    gend = F.least((F.col("seq_id") + 1) * size, F.col("_g") + F.col("_n"))
+    piece = F.slice("_t", (gstart - F.col("_g") + 1).cast("int"),
+                    (gend - gstart).cast("int"))
+    pieces = pieces.select(
+        "seq_id", gstart.alias("_gs"),
+        F.concat_ws(" ", piece).alias("_piece"),
+        (gend - gstart).alias("_len"))
+    return (pieces.groupBy("seq_id")
+            .agg(F.sum("_len").cast("int").alias("n_tokens"),
+                 F.count("*").alias("n_docs"),
+                 F.concat_ws(" ", F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct(F.col("_gs"), F.col("_piece")))),
+                     lambda s: s["_piece"])).alias("text")))
 
 
 def quality_sample(df: DataFrame, key_col: str, score_col: str,

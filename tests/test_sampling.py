@@ -136,3 +136,32 @@ def test_stratified_topk_exact_counts_and_determinism(spark):
     assert g3.count() == 20
     g4 = stratified_topk_sample(df, "doc_id", "lang", {"de": 2})
     assert g4.count() == 2
+
+
+def test_pack_sequences_exact_sizes_and_coverage(spark):
+    from meza_spark.llm.sampling import pack_sequences
+
+    rows = [(i, " ".join(f"d{i}t{j}" for j in range(7)))
+            for i in range(5)] + [(9, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = sorted(pack_sequences(df, size=10).collect(),
+                 key=lambda r: r["seq_id"])
+    # 35 tokens -> 3 full sequences + 5-token remainder
+    assert [r["n_tokens"] for r in out] == [10, 10, 10, 5]
+    toks = " ".join(r["text"] for r in out).split()
+    assert len(toks) == 35 and len(set(toks)) == 35   # exactly-once
+    # tokens of each doc stay contiguous and ordered across boundaries
+    for i in range(5):
+        mine = [t for t in toks if t.startswith(f"d{i}t")]
+        assert mine == [f"d{i}t{j}" for j in range(7)]
+    # partitioning invariance
+    o2 = sorted(pack_sequences(df.repartition(4), size=10).collect(),
+                key=lambda r: r["seq_id"])
+    assert [r["text"] for r in o2] == [r["text"] for r in out]
+
+
+def test_pack_sequences_empty_frame(spark):
+    from meza_spark.llm.sampling import pack_sequences
+
+    df = spark.createDataFrame([], "doc_id long, text string")
+    assert pack_sequences(df, size=8).count() == 0
