@@ -23,7 +23,11 @@ __all__ = ["connected_components", "near_dedup", "semantic_dedup"]
 
 def _stats_barrier(df: DataFrame) -> DataFrame:
     """Materialize ``df`` and return a frame whose lineage AND size
-    statistics are both reset to reality.
+    statistics are both reset to reality — the building block every
+    iterative DataFrame loop here needs. The CC loop uses the FUSED
+    form inline (both frames persisted, one materializing count, two
+    cache-read checkpoints — r3); this single-frame helper remains the
+    utility for one-frame loops (e.g. custom iterative callers).
 
     Why not plain ``localCheckpoint``: its ``LogicalRDD`` keeps the
     *estimated* statistics of the plan it replaced (``originStats``).
