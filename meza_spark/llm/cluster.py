@@ -79,11 +79,13 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     SHRINKING quotient edge set, not the full O(E) edge list — after
     the first round near-clique duplicate clusters have collapsed to
     single nodes and later rounds touch a tiny fraction of E. Shuffles
-    carry ids only (16 B/row). Each round is cut with
-    ``_stats_barrier`` semantics (persist→materialize→localCheckpoint)
-    so both lineage and Catalyst's size estimate reset to measured
-    reality (see the helper's docstring for the BigInteger planning
-    blowup this prevents).
+    carry ids only (16 B/row). Each round is cut with a FUSED stats
+    barrier (persist both new frames → ONE materializing count on the
+    edges, which fills the labels cache too → two cache-read
+    localCheckpoints) so lineage and Catalyst's size estimates reset
+    to measured reality at one count job per round (see
+    ``_stats_barrier`` for the BigInteger planning blowup this
+    prevents).
     """
     # symmetrize with ONE scan of the (possibly expensive) pair
     # subtree: explode each pair into both directions — a union of the
