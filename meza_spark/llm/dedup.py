@@ -100,7 +100,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                        keep_shingles: bool = False) -> DataFrame:
     """Append ``minhash: array<bigint>`` of length ``num_hashes``.
 
-    Permutation h_i is simulated as ``h_i(x) = a_i·x + b_i mod 2^61-1``
+    Permutation h_i is simulated as ``h_i(x) = a_i·x + b_i mod 2^31-1``
     over a single base ``xxhash64(shingle)`` — the standard
     tabulation-free MinHash family. The shingle set and base hashes are
     materialized as intermediate columns so they are computed ONCE per
