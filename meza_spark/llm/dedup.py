@@ -154,6 +154,8 @@ def _minhash_from_hashes(base: DataFrame, num_hashes: int) -> DataFrame:
         for pdf in batches:
             sigs = []
             for hs in pdf["_hs"]:
+                if hs is None:  # null-array row: same as empty text
+                    hs = []
                 h = np.asarray(hs, dtype=np.int64)
                 if h.size == 0:
                     sigs.append([int(_P)] * num_hashes)
@@ -526,9 +528,12 @@ def _token_hashes(df: DataFrame, text_col: str,
             return F.shiftleft(hi, 32).bitwiseOR(lo)
         raise ValueError(f"unknown token_hash: {token_hash}")
 
+    # null text → empty token set (same fingerprint as empty text), not
+    # a NULL array that would reach the vote kernel as None
+    toks = F.coalesce(tokens(F.lower(F.col(text_col))),
+                      F.array().cast("array<string>"))
     return spread(df).withColumn(
-        "_th", F.transform(F.array_distinct(tokens(F.lower(F.col(text_col)))),
-                           _h))
+        "_th", F.transform(F.array_distinct(toks), _h))
 
 
 def _simhash_from_hashes(step: DataFrame, bits: int,
@@ -548,6 +553,8 @@ def _simhash_from_hashes(step: DataFrame, bits: int,
         for pdf in batches:
             sigs = []
             for hs in pdf["_th"]:
+                if hs is None:  # null-array row: same as empty text
+                    hs = []
                 h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
                 if h.size == 0:
                     votes = np.zeros(bits, dtype=np.int64)

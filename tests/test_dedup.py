@@ -177,3 +177,22 @@ def test_remove_duplicate_spans_carries_other_columns(spark):
             remove_duplicate_spans(df, n=6).collect()}
     assert rows[1]["source"] == "web" and rows[2]["source"] == "wiki"
     assert rows[1]["text"] == "p q r s t u" and rows[2]["text"] == ""
+
+
+def test_null_text_rows_survive_every_dedup_op(spark):
+    # real-world corpora carry null text cells; no operator may crash
+    from meza_spark.llm.dedup import (dedup_lines, exact_dedup,
+                                      minhash_lsh_pairs,
+                                      minhash_signatures,
+                                      remove_duplicate_spans, simhash,
+                                      simhash_pairs)
+
+    df = spark.createDataFrame([(1, "hello world text"), (2, None)],
+                               "doc_id long, text string")
+    assert exact_dedup(df).count() == 2
+    assert minhash_signatures(df).count() == 2
+    assert simhash(df).count() == 2
+    assert simhash_pairs(df).count() == 0
+    assert minhash_lsh_pairs(df, min_jaccard=0.3).count() == 0
+    assert remove_duplicate_spans(df, n=2).count() == 2
+    dedup_lines(df).collect()  # null line-split row drops, no crash
