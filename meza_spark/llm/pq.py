@@ -59,6 +59,7 @@ def _sample_matrix(df: DataFrame, vec_col: str, fit_sample: int,
     cols = [c.lower() for c in df.columns]
     if id_col is None and "vec_id" in cols:
         id_col = df.columns[cols.index("vec_id")]
+    df = df.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
     if id_col is not None and id_col in df.columns:
         picked = (df.select(id_col, vec_col)
                   .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))

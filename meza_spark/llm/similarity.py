@@ -39,10 +39,15 @@ def _norm(a: Column) -> Column:
 
 def cosine_sim(a: Column, b: Column) -> Column:
     """Cosine similarity of two array columns, computed in double with a
-    deterministic left-to-right fold (stable across engines)."""
+    deterministic left-to-right fold (stable across engines).
+
+    Zero-norm inputs score 0.0 instead of raising — Spark 4 runs ANSI
+    mode by default, where the bare division throws DIVIDE_BY_ZERO on
+    the first all-zero vector in a corpus."""
     ad = F.transform(a, lambda x: x.cast("double"))
     bd = F.transform(b, lambda x: x.cast("double"))
-    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+    denom = _norm(ad) * _norm(bd)
+    return F.when(denom > 0, _dot(ad, bd) / denom).otherwise(F.lit(0.0))
 
 
 def cosine_topk(df: DataFrame, query: Sequence[float],
@@ -134,10 +139,13 @@ def embedding_near_dupes(df: DataFrame, vec_col: str = "embedding",
     else:
         planes = _hyperplanes(_dim_of(df, vec_col), n_planes, seed)
         bucket = _bucket_key(F.col(vec_col), planes)
-    b = df.select(F.col(id_col).alias("_id"),
-                  F.transform(vec_col, lambda x: x.cast("double"))
-                  .alias("_v"),
-                  bucket.alias("_bucket"))
+    # rows with null/empty vectors can't pair — drop them JVM-side
+    # before the kernel (a None would break np.stack's shape)
+    b = (df.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+         .select(F.col(id_col).alias("_id"),
+                 F.transform(vec_col, lambda x: x.cast("double"))
+                 .alias("_v"),
+                 bucket.alias("_bucket")))
 
     # Per-bucket grouped kernel (r3 perf): the previous shape (ids-only
     # self-join → re-attach BOTH vectors per candidate pair → scalar
@@ -172,7 +180,9 @@ def embedding_near_dupes(df: DataFrame, vec_col: str = "embedding",
         out_a, out_b, out_c = [], [], []
         for i in range(n - 1):
             dots = np.cumsum(A[i] * A[i + 1:], axis=1)[:, -1]
-            cos = dots / (norms[i] * norms[i + 1:])
+            denom = norms[i] * norms[i + 1:]
+            cos = np.where(denom > 0,
+                           dots / np.where(denom > 0, denom, 1.0), 0.0)
             keep = np.nonzero(cos >= cut)[0]
             if keep.size:
                 out_a.append(np.full(keep.size, ids[i]))
@@ -236,6 +246,8 @@ def cosine_join(left: DataFrame, right: DataFrame,
         planes = _hyperplanes(_dim_of(left, vec_col), n_planes, seed)
         lb = _bucket_key(F.col(vec_col), planes)
         rb = _bucket_key(F.col(vec_col), planes)
+    ok = F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+    left, right = left.where(ok), right.where(ok)
     lk = left.select(F.col(id_col).alias("id_a"), lb.alias("_bucket"))
     rk = right.select(F.col(id_col).alias("id_b"), rb.alias("_bucket"))
     if max_bucket is not None:
@@ -260,7 +272,10 @@ def cosine_join(left: DataFrame, right: DataFrame,
         dot = np.cumsum(A * B, axis=1)[:, -1]
         na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
         nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
-        return pd.Series(dot / (na * nb))
+        denom = na * nb
+        out = np.where(denom > 0, dot / np.where(denom > 0, denom, 1.0),
+                       0.0)
+        return pd.Series(out)
 
     sim = cos(F.col("va"), F.col("vb"))
     return pairs.select("id_a", "id_b", F.round(sim, 6).alias("cosine")) \
@@ -339,7 +354,8 @@ def _ivf_train_df(df: DataFrame, vec_col: str, fit_sample: int,
     — per-partition top-k, no full sort, no full scan) so membership
     and order are partition-layout-invariant; else LocalLimit+
     GlobalLimit."""
-    vecs = df.select(
+    vecs = df.where(F.col(vec_col).isNotNull()
+                    & (F.size(vec_col) > 0)).select(
         *( [F.col(id_col)] if id_col and id_col in df.columns else [] ),
         F.transform(vec_col, lambda x: x.cast("double")).alias("_v"))
     if id_col and id_col in df.columns:

@@ -227,3 +227,19 @@ def test_near_dedup_keep_best(spark):
                       near_dedup(df, method="ngram", n=3,
                                  min_jaccard=0.3).collect())
     assert kept_min == [1, 3]
+
+
+def test_embedding_ops_null_and_zero_vectors(spark):
+    # null vectors are ignored by pair/fit ops; zero-norm cosine is 0.0
+    import meza_spark.llm.similarity as sim
+
+    rows = [(1, [1.0, 0.0], 0), (2, None, 0), (3, [0.0, 0.0], 0),
+            (4, [1.0, 0.1], 0)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    pairs = sim.embedding_near_dupes(df, threshold=0.5,
+                                     block_on="label").collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 4)}
+    got = {r["vec_id"]: r["cosine"] for r in sim.cosine_topk(
+        df.where("embedding is not null"), [1.0, 0.0], k=3).collect()}
+    assert got[3] == 0.0  # zero vector scores 0, does not raise (ANSI)
