@@ -165,3 +165,70 @@ def _expected(v):
     if isinstance(v, int):
         return v
     return str(v).encode("latin-1", "replace").decode("latin-1")
+
+
+# --- span removal / sequence packing properties -----------------------------
+
+_word = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps",
+                         "zeta", "eta", "theta"])
+_doc = st.lists(_word, min_size=0, max_size=14).map(" ".join)
+
+
+@given(st.lists(_doc, min_size=1, max_size=10))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_remove_duplicate_spans_property(spark, texts):
+    """Every duplicated n-window keeps EXACTLY its winner occurrence;
+    every surviving token was present at the same doc position."""
+    from meza_spark.llm.dedup import remove_duplicate_spans
+
+    n = 3
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    out = {r["doc_id"]: r["text"].split() if r["text"] else []
+           for r in remove_duplicate_spans(df, n=n).collect()}
+    toks = {i: t.lower().split() for i, t in enumerate(texts)}
+    assert set(out) == set(toks)  # records in == records out
+
+    # reference winner/cover computation
+    occ = {}
+    for i, tk in toks.items():
+        for p in range(len(tk) - n + 1):
+            occ.setdefault(tuple(tk[p:p + n]), []).append((i, p))
+    covered = {i: set() for i in toks}
+    for gram, places in occ.items():
+        if len(places) < 2:
+            continue
+        winner = min(places)
+        for i, p in places:
+            if (i, p) != winner:
+                covered[i].update(range(p, p + n))
+    for i, tk in toks.items():
+        want = [t for j, t in enumerate(tk) if j not in covered[i]]
+        assert out[i] == want, (i, tk, out[i], want)
+
+
+@given(st.lists(_doc, min_size=1, max_size=10),
+       st.integers(min_value=2, max_value=9))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pack_sequences_property(spark, texts, size):
+    """Exactly-once token coverage, in-doc order preserved, all but the
+    final sequence exactly `size` tokens."""
+    from meza_spark.llm.sampling import pack_sequences
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    out = sorted(pack_sequences(df, size=size).collect(),
+                 key=lambda r: r["seq_id"])
+    total = sum(len(t.split()) for t in texts)
+    if total == 0:
+        assert out == []
+        return
+    assert [r["n_tokens"] for r in out[:-1]] == [size] * (len(out) - 1)
+    assert out[-1]["n_tokens"] == total - size * (len(out) - 1)
+    stream = " ".join(r["text"] for r in out).split()
+    assert len(stream) == total
+    # per-doc subsequence check: each doc's tokens appear contiguously
+    joined = " ".join(stream)
+    for t in texts:
+        if t.split():
+            assert t in joined
