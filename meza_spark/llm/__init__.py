@@ -1,25 +1,39 @@
 """LLM-training-data pipeline operators (beyond-reference surface,
 BASELINE.json north_star): deduplication, similarity search, text
-analysis, multimodal column plumbing — all designed for 100 TB scale
-(no driver materialization, shuffle only where semantically required).
+analysis, sampling/packing, multimodal column plumbing — all designed
+for 100 TB scale (no driver materialization, shuffle only where
+semantically required).
 """
 
-from .cluster import connected_components, near_dedup
-from .sampling import hash_sample, pack_shards, stratified_hash_sample
+from .cluster import connected_components, near_dedup, semantic_dedup
 from .dedup import (
-    exact_dedup, minhash_signatures, minhash_lsh_pairs, ngram_jaccard,
-    simhash, simhash_pairs,
+    dedup_lines, exact_dedup, minhash_lsh_pairs, minhash_signatures,
+    ngram_jaccard, ngram_span_pairs, remove_duplicate_spans, simhash,
+    simhash_pairs,
 )
-from .similarity import cosine_topk, lsh_ann_topk, embedding_near_dupes
+from .sampling import (
+    hash_sample, pack_sequences, pack_shards, quality_sample,
+    stratified_hash_sample, stratified_topk_sample, temperature_sample,
+)
+from .similarity import (
+    cosine_join, cosine_topk, embedding_near_dupes, kmeans_clusters,
+    lsh_ann_topk, nearest_centroid,
+)
 from .text import (
-    token_count, quality_score, lang_id, fingerprint, shingles,
+    chunk_documents, fingerprint, gopher_filter, lang_id, quality_score,
+    shingles, token_count,
 )
 
 __all__ = [
-    "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
-    "ngram_jaccard", "simhash", "simhash_pairs",
-    "connected_components", "near_dedup",
-    "hash_sample", "stratified_hash_sample", "pack_shards",
-    "cosine_topk", "lsh_ann_topk", "embedding_near_dupes",
+    "exact_dedup", "dedup_lines", "minhash_signatures",
+    "minhash_lsh_pairs", "ngram_jaccard", "ngram_span_pairs",
+    "remove_duplicate_spans", "simhash", "simhash_pairs",
+    "connected_components", "near_dedup", "semantic_dedup",
+    "hash_sample", "stratified_hash_sample", "stratified_topk_sample",
+    "temperature_sample", "quality_sample", "pack_shards",
+    "pack_sequences",
+    "cosine_topk", "lsh_ann_topk", "embedding_near_dupes", "cosine_join",
+    "nearest_centroid", "kmeans_clusters",
     "token_count", "quality_score", "lang_id", "fingerprint", "shingles",
+    "gopher_filter", "chunk_documents",
 ]
