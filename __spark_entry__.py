@@ -45,9 +45,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _dsum(c) -> F.Column:
     """Order-independent sum for monetary doubles: exact decimal
-    accumulation, one final cast to double."""
+    accumulation, one final cast to double ROUTED THROUGH A STRING.
+
+    The direct decimal→double cast is engine-specific in its last ulp
+    (DuckDB converts via int128 × 10^-scale in double arithmetic,
+    which is not correctly rounded; observed 1-ulp q1 mismatches at
+    sf0.1 magnitudes ~2.7e9). Decimal→string is exact in both engines
+    and string→double is correctly-rounded strtod everywhere, so the
+    round-trip yields the identical double bit pattern."""
     c = F.col(c) if isinstance(c, str) else c
-    return F.sum(c.cast("decimal(38,8)")).cast("double")
+    return F.sum(c.cast("decimal(38,8)")).cast("string").cast("double")
 
 
 # ---------------------------------------------------------------------------
@@ -2547,7 +2554,11 @@ def _zorder_oracle_expr(cols: list[str], bits: int) -> str:
 
 
 def _oracle_sql_base() -> dict[str, str]:
-    DSUM = "CAST(SUM(CAST({x} AS DECIMAL(38,8))) AS DOUBLE)"
+    # decimal -> string -> double: direct decimal->double casts differ
+    # by an ulp across engines at ~1e9 magnitudes; the string
+    # round-trip is exact-then-correctly-rounded in both (see _dsum)
+    DSUM = ("CAST(CAST(SUM(CAST({x} AS DECIMAL(38,8))) AS VARCHAR) "
+            "AS DOUBLE)")
 
     def dsum(x):
         return DSUM.format(x=x)
