@@ -426,8 +426,16 @@ def embed_cosine_join(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     left = e.filter(F.col("vec_id") % 2 == 0)
     right = e.filter(F.col("vec_id") % 2 == 1)
-    out = cosine_join(left, right, threshold=0.3, block_on="label")
-    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    # raw cosine quantized to integer 1e-4 units: Spark round() on
+    # doubles goes through the shortest decimal string while DuckDB
+    # rounds the exact binary value, so rounded floats tie-diverge at
+    # scale (found by the sf0.1 differential); floor(x*1e4+0.5) on the
+    # identical raw doubles is engine-invariant
+    out = cosine_join(left, right, threshold=0.3, block_on="label",
+                      round_digits=None)
+    return out.select("id_a", "id_b",
+                      F.floor(F.col("cosine") * 10000 + F.lit(0.5))
+                      .cast("long").alias("cosine_e4"))
 
 
 def dedup_exact(spark, sf_dir):
@@ -913,9 +921,12 @@ def dedup_embed_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs, exact within `label` blocks
     (deterministic block_on variant of the LSH-bucketed path)."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = sim.embedding_near_dupes(emb, threshold=0.3, block_on="label")
+    out = sim.embedding_near_dupes(emb, threshold=0.3, block_on="label",
+                                   round_digits=None)
+    # integer micro-units of the raw cosine (see embed_cosine_join)
     return out.select("id_a", "id_b",
-                      F.round("cosine", 4).alias("cosine"))
+                      F.floor(F.col("cosine") * 10000 + F.lit(0.5))
+                      .cast("long").alias("cosine_e4"))
 
 
 def dedup_near_embed_e2e(spark, sf_dir):
@@ -2879,15 +2890,16 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM embeddings)
         """,
         "embed_cosine_join": """
-            SELECT id_a, id_b, round(c, 4) AS cosine FROM (
+            SELECT id_a, id_b,
+                   CAST(floor(c * 10000 + 0.5) AS BIGINT) AS cosine_e4
+            FROM (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                     round(
-                       list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
-                       (sqrt(list_sum(list_transform(a.embedding,
-                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
-                        sqrt(list_sum(list_transform(b.embedding,
-                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS c
+                     list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+                     (sqrt(list_sum(list_transform(a.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                      sqrt(list_sum(list_transform(b.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
               FROM embeddings a JOIN embeddings b
                 ON a.label = b.label AND a.vec_id % 2 = 0
                    AND b.vec_id % 2 = 1)
@@ -3251,15 +3263,16 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "dedup_embed_cosine": """
             WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
-            SELECT id_a, id_b, round(c, 4) AS cosine FROM (
+            SELECT id_a, id_b,
+                   CAST(floor(c * 10000 + 0.5) AS BIGINT) AS cosine_e4
+            FROM (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                     round(
-                       list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                     list_sum(list_transform(list_zip(a.embedding, b.embedding),
                                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
                        (sqrt(list_sum(list_transform(a.embedding,
                                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
                         sqrt(list_sum(list_transform(b.embedding,
-                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS c
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
               FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
             WHERE c >= 0.3
         """,

@@ -123,7 +123,8 @@ def lsh_ann_topk(df: DataFrame, query: Sequence[float],
 def embedding_near_dupes(df: DataFrame, vec_col: str = "embedding",
                          id_col: str = "vec_id", threshold: float = 0.9,
                          n_planes: int = 8, seed: int = 42,
-                         block_on: str | None = None) -> DataFrame:
+                         block_on: str | None = None,
+                         round_digits: int | None = 6) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: bucketed self-join, then
     exact cosine verification ≥ ``threshold``. Shuffle key is the
     bucket id; the quadratic term is bounded by bucket size.
@@ -199,10 +200,15 @@ def embedding_near_dupes(df: DataFrame, vec_col: str = "embedding",
     scored = b.groupBy("_bucket").applyInPandas(
         score_block, schema="id_a long, id_b long, _cos double")
     # multi-bucket collisions (LSH path) can emit a pair twice with the
-    # same score — dedupe on ids; block_on emits each pair once
+    # same score — dedupe on ids; block_on emits each pair once.
+    # ``round_digits=None`` keeps the RAW cosine: Spark's round() on
+    # doubles goes through the shortest decimal string (0.35355 →
+    # 0.3536) while other engines round the exact binary value — for
+    # cross-engine comparisons quantize to integer micro-units instead.
+    cosine = F.col("_cos") if round_digits is None \
+        else F.round(F.col("_cos"), round_digits)
     out = (scored.dropDuplicates(["id_a", "id_b"])
-           .select("id_a", "id_b",
-                   F.round(F.col("_cos"), 6).alias("cosine"))
+           .select("id_a", "id_b", cosine.alias("cosine"))
            .where(F.col("cosine") >= threshold))
     return out
 
@@ -223,7 +229,8 @@ def cosine_join(left: DataFrame, right: DataFrame,
                 vec_col: str = "embedding", id_col: str = "vec_id",
                 block_on: str | None = None,
                 n_planes: int = 8, seed: int = 42,
-                max_bucket: int | None = 10_000) -> DataFrame:
+                max_bucket: int | None = 10_000,
+                round_digits: int | None = 6) -> DataFrame:
     """Two-table similarity join: all (left, right) pairs with cosine
     ≥ ``threshold`` — the cross-corpus linkage op (eval-contamination
     scans, corpus-vs-corpus overlap audits).
@@ -278,7 +285,9 @@ def cosine_join(left: DataFrame, right: DataFrame,
         return pd.Series(out)
 
     sim = cos(F.col("va"), F.col("vb"))
-    return pairs.select("id_a", "id_b", F.round(sim, 6).alias("cosine")) \
+    if round_digits is not None:  # None = raw (see embedding_near_dupes)
+        sim = F.round(sim, round_digits)
+    return pairs.select("id_a", "id_b", sim.alias("cosine")) \
                 .where(F.col("cosine") >= threshold)
 
 
