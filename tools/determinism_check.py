@@ -1,0 +1,91 @@
+"""Cross-config determinism audit: run queries under two deliberately
+different engine configs (cpu count, shuffle partitions) in separate
+JVMs and compare order-insensitive result hashes.
+
+This is the property the VALUES-pinned oracles and every
+`deterministic sampling` claim rest on: identical output bits
+regardless of partition layout, parallelism, or scheduling. The seeded
+fits (k-means/ANN/SemDeDup), the md5-threshold samplers, and the
+two-pass cumsum packers are the queries most at risk — they form the
+default subset.
+
+Usage: python tools/determinism_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_QUERIES = [
+    # seeded fits (feed the VALUES pins)
+    "embed_kmeans", "dedup_semantic", "embed_ann_lsh", "embed_ann_ivf",
+    "embed_ann_pq", "embed_ann_ivfpq",
+    # hash-order / cumsum determinism
+    "sample_hash", "sample_stratified_count", "sample_quality",
+    "sample_split", "shuffle_rank", "pack_shards", "pack_sequences",
+    # kernel-scored pair ops
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_embed_cosine",
+    "dedup_near_e2e", "dedup_span_rewrite",
+]
+
+_WORKER = r"""
+import hashlib, json, os, sys
+sys.path.insert(0, {root!r})
+os.environ["SPARK_GRAFT_CPUS"] = {cpus!r}
+import __spark_entry__ as entry
+from meza_spark.session import get_spark
+spark = get_spark("det_{tag}", shuffle_partitions={shuffle},
+                  conf={{"spark.ui.showConsoleProgress": "false"}})
+spark.sparkContext.setLogLevel("ERROR")
+qs = entry.queries()
+out = {{}}
+for name in {names!r}:
+    df = qs[name](spark, {sf_dir!r})
+    rows = sorted(tuple(str(x) for x in r) for r in df.collect())
+    out[name] = [len(rows),
+                 hashlib.md5(str(rows).encode()).hexdigest()]
+print("DETJSON" + json.dumps(out))
+"""
+
+
+def _run(root, sf_dir, names, tag, cpus, shuffle):
+    code = _WORKER.format(root=root, cpus=cpus, tag=tag, shuffle=shuffle,
+                          names=names, sf_dir=sf_dir)
+    r = subprocess.run([sys.executable, "-c", code],
+                       capture_output=True, text=True)
+    for line in r.stdout.splitlines():
+        if line.startswith("DETJSON"):
+            return json.loads(line[len("DETJSON"):])
+    raise RuntimeError(f"worker[{tag}] produced no result:\n"
+                       f"{r.stdout[-2000:]}\n{r.stderr[-2000:]}")
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) \
+        else "/root/testdata/sf0.01"
+    names = [a for a in sys.argv[2:] if not os.path.isdir(a)] \
+        or DEFAULT_QUERIES
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    a = _run(root, sf_dir, names, "a", "4", 7)
+    b = _run(root, sf_dir, names, "b", "32", 13)
+
+    fails = 0
+    for name in names:
+        same = a[name] == b[name]
+        fails += 0 if same else 1
+        mark = "✓" if same else "✗"
+        print(f"{mark} {name:24s} rows={a[name][0]:<8d} "
+              f"{'MATCH' if same else f'{a[name]} != {b[name]}'}")
+    print(f"\n{len(names)} queries, {fails} nondeterministic")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
