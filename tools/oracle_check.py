@@ -71,7 +71,10 @@ def main():
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+            # driver SFs are single files; Spark-written tables (e.g.
+            # the bench's sf1 replica) are DIRECTORIES of part files
+            src = f"{p}/*.parquet" if os.path.isdir(p) else p
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
