@@ -74,13 +74,18 @@ SCALE_KEYS = {  # key columns shifted per replica; dims stay single-copy
     "part": ["p_partkey"],
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
     "nation": [],
     "region": [],
 }
 SCALE_QUERIES = ["q1_pricing", "q3_shipping", "q5_local_supplier",
                  "join_inner", "topk_per_group", "window_running",
                  "dedup_exact", "q9_profit", "q21_waiting",
-                 "dedup_near_e2e", "decontam_flag", "resample_events"]
+                 "dedup_near_e2e", "decontam_flag", "resample_events",
+                 # round-3 operators under the slope lens
+                 "dedup_minhash_lsh", "dedup_span_rewrite", "chunk_docs",
+                 "pack_sequences", "multimodal_decode",
+                 "dedup_embed_cosine"]
 
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -122,6 +127,12 @@ def _build_scaled(spark, entry, sf_dir: str, out_dir: str):
                 rep = base
                 for k in keys:
                     rep = rep.withColumn(k, F.col(k) + (i * stride))
+                if table == "embeddings":
+                    # same density argument as documents below: keep
+                    # per-block pair density constant by giving each
+                    # replica its own label space
+                    rep = rep.withColumn(
+                        "label", F.col("label") + (i * 1000))
                 if table == "documents":
                     # keep duplicate DENSITY constant: naive replication
                     # gives every doc 10 verbatim copies, quadratically
