@@ -1514,6 +1514,28 @@ def sample_stratified_count(spark, sf_dir):
                                   {lg: 40 for lg in langs})
 
 
+def dedup_incremental_near(spark, sf_dir):
+    """Incremental NEAR-dedup of a new batch against a seen corpus
+    (fuzzy sibling of the bloom-gated exact dedup_incremental): seen =
+    even doc_ids; new = odd doc_ids plus relabeled verbatim copies of
+    some seen texts (guaranteed cross-dups). ngram method -> exact
+    within (source,lang) blocks, fully deterministic; the DuckDB twin
+    replays the cross-probe and the intra-batch reachability."""
+    from meza_spark.llm.cluster import near_dedup_incremental
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "blk", F.concat_ws("|", "source", "lang"))         .select("doc_id", "text", "blk")
+    seen = docs.where(F.col("doc_id") % 2 == 0)
+    copies = (docs.where((F.col("doc_id") % 2 == 0)
+                         & (F.col("doc_id") < 60))
+              .select((F.col("doc_id") + 100000).alias("doc_id"),
+                      "text", "blk"))
+    new = docs.where(F.col("doc_id") % 2 == 1).unionByName(copies)
+    kept = near_dedup_incremental(new, seen, method="ngram", n=3,
+                                  min_jaccard=0.5, join_on="blk")
+    return kept.select("doc_id")
+
+
 def dedup_span_rewrite(spark, sf_dir):
     """Duplicated-span REMOVAL (Lee-et-al rewrite step, r3): every
     10-token window occurring 2+ times corpus-wide is stripped from
@@ -2453,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": dedup_incremental,
         "ngram_span_dup": ngram_span_dup,
         "dedup_span_rewrite": dedup_span_rewrite,
+        "dedup_incremental_near": dedup_incremental_near,
         "chunk_docs": chunk_docs,
         "pack_sequences": pack_sequences_q,
         "sample_stratified_count": sample_stratified_count,
@@ -3061,6 +3084,55 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT d.doc_id, d.lang, d.source, d.n_chars
             FROM documents d JOIN labels lb ON d.doc_id = lb.v
             WHERE lb.component = d.doc_id
+        """,
+        "dedup_incremental_near": r"""
+            WITH RECURSIVE sh AS (
+              SELECT doc_id, source || '|' || lang AS blk, text,
+                     list_distinct(CASE
+                       WHEN len(regexp_split_to_array(trim(lower(text)), '\s+')) < 3
+                       THEN [trim(lower(text))]
+                       ELSE list_transform(
+                         range(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) - 1),
+                         i -> regexp_split_to_array(trim(lower(text)), '\s+')[i] || ' ' ||
+                              regexp_split_to_array(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                              regexp_split_to_array(trim(lower(text)), '\s+')[i+2])
+                     END) AS grams
+              FROM documents),
+            seen AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
+            newb AS (
+              SELECT doc_id, blk, grams FROM sh WHERE doc_id % 2 = 1
+              UNION ALL
+              SELECT doc_id + 100000, blk, grams FROM sh
+              WHERE doc_id % 2 = 0 AND doc_id < 60),
+            survivors AS (
+              SELECT n.* FROM newb n
+              WHERE NOT EXISTS (
+                SELECT 1 FROM seen s
+                WHERE s.blk = n.blk
+                  AND CAST(len(list_filter(n.grams,
+                        x -> list_contains(s.grams, x))) AS DOUBLE)
+                      / len(list_distinct(list_concat(n.grams, s.grams)))
+                      >= 0.5)),
+            prs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM survivors a JOIN survivors b
+                ON a.blk = b.blk AND a.doc_id < b.doc_id
+              WHERE CAST(len(list_filter(a.grams,
+                      x -> list_contains(b.grams, x))) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.grams, b.grams)))
+                    >= 0.5),
+            edges AS (
+              SELECT id_a AS s, id_b AS d FROM prs
+              UNION
+              SELECT id_b, id_a FROM prs),
+            reach(v, l) AS (
+              SELECT doc_id, doc_id FROM survivors
+              UNION
+              SELECT e.d, r.l FROM edges e JOIN reach r ON e.s = r.v),
+            labels AS (SELECT v, min(l) AS component FROM reach GROUP BY v)
+            SELECT sv.doc_id
+            FROM survivors sv JOIN labels lb ON sv.doc_id = lb.v
+            WHERE lb.component = sv.doc_id
         """,
         "embed_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

@@ -39,7 +39,8 @@ HEADLINE = [
     "dedup_near_e2e", "llm_repetition", "sample_hash", "pack_shards",
     "unique_bufsize", "slice_orders",
     "sessionize_events", "profile_orders", "histogram_value",
-    "dedup_incremental", "ngram_span_dup", "dedup_span_rewrite",
+    "dedup_incremental", "dedup_incremental_near",
+    "ngram_span_dup", "dedup_span_rewrite",
     "chunk_docs", "sample_stratified_count", "pack_sequences",
     "embed_centroid_assign",
     "check_constraints", "scd2_events", "window_firstlast",

@@ -5,7 +5,8 @@ for 100 TB scale (no driver materialization, shuffle only where
 semantically required).
 """
 
-from .cluster import connected_components, near_dedup, semantic_dedup
+from .cluster import (connected_components, near_dedup,
+                      near_dedup_incremental, semantic_dedup)
 from .dedup import (
     dedup_lines, exact_dedup, minhash_lsh_pairs, minhash_signatures,
     ngram_jaccard, ngram_span_pairs, remove_duplicate_spans, simhash,
@@ -28,7 +29,8 @@ __all__ = [
     "exact_dedup", "dedup_lines", "minhash_signatures",
     "minhash_lsh_pairs", "ngram_jaccard", "ngram_span_pairs",
     "remove_duplicate_spans", "simhash", "simhash_pairs",
-    "connected_components", "near_dedup", "semantic_dedup",
+    "connected_components", "near_dedup", "near_dedup_incremental",
+    "semantic_dedup",
     "hash_sample", "stratified_hash_sample", "stratified_topk_sample",
     "temperature_sample", "quality_sample", "pack_shards",
     "pack_sequences",

@@ -18,7 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "near_dedup", "semantic_dedup"]
+__all__ = ["connected_components", "near_dedup",
+           "near_dedup_incremental", "semantic_dedup"]
 
 
 def _stats_barrier(df: DataFrame) -> DataFrame:
@@ -315,6 +316,64 @@ def near_dedup(df: DataFrame, method: str = "minhash",
     else:
         raise ValueError(f"near_dedup: unknown keep {keep!r}")
     return df.join(drop, on=id_col, how="left_anti")
+
+
+def near_dedup_incremental(new: DataFrame, seen: DataFrame,
+                           method: str = "ngram",
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           max_iter: int = 30,
+                           **kwargs) -> DataFrame:
+    """Incremental NEAR-duplicate dedup: keep the rows of ``new`` that
+    are fuzzy-duplicates of neither the ``seen`` corpus nor an
+    earlier-id row of the same batch — the daily-crawl-vs-historical-
+    index operator (the fuzzy sibling of the bloom-gated EXACT
+    ``bloom.dedup_against``).
+
+    Two candidate passes share one pair machinery:
+      1. cross-corpus: ``new`` × ``seen`` pairs by ``method`` —
+         any hit drops the new row (the seen copy always wins);
+      2. intra-batch: ``near_dedup`` over the survivors, so a burst of
+         near-identical fresh documents still collapses to one.
+
+    ``method='ngram'`` (exact within blocks via ``join_on=...``) is
+    fully deterministic/oracle-testable; ``'minhash'`` scales the
+    cross join through LSH band buckets (build the seen side's bands
+    ONCE per corpus rebuild and persist them in production).
+
+    Scale shape: the cross-corpus probe shuffles candidate IDS only
+    (both methods block/bucket before pairing); the drop set is the
+    small side of a left-anti join; no seen-corpus rewrite.
+    """
+    if method == "ngram":
+        from .dedup import ngram_jaccard
+
+        hits = ngram_jaccard(new, seen, text_col=text_col,
+                             id_col=id_col, **kwargs)
+    elif method == "minhash":
+        from .dedup import minhash_lsh_pairs
+
+        # tag the sides so one self-join over the union yields only
+        # cross pairs: new ids are even, seen ids odd (bit-tag)
+        tag_new = new.select((F.col(id_col) * 2).alias(id_col), text_col)
+        tag_seen = seen.select((F.col(id_col) * 2 + 1).alias(id_col),
+                               text_col)
+        both = tag_new.unionByName(tag_seen)
+        pairs = minhash_lsh_pairs(both, text_col=text_col,
+                                  id_col=id_col, **kwargs)
+        hits = (pairs.where((F.col("id_a") % 2) != (F.col("id_b") % 2))
+                .select(F.when(F.col("id_a") % 2 == 0, F.col("id_a"))
+                        .otherwise(F.col("id_b")).alias("id_a")))
+        hits = hits.select((F.col("id_a") / 2).cast("long").alias("id_a"))
+    else:
+        raise ValueError(f"near_dedup_incremental: unknown method "
+                         f"{method!r}")
+    # pairs are (id_a from new, id_b from seen) for ngram's two-frame
+    # form; either side of a hit drops the NEW row
+    dup_new = hits.select(F.col("id_a").alias(id_col)).distinct()
+    fresh = new.join(dup_new, on=id_col, how="left_anti")
+    return near_dedup(fresh, method=method, text_col=text_col,
+                      id_col=id_col, max_iter=max_iter, **kwargs)
 
 
 def semantic_dedup(df: DataFrame, vec_col: str = "embedding",

@@ -468,7 +468,10 @@ def ngram_jaccard(df_a: DataFrame, df_b: DataFrame | None = None,
         a = a.withColumn("_na", F.size("sh_a"))
         b = b.withColumn("_nb", F.size("sh_b"))
     joined = a.join(b, on=join_on) if join_on else a.crossJoin(b)
-    joined = joined.where(F.col("id_a") < F.col("id_b"))
+    if df_b is df_a:
+        # self-join: each unordered pair once; a two-frame call wants
+        # ALL cross pairs regardless of id order
+        joined = joined.where(F.col("id_a") < F.col("id_b"))
     if min_jaccard > 0:
         # size-ratio prefilter (standard set-similarity-join bound):
         # J(A,B) ≤ min/max of the set sizes, so pairs violating

@@ -243,3 +243,28 @@ def test_embedding_ops_null_and_zero_vectors(spark):
     got = {r["vec_id"]: r["cosine"] for r in sim.cosine_topk(
         df.where("embedding is not null"), [1.0, 0.0], k=3).collect()}
     assert got[3] == 0.0  # zero vector scores 0, does not raise (ANSI)
+
+
+def test_near_dedup_incremental_cross_and_intra(spark):
+    from meza_spark.llm.cluster import near_dedup_incremental
+
+    seen = spark.createDataFrame([
+        (100, "the quick brown fox jumps over the lazy dog", "a"),
+        (101, "a completely different seen document right here", "a")],
+        ["doc_id", "text", "blk"])
+    new = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy cat", "a"),  # ~seen
+        (2, "a fresh unique new document about spark engines", "a"),
+        (3, "a fresh unique new document about spark motors", "a"),  # ~2
+        (4, "nothing resembling anything else in any corpus", "a")],
+        ["doc_id", "text", "blk"])
+    kept = near_dedup_incremental(new, seen, method="ngram", n=3,
+                                  min_jaccard=0.3, join_on="blk")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 4]
+    # minhash path agrees on the same corpus
+    kept2 = near_dedup_incremental(
+        new.select("doc_id", "text"), seen.select("doc_id", "text"),
+        method="minhash", min_jaccard=0.3)
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [2, 4]
+    # columns survive records-in/records-out
+    assert kept.columns == new.columns
