@@ -439,9 +439,10 @@ def ngram_jaccard(df_a: DataFrame, df_b: DataFrame | None = None,
     natural key or LSH buckets via ``minhash_lsh_pairs``); the
     unblocked form is a cross join and only sane for small frames.
     """
+    self_join = df_b is None or df_b is df_a
     df_b = df_b if df_b is not None else df_a
     df_a = spread(df_a)
-    df_b = spread(df_b) if df_b is not df_a else df_a
+    df_b = df_a if self_join else spread(df_b)
     # shingle STRINGS are hashed to int64 before the pair join: the
     # set-intersection cost (and join/shuffle payload) drops to 8B per
     # distinct shingle, and |A∩B|/|A∪B| is unchanged unless xxhash64
@@ -468,7 +469,7 @@ def ngram_jaccard(df_a: DataFrame, df_b: DataFrame | None = None,
         a = a.withColumn("_na", F.size("sh_a"))
         b = b.withColumn("_nb", F.size("sh_b"))
     joined = a.join(b, on=join_on) if join_on else a.crossJoin(b)
-    if df_b is df_a:
+    if self_join:
         # self-join: each unordered pair once; a two-frame call wants
         # ALL cross pairs regardless of id order
         joined = joined.where(F.col("id_a") < F.col("id_b"))
