@@ -31,7 +31,7 @@ DEFAULT_QUERIES = [
     "sample_split", "shuffle_rank", "pack_shards", "pack_sequences",
     # kernel-scored pair ops
     "dedup_minhash_lsh", "dedup_simhash", "dedup_embed_cosine",
-    "dedup_near_e2e", "dedup_span_rewrite",
+    "dedup_near_e2e", "dedup_span_rewrite", "dedup_incremental_near",
 ]
 
 _WORKER = r"""
