@@ -346,10 +346,39 @@ def near_dedup_incremental(new: DataFrame, seen: DataFrame,
     small side of a left-anti join; no seen-corpus rewrite.
     """
     if method == "ngram":
-        from .dedup import ngram_jaccard
+        # staged form: shingle each frame ONCE (the tokenize+shingle
+        # regex pass is the CPU hot spot), materialize the new side,
+        # and reuse it for BOTH the cross-corpus probe and the
+        # intra-batch self-join — the naive composition
+        # (ngram_jaccard(new, seen) then near_dedup(fresh)) would
+        # re-tokenize `new` a second time (measured ~35% of the
+        # query's wall time at sf0.1)
+        from .dedup import _ngram_pairs, _ngram_side
 
-        hits = ngram_jaccard(new, seen, text_col=text_col,
-                             id_col=id_col, **kwargs)
+        n = kwargs.get("n", 3)
+        min_jaccard = kwargs.get("min_jaccard", 0.0)
+        join_on = kwargs.get("join_on")
+        from ..util import spread
+
+        sh_new = _ngram_side(spread(new), text_col, id_col, "id_a",
+                             n, join_on).localCheckpoint()
+        sh_seen = _ngram_side(spread(seen), text_col, id_col, "id_b",
+                              n, join_on)
+        hits = _ngram_pairs(sh_new, sh_seen, self_join=False,
+                            min_jaccard=min_jaccard, join_on=join_on)
+        dup_new = (hits.select(F.col("id_a").alias(id_col)).distinct()
+                   .localCheckpoint())
+        sh_fresh = sh_new.join(
+            dup_new.select(F.col(id_col).alias("id_a")),
+            on="id_a", how="left_anti")
+        intra = _ngram_pairs(sh_fresh, sh_fresh, self_join=True,
+                             min_jaccard=min_jaccard, join_on=join_on)
+        comp = connected_components(intra.select("id_a", "id_b"),
+                                    max_iter=max_iter)
+        drop_intra = (comp.where(F.col("component") != F.col("id"))
+                      .select(F.col("id").alias(id_col)))
+        drop = dup_new.unionByName(drop_intra)
+        return new.join(drop, on=id_col, how="left_anti")
     elif method == "minhash":
         from .dedup import minhash_lsh_pairs
 

@@ -443,25 +443,53 @@ def ngram_jaccard(df_a: DataFrame, df_b: DataFrame | None = None,
     df_b = df_b if df_b is not None else df_a
     df_a = spread(df_a)
     df_b = df_a if self_join else spread(df_b)
-    # shingle STRINGS are hashed to int64 before the pair join: the
-    # set-intersection cost (and join/shuffle payload) drops to 8B per
-    # distinct shingle, and |A∩B|/|A∪B| is unchanged unless xxhash64
-    # collides inside one pair's union set (P ≈ |union|²/2^64 — for
-    # real shingle counts, negligible against any rounding).
-    # tokens materialized per side BEFORE shingling: an inline
-    # tokenizer expression would re-run the regex split per n-gram
-    # position inside the shingle transform (see shingles_from_tokens)
-    def _side(df, idc):
-        step = (df.withColumn("_tk", tokens(F.lower(F.col(text_col))))
-                .withColumn("_sh", shingles_from_tokens(F.col("_tk"), n)))
-        return step.select(
-            F.col(id_col).alias(idc),
-            *([F.col(join_on)] if join_on else []),
-            F.array_distinct(F.transform(
-                "_sh", lambda s: F.xxhash64(s))).alias(f"sh{idc[2:]}"))
+    a = _ngram_side(df_a, text_col, id_col, "id_a", n, join_on)
+    b = a if self_join else _ngram_side(df_b, text_col, id_col, "id_b",
+                                        n, join_on)
+    return _ngram_pairs(a, b, self_join=self_join,
+                        min_jaccard=min_jaccard, join_on=join_on)
 
-    a = _side(df_a, "id_a")
-    b = _side(df_b, "id_b")
+
+def _ngram_side(df: DataFrame, text_col: str, id_col: str, idc: str,
+                n: int, join_on: str | None) -> DataFrame:
+    """One side of the n-gram pair join: ``(idc, [join_on], sh<side>)``
+    with the shingle set hashed to a distinct int64 array.
+
+    shingle STRINGS are hashed to int64 before the pair join: the
+    set-intersection cost (and join/shuffle payload) drops to 8B per
+    distinct shingle, and |A∩B|/|A∪B| is unchanged unless xxhash64
+    collides inside one pair's union set (P ≈ |union|²/2^64 — for
+    real shingle counts, negligible against any rounding).
+    tokens materialized per side BEFORE shingling: an inline
+    tokenizer expression would re-run the regex split per n-gram
+    position inside the shingle transform (see shingles_from_tokens).
+
+    Split out of :func:`ngram_jaccard` so incremental callers
+    (``near_dedup_incremental``) can shingle each frame ONCE and feed
+    the same materialized side into both the cross-corpus probe and
+    the intra-batch self-join.
+    """
+    step = (df.withColumn("_tk", tokens(F.lower(F.col(text_col))))
+            .withColumn("_sh", shingles_from_tokens(F.col("_tk"), n)))
+    return step.select(
+        F.col(id_col).alias(idc),
+        *([F.col(join_on)] if join_on else []),
+        F.array_distinct(F.transform(
+            "_sh", lambda s: F.xxhash64(s))).alias(f"sh{idc[2:]}"))
+
+
+def _ngram_pairs(a: DataFrame, b: DataFrame, self_join: bool,
+                 min_jaccard: float, join_on: str | None) -> DataFrame:
+    """Pair-join stage over pre-shingled sides (see
+    :func:`_ngram_side`): blocked (or cross) join, size-ratio prune,
+    exact Jaccard on the int64 shingle sets."""
+    if self_join:
+        # rename the shared side's columns for the right leg; the
+        # caller passes the SAME frame for a and b
+        b = b.select(
+            F.col("id_a").alias("id_b"),
+            *([F.col(join_on)] if join_on else []),
+            F.col("sh_a").alias("sh_b"))
     if min_jaccard > 0:
         # size computed PER SIDE (once per row, rides the join as one
         # int) — computing F.size on the joined output would re-derive
