@@ -2354,6 +2354,69 @@ def llm_normalize(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def graph_pagerank(spark, sf_dir):
+    """Weighted PageRank over the event-type transition graph (edges =
+    consecutive event pairs per user, weight = transition count) — the
+    link-graph centrality prior a Common-Crawl-style pipeline uses for
+    quality weighting. 5 power iterations, decimal-accumulated sums,
+    per-iteration rounding; the DuckDB oracle replays the SAME 5
+    iterations unrolled as chained CTEs, so ranks are hash-exact.
+    Output in integer nano-units (engine-portable float transport)."""
+    from pyspark.sql import Window
+
+    from meza_spark.graph import pagerank
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (ev.select("user_id", "ts", "event_id", "event_type")
+             .withColumn("nxt", F.lead("event_type").over(w))
+             .where(F.col("nxt").isNotNull())
+             .groupBy(F.col("event_type").alias("src"),
+                      F.col("nxt").alias("dst"))
+             .agg(F.count(F.lit(1)).alias("w")))
+    pr_df = pagerank(edges, weight="w", n_iter=5, round_digits=9)
+    return (pr_df.select(F.col("v").alias("event_type"),
+                         F.floor(F.col("pagerank") * 1e9 + F.lit(0.5))
+                         .cast("long").alias("pr_nano"))
+            .orderBy("event_type"))
+
+
+def llm_ppl_buckets(spark, sf_dir):
+    """CCNet-style per-language perplexity bucketing: unigram-logprob
+    score, then ntile(3) head/middle/tail within each language —
+    deterministic (score desc, doc_id tiebreak) and SQL-replayable."""
+    docs = _t(spark, sf_dir, "documents")
+    return (tx.perplexity_buckets(docs, n_buckets=3)
+            .orderBy("doc_id"))
+
+
+def dedup_containment(spark, sf_dir):
+    """Asymmetric containment near-dup pairs: |A∩B| / min(|A|,|B|)
+    over 3-gram shingles, blocked on (source,lang) — catches
+    small-doc-quoted-in-big-doc pairs Jaccard misses (a half-length
+    prefix scores containment ≈ 1.0 but Jaccard ≈ 0.5). The corpus
+    has no natural subset pairs, so the query plants them: character-
+    prefix snippets of docs < 40 re-enter as new ids — the quote-farm
+    shape. Jaccard's size-ratio prune is deliberately absent from the
+    operator. Hash-gated (micro-unit containment)."""
+    from meza_spark.llm.dedup import ngram_containment
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "blk", F.concat_ws("|", "source", "lang"))
+    snips = (docs.where(F.col("doc_id") < 40)
+             .select((F.col("doc_id") + 200000).alias("doc_id"),
+                     F.expr("substring(text, 1, "
+                            "cast(n_chars div 2 as int))").alias("text"),
+                     "blk"))
+    both = docs.select("doc_id", "text", "blk").unionByName(snips)
+    pairs = ngram_containment(both, n=3, min_containment=0.5,
+                              join_on="blk")
+    return (pairs.select("id_a", "id_b",
+                         F.floor(F.col("containment") * 1e6 + F.lit(0.5))
+                         .cast("long").alias("cont_micro"))
+            .orderBy("id_a", "id_b"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing(spark, SF001)
@@ -2536,6 +2599,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ann_ivfpq": embed_ann_ivfpq,
         "llm_logprob": llm_logprob,
         "dedup_semantic": dedup_semantic,
+        "graph_pagerank": graph_pagerank,
+        "llm_ppl_buckets": llm_ppl_buckets,
+        "dedup_containment": dedup_containment,
     }
 
 
@@ -2585,6 +2651,62 @@ def _zorder_oracle_expr(cols: list[str], bits: int) -> str:
     terms = [f"(((CAST({c} AS BIGINT) >> {i}) & 1) << {i * k + j})"
              for i in range(bits) for j, c in enumerate(cols)]
     return " | ".join(terms)
+
+
+def _pagerank_oracle(n_iter: int = 5, damping: float = 0.85,
+                     digits: int = 9) -> str:
+    """Unrolled power-iteration twin of meza_spark.graph.pagerank over
+    the event-type transition graph: chained CTEs r0→r{n} replay the
+    exact per-iteration decimal-accumulate + round schedule (recursive
+    CTEs can't aggregate over the recursive term, so we unroll — the
+    iteration count is a fixed query parameter in both engines)."""
+    head = f"""
+        WITH trans AS (
+          SELECT event_type AS s,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS d
+          FROM events),
+        edges AS (
+          SELECT s, d, CAST(COUNT(*) AS DOUBLE) AS w
+          FROM trans WHERE d IS NOT NULL GROUP BY s, d),
+        outw AS (
+          SELECT s, CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE) AS ow
+          FROM edges GROUP BY s),
+        verts AS (
+          SELECT DISTINCT v FROM (
+            SELECT s AS v FROM edges UNION ALL SELECT d FROM edges)),
+        nn AS (SELECT COUNT(*) AS n FROM verts),
+        r0 AS (
+          SELECT v, round(1.0 / (SELECT n FROM nn), {digits}) AS r
+          FROM verts)"""
+    body = []
+    for k in range(1, n_iter + 1):
+        p = k - 1
+        body.append(f"""
+        d{p} AS (
+          SELECT COALESCE(CAST(SUM(CAST(r AS DECIMAL(38,18)))
+                               AS DOUBLE), 0.0) AS dm
+          FROM r{p} WHERE v NOT IN (SELECT s FROM edges)),
+        c{k} AS (
+          SELECT e.d AS v,
+                 CAST(SUM(CAST(r.r * e.w / o.ow AS DECIMAL(38,18)))
+                      AS DOUBLE) AS cs
+          FROM edges e JOIN r{p} r ON e.s = r.v
+                       JOIN outw o ON e.s = o.s
+          GROUP BY e.d),
+        r{k} AS (
+          SELECT verts.v,
+                 round((1.0 - {damping}) / (SELECT n FROM nn)
+                       + {damping} * (COALESCE(c{k}.cs, 0.0)
+                                      + (SELECT dm FROM d{p})
+                                        / (SELECT n FROM nn)),
+                       {digits}) AS r
+          FROM verts LEFT JOIN c{k} ON verts.v = c{k}.v)""")
+    tail = f"""
+        SELECT v AS event_type,
+               CAST(floor(r * 1000000000 + 0.5) AS BIGINT) AS pr_nano
+        FROM r{n_iter} ORDER BY event_type"""
+    return head + "," + ",".join(body) + tail
 
 
 def _oracle_sql_base() -> dict[str, str]:
@@ -4644,6 +4766,68 @@ def _oracle_sql_base() -> dict[str, str]:
                    COALESCE(s.n_tokens, 0) AS n_tokens,
                    round(s.lp, 6) AS logprob
             FROM documents d LEFT JOIN scored s ON d.doc_id = s._id
+        """,
+        "graph_pagerank": _pagerank_oracle(n_iter=5, damping=0.85,
+                                           digits=9),
+        "llm_ppl_buckets": r"""
+            WITH pairs AS (
+              SELECT doc_id AS _id,
+                     unnest(regexp_split_to_array(trim(lower(text)),
+                                                  '\s+')) AS term
+              FROM documents WHERE trim(text) <> ''),
+            freq AS (SELECT term, COUNT(*) AS n FROM pairs GROUP BY term),
+            tot AS (SELECT SUM(n) AS total FROM freq),
+            scored AS (
+              SELECT _id, COUNT(*) AS n_tokens,
+                     CAST(SUM(CAST(ln(n / total) AS DECIMAL(38,18)))
+                          AS DOUBLE) / COUNT(*) AS lp
+              FROM pairs JOIN freq USING (term) CROSS JOIN tot
+              GROUP BY _id),
+            keyed AS (
+              SELECT d.doc_id, d.lang,
+                     COALESCE(s.n_tokens, 0) AS n_tokens,
+                     round(s.lp, 6) AS logprob
+              FROM documents d LEFT JOIN scored s ON d.doc_id = s._id)
+            SELECT doc_id, lang, n_tokens, logprob,
+                   CAST(ntile(3) OVER (
+                     PARTITION BY lang
+                     ORDER BY logprob DESC NULLS LAST, doc_id)
+                   AS INTEGER) AS ppl_bucket
+            FROM keyed ORDER BY doc_id
+        """,
+        "dedup_containment": r"""
+            WITH corpus AS (
+              SELECT doc_id, text, source || '|' || lang AS blk
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 200000 AS doc_id,
+                     substr(text, 1, CAST(n_chars // 2 AS INT)) AS text,
+                     source || '|' || lang AS blk
+              FROM documents WHERE doc_id < 40),
+            sh AS (
+              SELECT doc_id, blk,
+                     list_distinct(CASE
+                       WHEN len(regexp_split_to_array(trim(lower(text)), '\s+')) < 3
+                       THEN [array_to_string(
+                              regexp_split_to_array(trim(lower(text)), '\s+'), ' ')]
+                       ELSE list_transform(
+                         range(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) - 1),
+                         i -> regexp_split_to_array(trim(lower(text)), '\s+')[i] || ' ' ||
+                              regexp_split_to_array(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                              regexp_split_to_array(trim(lower(text)), '\s+')[i+2])
+                     END) AS grams
+              FROM corpus)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(floor(
+                     CAST(len(list_filter(a.grams,
+                              x -> list_contains(b.grams, x))) AS DOUBLE)
+                     / least(len(a.grams), len(b.grams))
+                     * 1000000 + 0.5) AS BIGINT) AS cont_micro
+            FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_filter(a.grams,
+                           x -> list_contains(b.grams, x))) AS DOUBLE)
+                  / least(len(a.grams), len(b.grams)) >= 0.5
+            ORDER BY id_a, id_b
         """,
     }
 

@@ -1,0 +1,117 @@
+"""Distributed graph operators over edge DataFrames.
+
+The training-data use case: link-graph centrality as a document-quality
+prior (Common-Crawl-style pipelines rank hosts by PageRank/harmonic
+centrality and use the score to weight or filter pages). The operators
+here take a plain edge DataFrame ``(src, dst[, weight])`` — no graph
+library, no RDDs — and run iterative DataFrame rounds exactly like
+``llm.cluster.connected_components``: ids-only shuffles, one
+materializing job per round, lineage cut per round so Catalyst plans
+stay constant-size.
+
+Reference parity note: the reference has no graph surface at all
+(meza is tabular ETL, ref meza/process.py); this module is part of the
+beyond-reference charter layer (SURVEY §2.10/§2.11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["degrees", "pagerank"]
+
+
+def degrees(edges: DataFrame, src: str = "src",
+            dst: str = "dst") -> DataFrame:
+    """Per-vertex in/out/total degree — the cheap graph feature set.
+    One union + one agg; parallel edges count individually."""
+    d = (edges.select(F.col(src).alias("v"), F.lit(1).alias("_o"),
+                      F.lit(0).alias("_i"))
+         .unionByName(edges.select(F.col(dst).alias("v"),
+                                   F.lit(0).alias("_o"),
+                                   F.lit(1).alias("_i"))))
+    return (d.groupBy("v")
+            .agg(F.sum("_o").alias("out_degree"),
+                 F.sum("_i").alias("in_degree"),
+                 F.count(F.lit(1)).alias("degree")))
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             weight: str | None = None, n_iter: int = 10,
+             damping: float = 0.85,
+             round_digits: int = 12) -> DataFrame:
+    """Weighted PageRank by power iteration over an edge DataFrame.
+    Returns ``(v, pagerank)`` for every vertex appearing in ``edges``.
+
+    Per iteration (the standard formulation, Page et al. 1999 —
+    public; dangling mass redistributed uniformly):
+
+        r'(v) = (1-d)/N + d * ( Σ_{u→v} r(u)·w(u,v)/outw(u) + D/N )
+
+    where ``D = Σ r(u)`` over dangling vertices (no out-edges) and
+    parallel edges are pre-aggregated into one weighted edge.
+
+    Deterministic on any engine/partitioning: per-edge contributions
+    are row-local IEEE doubles, every cross-row SUM accumulates in
+    ``decimal(38,18)`` (exact, order-free), and each iteration's rank
+    is rounded to ``round_digits`` — so a SQL oracle replaying the
+    same unrolled iterations matches bit-for-bit.
+
+    Scale shape: the static edge/out-weight frames are materialized
+    once; each round is ONE shuffle (contributions aggregated on the
+    destination key) plus a scalar dangling-mass aggregate that doubles
+    as the round's materializing barrier (persist → agg → cache-read
+    localCheckpoint — the ``connected_components`` fused-barrier
+    pattern, see llm/cluster.py). Ranks ride every shuffle as
+    ``(id, double)`` — 16 B/row regardless of document size. Driver
+    round-trips: one scalar per iteration, O(n_iter) total.
+    """
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = (edges.groupBy(F.col(src).alias("s"), F.col(dst).alias("d"))
+         .agg(F.sum(w.cast("decimal(38,6)")).cast("double").alias("w")))
+    e = e.localCheckpoint()
+    outw = e.groupBy("s").agg(
+        F.sum(F.col("w").cast("decimal(38,6)")).cast("double")
+        .alias("ow"))
+    verts = (e.select(F.col("s").alias("v"))
+             .unionByName(e.select(F.col("d").alias("v")))
+             .distinct())
+    # static dangling marker: no out-edges → rank mass has nowhere to
+    # go; its redistribution is the per-round scalar
+    verts = (verts.join(outw.select(F.col("s").alias("v"),
+                                    F.lit(False).alias("_dang")),
+                        on="v", how="left")
+             .select("v", F.coalesce("_dang", F.lit(True)).alias("_dang"))
+             .localCheckpoint())
+    n = verts.count()
+    if n == 0:
+        return verts.select(F.col("v"),
+                            F.lit(0.0).alias("pagerank")).limit(0)
+    base = (1.0 - damping) / n
+    ranks = verts.withColumn("r", F.lit(round(1.0 / n, round_digits)))
+
+    dsum = F.sum(F.col("r").cast("decimal(38,18)")).cast("double")
+    for _ in range(n_iter):
+        # fused barrier: persist ranks, materialize via the dangling
+        # aggregate this round needs anyway, then cut lineage with a
+        # cache-read localCheckpoint
+        ranks = ranks.persist()
+        dang = (ranks.where("_dang").agg(dsum.alias("D"))
+                .collect()[0]["D"]) or 0.0
+        cut = ranks.localCheckpoint()
+        ranks.unpersist()
+        contrib = (e.join(cut.select(F.col("v").alias("s"), "r"), on="s")
+                   .join(outw, on="s")
+                   .select("d", (F.col("r") * F.col("w") / F.col("ow"))
+                           .alias("c")))
+        agg = contrib.groupBy("d").agg(
+            F.sum(F.col("c").cast("decimal(38,18)")).cast("double")
+            .alias("cs"))
+        ranks = (verts.join(agg, verts["v"] == agg["d"], "left")
+                 .select("v", "_dang",
+                         F.round(F.lit(base) + F.lit(damping)
+                                 * (F.coalesce("cs", F.lit(0.0))
+                                    + F.lit(dang) / n),
+                                 round_digits).alias("r")))
+    return ranks.select("v", F.col("r").alias("pagerank"))

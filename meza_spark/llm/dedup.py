@@ -24,7 +24,8 @@ from ..util import spread
 from .text import shingles_from_tokens, tokens
 
 __all__ = ["exact_dedup", "dedup_lines", "minhash_signatures",
-           "minhash_lsh_pairs", "ngram_jaccard", "ngram_span_pairs",
+           "minhash_lsh_pairs", "ngram_jaccard", "ngram_containment",
+           "ngram_span_pairs",
            "remove_duplicate_spans", "simhash", "simhash_pairs"]
 
 
@@ -518,6 +519,50 @@ def _ngram_pairs(a: DataFrame, b: DataFrame, self_join: bool,
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(0.0)
     out = joined.select("id_a", "id_b", jac.alias("jaccard"))
     return out.where(F.col("jaccard") >= min_jaccard) if min_jaccard > 0 else out
+
+
+def ngram_containment(df_a: DataFrame, df_b: DataFrame | None = None,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      n: int = 3, min_containment: float = 0.0,
+                      join_on: str | None = None) -> DataFrame:
+    """Exact n-gram CONTAINMENT between document pairs:
+    ``|A∩B| / min(|A|,|B|)`` — the asymmetric near-dup signal.
+
+    Jaccard punishes size mismatch: a tweet quoted verbatim inside a
+    10k-word article scores J ≈ 0.001 and survives every
+    Jaccard-threshold dedup, yet it IS a duplicate of the article's
+    content (Broder's "containment" from the original resemblance
+    paper, 1997 — public). Containment scores that pair ≈ 1.0. Use it
+    to catch quote farms, wrapper pages, and boilerplate-plus-payload
+    expansions of seen documents.
+
+    Same machinery as :func:`ngram_jaccard` (shingle → int64 hash →
+    blocked pair join); the size-RATIO prefilter is deliberately
+    absent — small⊂large is exactly the pair containment exists to
+    keep. Block with ``join_on`` (or pre-bucket with LSH) at scale:
+    the unblocked form is a cross join.
+    """
+    self_join = df_b is None or df_b is df_a
+    df_a = spread(df_a)
+    a = _ngram_side(df_a, text_col, id_col, "id_a", n, join_on)
+    if self_join:
+        b = a.select(
+            F.col("id_a").alias("id_b"),
+            *([F.col(join_on)] if join_on else []),
+            F.col("sh_a").alias("sh_b"))
+    else:
+        b = _ngram_side(spread(df_b), text_col, id_col, "id_b",
+                        n, join_on)
+    joined = a.join(b, on=join_on) if join_on else a.crossJoin(b)
+    if self_join:
+        joined = joined.where(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    mn = F.least(F.size("sh_a"), F.size("sh_b"))
+    cont = F.when(mn > 0, inter.cast("double") / mn).otherwise(0.0)
+    out = joined.select("id_a", "id_b", cont.alias("containment"))
+    if min_containment > 0:
+        out = out.where(F.col("containment") >= min_containment)
+    return out
 
 
 # ---------------------------------------------------------------------------

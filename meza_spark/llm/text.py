@@ -16,6 +16,7 @@ __all__ = ["token_count", "quality_score", "lang_id", "fingerprint",
            "repetition_signals", "c4_quality_flags", "scrub_pii",
            "shingles", "tokens", "char_entropy", "chunk_documents",
            "vocab_topk", "tfidf_top_terms", "unigram_logprob",
+           "perplexity_buckets",
            "gopher_filter", "normalize_text"]
 
 # Tiny per-language stopword marker sets for the n-gram/stopword
@@ -477,6 +478,44 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
            .select(id_col, F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
                    F.round("_lp", round_digits).alias("logprob")))
     return out
+
+
+def perplexity_buckets(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", lang_col: str = "lang",
+                       n_buckets: int = 3,
+                       round_digits: int = 6) -> DataFrame:
+    """CCNet-style per-language quality bucketing (Wenzek et al.,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data", 2020 — public): score every document with the
+    perplexity proxy (:func:`unigram_logprob`), then split EACH
+    LANGUAGE into ``n_buckets`` equal-population buckets by score —
+    bucket 1 = head (best), ``n_buckets`` = tail. CCNet trains on the
+    head/middle and drops or down-weights the tail.
+
+    Returns ``(id, lang, n_tokens, logprob, ppl_bucket)``.
+
+    Deterministic: bucket assignment is ``ntile`` over
+    ``(logprob DESC NULLS LAST, id)`` — the rounded score breaks ties
+    by id, so the row set is identical on any partitioning or engine.
+
+    Scale shape: the scoring pass is :func:`unigram_logprob`
+    (broadcast vocab, no corpus shuffle); bucketing is ONE window
+    partitioned by language. A mega-language serializes its ntile
+    into one task — at web scale swap the exact ntile for per-language
+    ``approx_percentile`` thresholds (same buckets up to estimation
+    error) computed in one agg; the exact form is the oracle-testable
+    default.
+    """
+    from pyspark.sql import Window
+
+    scored = unigram_logprob(df, text_col=text_col, id_col=id_col,
+                             round_digits=round_digits)
+    keyed = scored.join(df.select(id_col, lang_col), on=id_col)
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("logprob").desc_nulls_last(), F.col(id_col).asc())
+    return keyed.select(
+        id_col, lang_col, "n_tokens", "logprob",
+        F.ntile(n_buckets).over(w).alias("ppl_bucket"))
 
 
 def gopher_filter(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -196,3 +196,31 @@ def test_null_text_rows_survive_every_dedup_op(spark):
     assert minhash_lsh_pairs(df, min_jaccard=0.3).count() == 0
     assert remove_duplicate_spans(df, n=2).count() == 2
     dedup_lines(df).collect()  # null line-split row drops, no crash
+
+
+def test_ngram_containment_subset_pair(spark):
+    """A verbatim prefix scores containment 1.0 even when Jaccard is
+    far below threshold (the asymmetric signal's reason to exist)."""
+    from meza_spark.llm.dedup import ngram_containment, ngram_jaccard
+
+    big = "a b c d e f g h i j k l m n o p q r s t"
+    small = "a b c d e f g h i j"  # first half: every 3-gram ⊂ big
+    df = spark.createDataFrame([(1, big), (2, small), (3, "x y z w v")],
+                               ["doc_id", "text"])
+    pairs = {(r["id_a"], r["id_b"]): r["containment"]
+             for r in ngram_containment(df).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] == 0.0 and pairs[(2, 3)] == 0.0
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard(df).collect()}
+    assert jac[(1, 2)] < 0.5  # Jaccard misses what containment sees
+
+
+def test_ngram_containment_two_frame_and_threshold(spark):
+    from meza_spark.llm.dedup import ngram_containment
+
+    a = spark.createDataFrame([(1, "p q r s t")], ["doc_id", "text"])
+    b = spark.createDataFrame([(10, "p q r"), (11, "z z z")],
+                              ["doc_id", "text"])
+    got = ngram_containment(a, b, min_containment=0.9).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 10)]

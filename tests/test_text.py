@@ -226,3 +226,36 @@ def test_chunk_documents_no_shuffle_no_python(spark):
     df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
     st = plan_stats(chunk_documents(df, size=2, overlap=1))
     assert st["exchanges"] == 0 and st["python"] == 0
+
+
+def test_perplexity_buckets_per_lang_ntile(spark):
+    from meza_spark.llm.text import perplexity_buckets
+
+    rows = [
+        # en: "the the the" scores best (common tokens), gibberish worst
+        (1, "the the the the", "en"), (2, "the and of to", "en"),
+        (3, "zq xv jk pw", "en"),
+        (4, "der der der", "de"), (5, "und nicht das", "de"),
+        (6, "qqq www eee", "de"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r["doc_id"]: r for r in
+           perplexity_buckets(df, n_buckets=3).collect()}
+    assert len(out) == 6
+    # buckets partition each language 1..3 by score desc
+    for lang, ids in (("en", [1, 2, 3]), ("de", [4, 5, 6])):
+        buckets = sorted(out[i]["ppl_bucket"] for i in ids)
+        assert buckets == [1, 2, 3]
+    # the repeated-common-token doc is the language head
+    assert out[1]["ppl_bucket"] == 1 and out[4]["ppl_bucket"] == 1
+
+
+def test_perplexity_buckets_empty_text_tail(spark):
+    from meza_spark.llm.text import perplexity_buckets
+
+    df = spark.createDataFrame(
+        [(1, "the the", "en"), (2, "", "en")], ["doc_id", "text", "lang"])
+    out = {r["doc_id"]: r for r in
+           perplexity_buckets(df, n_buckets=2).collect()}
+    assert out[2]["logprob"] is None      # no tokens → null score
+    assert out[2]["ppl_bucket"] == 2      # NULLS LAST → tail bucket
