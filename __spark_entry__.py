@@ -2417,6 +2417,27 @@ def dedup_containment(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def embed_pca(spark, sf_dir):
+    """PCA projection of the embedding corpus to 8 dims (the ANN /
+    SemDeDup pre-rotation): exact decimal-accumulated covariance in
+    one distributed pass (order-free → bit-stable across engine
+    configs), driver-side eigh, Arrow-batched projection. Output as
+    comma-joined integer micro-units (scalar transport, r2 verdict
+    #1). VALUES-pinned oracle (eigendecomposition is not
+    SQL-expressible)."""
+    from meza_spark.llm.pca import pca_project
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = pca_project(e, vec_col="embedding", k=8, round_digits=6)
+    return (out.select(
+        "vec_id",
+        F.concat_ws(",", F.transform(
+            "pca",
+            lambda x: F.floor(x * 1000000 + F.lit(0.5))
+            .cast("long").cast("string"))).alias("pca_micro"))
+        .orderBy("vec_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing(spark, SF001)
@@ -2602,6 +2623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": graph_pagerank,
         "llm_ppl_buckets": llm_ppl_buckets,
         "dedup_containment": dedup_containment,
+        "embed_pca": embed_pca,
     }
 
 
