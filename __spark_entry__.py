@@ -2438,6 +2438,47 @@ def embed_pca(spark, sf_dir):
         .orderBy("vec_id"))
 
 
+def sample_budget(spark, sf_dir):
+    """Token-budget corpus mixing: fill each source to a 3000-char
+    budget in hash order (greedy prefix — the boundary row is kept).
+    Exclusive running sum per stratum; exact integer arithmetic, so
+    the DuckDB window twin matches hash-for-hash."""
+    from meza_spark.llm.sampling import budget_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                              "n_chars")
+    return (budget_sample(d, "doc_id", "source", "n_chars",
+                          default=3000, seed=0)
+            .orderBy("doc_id"))
+
+
+def decontam_fuzzy(spark, sf_dir):
+    """NEAR-match decontamination (flag mode): benchmark = the
+    doc_id%50 slice; training docs whose benchmark-side 5-gram
+    containment reaches 0.4 are flagged. The corpus has one natural
+    cross-split verbatim pair, so the query also plants graded
+    fragments of bench docs (half → caught at 0.4, quarter → passes)
+    — the lightly-edited-leak shape verbatim 8-gram decontam and
+    Jaccard both miss. Inverted-index probe: bench gram table
+    broadcast, only (doc_id, bench_id) id pairs shuffle."""
+    from meza_spark.llm.decontam import decontaminate_fuzzy
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text",
+                                                 "n_chars")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    frag = lambda shift, den: (  # noqa: E731
+        bench.select((F.col("doc_id") + shift).alias("doc_id"),
+                     F.expr(f"substring(text, 1, "
+                            f"cast(n_chars div {den} as int))")
+                     .alias("text"), "n_chars"))
+    train = (docs.where(F.col("doc_id") % 50 != 0)
+             .unionByName(frag(300000, 2))
+             .unionByName(frag(310000, 4)))
+    out = decontaminate_fuzzy(train, bench, n=5, min_containment=0.4,
+                              mode="flag")
+    return out.select("doc_id", "contaminated").orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing(spark, SF001)
@@ -2624,6 +2665,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_ppl_buckets": llm_ppl_buckets,
         "dedup_containment": dedup_containment,
         "embed_pca": embed_pca,
+        "sample_budget": sample_budget,
+        "decontam_fuzzy": decontam_fuzzy,
     }
 
 
@@ -4791,6 +4834,66 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_oracle(n_iter=5, damping=0.85,
                                            digits=9),
+        "sample_budget": r"""
+            SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars,
+                     COALESCE(SUM(n_chars) OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || '#0'),
+                                doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cum
+              FROM documents)
+            WHERE cum < 3000 ORDER BY doc_id
+        """,
+        "decontam_fuzzy": r"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+              UNION ALL
+              SELECT doc_id + 300000,
+                     substr(text, 1, CAST(n_chars // 2 AS INT))
+              FROM documents WHERE doc_id % 50 = 0
+              UNION ALL
+              SELECT doc_id + 310000,
+                     substr(text, 1, CAST(n_chars // 4 AS INT))
+              FROM documents WHERE doc_id % 50 = 0),
+            gram5 AS (
+              SELECT doc_id, list_distinct(CASE
+                WHEN len(regexp_split_to_array(trim(lower(text)), '\s+')) < 5
+                THEN [array_to_string(
+                       regexp_split_to_array(trim(lower(text)), '\s+'), ' ')]
+                ELSE list_transform(
+                  range(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) - 3),
+                  i -> regexp_split_to_array(trim(lower(text)), '\s+')[i] || ' ' ||
+                       regexp_split_to_array(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                       regexp_split_to_array(trim(lower(text)), '\s+')[i+2] || ' ' ||
+                       regexp_split_to_array(trim(lower(text)), '\s+')[i+3] || ' ' ||
+                       regexp_split_to_array(trim(lower(text)), '\s+')[i+4])
+                END) AS grams FROM corpus),
+            bgram AS (
+              SELECT doc_id AS bench_id, list_distinct(CASE
+                WHEN len(regexp_split_to_array(trim(lower(text)), '\s+')) < 5
+                THEN [array_to_string(
+                       regexp_split_to_array(trim(lower(text)), '\s+'), ' ')]
+                ELSE list_transform(
+                  range(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) - 3),
+                  i -> regexp_split_to_array(trim(lower(text)), '\s+')[i] || ' ' ||
+                       regexp_split_to_array(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                       regexp_split_to_array(trim(lower(text)), '\s+')[i+2] || ' ' ||
+                       regexp_split_to_array(trim(lower(text)), '\s+')[i+3] || ' ' ||
+                       regexp_split_to_array(trim(lower(text)), '\s+')[i+4])
+                END) AS grams
+              FROM documents WHERE doc_id % 50 = 0),
+            hits AS (
+              SELECT DISTINCT t.doc_id
+              FROM gram5 t, bgram b
+              WHERE CAST(len(list_filter(b.grams,
+                             x -> list_contains(t.grams, x))) AS DOUBLE)
+                    / len(b.grams) >= 0.4)
+            SELECT c.doc_id, h.doc_id IS NOT NULL AS contaminated
+            FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+            ORDER BY c.doc_id
+        """,
         "llm_ppl_buckets": r"""
             WITH pairs AS (
               SELECT doc_id AS _id,

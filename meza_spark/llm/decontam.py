@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 
 from .text import shingles_from_tokens, tokens
 
-__all__ = ["contaminated_ids", "decontaminate"]
+__all__ = ["contaminated_ids", "decontaminate",
+           "fuzzy_contamination_pairs", "decontaminate_fuzzy"]
 
 
 def _gram_hashes(df: DataFrame, text_col: str, id_col: str,
@@ -49,6 +50,78 @@ def contaminated_ids(docs: DataFrame, benchmark: DataFrame,
     hits = _gram_hashes(docs, text_col, id_col, n) \
         .join(F.broadcast(bench), "gram_hash", "left_semi")
     return hits.select(id_col).distinct()
+
+
+def fuzzy_contamination_pairs(docs: DataFrame, benchmark: DataFrame,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              n: int = 5,
+                              min_containment: float = 0.5) -> DataFrame:
+    """NEAR-match decontamination pairs: ``(doc_id, bench_id,
+    containment)`` where containment = the fraction of the BENCHMARK
+    doc's distinct ``n``-grams present in the training doc.
+
+    Verbatim single-gram overlap (:func:`contaminated_ids`) misses
+    lightly-edited leakage (paraphrased punctuation, shifted
+    whitespace shrink the shared-gram count below "any"); Jaccard
+    misses an eval item quoted inside a much longer document. The
+    benchmark-side containment is the measure eval-leak audits
+    actually want (Brown et al. GPT-3 appendix C dedupe against dev
+    sets — public): "how much of this eval item appears in that
+    training doc".
+
+    Scale shape: ONE inverted-index probe — the benchmark's
+    (gram_hash, bench_id) table is BROADCAST (eval sets are small by
+    nature); doc grams explode JVM-side to int64 hashes and map-side
+    semi-join it, so the only shuffle carries ``(doc_id, bench_id)``
+    id pairs for docs sharing ≥1 gram. Per-pair match counts then
+    divide by the benchmark doc's gram count. The corpus text never
+    rides a shuffle; cost is O(matching pairs), not O(docs × bench).
+    """
+    bench_grams = (benchmark
+                   .select(F.col(id_col).alias("bench_id"),
+                           F.explode(F.array_distinct(
+                               shingles_from_tokens(
+                                   tokens(F.lower(F.col(text_col))), n)))
+                           .alias("_g"))
+                   .select("bench_id", F.xxhash64("_g").alias("gram_hash"))
+                   .distinct())
+    bench_sizes = bench_grams.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("_nb"))
+    # no .distinct() on the doc side: shingles_from_tokens already
+    # dedupes per document, and a distinct here would shuffle the
+    # whole corpus's (id, gram) pairs — the map-side broadcast probe
+    # is the point
+    doc_grams = _gram_hashes(docs, text_col, id_col, n)
+    matches = (doc_grams.join(F.broadcast(bench_grams), on="gram_hash")
+               .groupBy(id_col, "bench_id")
+               .agg(F.count(F.lit(1)).alias("_m")))
+    out = (matches.join(F.broadcast(bench_sizes), on="bench_id")
+           .select(id_col, "bench_id",
+                   (F.col("_m").cast("double") / F.col("_nb"))
+                   .alias("containment")))
+    return out.where(F.col("containment") >= min_containment)
+
+
+def decontaminate_fuzzy(docs: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 5, min_containment: float = 0.5,
+                        mode: str = "remove") -> DataFrame:
+    """Records in, records out: drop (or flag) training docs whose
+    benchmark-side n-gram containment against ANY benchmark doc
+    reaches ``min_containment`` — the fuzzy sibling of
+    :func:`decontaminate`. The drop set is ids-only and distinct."""
+    if mode not in ("remove", "flag"):
+        raise ValueError(f"decontaminate_fuzzy: unknown mode {mode!r}")
+    ids = (fuzzy_contamination_pairs(docs, benchmark, text_col, id_col,
+                                     n, min_containment)
+           .select(id_col).distinct())
+    if mode == "remove":
+        return docs.join(ids, on=id_col, how="left_anti")
+    flag = ids.withColumn("contaminated", F.lit(True))
+    return (docs.join(flag, on=id_col, how="left")
+            .withColumn("contaminated",
+                        F.coalesce("contaminated", F.lit(False))))
 
 
 def decontaminate(docs: DataFrame, benchmark: DataFrame,

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from .text import tokens
 
 __all__ = ["hash_sample", "stratified_hash_sample",
-           "stratified_topk_sample", "split_train_val",
+           "stratified_topk_sample", "budget_sample", "split_train_val",
            "global_shuffle", "pack_shards", "pack_sequences",
            "temperature_sample",
            "quality_sample"]
@@ -134,6 +134,43 @@ def stratified_topk_sample(df: DataFrame, key_col: str, strata_col: str,
                    F.lit(int(default))) if counts else F.lit(int(default))
     return (df.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= k).drop("_rn"))
+
+
+def budget_sample(df: DataFrame, key_col: str, strata_col: str,
+                  size_col: str, budgets: dict | None = None,
+                  default: int = 0, seed: int = 0) -> DataFrame:
+    """Fill each stratum to a SIZE budget (tokens/chars/bytes), not a
+    row count: keep rows in hash order until the stratum's cumulative
+    ``size_col`` reaches its budget — "give me 2B tokens of web and
+    500M of books", the unit data-mixing recipes are actually written
+    in. The row that crosses the boundary is kept (greedy prefix), so
+    each non-exhausted stratum lands within one document of its
+    budget.
+
+    Deterministic: the prefix is ordered by ``md5(key || seed), key``
+    — same selection on any partitioning or engine; growing a stratum
+    only APPENDS candidates after the cut, it never reshuffles the
+    kept prefix... unless the new keys hash into it, which is the
+    same stability contract as :func:`stratified_topk_sample`.
+
+    Scale: one shuffle on the stratum key; the exclusive-prefix sum is
+    a per-stratum running window (integer arithmetic — exact). A
+    mega-stratum serializes its window into one task: pre-thin with
+    :func:`hash_sample` at rate ≈ 2·budget/Σsize first, then
+    budget-fill the survivor set (two-stage, same greedy semantics).
+    """
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f"#{seed}")))
+    w = (Window.partitionBy(strata_col).orderBy(h, F.col(key_col))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum = F.coalesce(F.sum(F.col(size_col).cast("long")).over(w),
+                     F.lit(0))
+    budgets = budgets or {}
+    b = (F.coalesce(*[F.when(F.col(strata_col) == s, F.lit(int(v)))
+                      for s, v in budgets.items()],
+                    F.lit(int(default)))
+         if budgets else F.lit(int(default)))
+    return (df.withColumn("_cum", cum).where(F.col("_cum") < b)
+            .drop("_cum"))
 
 
 def split_train_val(df: DataFrame, key_col: str,

@@ -1,6 +1,7 @@
 """Decontamination: n-gram overlap against a benchmark set."""
 
 import pyspark.sql.functions as F
+import pytest
 
 from meza_spark.llm.decontam import contaminated_ids, decontaminate
 from meza_spark.util import explain_str
@@ -70,3 +71,42 @@ def test_array_strategy_matches_join_strategy(spark):
                      decontaminate(docs, bench, n=8, mode="remove",
                                    strategy="array").collect())
     assert removed == [2, 4]
+
+
+def test_fuzzy_contamination_containment(spark):
+    """A doc containing most of an eval item's grams is caught even
+    though no long verbatim run survives the edit."""
+    from meza_spark.llm.decontam import (decontaminate_fuzzy,
+                                         fuzzy_contamination_pairs)
+
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france paris")],
+        ["doc_id", "text"])
+    docs = spark.createDataFrame([
+        # 3 of the 4 bench 5-grams appear verbatim -> containment 0.75
+        (1, "intro what is the capital of france x paris end"),
+        (2, "totally unrelated text about spark shuffles"),
+    ], ["doc_id", "text"])
+    pairs = fuzzy_contamination_pairs(docs, bench, n=5,
+                                      min_containment=0.5).collect()
+    assert [(r["doc_id"], r["bench_id"]) for r in pairs] == [(1, 100)]
+    assert pairs[0]["containment"] == pytest.approx(2 / 3)
+    kept = decontaminate_fuzzy(docs, bench, n=5, min_containment=0.5)
+    assert [r["doc_id"] for r in kept.collect()] == [2]
+    flagged = {r["doc_id"]: r["contaminated"]
+               for r in decontaminate_fuzzy(docs, bench, n=5,
+                                            min_containment=0.5,
+                                            mode="flag").collect()}
+    assert flagged == {1: True, 2: False}
+
+
+def test_fuzzy_contamination_threshold_excludes(spark):
+    from meza_spark.llm.decontam import fuzzy_contamination_pairs
+
+    bench = spark.createDataFrame([(1, "a b c d e f g h")],
+                                  ["doc_id", "text"])
+    docs = spark.createDataFrame([(10, "a b c d e zzz")],
+                                 ["doc_id", "text"])
+    # doc shares 1 of bench's 4 5-grams -> 0.25 < 0.5
+    assert fuzzy_contamination_pairs(docs, bench, n=5,
+                                     min_containment=0.5).count() == 0

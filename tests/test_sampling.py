@@ -165,3 +165,33 @@ def test_pack_sequences_empty_frame(spark):
 
     df = spark.createDataFrame([], "doc_id long, text string")
     assert pack_sequences(df, size=8).count() == 0
+
+
+def test_budget_sample_greedy_prefix(spark):
+    from meza_spark.llm.sampling import budget_sample
+
+    rows = [(i, "a" if i < 10 else "b", 100) for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "src", "size"])
+    out = budget_sample(df, "doc_id", "src", "size",
+                        budgets={"a": 350}, default=1000)
+    got = {r["src"]: 0 for r in out.collect()}
+    counts = out.groupBy("src").count().collect()
+    got = {r["src"]: r["count"] for r in counts}
+    # 'a': exclusive prefix < 350 keeps rows at cum 0,100,200,300 -> 4
+    assert got["a"] == 4
+    # 'b': default 1000 -> all 10 rows fit
+    assert got["b"] == 10
+    # deterministic: same selection on a different partitioning
+    again = budget_sample(df.repartition(7), "doc_id", "src", "size",
+                          budgets={"a": 350}, default=1000)
+    assert (sorted(r["doc_id"] for r in out.collect())
+            == sorted(r["doc_id"] for r in again.collect()))
+
+
+def test_budget_sample_zero_budget_drops_stratum(spark):
+    from meza_spark.llm.sampling import budget_sample
+
+    df = spark.createDataFrame([(1, "a", 5), (2, "b", 5)],
+                               ["doc_id", "src", "size"])
+    out = budget_sample(df, "doc_id", "src", "size", budgets={"a": 1})
+    assert [r["src"] for r in out.collect()] == ["a"]
