@@ -23,7 +23,68 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_key", "zorder_repartition", "zorder_write"]
+__all__ = ["zorder_key", "zorder_repartition", "zorder_write",
+           "compact_files"]
+
+
+def compact_files(spark, src: str, dst: str,
+                  target_file_bytes: int = 128 * 1024 * 1024,
+                  fmt: str = "parquet",
+                  zorder_cols: Sequence[str] | None = None,
+                  sort_cols: Sequence[str] | None = None) -> dict:
+    """Small-files compaction — the OPTIMIZE half of the lakehouse
+    maintenance pair (``zorder_write`` is the other). Streaming sinks,
+    per-trigger micro-batches and over-parallel writes leave thousands
+    of KB-sized files; at 100 TB the resulting open/footer-read cost
+    dominates scan time and crushes the driver's file-listing step.
+
+    Rewrites the ``src`` dataset into ``dst`` with file count
+    ``ceil(total_bytes / target_file_bytes)`` (size measured from the
+    source files — cheap listing, no data pass). Optionally re-clusters
+    during the rewrite (``zorder_cols`` → Z-curve layout,
+    ``sort_cols`` → range-partition + local sort) so one rewrite buys
+    both fewer files AND zone-map pruning.
+
+    ``dst`` must differ from ``src`` (write-then-swap is the caller's
+    transaction policy — this library has no table-format commit
+    protocol to make an in-place rewrite atomic, and silently deleting
+    the source would violate the never-drop contract).
+
+    Returns ``{"files_before", "bytes_before", "files_after"}``.
+    """
+    import math
+    import os
+
+    if os.path.abspath(src) == os.path.abspath(dst):
+        raise ValueError("compact_files: dst must differ from src "
+                         "(write-then-swap is the caller's job)")
+    sizes = []
+    for root, _dirs, names in os.walk(src):
+        for nm in names:
+            if not nm.startswith(("_", ".")):
+                sizes.append(os.path.getsize(os.path.join(root, nm)))
+    total = sum(sizes)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = getattr(spark.read, fmt)(src)
+    if zorder_cols:
+        out = zorder_repartition(df, zorder_cols,
+                                 num_partitions=n_out)
+    elif sort_cols:
+        out = (df.repartitionByRange(n_out, *sort_cols)
+               .sortWithinPartitions(*sort_cols))
+    else:
+        # coalesce when shrinking (no shuffle — the whole point of
+        # compaction is cheap), repartition only if growing
+        n_in = df.rdd.getNumPartitions()
+        out = df.coalesce(n_out) if n_out <= n_in \
+            else df.repartition(n_out)
+    getattr(out.write.mode("overwrite"), fmt)(dst)
+    files_after = sum(
+        1 for root, _d, names in os.walk(dst)
+        for nm in names
+        if not nm.startswith(("_", ".")) and not nm.endswith(".crc"))
+    return {"files_before": len(sizes), "bytes_before": total,
+            "files_after": files_after}
 
 
 def zorder_key(cols: Sequence[Column | str], bits: int = 21) -> Column:

@@ -78,3 +78,43 @@ def test_zorder_write_improves_zone_maps(spark, tmp_path):
     # z-order: each file covers ~a quadrant of both dimensions
     assert spread_of(zpath, "a") < spread_of(plain, "a") * 0.6
     assert spread_of(zpath, "b") < n  # still partially clustered on b
+
+
+def test_compact_files_shrinks_and_preserves(spark, tmp_path):
+    from meza_spark.layout import compact_files
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    spark.range(1000).withColumnRenamed("id", "k") \
+        .repartition(20).write.parquet(src)
+    stats = compact_files(spark, src, dst,
+                          target_file_bytes=50 * 1024 * 1024)
+    assert stats["files_before"] == 20
+    assert stats["files_after"] == 1
+    assert spark.read.parquet(dst).count() == 1000
+    assert (spark.read.parquet(dst).agg({"k": "sum"}).collect()[0][0]
+            == 499500)
+
+
+def test_compact_files_rejects_inplace(spark, tmp_path):
+    import pytest
+
+    from meza_spark.layout import compact_files
+
+    p = str(tmp_path / "x")
+    spark.range(10).write.parquet(p)
+    with pytest.raises(ValueError):
+        compact_files(spark, p, p)
+
+
+def test_compact_files_with_zorder(spark, tmp_path):
+    from meza_spark.layout import compact_files
+
+    src, dst = str(tmp_path / "f2"), str(tmp_path / "c2")
+    (spark.range(500)
+     .selectExpr("id % 23 AS a", "id % 17 AS b", "id AS v")
+     .repartition(10).write.parquet(src))
+    stats = compact_files(spark, src, dst,
+                          target_file_bytes=50 * 1024 * 1024,
+                          zorder_cols=["a", "b"])
+    assert stats["files_after"] == 1
+    assert spark.read.parquet(dst).count() == 500
