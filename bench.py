@@ -58,6 +58,9 @@ HEADLINE = [
     "multimodal_decode", "multimodal_audio",
     "resample_events", "url_features_docs", "sql_window_rank",
     "sample_quality",
+    # round-4 operators
+    "graph_pagerank", "llm_ppl_buckets", "dedup_containment",
+    "embed_pca", "sample_budget", "decontam_fuzzy",
 ]
 
 
@@ -86,7 +89,10 @@ SCALE_QUERIES = ["q1_pricing", "q3_shipping", "q5_local_supplier",
                  # round-3 operators under the slope lens
                  "dedup_minhash_lsh", "dedup_span_rewrite", "chunk_docs",
                  "pack_sequences", "multimodal_decode",
-                 "dedup_embed_cosine"]
+                 "dedup_embed_cosine",
+                 # round-4 operators under the slope lens
+                 "graph_pagerank", "decontam_fuzzy", "sample_budget",
+                 "embed_pca"]
 
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
