@@ -106,22 +106,69 @@ def fuzzy_contamination_pairs(docs: DataFrame, benchmark: DataFrame,
 def decontaminate_fuzzy(docs: DataFrame, benchmark: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
                         n: int = 5, min_containment: float = 0.5,
-                        mode: str = "remove") -> DataFrame:
+                        mode: str = "remove",
+                        strategy: str | None = None) -> DataFrame:
     """Records in, records out: drop (or flag) training docs whose
     benchmark-side n-gram containment against ANY benchmark doc
     reaches ``min_containment`` — the fuzzy sibling of
-    :func:`decontaminate`. The drop set is ids-only and distinct."""
+    :func:`decontaminate`.
+
+    Strategies (``None`` picks by frame type, same policy as
+    :func:`decontaminate`):
+      - ``'join'`` (batch default): inverted-index probe via
+        :func:`fuzzy_contamination_pairs`; the drop set is ids-only
+        and distinct. Scales with the match count.
+      - ``'array'`` (streaming default): the benchmark rides as ONE
+        broadcast row holding ``(grams, threshold_count)`` per bench
+        doc; each training row checks
+        ``∃b: |grams(doc) ∩ grams(b)| ≥ ceil(θ·|grams(b)|)``
+        row-locally — fully STATELESS (no aggregation state), so it
+        runs on a streaming frame with no watermark. Per-row cost is
+        O(|bench| · |doc grams|): right-sized for real eval sets.
+    """
     if mode not in ("remove", "flag"):
         raise ValueError(f"decontaminate_fuzzy: unknown mode {mode!r}")
-    ids = (fuzzy_contamination_pairs(docs, benchmark, text_col, id_col,
-                                     n, min_containment)
-           .select(id_col).distinct())
+    if strategy is None:
+        strategy = "array" if docs.isStreaming else "join"
+    if strategy == "join":
+        ids = (fuzzy_contamination_pairs(docs, benchmark, text_col,
+                                         id_col, n, min_containment)
+               .select(id_col).distinct())
+        if mode == "remove":
+            return docs.join(ids, on=id_col, how="left_anti")
+        flag = ids.withColumn("contaminated", F.lit(True))
+        return (docs.join(flag, on=id_col, how="left")
+                .withColumn("contaminated",
+                            F.coalesce("contaminated", F.lit(False))))
+    if strategy != "array":
+        raise ValueError(
+            f"decontaminate_fuzzy: unknown strategy {strategy!r}")
+    bench_row = (benchmark
+                 .select(F.array_distinct(F.transform(
+                     shingles_from_tokens(
+                         tokens(F.lower(F.col(text_col))), n),
+                     lambda g: F.xxhash64(g))).alias("_bg"))
+                 .where(F.size("_bg") > 0)
+                 .agg(F.collect_list("_bg").alias("_bench")))
+    doc_grams = F.array_distinct(F.transform(
+        shingles_from_tokens(tokens(F.lower(F.col(text_col))), n),
+        lambda g: F.xxhash64(g)))
+    # per bench doc: m >= 1 AND m/nb >= θ — the SAME IEEE division the
+    # join strategy applies, so the two strategies flag identical rows
+    # (a ceil(θ·nb) integer form would diverge where θ·nb lands on a
+    # float-representation boundary, e.g. 0.4 × 5)
+    hit = F.exists(
+        F.col("_bench"),
+        lambda bg: (F.size(F.array_intersect(F.col("_dg"), bg)) >= 1)
+        & (F.size(F.array_intersect(F.col("_dg"), bg)).cast("double")
+           / F.size(bg) >= F.lit(min_containment)))
+    out = (docs.withColumn("_dg", doc_grams)
+           .crossJoin(F.broadcast(bench_row))
+           .withColumn("contaminated", F.coalesce(hit, F.lit(False)))
+           .drop("_dg", "_bench"))
     if mode == "remove":
-        return docs.join(ids, on=id_col, how="left_anti")
-    flag = ids.withColumn("contaminated", F.lit(True))
-    return (docs.join(flag, on=id_col, how="left")
-            .withColumn("contaminated",
-                        F.coalesce("contaminated", F.lit(False))))
+        return out.where(~F.col("contaminated")).drop("contaminated")
+    return out
 
 
 def decontaminate(docs: DataFrame, benchmark: DataFrame,

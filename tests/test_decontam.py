@@ -110,3 +110,52 @@ def test_fuzzy_contamination_threshold_excludes(spark):
     # doc shares 1 of bench's 4 5-grams -> 0.25 < 0.5
     assert fuzzy_contamination_pairs(docs, bench, n=5,
                                      min_containment=0.5).count() == 0
+
+
+def test_fuzzy_array_strategy_matches_join(spark):
+    """Both physical strategies flag the same rows — including the
+    θ·nb float-boundary case (bench with 5 grams at θ=0.4, where a
+    ceil-based integer threshold would demand 3 matches instead of 2)."""
+    from meza_spark.llm.decontam import decontaminate_fuzzy
+
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f g h i")],   # 9 tokens -> 5 distinct 5-grams
+        ["doc_id", "text"])
+    docs = spark.createDataFrame([
+        (1, "a b c d e f zz"),          # grams 1-2 of bench -> m=2, 2/5=0.4
+        (2, "a b c d e zz"),            # m=1 -> 0.2
+        (3, "unrelated text entirely here"),
+    ], ["doc_id", "text"])
+    for strat in ("join", "array"):
+        flags = {r["doc_id"]: r["contaminated"] for r in
+                 decontaminate_fuzzy(docs, bench, n=5,
+                                     min_containment=0.4, mode="flag",
+                                     strategy=strat).collect()}
+        assert flags == {1: True, 2: False, 3: False}, strat
+
+
+def test_fuzzy_array_strategy_runs_on_stream(spark, tmp_path):
+    """strategy='array' is stateless -> works on a streaming frame
+    with no watermark; batch and stream flag sets agree."""
+    from meza_spark.llm.decontam import decontaminate_fuzzy
+
+    src = str(tmp_path / "docs")
+    bench = spark.createDataFrame([(100, "q w e r t y u")],
+                                  ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [(1, "q w e r t y zz"), (2, "nothing shared here at all")],
+        ["doc_id", "text"])
+    docs.write.parquet(src)
+    sdf = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = decontaminate_fuzzy(sdf, bench, n=5, min_containment=0.5,
+                              mode="flag")
+    q = (out.writeStream.format("memory").queryName("fz")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = {r["doc_id"]: r["contaminated"]
+           for r in spark.sql("select * from fz").collect()}
+    batch = {r["doc_id"]: r["contaminated"]
+             for r in decontaminate_fuzzy(docs, bench, n=5,
+                                          min_containment=0.5,
+                                          mode="flag").collect()}
+    assert got == batch == {1: True, 2: False}

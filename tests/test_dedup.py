@@ -196,6 +196,10 @@ def test_null_text_rows_survive_every_dedup_op(spark):
     assert minhash_lsh_pairs(df, min_jaccard=0.3).count() == 0
     assert remove_duplicate_spans(df, n=2).count() == 2
     dedup_lines(df).collect()  # null line-split row drops, no crash
+    from meza_spark.llm.dedup import ngram_containment
+
+    # null-text rows pair-score to null -> filtered, no crash
+    assert ngram_containment(df, min_containment=0.1).count() == 0
 
 
 def test_ngram_containment_subset_pair(spark):

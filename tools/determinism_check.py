@@ -32,6 +32,8 @@ DEFAULT_QUERIES = [
     # kernel-scored pair ops
     "dedup_minhash_lsh", "dedup_simhash", "dedup_embed_cosine",
     "dedup_near_e2e", "dedup_span_rewrite", "dedup_incremental_near",
+    # round-4: iterative float loop + exact-moment fit + budget prefix
+    "graph_pagerank", "embed_pca", "sample_budget", "decontam_fuzzy",
 ]
 
 _WORKER = r"""
