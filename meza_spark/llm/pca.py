@@ -26,22 +26,30 @@ from pyspark.sql import functions as F
 __all__ = ["pca_fit", "pca_project"]
 
 
+# fixed-point scale for the exact moment accumulation: products are
+# quantized ROW-LOCALLY to integer multiples of 2^-32 (layout-invariant
+# by construction), then summed with arbitrary-precision integer
+# arithmetic (associative → order-free). Relative quantization error
+# ~2^-32 per term — 5 orders below the 1e-6 transport rounding.
+_PCA_SCALE = 1 << 32
+
+
 def pca_fit(df: DataFrame, vec_col: str = "embedding",
             k: int = 8):
     """Fit a PCA basis over an ``array<float|double>`` column.
     Returns ``(mean, components, explained_var)`` numpy arrays of
     shapes ``(d,)``, ``(k, d)``, ``(k,)``.
 
-    The moment pass: two-level posexplode emits per row the d linear
-    terms and the d(d+1)/2 upper-triangle products, then ONE partial-
-    aggregated shuffle of ≤ d + d(d+1)/2 groups accumulates them in
-    ``decimal(38,18)`` — exact arithmetic, so the covariance matrix
-    (and therefore the eigenbasis) is invariant to partition order.
-    Map-side combine collapses each partition to ~d²/2 rows before the
-    exchange, so shuffle volume is O(partitions · d²), independent of
-    row count. For very wide vectors (d ≳ 256) prefer a bounded
-    hash-ordered sample fit (the ``_fit_kmeans`` policy) over the
-    exact pass — the d² per-row term cost grows quadratically.
+    The moment pass is ONE Arrow-batched scan: each partition
+    accumulates count, Σx and ΣxxT with numpy, with every per-row
+    term quantized to an integer grid (``2^-32``) BEFORE summation —
+    integer addition is associative, so the partition partials (and
+    their driver-side total) are bit-identical on ANY partition
+    layout, executor count, or engine config: the property the
+    VALUES-pinned oracle and the cross-config determinism audit
+    require, without the d²-per-row explode a decimal groupBy pass
+    would cost. Each partition emits ONE row (d + d² integer strings,
+    driver-bounded); the d×d eigendecomposition is driver-side numpy.
 
     Eigenvector sign is fixed deterministically: the largest-|x|
     coordinate of each component is made positive (ties → lowest
@@ -53,34 +61,55 @@ def pca_fit(df: DataFrame, vec_col: str = "embedding",
                      & (F.size(vec_col) > 0))
             .select(F.transform(vec_col, lambda x: x.cast("double"))
                     .alias("_v")))
-    e1 = base.select(F.posexplode("_v").alias("_i", "_x"), "_v")
-    sums = (e1.groupBy("_i")
-            .agg(F.sum(F.col("_x").cast("decimal(38,18)")).alias("s"),
-                 F.count(F.lit(1)).alias("c"))
-            .collect())
-    if not sums:
+    scale = _PCA_SCALE
+
+    def _moments(it):
+        cnt = 0
+        s = None
+        ss = None
+        for pdf in it:
+            vs = [np.asarray(v, dtype=np.float64)
+                  for v in pdf["_v"] if v is not None and len(v)]
+            if not vs:
+                continue
+            arr = np.stack(vs)
+            if s is None:
+                dd = arr.shape[1]
+                s = np.zeros(dd, dtype=object)
+                ss = np.zeros(dd * dd, dtype=object)
+            cnt += len(arr)
+            # row-local quantization, then int64 slab sums promoted to
+            # python ints (exact, no overflow across slabs)
+            qs = np.rint(arr * scale).astype(np.int64)
+            s += qs.sum(axis=0, dtype=object)
+            for lo in range(0, len(arr), 1024):
+                sl = arr[lo:lo + 1024]
+                qp = np.rint(
+                    np.einsum("bi,bj->bij", sl, sl).reshape(len(sl), -1)
+                    * scale).astype(np.int64)
+                ss += qp.sum(axis=0, dtype=object)
+        if cnt:
+            yield pd.DataFrame({
+                "cnt": [cnt],
+                "s": [[str(x) for x in s]],
+                "ss": [[str(x) for x in ss]]})
+
+    parts = base.mapInPandas(
+        _moments, "cnt long, s array<string>, ss array<string>").collect()
+    if not parts:
         raise ValueError("pca_fit: no non-empty vectors")
-    d = len(sums)
-    n = int(sums[0]["c"])
-    s = np.zeros(d)
-    for r in sums:
-        s[int(r["_i"])] = float(r["s"])
-    # upper-triangle products: slice(_v, _i+1, d) pairs x_i with
-    # x_j (j >= i); posexplode's 0-based pos p maps to j = _i + p
-    e2 = (e1.select("_i", "_x",
-                    F.posexplode(F.expr("slice(_v, _i + 1, size(_v))"))
-                    .alias("_p", "_y"))
-          .select("_i", (F.col("_i") + F.col("_p")).alias("_j"),
-                  (F.col("_x") * F.col("_y")).alias("_xy")))
-    prods = (e2.groupBy("_i", "_j")
-             .agg(F.sum(F.col("_xy").cast("decimal(38,18)")).alias("ss"))
-             .collect())
-    ssum = np.zeros((d, d))
-    for r in prods:
-        i, j = int(r["_i"]), int(r["_j"])
-        ssum[i, j] = ssum[j, i] = float(r["ss"])
-    mean = s / n
-    cov = ssum / n - np.outer(mean, mean)
+    n = sum(p["cnt"] for p in parts)
+    d = len(parts[0]["s"])
+    s_tot = [0] * d
+    ss_tot = [0] * (d * d)
+    for p in parts:
+        for i, x in enumerate(p["s"]):
+            s_tot[i] += int(x)
+        for i, x in enumerate(p["ss"]):
+            ss_tot[i] += int(x)
+    mean = np.array([x / scale for x in s_tot]) / n
+    exy = np.array([x / scale for x in ss_tot]).reshape(d, d) / n
+    cov = (exy + exy.T) / 2 - np.outer(mean, mean)  # symmetrize exactly
     evals, evecs = np.linalg.eigh(cov)       # ascending
     order = np.argsort(evals)[::-1][:k]
     comps = evecs[:, order].T                # (k, d)
