@@ -839,28 +839,73 @@ def read_sqlite(spark: SparkSession, path: str,
 
 
 def read_mdb(spark: SparkSession, path: str,
-             table: str | None = None) -> DataFrame:
-    """MS Access via the mdbtools CLI (ref: meza/io.py:598-674 pipes
-    ``mdb-export``). Gated: raises NotImplementedError when mdbtools
-    is absent (it is not in this container)."""
+             table: str | None = None,
+             sanitize: bool = False) -> DataFrame:
+    """MS Access (ref: meza/io.py:598-674 pipes ``mdb-export``;
+    default = first user table, ``sanitize`` underscorifies names).
+
+    Two engines, tried in order:
+      1. the mdbtools CLI when installed (byte-parity with the
+         reference's subprocess pipe);
+      2. the NATIVE pure-stdlib Jet4 parser (``meza_spark.io.mdb``) —
+         typed values (long/double/timestamp/bool/decimal/text/memo)
+         instead of mdb-export's CSV strings, so no lossy
+         stringify-then-reinfer round-trip.
+
+    Jet3 (Access 97) files still gate on mdbtools
+    (NotImplementedError otherwise — see JetDb). Driver-side parse →
+    ``createDataFrame``: .mdb is hard-capped at 2 GB by the format,
+    so per-FILE parallelism via ``io_join`` is the distribution
+    model (SURVEY §4.2.3), same as xls/dbf.
+    """
     import shutil
     import subprocess
     import tempfile
 
-    if shutil.which("mdb-export") is None:
-        raise NotImplementedError(
-            "read_mdb requires mdbtools (mdb-export) on PATH")
-    if table is None:
-        tables = subprocess.run(["mdb-tables", "-1", path],
-                                capture_output=True, text=True,
-                                check=True).stdout.split()
-        table = tables[0]
-    out = subprocess.run(["mdb-export", path, table], capture_output=True,
-                         text=True, check=True).stdout
-    with tempfile.NamedTemporaryFile("w", suffix=".csv", delete=False) as f:
-        f.write(out)
-        tmp = f.name
-    return read_csv(spark, tmp)
+    if shutil.which("mdb-export") is not None:
+        if table is None:
+            tables = subprocess.run(["mdb-tables", "-1", path],
+                                    capture_output=True, text=True,
+                                    check=True).stdout.split()
+            table = tables[0]
+        out = subprocess.run(["mdb-export", path, table],
+                             capture_output=True,
+                             text=True, check=True).stdout
+        with tempfile.NamedTemporaryFile("w", suffix=".csv",
+                                         delete=False) as f:
+            f.write(out)
+            tmp = f.name
+        return read_csv(spark, tmp, sanitize=sanitize)
+
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from ..functions import dedupe_names, underscorify
+    from .mdb import (BINARY, BOOL, BYTE, DATETIME, DOUBLE, FLOAT, GUID,
+                      INT, LONGINT, MEMO, MONEY, OLE, TEXT, JetDb)
+
+    jt = JetDb(path).table(table)
+    spark_type = {
+        BOOL: T.BooleanType(), BYTE: T.LongType(), INT: T.LongType(),
+        LONGINT: T.LongType(), MONEY: T.DecimalType(19, 4),
+        FLOAT: T.DoubleType(), DOUBLE: T.DoubleType(),
+        DATETIME: T.TimestampType(), TEXT: T.StringType(),
+        MEMO: T.StringType(), GUID: T.StringType(),
+        BINARY: T.BinaryType(), OLE: T.BinaryType(),
+    }
+    names = [c.name for c in jt.columns]
+    if sanitize:
+        names = dedupe_names([underscorify(n) for n in names])
+    schema = T.StructType([
+        T.StructField(nm, spark_type.get(c.type, T.StringType()), True)
+        for nm, c in zip(names, jt.columns)])
+    data = [tuple(
+        float(v) if isinstance(v, Decimal)
+        and c.type not in (MONEY,) else v
+        for v, c in zip((r[c.name] for c in jt.columns), jt.columns))
+        for r in jt.rows()]
+    return spark.createDataFrame(data, schema)
 
 
 # ---------------------------------------------------------------------------

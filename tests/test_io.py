@@ -9,6 +9,7 @@ import struct
 import zipfile
 
 import pytest
+from pyspark.sql import functions as F
 
 from meza_spark import io as mio
 
@@ -408,9 +409,68 @@ def test_read_dispatch_and_io_join(spark, tmp_path):
         mio.read(spark, "file.unknown")
 
 
-def test_mdb_gated(spark):
+MDB_FIXTURE = "/root/reference/data/test/test.mdb"
+
+
+def test_mdb_jet3_and_bad_magic_gates(spark):
+    from meza_spark.io.mdb import JetDb
+
+    # Jet3 (version byte 0) is an honest gate, not a wrong parse
+    hdr = bytearray(4096)
+    hdr[4:19] = b"Standard Jet DB"
+    hdr[0x14] = 0
     with pytest.raises(NotImplementedError):
-        mio.read_mdb(spark, "/nonexistent.mdb")
+        JetDb(bytes(hdr))
+    with pytest.raises(ValueError):
+        JetDb(b"\x00" * 4096)
+
+
+@pytest.mark.skipif(not os.path.exists(MDB_FIXTURE),
+                    reason="reference mdb fixture not present")
+def test_mdb_native_first_row_matches_reference_doctest(spark):
+    """The reference doctest (ref meza/io.py:620-637) pins the first
+    row of test.mdb as mdb-export CSV strings; the native Jet4 parser
+    must agree after rendering its TYPED values the same way
+    (mdb-export %m/%d/%y date format, nulls as '')."""
+    df = mio.read_mdb(spark, MDB_FIXTURE, sanitize=True)
+    row = df.orderBy("id_no").first().asDict()
+
+    def render(v):
+        if v is None:
+            return ""
+        if hasattr(v, "strftime"):
+            return v.strftime("%m/%d/%y %H:%M:%S")
+        return str(v)
+
+    got = {k: render(v) for k, v in row.items()}
+    expected = {
+        "surname": "Aaron", "forenames": "William",
+        "freedom": "07/03/60 00:00:00", "notes": "Order of Court",
+        "surname_master_or_father": "", "how_admitted": "Redn.",
+        "id_no": "1", "forenames_master_or_father": "",
+        "remarks": "", "livery": "",
+        "date_of_order_of_court": "06/05/60 00:00:00",
+        "source_ref": "MF 324"}
+    assert got == expected
+
+
+@pytest.mark.skipif(not os.path.exists(MDB_FIXTURE),
+                    reason="reference mdb fixture not present")
+def test_mdb_native_catalog_types_and_counts(spark):
+    from meza_spark.io.mdb import JetDb
+
+    db = JetDb(MDB_FIXTURE)
+    names = [t[0] for t in db.list_tables()]
+    assert names == ["merchant_taylors"]
+    df = mio.read_mdb(spark, MDB_FIXTURE, table="merchant_taylors")
+    assert df.count() == 20
+    dt = dict(df.dtypes)
+    assert dt["Id No"] == "bigint"
+    assert dt["Freedom"] == "timestamp"
+    assert dt["Surname"] == "string"
+    # uncompressed-UTF-16 edge value (a genuine ditto-mark surname)
+    assert [r["Surname"] for r in
+            df.where(F.col("Id No") == 25491).collect()] == ["'"]
 
 
 def test_records2csv_single_file(spark, tmp_path):
