@@ -2479,6 +2479,21 @@ def decontam_fuzzy(spark, sf_dir):
     return out.select("doc_id", "contaminated").orderBy("doc_id")
 
 
+def llm_bpe_tokens(spark, sf_dir):
+    """REAL learned-subword token counts: train 100 BPE merges on the
+    corpus word-frequency table (exact counts, deterministic tie-break
+    — driver loop over the Zipf-compact table), then Arrow-batched
+    encode. The budget unit pack_shards/budget_sample would use in a
+    real pipeline. VALUES-pinned (the merge loop is not
+    SQL-expressible)."""
+    from meza_spark.llm.bpe import bpe_token_count, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=100)
+    return (bpe_token_count(docs, merges)
+            .select("doc_id", "n_bpe_tokens").orderBy("doc_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing(spark, SF001)
@@ -2667,6 +2682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_pca": embed_pca,
         "sample_budget": sample_budget,
         "decontam_fuzzy": decontam_fuzzy,
+        "llm_bpe_tokens": llm_bpe_tokens,
     }
 
 

@@ -34,6 +34,7 @@ DEFAULT_QUERIES = [
     "dedup_near_e2e", "dedup_span_rewrite", "dedup_incremental_near",
     # round-4: iterative float loop + exact-moment fit + budget prefix
     "graph_pagerank", "embed_pca", "sample_budget", "decontam_fuzzy",
+    "llm_bpe_tokens",
 ]
 
 _WORKER = r"""
