@@ -232,3 +232,73 @@ def test_pack_sequences_property(spark, texts, size):
     for t in texts:
         if t.split():
             assert t in joined
+
+
+@given(st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)),
+                min_size=1, max_size=40),
+       st.integers(2, 8))
+@settings(**_SETTINGS)
+def test_pagerank_properties(spark, edges, n_iter):
+    """Mass conservation + positivity on random digraphs (self-loops
+    dropped): Σ ranks = 1 within rounding, every rank ≥ (1-d)/N."""
+    from meza_spark.graph import pagerank
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["v"]: r["pagerank"]
+           for r in pagerank(df, n_iter=n_iter).collect()}
+    n = len(got)
+    assert abs(sum(got.values()) - 1.0) < 1e-6 * n
+    assert all(v >= (1 - 0.85) / n - 1e-12 for v in got.values())
+
+
+@given(st.lists(st.tuples(st.integers(0, 500), st.sampled_from("abc"),
+                          st.integers(1, 50)),
+                min_size=1, max_size=60, unique_by=lambda t: t[0]),
+       st.integers(0, 300))
+@settings(**_SETTINGS)
+def test_budget_sample_prefix_property(spark, rows, budget):
+    """The kept set per stratum is exactly the hash-order greedy
+    prefix: exclusive cumulative size < budget — verified against a
+    plain-Python replay of the same md5 ordering."""
+    import hashlib
+
+    from meza_spark.llm.sampling import budget_sample
+
+    df = spark.createDataFrame(rows, "doc_id long, src string, size long")
+    got = sorted(r["doc_id"] for r in
+                 budget_sample(df, "doc_id", "src", "size",
+                               default=budget).collect())
+    exp = []
+    for s in set(r[1] for r in rows):
+        members = sorted(
+            (r for r in rows if r[1] == s),
+            key=lambda r: (hashlib.md5(f"{r[0]}#0".encode()).hexdigest(),
+                           r[0]))
+        cum = 0
+        for r in members:
+            if cum < budget:
+                exp.append(r[0])
+            cum += r[2]
+    assert got == sorted(exp)
+
+
+@given(st.lists(st.text(alphabet="ab ", min_size=1, max_size=30),
+                min_size=2, max_size=12))
+@settings(**_SETTINGS)
+def test_containment_bounds_and_symmetry_property(spark, texts):
+    """0 ≤ containment ≤ 1, and containment ≥ jaccard for every pair
+    (min-denominator dominates union-denominator)."""
+    from meza_spark.llm.dedup import ngram_containment, ngram_jaccard
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = {(r["id_a"], r["id_b"]): r["containment"]
+            for r in ngram_containment(df, n=2).collect()}
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard(df, n=2).collect()}
+    for k, c in cont.items():
+        assert -1e-12 <= c <= 1 + 1e-12
+        assert c >= jac[k] - 1e-12
