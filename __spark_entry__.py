@@ -2479,6 +2479,32 @@ def decontam_fuzzy(spark, sf_dir):
     return out.select("doc_id", "contaminated").orderBy("doc_id")
 
 
+def pct_approx_value(spark, sf_dir):
+    """Mergeable approximate quantiles (the 100 TB percentile path:
+    percentile_approx's Greenwald-Khanna sketch combines across
+    partitions — no global sort). Hash-gated via the sketch family's
+    tolerance contract (exact per-type percentiles + a pinned-true
+    within-bound flag at 1% rank error on the value range)."""
+    ev = _t(spark, sf_dir, "events")
+    approx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95], 10000).alias("ap"))
+    exact = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.49, 0.51))").alias("p50r"),
+        F.expr("percentile(value, array(0.94, 0.96))").alias("p95r"))
+    j = approx.join(exact, on="event_type")
+    ok50 = ((F.col("ap")[0] >= F.col("p50r")[0] - 1e-9)
+            & (F.col("ap")[0] <= F.col("p50r")[1] + 1e-9))
+    ok95 = ((F.col("ap")[1] >= F.col("p95r")[0] - 1e-9)
+            & (F.col("ap")[1] <= F.col("p95r")[1] + 1e-9))
+    return (j.select("event_type",
+                     F.floor(F.col("p50r")[0] * 1e6 + F.lit(0.5))
+                     .cast("long").alias("p49_micro"),
+                     F.floor(F.col("p95r")[1] * 1e6 + F.lit(0.5))
+                     .cast("long").alias("p96_micro"),
+                     (ok50 & ok95).alias("within_bound"))
+            .orderBy("event_type"))
+
+
 def llm_bpe_tokens(spark, sf_dir):
     """REAL learned-subword token counts: train 100 BPE merges on the
     corpus word-frequency table (exact counts, deterministic tie-break
@@ -2683,6 +2709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_budget": sample_budget,
         "decontam_fuzzy": decontam_fuzzy,
         "llm_bpe_tokens": llm_bpe_tokens,
+        "pct_approx_value": pct_approx_value,
     }
 
 
@@ -4129,6 +4156,15 @@ def _oracle_sql_base() -> dict[str, str]:
                    COUNT(DISTINCT user_id) AS exact_users,
                    TRUE AS within_bound
             FROM events GROUP BY event_type
+        """,
+        "pct_approx_value": """
+            SELECT event_type,
+                   CAST(floor(quantile_cont(value, 0.49) * 1000000
+                              + 0.5) AS BIGINT) AS p49_micro,
+                   CAST(floor(quantile_cont(value, 0.96) * 1000000
+                              + 0.5) AS BIGINT) AS p96_micro,
+                   TRUE AS within_bound
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "cms_suppkey_counts": """
             SELECT l_suppkey, COUNT(*) AS est_count
