@@ -2479,6 +2479,26 @@ def decontam_fuzzy(spark, sf_dir):
     return out.select("doc_id", "contaminated").orderBy("doc_id")
 
 
+def snapshot_diff_orders(spark, sf_dir):
+    """Change-data-capture diff of two deterministic order snapshots:
+    old = keys %7≠0, new = keys %5≠0 with totalprice bumped on %3=0 —
+    yielding all four change classes. One full-outer join, null-safe
+    compare; the DuckDB twin replays it verbatim."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    old = o.where(F.col("o_orderkey") % 7 != 0)
+    new = (o.where(F.col("o_orderkey") % 5 != 0)
+           .withColumn("o_totalprice",
+                       F.when(F.col("o_orderkey") % 3 == 0,
+                              F.col("o_totalprice") + 1)
+                       .otherwise(F.col("o_totalprice"))))
+    out = pr.snapshot_diff(old, new, on="o_orderkey")
+    return (out.select("o_orderkey", "o_custkey",
+                       F.round("o_totalprice", 2).alias("o_totalprice"),
+                       "o_orderstatus", "change")
+            .orderBy("o_orderkey"))
+
+
 def pct_approx_value(spark, sf_dir):
     """Mergeable approximate quantiles (the 100 TB percentile path:
     percentile_approx's Greenwald-Khanna sketch combines across
@@ -2710,6 +2730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_fuzzy": decontam_fuzzy,
         "llm_bpe_tokens": llm_bpe_tokens,
         "pct_approx_value": pct_approx_value,
+        "snapshot_diff_orders": snapshot_diff_orders,
     }
 
 
@@ -4156,6 +4177,36 @@ def _oracle_sql_base() -> dict[str, str]:
                    COUNT(DISTINCT user_id) AS exact_users,
                    TRUE AS within_bound
             FROM events GROUP BY event_type
+        """,
+        "snapshot_diff_orders": """
+            WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                              o_orderstatus FROM orders),
+            old AS (SELECT * FROM o WHERE o_orderkey % 7 <> 0),
+            new AS (SELECT o_orderkey, o_custkey,
+                           CASE WHEN o_orderkey % 3 = 0
+                                THEN o_totalprice + 1
+                                ELSE o_totalprice END AS o_totalprice,
+                           o_orderstatus
+                    FROM o WHERE o_orderkey % 5 <> 0)
+            SELECT COALESCE(n.o_orderkey, d.o_orderkey) AS o_orderkey,
+                   CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_custkey
+                        ELSE d.o_custkey END AS o_custkey,
+                   round(CASE WHEN n.o_orderkey IS NOT NULL
+                              THEN n.o_totalprice
+                              ELSE d.o_totalprice END, 2) AS o_totalprice,
+                   CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_orderstatus
+                        ELSE d.o_orderstatus END AS o_orderstatus,
+                   CASE WHEN d.o_orderkey IS NULL THEN 'added'
+                        WHEN n.o_orderkey IS NULL THEN 'removed'
+                        WHEN (n.o_custkey IS NOT DISTINCT FROM d.o_custkey)
+                         AND (n.o_totalprice IS NOT DISTINCT FROM
+                              d.o_totalprice)
+                         AND (n.o_orderstatus IS NOT DISTINCT FROM
+                              d.o_orderstatus)
+                        THEN 'unchanged' ELSE 'changed' END AS change
+            FROM old d FULL OUTER JOIN new n
+                 ON d.o_orderkey = n.o_orderkey
+            ORDER BY o_orderkey
         """,
         "pct_approx_value": """
             SELECT event_type,

@@ -61,7 +61,7 @@ HEADLINE = [
     # round-4 operators
     "graph_pagerank", "llm_ppl_buckets", "dedup_containment",
     "embed_pca", "sample_budget", "decontam_fuzzy",
-    "llm_bpe_tokens", "pct_approx_value",
+    "llm_bpe_tokens", "pct_approx_value", "snapshot_diff_orders",
 ]
 
 

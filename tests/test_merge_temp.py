@@ -92,3 +92,31 @@ def test_semantic_dedup(spark):
     assert 4 <= len(ids) <= 45
     for i in range(40):
         assert not (i in ids and 100 + i in ids)
+
+
+def test_snapshot_diff_classes(spark):
+    from meza_spark.process import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k long, s string, v long")
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, None, 40), (5, "e", 50)],
+        "k long, s string, v long")
+    out = {r["k"]: (r["change"], r["s"], r["v"])
+           for r in snapshot_diff(old, new, on="k").collect()}
+    assert out[1] == ("unchanged", "a", 10)
+    assert out[2] == ("changed", "B", 20)     # new-side values win
+    assert out[3] == ("removed", "c", 30)     # old-side values kept
+    assert out[4] == ("unchanged", None, 40)  # null-safe compare
+    assert out[5] == ("added", "e", 50)
+
+
+def test_snapshot_diff_compare_subset(spark):
+    from meza_spark.process import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a", 1)], "k long, s string, v long")
+    new = spark.createDataFrame([(1, "a", 2)], "k long, s string, v long")
+    # v excluded from comparison -> unchanged despite differing
+    out = snapshot_diff(old, new, on="k", compare_cols=["s"]).collect()
+    assert out[0]["change"] == "unchanged" and out[0]["v"] == 2
