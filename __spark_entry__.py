@@ -2479,6 +2479,29 @@ def decontam_fuzzy(spark, sf_dir):
     return out.select("doc_id", "contaminated").orderBy("doc_id")
 
 
+def spatial_radius_join(spark, sf_dir):
+    """Grid-blocked planar radius join: event-derived point clouds
+    (x = value mod 20, y = (user_id mod 200)/10 — exact IEEE fmod/div
+    in both engines), even vs odd event ids, radius 0.5. The 3×3
+    neighbor-cell equi-join bounds candidates (never O(n·m)); squared
+    distance uses plain multiplies so the DuckDB twin replays the
+    comparison bit-for-bit. Output in nano-units."""
+    from meza_spark.spatial import grid_radius_join
+
+    ev = (_t(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+          .select("event_id", (F.col("value") % 20).alias("x"),
+                  ((F.col("user_id") % 200) / 10.0).alias("y")))
+    a = ev.where(F.col("event_id") % 2 == 0) \
+        .select(F.col("event_id").alias("id"), "x", "y")
+    b = ev.where(F.col("event_id") % 2 == 1) \
+        .select(F.col("event_id").alias("id"), "x", "y")
+    pairs = grid_radius_join(a, b, 0.5)
+    return (pairs.select(F.col("id_l"), F.col("id_r"),
+                         F.floor(F.col("dist_sq") * 1e9 + F.lit(0.5))
+                         .cast("long").alias("dist_sq_nano"))
+            .orderBy("id_l", "id_r"))
+
+
 def snapshot_diff_orders(spark, sf_dir):
     """Change-data-capture diff of two deterministic order snapshots:
     old = keys %7≠0, new = keys %5≠0 with totalprice bumped on %3=0 —
@@ -2731,6 +2754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_bpe_tokens": llm_bpe_tokens,
         "pct_approx_value": pct_approx_value,
         "snapshot_diff_orders": snapshot_diff_orders,
+        "spatial_radius_join": spatial_radius_join,
     }
 
 
@@ -4177,6 +4201,25 @@ def _oracle_sql_base() -> dict[str, str]:
                    COUNT(DISTINCT user_id) AS exact_users,
                    TRUE AS within_bound
             FROM events GROUP BY event_type
+        """,
+        "spatial_radius_join": """
+            WITH pts AS (
+              SELECT event_id, value % 20 AS x,
+                     (user_id % 200) / 10.0 AS y
+              FROM events WHERE event_id < 2000),
+            a AS (SELECT event_id AS id, x, y FROM pts
+                  WHERE event_id % 2 = 0),
+            b AS (SELECT event_id AS id, x, y FROM pts
+                  WHERE event_id % 2 = 1)
+            SELECT a.id AS id_l, b.id AS id_r,
+                   CAST(floor(((a.x - b.x) * (a.x - b.x)
+                               + (a.y - b.y) * (a.y - b.y))
+                              * 1000000000 + 0.5) AS BIGINT)
+                     AS dist_sq_nano
+            FROM a, b
+            WHERE (a.x - b.x) * (a.x - b.x)
+                  + (a.y - b.y) * (a.y - b.y) <= 0.25
+            ORDER BY id_l, id_r
         """,
         "snapshot_diff_orders": """
             WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice,

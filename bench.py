@@ -62,6 +62,7 @@ HEADLINE = [
     "graph_pagerank", "llm_ppl_buckets", "dedup_containment",
     "embed_pca", "sample_budget", "decontam_fuzzy",
     "llm_bpe_tokens", "pct_approx_value", "snapshot_diff_orders",
+    "spatial_radius_join",
 ]
 
 
@@ -190,6 +191,11 @@ def main():
     spark.range(64).repartition(32) \
         .mapInPandas(lambda it: it, "id long") \
         .write.format("noop").mode("overwrite").save()
+    # ...and the DRIVER-side Arrow bridges (toPandas / createDataFrame)
+    # the CC small-quotient fast path uses — their first use pays a
+    # multi-second conf-sync + Arrow init that otherwise lands on
+    # whichever connected-components query runs first
+    spark.createDataFrame(spark.range(64).toPandas()).count()
 
     times = {}
     total = 0.0
