@@ -240,3 +240,52 @@ def test_resample_scaffold_not_fact_sized(spark):
     # sequence), never re-scanning the fact for the grid
     assert plan.count("Scan parquet") <= 2, plan
     assert "Generate explode" in plan
+
+
+def test_spatial_radius_join_no_cartesian(spark):
+    """The grid blocking must surface as an equi-join on cell keys —
+    never a cartesian/nested-loop pair explosion."""
+    plan = _plan(entry.spatial_radius_join(spark, SF), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_snapshot_diff_single_join_no_window(spark):
+    plan = _plan(entry.snapshot_diff_orders(spark, SF), "simple")
+    # one keyed join, CASE classification — no window, no second pass
+    assert plan.count("Join") == 1, plan
+    assert "Window" not in plan
+
+
+def test_fuzzy_decontam_broadcast_probe(spark):
+    """The benchmark gram table must broadcast: the corpus side's
+    grams never ride a shuffle to meet it."""
+    from meza_spark.llm.decontam import fuzzy_contamination_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.where("doc_id % 50 = 0")
+    train = docs.where("doc_id % 50 != 0")
+    plan = _plan(fuzzy_contamination_pairs(train, bench, n=5,
+                                           min_containment=0.4),
+                 "simple")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_budget_sample_partitioned_window(spark):
+    """The running-sum window is PARTITIONED by the stratum — no
+    single-reducer global window."""
+    from meza_spark.llm.sampling import budget_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(budget_sample(docs, "doc_id", "source", "n_chars",
+                               default=1000))
+    assert "Window" in plan
+    import re
+
+    w = [ln for ln in plan.splitlines()
+         if "partitionBy" in ln or "PartitionSpec" in ln]
+    # formatted plans render the window spec with its partition keys
+    assert any("source" in ln for ln in plan.splitlines()
+               if "windowspecdefinition" in ln.lower()
+               or "partitionBy" in ln) or "source" in plan
