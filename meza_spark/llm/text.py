@@ -483,7 +483,8 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
 def perplexity_buckets(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", lang_col: str = "lang",
                        n_buckets: int = 3,
-                       round_digits: int = 6) -> DataFrame:
+                       round_digits: int = 6,
+                       exact: bool = True) -> DataFrame:
     """CCNet-style per-language quality bucketing (Wenzek et al.,
     "CCNet: Extracting High Quality Monolingual Datasets from Web
     Crawl Data", 2020 — public): score every document with the
@@ -501,21 +502,39 @@ def perplexity_buckets(df: DataFrame, text_col: str = "text",
     Scale shape: the scoring pass is :func:`unigram_logprob`
     (broadcast vocab, no corpus shuffle); bucketing is ONE window
     partitioned by language. A mega-language serializes its ntile
-    into one task — at web scale swap the exact ntile for per-language
-    ``approx_percentile`` thresholds (same buckets up to estimation
-    error) computed in one agg; the exact form is the oracle-testable
-    default.
+    into one task — ``exact=False`` is the web-scale path: per-language
+    ``approx_percentile`` bucket thresholds from one aggregation
+    (languages-sized, broadcast back), then a row-local comparison —
+    no window at all, same buckets up to sketch estimation error. The
+    exact form is the oracle-testable default.
     """
     from pyspark.sql import Window
 
     scored = unigram_logprob(df, text_col=text_col, id_col=id_col,
                              round_digits=round_digits)
     keyed = scored.join(df.select(id_col, lang_col), on=id_col)
-    w = Window.partitionBy(lang_col).orderBy(
-        F.col("logprob").desc_nulls_last(), F.col(id_col).asc())
-    return keyed.select(
-        id_col, lang_col, "n_tokens", "logprob",
-        F.ntile(n_buckets).over(w).alias("ppl_bucket"))
+    if exact:
+        w = Window.partitionBy(lang_col).orderBy(
+            F.col("logprob").desc_nulls_last(), F.col(id_col).asc())
+        return keyed.select(
+            id_col, lang_col, "n_tokens", "logprob",
+            F.ntile(n_buckets).over(w).alias("ppl_bucket"))
+    # approx path: thresholds at the (1/n .. (n-1)/n) quantiles of the
+    # score, per language; bucket b = 1 + #{thresholds above score}
+    # (score DESC semantics — bucket 1 = head). Null scores → tail.
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    th = keyed.groupBy(lang_col).agg(
+        F.percentile_approx("logprob", list(reversed(probs)), 10000)
+        .alias("_th"))
+    over = F.aggregate(
+        "_th", F.lit(0),
+        lambda acc, t: acc + F.when(F.col("logprob") < t, 1)
+        .otherwise(0))
+    bucket = (F.when(F.col("logprob").isNull(), n_buckets)
+              .otherwise(F.lit(1) + over))
+    return (keyed.join(F.broadcast(th), on=lang_col)
+            .select(id_col, lang_col, "n_tokens", "logprob",
+                    bucket.cast("int").alias("ppl_bucket")))
 
 
 def gopher_filter(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -259,3 +259,23 @@ def test_perplexity_buckets_empty_text_tail(spark):
            perplexity_buckets(df, n_buckets=2).collect()}
     assert out[2]["logprob"] is None      # no tokens → null score
     assert out[2]["ppl_bucket"] == 2      # NULLS LAST → tail bucket
+
+
+def test_perplexity_buckets_approx_mode(spark):
+    """exact=False (the no-window web-scale path) assigns the same
+    head/tail structure: every bucket non-empty, the repeated-common-
+    token doc in the head, gibberish in the tail."""
+    from meza_spark.llm.text import perplexity_buckets
+
+    # graded common/rare mixes -> strictly distinct scores per doc
+    rows = [(i, " ".join(["the"] * (31 - i)
+                         + [f"rare{i}x{j}" for j in range(i)]), "en")
+            for i in range(30)]
+    rows += [(100, "the the the the the the", "en"),
+             (101, "zq xv jk pw qx vz", "en")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r["doc_id"]: r["ppl_bucket"] for r in
+           perplexity_buckets(df, n_buckets=3, exact=False).collect()}
+    assert set(out.values()) == {1, 2, 3}
+    assert out[100] == 1      # most-common-token doc -> head
+    assert out[101] == 3      # gibberish -> tail
