@@ -92,15 +92,24 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     ranks = verts.withColumn("r", F.lit(round(1.0 / n, round_digits)))
 
     dsum = F.sum(F.col("r").cast("decimal(38,18)")).cast("double")
+    # dangling set is STATIC: when it's empty (checked once), D = 0
+    # every round and the per-round scalar aggregate — one driver job
+    # per iteration — disappears; the eager localCheckpoint is then
+    # the round's only materialization
+    any_dangling = bool(verts.where("_dang").head(1))
     for _ in range(n_iter):
-        # fused barrier: persist ranks, materialize via the dangling
-        # aggregate this round needs anyway, then cut lineage with a
-        # cache-read localCheckpoint
-        ranks = ranks.persist()
-        dang = (ranks.where("_dang").agg(dsum.alias("D"))
-                .collect()[0]["D"]) or 0.0
-        cut = ranks.localCheckpoint()
-        ranks.unpersist()
+        if any_dangling:
+            # fused barrier: persist ranks, materialize via the
+            # dangling aggregate this round needs anyway, then cut
+            # lineage with a cache-read localCheckpoint
+            ranks = ranks.persist()
+            dang = (ranks.where("_dang").agg(dsum.alias("D"))
+                    .collect()[0]["D"]) or 0.0
+            cut = ranks.localCheckpoint()
+            ranks.unpersist()
+        else:
+            dang = 0.0
+            cut = ranks.localCheckpoint()
         contrib = (e.join(cut.select(F.col("v").alias("s"), "r"), on="s")
                    .join(outw, on="s")
                    .select("d", (F.col("r") * F.col("w") / F.col("ow"))
