@@ -224,9 +224,11 @@ class JetTable:
             data = self.db.row_bytes(ptr)
             return _decode_text(data or b"")
         chunks = []                  # chained LVAL rows
-        while ptr:
+        seen = set()                 # corrupt-file cycle guard
+        while ptr and ptr not in seen:
+            seen.add(ptr)
             data = self.db.row_bytes(ptr)
-            if data is None:
+            if data is None or len(data) < 4:
                 break
             ptr, = struct.unpack_from("<I", data, 0)
             chunks.append(data[4:])
