@@ -20,9 +20,15 @@ from .similarity import (
     cosine_join, cosine_topk, embedding_near_dupes, kmeans_clusters,
     lsh_ann_topk, nearest_centroid,
 )
+from .bpe import bpe_encode, bpe_token_count, bpe_train
+from .decontam import (contaminated_ids, decontaminate,
+                       decontaminate_fuzzy, fuzzy_contamination_pairs)
+from .dedup import ngram_containment
+from .pca import pca_fit, pca_project
+from .sampling import budget_sample
 from .text import (
-    chunk_documents, fingerprint, gopher_filter, lang_id, quality_score,
-    shingles, token_count,
+    chunk_documents, fingerprint, gopher_filter, lang_id,
+    perplexity_buckets, quality_score, shingles, token_count,
 )
 
 __all__ = [
@@ -38,4 +44,8 @@ __all__ = [
     "nearest_centroid", "kmeans_clusters",
     "token_count", "quality_score", "lang_id", "fingerprint", "shingles",
     "gopher_filter", "chunk_documents",
+    "perplexity_buckets", "ngram_containment", "pca_fit", "pca_project",
+    "budget_sample", "bpe_train", "bpe_encode", "bpe_token_count",
+    "contaminated_ids", "decontaminate", "decontaminate_fuzzy",
+    "fuzzy_contamination_pairs",
 ]
