@@ -2479,6 +2479,28 @@ def decontam_fuzzy(spark, sf_dir):
     return out.select("doc_id", "contaminated").orderBy("doc_id")
 
 
+def entity_resolution(spark, sf_dir):
+    """MDM-style entity resolution: document records keyed by a
+    20-char text prefix, plus planted 1-edit typo copies
+    (key+500000, char 6 replaced). Levenshtein pairs → connected
+    components → one golden record per entity (per-column vote: most
+    frequent non-null, ties → smallest value). The DuckDB twin replays
+    pairs, recursive-CTE reachability, and the vote verbatim."""
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.col("doc_id") < 200)
+         .select(F.col("doc_id").alias("id"),
+                 F.substring("text", 1, 20).alias("name"), "lang"))
+    copies = (d.where(F.col("id") < 60)
+              .select((F.col("id") + 500000).alias("id"),
+                      F.concat(F.substring("name", 1, 5), F.lit("#"),
+                               F.expr("substring(name, 7)"))
+                      .alias("name"), "lang"))
+    both = d.unionByName(copies)
+    out = pr.resolve_entities(both, "id", "name", max_distance=1)
+    return (out.select("entity_id", "name", "lang", "n_members")
+            .orderBy("entity_id"))
+
+
 def spatial_radius_join(spark, sf_dir):
     """Grid-blocked planar radius join: event-derived point clouds
     (x = value mod 20, y = (user_id mod 200)/10 — exact IEEE fmod/div
@@ -2755,6 +2777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pct_approx_value": pct_approx_value,
         "snapshot_diff_orders": snapshot_diff_orders,
         "spatial_radius_join": spatial_radius_join,
+        "entity_resolution": entity_resolution,
     }
 
 
@@ -4201,6 +4224,59 @@ def _oracle_sql_base() -> dict[str, str]:
                    COUNT(DISTINCT user_id) AS exact_users,
                    TRUE AS within_bound
             FROM events GROUP BY event_type
+        """,
+        "entity_resolution": """
+            WITH RECURSIVE base AS (
+              SELECT doc_id AS id,
+                     substr(text, 1, 20) AS name, lang
+              FROM documents WHERE doc_id < 200),
+            allr AS (
+              SELECT * FROM base
+              UNION ALL
+              SELECT id + 500000,
+                     substr(name, 1, 5) || '#' || substr(name, 7),
+                     lang
+              FROM base WHERE id < 60),
+            prs AS (
+              SELECT a.id AS ia, b.id AS ib
+              FROM allr a JOIN allr b ON a.id < b.id
+              WHERE levenshtein(a.name, b.name) <= 1),
+            edges AS (
+              SELECT ia AS s, ib AS d FROM prs
+              UNION SELECT ib, ia FROM prs),
+            reach(v, l) AS (
+              SELECT id, id FROM allr
+              UNION
+              SELECT e.d, r.l FROM edges e JOIN reach r ON e.s = r.v),
+            labels AS (SELECT v, min(l) AS entity_id
+                       FROM reach GROUP BY v),
+            members AS (
+              SELECT lb.entity_id, a.*
+              FROM allr a JOIN labels lb ON a.id = lb.v),
+            sizes AS (SELECT entity_id, COUNT(*) AS n_members
+                      FROM members GROUP BY entity_id),
+            vname AS (
+              SELECT entity_id, name FROM (
+                SELECT entity_id, name,
+                       row_number() OVER (
+                         PARTITION BY entity_id
+                         ORDER BY COUNT(*) DESC, name ASC) AS rn
+                FROM members WHERE name IS NOT NULL
+                GROUP BY entity_id, name) WHERE rn = 1),
+            vseg AS (
+              SELECT entity_id, lang FROM (
+                SELECT entity_id, lang,
+                       row_number() OVER (
+                         PARTITION BY entity_id
+                         ORDER BY COUNT(*) DESC, lang ASC) AS rn
+                FROM members WHERE lang IS NOT NULL
+                GROUP BY entity_id, lang) WHERE rn = 1)
+            SELECT s.entity_id, vname.name, vseg.lang,
+                   s.n_members
+            FROM sizes s
+            LEFT JOIN vname ON s.entity_id = vname.entity_id
+            LEFT JOIN vseg ON s.entity_id = vseg.entity_id
+            ORDER BY s.entity_id
         """,
         "spatial_radius_join": """
             WITH pts AS (

@@ -62,7 +62,7 @@ HEADLINE = [
     "graph_pagerank", "llm_ppl_buckets", "dedup_containment",
     "embed_pca", "sample_budget", "decontam_fuzzy",
     "llm_bpe_tokens", "pct_approx_value", "snapshot_diff_orders",
-    "spatial_radius_join",
+    "spatial_radius_join", "entity_resolution",
 ]
 
 

@@ -31,7 +31,7 @@ __all__ = [
     "split", "join", "prepend", "json_recode", "everseen", "topk_per_group",
     "asof_join", "flatten", "slice_rows", "salted_join", "salted_agg",
     "sessionize", "scd2_intervals", "normalized_join", "fuzzy_join",
-    "merge_into", "snapshot_diff", "resample",
+    "merge_into", "snapshot_diff", "resolve_entities", "resample",
 ]
 
 
@@ -1008,6 +1008,73 @@ def merge_into(target: DataFrame, source: DataFrame,
     if delete_unmatched:
         out = out.where(F.col("_s").isNotNull())
     return out.select(*cols)
+
+
+def resolve_entities(df: DataFrame, id_col: str, match_col: str,
+                     block_col: str | None = None,
+                     max_distance: int = 2,
+                     max_iter: int = 30) -> DataFrame:
+    """Entity resolution end-to-end: typo'd duplicate records collapse
+    into ONE golden record per real-world entity — the MDM
+    consolidation step (beyond-reference: meza's ``merge`` union is
+    last-write-wins over a whole stream, ref meza/process.py:434-510;
+    this is keyed, fuzzy, and value-voted).
+
+    Pipeline (each stage an already-scale-audited operator):
+      1. candidate pairs: blocked Levenshtein self-join on
+         ``match_col`` (``fuzzy_join`` — block or it's a cross join);
+      2. clusters: distributed connected components over the id
+         pairs;
+      3. golden record: per non-id column, the most frequent
+         NON-NULL value among cluster members, ties broken by the
+         smallest value — deterministic and SQL-replayable (unlike
+         engine ``mode()``, whose tie-break is unspecified).
+
+    Returns one row per entity: ``entity_id`` (min member id), the
+    golden columns, and ``n_members``. Singletons pass through as
+    their own entity. Scale: the vote is one (entity, column-value)
+    count + per-entity window PER COLUMN over cluster members only —
+    never the full corpus; wide tables should vote on the columns
+    that matter and carry the rest from the min-id member.
+    """
+    from .llm.cluster import connected_components
+
+    sides = df.select(F.col(id_col), F.col(match_col),
+                      *([F.col(block_col)] if block_col else []))
+    a = sides.select(*[F.col(c).alias(f"_a_{c}") for c in sides.columns])
+    b = sides.select(*[F.col(c).alias(f"_b_{c}") for c in sides.columns])
+    block = ((f"_a_{block_col}", f"_b_{block_col}")
+             if block_col else None)
+    pairs = (fuzzy_join(a, b, left_on=f"_a_{match_col}",
+                        right_on=f"_b_{match_col}",
+                        max_distance=max_distance, block_on=block)
+             .where(F.col(f"_a_{id_col}") < F.col(f"_b_{id_col}"))
+             .select(F.col(f"_a_{id_col}").alias("id_a"),
+                     F.col(f"_b_{id_col}").alias("id_b")))
+    comp = connected_components(pairs, max_iter=max_iter).select(
+        F.col("id").alias("_er_id"), F.col("component").alias("_er_comp"))
+    members = (df.join(comp, df[id_col] == F.col("_er_id"), "left")
+               .withColumn("entity_id",
+                           F.coalesce("_er_comp", F.col(id_col)))
+               .drop("_er_id", "_er_comp"))
+    members = members.localCheckpoint()  # vote columns fan out below
+    base = members.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_members"))
+    out = base
+    for c in df.columns:
+        if c == id_col:
+            continue
+        counts = (members.where(F.col(c).isNotNull())
+                  .groupBy("entity_id", c)
+                  .agg(F.count(F.lit(1)).alias("_n")))
+        w = Window.partitionBy("entity_id").orderBy(
+            F.col("_n").desc(), F.col(c).asc())
+        win = (counts.withColumn("_rn", F.row_number().over(w))
+               .where(F.col("_rn") == 1).select("entity_id", c))
+        out = out.join(win, on="entity_id", how="left")
+    return out.select("entity_id",
+                      *[c for c in df.columns if c != id_col],
+                      "n_members")
 
 
 def snapshot_diff(old: DataFrame, new: DataFrame,

@@ -480,3 +480,38 @@ def test_resample_linear_interpolation(spark):
                    aggs={"mx": ("v", "max")}, fill="linear")
     got = {r["bucket_ts"].hour: r["mx"] for r in out.collect()}
     assert got == {0: 10.0, 1: 20.0, 2: 30.0, 3: 40.0}
+
+
+def test_resolve_entities_golden_record(spark):
+    from meza_spark.process import resolve_entities
+
+    rows = [
+        (1, "acme corp", "NY", "retail"),
+        (2, "acme c0rp", "NY", "retail"),     # 1-edit dup of 1
+        (3, "acme corpX", "NY", None),        # chains to the cluster
+        (4, "zenith ltd", "SF", "mining"),    # singleton
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, city string,"
+                                     " sector string")
+    out = {r["entity_id"]: r for r in
+           resolve_entities(df, "id", "name", max_distance=1).collect()}
+    assert set(out) == {1, 4}
+    e = out[1]
+    assert e["n_members"] == 3
+    # all three names distinct (count 1 each) -> tie breaks to the
+    # lexicographically SMALLEST value ('0' < 'o')
+    assert e["name"] == "acme c0rp"
+    assert e["city"] == "NY"
+    assert e["sector"] == "retail"       # nulls never win the vote
+    assert out[4]["n_members"] == 1 and out[4]["name"] == "zenith ltd"
+
+
+def test_resolve_entities_majority_vote(spark):
+    from meza_spark.process import resolve_entities
+
+    rows = [(1, "bob", "a"), (2, "bob", "b"), (3, "bob", "b")]
+    df = spark.createDataFrame(rows, "id long, name string, tag string")
+    out = resolve_entities(df, "id", "name", max_distance=0).collect()
+    assert len(out) == 1
+    assert out[0]["tag"] == "b"          # majority wins over min value
+    assert out[0]["entity_id"] == 1
