@@ -2585,6 +2585,53 @@ def llm_bpe_tokens(spark, sf_dir):
             .select("doc_id", "n_bpe_tokens").orderBy("doc_id"))
 
 
+def dsir_weights_q(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    bucket models (B=1024) for the English-target vs whole-raw corpus;
+    per-doc weight = Σ cnt_b · floor(ln(p_b/q_b)·1e6+0.5) in exact
+    int64 micro-log-units. md5-derived buckets and pre-summation
+    quantization make the DuckDB twin replay it bit-for-bit at every
+    SF (no pin needed despite the fitted model)."""
+    from meza_spark.llm import dsir
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    ratios = dsir.fit_log_ratios(target, docs)
+    return dsir.dsir_weights(docs, ratios).orderBy("doc_id")
+
+
+def dsir_sample_q(spark, sf_dir):
+    """DSIR Gumbel top-k resample: 50 docs with max(weight + Gumbel
+    noise), noise from the md5-threshold uniform (engine-invariant),
+    both terms on the same 1e-6 integer grid — deterministic
+    importance sampling without replacement."""
+    from meza_spark.llm import dsir
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    return dsir.dsir_sample(docs, target, k=50, seed=7)
+
+
+def llm_lr_score(spark, sf_dir):
+    """Learned quality filter: logistic regression distilling the
+    rule-based quality heuristic (label = all rules pass AND
+    mean_word_len ≥ 4.5) from its continuous features. Bounded
+    hash-ordered driver fit (k-means contract), then scoring is a
+    literal-weights codegen expression — integer micro-logits.
+    VALUES-pinned (iterative GD fit is not SQL-expressible)."""
+    from meza_spark.llm.classifier import (fit_logistic,
+                                           quality_features,
+                                           score_logistic)
+
+    docs = _t(spark, sf_dir, "documents")
+    f = quality_features(docs).withColumn(
+        "label", ((F.col("quality") >= 1.0)
+                  & (F.col("mean_word_len") >= 4.5)).cast("double"))
+    w = fit_logistic(f, "label")
+    return (score_logistic(f, w)
+            .select("doc_id", "logit_micro", "pred").orderBy("doc_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing(spark, SF001)
@@ -2778,6 +2825,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_orders": snapshot_diff_orders,
         "spatial_radius_join": spatial_radius_join,
         "entity_resolution": entity_resolution,
+        "dsir_weights": dsir_weights_q,
+        "dsir_sample": dsir_sample_q,
+        "llm_lr_score": llm_lr_score,
     }
 
 
@@ -2883,6 +2933,47 @@ def _pagerank_oracle(n_iter: int = 5, damping: float = 0.85,
                CAST(floor(r * 1000000000 + 0.5) AS BIGINT) AS pr_nano
         FROM r{n_iter} ORDER BY event_type"""
     return head + "," + ",".join(body) + tail
+
+
+# Shared CTE body for the DSIR twins: per-doc importance weight in
+# int64 micro-log-units (see meza_spark/llm/dsir.py — same tokenizer,
+# same md5 bucketing, same Laplace smoothing, same pre-sum
+# quantization). No trailing ORDER BY so dsir_sample can wrap it.
+_DSIR_WEIGHTS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, lang, unnest(list_concat(
+     t,
+     CASE WHEN len(t) >= 2
+          THEN list_transform(range(1, len(t)),
+                              i -> t[i] || ' ' || t[i+1])
+          ELSE []::VARCHAR[] END)) AS g
+  FROM toks),
+b AS (SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(g),1,8)) AS BIGINT) % 1024
+               AS bucket
+      FROM grams),
+tc AS (SELECT bucket, count(*) AS ct FROM b WHERE lang = 'en'
+       GROUP BY bucket),
+rc AS (SELECT bucket, count(*) AS cr FROM b GROUP BY bucket),
+tot AS (SELECT (SELECT coalesce(sum(ct), 0) FROM tc) AS tt,
+               (SELECT coalesce(sum(cr), 0) FROM rc) AS tr),
+ratio AS (
+  SELECT coalesce(tc.bucket, rc.bucket) AS bucket,
+         CAST(floor(ln( (CAST(coalesce(ct,0)+1 AS DOUBLE)/(tt+1024))
+                      / (CAST(coalesce(cr,0)+1 AS DOUBLE)/(tr+1024)) )
+                    * 1e6 + 0.5) AS BIGINT) AS ratio_micro
+  FROM tc FULL JOIN rc ON tc.bucket = rc.bucket, tot),
+docb AS (SELECT doc_id, bucket, count(*) AS cnt
+         FROM b GROUP BY doc_id, bucket)
+SELECT d.doc_id, sum(cnt * coalesce(ratio_micro, 0)) AS dsir_w
+FROM docb d LEFT JOIN ratio USING (bucket)
+GROUP BY d.doc_id
+"""
 
 
 def _oracle_sql_base() -> dict[str, str]:
@@ -5175,6 +5266,21 @@ def _oracle_sql_base() -> dict[str, str]:
                            x -> list_contains(b.grams, x))) AS DOUBLE)
                   / least(len(a.grams), len(b.grams)) >= 0.5
             ORDER BY id_a, id_b
+        """,
+        # DSIR importance weights: md5 buckets + Laplace-smoothed
+        # hashed-ngram models; the single ln per bucket is quantized
+        # to the 1e-6 grid BEFORE the int64 per-doc sums, so the twin
+        # is exact at every SF (verified 0.001/0.01/0.1).
+        "dsir_weights": _DSIR_WEIGHTS_SQL + " ORDER BY d.doc_id",
+        "dsir_sample": f"""
+            WITH w AS ({_DSIR_WEIGHTS_SQL})
+            SELECT doc_id, dsir_w,
+                   dsir_w + CAST(floor(
+                     -ln(-ln((CAST(('0x' || substr(md5(
+                         CAST(doc_id AS VARCHAR) || '#7'), 1, 13))
+                         AS BIGINT) + 0.5) / 4503599627370496.0))
+                     * 1e6 + 0.5) AS BIGINT) AS key_micro
+            FROM w ORDER BY key_micro DESC, doc_id LIMIT 50
         """,
     }
 

@@ -21,9 +21,13 @@ from .similarity import (
     lsh_ann_topk, nearest_centroid,
 )
 from .bpe import bpe_encode, bpe_token_count, bpe_train
+from .classifier import (fit_logistic, quality_features,
+                         score_logistic)
 from .decontam import (contaminated_ids, decontaminate,
                        decontaminate_fuzzy, fuzzy_contamination_pairs)
 from .dedup import ngram_containment
+from .dsir import (dsir_sample, dsir_weights, fit_log_ratios,
+                   hashed_gram_buckets)
 from .pca import pca_fit, pca_project
 from .sampling import budget_sample
 from .text import (
@@ -48,4 +52,7 @@ __all__ = [
     "budget_sample", "bpe_train", "bpe_encode", "bpe_token_count",
     "contaminated_ids", "decontaminate", "decontaminate_fuzzy",
     "fuzzy_contamination_pairs",
+    "hashed_gram_buckets", "fit_log_ratios", "dsir_weights",
+    "dsir_sample",
+    "quality_features", "fit_logistic", "score_logistic",
 ]

@@ -1,0 +1,103 @@
+"""DSIR importance resampling: hashed-ngram models, micro-int weights,
+Gumbel top-k determinism, and the scale-shape contracts."""
+
+from pyspark.sql import functions as F
+
+from meza_spark.llm.dsir import (dsir_sample, dsir_weights,
+                                 fit_log_ratios, hashed_gram_buckets)
+
+
+def _corpus(spark):
+    rows = [
+        (0, "the cat sat on the mat", "en"),
+        (1, "the dog ran to the park", "en"),
+        (2, "a cat and a dog", "en"),
+        (3, "le chat est sur le tapis", "fr"),
+        (4, "der hund lief zum park", "de"),
+        (5, "el gato y el perro", "es"),
+        (6, "the the the the the", "en"),
+        (7, "", "en"),
+        (8, "solo", "es"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_gram_buckets_counts_multiplicity(spark):
+    df = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    rows = hashed_gram_buckets(df).collect()
+    # grams: a, b, a, 'a b', 'b a' → 5 instances over ≤4 distinct buckets
+    assert sum(r["cnt"] for r in rows) == 5
+    # empty text contributes nothing
+    assert hashed_gram_buckets(
+        spark.createDataFrame([(2, "  ")], "doc_id long, text string")
+    ).count() == 0
+
+
+def test_weights_favor_target_like_docs(spark):
+    docs = _corpus(spark)
+    target = docs.where(F.col("lang") == "en")
+    ratios = fit_log_ratios(target, docs, buckets=256)
+    w = {r["doc_id"]: r["dsir_w"] for r in
+         dsir_weights(docs, ratios, buckets=256).collect()}
+    # every non-empty doc is scored; the empty doc has no grams
+    assert set(w) == {0, 1, 2, 3, 4, 5, 6, 8}
+    # English docs outweigh each non-English doc on average
+    en = [w[i] for i in (0, 1, 2, 6)]
+    other = [w[i] for i in (3, 4, 5)]
+    assert min(en) > max(other) or sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_weights_partitioning_invariant(spark):
+    docs = _corpus(spark)
+    target = docs.where(F.col("lang") == "en")
+    a = sorted(map(tuple, dsir_weights(
+        docs, fit_log_ratios(target, docs)).collect()))
+    docs2 = docs.repartition(7)
+    b = sorted(map(tuple, dsir_weights(
+        docs2, fit_log_ratios(target.repartition(5), docs2)).collect()))
+    assert a == b  # int micro-units: exact under any layout
+
+
+def test_unseen_bucket_falls_back_to_zero(spark):
+    docs = _corpus(spark)
+    target = docs.where(F.col("lang") == "en")
+    ratios = fit_log_ratios(target, docs, buckets=64)
+    held_out = spark.createDataFrame(
+        [(99, "zzzqqq xxyyzz")], "doc_id long, text string")
+    out = dsir_weights(held_out, ratios, buckets=64).collect()
+    assert len(out) == 1  # scores even when grams miss the fit table
+
+
+def test_gumbel_topk_deterministic_and_sized(spark):
+    docs = _corpus(spark)
+    target = docs.where(F.col("lang") == "en")
+    s1 = [tuple(r) for r in dsir_sample(docs, target, k=4, seed=3).collect()]
+    s2 = [tuple(r) for r in
+          dsir_sample(docs.repartition(6), target, k=4, seed=3).collect()]
+    assert s1 == s2 and len(s1) == 4
+    # keys strictly ordered desc
+    keys = [r[2] for r in s1]
+    assert keys == sorted(keys, reverse=True)
+    # a different seed permutes the draw (weights equal, noise differs)
+    s3 = [tuple(r) for r in dsir_sample(docs, target, k=4, seed=4).collect()]
+    assert [r[0] for r in s3] != [r[0] for r in s1] or \
+        [r[2] for r in s3] != [r[2] for r in s1]
+
+
+def test_ratio_table_bounded_by_buckets(spark):
+    docs = _corpus(spark)
+    target = docs.where(F.col("lang") == "en")
+    ratios = fit_log_ratios(target, docs, buckets=32)
+    assert ratios.count() <= 32  # broadcastable by construction
+    assert dict(ratios.dtypes)["ratio_micro"] == "bigint"
+
+
+def test_plan_broadcasts_ratio_table(spark):
+    from meza_spark.util import plan_stats
+
+    docs = _corpus(spark)
+    target = docs.where(F.col("lang") == "en")
+    w = dsir_weights(docs, fit_log_ratios(target, docs))
+    st = plan_stats(w)
+    assert st["broadcast_joins"] >= 1  # B-row table never shuffles docs
+    assert st["python"] == 0  # whole pipeline is JVM codegen
