@@ -2632,6 +2632,38 @@ def llm_lr_score(spark, sf_dir):
             .select("doc_id", "logit_micro", "pred").orderBy("doc_id"))
 
 
+def curation_e2e(spark, sf_dir):
+    """FLAGSHIP pipeline: the raw-pool → training-shards chain a 100 TB
+    curation run actually executes, end-to-end in one gated query —
+    quality gate (row-local, pushes down) → exact dedup (digest
+    shuffle) → benchmark decontamination (broadcast gram probe, remove
+    mode) → DSIR selection (top-200 most target-like survivors) →
+    token-budget shard packing (two-pass cumsum). Every stage is an
+    existing individually-gated operator; this verifies their
+    COMPOSITION against one DuckDB CTE chain."""
+    from meza_spark.llm import dsir
+    from meza_spark.llm.decontam import decontaminate
+    from meza_spark.llm.dedup import exact_dedup
+    from meza_spark.llm.sampling import pack_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    train = docs.where(F.col("doc_id") % 50 != 0)
+    q = (tx.quality_score(train).where(F.col("quality") >= 0.8)
+         .select("doc_id", "text", "lang", "n_chars"))
+    ded = exact_dedup(q)
+    clean = decontaminate(ded, bench, n=8, mode="remove")
+    ratios = dsir.fit_log_ratios(
+        clean.where(F.col("lang") == "en"), clean)
+    w = dsir.dsir_weights(clean, ratios)
+    topk = w.orderBy(F.desc("dsir_w"), "doc_id").limit(200)
+    packed = pack_shards(
+        topk.join(clean.select("doc_id", "n_chars"), on="doc_id"),
+        "n_chars", budget=20_000, order_by="doc_id")
+    return (packed.select("doc_id", "dsir_w", "n_chars", "shard_id")
+            .orderBy("doc_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing(spark, SF001)
@@ -2828,6 +2860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": dsir_weights_q,
         "dsir_sample": dsir_sample_q,
         "llm_lr_score": llm_lr_score,
+        "curation_e2e": curation_e2e,
     }
 
 
@@ -2938,7 +2971,13 @@ def _pagerank_oracle(n_iter: int = 5, damping: float = 0.85,
 # Shared CTE body for the DSIR twins: per-doc importance weight in
 # int64 micro-log-units (see meza_spark/llm/dsir.py — same tokenizer,
 # same md5 bucketing, same Laplace smoothing, same pre-sum
-# quantization). No trailing ORDER BY so dsir_sample can wrap it.
+# quantization). No trailing ORDER BY so wrappers can re-sort/limit.
+# ``src`` parameterizes the corpus relation so curation_e2e can run
+# the same model fit over its filtered survivor CTE.
+def _dsir_weights_sql(src: str = "documents") -> str:
+    return _DSIR_WEIGHTS_SQL.replace("FROM documents)", f"FROM {src})", 1)
+
+
 _DSIR_WEIGHTS_SQL = r"""
 WITH toks AS (
   SELECT doc_id, lang,
@@ -5272,6 +5311,86 @@ def _oracle_sql_base() -> dict[str, str]:
         # to the 1e-6 grid BEFORE the int64 per-doc sums, so the twin
         # is exact at every SF (verified 0.001/0.01/0.1).
         "dsir_weights": _DSIR_WEIGHTS_SQL + " ORDER BY d.doc_id",
+        # FLAGSHIP composition twin: quality gate → exact dedup →
+        # decontam (remove) → DSIR top-200 → shard packing, each CTE
+        # copied verbatim from the per-operator oracles above so any
+        # composition drift is isolated to the seams.
+        "curation_e2e": r"""
+            WITH tq AS (
+              SELECT doc_id, text, lang, n_chars,
+                     length(text) AS nc,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS n_tok,
+                     length(text) - length(regexp_replace(text,
+                       '[^A-Za-z0-9\s]', '', 'g')) AS n_punct,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       AS n_alpha,
+                     len(list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\s+'),
+                       x -> x IN ('the','and','of','to','is'))) AS n_stop
+              FROM documents WHERE doc_id % 50 <> 0),
+            qr AS (
+              SELECT doc_id, text, lang, n_chars,
+                     (CASE WHEN nc >= 64 AND nc <= 100000
+                           THEN 0.4 ELSE 0.0 END
+                      + CASE WHEN (CASE WHEN nc > 0
+                            THEN CAST(n_punct AS DOUBLE)/nc
+                            ELSE 0.0 END) < 0.2 THEN 0.2 ELSE 0.0 END
+                      + CASE WHEN (CASE WHEN n_tok > 0
+                            THEN CAST(n_stop AS DOUBLE)/n_tok
+                            ELSE 0.0 END) > 0.01 THEN 0.2 ELSE 0.0 END
+                      + CASE WHEN (CASE WHEN n_tok > 0
+                            THEN CAST(n_alpha AS DOUBLE)/n_tok
+                            ELSE 0.0 END) BETWEEN 2.0 AND 12.0
+                            THEN 0.2 ELSE 0.0 END) AS quality
+              FROM tq),
+            keepq AS (SELECT doc_id, text, lang, n_chars FROM qr
+                      WHERE quality >= 0.8),
+            ded AS (
+              SELECT doc_id, text, lang, n_chars FROM
+                (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                   ORDER BY doc_id) rn FROM keepq) WHERE rn = 1),
+            toksb AS (
+              SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM documents WHERE doc_id % 50 = 0),
+            gb AS (
+              SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS g
+              FROM toksb,
+                   LATERAL (SELECT UNNEST(range(1, len(t) - 8 + 2)) AS i) u
+              WHERE len(t) >= 8
+              UNION
+              SELECT DISTINCT array_to_string(t, ' ') FROM toksb
+              WHERE len(t) < 8),
+            dtoks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM ded),
+            hits AS (
+              SELECT DISTINCT doc_id
+              FROM dtoks,
+                   LATERAL (SELECT UNNEST(range(1, len(t) - 8 + 2)) AS i) u
+              WHERE len(t) >= 8
+                AND array_to_string(t[i:i+7], ' ') IN (SELECT g FROM gb)
+              UNION
+              SELECT doc_id FROM dtoks
+              WHERE len(t) < 8
+                AND array_to_string(t, ' ') IN (SELECT g FROM gb)),
+            clean AS (SELECT * FROM ded
+                      WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+            w AS (""" + _dsir_weights_sql("clean") + r"""),
+            topk AS (SELECT doc_id, dsir_w FROM w
+                     ORDER BY dsir_w DESC, doc_id LIMIT 200),
+            packed AS (
+              SELECT k.doc_id, k.dsir_w, c.n_chars,
+                     CAST(FLOOR(COALESCE(SUM(c.n_chars) OVER (
+                       ORDER BY k.doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) / 20000.0) AS BIGINT)
+                       AS shard_id
+              FROM topk k JOIN clean c ON k.doc_id = c.doc_id)
+            SELECT doc_id, dsir_w, n_chars, shard_id FROM packed
+            ORDER BY doc_id
+        """,
         "dsir_sample": f"""
             WITH w AS ({_DSIR_WEIGHTS_SQL})
             SELECT doc_id, dsir_w,

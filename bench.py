@@ -63,7 +63,7 @@ HEADLINE = [
     "embed_pca", "sample_budget", "decontam_fuzzy",
     "llm_bpe_tokens", "pct_approx_value", "snapshot_diff_orders",
     "spatial_radius_join", "entity_resolution",
-    "dsir_sample", "llm_lr_score",
+    "dsir_sample", "llm_lr_score", "curation_e2e",
 ]
 
 

@@ -330,3 +330,41 @@ def test_streaming_curation_pipeline_batch_parity(spark, tmp_path):
         spark.read.parquet(str(src)), bench).collect())
     assert got2 == want2
     assert len(got2) > len(got1)
+
+
+def test_streaming_classifier_score_batch_parity(spark, tmp_path):
+    """The learned quality filter runs UNCHANGED on a stream: fit on
+    the batch backfill (bounded driver fit), then score_logistic —
+    literal weights, row-local codegen — inside readStream →
+    writeStream(AvailableNow). Stream rows must score bit-identically
+    to the batch run (integer micro-logits make parity exact)."""
+    from meza_spark.llm.classifier import (fit_logistic,
+                                           quality_features,
+                                           score_logistic)
+
+    rows = [(i, ("the quick brown fox " * (3 + i % 9)).strip())
+            for i in range(40)]
+    schema = "doc_id long, text string"
+    src = tmp_path / "docs"
+    src.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+
+    batch = quality_features(spark.read.parquet(str(src))) \
+        .withColumn("label", (F.col("n_chars_q") >= 120).cast("double"))
+    w = fit_logistic(batch, "label")
+
+    sdf = st.read_stream(spark, str(src), schema=schema)
+    scored = score_logistic(quality_features(sdf), w) \
+        .select("doc_id", "logit_micro", "pred")
+    sink, ck = tmp_path / "scored", tmp_path / "ck2"
+    q = st.write_stream(scored, path=str(sink), fmt="parquet",
+                        checkpoint=str(ck), available_now=True)
+    q.awaitTermination(120)
+
+    got = {r["doc_id"]: (r["logit_micro"], r["pred"])
+           for r in spark.read.parquet(str(sink)).collect()}
+    want = {r["doc_id"]: (r["logit_micro"], r["pred"])
+            for r in score_logistic(batch, w)
+            .select("doc_id", "logit_micro", "pred").collect()}
+    assert got == want and len(got) == 40

@@ -35,6 +35,8 @@ DEFAULT_QUERIES = [
     # round-4: iterative float loop + exact-moment fit + budget prefix
     "graph_pagerank", "embed_pca", "sample_budget", "decontam_fuzzy",
     "llm_bpe_tokens",
+    # round-4b: fitted-model determinism (DSIR ratios, GD weights)
+    "dsir_weights", "dsir_sample", "llm_lr_score",
 ]
 
 _WORKER = r"""
