@@ -28,6 +28,7 @@ from .decontam import (contaminated_ids, decontaminate,
 from .dedup import ngram_containment
 from .dsir import (dsir_sample, dsir_weights, fit_log_ratios,
                    hashed_gram_buckets)
+from .htmltext import extract_page, extract_text
 from .pca import pca_fit, pca_project
 from .sampling import budget_sample
 from .text import (
@@ -55,4 +56,5 @@ __all__ = [
     "hashed_gram_buckets", "fit_log_ratios", "dsir_weights",
     "dsir_sample",
     "quality_features", "fit_logistic", "score_logistic",
+    "extract_page", "extract_text",
 ]
