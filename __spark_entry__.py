@@ -1217,6 +1217,54 @@ def yaml_roundtrip(spark, sf_dir):
     return read_yaml(spark, path)
 
 
+def warc_roundtrip(spark, sf_dir):
+    """documents → records2warc (.warc.gz, one gzip member per record
+    — Common Crawl's layout) → read_warc (binaryFile + in-task member
+    walk, one task per archive). Target URIs, HTTP envelope fields,
+    and utf-8 payload text survive byte-exact. (ref analog: meza's
+    own stdlib container parsers, io.py:598-1118.)"""
+    from meza_spark.io.warc import read_warc, records2warc
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://corpus.example/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        "text")
+    path = _rt_path(sf_dir, "warc.gz")
+    records2warc(docs, path, url_col="url", payload_col="text")
+    return (read_warc(spark, path)
+            .select("target_uri",
+                    F.decode("payload", "UTF-8").alias("text"),
+                    "http_status"))
+
+
+def html_extract(spark, sf_dir):
+    """Boilerplate-removing HTML→text extraction (llm/htmltext.py,
+    jusText-lite): wrap each document in a synthetic page (title +
+    nav/footer chrome + linkfarm div + the escaped text as the body
+    paragraph), extract, and require title + clean text back — chrome
+    and link-farm blocks must vanish, the paragraph must survive
+    whitespace-collapsed. The oracle rebuilds the expected extraction
+    with the SAME ascii-whitespace collapse class."""
+    from meza_spark.llm.htmltext import extract_text
+
+    esc = F.col("text")
+    for pat, rep in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(pat), F.lit(rep))
+    page = F.concat(
+        F.lit("<html><head><title>Doc "), F.col("doc_id").cast("string"),
+        F.lit("</title></head><body>"
+              "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>"
+              "<div><a href=\"/x\">one link</a> <a href=\"/y\">"
+              "another link here</a> f</div>"
+              "<p>"), esc,
+        F.lit("</p><footer>site chrome</footer></body></html>"))
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id", page.alias("html")))
+    return (extract_text(docs, "html", min_words=1)
+            .select("doc_id", "page.title", "page.text",
+                    "page.n_blocks_kept", "page.n_blocks_dropped"))
+
+
 def type_predicates(spark, sf_dir):
     """meza's currency-aware type predicates as JVM Column exprs
     (ref: meza/fntools.py:454-586): '$12.50' numeric, '0123' NOT
@@ -2595,8 +2643,8 @@ def dsir_weights_q(spark, sf_dir):
     from meza_spark.llm import dsir
 
     docs = _t(spark, sf_dir, "documents")
-    target = docs.where(F.col("lang") == "en")
-    ratios = dsir.fit_log_ratios(target, docs)
+    ratios = dsir.fit_log_ratios(
+        None, docs, target_pred=F.col("lang") == "en")
     return dsir.dsir_weights(docs, ratios).orderBy("doc_id")
 
 
@@ -2608,8 +2656,8 @@ def dsir_sample_q(spark, sf_dir):
     from meza_spark.llm import dsir
 
     docs = _t(spark, sf_dir, "documents")
-    target = docs.where(F.col("lang") == "en")
-    return dsir.dsir_sample(docs, target, k=50, seed=7)
+    return dsir.dsir_sample(docs, None, k=50, seed=7,
+                            target_pred=F.col("lang") == "en")
 
 
 def llm_lr_score(spark, sf_dir):
@@ -2654,7 +2702,7 @@ def curation_e2e(spark, sf_dir):
     ded = exact_dedup(q)
     clean = decontaminate(ded, bench, n=8, mode="remove")
     ratios = dsir.fit_log_ratios(
-        clean.where(F.col("lang") == "en"), clean)
+        None, clean, target_pred=F.col("lang") == "en")
     w = dsir.dsir_weights(clean, ratios)
     topk = w.orderBy(F.desc("dsir_w"), "doc_id").limit(200)
     packed = pack_shards(
@@ -2765,6 +2813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbf_roundtrip": dbf_roundtrip,
         "sqlite_roundtrip": sqlite_roundtrip,
         "yaml_roundtrip": yaml_roundtrip,
+        "warc_roundtrip": warc_roundtrip,
+        "html_extract": html_extract,
         "type_predicates": type_predicates,
         "stream_sliding_static": stream_sliding_static,
         "merge_union": merge_union,
@@ -3932,6 +3982,22 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "yaml_roundtrip": """
             SELECT n_nationkey, n_name, n_regionkey FROM nation
+        """,
+        "warc_roundtrip": """
+            SELECT 'https://corpus.example/' || CAST(doc_id AS VARCHAR)
+                       AS target_uri,
+                   text,
+                   200 AS http_status
+            FROM documents
+        """,
+        "html_extract": """
+            SELECT doc_id,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+                   trim(regexp_replace(text,
+                        '[ \\t\\r\\n\\f\\v]+', ' ', 'g')) AS text,
+                   1 AS n_blocks_kept,
+                   3 AS n_blocks_dropped
+            FROM documents
         """,
         "type_predicates": """
             SELECT p_partkey,

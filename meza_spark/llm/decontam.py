@@ -43,8 +43,9 @@ def contaminated_ids(docs: DataFrame, benchmark: DataFrame,
     benchmark doc. The benchmark gram set is broadcast; docs' grams
     never shuffle."""
     bench = (benchmark
-             .select(F.explode(shingles_from_tokens(
-                 tokens(F.lower(F.col(text_col))), n)).alias("_g"))
+             .select(tokens(F.lower(F.col(text_col))).alias("_bt"))
+             .select(F.explode(
+                 shingles_from_tokens(F.col("_bt"), n)).alias("_g"))
              .select(F.xxhash64("_g").alias("gram_hash"))
              .distinct())
     hits = _gram_hashes(docs, text_col, id_col, n) \
@@ -80,9 +81,11 @@ def fuzzy_contamination_pairs(docs: DataFrame, benchmark: DataFrame,
     """
     bench_grams = (benchmark
                    .select(F.col(id_col).alias("bench_id"),
+                           tokens(F.lower(F.col(text_col)))
+                           .alias("_bt"))
+                   .select("bench_id",
                            F.explode(F.array_distinct(
-                               shingles_from_tokens(
-                                   tokens(F.lower(F.col(text_col))), n)))
+                               shingles_from_tokens(F.col("_bt"), n)))
                            .alias("_g"))
                    .select("bench_id", F.xxhash64("_g").alias("gram_hash"))
                    .distinct())
@@ -144,14 +147,18 @@ def decontaminate_fuzzy(docs: DataFrame, benchmark: DataFrame,
         raise ValueError(
             f"decontaminate_fuzzy: unknown strategy {strategy!r}")
     bench_row = (benchmark
+                 .select(tokens(F.lower(F.col(text_col))).alias("_bt"))
                  .select(F.array_distinct(F.transform(
-                     shingles_from_tokens(
-                         tokens(F.lower(F.col(text_col))), n),
+                     shingles_from_tokens(F.col("_bt"), n),
                      lambda g: F.xxhash64(g))).alias("_bg"))
                  .where(F.size("_bg") > 0)
                  .agg(F.collect_list("_bg").alias("_bench")))
+    # tokens materialize as a column FIRST: shingles_from_tokens
+    # references its array ~n+2 times, and an inline tokenizer would
+    # re-run the regex split per reference over the FULL corpus (the
+    # dsir.py lesson — measured 2.5-4x on the gram stage)
     doc_grams = F.array_distinct(F.transform(
-        shingles_from_tokens(tokens(F.lower(F.col(text_col))), n),
+        shingles_from_tokens(F.col("_toks"), n),
         lambda g: F.xxhash64(g)))
     # per bench doc: m >= 1 AND m/nb >= θ — the SAME IEEE division the
     # join strategy applies, so the two strategies flag identical rows
@@ -162,10 +169,11 @@ def decontaminate_fuzzy(docs: DataFrame, benchmark: DataFrame,
         lambda bg: (F.size(F.array_intersect(F.col("_dg"), bg)) >= 1)
         & (F.size(F.array_intersect(F.col("_dg"), bg)).cast("double")
            / F.size(bg) >= F.lit(min_containment)))
-    out = (docs.withColumn("_dg", doc_grams)
+    out = (docs.withColumn("_toks", tokens(F.lower(F.col(text_col))))
+           .withColumn("_dg", doc_grams)
            .crossJoin(F.broadcast(bench_row))
            .withColumn("contaminated", F.coalesce(hit, F.lit(False)))
-           .drop("_dg", "_bench"))
+           .drop("_toks", "_dg", "_bench"))
     if mode == "remove":
         return out.where(~F.col("contaminated")).drop("contaminated")
     return out
@@ -211,16 +219,20 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     if strategy != "array":
         raise ValueError(f"decontaminate: unknown strategy {strategy!r}")
     bench_row = (benchmark
-                 .select(F.explode(shingles_from_tokens(
-                     tokens(F.lower(F.col(text_col))), n)).alias("_g"))
+                 .select(tokens(F.lower(F.col(text_col))).alias("_bt"))
+                 .select(F.explode(
+                     shingles_from_tokens(F.col("_bt"), n)).alias("_g"))
                  .select(F.xxhash64("_g").alias("_gh")).distinct()
                  .agg(F.collect_set("_gh").alias("_bench_grams")))
+    # materialized token column first — see decontaminate_fuzzy note
     doc_grams = F.transform(
-        shingles_from_tokens(tokens(F.lower(F.col(text_col))), n),
+        shingles_from_tokens(F.col("_toks"), n),
         lambda g: F.xxhash64(g))
     hit = F.arrays_overlap(doc_grams, F.col("_bench_grams"))
-    out = (docs.crossJoin(F.broadcast(bench_row))
-           .withColumn("contaminated", F.coalesce(hit, F.lit(False))))
+    out = (docs.withColumn("_toks", tokens(F.lower(F.col(text_col))))
+           .crossJoin(F.broadcast(bench_row))
+           .withColumn("contaminated", F.coalesce(hit, F.lit(False)))
+           .drop("_toks"))
     if mode == "remove":
         return out.where(~F.col("contaminated")) \
             .drop("_bench_grams", "contaminated")

@@ -60,10 +60,17 @@ def _bucket(gram, buckets: int):
         F.lit(buckets))
 
 
-def _grams(text_col):
-    """Unigrams + space-joined bigrams of whitespace tokens, WITH
-    multiplicity (DSIR models gram frequencies, not gram sets)."""
-    toks = tokens(F.lower(text_col))
+def _grams_of(toks):
+    """Unigrams + space-joined bigrams of an already-MATERIALIZED
+    token-array column, WITH multiplicity (DSIR models gram
+    frequencies, not gram sets).
+
+    ``toks`` must be a bound column, not the inline ``tokens(...)``
+    expression: this tree references it ~4× (concat, size, twice per
+    transform element), and an inline reference re-runs the regex
+    split each time — measured 2.5× slower on the gram explode at
+    sf0.1. Callers project ``tokens(lower(text))`` into a column
+    first (multi-referenced columns survive CollapseProject)."""
     big = F.when(
         F.size(toks) >= 2,
         F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
@@ -85,16 +92,19 @@ def hashed_gram_buckets(df: DataFrame, text_col: str = "text",
     partial-aggregates map-side, so the shuffle carries at most
     ``docs × min(doc_grams, buckets)`` small rows.
     """
-    g = F.explode(_grams(F.col(text_col))).alias("_g")
-    return (df.select(F.col(id_col), g)
+    base = df.select(F.col(id_col),
+                     tokens(F.lower(F.col(text_col))).alias("_t"))
+    return (base.select(id_col,
+                        F.explode(_grams_of(F.col("_t"))).alias("_g"))
             .select(id_col, _bucket(F.col("_g"), buckets).alias("bucket"))
             .groupBy(id_col, "bucket")
             .agg(F.count("*").alias("cnt")))
 
 
-def fit_log_ratios(target: DataFrame, raw: DataFrame,
+def fit_log_ratios(target: DataFrame | None, raw: DataFrame,
                    text_col: str = "text",
-                   buckets: int = 1024) -> DataFrame:
+                   buckets: int = 1024, *,
+                   target_pred=None) -> DataFrame:
     """Fit the two hashed-ngram models and return the per-bucket
     importance table ``(bucket, ratio_micro)`` where
 
@@ -102,28 +112,58 @@ def fit_log_ratios(target: DataFrame, raw: DataFrame,
         p_b = (target_cnt_b + 1) / (target_total + B)     (Laplace)
         q_b = (raw_cnt_b + 1) / (raw_total + B)
 
-    B rows total — made for ``F.broadcast``. The two corpus totals are
-    bounded scalar collects (one aggregate row each). Quantization to
-    integer micro-units BEFORE any per-document summation is what makes
-    downstream weights exactly reproducible in any engine.
-    """
-    def counts(df):
-        g = F.explode(_grams(F.col(text_col))).alias("_g")
-        return (df.select(g)
-                .select(_bucket(F.col("_g"), buckets).alias("bucket"))
-                .groupBy("bucket").agg(F.count("*").alias("c")))
+    Scan budget — the number that matters at 100 TB: when the target
+    is a SUBSET of the raw pool, pass ``target_pred`` (a boolean
+    Column over ``raw``'s rows) instead of a ``target`` frame; both
+    models then come from ONE conditional aggregation over a single
+    corpus scan. With a separate ``target`` frame it is one scan per
+    corpus (the target is typically tiny). Either way the per-bucket
+    counts (≤ B rows, exact int64) collect to the driver once, totals
+    are summed there, and the ratio expression is evaluated on a
+    B-row local frame — no third scan for totals, no count recompute
+    inside the downstream weights job.
 
-    tc, rc = counts(target), counts(raw)
-    t_total = tc.agg(F.sum("c")).first()[0] or 0   # bounded scalar
-    r_total = rc.agg(F.sum("c")).first()[0] or 0   # bounded scalar
-    joined = (tc.withColumnRenamed("c", "ct")
-              .join(rc.withColumnRenamed("c", "cr"),
-                    on="bucket", how="full")
-              .fillna(0, subset=["ct", "cr"]))
+    The output is B rows — made for ``F.broadcast``. Quantization to
+    integer micro-units BEFORE any per-document summation is what
+    makes downstream weights exactly reproducible in any engine.
+    """
+    def bucketed(df, flag=None):
+        extra = [] if flag is None else [flag.alias("_is_t")]
+        base = df.select(tokens(F.lower(F.col(text_col))).alias("_t"),
+                         *extra)
+        keep = [] if flag is None else [F.col("_is_t")]
+        g = base.select(F.explode(_grams_of(F.col("_t"))).alias("_g"),
+                        *keep)
+        return g.select(_bucket(F.col("_g"), buckets).alias("bucket"),
+                        *keep)
+
+    if target_pred is not None:
+        rows = (bucketed(raw, flag=target_pred)
+                .groupBy("bucket")
+                .agg(F.count("*").alias("cr"),
+                     F.sum(F.when(F.col("_is_t"), 1).otherwise(0))
+                     .alias("ct"))
+                .collect())                       # ≤ B rows, one scan
+        ct = {r["bucket"]: r["ct"] for r in rows}
+        cr = {r["bucket"]: r["cr"] for r in rows}
+    else:
+        if target is None:
+            raise ValueError("need a target frame or target_pred")
+        ct = {r["bucket"]: r["c"] for r in
+              bucketed(target).groupBy("bucket")
+              .agg(F.count("*").alias("c")).collect()}
+        cr = {r["bucket"]: r["c"] for r in
+              bucketed(raw).groupBy("bucket")
+              .agg(F.count("*").alias("c")).collect()}
+    t_total = sum(ct.values())
+    r_total = sum(cr.values())
+    local = raw.sparkSession.createDataFrame(
+        [(b, ct.get(b, 0), cr.get(b, 0)) for b in sorted(set(ct) | set(cr))],
+        "bucket long, ct long, cr long")
     p = (F.col("ct") + 1).cast("double") / F.lit(t_total + buckets)
     q = (F.col("cr") + 1).cast("double") / F.lit(r_total + buckets)
     ratio = F.floor(F.log(p / q) * F.lit(1e6) + F.lit(0.5)).cast("long")
-    return joined.select("bucket", ratio.alias("ratio_micro"))
+    return local.select("bucket", ratio.alias("ratio_micro"))
 
 
 def dsir_weights(df: DataFrame, ratios: DataFrame,
@@ -148,9 +188,10 @@ def dsir_weights(df: DataFrame, ratios: DataFrame,
     return joined.groupBy(id_col).agg(w)
 
 
-def dsir_sample(df: DataFrame, target: DataFrame, k: int,
+def dsir_sample(df: DataFrame, target: DataFrame | None, k: int,
                 text_col: str = "text", id_col: str = "doc_id",
-                buckets: int = 1024, seed: int = 0) -> DataFrame:
+                buckets: int = 1024, seed: int = 0, *,
+                target_pred=None) -> DataFrame:
     """Gumbel top-k importance resample: ``k`` documents drawn without
     replacement with probability ∝ exp(log-weight) — realized
     deterministically as top-k of ``weight + Gumbel(md5-uniform)``.
@@ -163,7 +204,8 @@ def dsir_sample(df: DataFrame, target: DataFrame, k: int,
     ``sort + limit(k)`` gathers only k rows — the established
     ``sort_topk`` shape, never a full-corpus driver collect.
     """
-    ratios = fit_log_ratios(target, df, text_col, buckets)
+    ratios = fit_log_ratios(target, df, text_col, buckets,
+                            target_pred=target_pred)
     w = dsir_weights(df, ratios, text_col, id_col, buckets)
     u = (F.conv(F.substring(
         F.md5(F.concat(F.col(id_col).cast("string"),

@@ -68,6 +68,22 @@ def test_unseen_bucket_falls_back_to_zero(spark):
     assert len(out) == 1  # scores even when grams miss the fit table
 
 
+def test_target_pred_single_scan_matches_two_frame_fit(spark):
+    """The 100 TB path (one conditional-agg scan via target_pred) must
+    produce the bit-identical ratio table as the general two-frame
+    fit when the target is the same subset."""
+    docs = _corpus(spark)
+    two = sorted(map(tuple, fit_log_ratios(
+        docs.where(F.col("lang") == "en"), docs, buckets=128).collect()))
+    one = sorted(map(tuple, fit_log_ratios(
+        None, docs, buckets=128,
+        target_pred=F.col("lang") == "en").collect()))
+    assert one == two
+    import pytest
+    with pytest.raises(ValueError):
+        fit_log_ratios(None, docs)  # neither target nor pred
+
+
 def test_gumbel_topk_deterministic_and_sized(spark):
     docs = _corpus(spark)
     target = docs.where(F.col("lang") == "en")
