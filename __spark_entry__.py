@@ -2527,6 +2527,24 @@ def decontam_fuzzy(spark, sf_dir):
     return out.select("doc_id", "contaminated").orderBy("doc_id")
 
 
+def decontam_semantic(spark, sf_dir):
+    """Embedding-space decontamination (paraphrase leakage the
+    verbatim/fuzzy n-gram scans can't see): benchmark = the vec_id%37
+    slice of `embeddings`, corpus = the rest; every corpus row whose
+    max cosine against ANY bench embedding reaches 0.3 is flagged
+    with its nearest bench id. The broadcast-bench matmul path is
+    EXACT and shuffle-free (llm/decontam.py semantic_contamination);
+    the DuckDB twin scores all pairs and takes the same quantized-
+    units max/argmax."""
+    from meza_spark.llm.decontam import semantic_contamination
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % 37 == 0)
+    corpus = emb.where(F.col("vec_id") % 37 != 0)
+    return (semantic_contamination(corpus, bench, threshold=0.3)
+            .orderBy("vec_id"))
+
+
 def entity_resolution(spark, sf_dir):
     """MDM-style entity resolution: document records keyed by a
     20-char text prefix, plus planted 1-edit typo copies
@@ -2902,6 +2920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_pca": embed_pca,
         "sample_budget": sample_budget,
         "decontam_fuzzy": decontam_fuzzy,
+        "decontam_semantic": decontam_semantic,
         "llm_bpe_tokens": llm_bpe_tokens,
         "pct_approx_value": pct_approx_value,
         "snapshot_diff_orders": snapshot_diff_orders,
@@ -5263,6 +5282,36 @@ def _oracle_sql_base() -> dict[str, str]:
                                 AND 1 PRECEDING), 0) AS cum
               FROM documents)
             WHERE cum < 3000 ORDER BY doc_id
+        """,
+        "decontam_semantic": """
+            WITH b AS (
+              SELECT vec_id AS bench_id, embedding FROM embeddings
+              WHERE vec_id % 37 = 0
+                AND embedding IS NOT NULL AND len(embedding) > 0),
+            c AS (
+              SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id % 37 <> 0
+                AND embedding IS NOT NULL AND len(embedding) > 0),
+            pairs AS (
+              SELECT c.vec_id, b.bench_id,
+                     list_sum(list_transform(
+                         list_zip(c.embedding, b.embedding),
+                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+                     (sqrt(list_sum(list_transform(c.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                      sqrt(list_sum(list_transform(b.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                     AS cos
+              FROM c, b),
+            best AS (
+              SELECT vec_id, bench_id,
+                     CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cosine_e4,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cos DESC, bench_id) AS rn
+              FROM pairs)
+            SELECT vec_id, bench_id, cosine_e4
+            FROM best WHERE rn = 1 AND cosine_e4 >= 3000
+            ORDER BY vec_id
         """,
         "decontam_fuzzy": r"""
             WITH corpus AS (

@@ -24,7 +24,8 @@ from .bpe import bpe_encode, bpe_token_count, bpe_train
 from .classifier import (fit_logistic, quality_features,
                          score_logistic)
 from .decontam import (contaminated_ids, decontaminate,
-                       decontaminate_fuzzy, fuzzy_contamination_pairs)
+                       decontaminate_fuzzy, decontaminate_semantic,
+                       fuzzy_contamination_pairs, semantic_contamination)
 from .dedup import ngram_containment
 from .dsir import (dsir_sample, dsir_weights, fit_log_ratios,
                    hashed_gram_buckets)
@@ -52,7 +53,8 @@ __all__ = [
     "perplexity_buckets", "ngram_containment", "pca_fit", "pca_project",
     "budget_sample", "bpe_train", "bpe_encode", "bpe_token_count",
     "contaminated_ids", "decontaminate", "decontaminate_fuzzy",
-    "fuzzy_contamination_pairs",
+    "fuzzy_contamination_pairs", "semantic_contamination",
+    "decontaminate_semantic",
     "hashed_gram_buckets", "fit_log_ratios", "dsir_weights",
     "dsir_sample",
     "quality_features", "fit_logistic", "score_logistic",

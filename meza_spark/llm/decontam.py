@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 from .text import shingles_from_tokens, tokens
 
 __all__ = ["contaminated_ids", "decontaminate",
-           "fuzzy_contamination_pairs", "decontaminate_fuzzy"]
+           "fuzzy_contamination_pairs", "decontaminate_fuzzy",
+           "semantic_contamination", "decontaminate_semantic"]
 
 
 def _gram_hashes(df: DataFrame, text_col: str, id_col: str,
@@ -237,3 +238,106 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
         return out.where(~F.col("contaminated")) \
             .drop("_bench_grams", "contaminated")
     return out.drop("_bench_grams")
+
+
+def semantic_contamination(corpus_emb: DataFrame, bench_emb: DataFrame,
+                           threshold: float = 0.9,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id",
+                           max_bench: int = 1_000_000,
+                           round_digits: int = 4) -> DataFrame:
+    """Embedding-space decontamination (the paraphrase-leakage net the
+    verbatim n-gram scan can't catch): flag every corpus row whose
+    embedding has cosine >= ``threshold`` against ANY benchmark
+    embedding. Returns ``(id_col, bench_id, cosine_eN)`` for flagged
+    rows — ``cosine_eN`` is the max cosine in 10^round_digits units,
+    ``bench_id`` the smallest benchmark id achieving it.
+
+    Scale shape: the benchmark side is small by definition (eval sets,
+    not corpora), so its normalized matrix BROADCASTS and scoring is a
+    row-local Arrow-batched matmul over the corpus scan — EXACT (every
+    pair scored, unlike the bucketed :func:`~meza_spark.llm.similarity.
+    cosine_join` path) with ZERO shuffle; the plan stays an append-only
+    map, so the same frame runs under Structured Streaming untouched.
+    ``max_bench`` guards the bounded collect (count checked first).
+
+    The threshold compares in quantized integer units, so engine
+    last-ulp drift cannot flip a boundary row (memory: parity traps).
+    """
+    import numpy as np
+
+    n_bench = bench_emb.count()
+    if n_bench > max_bench:
+        raise ValueError(
+            f"semantic_contamination: benchmark side has {n_bench} "
+            f"rows > max_bench={max_bench}; this path broadcasts the "
+            "benchmark matrix — use similarity.cosine_join for "
+            "corpus-vs-corpus scale")
+    rows = (bench_emb
+            .where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+            .select(F.col(id_col).cast("long"),
+                    F.transform(vec_col, lambda x: x.cast("double")))
+            .collect())                       # bounded: eval-set sized
+    rows.sort(key=lambda r: r[0])             # argmax tie -> min id
+    bench_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    B = np.array([r[1] for r in rows], dtype=np.float64)
+    Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+    scale = 10.0 ** round_digits
+    cut = int(threshold * scale + 0.5)
+    spark = corpus_emb.sparkSession
+    bc = spark.sparkContext.broadcast((bench_ids, Bn))
+
+    def _score(batches):
+        import pandas as pd
+        ids_b, Bn_b = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            Vn = V / np.maximum(
+                np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            S = Vn @ Bn_b.T                       # (batch, n_bench)
+            j = np.argmax(S, axis=1)              # first max = min id
+            best = S[np.arange(len(S)), j]
+            q = np.floor(best * scale + 0.5).astype(np.int64)
+            keep = q >= cut
+            yield pd.DataFrame({
+                "_cid": pdf["_cid"].to_numpy()[keep],
+                "bench_id": ids_b[j[keep]],
+                "cos_q": q[keep]})
+
+    base = (corpus_emb
+            .where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+            .select(F.col(id_col).alias("_cid"),
+                    F.transform(vec_col, lambda x: x.cast("double"))
+                    .alias("_v")))
+    id_type = dict(corpus_emb.dtypes)[id_col]
+    out = base.mapInPandas(
+        _score, schema=f"_cid {id_type}, bench_id long, cos_q long")
+    return out.select(F.col("_cid").alias(id_col), "bench_id",
+                      F.col("cos_q").alias(f"cosine_e{round_digits}"))
+
+
+def decontaminate_semantic(docs: DataFrame, corpus_emb: DataFrame,
+                           bench_emb: DataFrame,
+                           threshold: float = 0.9,
+                           doc_id_col: str = "doc_id",
+                           emb_id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           mode: str = "remove",
+                           max_bench: int = 1_000_000) -> DataFrame:
+    """Apply :func:`semantic_contamination` to a records table:
+    ``mode='remove'`` anti-joins the flagged ids (ids-only shuffle);
+    ``mode='flag'`` left-joins a ``contaminated`` boolean on."""
+    hits = (semantic_contamination(
+        corpus_emb, bench_emb, threshold=threshold,
+        vec_col=vec_col, id_col=emb_id_col, max_bench=max_bench)
+        .select(F.col(emb_id_col).alias("_hit_id")).distinct())
+    if mode == "remove":
+        return docs.join(hits, docs[doc_id_col] == hits["_hit_id"],
+                         "left_anti")
+    if mode != "flag":
+        raise ValueError(f"decontaminate_semantic: unknown mode {mode!r}")
+    return (docs.join(hits, docs[doc_id_col] == hits["_hit_id"], "left")
+            .withColumn("contaminated", F.col("_hit_id").isNotNull())
+            .drop("_hit_id"))

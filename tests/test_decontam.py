@@ -159,3 +159,67 @@ def test_fuzzy_array_strategy_runs_on_stream(spark, tmp_path):
                                           min_containment=0.5,
                                           mode="flag").collect()}
     assert got == batch == {1: True, 2: False}
+
+
+class TestSemantic:
+    """Embedding-space decontamination (broadcast-bench exact path)."""
+
+    @staticmethod
+    def _frames(spark):
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0, 0.0]),          # = bench 100
+             (2, [0.9, 0.1, 0.0]),          # near bench 100
+             (3, [0.0, 1.0, 0.0]),          # = bench 200
+             (4, [0.0, 0.0, 1.0]),          # far from everything
+             (5, None),                      # null vec: never flagged
+             (6, [-1.0, 0.0, 0.0])],        # anti-parallel: cos -1
+            "vec_id long, embedding array<double>")
+        bench = spark.createDataFrame(
+            [(200, [0.0, 2.0, 0.0]),         # scale-invariant (norm)
+             (100, [1.0, 0.0, 0.0])],
+            "vec_id long, embedding array<double>")
+        return corpus, bench
+
+    def test_flags_and_tiebreak(self, spark):
+        from meza_spark.llm.decontam import semantic_contamination
+
+        corpus, bench = self._frames(spark)
+        got = {r["vec_id"]: (r["bench_id"], r["cosine_e4"])
+               for r in semantic_contamination(
+                   corpus, bench, threshold=0.995).collect()}
+        assert got == {1: (100, 10000), 3: (200, 10000)}
+        # looser threshold picks up the near-neighbor too
+        loose = {r["vec_id"] for r in semantic_contamination(
+            corpus, bench, threshold=0.9).collect()}
+        assert loose == {1, 2, 3}
+
+    def test_remove_and_flag_modes(self, spark):
+        from meza_spark.llm.decontam import decontaminate_semantic
+
+        corpus, bench = self._frames(spark)
+        docs = corpus.selectExpr("vec_id AS doc_id",
+                                 "'t' || vec_id AS text")
+        kept = decontaminate_semantic(
+            docs, corpus, bench, threshold=0.995)
+        assert {r["doc_id"] for r in kept.collect()} == {2, 4, 5, 6}
+        flagged = decontaminate_semantic(
+            docs, corpus, bench, threshold=0.995, mode="flag")
+        m = {r["doc_id"]: r["contaminated"] for r in flagged.collect()}
+        assert m == {1: True, 2: False, 3: True, 4: False,
+                     5: False, 6: False}
+
+    def test_bench_bound_guard(self, spark):
+        from meza_spark.llm.decontam import semantic_contamination
+
+        corpus, bench = self._frames(spark)
+        import pytest as _pt
+        with _pt.raises(ValueError, match="max_bench"):
+            semantic_contamination(corpus, bench, max_bench=1)
+
+    def test_no_shuffle_plan(self, spark):
+        from meza_spark.llm.decontam import semantic_contamination
+
+        corpus, bench = self._frames(spark)
+        plan = semantic_contamination(corpus, bench)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
