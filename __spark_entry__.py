@@ -2545,6 +2545,21 @@ def decontam_semantic(spark, sf_dir):
             .orderBy("vec_id"))
 
 
+def domain_weights(spark, sf_dir):
+    """DoReMi-lite domain reweighting (llm/mixing.py): per-source mean
+    loss (n_chars as the static loss signal) → 5 multiplicative-
+    weights iterations with u-smoothing. Integer-micro state + the
+    polynomial boost keep every step IEEE-exact, so the DuckDB twin
+    unrolls the identical update as 5 chained CTEs and hash-matches
+    the fitted weights bit-for-bit."""
+    from meza_spark.llm.mixing import fit_domain_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return (fit_domain_weights(docs, "source", "n_chars",
+                               iters=5, lr=0.5, smoothing=0.1)
+            .orderBy("domain"))
+
+
 def entity_resolution(spark, sf_dir):
     """MDM-style entity resolution: document records keyed by a
     20-char text prefix, plus planted 1-edit typo copies
@@ -2921,6 +2936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_budget": sample_budget,
         "decontam_fuzzy": decontam_fuzzy,
         "decontam_semantic": decontam_semantic,
+        "domain_weights": domain_weights,
         "llm_bpe_tokens": llm_bpe_tokens,
         "pct_approx_value": pct_approx_value,
         "snapshot_diff_orders": snapshot_diff_orders,
@@ -2979,6 +2995,56 @@ def _zorder_oracle_expr(cols: list[str], bits: int) -> str:
     terms = [f"(((CAST({c} AS BIGINT) >> {i}) & 1) << {i * k + j})"
              for i in range(bits) for j, c in enumerate(cols)]
     return " | ".join(terms)
+
+
+def _domain_weights_oracle(iters: int = 5, lr: float = 0.5,
+                           smoothing: float = 0.1) -> str:
+    """Unrolled multiplicative-weights twin of llm/mixing.py
+    fit_domain_weights: chained CTEs i0→i{n} replay the exact
+    quantize→boost→sum→normalize+smooth schedule (same IEEE +,*,/
+    shapes, integer-micro state each round)."""
+    head = """
+        WITH stats AS (
+          SELECT source AS domain, COUNT(*) AS n_docs,
+                 SUM(CAST(floor(CAST(n_chars AS DOUBLE) * 1000000 + 0.5)
+                          AS BIGINT)) AS s
+          FROM documents GROUP BY source),
+        m AS (
+          SELECT domain, n_docs,
+                 CAST(s // n_docs AS BIGINT) AS mean_micro
+          FROM stats),
+        i0 AS (
+          SELECT domain, n_docs, mean_micro,
+                 CASE WHEN MAX(mean_micro) OVER () = MIN(mean_micro) OVER ()
+                      THEN 0.0
+                      ELSE CAST(mean_micro - MIN(mean_micro) OVER ()
+                                AS DOUBLE)
+                           / CAST(MAX(mean_micro) OVER ()
+                                  - MIN(mean_micro) OVER () AS DOUBLE)
+                 END AS lam,
+                 COUNT(*) OVER () AS k,
+                 CAST(floor(1000000.0 / CAST(COUNT(*) OVER () AS DOUBLE)
+                            + 0.5) AS BIGINT) AS w
+          FROM m)"""
+    step = """,
+        i{next} AS (
+          SELECT domain, n_docs, mean_micro, lam, k,
+                 CAST(floor(((1 - {s}) * (CAST(b AS DOUBLE)
+                                          / CAST(tb AS DOUBLE))
+                             + {s} / CAST(k AS DOUBLE)) * 1000000 + 0.5)
+                      AS BIGINT) AS w
+          FROM (SELECT *, SUM(b) OVER () AS tb
+                FROM (SELECT *,
+                             CAST(floor(CAST(w AS DOUBLE)
+                                        * (1 + {lr} * lam) + 0.5)
+                                  AS BIGINT) AS b
+                      FROM i{prev})))"""
+    body = "".join(step.format(next=i + 1, prev=i, lr=lr, s=smoothing)
+                   for i in range(iters))
+    return (head + body + f"""
+        SELECT domain, n_docs, mean_micro AS mean_loss_micro,
+               w AS weight_micro
+        FROM i{iters} ORDER BY domain""")
 
 
 def _pagerank_oracle(n_iter: int = 5, damping: float = 0.85,
@@ -5283,6 +5349,8 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM documents)
             WHERE cum < 3000 ORDER BY doc_id
         """,
+        "domain_weights": _domain_weights_oracle(iters=5, lr=0.5,
+                                                 smoothing=0.1),
         "decontam_semantic": """
             WITH b AS (
               SELECT vec_id AS bench_id, embedding FROM embeddings

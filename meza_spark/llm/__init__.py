@@ -30,6 +30,7 @@ from .dedup import ngram_containment
 from .dsir import (dsir_sample, dsir_weights, fit_log_ratios,
                    hashed_gram_buckets)
 from .htmltext import extract_page, extract_text
+from .mixing import fit_domain_weights, mixture_sample
 from .pca import pca_fit, pca_project
 from .sampling import budget_sample
 from .text import (
@@ -59,4 +60,5 @@ __all__ = [
     "dsir_sample",
     "quality_features", "fit_logistic", "score_logistic",
     "extract_page", "extract_text",
+    "fit_domain_weights", "mixture_sample",
 ]
