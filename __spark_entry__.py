@@ -1265,6 +1265,51 @@ def html_extract(spark, sf_dir):
                     "page.n_blocks_kept", "page.n_blocks_dropped"))
 
 
+def crawl_e2e(spark, sf_dir):
+    """FLAGSHIP front half of the curation pipeline — raw crawl →
+    clean filtered text: synthesize pages (title + nav/linkfarm/footer
+    chrome around each document), shard them into a Common Crawl-style
+    .warc.gz (io/warc.py), read the archive back distributed, strip
+    the HTTP envelopes, extract boilerplate-free text (llm/htmltext),
+    then Gopher-rule quality filtering and token counting. The DuckDB
+    twin rebuilds the expected extraction (same whitespace-collapse
+    class) and replays the Gopher flags + token count on it. Chains
+    into curation_e2e's dedup→decontam→DSIR→pack back half."""
+    from meza_spark.io.warc import read_warc, records2warc
+    from meza_spark.llm.htmltext import extract_text
+
+    esc = F.col("text")
+    for pat, rep in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(pat), F.lit(rep))
+    page = F.concat(
+        F.lit("<html><head><title>Doc "), F.col("doc_id").cast("string"),
+        F.lit("</title></head><body>"
+              "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>"
+              "<p>"), esc,
+        F.lit("</p><footer>site chrome</footer></body></html>"))
+    docs = (_t(spark, sf_dir, "documents")
+            .select(F.concat(F.lit("https://corpus.example/"),
+                             F.col("doc_id").cast("string")).alias("url"),
+                    page.alias("html")))
+    path = _rt_path(sf_dir, "crawl.warc.gz")
+    records2warc(docs, path, url_col="url", payload_col="html")
+    pages = (read_warc(spark, path)
+             .select(F.regexp_extract("target_uri", r"/(\d+)$", 1)
+                     .cast("long").alias("doc_id"),
+                     F.decode("payload", "UTF-8").alias("html")))
+    extracted = (extract_text(pages, "html")
+                 .select("doc_id", F.col("page.title").alias("title"),
+                         F.col("page.text").alias("text")))
+    # stopword rule deliberately not applied: the synthetic corpus
+    # isn't English prose, so the marker-stopword rule would zero it
+    kept = tx.gopher_filter(extracted).where(
+        "gopher_word_count_ok AND gopher_mean_word_length_ok "
+        "AND gopher_symbol_ratio_ok AND gopher_alpha_word_frac_ok")
+    return (tx.token_count(kept)
+            .select("doc_id", "title", "n_tokens")
+            .orderBy("doc_id"))
+
+
 def type_predicates(spark, sf_dir):
     """meza's currency-aware type predicates as JVM Column exprs
     (ref: meza/fntools.py:454-586): '$12.50' numeric, '0123' NOT
@@ -2848,6 +2893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "yaml_roundtrip": yaml_roundtrip,
         "warc_roundtrip": warc_roundtrip,
         "html_extract": html_extract,
+        "crawl_e2e": crawl_e2e,
         "type_predicates": type_predicates,
         "stream_sliding_static": stream_sliding_static,
         "merge_union": merge_union,
@@ -4083,6 +4129,40 @@ def _oracle_sql_base() -> dict[str, str]:
                    1 AS n_blocks_kept,
                    3 AS n_blocks_dropped
             FROM documents
+        """,
+        "crawl_e2e": r"""
+            WITH pages AS (
+              SELECT doc_id,
+                     'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+                     trim(regexp_replace(text,
+                          '[ \t\r\n\f\v]+', ' ', 'g')) AS text
+              FROM documents),
+            toks AS (
+              SELECT doc_id, title, text,
+                     regexp_split_to_array(trim(text), '\s+') AS t
+              FROM pages),
+            feat AS (
+              SELECT doc_id, title,
+                     len(t) AS nw,
+                     CASE WHEN len(t) > 0 THEN
+                       CAST(length(array_to_string(t, '')) AS DOUBLE)
+                       / len(t) ELSE 0.0 END AS mwl,
+                     CASE WHEN len(t) > 0 THEN
+                       CAST((len(string_split(text, '#')) - 1)
+                            + (len(string_split(text, '...')) - 1)
+                            AS DOUBLE) / len(t) ELSE 0.0 END AS symr,
+                     CASE WHEN len(t) > 0 THEN
+                       CAST(len(list_filter(t,
+                            x -> regexp_matches(x, '[A-Za-z]')))
+                            AS DOUBLE) / len(t) ELSE 0.0 END AS alphaf
+              FROM toks)
+            SELECT doc_id, title, nw AS n_tokens
+            FROM feat
+            WHERE nw >= 50 AND nw <= 100000
+              AND mwl >= 3.0 AND mwl <= 10.0
+              AND symr <= 0.1
+              AND alphaf >= 0.8
+            ORDER BY doc_id
         """,
         "type_predicates": """
             SELECT p_partkey,
