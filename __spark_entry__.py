@@ -1217,6 +1217,19 @@ def yaml_roundtrip(spark, sf_dir):
     return read_yaml(spark, path)
 
 
+def avro_roundtrip(spark, sf_dir):
+    """nation → records2avro (deflate OCF, stdlib) → read_avro
+    (binaryFile + in-task block decode). pip PySpark has no avro
+    module, so this path is the package's Avro story; typed columns
+    survive the nullable-union encoding."""
+    from meza_spark.io.avro import read_avro, records2avro
+
+    path = _rt_path(sf_dir, "avro")
+    records2avro(_t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"), path)
+    return read_avro(spark, path)
+
+
 def warc_roundtrip(spark, sf_dir):
     """documents → records2warc (.warc.gz, one gzip member per record
     — Common Crawl's layout) → read_warc (binaryFile + in-task member
@@ -2891,6 +2904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbf_roundtrip": dbf_roundtrip,
         "sqlite_roundtrip": sqlite_roundtrip,
         "yaml_roundtrip": yaml_roundtrip,
+        "avro_roundtrip": avro_roundtrip,
         "warc_roundtrip": warc_roundtrip,
         "html_extract": html_extract,
         "crawl_e2e": crawl_e2e,
@@ -4112,6 +4126,9 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT n_nationkey, n_name, n_regionkey FROM nation
         """,
         "yaml_roundtrip": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
+        """,
+        "avro_roundtrip": """
             SELECT n_nationkey, n_name, n_regionkey FROM nation
         """,
         "warc_roundtrip": """

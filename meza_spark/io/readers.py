@@ -966,6 +966,16 @@ def read_xml(spark: SparkSession, path: str, row_tag: str | None = None,
 # universal dispatch + concat
 # ---------------------------------------------------------------------------
 
+def _read_avro_dispatch(spark, path, **kwargs):
+    from .avro import read_avro
+    return read_avro(spark, path, **kwargs)
+
+
+def _read_warc_dispatch(spark, path, **kwargs):
+    from .warc import read_warc
+    return read_warc(spark, path, **kwargs)
+
+
 _READERS = {
     "csv": read_csv, "tsv": read_tsv, "json": read_json,
     "ndjson": read_ndjson, "jsonl": read_ndjson, "geojson": read_geojson,
@@ -973,6 +983,7 @@ _READERS = {
     "htm": read_html, "xls": read_xls, "xlsx": read_xls,
     "sqlite": read_sqlite, "db": read_sqlite, "dbf": read_dbf,
     "mdb": read_mdb, "orc": read_orc, "xml": read_xml,
+    "avro": _read_avro_dispatch, "warc": _read_warc_dispatch,
 }
 
 

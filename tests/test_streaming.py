@@ -368,3 +368,34 @@ def test_streaming_classifier_score_batch_parity(spark, tmp_path):
             for r in score_logistic(batch, w)
             .select("doc_id", "logit_micro", "pred").collect()}
     assert got == want and len(got) == 40
+
+
+def test_streaming_semantic_decontam_batch_parity(spark, tmp_path):
+    """semantic_contamination's scoring plan is an append-only
+    broadcast matmul (zero shuffle), so the SAME call runs on a
+    streaming corpus frame: flag parity with the batch run is exact
+    (quantized-integer threshold compare)."""
+    from meza_spark.llm.decontam import semantic_contamination
+
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)])
+            for i in range(30)]
+    schema = "vec_id long, embedding array<double>"
+    src = tmp_path / "emb"
+    src.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    bench = spark.createDataFrame(rows[:5], schema)
+
+    batch_hits = semantic_contamination(
+        spark.read.parquet(str(src)), bench, threshold=0.8)
+
+    sdf = st.read_stream(spark, str(src), schema=schema)
+    stream_hits = semantic_contamination(sdf, bench, threshold=0.8)
+    sink, ck = tmp_path / "hits", tmp_path / "ck_sem"
+    q = st.write_stream(stream_hits, path=str(sink), fmt="parquet",
+                        checkpoint=str(ck), available_now=True)
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.read.parquet(str(sink)).collect()))
+    want = sorted(map(tuple, batch_hits.collect()))
+    assert got == want and len(got) >= 5   # bench clones always flag
