@@ -2618,6 +2618,21 @@ def domain_weights(spark, sf_dir):
             .orderBy("domain"))
 
 
+def mixture_resample(spark, sf_dir):
+    """domain_weights applied: resample the corpus toward the fitted
+    DoReMi-lite mixture — per-domain keep fraction ∝ weight/share,
+    peak domain saturates at 1.0, rows kept by the engine-invariant
+    md5 coin. The DuckDB twin re-runs the weights CTE chain, derives
+    the identical 16-hex thresholds, and replays the flips."""
+    from meza_spark.llm.mixing import fit_domain_weights, mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    w = fit_domain_weights(docs, "source", "n_chars",
+                           iters=5, lr=0.5, smoothing=0.1)
+    return (mixture_sample(docs, w, "source", "doc_id", seed=0)
+            .select("doc_id", "source").orderBy("doc_id"))
+
+
 def entity_resolution(spark, sf_dir):
     """MDM-style entity resolution: document records keyed by a
     20-char text prefix, plus planted 1-edit typo copies
@@ -2997,6 +3012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_fuzzy": decontam_fuzzy,
         "decontam_semantic": decontam_semantic,
         "domain_weights": domain_weights,
+        "mixture_resample": mixture_resample,
         "llm_bpe_tokens": llm_bpe_tokens,
         "pct_approx_value": pct_approx_value,
         "snapshot_diff_orders": snapshot_diff_orders,
@@ -3105,6 +3121,42 @@ def _domain_weights_oracle(iters: int = 5, lr: float = 0.5,
         SELECT domain, n_docs, mean_micro AS mean_loss_micro,
                w AS weight_micro
         FROM i{iters} ORDER BY domain""")
+
+
+def _mixture_resample_oracle(iters: int = 5, lr: float = 0.5,
+                             smoothing: float = 0.1,
+                             seed: int = 0) -> str:
+    """llm/mixing.py mixture_sample twin: the fitted-weights CTE chain
+    (shared builder above, trailing SELECT stripped) feeds per-domain
+    keep fractions f_d ∝ weight/share scaled so the peak domain keeps
+    1.0, re-derives the SAME 16-hex md5 thresholds _hex_threshold
+    bakes (floor to hugeint, split into two 32-bit hex halves —
+    DuckDB printf can't %x a hugeint), and replays the coin flips."""
+    chain = _domain_weights_oracle(iters, lr, smoothing)
+    chain = chain[:chain.rindex("SELECT domain, n_docs")]
+    return chain + f"""
+        , fr AS (
+          SELECT domain,
+                 ((CAST(w AS DOUBLE) / 1000000.0)
+                  * CAST(SUM(n_docs) OVER () AS DOUBLE))
+                 / CAST(n_docs AS DOUBLE) AS raw
+          FROM i{iters}),
+        thr AS (
+          SELECT domain,
+                 CASE WHEN raw / MAX(raw) OVER () >= 1.0 THEN 'g'
+                      ELSE printf('%08x%08x',
+                        CAST(CAST(floor((raw / MAX(raw) OVER ())
+                               * CAST(18446744073709551616 AS DOUBLE))
+                             AS HUGEINT) // 4294967296 AS BIGINT),
+                        CAST(CAST(floor((raw / MAX(raw) OVER ())
+                               * CAST(18446744073709551616 AS DOUBLE))
+                             AS HUGEINT) % 4294967296 AS BIGINT))
+                 END AS h
+          FROM fr)
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN thr ON d.source = thr.domain
+        WHERE md5(CAST(d.doc_id AS VARCHAR) || '#{seed}') < thr.h
+        ORDER BY d.doc_id"""
 
 
 def _pagerank_oracle(n_iter: int = 5, damping: float = 0.85,
@@ -5448,6 +5500,9 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "domain_weights": _domain_weights_oracle(iters=5, lr=0.5,
                                                  smoothing=0.1),
+        "mixture_resample": _mixture_resample_oracle(iters=5, lr=0.5,
+                                                     smoothing=0.1,
+                                                     seed=0),
         "decontam_semantic": """
             WITH b AS (
               SELECT vec_id AS bench_id, embedding FROM embeddings
