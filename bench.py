@@ -64,6 +64,9 @@ HEADLINE = [
     "llm_bpe_tokens", "pct_approx_value", "snapshot_diff_orders",
     "spatial_radius_join", "entity_resolution",
     "dsir_sample", "llm_lr_score", "curation_e2e",
+    # round-4 session-3 operators (crawl front half + mixing)
+    "warc_roundtrip", "html_extract", "crawl_e2e", "avro_roundtrip",
+    "decontam_semantic", "domain_weights", "mixture_resample",
 ]
 
 
