@@ -37,6 +37,8 @@ DEFAULT_QUERIES = [
     "llm_bpe_tokens",
     # round-4b: fitted-model determinism (DSIR ratios, GD weights)
     "dsir_weights", "dsir_sample", "llm_lr_score",
+    # round-4c: kernel argmax, MW iteration, coin-flip resample
+    "decontam_semantic", "domain_weights", "mixture_resample",
 ]
 
 _WORKER = r"""
