@@ -2807,6 +2807,14 @@ def curation_e2e(spark, sf_dir):
          .select("doc_id", "text", "lang", "n_chars"))
     ded = exact_dedup(q)
     clean = decontaminate(ded, bench, n=8, mode="remove")
+    # Materialize the cleaned pool ONCE: downstream it is consumed by
+    # four executions (DSIR fit scan, weights lineage, the pack join
+    # probe, and pack_shards' two-pass cumsum) — without a barrier the
+    # quality→dedup→decontam subtree re-runs under each (measured
+    # 7.0 → 5.5 s warm at sf0.1; at cluster scale this is the
+    # re-read-the-corpus-4× tax)
+    from meza_spark.llm.cluster import _stats_barrier
+    clean = _stats_barrier(clean)
     ratios = dsir.fit_log_ratios(
         None, clean, target_pred=F.col("lang") == "en")
     w = dsir.dsir_weights(clean, ratios)
