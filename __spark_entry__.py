@@ -1230,6 +1230,19 @@ def avro_roundtrip(spark, sf_dir):
     return read_avro(spark, path)
 
 
+def arrow_roundtrip(spark, sf_dir):
+    """nation → records2arrow (Feather v2 / Arrow IPC) → read_arrow
+    (binaryFile, zero-copy in-task batches). Spark has no arrow-file
+    source; pyarrow (already required by the UDF runtime) is the
+    bridge — the 'polars/pandas wrote the shards' handoff."""
+    from meza_spark.io.arrow_ipc import read_arrow, records2arrow
+
+    path = _rt_path(sf_dir, "arrow")
+    records2arrow(_t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"), path)
+    return read_arrow(spark, path)
+
+
 def warc_roundtrip(spark, sf_dir):
     """documents → records2warc (.warc.gz, one gzip member per record
     — Common Crawl's layout) → read_warc (binaryFile + in-task member
@@ -2928,6 +2941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sqlite_roundtrip": sqlite_roundtrip,
         "yaml_roundtrip": yaml_roundtrip,
         "avro_roundtrip": avro_roundtrip,
+        "arrow_roundtrip": arrow_roundtrip,
         "warc_roundtrip": warc_roundtrip,
         "html_extract": html_extract,
         "crawl_e2e": crawl_e2e,
@@ -4189,6 +4203,9 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT n_nationkey, n_name, n_regionkey FROM nation
         """,
         "avro_roundtrip": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
+        """,
+        "arrow_roundtrip": """
             SELECT n_nationkey, n_name, n_regionkey FROM nation
         """,
         "warc_roundtrip": """

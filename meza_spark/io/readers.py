@@ -976,6 +976,11 @@ def _read_warc_dispatch(spark, path, **kwargs):
     return read_warc(spark, path, **kwargs)
 
 
+def _read_arrow_dispatch(spark, path, **kwargs):
+    from .arrow_ipc import read_arrow
+    return read_arrow(spark, path, **kwargs)
+
+
 _READERS = {
     "csv": read_csv, "tsv": read_tsv, "json": read_json,
     "ndjson": read_ndjson, "jsonl": read_ndjson, "geojson": read_geojson,
@@ -984,6 +989,7 @@ _READERS = {
     "sqlite": read_sqlite, "db": read_sqlite, "dbf": read_dbf,
     "mdb": read_mdb, "orc": read_orc, "xml": read_xml,
     "avro": _read_avro_dispatch, "warc": _read_warc_dispatch,
+    "arrow": _read_arrow_dispatch, "feather": _read_arrow_dispatch,
 }
 
 
