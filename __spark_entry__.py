@@ -2459,6 +2459,31 @@ def llm_gopher(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def llm_code_signals(spark, sf_dir):
+    """Code-vs-prose routing signals (symbol density, indented-line
+    fraction, word-bounded keyword hits, composite is_code_like) —
+    row-local codegen, every ratio one IEEE division."""
+    d = tx.code_signals(_t(spark, sf_dir, "documents"))
+    return d.select("doc_id", "code_sym_frac", "indent_line_frac",
+                    "code_kw_hits", "is_code_like").orderBy("doc_id")
+
+
+def split_sentences_docs(spark, sf_dir):
+    """Sentence explosion at terminal punctuation, ordering key
+    included. Boundary-marker insertion + split (not a lookbehind) so
+    the identical capture/backreference regex replays in RE2. The
+    synthetic corpus has no sentence punctuation, so the query builds
+    multi-sentence docs (prefix. text! End?) to actually exercise
+    the boundaries."""
+    from meza_spark.llm.text import split_sentences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.substring("text", 1, 30), F.lit(".  "),
+                 F.col("text"), F.lit("! End?")).alias("text"))
+    return split_sentences(docs).orderBy("doc_id", "sent_idx")
+
+
 def llm_normalize(spark, sf_dir):
     """Text normalization gate: deterministically messy up documents
     (curly quotes, long dash, NBSP, tabs, double spaces) with JVM
@@ -3020,6 +3045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_quality": sample_quality,
     "llm_gopher": llm_gopher,
         "llm_normalize": llm_normalize,
+        "llm_code_signals": llm_code_signals,
+        "split_sentences_docs": split_sentences_docs,
         "merge_upsert": merge_upsert,
         "sample_temperature": sample_temperature,
         "embed_ann_pq": embed_ann_pq,
@@ -5383,6 +5410,66 @@ def _oracle_sql_base() -> dict[str, str]:
                    AS contaminated
             FROM documents WHERE doc_id % 50 <> 0
             ORDER BY doc_id
+        """,
+        "llm_code_signals": r"""
+            WITH t AS (
+              SELECT doc_id, text, length(text) AS nc,
+                     length(text) - length(regexp_replace(text,
+                        '[{}\[\]();=<>]', '', 'g')) AS nsym,
+                     list_filter(string_split(text, chr(10)),
+                                 l -> trim(l) <> '') AS lines
+              FROM documents),
+            f AS (
+              SELECT doc_id,
+                     CASE WHEN nc > 0
+                          THEN CAST(nsym AS DOUBLE) / nc
+                          ELSE 0.0 END AS code_sym_frac,
+                     CASE WHEN len(lines) > 0 THEN
+                       CAST(len(list_filter(lines,
+                            l -> regexp_matches(l, '^(  |\t)')))
+                            AS DOUBLE) / len(lines)
+                       ELSE 0.0 END AS indent_line_frac,
+                     (CASE WHEN regexp_matches(text, '\bdef\b')
+                           THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(text, '\breturn\b')
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(text, '\bimport\b')
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(text, '\bfunction\b')
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(text, '\bvar\b')
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(text, '\bconst\b')
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(text, '\bclass\b')
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(text, '\bpublic\b')
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(text, '\bvoid\b')
+                             THEN 1 ELSE 0 END) AS code_kw_hits
+              FROM t)
+            SELECT doc_id, code_sym_frac, indent_line_frac,
+                   code_kw_hits,
+                   (code_sym_frac >= 0.03
+                    AND (indent_line_frac >= 0.2
+                         OR code_kw_hits >= 2)) AS is_code_like
+            FROM f ORDER BY doc_id
+        """,
+        "split_sentences_docs": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     substr(text, 1, 30) || '.  ' || text || '! End?'
+                       AS text
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(text, '([.!?])\s+',
+                         '\1' || chr(30), 'g'), chr(30)) AS l
+              FROM d)
+            SELECT doc_id, i - 1 AS sent_idx, trim(l[i]) AS sentence
+            FROM m, LATERAL unnest(generate_series(1, len(l))) AS u(i)
+            WHERE length(trim(l[i])) >= 1
+            ORDER BY doc_id, sent_idx
         """,
         "llm_gopher": r"""
             WITH toks AS (

@@ -67,7 +67,7 @@ HEADLINE = [
     # round-4 session-3 operators (crawl front half + mixing)
     "warc_roundtrip", "html_extract", "crawl_e2e", "avro_roundtrip",
     "decontam_semantic", "domain_weights", "mixture_resample",
-    "arrow_roundtrip",
+    "arrow_roundtrip", "llm_code_signals", "split_sentences_docs",
 ]
 
 

@@ -17,7 +17,8 @@ __all__ = ["token_count", "quality_score", "lang_id", "fingerprint",
            "shingles", "tokens", "char_entropy", "chunk_documents",
            "vocab_topk", "tfidf_top_terms", "unigram_logprob",
            "perplexity_buckets",
-           "gopher_filter", "normalize_text"]
+           "gopher_filter", "normalize_text", "code_signals",
+           "split_sentences"]
 
 # Tiny per-language stopword marker sets for the n-gram/stopword
 # language-ID heuristic. Deterministic scoring, not a trained model.
@@ -634,3 +635,77 @@ def normalize_text(df: DataFrame, text_col: str = "text",
 
         c = _norm(c)
     return df.withColumn(out or text_col, c)
+
+
+def code_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Code-vs-prose signals (the StarCoder/FineWeb-style routing
+    step: code goes to its own pipeline, not through prose quality
+    rules). Heuristic ratios + keyword hits as columns so the caller
+    picks thresholds; ``is_code_like`` is a composite default.
+
+      - ``code_sym_frac``: fraction of chars in ``{}[]();=<>``
+      - ``indent_line_frac``: fraction of non-blank lines starting
+        with 2+ spaces or a tab (block structure)
+      - ``code_kw_hits``: count of distinct language keywords present
+        (``def/return/import/function/var/const/class/public/void``,
+        word-bounded)
+      - ``is_code_like``: sym ≥ 0.03 AND (indent ≥ 0.2 OR kw ≥ 2)
+
+    Row-local codegen expressions; every ratio one IEEE division of
+    two ints (oracle-exact).
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_sym = n_chars - F.length(F.regexp_replace(
+        t, r"[{}\[\]();=<>]", ""))
+    lines = F.filter(F.split(t, "\n", -1),
+                     lambda ln: F.trim(ln) != "")
+    n_lines = F.size(lines)
+    n_indent = F.size(F.filter(
+        lines, lambda ln: ln.rlike(r"^(  |\t)")))
+    kws = ["def", "return", "import", "function", "var", "const",
+           "class", "public", "void"]
+    kw_hits = None
+    for k in kws:
+        hit = F.when(t.rlike(rf"\b{k}\b"), 1).otherwise(0)
+        kw_hits = hit if kw_hits is None else kw_hits + hit
+    sym_frac = F.when(n_chars > 0,
+                      n_sym.cast("double") / n_chars).otherwise(0.0)
+    indent_frac = F.when(n_lines > 0, n_indent.cast("double") / n_lines) \
+        .otherwise(0.0)
+    return (df.withColumn("code_sym_frac", sym_frac)
+            .withColumn("indent_line_frac", indent_frac)
+            .withColumn("code_kw_hits", kw_hits)
+            .withColumn("is_code_like",
+                        (F.col("code_sym_frac") >= 0.03)
+                        & ((F.col("indent_line_frac") >= 0.2)
+                           | (F.col("code_kw_hits") >= 2))))
+
+
+def split_sentences(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    out_col: str = "sentence",
+                    min_chars: int = 1) -> DataFrame:
+    """Explode documents into ``(id, sent_idx, sentence)`` rows at
+    terminal punctuation (``.!?`` followed by whitespace) — the
+    sentence-granular prep for alignment/citation/window-at-sentence-
+    boundary work. Deliberately regex-only (no trained segmenter):
+    deterministic, engine-replayable, and honest about abbreviation
+    limits (``e.g. foo`` splits — document it, don't guess).
+
+    Row-local split + posexplode: no shuffle, ordering key included so
+    downstream re-assembly (``concat_ws`` over ``sort_array``) is
+    exact. Implemented as boundary-marker insertion + split rather
+    than a lookbehind split: RE2 engines (DuckDB, Go) have no
+    lookbehind, and the capture/backreference form below replays
+    verbatim in both dialects. Texts containing U+001E (record
+    separator) would split there too — curation corpora strip control
+    chars first (:func:`normalize_text`).
+    """
+    marked = F.regexp_replace(F.col(text_col), r"([.!?])\s+",
+                              "$1\u001e")
+    ex = df.select(F.col(id_col),
+                   F.posexplode(F.split(marked, "\u001e", -1))
+                   .alias("sent_idx", out_col))
+    return ex.where(F.length(F.trim(F.col(out_col))) >= min_chars) \
+        .withColumn(out_col, F.trim(F.col(out_col)))

@@ -279,3 +279,63 @@ def test_perplexity_buckets_approx_mode(spark):
     assert set(out.values()) == {1, 2, 3}
     assert out[100] == 1      # most-common-token doc -> head
     assert out[101] == 3      # gibberish -> tail
+
+
+class TestCodeSignals:
+    def test_code_vs_prose(self, spark):
+        from meza_spark.llm.text import code_signals
+
+        code = ("def f(x):\n    return [x];\n"
+                "class A:\n    import os\n    y = {1: 2}")
+        prose = ("The quick brown fox jumps over the lazy dog. "
+                 "It was a bright day and the walk felt easy.")
+        df = spark.createDataFrame([(1, code), (2, prose), (3, "")],
+                                   "doc_id long, text string")
+        out = {r["doc_id"]: r for r in code_signals(df).collect()}
+        assert out[1]["is_code_like"] is True
+        assert out[1]["code_kw_hits"] >= 3
+        assert out[1]["indent_line_frac"] > 0.5
+        assert out[2]["is_code_like"] is False
+        assert out[2]["code_kw_hits"] == 0
+        assert out[3]["code_sym_frac"] == 0.0
+        assert out[3]["is_code_like"] is False
+
+    def test_ratios_are_bounded(self, spark):
+        from meza_spark.llm.text import code_signals
+
+        df = spark.createDataFrame(
+            [(1, "{}[]();=<>"), (2, "\t a\n\t b")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in code_signals(df).collect()}
+        assert out[1]["code_sym_frac"] == 1.0
+        assert out[2]["indent_line_frac"] == 1.0
+
+
+class TestSplitSentences:
+    def test_split_and_reassemble(self, spark):
+        from meza_spark.llm.text import split_sentences
+
+        df = spark.createDataFrame(
+            [(1, "One sentence. Two! Three? Done"),
+             (2, "No terminal punctuation at all"),
+             (3, "")],
+            "doc_id long, text string")
+        out = split_sentences(df).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(
+                (r["sent_idx"], r["sentence"]))
+        assert [s for _, s in sorted(by_doc[1])] == \
+            ["One sentence.", "Two!", "Three?", "Done"]
+        assert [s for _, s in sorted(by_doc[2])] == \
+            ["No terminal punctuation at all"]
+        assert 3 not in by_doc             # empty doc yields nothing
+
+    def test_no_shuffle(self, spark):
+        from meza_spark.llm.text import split_sentences
+
+        df = spark.createDataFrame([(1, "A. B.")],
+                                   "doc_id long, text string")
+        plan = split_sentences(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
