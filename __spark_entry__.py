@@ -2671,6 +2671,35 @@ def mixture_resample(spark, sf_dir):
             .select("doc_id", "source").orderBy("doc_id"))
 
 
+def funnel_events(spark, sf_dir):
+    """Ordered-sequence funnel over events (signup → view → click →
+    purchase, each within 1 day of the previous step): min-qualifying-
+    timestamp semantics, one filtered agg + user-key join per step.
+    The DuckDB twin chains the identical per-step CTE aggs."""
+    from meza_spark.analytics import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(ev, ["signup", "view", "click", "purchase"],
+                  within_seconds=86400).orderBy("step_idx")
+
+
+def cohort_weekly(spark, sf_dir):
+    """Weekly cohort retention matrix over events: cohort = ISO week
+    of first activity, period_n = whole weeks since, distinct users
+    per cell. Two narrow-key aggregations; day-difference floor-
+    divided so period arithmetic is integer-exact in any engine."""
+    from meza_spark.analytics import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    # cohort emitted as yyyy-MM-dd string: DuckDB DATE surfaces as a
+    # midnight timestamp through pandas, which the canonicalizer would
+    # hash differently from a true date cell
+    return (cohort_retention(ev, period="week")
+            .select(F.col("cohort").cast("string").alias("cohort"),
+                    "period_n", "users")
+            .orderBy("cohort", "period_n"))
+
+
 def entity_resolution(spark, sf_dir):
     """MDM-style entity resolution: document records keyed by a
     20-char text prefix, plus planted 1-edit typo copies
@@ -3062,6 +3091,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_semantic": decontam_semantic,
         "domain_weights": domain_weights,
         "mixture_resample": mixture_resample,
+        "funnel_events": funnel_events,
+        "cohort_weekly": cohort_weekly,
         "llm_bpe_tokens": llm_bpe_tokens,
         "pct_approx_value": pct_approx_value,
         "snapshot_diff_orders": snapshot_diff_orders,
@@ -5615,6 +5646,50 @@ def _oracle_sql_base() -> dict[str, str]:
         "mixture_resample": _mixture_resample_oracle(iters=5, lr=0.5,
                                                      smoothing=0.1,
                                                      seed=0),
+        "funnel_events": """
+            WITH t1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'signup' GROUP BY user_id),
+            t2 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN t1 ON e.user_id = t1.user_id
+              WHERE e.event_type = 'view' AND e.ts > t1.t
+                AND e.ts <= t1.t + INTERVAL 86400 SECOND
+              GROUP BY e.user_id),
+            t3 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN t2 ON e.user_id = t2.user_id
+              WHERE e.event_type = 'click' AND e.ts > t2.t
+                AND e.ts <= t2.t + INTERVAL 86400 SECOND
+              GROUP BY e.user_id),
+            t4 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN t3 ON e.user_id = t3.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > t3.t
+                AND e.ts <= t3.t + INTERVAL 86400 SECOND
+              GROUP BY e.user_id)
+            SELECT 1 AS step_idx, 'signup' AS step,
+                   (SELECT count(*) FROM t1) AS users
+            UNION ALL SELECT 2, 'view', (SELECT count(*) FROM t2)
+            UNION ALL SELECT 3, 'click', (SELECT count(*) FROM t3)
+            UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM t4)
+            ORDER BY step_idx
+        """,
+        "cohort_weekly": """
+            WITH f AS (
+              SELECT user_id, date_trunc('week', min(ts)) AS cohort
+              FROM events GROUP BY user_id),
+            a AS (
+              SELECT DISTINCT user_id, date_trunc('week', ts) AS p
+              FROM events)
+            SELECT CAST(CAST(f.cohort AS DATE) AS VARCHAR) AS cohort,
+                   CAST(datediff('day', f.cohort, a.p) // 7 AS INT)
+                     AS period_n,
+                   count(DISTINCT a.user_id) AS users
+            FROM a JOIN f ON a.user_id = f.user_id
+            GROUP BY 1, 2
+            ORDER BY cohort, period_n
+        """,
         "decontam_semantic": """
             WITH b AS (
               SELECT vec_id AS bench_id, embedding FROM embeddings

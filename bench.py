@@ -68,6 +68,7 @@ HEADLINE = [
     "warc_roundtrip", "html_extract", "crawl_e2e", "avro_roundtrip",
     "decontam_semantic", "domain_weights", "mixture_resample",
     "arrow_roundtrip", "llm_code_signals", "split_sentences_docs",
+    "funnel_events", "cohort_weekly",
 ]
 
 

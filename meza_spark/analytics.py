@@ -1,0 +1,102 @@
+"""Event-sequence analytics: funnels and cohort retention — the
+product-analytics queries every event table eventually needs, built as
+plain DataFrame aggregation chains so Catalyst plans them (no UDFs,
+no per-user collect).
+
+Scale shape: ``funnel`` is one filtered aggregation per step, each
+joined back on the user key — frames shrink monotonically down the
+funnel (step k can only lose users), so AQE broadcasts the tail
+joins; the only shuffles are on ``user_col``. ``cohort_retention`` is
+two aggregations (first-seen, then cohort×period distinct counts).
+Both are exactly replayable in ANSI SQL (chained CTE aggs — see the
+__spark_entry__ twins).
+
+No reference analog (meza has no event ops); beyond-reference
+analytics layer per the build charter.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["funnel", "cohort_retention"]
+
+
+def funnel(df: DataFrame, steps: Sequence[str],
+           user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type",
+           within_seconds: int | None = None) -> DataFrame:
+    """Ordered-sequence funnel: for each user, step k counts only if a
+    matching event occurs strictly AFTER their step-(k-1) time (first
+    qualifying occurrence wins; ``within_seconds`` additionally bounds
+    the gap between consecutive steps). Returns one row per step:
+    ``(step_idx, step, users)`` with ``users`` monotonically
+    non-increasing.
+
+    Semantics pinned deliberately: "min qualifying timestamp per
+    step", not "any subsequence" — deterministic, replayable, and the
+    standard product-analytics definition.
+    """
+    if not steps:
+        raise ValueError("funnel: need at least one step")
+    t1 = (df.where(F.col(type_col) == steps[0])
+          .groupBy(user_col).agg(F.min(ts_col).alias("_t1")))
+    times = t1
+    for i, step in enumerate(steps[1:], start=2):
+        prev = F.col(f"_t{i - 1}")
+        cond = F.col(ts_col) > prev
+        if within_seconds is not None:
+            cond = cond & (F.col(ts_col) <=
+                           prev + F.expr(f"INTERVAL {int(within_seconds)} SECOND"))
+        nxt = (df.where(F.col(type_col) == step)
+               .join(times.select(user_col, f"_t{i - 1}"), on=user_col)
+               .where(cond)
+               .groupBy(user_col).agg(F.min(ts_col).alias(f"_t{i}")))
+        times = times.join(nxt, on=user_col, how="left")
+    counts = times.agg(*[F.count(f"_t{i}").alias(f"_c{i}")
+                         for i in range(1, len(steps) + 1)])
+    stack = ", ".join(f"{i}, '{s}', _c{i}"
+                      for i, s in enumerate(steps, start=1))
+    return counts.selectExpr(
+        f"stack({len(steps)}, {stack}) AS (step_idx, step, users)")
+
+
+def cohort_retention(df: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts", period: str = "week",
+                     max_periods: int | None = None) -> DataFrame:
+    """Cohort retention matrix: cohort = each user's first-seen period
+    (``date_trunc``), and for every later period in which they appear,
+    one distinct-user count. Returns ``(cohort, period_n, users)``
+    where ``period_n`` is whole periods since the cohort start
+    (day-difference floor-divided — integer-exact in any engine).
+
+    Two aggregations, both shuffling on narrow keys (user, then
+    cohort×period). ``period``: 'week' | 'day' | 'month' — for
+    'month', period_n counts calendar months, not 30-day blocks.
+    """
+    days_per = {"day": 1, "week": 7}
+    first = (df.groupBy(user_col)
+             .agg(F.date_trunc(period, F.min(ts_col)).alias("_cohort")))
+    acts = (df.select(user_col, F.date_trunc(period, F.col(ts_col))
+                      .alias("_p"))
+            .distinct()
+            .join(first, on=user_col))
+    if period in days_per:
+        pn = (F.datediff(F.col("_p"), F.col("_cohort"))
+              / days_per[period]).cast("int")
+    elif period == "month":
+        pn = ((F.year("_p") - F.year("_cohort")) * 12
+              + (F.month("_p") - F.month("_cohort"))).cast("int")
+    else:
+        raise ValueError(f"cohort_retention: unsupported period "
+                         f"{period!r}")
+    out = (acts.withColumn("period_n", pn)
+           .groupBy(F.col("_cohort").cast("date").alias("cohort"),
+                    "period_n")
+           .agg(F.count_distinct(user_col).alias("users")))
+    if max_periods is not None:
+        out = out.where(F.col("period_n") <= max_periods)
+    return out
