@@ -181,12 +181,20 @@ def records2warc(df: DataFrame, path: str, url_col: str = "url",
     """
     import hashlib as _hashlib
 
+    import re as _re
+
     gz = path.endswith(".gz") if gzip_members is None else gzip_members
     cols = [url_col, payload_col] + ([date_col] if date_col else [])
     it = df.select(*cols).toLocalIterator()
+    _unsafe = _re.compile(r"[\x00-\x20\x7f]")
     with open(path, "wb") as sink:
         for row in it:
             url = "" if row[0] is None else str(row[0])
+            # whitespace/control chars in a header value would corrupt
+            # the CRLF record framing — percent-encode JUST those
+            # (WARC-Target-URI forbids them; IRIs keep their non-ASCII)
+            url = _unsafe.sub(
+                lambda m: "%%%02X" % ord(m.group()), url)
             body = row[1]
             body = (b"" if body is None else
                     body if isinstance(body, (bytes, bytearray))

@@ -302,3 +302,62 @@ def test_containment_bounds_and_symmetry_property(spark, texts):
     for k, c in cont.items():
         assert -1e-12 <= c <= 1 + 1e-12
         assert c >= jac[k] - 1e-12
+
+
+@given(st.lists(st.integers(-(2**63), 2**63 - 1), min_size=0,
+                max_size=50))
+@settings(max_examples=30, deadline=None)
+def test_avro_zigzag_roundtrips_any_int64(ns):
+    """Property: zigzag varint encode∘decode = identity over the full
+    int64 domain, and concatenated encodings decode sequentially."""
+    from meza_spark.io.avro import _zigzag_decode, _zigzag_encode
+
+    buf = b"".join(_zigzag_encode(n) for n in ns)
+    pos, got = 0, []
+    for _ in ns:
+        v, pos = _zigzag_decode(buf, pos)
+        got.append(v)
+    assert got == ns and pos == len(buf)
+
+
+@given(st.lists(st.tuples(
+    st.text(alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+            min_size=0, max_size=40),
+    st.binary(min_size=0, max_size=200)), min_size=1, max_size=8),
+    st.booleans())
+@settings(max_examples=15, deadline=None)
+def test_warc_record_walk_roundtrips(spark, pairs, gz):
+    """Property: any (url, payload) set survives the WARC container
+    byte-exact, plain or gzipped, regardless of payload content
+    (CRLFs, fake record boundaries, NULs inside payloads included).
+    URLs with whitespace/control chars percent-encode on write (they
+    would corrupt the CRLF header framing), so the expectation maps
+    through the same minimal escaping."""
+    import re
+    import gzip as _gzip
+    import io as _io
+    import tempfile
+
+    from meza_spark.io.warc import _iter_warc_records, records2warc
+
+    df = spark.createDataFrame(
+        [(f"https://x.example/{i}#{u}", p)
+         for i, (u, p) in enumerate(pairs)],
+        "url string, payload binary")
+    with tempfile.NamedTemporaryFile(
+            suffix=".warc.gz" if gz else ".warc", delete=False) as f:
+        path = f.name
+    records2warc(df, path, url_col="url", payload_col="payload")
+    raw = open(path, "rb").read()
+    stream = _io.BufferedReader(
+        _gzip.GzipFile(fileobj=_io.BytesIO(raw)) if gz
+        else _io.BytesIO(raw))
+    got = {}
+    for hdr, payload in _iter_warc_records(stream):
+        body = payload.split(b"\r\n\r\n", 1)[1]
+        got[hdr["warc-target-uri"]] = body
+    esc = lambda s_: re.sub(  # noqa: E731
+        r"[\x00-\x20\x7f]", lambda m: "%%%02X" % ord(m.group()), s_)
+    want = {esc(f"https://x.example/{i}#{u}"): bytes(p)
+            for i, (u, p) in enumerate(pairs)}
+    assert got == want
