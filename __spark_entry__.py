@@ -2671,6 +2671,18 @@ def mixture_resample(spark, sf_dir):
             .select("doc_id", "source").orderBy("doc_id"))
 
 
+def co_occur_parts(spark, sf_dir):
+    """Market-basket co-occurrence over lineitem: part-bucket pairs
+    appearing in the same order (distinct-first, group-keyed self-
+    join, size-capped baskets), support ≥ 3."""
+    from meza_spark.process import co_occurrence
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_partkey") % 100).alias("pb"))
+    return (co_occurrence(li, "l_orderkey", "pb", min_support=3)
+            .orderBy("item_a", "item_b"))
+
+
 def funnel_events(spark, sf_dir):
     """Ordered-sequence funnel over events (signup → view → click →
     purchase, each within 1 day of the previous step): min-qualifying-
@@ -3093,6 +3105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_resample": mixture_resample,
         "funnel_events": funnel_events,
         "cohort_weekly": cohort_weekly,
+        "co_occur_parts": co_occur_parts,
         "llm_bpe_tokens": llm_bpe_tokens,
         "pct_approx_value": pct_approx_value,
         "snapshot_diff_orders": snapshot_diff_orders,
@@ -5646,6 +5659,18 @@ def _oracle_sql_base() -> dict[str, str]:
         "mixture_resample": _mixture_resample_oracle(iters=5, lr=0.5,
                                                      smoothing=0.1,
                                                      seed=0),
+        "co_occur_parts": """
+            WITH base AS (
+              SELECT DISTINCT l_orderkey AS g, l_partkey % 100 AS i
+              FROM lineitem)
+            SELECT a.i AS item_a, b.i AS item_b,
+                   count(*) AS n_groups
+            FROM base a JOIN base b
+              ON a.g = b.g AND a.i < b.i
+            GROUP BY a.i, b.i
+            HAVING count(*) >= 3
+            ORDER BY item_a, item_b
+        """,
         "funnel_events": """
             WITH t1 AS (
               SELECT user_id, min(ts) AS t FROM events

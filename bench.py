@@ -68,7 +68,7 @@ HEADLINE = [
     "warc_roundtrip", "html_extract", "crawl_e2e", "avro_roundtrip",
     "decontam_semantic", "domain_weights", "mixture_resample",
     "arrow_roundtrip", "llm_code_signals", "split_sentences_docs",
-    "funnel_events", "cohort_weekly",
+    "funnel_events", "cohort_weekly", "co_occur_parts",
 ]
 
 
@@ -100,7 +100,10 @@ SCALE_QUERIES = ["q1_pricing", "q3_shipping", "q5_local_supplier",
                  "dedup_embed_cosine",
                  # round-4 operators under the slope lens
                  "graph_pagerank", "decontam_fuzzy", "sample_budget",
-                 "embed_pca"]
+                 "embed_pca",
+                 # round-4c operators under the slope lens
+                 "decontam_semantic", "mixture_resample",
+                 "funnel_events", "cohort_weekly", "co_occur_parts"]
 
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

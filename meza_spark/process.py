@@ -1191,3 +1191,38 @@ def resample(df: DataFrame, ts_col: str, step: str,
             out = out.withColumn(name, interp)
     return out.withColumn("bucket_ts", F.timestamp_seconds("_bk")) \
         .drop("_bk")
+
+
+def co_occurrence(df: DataFrame, group_col: str, item_col: str,
+                  min_support: int = 1,
+                  max_group: int | None = 10_000) -> DataFrame:
+    """Pairwise co-occurrence counts (market-basket / related-items):
+    for every unordered pair of distinct items appearing in the same
+    group, the number of groups containing both. Returns
+    ``(item_a, item_b, n_groups)`` with ``item_a < item_b``.
+
+    Scale shape: distinct ``(group, item)`` first (multiplicity inside
+    a group doesn't count), then a group-keyed self-join — the
+    quadratic term is bounded per group, and ``max_group`` drops
+    groups with more distinct items than the cap (a pathological
+    10k-item basket contributes 50M pairs; the cap is the same skew
+    valve every bucketed pair generator here uses, and a dropped
+    basket is a deliberate, documented loss — diff the group count
+    against ``max_group=None`` to audit it).
+    ``min_support`` filters AFTER aggregation (it cannot prune pairs
+    early without a second pass; at scale pre-thin items by frequency
+    first).
+    """
+    base = df.select(F.col(group_col).alias("_g"),
+                     F.col(item_col).alias("_i")).distinct()
+    if max_group is not None:
+        sizes = base.groupBy("_g").agg(F.count("*").alias("_n"))
+        base = (base.join(sizes.where(F.col("_n") <= max_group)
+                          .select("_g"), on="_g"))
+    a = base.select("_g", F.col("_i").alias("item_a"))
+    b = base.select("_g", F.col("_i").alias("item_b"))
+    pairs = (a.join(b, on="_g")
+             .where(F.col("item_a") < F.col("item_b"))
+             .groupBy("item_a", "item_b")
+             .agg(F.count("*").alias("n_groups")))
+    return pairs.where(F.col("n_groups") >= int(min_support))

@@ -515,3 +515,30 @@ def test_resolve_entities_majority_vote(spark):
     assert len(out) == 1
     assert out[0]["tag"] == "b"          # majority wins over min value
     assert out[0]["entity_id"] == 1
+
+
+class TestCoOccurrence:
+    def test_pairs_and_support(self, spark):
+        from meza_spark.process import co_occurrence
+
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (1, "c"), (1, "a"),   # dup a: 1 group
+             (2, "a"), (2, "b"),
+             (3, "a"), (3, "b"),
+             (4, "z")],                                 # singleton
+            "basket long, item string")
+        got = {(r["item_a"], r["item_b"]): r["n_groups"]
+               for r in co_occurrence(df, "basket", "item").collect()}
+        assert got == {("a", "b"): 3, ("a", "c"): 1, ("b", "c"): 1}
+        sup = co_occurrence(df, "basket", "item", min_support=2)
+        assert [tuple(r) for r in sup.collect()] == [("a", "b", 3)]
+
+    def test_max_group_cap_drops_megabaskets(self, spark):
+        from meza_spark.process import co_occurrence
+
+        rows = [(1, f"i{k}") for k in range(50)] + [(2, "a"), (2, "b")]
+        df = spark.createDataFrame(rows, "basket long, item string")
+        got = co_occurrence(df, "basket", "item", max_group=10).collect()
+        assert [tuple(r) for r in got] == [("a", "b", 1)]
+        full = co_occurrence(df, "basket", "item", max_group=None)
+        assert full.count() == 50 * 49 // 2 + 1
