@@ -2671,6 +2671,22 @@ def mixture_resample(spark, sf_dir):
             .select("doc_id", "source").orderBy("doc_id"))
 
 
+def zscore_events(spark, sf_dir):
+    """Rolling anomaly detection: per-event-type moving z-score of
+    `value` against the preceding 24 events. Exact-integer moment
+    sums (decimal window accumulators, string-routed double casts)
+    make the score hash-gateable — the DuckDB twin replays the same
+    frame and the same IEEE shapes."""
+    from meza_spark.analytics import moving_zscore
+
+    ev = _t(spark, sf_dir, "events")
+    out = moving_zscore(ev, "event_type", "ts", "value",
+                        window=24, tiebreak="event_id")
+    return (out.where(F.col("z_micro").isNotNull())
+            .select("event_id", "event_type", "z_micro")
+            .orderBy("event_id"))
+
+
 def co_occur_parts(spark, sf_dir):
     """Market-basket co-occurrence over lineitem: part-bucket pairs
     appearing in the same order (distinct-first, group-keyed self-
@@ -3106,6 +3122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_events": funnel_events,
         "cohort_weekly": cohort_weekly,
         "co_occur_parts": co_occur_parts,
+        "zscore_events": zscore_events,
         "llm_bpe_tokens": llm_bpe_tokens,
         "pct_approx_value": pct_approx_value,
         "snapshot_diff_orders": snapshot_diff_orders,
@@ -5659,6 +5676,40 @@ def _oracle_sql_base() -> dict[str, str]:
         "mixture_resample": _mixture_resample_oracle(iters=5, lr=0.5,
                                                      smoothing=0.1,
                                                      seed=0),
+        "zscore_events": """
+            WITH q AS (
+              SELECT event_id, event_type, ts,
+                     CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5)
+                          AS HUGEINT) AS vq
+              FROM events),
+            w AS (
+              SELECT event_id, event_type, vq,
+                     count(vq) OVER win AS n,
+                     sum(vq) OVER win AS s1,
+                     sum(vq * vq) OVER win AS s2
+              FROM q
+              WINDOW win AS (PARTITION BY event_type
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN 24 PRECEDING
+                                      AND 1 PRECEDING)),
+            z AS (
+              SELECT event_id, event_type,
+                     CAST(n AS DOUBLE) AS nd,
+                     CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS s1d,
+                     CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS s2d,
+                     CAST(CAST(vq AS VARCHAR) AS DOUBLE) AS vd,
+                     n
+              FROM w)
+            SELECT event_id, event_type,
+                   CAST(floor(((vd - s1d / nd)
+                        / sqrt((nd * s2d - s1d * s1d)
+                               / (nd * (nd - 1)))) * 1000000 + 0.5)
+                        AS BIGINT) AS z_micro
+            FROM z
+            WHERE n >= 3
+              AND (nd * s2d - s1d * s1d) / (nd * (nd - 1)) > 0
+            ORDER BY event_id
+        """,
         "co_occur_parts": """
             WITH base AS (
               SELECT DISTINCT l_orderkey AS g, l_partkey % 100 AS i

@@ -69,6 +69,7 @@ HEADLINE = [
     "decontam_semantic", "domain_weights", "mixture_resample",
     "arrow_roundtrip", "llm_code_signals", "split_sentences_docs",
     "funnel_events", "cohort_weekly", "co_occur_parts",
+    "zscore_events",
 ]
 
 

@@ -22,7 +22,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel", "cohort_retention"]
+__all__ = ["funnel", "cohort_retention", "moving_zscore"]
 
 
 def funnel(df: DataFrame, steps: Sequence[str],
@@ -100,3 +100,55 @@ def cohort_retention(df: DataFrame, user_col: str = "user_id",
     if max_periods is not None:
         out = out.where(F.col("period_n") <= max_periods)
     return out
+
+
+def moving_zscore(df: DataFrame, partition_col: str, ts_col: str,
+                  value_col: str, window: int = 24,
+                  min_points: int = 3,
+                  tiebreak: str | None = None) -> DataFrame:
+    """Rolling anomaly score: for each row, the z-score of its value
+    against the mean/std of the PRECEDING ``window`` rows in its
+    series (the row itself excluded — detection, not smoothing).
+    Adds ``z_micro`` (z-score in 1e-6 units, null when the trailing
+    window has < ``min_points`` rows or zero variance).
+
+    Engine-exact by construction (the repo's parity discipline):
+    values quantize to int64 micro-units FIRST, the window accumulates
+    decimal sums of x and x² (order-free exact integers — doubles
+    would make the result depend on frame evaluation order), and the
+    final z is one fixed shape of IEEE ops over those exact integers:
+
+        var_q = (n*s2 - s1²) / (n*(n-1))      (sample variance, micro²)
+        z     = (v - s1/n) / sqrt(var_q)
+
+    One shuffle on the series key, one window pass. sqrt is
+    correctly-rounded per IEEE-754, so it replays exactly. Pass
+    ``tiebreak`` (a unique column) when ``ts_col`` can collide within
+    a series — a row-frame over tied timestamps is otherwise
+    partitioning-dependent.
+    """
+    from pyspark.sql import Window
+
+    q = F.floor(F.col(value_col).cast("double") * 1000000 + F.lit(0.5)) \
+        .cast("decimal(38,0)")
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    w = (Window.partitionBy(partition_col).orderBy(*order)
+         .rowsBetween(-window, -1))
+    step = (df.withColumn("_vq", q)
+            .withColumn("_n", F.count("_vq").over(w))
+            .withColumn("_s1", F.sum("_vq").over(w))
+            .withColumn("_s2", F.sum(F.col("_vq") * F.col("_vq")).over(w)))
+    n = F.col("_n").cast("double")
+    # decimal→double via STRING: the direct cast differs from DuckDB
+    # by 1 ulp at ~1e9+ magnitudes (memory: parity traps; same reason
+    # _dsum exists), and s2 reaches ~1e19 here
+    s1 = F.col("_s1").cast("string").cast("double")
+    s2 = F.col("_s2").cast("string").cast("double")
+    var_q = (n * s2 - s1 * s1) / (n * (n - 1))
+    v = F.col("_vq").cast("string").cast("double")
+    z = (v - s1 / n) / F.sqrt(var_q)
+    ok = (F.col("_n") >= int(min_points)) & (var_q > 0)
+    return (step.withColumn(
+        "z_micro",
+        F.when(ok, F.floor(z * 1000000 + F.lit(0.5)).cast("long")))
+        .drop("_vq", "_n", "_s1", "_s2"))

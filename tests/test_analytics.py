@@ -75,3 +75,49 @@ def test_cohort_monthly_and_bounds(spark):
     assert {(r["period_n"], r["users"]) for r in out} == {(0, 1)}
     with pytest.raises(ValueError, match="unsupported period"):
         cohort_retention(_ev(spark, rows), period="fortnight")
+
+
+def test_moving_zscore_exact_and_guards(spark):
+    import math
+
+    from meza_spark.analytics import moving_zscore
+
+    vals = [10.0, 10.0, 10.0, 10.0, 50.0, 10.0]
+    df = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1, i), "s", v)
+         for i, v in enumerate(vals)],
+        "event_id long, ts timestamp, user_id string, value double")
+    out = {r["event_id"]: r["z_micro"]
+           for r in moving_zscore(df, "user_id", "ts", "value",
+                                  window=4).collect()}
+    # first rows: window too small (rows 0-2 have <3 preceding points)
+    assert out[0] is None and out[1] is None and out[2] is None
+    # row 3: window all-equal -> zero variance -> null
+    assert out[3] is None
+    # row 4: spike vs flat window of 10s -> zero variance -> null
+    assert out[4] is None
+    # row 5: window [10,10,10,50]: mean 20, sample std 20 -> z = -0.5
+    assert out[5] == -500000
+    # exact replica in plain python (micro-int pipeline)
+    q = [v * 1_000_000 for v in vals[1:5]]
+    n, s1 = 4.0, float(sum(q))
+    s2 = float(sum(x * x for x in q))
+    var = (n * s2 - s1 * s1) / (n * (n - 1))
+    z = (vals[5] * 1e6 - s1 / n) / math.sqrt(var)
+    assert out[5] == math.floor(z * 1e6 + 0.5)
+
+
+def test_moving_zscore_partition_isolation(spark):
+    from meza_spark.analytics import moving_zscore
+
+    rows = [(i, dt.datetime(2024, 1, 1, i % 12), f"u{i % 2}",
+             float(i)) for i in range(24)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id string, value double")
+    a = sorted(map(tuple, moving_zscore(
+        df.repartition(7), "user_id", "ts", "value",
+        tiebreak="event_id").collect()))
+    b = sorted(map(tuple, moving_zscore(
+        df.coalesce(1), "user_id", "ts", "value",
+        tiebreak="event_id").collect()))
+    assert a == b
