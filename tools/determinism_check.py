@@ -37,8 +37,10 @@ DEFAULT_QUERIES = [
     "llm_bpe_tokens",
     # round-4b: fitted-model determinism (DSIR ratios, GD weights)
     "dsir_weights", "dsir_sample", "llm_lr_score",
-    # round-4c: kernel argmax, MW iteration, coin-flip resample
+    # round-4c: kernel argmax, MW iteration, coin-flip resample,
+    # float z-pipeline over a row-frame window
     "decontam_semantic", "domain_weights", "mixture_resample",
+    "zscore_events",
 ]
 
 _WORKER = r"""
