@@ -1263,6 +1263,36 @@ def warc_roundtrip(spark, sf_dir):
                     "http_status"))
 
 
+def wds_roundtrip(spark, sf_dir):
+    """documents → records2webdataset (one tar shard: <key>.txt text
+    member + <key>.json metadata member — the WebDataset sample
+    convention multimodal training pipelines stream) → read_webdataset
+    (binaryFile + in-task tarfile walk, one ROW per sample). Text and
+    the json-carried metadata survive byte-exact. (ref analog: meza's
+    own stdlib container parsers, io.py:598-1118.)"""
+    from meza_spark.io.webdataset import read_webdataset, records2webdataset
+
+    docs = (_t(spark, sf_dir, "documents")
+            .select(F.col("doc_id").cast("string").alias("key"),
+                    "text",
+                    F.to_json(F.struct("lang", "source")).alias("meta"))
+            .orderBy("key"))
+    path = _rt_path(sf_dir, "wds.tar.gz")
+    records2webdataset(docs, path, "key", {"txt": "text", "json": "meta"})
+    wds = read_webdataset(spark, path)
+    return (wds.select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.decode(F.element_at("data", "txt"), "UTF-8").alias("text"),
+        F.get_json_object(
+            F.decode(F.element_at("data", "json"), "UTF-8"),
+            "$.lang").alias("lang"),
+        F.get_json_object(
+            F.decode(F.element_at("data", "json"), "UTF-8"),
+            "$.source").alias("source"),
+        F.size("exts").alias("n_members"))
+        .orderBy("doc_id"))
+
+
 def html_extract(spark, sf_dir):
     """Boilerplate-removing HTML→text extraction (llm/htmltext.py,
     jusText-lite): wrap each document in a synthetic page (title +
@@ -2687,6 +2717,23 @@ def zscore_events(spark, sf_dir):
             .orderBy("event_id"))
 
 
+def cusum_events(spark, sf_dir):
+    """Per-event-type CUSUM changepoint statistic (analytics.cusum):
+    running sum minus running min of exact cross-multiplied micro
+    deviations — the max(0, C+y) recursion as two window expressions
+    over one sort. All-integer state at scale n makes the statistic
+    hash-gateable; the DuckDB twin replays the identical windows and
+    the identical `div n` floor."""
+    from meza_spark.analytics import cusum
+
+    ev = _t(spark, sf_dir, "events")
+    out = cusum(ev, "event_type", "ts", "value",
+                slack=10.0, threshold=1000.0, tiebreak="event_id")
+    return (out.select("event_id", "event_type",
+                       "cusum_hi_micro", "cusum_lo_micro", "alarm")
+            .orderBy("event_id"))
+
+
 def co_occur_parts(spark, sf_dir):
     """Market-basket co-occurrence over lineitem: part-bucket pairs
     appearing in the same order (distinct-first, group-keyed self-
@@ -3025,6 +3072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_roundtrip": avro_roundtrip,
         "arrow_roundtrip": arrow_roundtrip,
         "warc_roundtrip": warc_roundtrip,
+        "wds_roundtrip": wds_roundtrip,
         "html_extract": html_extract,
         "crawl_e2e": crawl_e2e,
         "type_predicates": type_predicates,
@@ -3123,6 +3171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_weekly": cohort_weekly,
         "co_occur_parts": co_occur_parts,
         "zscore_events": zscore_events,
+        "cusum_events": cusum_events,
         "llm_bpe_tokens": llm_bpe_tokens,
         "pct_approx_value": pct_approx_value,
         "snapshot_diff_orders": snapshot_diff_orders,
@@ -4302,6 +4351,11 @@ def _oracle_sql_base() -> dict[str, str]:
                    text,
                    200 AS http_status
             FROM documents
+        """,
+        "wds_roundtrip": """
+            SELECT doc_id, text, lang, source, 2 AS n_members
+            FROM documents
+            ORDER BY doc_id
         """,
         "html_extract": """
             SELECT doc_id,
@@ -5708,6 +5762,50 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM z
             WHERE n >= 3
               AND (nd * s2d - s1d * s1d) / (nd * (nd - 1)) > 0
+            ORDER BY event_id
+        """,
+        "cusum_events": """
+            WITH q AS (
+              SELECT event_id, event_type, ts,
+                     CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5)
+                          AS HUGEINT) AS vq
+              FROM events),
+            s AS (
+              SELECT event_id, event_type, ts, vq,
+                     count(vq) OVER (PARTITION BY event_type)
+                       AS n,
+                     sum(vq) OVER (PARTITION BY event_type) AS T
+              FROM q),
+            r AS (
+              SELECT event_id, event_type, ts, n,
+                     sum(n * vq - T - n * 10000000) OVER win AS shi,
+                     sum(T - n * vq - n * 10000000) OVER win AS slo
+              FROM s
+              WINDOW win AS (PARTITION BY event_type
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)),
+            m AS (
+              SELECT event_id, event_type, n, shi, slo,
+                     min(shi) OVER win AS mhi,
+                     min(slo) OVER win AS mlo
+              FROM r
+              WINDOW win AS (PARTITION BY event_type
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)),
+            c AS (
+              SELECT event_id, event_type,
+                     CAST((shi - least(CAST(0 AS HUGEINT), mhi)) // n
+                          AS BIGINT) AS cusum_hi_micro,
+                     CAST((slo - least(CAST(0 AS HUGEINT), mlo)) // n
+                          AS BIGINT) AS cusum_lo_micro
+              FROM m)
+            SELECT event_id, event_type, cusum_hi_micro,
+                   cusum_lo_micro,
+                   (cusum_hi_micro >= 1000000000
+                    OR cusum_lo_micro >= 1000000000) AS alarm
+            FROM c
             ORDER BY event_id
         """,
         "co_occur_parts": """

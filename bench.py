@@ -66,10 +66,12 @@ HEADLINE = [
     "dsir_sample", "llm_lr_score", "curation_e2e",
     # round-4 session-3 operators (crawl front half + mixing)
     "warc_roundtrip", "html_extract", "crawl_e2e", "avro_roundtrip",
+    "wds_roundtrip",
     "decontam_semantic", "domain_weights", "mixture_resample",
     "arrow_roundtrip", "llm_code_signals", "split_sentences_docs",
     "funnel_events", "cohort_weekly", "co_occur_parts",
     "zscore_events",
+    "cusum_events",
 ]
 
 

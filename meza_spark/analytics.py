@@ -22,7 +22,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel", "cohort_retention", "moving_zscore"]
+__all__ = ["funnel", "cohort_retention", "moving_zscore", "cusum"]
 
 
 def funnel(df: DataFrame, steps: Sequence[str],
@@ -152,3 +152,83 @@ def moving_zscore(df: DataFrame, partition_col: str, ts_col: str,
         "z_micro",
         F.when(ok, F.floor(z * 1000000 + F.lit(0.5)).cast("long")))
         .drop("_vq", "_n", "_s1", "_s2"))
+
+
+def cusum(df: DataFrame, partition_col: str | Sequence[str], ts_col: str,
+          value_col: str, slack: float = 0.0,
+          threshold: float | None = None,
+          target: float | None = None,
+          tiebreak: str | None = None) -> DataFrame:
+    """Per-series CUSUM changepoint statistic (Page 1954): detect a
+    sustained shift of ``value_col`` away from ``target`` (default:
+    the series mean). Adds ``cusum_hi_micro`` / ``cusum_lo_micro``
+    (upper/lower one-sided statistics, 1e-6 units) and — when
+    ``threshold`` is given — an ``alarm`` flag.
+
+    The textbook recursion ``C_t = max(0, C_{t-1} + y_t)`` is not a
+    window function, but its closed form is:
+
+        C_t = S_t - min(0, min_{k<=t} S_k),   S_t = sum_{k<=t} y_k
+
+    i.e. a running sum minus the running minimum of that sum — two
+    window expressions over ONE sort, which is how it stays a single
+    shuffle per series at 100 TB instead of a sequential scan.
+
+    Engine-exact by construction: values quantize to int64 micro
+    units first; with ``target=None`` the deviation is cross-
+    multiplied (``n*x_t - T`` with T the exact series total) so the
+    mean never materializes as a float — every S_t is an exact
+    decimal integer at scale ``n``, and the only division is the
+    final integral ``div n`` both engines floor identically. Pass
+    ``tiebreak`` when ``ts_col`` can collide within a series.
+    """
+    from pyspark.sql import Window
+
+    pcols = ([partition_col] if isinstance(partition_col, str)
+             else list(partition_col))
+    vq = F.floor(F.col(value_col).cast("double") * 1000000
+                 + F.lit(0.5)).cast("decimal(38,0)")
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    wp = Window.partitionBy(*pcols)
+    wrun = wp.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    slack_u = int(slack * 1000000 + 0.5)
+
+    step = df.withColumn("_vq", vq)
+    if target is None:
+        step = (step
+                .withColumn("_n", F.count("_vq").over(wp)
+                            .cast("decimal(38,0)"))
+                .withColumn("_T", F.sum("_vq").over(wp))
+                .withColumn("_c", F.col("_n") * F.col("_vq")
+                            - F.col("_T")))
+        scale = F.col("_n")
+    else:
+        tgt_u = int(target * 1000000 + 0.5)
+        step = (step.withColumn("_n", F.lit(1).cast("decimal(38,0)"))
+                .withColumn("_c", F.col("_vq") - F.lit(tgt_u)))
+        scale = F.col("_n")
+    step = (step
+            .withColumn("_shi", F.sum(F.col("_c") - scale * slack_u)
+                        .over(wrun))
+            .withColumn("_slo", F.sum(-F.col("_c") - scale * slack_u)
+                        .over(wrun))
+            .withColumn("_mhi", F.min("_shi").over(wrun))
+            .withColumn("_mlo", F.min("_slo").over(wrun)))
+    zero = F.lit(0).cast("decimal(38,0)")
+    out = (step
+           .withColumn("cusum_hi_micro",
+                       (F.col("_shi") - F.least(zero, F.col("_mhi"))))
+           .withColumn("cusum_lo_micro",
+                       (F.col("_slo") - F.least(zero, F.col("_mlo"))))
+           .withColumn("cusum_hi_micro",
+                       F.expr("cusum_hi_micro div _n").cast("long"))
+           .withColumn("cusum_lo_micro",
+                       F.expr("cusum_lo_micro div _n").cast("long")))
+    if threshold is not None:
+        thr_u = int(threshold * 1000000 + 0.5)
+        out = out.withColumn(
+            "alarm", (F.col("cusum_hi_micro") >= thr_u)
+            | (F.col("cusum_lo_micro") >= thr_u))
+    return out.drop("_vq", "_n", "_T", "_c", "_shi", "_slo",
+                    "_mhi", "_mlo")

@@ -34,6 +34,7 @@ __all__ = [
     "read_stream", "write_stream", "tumbling_window_agg",
     "sliding_window_agg", "session_window_agg", "stream_dedupe",
     "stream_fill_running", "stream_static_join",
+    "stream_cusum",
 ]
 
 
@@ -241,3 +242,70 @@ def stream_stream_join(left: DataFrame, right: DataFrame, on: str,
         & (rw[right_ts] >= F.expr(f"{left_ts} - INTERVAL {time_bound}"))
         & (rw[right_ts] <= F.expr(f"{left_ts} + INTERVAL {time_bound}")))
     return lw.join(rw, cond, how)
+
+
+def stream_cusum(df: DataFrame, key_cols: Sequence[str], ts_col: str,
+                 value_col: str, target: float, slack: float = 0.0,
+                 threshold: float | None = None,
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Streaming CUSUM changepoint alarms — ``analytics.cusum`` in
+    known-target mode as a stateful operator: per key the state is
+    FOUR int64s (running sum + running min, each side), so a
+    million-key stream carries ~32 MB of state store total.
+
+    Batch frames delegate to ``analytics.cusum(target=...)`` and the
+    integer-micro pipeline makes stream output EXACTLY equal batch
+    output on the same rows (the parity unit pins it): the batch path
+    computes ``S_t - min(0, min S_k)`` with window functions, the
+    stream path carries (S, min S) across micro-batches — the same
+    exact integers either way. Rows sort by ``ts_col`` inside each
+    micro-batch; cross-batch order is arrival order (late rows fold
+    into the statistic when they arrive — CUSUM is a monitor, not a
+    replayable report; use the batch op for audits).
+    """
+    import math as _math
+
+    if not df.isStreaming:
+        from ..analytics import cusum
+
+        return cusum(df, list(key_cols), ts_col, value_col, slack=slack,
+                     threshold=threshold, target=target)
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    tgt_u = _math.floor(target * 1000000 + 0.5)
+    slack_u = _math.floor(slack * 1000000 + 0.5)
+    thr_u = (None if threshold is None
+             else _math.floor(threshold * 1000000 + 0.5))
+    in_cols = list(df.columns)
+    out_cols = in_cols + ["cusum_hi_micro", "cusum_lo_micro"] \
+        + (["alarm"] if thr_u is not None else [])
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema]
+        + ["cusum_hi_micro long", "cusum_lo_micro long"]
+        + (["alarm boolean"] if thr_u is not None else []))
+    state_schema = "shi long, mhi long, slo long, mlo long"
+
+    def fn(key, pdfs, state):
+        shi, mhi, slo, mlo = (state.get if state.exists else (0, 0, 0, 0))
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            for _, row in pdf.iterrows():
+                vq = _math.floor(float(row[value_col]) * 1000000 + 0.5)
+                shi += vq - tgt_u - slack_u
+                slo += tgt_u - vq - slack_u
+                mhi, mlo = min(mhi, shi), min(mlo, slo)
+                hi, lo = shi - min(0, mhi), slo - min(0, mlo)
+                out = list(row[in_cols]) + [hi, lo]
+                if thr_u is not None:
+                    out.append(hi >= thr_u or lo >= thr_u)
+                rows.append(out)
+        state.update((shi, mhi, slo, mlo))
+        yield pd.DataFrame(rows, columns=out_cols)
+
+    return (df.withWatermark(ts_col, watermark)
+            .groupBy(*key_cols)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))

@@ -121,3 +121,63 @@ def test_moving_zscore_partition_isolation(spark):
         df.coalesce(1), "user_id", "ts", "value",
         tiebreak="event_id").collect()))
     assert a == b
+
+
+def test_cusum_exact_replica_and_alarm(spark):
+    import math
+
+    from meza_spark.analytics import cusum
+
+    # step change at index 6: flat 10s then flat 20s
+    vals = [10.0, 10.0, 10.0, 10.0, 10.0, 10.0,
+            20.0, 20.0, 20.0, 20.0, 20.0, 20.0]
+    df = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1, i), "s", v)
+         for i, v in enumerate(vals)],
+        "event_id long, ts timestamp, user_id string, value double")
+    out = {r["event_id"]: (r["cusum_hi_micro"], r["cusum_lo_micro"],
+                           r["alarm"])
+           for r in cusum(df, "user_id", "ts", "value",
+                          slack=1.0, threshold=8.0).collect()}
+    # exact replica: C_t = max(0, C_{t-1} + y_t) at scale n
+    vq = [math.floor(v * 1e6 + 0.5) for v in vals]
+    n, T, su = len(vq), sum(vq), 1_000_000
+    chi = clo = 0
+    for i, x in enumerate(vq):
+        chi = max(0, chi + (n * x - T - n * su))
+        clo = max(0, clo + (T - n * x - n * su))
+        assert out[i] == (chi // n, clo // n,
+                          chi // n >= 8_000_000 or clo // n >= 8_000_000)
+    # the low side accumulates during the flat-10 prefix, the high
+    # side after the shift; the final row must be in alarm
+    assert out[11][2] is True
+
+
+def test_cusum_known_target_and_partitioning_invariance(spark):
+    from meza_spark.analytics import cusum
+
+    rows = [(i, dt.datetime(2024, 1, 1, i % 12), f"u{i % 2}",
+             float(i % 7)) for i in range(24)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id string, value double")
+    a = sorted(map(tuple, cusum(
+        df.repartition(7), "user_id", "ts", "value", target=3.0,
+        tiebreak="event_id").collect()))
+    b = sorted(map(tuple, cusum(
+        df.coalesce(1), "user_id", "ts", "value", target=3.0,
+        tiebreak="event_id").collect()))
+    assert a == b
+    # known-target mode: deviation is plain x - target (scale 1)
+    one = {r["event_id"]: r["cusum_hi_micro"] for r in cusum(
+        df, "user_id", "ts", "value", target=0.0,
+        tiebreak="event_id").collect()}
+    # per-series running sum of values (all >= 0, so max-identity is
+    # the plain cumulative sum)
+    for key in ("u0", "u1"):
+        ser = sorted([(t, i, v) for i, t, u, v in
+                      [(r[0], r[1], r[2], r[3]) for r in rows]
+                      if u == key])
+        run = 0
+        for t, i, v in ser:
+            run += int(v * 1e6)
+            assert one[i] == run

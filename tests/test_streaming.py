@@ -399,3 +399,51 @@ def test_streaming_semantic_decontam_batch_parity(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(str(sink)).collect()))
     want = sorted(map(tuple, batch_hits.collect()))
     assert got == want and len(got) >= 5   # bench clones always flag
+
+
+def test_streaming_cusum_batch_parity(spark, tmp_path):
+    """stream_cusum (applyInPandasWithState, 4 ints of state per key)
+    must emit EXACTLY the batch analytics.cusum statistics on the
+    same rows — the integer-micro pipeline is order-exact, so the
+    windowed closed form and the carried recursion agree bit-for-bit.
+    Two AvailableNow runs over a growing directory also pin that
+    state survives across micro-batch boundaries."""
+    import datetime as dt
+
+    src = tmp_path / "cusrc"
+    src.mkdir()
+    sink = tmp_path / "cuout"
+    ck = tmp_path / "cuck"
+    schema = "id long, ts timestamp, k string, v double"
+    rows = [(i, dt.datetime(2024, 1, 1, 0, i), f"k{i % 2}",
+             10.0 + (8.0 if i >= 14 else 0.0) + (i % 3))
+            for i in range(20)]
+    # first half lands before run 1, second half before run 2 —
+    # forcing the statistic to carry across micro-batches
+    spark.createDataFrame(rows[:10], schema).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+
+    def run_once():
+        sdf = st.read_stream(spark, str(src), schema=schema)
+        out = st.stream_cusum(sdf, ["k"], "ts", "v", target=10.0,
+                              slack=1.0, threshold=5.0)
+        q = st.write_stream(out, path=str(sink), fmt="parquet",
+                            checkpoint=str(ck), available_now=True)
+        q.awaitTermination(120)
+
+    run_once()
+    spark.createDataFrame(rows[10:], schema).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    run_once()
+
+    got = {r["id"]: (r["cusum_hi_micro"], r["cusum_lo_micro"], r["alarm"])
+           for r in spark.read.parquet(str(sink)).collect()}
+    batch = st.stream_cusum(spark.createDataFrame(rows, schema), ["k"],
+                            "ts", "v", target=10.0, slack=1.0,
+                            threshold=5.0)
+    exp = {r["id"]: (r["cusum_hi_micro"], r["cusum_lo_micro"], r["alarm"])
+           for r in batch.collect()}
+    assert got == exp
+    assert len(got) == 20
+    # the shifted tail must be alarming on the high side
+    assert got[19][2] is True and got[19][0] > 0

@@ -41,6 +41,7 @@ DEFAULT_QUERIES = [
     # float z-pipeline over a row-frame window
     "decontam_semantic", "domain_weights", "mixture_resample",
     "zscore_events",
+    "cusum_events",
 ]
 
 _WORKER = r"""
