@@ -2734,6 +2734,38 @@ def cusum_events(spark, sf_dir):
             .orderBy("event_id"))
 
 
+def ewma_events(spark, sf_dir):
+    """Per-event-type EWMA (α=3/10, 8-row trailing window): integer
+    weights (7^j·10^(7-j)) make numerator/denominator exact decimal
+    sums; the DuckDB twin rebuilds the same weighted sum with a
+    row_number band self-join against a literal weights table and
+    floors the same integral division."""
+    from meza_spark.analytics import ewma
+
+    ev = _t(spark, sf_dir, "events")
+    out = ewma(ev, "event_type", "ts", "value",
+               alpha_num=3, alpha_den=10, window=8,
+               tiebreak="event_id")
+    return (out.select("event_id", "event_type", "ewma_micro")
+            .orderBy("event_id"))
+
+
+def attribution_events(spark, sf_dir):
+    """Linear multi-touch attribution: each purchase distributes
+    exactly 1,000,000 micro-credits across the user's view/click
+    touches in the preceding 2 days (each touch gets 1000000 div n,
+    remainder to the earliest — integer-exact, so channel totals
+    reconcile). The DuckDB twin replays the join, the windows, and
+    the same floor division."""
+    from meza_spark.analytics import attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return (attribution(ev, "purchase", ["view", "click"],
+                        model="linear", lookback_seconds=172800,
+                        tiebreak="event_id")
+            .orderBy("channel"))
+
+
 def co_occur_parts(spark, sf_dir):
     """Market-basket co-occurrence over lineitem: part-bucket pairs
     appearing in the same order (distinct-first, group-keyed self-
@@ -3172,6 +3204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "co_occur_parts": co_occur_parts,
         "zscore_events": zscore_events,
         "cusum_events": cusum_events,
+        "ewma_events": ewma_events,
+        "attribution_events": attribution_events,
         "llm_bpe_tokens": llm_bpe_tokens,
         "pct_approx_value": pct_approx_value,
         "snapshot_diff_orders": snapshot_diff_orders,
@@ -5762,6 +5796,70 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM z
             WHERE n >= 3
               AND (nd * s2d - s1d * s1d) / (nd * (nd - 1)) > 0
+            ORDER BY event_id
+        """,
+        "attribution_events": """
+            WITH conv AS (
+              SELECT DISTINCT user_id AS u, ts AS cts
+              FROM events WHERE event_type = 'purchase'),
+            t AS (
+              SELECT user_id AS u, ts, event_id,
+                     event_type AS channel
+              FROM events WHERE event_type IN ('view', 'click')),
+            j AS (
+              SELECT conv.u, conv.cts, t.ts, t.event_id, t.channel
+              FROM conv JOIN t ON t.u = conv.u
+              WHERE t.ts < conv.cts
+                AND t.ts >= conv.cts - INTERVAL 172800 SECOND),
+            r AS (
+              SELECT u, cts, channel,
+                     count(*) OVER (PARTITION BY u, cts) AS n,
+                     row_number() OVER (PARTITION BY u, cts
+                                        ORDER BY ts, event_id) AS rf
+              FROM j),
+            c AS (
+              SELECT channel, u, cts,
+                     (1000000 // n)
+                     + CASE WHEN rf = 1
+                            THEN 1000000 - (1000000 // n) * n
+                            ELSE 0 END AS credit
+              FROM r)
+            SELECT channel,
+                   CAST(sum(credit) AS BIGINT) AS credit_micro,
+                   count(DISTINCT (u, cts)) AS n_conversions
+            FROM c WHERE credit > 0
+            GROUP BY channel
+            ORDER BY channel
+        """,
+        "ewma_events": """
+            WITH q AS (
+              SELECT event_id, event_type, ts,
+                     CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5)
+                          AS BIGINT) AS vq,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id) AS rn
+              FROM events),
+            w(age, wt) AS (VALUES
+              (0, CAST(10000000 AS HUGEINT)),
+              (1, CAST(7000000 AS HUGEINT)),
+              (2, CAST(4900000 AS HUGEINT)),
+              (3, CAST(3430000 AS HUGEINT)),
+              (4, CAST(2401000 AS HUGEINT)),
+              (5, CAST(1680700 AS HUGEINT)),
+              (6, CAST(1176490 AS HUGEINT)),
+              (7, CAST(823543 AS HUGEINT))),
+            j AS (
+              SELECT a.event_id, a.event_type,
+                     sum(CAST(b.vq AS HUGEINT) * w.wt) AS num,
+                     sum(w.wt) AS den
+              FROM q a
+              JOIN q b ON b.event_type = a.event_type
+                      AND b.rn BETWEEN a.rn - 7 AND a.rn
+              JOIN w ON w.age = a.rn - b.rn
+              GROUP BY a.event_id, a.event_type)
+            SELECT event_id, event_type,
+                   CAST(num // den AS BIGINT) AS ewma_micro
+            FROM j
             ORDER BY event_id
         """,
         "cusum_events": """

@@ -72,6 +72,8 @@ HEADLINE = [
     "funnel_events", "cohort_weekly", "co_occur_parts",
     "zscore_events",
     "cusum_events",
+    "ewma_events",
+    "attribution_events",
 ]
 
 

@@ -22,7 +22,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel", "cohort_retention", "moving_zscore", "cusum"]
+__all__ = ["funnel", "cohort_retention", "moving_zscore", "cusum",
+           "ewma", "attribution"]
 
 
 def funnel(df: DataFrame, steps: Sequence[str],
@@ -232,3 +233,137 @@ def cusum(df: DataFrame, partition_col: str | Sequence[str], ts_col: str,
             | (F.col("cusum_lo_micro") >= thr_u))
     return out.drop("_vq", "_n", "_T", "_c", "_shi", "_slo",
                     "_mhi", "_mlo")
+
+
+def ewma(df: DataFrame, partition_col: str | Sequence[str], ts_col: str,
+         value_col: str, alpha_num: int = 1, alpha_den: int = 2,
+         window: int = 8, tiebreak: str | None = None) -> DataFrame:
+    """Per-series exponentially-weighted moving average over a bounded
+    trailing window (the adjusted/finite form monitoring dashboards
+    chart): with α = alpha_num/alpha_den rational,
+
+        ewma_t = Σ_j (1-α)^j · x_{t-j}  /  Σ_j (1-α)^j ,  j = 0..n-1
+
+    over the ``window`` most recent rows (n = rows actually present,
+    so the series head uses shorter windows rather than a warm-up
+    hole). Adds ``ewma_micro`` (1e-6 units).
+
+    Engine-exact by construction: scaling every weight by
+    alpha_den^(window-1) turns (1-α)^j into the INTEGER
+    (alpha_den-alpha_num)^j · alpha_den^(window-1-j), so numerator and
+    denominator are exact decimal integer sums; the single division is
+    an integral ``div`` both engines floor identically. Weights and
+    the n-indexed denominators are literal arrays baked into the plan
+    — the window carries an ordered ``collect_list`` of at most
+    ``window`` int64s and one ``aggregate`` over it, all row-local
+    after the one series shuffle. Exact for non-negative values
+    (``div`` truncates toward zero, which only equals floor when the
+    numerator is non-negative — shift the series first if it can go
+    below zero).
+    """
+    from pyspark.sql import Window
+
+    if not (0 < alpha_num < alpha_den):
+        raise ValueError("ewma: need 0 < alpha_num < alpha_den")
+    keep = alpha_den - alpha_num          # (1-α) numerator
+    # weight by AGE j (0 = current row): keep^j * alpha_den^(W-1-j)
+    w_int = [keep ** j * alpha_den ** (window - 1 - j)
+             for j in range(window)]
+    denoms = [sum(w_int[:n]) for n in range(window + 1)]
+    wlits = F.array(*[F.lit(str(w)).cast("decimal(38,0)")
+                      for w in w_int])
+    dlits = F.array(*[F.lit(str(d)).cast("decimal(38,0)")
+                      for d in denoms])
+
+    pcols = ([partition_col] if isinstance(partition_col, str)
+             else list(partition_col))
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    wtrail = (Window.partitionBy(*pcols).orderBy(*order)
+              .rowsBetween(-(window - 1), 0))
+    vq = F.floor(F.col(value_col).cast("double") * 1000000
+                 + F.lit(0.5)).cast("long")
+    step = (df.withColumn("_vq", vq)
+            .withColumn("_lst", F.collect_list("_vq").over(wtrail)))
+    # _lst is ascending-ts; age of element i is (n-1-i)
+    n = F.size("_lst")
+
+    def _term(x, i):
+        age = n - 1 - i
+        return x.cast("decimal(38,0)") * F.element_at(wlits, age + 1)
+
+    num = F.aggregate(
+        F.transform(F.col("_lst"), _term),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, t: acc + t)
+    den = F.element_at(dlits, n + 1)
+    return (step.withColumn("_num", num).withColumn("_den", den)
+            .withColumn("ewma_micro",
+                        F.expr("_num div _den").cast("long"))
+            .drop("_vq", "_lst", "_num", "_den"))
+
+
+def attribution(df: DataFrame, conversion_type: str,
+                touch_types: Sequence[str], model: str = "last_touch",
+                user_col: str = "user_id", ts_col: str = "ts",
+                type_col: str = "event_type",
+                lookback_seconds: int | None = None,
+                tiebreak: str | None = None) -> DataFrame:
+    """Multi-touch marketing attribution: distribute each conversion's
+    credit across the touch events (``touch_types``, the channels)
+    that preceded it for the same user. Returns one row per channel:
+    ``(channel, credit_micro, n_conversions)`` where every conversion
+    hands out EXACTLY 1,000,000 micro-credits (integer-exact, so the
+    totals reconcile and the DuckDB twin hash-matches).
+
+    Models: ``last_touch`` / ``first_touch`` (whole credit to the
+    latest/earliest qualifying touch) and ``linear`` (each of the n
+    touches gets ``1000000 div n``; the division remainder goes to
+    the EARLIEST touch so no micro-credit is ever lost to rounding).
+    Conversions with no qualifying touch are dropped (unattributed).
+
+    Shape: one user-key equi-join (conversions × preceding touches,
+    bounded by ``lookback_seconds`` — set it at scale: it is both the
+    semantic window and the join's skew valve) + one per-conversion
+    window + one channel aggregation. Pass ``tiebreak`` (a unique
+    column) when touch timestamps can collide.
+    """
+    from pyspark.sql import Window
+
+    if model not in ("last_touch", "first_touch", "linear"):
+        raise ValueError(f"attribution: unknown model {model!r}")
+    # a conversion is keyed by (user, conv_ts) — engine-invariant,
+    # unlike a generated id; duplicate conversion events at the same
+    # instant collapse to one credit (distinct), deliberately
+    conv = (df.where(F.col(type_col) == conversion_type)
+            .select(F.col(user_col).alias("_u"),
+                    F.col(ts_col).alias("_cts"))
+            .distinct())
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    touch = (df.where(F.col(type_col).isin(list(touch_types)))
+             .select(F.col(user_col).alias("_u"), F.col(ts_col),
+                     *([F.col(tiebreak)] if tiebreak else []),
+                     F.col(type_col).alias("channel")))
+    cond = F.col(ts_col) < F.col("_cts")
+    if lookback_seconds is not None:
+        cond = cond & (F.col(ts_col) >= F.col("_cts") - F.expr(
+            f"INTERVAL {int(lookback_seconds)} SECOND"))
+    j = conv.join(touch, on="_u").where(cond)
+    w = Window.partitionBy("_u", "_cts")
+    asc = w.orderBy(*order)
+    desc = w.orderBy(*[c.desc() for c in order])
+    j = (j.withColumn("_n", F.count(F.lit(1)).over(w))
+         .withColumn("_rf", F.row_number().over(asc))
+         .withColumn("_rl", F.row_number().over(desc)))
+    if model == "last_touch":
+        credit = F.when(F.col("_rl") == 1, F.lit(1000000))
+    elif model == "first_touch":
+        credit = F.when(F.col("_rf") == 1, F.lit(1000000))
+    else:
+        base = F.expr("1000000 div _n")
+        credit = base + F.when(
+            F.col("_rf") == 1, F.lit(1000000) - base * F.col("_n")
+        ).otherwise(F.lit(0))
+    j = j.withColumn("_credit", credit).where(F.col("_credit") > 0)
+    return (j.groupBy("channel")
+            .agg(F.sum("_credit").cast("long").alias("credit_micro"),
+                 F.count_distinct("_u", "_cts").alias("n_conversions")))

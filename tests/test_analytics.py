@@ -181,3 +181,100 @@ def test_cusum_known_target_and_partitioning_invariance(spark):
         for t, i, v in ser:
             run += int(v * 1e6)
             assert one[i] == run
+
+
+def test_ewma_exact_replica_and_head(spark):
+    import math
+
+    from meza_spark.analytics import ewma
+
+    vals = [10.0, 20.0, 40.0, 10.0, 30.0, 50.0, 20.0]
+    df = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1, i), "s", v)
+         for i, v in enumerate(vals)],
+        "event_id long, ts timestamp, user_id string, value double")
+    got = {r["event_id"]: r["ewma_micro"]
+           for r in ewma(df, "user_id", "ts", "value",
+                         alpha_num=3, alpha_den=10, window=4).collect()}
+    W, keep, den = 4, 7, 10
+    wint = [keep ** j * den ** (W - 1 - j) for j in range(W)]
+    vq = [math.floor(v * 1e6 + 0.5) for v in vals]
+    for t in range(len(vals)):
+        xs = vq[max(0, t - W + 1):t + 1]
+        n = len(xs)
+        num = sum(x * wint[n - 1 - i] for i, x in enumerate(xs))
+        assert got[t] == num // sum(wint[:n])
+    # head row (n=1): EWMA of one point is the point itself
+    assert got[0] == 10_000_000
+    with pytest.raises(ValueError):
+        ewma(df, "user_id", "ts", "value", alpha_num=5, alpha_den=5)
+
+
+def test_ewma_partitioning_invariance(spark):
+    from meza_spark.analytics import ewma
+
+    rows = [(i, dt.datetime(2024, 1, 1, i % 20), f"u{i % 3}",
+             float((i * 37) % 100)) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id string, value double")
+    a = sorted((r["event_id"], r["ewma_micro"]) for r in ewma(
+        df.repartition(11), "user_id", "ts", "value",
+        tiebreak="event_id").collect())
+    b = sorted((r["event_id"], r["ewma_micro"]) for r in ewma(
+        df.coalesce(1), "user_id", "ts", "value",
+        tiebreak="event_id").collect())
+    assert a == b
+
+
+def test_attribution_models_exact(spark):
+    from meza_spark.analytics import attribution
+
+    rows = [
+        # user 1: view@1, click@2, view@3, buy@4 -> 3 touches
+        (1, dt.datetime(2024, 1, 1, 1), 1, "view"),
+        (2, dt.datetime(2024, 1, 1, 2), 1, "click"),
+        (3, dt.datetime(2024, 1, 1, 3), 1, "view"),
+        (4, dt.datetime(2024, 1, 1, 4), 1, "buy"),
+        # user 2: click@1, buy@2 -> 1 touch
+        (5, dt.datetime(2024, 1, 1, 1), 2, "click"),
+        (6, dt.datetime(2024, 1, 1, 2), 2, "buy"),
+        # user 3: buy with no preceding touch -> unattributed
+        (7, dt.datetime(2024, 1, 1, 2), 3, "buy"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+
+    def run(model):
+        return {r["channel"]: (r["credit_micro"], r["n_conversions"])
+                for r in attribution(df, "buy", ["view", "click"],
+                                     model=model,
+                                     tiebreak="event_id").collect()}
+
+    # linear: user1 333333x3 with remainder 1 to the EARLIEST (view@1)
+    lin = run("linear")
+    assert lin == {"view": (666667, 1), "click": (1333333, 2)}
+    assert sum(v[0] for v in lin.values()) == 2_000_000  # reconciles
+    assert run("last_touch") == {"view": (1000000, 1),
+                                 "click": (1000000, 1)}
+    assert run("first_touch") == {"view": (1000000, 1),
+                                  "click": (1000000, 1)}
+    with pytest.raises(ValueError):
+        attribution(df, "buy", ["view"], model="u_shaped")
+
+
+def test_attribution_lookback_bounds_the_join(spark):
+    from meza_spark.analytics import attribution
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0), 1, "view"),   # 4h before buy
+        (2, dt.datetime(2024, 1, 1, 3), 1, "click"),  # 1h before buy
+        (3, dt.datetime(2024, 1, 1, 4), 1, "buy"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {r["channel"]: r["credit_micro"]
+           for r in attribution(df, "buy", ["view", "click"],
+                                model="linear", lookback_seconds=7200,
+                                tiebreak="event_id").collect()}
+    # the 4h-old view falls outside the 2h lookback
+    assert got == {"click": 1000000}

@@ -42,6 +42,8 @@ DEFAULT_QUERIES = [
     "decontam_semantic", "domain_weights", "mixture_resample",
     "zscore_events",
     "cusum_events",
+    "ewma_events",
+    "attribution_events",
 ]
 
 _WORKER = r"""
