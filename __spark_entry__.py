@@ -785,6 +785,30 @@ def url_features_docs(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def canonical_url_docs(spark, sf_dir):
+    """URL canonicalization (llm/url.py canonical_url): synthesize a
+    deliberately-messy URL per doc (uppercase scheme/host, default
+    port, trailing slash, tracking params, fragment), canonicalize
+    with row-local codegen string/array ops, and have the DuckDB twin
+    replay every step with list lambdas."""
+    from meza_spark.llm.url import canonical_url
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW."), F.upper("source"), F.lit(".COM:443"),
+            F.lit("/Docs/"), F.col("lang"), F.lit("/item"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("?utm_source=x&b=2&a=1"))
+            .when(F.col("doc_id") % 3 == 1,
+                  F.lit("?z=9&utm_campaign=c&a=1#frag"))
+            .otherwise(F.lit("/"))).alias("url"))
+    return (canonical_url(d)
+            .select("doc_id", "canonical_url")
+            .orderBy("doc_id"))
+
+
 def psi_drift_price(spark, sf_dir):
     """PSI drift monitor: order-price distribution of urgent orders vs
     the rest — two scans, nbins-row aggregates, broadcast scaffold."""
@@ -3177,6 +3201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_window_rank": sql_window_rank,
         "csv_distributed_roundtrip": csv_distributed_roundtrip,
         "url_features_docs": url_features_docs,
+        "canonical_url_docs": canonical_url_docs,
         "resample_events": resample_events,
         "resample_linear": resample_linear,
         "sample_quality": sample_quality,
@@ -5411,6 +5436,57 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM sc LEFT JOIN g
               ON sc.event_type = g.event_type AND sc.bk = g.bk
             ORDER BY sc.event_type, bucket_s
+        """,
+        "canonical_url_docs": r"""
+            WITH b AS (
+              SELECT doc_id,
+                     regexp_replace(
+                       'HTTPS://WWW.' || upper(source) || '.COM:443'
+                       || '/Docs/' || lang || '/item'
+                       || CAST(doc_id AS VARCHAR)
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN '?utm_source=x&b=2&a=1'
+                               WHEN doc_id % 3 = 1
+                               THEN '?z=9&utm_campaign=c&a=1#frag'
+                               ELSE '/' END,
+                       '#.*$', '') AS u
+              FROM documents),
+            p AS (
+              SELECT doc_id,
+                lower(regexp_extract(u,
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                regexp_extract(u,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+                regexp_replace(regexp_extract(u,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                  '/+$', '') AS path,
+                regexp_extract(u, '\?([^#]*)', 1) AS qs
+              FROM b),
+            h AS (
+              SELECT doc_id, scheme, path, qs,
+                regexp_replace(
+                  lower(regexp_replace(auth, ':[0-9]+$', '')),
+                  '^www\.', '') AS host,
+                regexp_extract(auth, ':([0-9]+)$', 1) AS port
+              FROM p),
+            q AS (
+              SELECT doc_id, scheme, host, path,
+                CASE WHEN port <> ''
+                      AND NOT ((scheme = 'http' AND port = '80')
+                           OR (scheme = 'https' AND port = '443'))
+                     THEN ':' || port ELSE '' END AS port_part,
+                list_sort(list_filter(string_split(qs, '&'),
+                  x -> x <> '' AND NOT regexp_matches(x,
+                    '^(utm_[^=]*|gclid|fbclid|msclkid|igshid|mc_cid|mc_eid|_ga|ref)(=|$)')))
+                  AS params
+              FROM h)
+            SELECT doc_id,
+                   scheme || '://' || host || port_part || path
+                   || CASE WHEN len(params) > 0
+                           THEN '?' || array_to_string(params, '&')
+                           ELSE '' END AS canonical_url
+            FROM q
+            ORDER BY doc_id
         """,
         "url_features_docs": r"""
             WITH urls AS (

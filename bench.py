@@ -74,6 +74,7 @@ HEADLINE = [
     "cusum_events",
     "ewma_events",
     "attribution_events",
+    "canonical_url_docs",
 ]
 
 
