@@ -2579,6 +2579,22 @@ def graph_pagerank(spark, sf_dir):
             .orderBy("event_type"))
 
 
+def graph_lpa(spark, sf_dir):
+    """Community detection by synchronous label propagation over the
+    order↔supplier bipartite graph (lineitem edges, supplier ids
+    offset into their own space): 3 fixed rounds, most-frequent
+    neighbor label with smallest-label tie-break — all-integer, so
+    the DuckDB twin unrolls the same 3 rounds as chained CTEs and
+    hash-matches every vertex's community."""
+    from meza_spark.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(F.col("l_orderkey").alias("src"),
+                      (F.col("l_suppkey") + 1000000).alias("dst"))
+    return (label_propagation(edges, n_iter=3)
+            .orderBy("v"))
+
+
 def llm_ppl_buckets(spark, sf_dir):
     """CCNet-style per-language perplexity bucketing: unigram-logprob
     score, then ntile(3) head/middle/tail within each language —
@@ -3216,6 +3232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_logprob": llm_logprob,
         "dedup_semantic": dedup_semantic,
         "graph_pagerank": graph_pagerank,
+        "graph_lpa": graph_lpa,
         "llm_ppl_buckets": llm_ppl_buckets,
         "dedup_containment": dedup_containment,
         "embed_pca": embed_pca,
@@ -5820,6 +5837,55 @@ def _oracle_sql_base() -> dict[str, str]:
                    COALESCE(s.n_tokens, 0) AS n_tokens,
                    round(s.lp, 6) AS logprob
             FROM documents d LEFT JOIN scored s ON d.doc_id = s._id
+        """,
+        "graph_lpa": """
+            WITH ed AS (
+              SELECT DISTINCT l_orderkey AS a,
+                              1000000 + l_suppkey AS b
+              FROM lineitem),
+            und AS (
+              SELECT a, b FROM ed
+              UNION
+              SELECT b, a FROM ed),
+            verts AS (SELECT DISTINCT a AS v FROM und),
+            lab0 AS (SELECT v, v AS l FROM verts),
+            c1 AS (
+              SELECT u.a AS v, l.l AS nl, count(*) AS c
+              FROM und u JOIN lab0 l ON l.v = u.b
+              GROUP BY u.a, l.l),
+            b1 AS (
+              SELECT v, nl FROM (
+                SELECT v, nl, row_number() OVER (
+                  PARTITION BY v ORDER BY c DESC, nl) AS rn
+                FROM c1) WHERE rn = 1),
+            lab1 AS (
+              SELECT p.v, coalesce(b.nl, p.l) AS l
+              FROM lab0 p LEFT JOIN b1 b ON b.v = p.v),
+            c2 AS (
+              SELECT u.a AS v, l.l AS nl, count(*) AS c
+              FROM und u JOIN lab1 l ON l.v = u.b
+              GROUP BY u.a, l.l),
+            b2 AS (
+              SELECT v, nl FROM (
+                SELECT v, nl, row_number() OVER (
+                  PARTITION BY v ORDER BY c DESC, nl) AS rn
+                FROM c2) WHERE rn = 1),
+            lab2 AS (
+              SELECT p.v, coalesce(b.nl, p.l) AS l
+              FROM lab1 p LEFT JOIN b2 b ON b.v = p.v),
+            c3 AS (
+              SELECT u.a AS v, l.l AS nl, count(*) AS c
+              FROM und u JOIN lab2 l ON l.v = u.b
+              GROUP BY u.a, l.l),
+            b3 AS (
+              SELECT v, nl FROM (
+                SELECT v, nl, row_number() OVER (
+                  PARTITION BY v ORDER BY c DESC, nl) AS rn
+                FROM c3) WHERE rn = 1),
+            lab3 AS (
+              SELECT p.v, coalesce(b.nl, p.l) AS l
+              FROM lab2 p LEFT JOIN b3 b ON b.v = p.v)
+            SELECT v, l AS community FROM lab3 ORDER BY v
         """,
         "graph_pagerank": _pagerank_oracle(n_iter=5, damping=0.85,
                                            digits=9),

@@ -75,6 +75,7 @@ HEADLINE = [
     "ewma_events",
     "attribution_events",
     "canonical_url_docs",
+    "graph_lpa",
 ]
 
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["degrees", "pagerank"]
+__all__ = ["degrees", "pagerank", "label_propagation"]
 
 
 def degrees(edges: DataFrame, src: str = "src",
@@ -124,3 +124,44 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                                     + F.lit(dang) / n),
                                  round_digits).alias("r")))
     return ranks.select("v", F.col("r").alias("pagerank"))
+
+
+def label_propagation(edges: DataFrame, src: str = "src",
+                      dst: str = "dst", n_iter: int = 5) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007): every vertex starts labeled with its own id, and each
+    round adopts the most frequent label among its neighbors, ties
+    broken by the SMALLEST label — no randomness, so a fixed
+    ``n_iter`` makes the result deterministic on any engine and any
+    partitioning (the asynchronous/randomized variants converge faster
+    but cannot be oracle-gated). Returns ``(v, community)``.
+
+    The graph is treated as undirected (edges mirrored, parallel edges
+    collapse). Per round: one neighbor join + one (v, label) count agg
+    + one min(struct(-count, label)) pick — ids-only shuffles, 16 B
+    rows, lineage cut per round exactly like ``pagerank``. Synchronous
+    LPA can oscillate on bipartite structures; the fixed round budget
+    bounds that by construction (communities are a heuristic label,
+    not a fixpoint claim).
+    """
+    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .unionByName(edges.select(F.col(dst).alias("a"),
+                                     F.col(src).alias("b")))
+           .where(F.col("a") != F.col("b"))
+           .distinct()
+           .localCheckpoint())
+    labels = (und.select(F.col("a").alias("v")).distinct()
+              .withColumn("l", F.col("v")))
+    for _ in range(n_iter):
+        cut = labels.localCheckpoint()
+        counts = (und.join(cut.select(F.col("v").alias("b"),
+                                      F.col("l").alias("nl")), on="b")
+                  .groupBy(F.col("a").alias("v"), "nl")
+                  .agg(F.count(F.lit(1)).alias("c")))
+        best = (counts.groupBy("v")
+                .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                    F.col("nl").alias("nl"))).alias("m"))
+                .select("v", F.col("m.nl").alias("bl")))
+        labels = (cut.join(best, on="v", how="left")
+                  .select("v", F.coalesce("bl", "l").alias("l")))
+    return labels.select("v", F.col("l").alias("community"))

@@ -87,3 +87,64 @@ def test_pagerank_parallel_edges_collapse(spark):
 def test_pagerank_empty(spark):
     e = spark.createDataFrame([], "src long, dst long")
     assert pagerank(e).count() == 0
+
+
+def test_label_propagation_two_triangles(spark):
+    from meza_spark.graph import label_propagation
+
+    edges = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = dict((r["v"], r["community"])
+               for r in label_propagation(df, n_iter=5).collect())
+    # each triangle settles on one community label
+    assert got[1] == got[2] == got[3]
+    assert got[4] == got[5] == got[6]
+    # partitioning invariance (the determinism claim)
+    got2 = dict((r["v"], r["community"]) for r in label_propagation(
+        df.repartition(5), n_iter=5).collect())
+    assert got == got2
+
+
+def test_label_propagation_exact_python_replica(spark):
+    from collections import Counter
+
+    from meza_spark.graph import label_propagation
+
+    edges = [(i, (i * 7) % 12) for i in range(12) if i != (i * 7) % 12]
+    edges += [(2, 9), (3, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = dict((r["v"], r["community"])
+               for r in label_propagation(df, n_iter=3).collect())
+
+    und = set()
+    for a, b in edges:
+        if a != b:
+            und.add((a, b))
+            und.add((b, a))
+    labels = {v: v for v, _ in und}
+    for _ in range(3):
+        nxt = {}
+        for v in labels:
+            cnt = Counter(labels[b] for a, b in und if a == v)
+            if cnt:
+                best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+                nxt[v] = best[0]
+            else:
+                nxt[v] = labels[v]
+        labels = nxt
+    assert got == labels
+
+
+def test_label_propagation_self_loops_ignored(spark):
+    from meza_spark.graph import label_propagation
+
+    df = spark.createDataFrame([(1, 1), (1, 2)], "src long, dst long")
+    # one round: each vertex adopts its only neighbor's label (the
+    # self-loop contributes nothing); two rounds swap back — the
+    # documented synchronous-LPA oscillation on a 2-path
+    one = dict((r["v"], r["community"])
+               for r in label_propagation(df, n_iter=1).collect())
+    assert one == {1: 2, 2: 1}
+    two = dict((r["v"], r["community"])
+               for r in label_propagation(df, n_iter=2).collect())
+    assert two == {1: 1, 2: 2}

@@ -44,6 +44,7 @@ DEFAULT_QUERIES = [
     "cusum_events",
     "ewma_events",
     "attribution_events",
+    "graph_lpa",
 ]
 
 _WORKER = r"""
