@@ -785,6 +785,20 @@ def url_features_docs(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def readability_docs(spark, sf_dir):
+    """Flesch / Flesch-Kincaid readability features (llm/text.py
+    readability): vowel-group syllable heuristic, fixed IEEE shapes
+    over exact integer counts — the DuckDB twin rebuilds the same
+    counts with list lambdas and replays the same arithmetic."""
+    from meza_spark.llm.text import readability
+
+    d = _t(spark, sf_dir, "documents")
+    return (readability(d)
+            .select("doc_id", "n_sentences", "n_words", "n_syllables",
+                    "flesch_micro", "fk_grade_micro")
+            .orderBy("doc_id"))
+
+
 def canonical_url_docs(spark, sf_dir):
     """URL canonicalization (llm/url.py canonical_url): synthesize a
     deliberately-messy URL per doc (uppercase scheme/host, default
@@ -3218,6 +3232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_distributed_roundtrip": csv_distributed_roundtrip,
         "url_features_docs": url_features_docs,
         "canonical_url_docs": canonical_url_docs,
+        "readability_docs": readability_docs,
         "resample_events": resample_events,
         "resample_linear": resample_linear,
         "sample_quality": sample_quality,
@@ -5453,6 +5468,45 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM sc LEFT JOIN g
               ON sc.event_type = g.event_type AND sc.bk = g.bk
             ORDER BY sc.event_type, bucket_s
+        """,
+        "readability_docs": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(
+                       trim(lower(text)), '\s+'), x -> x <> '') AS ws,
+                     greatest(1, len(regexp_extract_all(
+                       text, '[.!?]+'))) AS n_sentences
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     CAST(n_sentences AS BIGINT) AS n_sentences,
+                     CAST(len(ws) AS BIGINT) AS n_words,
+                     CAST(coalesce(list_sum(list_transform(ws,
+                       x -> greatest(1, len(regexp_extract_all(
+                              x, '[aeiouy]+'))))), 0) AS BIGINT)
+                       AS n_syllables
+              FROM w)
+            SELECT doc_id, n_sentences, n_words, n_syllables,
+                   CASE WHEN n_words > 0 THEN CAST(floor(
+                     (CAST(206.835 AS DOUBLE)
+                      - CAST(1.015 AS DOUBLE)
+                        * (CAST(n_words AS DOUBLE)
+                           / CAST(n_sentences AS DOUBLE))
+                      - CAST(84.6 AS DOUBLE)
+                        * (CAST(n_syllables AS DOUBLE)
+                           / CAST(n_words AS DOUBLE)))
+                     * 1000000 + 0.5) AS BIGINT) END AS flesch_micro,
+                   CASE WHEN n_words > 0 THEN CAST(floor(
+                     (CAST(0.39 AS DOUBLE)
+                      * (CAST(n_words AS DOUBLE)
+                         / CAST(n_sentences AS DOUBLE))
+                      + CAST(11.8 AS DOUBLE)
+                        * (CAST(n_syllables AS DOUBLE)
+                           / CAST(n_words AS DOUBLE))
+                      - CAST(15.59 AS DOUBLE))
+                     * 1000000 + 0.5) AS BIGINT) END AS fk_grade_micro
+            FROM c
+            ORDER BY doc_id
         """,
         "canonical_url_docs": r"""
             WITH b AS (

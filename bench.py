@@ -76,6 +76,7 @@ HEADLINE = [
     "attribution_events",
     "canonical_url_docs",
     "graph_lpa",
+    "readability_docs",
 ]
 
 

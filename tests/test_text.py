@@ -339,3 +339,30 @@ class TestSplitSentences:
         plan = split_sentences(df)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def test_readability_exact_and_guards(spark):
+    from meza_spark.llm.text import readability
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"),
+         (2, "Incomprehensibility notwithstanding, heterogeneous "
+             "methodologies proliferate."),
+         (3, ""),
+         (4, "word")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in readability(df).collect()}
+    # doc 1: 2 sentences, 6 words, 6 one-syllable words
+    assert (got[1]["n_sentences"], got[1]["n_words"],
+            got[1]["n_syllables"]) == (2, 6, 6)
+    f = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    import math
+    assert got[1]["flesch_micro"] == math.floor(f * 1e6 + 0.5)
+    # doc 2 is long-word soup: lower ease than doc 1, higher grade
+    assert got[2]["flesch_micro"] < got[1]["flesch_micro"]
+    assert got[2]["fk_grade_micro"] > got[1]["fk_grade_micro"]
+    # empty text: counts zero, scores null
+    assert (got[3]["n_words"], got[3]["flesch_micro"],
+            got[3]["fk_grade_micro"]) == (0, None, None)
+    # no terminal punctuation still counts one sentence
+    assert got[4]["n_sentences"] == 1 and got[4]["n_words"] == 1
