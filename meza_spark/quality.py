@@ -16,10 +16,12 @@ dimension is small). Output is tiny (one row per rule).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["check"]
+__all__ = ["check", "observed_metrics", "partition_stats"]
 
 
 def check(df: DataFrame, rules: list[dict]) -> DataFrame:
@@ -98,3 +100,55 @@ def check(df: DataFrame, rules: list[dict]) -> DataFrame:
     if not parts:
         return spark.createDataFrame([], "rule string, violations long")
     return out
+
+
+def observed_metrics(df: DataFrame, cols: Sequence[str] | None = None,
+                     name: str = "meza_metrics"):
+    """Zero-extra-scan pipeline instrumentation via ``df.observe`` —
+    the Spark-native way to get row counts, null counts, and value
+    bounds OUT of a production job without a second aggregation pass
+    (the metrics piggyback on whatever action the caller already
+    runs; at 100 TB a separate ``df.count()`` audit scan is the
+    single most expensive line in most pipelines).
+
+    Returns ``(instrumented_df, observation)``: run any action on the
+    returned frame, then read ``observation.get`` — a dict with
+    ``n_rows`` plus ``<col>_nulls`` / ``<col>_min`` / ``<col>_max``
+    per requested column. On a STREAMING frame the same observed
+    metrics surface per micro-batch in ``StreamingQueryProgress
+    .observedMetrics[name]`` (df.observe accepts the name-form only
+    there) — pass a string name and read the progress JSON.
+    """
+    from pyspark.sql import Observation
+
+    cols = list(cols) if cols is not None else []
+    exprs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        exprs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                     .alias(f"{c}_nulls"))
+        exprs.append(F.min(c).alias(f"{c}_min"))
+        exprs.append(F.max(c).alias(f"{c}_max"))
+    if df.isStreaming:
+        return df.observe(name, *exprs), None
+    obs = Observation(name)
+    return df.observe(obs, *exprs), obs
+
+
+def partition_stats(df: DataFrame) -> DataFrame:
+    """Partition-skew diagnostic: one row per physical partition with
+    its row count — the first thing to look at when a stage straggles
+    (a 1000-executor job is as slow as its fattest partition). One
+    cheap agg on ``spark_partition_id()``; returns ``(partition_id,
+    n_rows)`` plus a ``skew`` ratio column (partition rows / mean
+    rows) so hot partitions read directly off the report.
+    """
+    by_part = (df.groupBy(F.spark_partition_id().alias("partition_id"))
+               .agg(F.count(F.lit(1)).alias("n_rows")))
+    total = by_part.agg(
+        F.sum("n_rows").alias("_t"),
+        F.count(F.lit(1)).alias("_p"))
+    return (by_part.crossJoin(F.broadcast(total))
+            .select("partition_id", "n_rows",
+                    (F.col("n_rows") * F.col("_p")
+                     / F.col("_t")).alias("skew"))
+            .orderBy("partition_id"))

@@ -86,3 +86,51 @@ def test_scd2_no_collapse_one_interval_per_event(spark):
     rows = {r["event_id"]: r for r in out.collect()}
     assert rows[1]["valid_to"] == t0 + dt.timedelta(hours=1)
     assert rows[2]["valid_to"] is None
+
+
+def test_observed_metrics_piggyback(spark):
+    from meza_spark.quality import observed_metrics
+
+    df = spark.createDataFrame(
+        [(i, None if i % 5 == 0 else float(i)) for i in range(100)],
+        "id long, v double")
+    idf, obs = observed_metrics(df, ["v"])
+    # metrics ride the caller's own action — no second scan
+    assert idf.count() == 100
+    got = obs.get
+    assert got["n_rows"] == 100 and got["v_nulls"] == 20
+    assert got["v_min"] == 1.0 and got["v_max"] == 99.0
+
+
+def test_observed_metrics_streaming_name_form(spark, tmp_path):
+    from meza_spark.quality import observed_metrics
+
+    src = tmp_path / "obs_src"
+    src.mkdir()
+    spark.createDataFrame([(1, 2.0), (2, None)], "id long, v double") \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    sdf = (spark.readStream.schema("id long, v double")
+           .parquet(str(src)))
+    out, obs = observed_metrics(sdf, ["v"], name="m")
+    assert obs is None and out.isStreaming
+    q = (out.writeStream.format("memory").queryName("obs_sink")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    progress = [p for p in q.recentProgress if p["observedMetrics"]]
+    q.stop()
+    m = progress[-1]["observedMetrics"]["m"]
+    assert m["n_rows"] == 2 and m["v_nulls"] == 1
+
+
+def test_partition_stats_flags_skew(spark):
+    from meza_spark.quality import partition_stats
+
+    df = spark.createDataFrame([(i,) for i in range(90)], "id long")
+    # force a fat partition: everything to one partition + two thin
+    skewed = df.repartition(3, (F.col("id") * 0).cast("int"))
+    got = {r["partition_id"]: (r["n_rows"], r["skew"])
+           for r in partition_stats(skewed).collect()}
+    rows = sorted(n for n, _ in got.values())
+    assert rows[-1] == 90                      # one partition holds all
+    hot = max(got.values())
+    assert hot[1] == len(got)                  # skew = n_parts × mean
