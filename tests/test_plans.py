@@ -289,3 +289,45 @@ def test_budget_sample_partitioned_window(spark):
     assert any("source" in ln for ln in plan.splitlines()
                if "windowspecdefinition" in ln.lower()
                or "partitionBy" in ln) or "source" in plan
+
+
+def test_cusum_one_exchange_two_window_passes(spark):
+    # both window specs share the series-key partitioning: ONE shuffle
+    plan = _plan(entry.cusum_events(spark, SF), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ewma_one_exchange_no_python(spark):
+    plan = _plan(entry.ewma_events(spark, SF), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # weights are literal arrays in the plan — no Python boundary
+    assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_readability_rowlocal_no_exchange(spark):
+    from meza_spark.llm.text import readability
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(readability(docs), "simple")
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_canonical_url_rowlocal_no_exchange(spark):
+    from meza_spark.llm.url import canonical_url
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .selectExpr("doc_id", "concat('https://x.com/', source) AS url")
+    plan = _plan(canonical_url(docs), "simple")
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_attribution_lookback_reaches_join_condition(spark):
+    plan = _plan(entry.attribution_events(spark, SF))
+    # the conversions-x-touches join must carry the time bound as a
+    # join/filter condition, not explode then filter cartesian-style
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
