@@ -799,6 +799,28 @@ def readability_docs(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def robust_outliers_events(spark, sf_dir):
+    """Median/MAD outlier report per event type (profile.
+    robust_outliers): two interpolated-percentile passes + a row-local
+    flag. Transport is micro-quantized — the true median/MAD of
+    2-decimal values land on the exact 1/200 grid, so floor(x*1e6+0.5)
+    absorbs any cross-engine interpolation ulp — and the flag is
+    re-derived from the quantized integers in BOTH engines."""
+    from meza_spark.profile import robust_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    out = robust_outliers(ev, "value", by=["event_type"], k=3.0)
+    vq = F.floor(F.col("value").cast("double") * 1000000 + F.lit(0.5)) \
+        .cast("long")
+    medq = F.floor(F.col("med") * 1000000 + F.lit(0.5)).cast("long")
+    madq = F.floor(F.col("mad") * 1000000 + F.lit(0.5)).cast("long")
+    return (out.select(
+        "event_id", "event_type",
+        medq.alias("med_micro"), madq.alias("mad_micro"),
+        (F.abs(vq - medq) > 3 * madq).alias("is_outlier"))
+        .orderBy("event_id"))
+
+
 def canonical_url_docs(spark, sf_dir):
     """URL canonicalization (llm/url.py canonical_url): synthesize a
     deliberately-messy URL per doc (uppercase scheme/host, default
@@ -3233,6 +3255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_features_docs": url_features_docs,
         "canonical_url_docs": canonical_url_docs,
         "readability_docs": readability_docs,
+        "robust_outliers_events": robust_outliers_events,
         "resample_events": resample_events,
         "resample_linear": resample_linear,
         "sample_quality": sample_quality,
@@ -5468,6 +5491,31 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM sc LEFT JOIN g
               ON sc.event_type = g.event_type AND sc.bk = g.bk
             ORDER BY sc.event_type, bucket_s
+        """,
+        "robust_outliers_events": """
+            WITH m AS (
+              SELECT event_type,
+                     CAST(floor(quantile_cont(CAST(value AS DOUBLE), 0.5)
+                          * 1000000 + 0.5) AS BIGINT) AS med_micro,
+                     quantile_cont(CAST(value AS DOUBLE), 0.5) AS med
+              FROM events GROUP BY event_type),
+            a AS (
+              SELECT e.event_id, e.event_type,
+                     CAST(floor(CAST(e.value AS DOUBLE) * 1000000 + 0.5)
+                          AS BIGINT) AS vq,
+                     abs(CAST(e.value AS DOUBLE) - m.med) AS adev,
+                     m.med_micro
+              FROM events e JOIN m ON m.event_type = e.event_type),
+            d AS (
+              SELECT event_type,
+                     CAST(floor(quantile_cont(adev, 0.5)
+                          * 1000000 + 0.5) AS BIGINT) AS mad_micro
+              FROM a GROUP BY event_type)
+            SELECT a.event_id, a.event_type, a.med_micro, d.mad_micro,
+                   (abs(a.vq - a.med_micro) > 3 * d.mad_micro)
+                     AS is_outlier
+            FROM a JOIN d ON d.event_type = a.event_type
+            ORDER BY a.event_id
         """,
         "readability_docs": r"""
             WITH w AS (

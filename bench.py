@@ -77,6 +77,7 @@ HEADLINE = [
     "canonical_url_docs",
     "graph_lpa",
     "readability_docs",
+    "robust_outliers_events",
 ]
 
 

@@ -28,7 +28,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile", "histogram", "winsorize", "skew_report", "psi_drift"]
+__all__ = ["profile", "histogram", "winsorize", "skew_report", "psi_drift",
+           "robust_outliers"]
 
 _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
 
@@ -234,3 +235,43 @@ def psi_drift(df_a: DataFrame, df_b: DataFrame, col: str,
                         * F.lit(width))
             .withColumn("psi", F.round(psi, 6))
             .orderBy("bucket"))
+
+
+def robust_outliers(df: DataFrame, col: str,
+                    by: Sequence[str] | None = None,
+                    k: float = 3.0, exact: bool = True) -> DataFrame:
+    """Median/MAD outlier flags — the robust alternative to z-scores
+    (one corrupt batch can't drag the baseline the way it drags a
+    mean/std). Per group (``by``; global when omitted) computes the
+    median and the median-absolute-deviation, then flags rows with
+
+        |x - median| > k · MAD
+
+    Adds ``med``, ``mad``, ``is_outlier``. Two aggregation passes
+    (median, then MAD of the residuals — MAD is not algebraic, it
+    cannot fold into one), both shuffling only the group key; the
+    flag itself is a row-local compare, so it pushes into whatever
+    scan/filter follows.
+
+    ``exact=True`` uses interpolated ``percentile`` (per-group value
+    buffer — fine to a few million rows per group, and both engines
+    interpolate identically so the gate hash-matches);
+    ``exact=False`` swaps in ``percentile_approx`` (mergeable KLL
+    sketch, bounded memory) for web-scale groups.
+    """
+    fn = "percentile" if exact else "percentile_approx"
+    keys = list(by) if by else []
+    med_expr = F.expr(f"{fn}({col}, 0.5)").alias("med")
+    med = df.groupBy(*keys).agg(med_expr) if keys \
+        else df.agg(med_expr)
+    j = df.join(F.broadcast(med), on=keys) if keys \
+        else df.crossJoin(F.broadcast(med))
+    j = j.withColumn("_absdev", F.abs(F.col(col) - F.col("med")))
+    mad_expr = F.expr(f"{fn}(_absdev, 0.5)").alias("mad")
+    mad = j.groupBy(*keys).agg(mad_expr) if keys \
+        else j.agg(mad_expr)
+    out = j.join(F.broadcast(mad), on=keys) if keys \
+        else j.crossJoin(F.broadcast(mad))
+    return (out.withColumn(
+        "is_outlier", F.col("_absdev") > F.lit(float(k)) * F.col("mad"))
+        .drop("_absdev"))

@@ -160,3 +160,35 @@ def test_psi_drift_detects_shift(spark):
     out = psi_drift(a, b, "v", nbins=4, lo=0.0, hi=100.0).collect()
     total = sum(r["psi"] for r in out)
     assert total > 0.25  # fully disjoint distributions → big PSI
+
+
+def test_robust_outliers_exact_and_flag(spark):
+    from meza_spark.profile import robust_outliers
+
+    # group a: median 10, MAD 1 -> |x-10| > 3 flags 20 only
+    rows = [("a", v) for v in
+            [8.0, 9.0, 10.0, 11.0, 12.0, 20.0]] + \
+           [("b", v) for v in [100.0, 100.0, 100.0]]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {(r["k"], r["v"]): (r["med"], r["mad"], r["is_outlier"])
+           for r in robust_outliers(df, "v", by=["k"], k=3.0).collect()}
+    # a: sorted [8,9,10,11,12,20] -> median 10.5, absdevs
+    # [2.5,1.5,0.5,0.5,1.5,9.5] -> MAD 1.5; 3*1.5=4.5 flags only 20
+    assert got[("a", 20.0)] == (10.5, 1.5, True)
+    assert got[("a", 12.0)][2] is False
+    # constant group: MAD 0, nothing deviates -> no flags
+    assert got[("b", 100.0)] == (100.0, 0.0, False)
+
+
+def test_robust_outliers_global_and_approx(spark):
+    from meza_spark.profile import robust_outliers
+
+    df = spark.createDataFrame([(float(i),) for i in range(101)],
+                               "v double")
+    out = robust_outliers(df, "v", k=1.0)
+    got = {r["v"]: r["is_outlier"] for r in out.collect()}
+    # median 50, MAD 25: flags |x-50| > 25
+    assert got[0.0] is True and got[30.0] is False and got[80.0] is True
+    # approx path returns the same shape (values sketch-close here)
+    ap = robust_outliers(df, "v", k=1.0, exact=False).first()
+    assert {"med", "mad", "is_outlier"} <= set(ap.asDict())
