@@ -643,6 +643,54 @@ def multimodal_decode(spark, sf_dir):
                       F.round("mean_pixel", 6).alias("mean_pixel"))
 
 
+def multimodal_e2e(spark, sf_dir):
+    """Multimodal FLAGSHIP: synthetic BMP images + json metadata →
+    WebDataset tar shard (the training-data container) → sample-per-
+    row read → REAL byte-level BMP decode → metadata join → size
+    filter. Gates the whole chain — binary payloads surviving the tar
+    roundtrip, the decoder's padding/BGR/bottom-up walk, and the
+    json side-channel — against one arithmetic DuckDB twin."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from meza_spark.io.webdataset import read_webdataset, records2webdataset
+    from meza_spark.llm.multimodal import _encode_bmp, decode_image
+
+    @pandas_udf("binary")
+    def _bmp(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+        out = []
+        for i, n in zip(doc_id, n_chars):
+            w, h = int(n) % 24 + 1, int(i) % 16 + 1
+            j = np.arange(w * h * 3, dtype=np.int64)
+            px = ((int(i) * 7 + j * 11) % 256).astype(np.uint8)
+            out.append(_encode_bmp(px.reshape(h, w, 3)))
+        return pd.Series(out)
+
+    docs = (_t(spark, sf_dir, "documents")
+            .select(F.col("doc_id").cast("string").alias("key"),
+                    _bmp("doc_id", "n_chars").alias("img"),
+                    F.to_json(F.struct("lang", "source")).alias("meta"))
+            .orderBy("key"))
+    path = _rt_path(sf_dir, "mm.wds.tar")
+    records2webdataset(docs, path, "key", {"bmp": "img", "json": "meta"})
+    wds = read_webdataset(spark, path)
+    media = wds.select(
+        F.col("key").cast("long").alias("media_id"),
+        F.element_at("data", "bmp").alias("payload"),
+        F.get_json_object(
+            F.decode(F.element_at("data", "json"), "UTF-8"),
+            "$.lang").alias("lang"))
+    # decode_image emits (media_id, stats) only — join the json-borne
+    # metadata back on the id (the side-channel under test)
+    out = decode_image(media).join(media.select("media_id", "lang"),
+                                   on="media_id")
+    return (out.where(F.col("width") >= 13)
+            .select("media_id", "lang", "width", "height",
+                    F.round("mean_pixel", 6).alias("mean_pixel"))
+            .orderBy("media_id"))
+
+
 def multimodal_audio(spark, sf_dir):
     """REAL WAV PCM decode, hash-gated: synthesize 16-bit mono WAV per
     doc with a closed-form sample pattern, decode via the RIFF walker +
@@ -3146,6 +3194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordinal_fmt": ordinal_fmt,
         "multimodal_meta": multimodal_meta,
         "multimodal_decode": multimodal_decode,
+        "multimodal_e2e": multimodal_e2e,
         "multimodal_audio": multimodal_audio,
         "stream_tumble_static": stream_tumble_static,
         "stream_session_static": stream_session_static,
@@ -4188,6 +4237,17 @@ def _oracle_sql_base() -> dict[str, str]:
         # 256 over j in [0, w*h*3); recomputing the stats arithmetically
         # gates the real _encode_bmp -> _decode_bmp byte path (padding,
         # bottom-up rows, BGR swap) end-to-end.
+        "multimodal_e2e": """
+            SELECT doc_id AS media_id, lang,
+                   CAST(n_chars % 24 + 1 AS INTEGER) AS width,
+                   CAST(doc_id % 16 + 1 AS INTEGER) AS height,
+                   round(list_avg(list_transform(
+                     range(0, (n_chars % 24 + 1) * (doc_id % 16 + 1) * 3),
+                     j -> (doc_id * 7 + j * 11) % 256)), 6) AS mean_pixel
+            FROM documents
+            WHERE n_chars % 24 + 1 >= 13
+            ORDER BY doc_id
+        """,
         "multimodal_decode": """
             SELECT doc_id AS media_id,
                    CAST(n_chars % 24 + 1 AS INTEGER) AS width,

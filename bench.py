@@ -78,6 +78,7 @@ HEADLINE = [
     "graph_lpa",
     "readability_docs",
     "robust_outliers_events",
+    "multimodal_e2e",
 ]
 
 
