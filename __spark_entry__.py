@@ -691,6 +691,41 @@ def multimodal_e2e(spark, sf_dir):
             .orderBy("media_id"))
 
 
+def image_features_docs(spark, sf_dir):
+    """REAL image featurization (multimodal.image_features): synthetic
+    BMPs → grayscale → nearest-neighbor resample onto an 8-long grid →
+    [0,1] floats. Transport replays the float32 storage rounding in
+    both engines (CAST to REAL and back) then micro-quantizes, so the
+    whole decode→gray→sample→normalize chain is hash-gated."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from meza_spark.llm.multimodal import _encode_bmp, image_features
+
+    @pandas_udf("binary")
+    def _bmp(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+        out = []
+        for i, n in zip(doc_id, n_chars):
+            w, h = int(n) % 24 + 1, int(i) % 16 + 1
+            j = np.arange(w * h * 3, dtype=np.int64)
+            px = ((int(i) * 7 + j * 11) % 256).astype(np.uint8)
+            out.append(_encode_bmp(px.reshape(h, w, 3)))
+        return pd.Series(out)
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        _bmp("doc_id", "n_chars").alias("payload"))
+    out = image_features(d, resize_to=8)
+    micro = F.transform(
+        "features",
+        lambda v: F.floor(v.cast("double") * 1000000 + F.lit(0.5))
+        .cast("long"))
+    return (out.select("media_id",
+                       F.concat_ws(",", micro).alias("features_micro"))
+            .orderBy("media_id"))
+
+
 def multimodal_audio(spark, sf_dir):
     """REAL WAV PCM decode, hash-gated: synthesize 16-bit mono WAV per
     doc with a closed-form sample pattern, decode via the RIFF walker +
@@ -2679,6 +2714,18 @@ def graph_lpa(spark, sf_dir):
             .orderBy("v"))
 
 
+def graph_degrees(spark, sf_dir):
+    """Per-vertex in/out/total degree over the order→supplier edge
+    list (graph.degrees): one union + one agg, parallel edges count
+    individually."""
+    from meza_spark.graph import degrees
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(F.col("l_orderkey").alias("src"),
+                      (F.col("l_suppkey") + 1000000).alias("dst"))
+    return degrees(edges).orderBy("v")
+
+
 def llm_ppl_buckets(spark, sf_dir):
     """CCNet-style per-language perplexity bucketing: unigram-logprob
     score, then ntile(3) head/middle/tail within each language —
@@ -3195,6 +3242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": multimodal_meta,
         "multimodal_decode": multimodal_decode,
         "multimodal_e2e": multimodal_e2e,
+        "image_features_docs": image_features_docs,
         "multimodal_audio": multimodal_audio,
         "stream_tumble_static": stream_tumble_static,
         "stream_session_static": stream_session_static,
@@ -3320,6 +3368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": dedup_semantic,
         "graph_pagerank": graph_pagerank,
         "graph_lpa": graph_lpa,
+        "graph_degrees": graph_degrees,
         "llm_ppl_buckets": llm_ppl_buckets,
         "dedup_containment": dedup_containment,
         "embed_pca": embed_pca,
@@ -4237,6 +4286,24 @@ def _oracle_sql_base() -> dict[str, str]:
         # 256 over j in [0, w*h*3); recomputing the stats arithmetically
         # gates the real _encode_bmp -> _decode_bmp byte path (padding,
         # bottom-up rows, BGR swap) end-to-end.
+        "image_features_docs": """
+            WITH p AS (
+              SELECT doc_id AS media_id,
+                     (n_chars % 24 + 1) * (doc_id % 16 + 1) AS sz,
+                     doc_id AS i
+              FROM documents)
+            SELECT media_id,
+                   array_to_string(list_transform(range(0, 8),
+                     k -> CAST(floor(CAST(CAST((
+                            ((i * 7 + (3 * ((k * sz) // 8)) * 11) % 256
+                           + (i * 7 + (3 * ((k * sz) // 8) + 1) * 11) % 256
+                           + (i * 7 + (3 * ((k * sz) // 8) + 2) * 11) % 256)
+                            / 3) / 255 AS REAL) AS DOUBLE)
+                          * 1000000 + 0.5) AS BIGINT)), ',')
+                     AS features_micro
+            FROM p
+            ORDER BY media_id
+        """,
         "multimodal_e2e": """
             SELECT doc_id AS media_id, lang,
                    CAST(n_chars % 24 + 1 AS INTEGER) AS width,
@@ -5999,6 +6066,17 @@ def _oracle_sql_base() -> dict[str, str]:
                    COALESCE(s.n_tokens, 0) AS n_tokens,
                    round(s.lp, 6) AS logprob
             FROM documents d LEFT JOIN scored s ON d.doc_id = s._id
+        """,
+        "graph_degrees": """
+            WITH d AS (
+              SELECT l_orderkey AS v, 1 AS o, 0 AS i FROM lineitem
+              UNION ALL
+              SELECT 1000000 + l_suppkey AS v, 0 AS o, 1 AS i
+              FROM lineitem)
+            SELECT v, CAST(sum(o) AS BIGINT) AS out_degree,
+                   CAST(sum(i) AS BIGINT) AS in_degree,
+                   count(*) AS degree
+            FROM d GROUP BY v ORDER BY v
         """,
         "graph_lpa": """
             WITH ed AS (

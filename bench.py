@@ -79,6 +79,7 @@ HEADLINE = [
     "readability_docs",
     "robust_outliers_events",
     "multimodal_e2e",
+    "image_features_docs",
 ]
 
 
