@@ -2888,6 +2888,21 @@ def zscore_events(spark, sf_dir):
             .orderBy("event_id"))
 
 
+def session_paths_events(spark, sf_dir):
+    """Per-user gap sessions with ordered event-type paths (the batch
+    form of streaming/ops.stream_session_paths — the streaming form is
+    pinned stream==batch by unit): sessionize (lag + running sum, one
+    window pass) then one ordered collect per session. The DuckDB twin
+    replays the µs→double epoch arithmetic, the (ts, type) tie order,
+    and the ordered string_agg."""
+    from meza_spark.streaming.ops import stream_session_paths
+
+    ev = _t(spark, sf_dir, "events")
+    return (stream_session_paths(ev, "user_id", "ts", "event_type",
+                                 gap_seconds=1800)
+            .orderBy("user_id", "session_start"))
+
+
 def cusum_events(spark, sf_dir):
     """Per-event-type CUSUM changepoint statistic (analytics.cusum):
     running sum minus running min of exact cross-multiplied micro
@@ -3381,6 +3396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_weekly": cohort_weekly,
         "co_occur_parts": co_occur_parts,
         "zscore_events": zscore_events,
+        "session_paths_events": session_paths_events,
         "cusum_events": cusum_events,
         "ewma_events": ewma_events,
         "attribution_events": attribution_events,
@@ -6243,6 +6259,32 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(num // den AS BIGINT) AS ewma_micro
             FROM j
             ORDER BY event_id
+        """,
+        "session_paths_events": """
+            WITH q AS (
+              SELECT user_id, event_type AS et,
+                     epoch_us(ts) AS tus, epoch_ms(ts) AS tms,
+                     CAST(epoch_us(ts) AS DOUBLE)
+                       / CAST(1000000 AS DOUBLE) AS td
+              FROM events),
+            l AS (
+              SELECT *, lag(td) OVER w AS ptd
+              FROM q
+              WINDOW w AS (PARTITION BY user_id ORDER BY tus, et)),
+            s AS (
+              SELECT *, sum(CASE WHEN ptd IS NULL
+                                   OR td - ptd > CAST(1800 AS DOUBLE)
+                                 THEN 1 ELSE 0 END) OVER w AS sid
+              FROM l
+              WINDOW w AS (PARTITION BY user_id ORDER BY tus, et))
+            SELECT user_id,
+                   min(tms) AS session_start,
+                   max(tms) AS session_end,
+                   count(*) AS n_events,
+                   string_agg(et, '>' ORDER BY tms, et) AS path
+            FROM s
+            GROUP BY user_id, sid
+            ORDER BY user_id, session_start
         """,
         "cusum_events": """
             WITH q AS (

@@ -72,6 +72,7 @@ HEADLINE = [
     "funnel_events", "cohort_weekly", "co_occur_parts",
     "zscore_events",
     "cusum_events",
+    "session_paths_events",
     "ewma_events",
     "attribution_events",
     "canonical_url_docs",

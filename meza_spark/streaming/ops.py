@@ -34,7 +34,7 @@ __all__ = [
     "read_stream", "write_stream", "tumbling_window_agg",
     "sliding_window_agg", "session_window_agg", "stream_dedupe",
     "stream_fill_running", "stream_static_join",
-    "stream_cusum",
+    "stream_cusum", "stream_session_paths",
 ]
 
 
@@ -309,3 +309,118 @@ def stream_cusum(df: DataFrame, key_cols: Sequence[str], ts_col: str,
             .groupBy(*key_cols)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+def stream_session_paths(df: DataFrame, user_col: str, ts_col: str,
+                         type_col: str, gap_seconds: int = 1800,
+                         watermark: str = "10 minutes") -> DataFrame:
+    """Completed sessions with their ordered event-type PATH
+    (``signup>view>click``) — the clickstream-mining primitive.
+    Emits one row per CLOSED session: ``(key, session_start,
+    session_end, n_events, path)`` with start/end in epoch ms.
+
+    Streaming frames use ``applyInPandasWithState`` with an
+    EVENT-TIME TIMEOUT: events buffer in per-key state, the timeout
+    is pinned at last-event + gap, and when the watermark passes it
+    the handler splits the buffer into gap-sessions, emits every
+    closed one exactly once, and retains the open tail. This is the
+    capability ``F.session_window`` aggregation cannot express — a
+    windowed agg can count a session, but it cannot emit the ordered
+    member sequence on close. State per key = the open tail only.
+    (Spark 4's ``transformWithStateInPandas`` timer API expresses the
+    same thing; this build's Python workers lack its protobuf
+    transport, and the timeout form is equivalent here.)
+
+    Batch frames produce the identical rows via ``process.sessionize``
+    + one ordered collect per session (the parity unit pins stream ==
+    batch). Late events inside the watermark fold into their session;
+    beyond it they are dropped like every watermarked stateful op.
+    """
+    gap_ms = int(gap_seconds) * 1000
+
+    if not df.isStreaming:
+        from ..process import sessionize
+
+        # tiebreak on the type column: tied timestamps otherwise make
+        # the lag() session assignment partitioning-dependent
+        sess = sessionize(df, user_col, ts_col,
+                          gap_seconds=gap_seconds, tiebreak=type_col)
+        ts_ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+        ordered = F.array_sort(
+            F.collect_list(F.struct(ts_ms.alias("t"),
+                                    F.col(type_col).alias("et"))))
+        return (sess.groupBy(user_col, "session_id")
+                .agg(F.min(ts_ms).alias("session_start"),
+                     F.max(ts_ms).alias("session_end"),
+                     F.count(F.lit(1)).alias("n_events"),
+                     F.array_join(
+                         F.transform(ordered, lambda x: x["et"]), ">")
+                     .alias("path"))
+                .drop("session_id"))
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    key_field = [f for f in df.schema if f.name == user_col][0]
+    out_schema = (f"{user_col} {key_field.dataType.simpleString()}, "
+                  "session_start long, session_end long, "
+                  "n_events long, path string")
+    out_cols = [user_col, "session_start", "session_end",
+                "n_events", "path"]
+    state_schema = "ts array<long>, et array<string>"
+    ts_col_, type_col_ = ts_col, type_col
+
+    def _sessions(evs):
+        groups, cur = [], [evs[0]]
+        for e in evs[1:]:
+            if e[0] - cur[-1][0] > gap_ms:
+                groups.append(cur)
+                cur = [e]
+            else:
+                cur.append(e)
+        groups.append(cur)
+        return groups
+
+    def fn(key, pdfs, state):
+        evs = []
+        if state.exists:
+            ts, et = state.get
+            evs = list(zip(ts, et))
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            t = (pdf[ts_col_].astype("int64") // 1_000_000)
+            evs += list(zip(t.tolist(),
+                            pdf[type_col_].astype(str).tolist()))
+        rows = []
+        if evs:
+            evs.sort()
+            groups = _sessions(evs)
+            # a session is closed the moment the watermark passes its
+            # last event + gap — whether we got here via the timeout
+            # or via new data for the key (a timeout may not even be
+            # settable for an already-stale session: timestamps at or
+            # before the current watermark are invalid)
+            wm = state.getCurrentWatermarkMs()
+            closed = [g for g in groups if g[-1][0] + gap_ms <= wm]
+            keep = [g for g in groups if g[-1][0] + gap_ms > wm]
+            rows = [(key[0], g[0][0], g[-1][0], len(g),
+                     ">".join(e[1] for e in g)) for g in closed]
+            tail = [e for g in keep for e in g]
+            if tail:
+                state.update(([e[0] for e in tail],
+                              [e[1] for e in tail]))
+                state.setTimeoutTimestamp(max(tail[-1][0] + gap_ms,
+                                              wm + 1))
+            else:
+                state.remove()
+        elif state.exists:
+            state.remove()
+        if rows:
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return (df.withWatermark(ts_col, watermark)
+            .groupBy(user_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append",
+                                    GroupStateTimeout.EventTimeTimeout))

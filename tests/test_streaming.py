@@ -447,3 +447,62 @@ def test_streaming_cusum_batch_parity(spark, tmp_path):
     assert len(got) == 20
     # the shifted tail must be alarming on the high side
     assert got[19][2] is True and got[19][0] > 0
+
+
+def test_streaming_session_paths_batch_parity(spark, tmp_path):
+    """stream_session_paths: closed sessions with ordered event-type
+    paths emit exactly once as the watermark passes last-event + gap;
+    event-time timeouts carry open sessions across micro-batches.
+    Files arrive in event-time order (late-beyond-watermark input is
+    dropped by the engine like every watermarked stateful op)."""
+    schema = "id long, ts timestamp, user_id long, event_type string"
+    base = datetime.datetime(2024, 1, 1, 8, 0, 0)
+
+    def m(mins):
+        return base + datetime.timedelta(minutes=mins)
+
+    f1 = [(1, m(0), 1, "signup"), (2, m(5), 1, "view"),
+          (3, m(10), 1, "click"), (4, m(1), 2, "view")]
+    f2 = [(5, m(30), 2, "click"),                       # joins user2
+          (6, m(180), 1, "view"), (7, m(182), 1, "purchase")]
+    s1 = [(99, base + datetime.timedelta(days=2), 999, "noop")]
+    s2 = [(100, base + datetime.timedelta(days=4), 999, "noop")]
+
+    src = tmp_path / "sp_src"
+    src.mkdir()
+    ck, out = tmp_path / "sp_ck", tmp_path / "sp_out"
+
+    def write(rs):
+        spark.createDataFrame(rs, schema).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+
+    def run_once():
+        sdf = st.read_stream(spark, str(src), schema=schema)
+        o = st.stream_session_paths(sdf, "user_id", "ts", "event_type",
+                                    gap_seconds=3600,
+                                    watermark="1 minute")
+        q = (o.writeStream.format("parquet").option("path", str(out))
+             .option("checkpointLocation", str(ck))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    for batch in (f1, f2, s1, s2):
+        write(batch)
+        run_once()
+
+    got = sorted(map(tuple, spark.read.parquet(str(out)).collect()))
+    # batch replay over the same rows: stream must equal the batch
+    # sessions that are CLOSED by the final watermark (everything but
+    # the sentinel user's last session)
+    full = st.stream_session_paths(
+        spark.createDataFrame(f1 + f2 + s1 + s2, schema),
+        "user_id", "ts", "event_type", gap_seconds=3600)
+    allb = sorted(map(tuple, full.collect()))
+    # the watermark lags one batch, so the sentinel user's own
+    # sessions are still open when the runs stop; every REAL user
+    # session has closed and must match the batch replay exactly
+    exp = [t for t in allb if t[0] != 999]
+    assert got == sorted(exp)
+    paths = {(t[0], t[1]): t[4] for t in got}
+    assert paths[(1, int(base.timestamp() * 1000))] == "signup>view>click"
+    assert paths[(2, int(m(1).timestamp() * 1000))] == "view>click"

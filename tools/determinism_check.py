@@ -45,6 +45,7 @@ DEFAULT_QUERIES = [
     "ewma_events",
     "attribution_events",
     "graph_lpa",
+    "session_paths_events",
 ]
 
 _WORKER = r"""
