@@ -868,6 +868,18 @@ def url_features_docs(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def bm25_search(spark, sf_dir):
+    """BM25 ranked retrieval over documents for a fixed query
+    (llm/text.bm25_topk): query-term filter rides the explode, tiny
+    N/avgdl/df aggregates broadcast back, per-doc decimal score sum,
+    TakeOrdered top-k. The DuckDB twin replays the same ln/arithmetic
+    shapes (literals CAST AS DOUBLE — decimal-fold trap)."""
+    from meza_spark.llm.text import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, "spark merge window join", k=25)
+
+
 def readability_docs(spark, sf_dir):
     """Flesch / Flesch-Kincaid readability features (llm/text.py
     readability): vowel-group syllable heuristic, fixed IEEE shapes
@@ -2888,6 +2900,18 @@ def zscore_events(spark, sf_dir):
             .orderBy("event_id"))
 
 
+def rfm_events(spark, sf_dir):
+    """RFM customer segmentation over events (analytics.rfm): exact
+    decimal monetary accumulation, ntile scores with user-id
+    tiebreaks. The DuckDB twin replays the aggregation and the same
+    three ntile orderings."""
+    from meza_spark.analytics import rfm
+
+    ev = _t(spark, sf_dir, "events")
+    return (rfm(ev, "user_id", "ts", "value", n_bins=5)
+            .orderBy("user_id"))
+
+
 def session_paths_events(spark, sf_dir):
     """Per-user gap sessions with ordered event-type paths (the batch
     form of streaming/ops.stream_session_paths — the streaming form is
@@ -3366,6 +3390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_distributed_roundtrip": csv_distributed_roundtrip,
         "url_features_docs": url_features_docs,
         "canonical_url_docs": canonical_url_docs,
+        "bm25_search": bm25_search,
         "readability_docs": readability_docs,
         "robust_outliers_events": robust_outliers_events,
         "resample_events": resample_events,
@@ -3396,6 +3421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_weekly": cohort_weekly,
         "co_occur_parts": co_occur_parts,
         "zscore_events": zscore_events,
+        "rfm_events": rfm_events,
         "session_paths_events": session_paths_events,
         "cusum_events": cusum_events,
         "ewma_events": ewma_events,
@@ -5660,6 +5686,42 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM a JOIN d ON d.event_type = a.event_type
             ORDER BY a.event_id
         """,
+        "bm25_search": r"""
+            WITH pairs AS (
+              SELECT doc_id AS _id,
+                     unnest(regexp_split_to_array(trim(lower(text)),
+                                                  '\s+')) AS term
+              FROM documents WHERE trim(text) <> ''),
+            dl AS (SELECT _id, count(*) AS dlen FROM pairs GROUP BY _id),
+            st AS (SELECT count(*) AS N, sum(dlen) AS tot FROM dl),
+            tf AS (
+              SELECT _id, term, count(*) AS tf FROM pairs
+              WHERE term IN ('join', 'merge', 'spark', 'window')
+              GROUP BY _id, term),
+            dfq AS (SELECT term, count(*) AS dfn FROM tf GROUP BY term),
+            per AS (
+              SELECT tf._id,
+                     ln(CAST(1.0 AS DOUBLE)
+                        + (CAST(N AS DOUBLE) - dfn + CAST(0.5 AS DOUBLE))
+                          / (dfn + CAST(0.5 AS DOUBLE)))
+                     * (CAST(tf.tf AS DOUBLE)
+                        * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                        / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+                           * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                              + CAST(0.75 AS DOUBLE)
+                                * CAST(dlen AS DOUBLE)
+                                / (CAST(tot AS DOUBLE)
+                                   / CAST(N AS DOUBLE))))) AS s
+              FROM tf JOIN dfq USING (term) JOIN dl USING (_id)
+                   CROSS JOIN st),
+            sc AS (
+              SELECT _id AS doc_id, count(*) AS n_hits,
+                     round(CAST(sum(CAST(s AS DECIMAL(38,18)))
+                                AS DOUBLE), 6) AS score
+              FROM per GROUP BY _id)
+            SELECT doc_id, n_hits, score FROM sc
+            ORDER BY score DESC, doc_id LIMIT 25
+        """,
         "readability_docs": r"""
             WITH w AS (
               SELECT doc_id,
@@ -6259,6 +6321,28 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(num // den AS BIGINT) AS ewma_micro
             FROM j
             ORDER BY event_id
+        """,
+        "rfm_events": """
+            WITH pu AS (
+              SELECT user_id,
+                     epoch_ms(max(ts)) AS last_ms,
+                     count(*) AS frequency,
+                     CAST(sum(CAST(floor(CAST(value AS DOUBLE)
+                            * 1000000 + 0.5) AS HUGEINT)) AS BIGINT)
+                       AS monetary_micro
+              FROM events GROUP BY user_id),
+            sc AS (
+              SELECT *,
+                ntile(5) OVER (ORDER BY last_ms, user_id) AS r_score,
+                ntile(5) OVER (ORDER BY frequency, user_id) AS f_score,
+                ntile(5) OVER (ORDER BY monetary_micro, user_id)
+                  AS m_score
+              FROM pu)
+            SELECT user_id, last_ms, frequency, monetary_micro,
+                   r_score, f_score, m_score,
+                   CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                     || CAST(m_score AS VARCHAR) AS segment
+            FROM sc ORDER BY user_id
         """,
         "session_paths_events": """
             WITH q AS (

@@ -73,6 +73,8 @@ HEADLINE = [
     "zscore_events",
     "cusum_events",
     "session_paths_events",
+    "rfm_events",
+    "bm25_search",
     "ewma_events",
     "attribution_events",
     "canonical_url_docs",

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["funnel", "cohort_retention", "moving_zscore", "cusum",
-           "ewma", "attribution"]
+           "ewma", "attribution", "rfm"]
 
 
 def funnel(df: DataFrame, steps: Sequence[str],
@@ -367,3 +367,77 @@ def attribution(df: DataFrame, conversion_type: str,
     return (j.groupBy("channel")
             .agg(F.sum("_credit").cast("long").alias("credit_micro"),
                  F.count_distinct("_u", "_cts").alias("n_conversions")))
+
+
+def rfm(df: DataFrame, user_col: str = "user_id", ts_col: str = "ts",
+        value_col: str | None = None, n_bins: int = 5,
+        event_filter=None, exact: bool = True) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary — the classic
+    customer-value scoring): one row per user with the raw metrics
+    and 1..``n_bins`` ntile scores, higher = better (more recent,
+    more events, more value). ``segment`` concatenates the three
+    digits ('555' = best).
+
+    Deterministic by construction: ``monetary_micro`` accumulates
+    quantized integers in decimal (a double sum would be partition-
+    order dependent), the ntiles order by (metric, user id) so ties
+    never float, and recency scores by last-seen timestamp directly —
+    no "days since now" wall-clock dependence. One aggregation + one
+    window pass over the (small) per-user frame.
+
+    ``event_filter``: optional Column predicate choosing which events
+    count (e.g. ``F.col('event_type') == 'purchase'``).
+
+    ``exact=True`` scores with global ntiles — an unpartitioned
+    window, i.e. ONE sort task over the per-user frame; right up to a
+    few hundred million users, wrong at billions. ``exact=False`` is
+    the web-scale path (the ``perplexity_buckets`` pattern): three
+    tiny ``approx_percentile`` aggregates broadcast back, scores
+    assigned row-locally — no global sort anywhere.
+    """
+    from pyspark.sql import Window
+
+    if event_filter is not None:
+        df = df.where(event_filter)
+    vq = (F.floor(F.col(value_col).cast("double") * 1000000
+                  + F.lit(0.5)).cast("decimal(38,0)")
+          if value_col else F.lit(0).cast("decimal(38,0)"))
+    per_user = (df.groupBy(user_col)
+                .agg(F.unix_millis(F.max(ts_col).cast("timestamp"))
+                     .alias("last_ms"),
+                     F.count(F.lit(1)).alias("frequency"),
+                     F.sum(vq).cast("long").alias("monetary_micro")))
+    if exact:
+        u = F.col(user_col)
+        r_w = Window.orderBy(F.col("last_ms"), u)
+        f_w = Window.orderBy(F.col("frequency"), u)
+        m_w = Window.orderBy(F.col("monetary_micro"), u)
+        scored = (per_user
+                  .withColumn("r_score", F.ntile(n_bins).over(r_w))
+                  .withColumn("f_score", F.ntile(n_bins).over(f_w))
+                  .withColumn("m_score", F.ntile(n_bins).over(m_w)))
+    else:
+        probs = [i / n_bins for i in range(1, n_bins)]
+        plit = "array(" + ", ".join(str(p) for p in probs) + ")"
+        cuts = per_user.agg(*[
+            F.expr(f"approx_percentile({c}, {plit})").alias(f"_c_{c}")
+            for c in ("last_ms", "frequency", "monetary_micro")])
+        scored = per_user.crossJoin(F.broadcast(cuts))
+        for name, c in (("r_score", "last_ms"),
+                        ("f_score", "frequency"),
+                        ("m_score", "monetary_micro")):
+            scored = scored.withColumn(
+                name, (F.lit(1) + F.aggregate(
+                    F.col(f"_c_{c}"), F.lit(0),
+                    lambda acc, cut: acc
+                    + F.when(F.col(c) > cut, 1).otherwise(0)))
+                .cast("int"))
+        scored = scored.drop(*[f"_c_{c}" for c in
+                               ("last_ms", "frequency",
+                                "monetary_micro")])
+    out = (scored
+           .withColumn("segment",
+                       F.concat(F.col("r_score").cast("string"),
+                                F.col("f_score").cast("string"),
+                                F.col("m_score").cast("string"))))
+    return out

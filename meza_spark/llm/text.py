@@ -18,7 +18,7 @@ __all__ = ["token_count", "quality_score", "lang_id", "fingerprint",
            "vocab_topk", "tfidf_top_terms", "unigram_logprob",
            "perplexity_buckets",
            "gopher_filter", "normalize_text", "code_signals",
-           "split_sentences", "readability"]
+           "split_sentences", "readability", "bm25_topk"]
 
 # Tiny per-language stopword marker sets for the n-gram/stopword
 # language-ID heuristic. Deterministic scoring, not a trained model.
@@ -757,3 +757,55 @@ def readability(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("fk_grade_micro",
                         F.when(has, F.floor(fk * 1000000 + F.lit(0.5))
                                .cast("long"))))
+
+
+def bm25_topk(df: DataFrame, query: str, text_col: str = "text",
+              id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75,
+              k: int = 20, round_digits: int = 6) -> DataFrame:
+    """BM25 ranked retrieval (Robertson-Spärck Jones, the Lucene
+    variant with the +1-inside-ln idf): top-``k`` documents for a
+    whitespace query. Returns ``(id, n_hits, score)``.
+
+    Scale shape: the tokenize/explode pass feeds BOTH the per-doc
+    length and the term-frequency aggregation, but term rows are
+    filtered to the query's terms BEFORE any shuffle (the filter
+    rides the explode), so the heavy agg touches O(matching tokens),
+    not the corpus. N/avgdl/df are tiny aggregates broadcast back;
+    per-doc scores accumulate in decimal so term order can't wiggle
+    the sum; ranking is one TakeOrdered, never a global sort.
+    """
+    q_terms = sorted({t for t in query.lower().split() if t})
+    if not q_terms:
+        raise ValueError("bm25_topk: empty query")
+    pairs = df.select(F.col(id_col).alias("_id"),
+                      F.explode(tokens(F.lower(F.col(text_col))))
+                      .alias("term"))
+    dl = pairs.groupBy("_id").agg(F.count(F.lit(1)).alias("_dl"))
+    dl = dl.localCheckpoint()  # feeds N+avgdl AND the scoring join
+    stats = dl.agg(F.count(F.lit(1)).alias("_N"),
+                   F.sum("_dl").alias("_tot"))
+    tf = (pairs.where(F.col("term").isin(q_terms))
+          .groupBy("_id", "term").agg(F.count(F.lit(1)).alias("_tf")))
+    tf = tf.localCheckpoint()  # feeds df(term) AND the per-doc score
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    nd = F.col("_N").cast("double")
+    idf = F.log(F.lit(1.0) + (nd - F.col("_df") + F.lit(0.5))
+                / (F.col("_df") + F.lit(0.5)))
+    avgdl = F.col("_tot").cast("double") / nd
+    tfd = F.col("_tf").cast("double")
+    norm = tfd * (F.lit(float(k1)) + F.lit(1.0)) / (
+        tfd + F.lit(float(k1))
+        * (F.lit(1.0) - F.lit(float(b))
+           + F.lit(float(b)) * F.col("_dl").cast("double") / avgdl))
+    per_term = (tf.join(F.broadcast(dfreq), on="term")
+                .join(dl, on="_id")
+                .crossJoin(F.broadcast(stats))
+                .select("_id", (idf * norm).alias("_s")))
+    scored = (per_term.groupBy("_id")
+              .agg(F.count(F.lit(1)).alias("n_hits"),
+                   F.sum(F.col("_s").cast("decimal(38,18)"))
+                   .cast("double").alias("_score")))
+    return (scored.select(F.col("_id").alias(id_col), "n_hits",
+                          F.round("_score", round_digits).alias("score"))
+            .orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(k))

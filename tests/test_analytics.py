@@ -278,3 +278,36 @@ def test_attribution_lookback_bounds_the_join(spark):
                                 tiebreak="event_id").collect()}
     # the 4h-old view falls outside the 2h lookback
     assert got == {"click": 1000000}
+
+
+def test_rfm_scores_and_approx_path(spark):
+    from meza_spark.analytics import rfm
+
+    # 5 users, strictly increasing activity in every dimension
+    rows = []
+    for u in range(1, 6):
+        for e in range(u):
+            rows.append((u * 100 + e, dt.datetime(2024, 1, u, e), u,
+                         float(u * 10)))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double")
+    got = {r["user_id"]: r for r in
+           rfm(df, "user_id", "ts", "value", n_bins=5).collect()}
+    # user u: frequency u, monetary u*10*u, last day u -> rank u in
+    # every dimension, so scores are exactly u and segment 'uuu'
+    for u in range(1, 6):
+        r = got[u]
+        assert (r["r_score"], r["f_score"], r["m_score"]) == (u, u, u)
+        assert r["segment"] == f"{u}{u}{u}"
+        assert r["frequency"] == u
+        assert r["monetary_micro"] == u * u * 10 * 1000000
+    # approx path: same shape, scores within 1 of exact on this data
+    ap = {r["user_id"]: r for r in
+          rfm(df, "user_id", "ts", "value", n_bins=5,
+              exact=False).collect()}
+    for u in range(1, 6):
+        assert abs(ap[u]["f_score"] - got[u]["f_score"]) <= 1
+    # event_filter restricts which events count
+    only_big = rfm(df, "user_id", "ts", "value",
+                   event_filter=F.col("value") >= 30.0)
+    assert only_big.count() == 3

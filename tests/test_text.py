@@ -1,6 +1,8 @@
 """Text-analysis operator unit tests (repetition signals edge cases;
 the bulk of text.py is covered by the llm_* oracle gates)."""
 
+import pytest
+
 from meza_spark.llm.text import repetition_signals
 
 
@@ -366,3 +368,34 @@ def test_readability_exact_and_guards(spark):
             got[3]["fk_grade_micro"]) == (0, None, None)
     # no terminal punctuation still counts one sentence
     assert got[4]["n_sentences"] == 1 and got[4]["n_words"] == 1
+
+
+def test_bm25_hand_computed(spark):
+    import math
+
+    from meza_spark.llm.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "spark join join"), (2, "spark merge"),
+         (3, "window window window"), (4, "other words here")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_hits"], r["score"])
+           for r in bm25_topk(docs, "join spark", k=10).collect()}
+    # replicate: N=4, dl={1:3,2:2,3:3,4:3}, avgdl=11/4
+    N, avgdl, k1, b = 4, 11 / 4, 1.2, 0.75
+
+    def idf(dfn):
+        return math.log(1 + (N - dfn + 0.5) / (dfn + 0.5))
+
+    def norm(tf, dl):
+        return tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    exp1 = idf(1) * norm(2, 3) + idf(2) * norm(1, 3)   # join x2, spark
+    exp2 = idf(2) * norm(1, 2)                          # spark only
+    assert got[1] == (2, round(exp1, 6))
+    assert got[2] == (1, round(exp2, 6))
+    assert 3 not in got and 4 not in got               # no query terms
+    # doc 1 matches more + rarer terms -> ranks first
+    assert got[1][1] > got[2][1]
+    with pytest.raises(ValueError):
+        bm25_topk(docs, "   ")
