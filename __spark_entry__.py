@@ -868,6 +868,24 @@ def url_features_docs(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def inverted_index_docs(spark, sf_dir):
+    """Inverted-index build (llm/text.inverted_index): term → df +
+    sorted posting list, min_df=5, postings capped at 40 (Zipf-head
+    skew valve). Postings transport as comma-joined strings (array
+    columns crash the driver canonicalizer)."""
+    from meza_spark.llm.text import inverted_index
+
+    d = _t(spark, sf_dir, "documents")
+    idx = inverted_index(d, min_df=5, max_postings=40)
+    return (idx.select("term", "df",
+                       F.array_join(F.transform(
+                           "postings",
+                           lambda x: x.cast("string")), ",")
+                       .alias("postings"),
+                       "truncated")
+            .orderBy("term"))
+
+
 def bm25_search(spark, sf_dir):
     """BM25 ranked retrieval over documents for a fixed query
     (llm/text.bm25_topk): query-term filter rides the explode, tiny
@@ -3390,6 +3408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_distributed_roundtrip": csv_distributed_roundtrip,
         "url_features_docs": url_features_docs,
         "canonical_url_docs": canonical_url_docs,
+        "inverted_index_docs": inverted_index_docs,
         "bm25_search": bm25_search,
         "readability_docs": readability_docs,
         "robust_outliers_events": robust_outliers_events,
@@ -5685,6 +5704,22 @@ def _oracle_sql_base() -> dict[str, str]:
                      AS is_outlier
             FROM a JOIN d ON d.event_type = a.event_type
             ORDER BY a.event_id
+        """,
+        "inverted_index_docs": r"""
+            WITH pairs AS (
+              SELECT DISTINCT doc_id AS _id,
+                     unnest(regexp_split_to_array(trim(lower(text)),
+                                                  '\s+')) AS term
+              FROM documents WHERE trim(text) <> ''),
+            idx AS (
+              SELECT term, count(*) AS df,
+                     list_sort(list(_id)) AS p
+              FROM pairs GROUP BY term
+              HAVING count(*) >= 5)
+            SELECT term, df,
+                   array_to_string(p[1:40], ',') AS postings,
+                   (df > 40) AS truncated
+            FROM idx ORDER BY term
         """,
         "bm25_search": r"""
             WITH pairs AS (

@@ -75,6 +75,7 @@ HEADLINE = [
     "session_paths_events",
     "rfm_events",
     "bm25_search",
+    "inverted_index_docs",
     "ewma_events",
     "attribution_events",
     "canonical_url_docs",

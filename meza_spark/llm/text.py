@@ -18,7 +18,8 @@ __all__ = ["token_count", "quality_score", "lang_id", "fingerprint",
            "vocab_topk", "tfidf_top_terms", "unigram_logprob",
            "perplexity_buckets",
            "gopher_filter", "normalize_text", "code_signals",
-           "split_sentences", "readability", "bm25_topk"]
+           "split_sentences", "readability", "bm25_topk",
+           "inverted_index"]
 
 # Tiny per-language stopword marker sets for the n-gram/stopword
 # language-ID heuristic. Deterministic scoring, not a trained model.
@@ -809,3 +810,36 @@ def bm25_topk(df: DataFrame, query: str, text_col: str = "text",
                           F.round("_score", round_digits).alias("score"))
             .orderBy(F.col("score").desc(), F.col(id_col))
             .limit(k))
+
+
+def inverted_index(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", min_df: int = 1,
+                   max_postings: int | None = None) -> DataFrame:
+    """Inverted index build: one row per term with its document
+    frequency and the SORTED posting list — the retrieval-side twin
+    of :func:`bm25_topk` (score at query time with the same idf).
+    Returns ``(term, df, postings array<long>)``.
+
+    One tokenize/explode pass → distinct (term, doc) → one groupBy on
+    the term key; postings sort inside the agg (``array_sort`` of
+    ``collect_list`` — per-term, never a global sort). ``min_df``
+    prunes hapax noise before the collect; ``max_postings`` caps the
+    hot terms (Zipf's head would otherwise make single reducer rows
+    of the stopwords — the same skew valve every pair generator here
+    uses) and records the truncation in ``truncated``.
+    """
+    pairs = (df.select(F.col(id_col).alias("_id"),
+                       F.explode(tokens(F.lower(F.col(text_col))))
+                       .alias("term"))
+             .distinct())
+    idx = (pairs.groupBy("term")
+           .agg(F.count(F.lit(1)).alias("df"),
+                F.array_sort(F.collect_list("_id")).alias("postings")))
+    if min_df > 1:
+        idx = idx.where(F.col("df") >= int(min_df))
+    if max_postings is not None:
+        idx = (idx.withColumn("truncated",
+                              F.col("df") > int(max_postings))
+               .withColumn("postings",
+                           F.slice("postings", 1, int(max_postings))))
+    return idx

@@ -399,3 +399,24 @@ def test_bm25_hand_computed(spark):
     assert got[1][1] > got[2][1]
     with pytest.raises(ValueError):
         bm25_topk(docs, "   ")
+
+
+def test_inverted_index_postings(spark):
+    from meza_spark.llm.text import inverted_index
+
+    docs = spark.createDataFrame(
+        [(3, "b a b"), (1, "a c"), (2, "a b")],
+        "doc_id long, text string")
+    got = {r["term"]: (r["df"], list(r["postings"]))
+           for r in inverted_index(docs).collect()}
+    # duplicate term in one doc counts once; postings sorted by id
+    assert got["a"] == (3, [1, 2, 3])
+    assert got["b"] == (2, [2, 3])
+    assert got["c"] == (1, [1])
+    # min_df prunes, max_postings caps + flags
+    capped = {r["term"]: (list(r["postings"]), r["truncated"])
+              for r in inverted_index(docs, min_df=2,
+                                      max_postings=2).collect()}
+    assert set(capped) == {"a", "b"}
+    assert capped["a"] == ([1, 2], True)
+    assert capped["b"] == ([2, 3], False)
