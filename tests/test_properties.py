@@ -361,3 +361,61 @@ def test_warc_record_walk_roundtrips(spark, pairs, gz):
     want = {esc(f"https://x.example/{i}#{u}"): bytes(p)
             for i, (u, p) in enumerate(pairs)}
     assert got == want
+
+
+@given(st.lists(st.floats(min_value=0.0, max_value=1e6,
+                          allow_nan=False, allow_infinity=False,
+                          width=32),
+                min_size=1, max_size=30),
+       st.integers(0, 3))
+@settings(**_SETTINGS)
+def test_cusum_window_identity_matches_recursion(spark, xs, slack_i):
+    """The windowed closed form C_t = S_t - min(0, min S_k) must equal
+    the textbook recursion max(0, C_{t-1} + y_t) on ANY series — the
+    identity the operator's scale shape rests on."""
+    import math
+
+    from meza_spark.analytics import cusum
+
+    slack = float(slack_i)
+    df = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(xs)], "t int, v double")
+    got = {r["t"]: (r["cusum_hi_micro"], r["cusum_lo_micro"])
+           for r in cusum(df.withColumn("k", F.lit("s")), "k", "t",
+                          "v", slack=slack).collect()}
+    vq = [math.floor(x * 1e6 + 0.5) for x in xs]
+    n, T, su = len(vq), sum(vq), math.floor(slack * 1e6 + 0.5)
+    chi = clo = 0
+    for i, x in enumerate(vq):
+        chi = max(0, chi + (n * x - T - n * su))
+        clo = max(0, clo + (T - n * x - n * su))
+        assert got[i] == (chi // n, clo // n), (i, xs)
+
+
+@given(st.lists(st.floats(min_value=0.0, max_value=1e5,
+                          allow_nan=False, allow_infinity=False,
+                          width=32),
+                min_size=1, max_size=25),
+       st.integers(2, 5), st.integers(2, 8))
+@settings(**_SETTINGS)
+def test_ewma_integer_weights_match_reference(spark, xs, den, window):
+    """ewma's integer-scaled weights must reproduce the rational
+    adjusted-EWMA exactly for any series, α = 1/den, any window."""
+    import math
+
+    from meza_spark.analytics import ewma
+
+    df = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(xs)], "t int, v double")
+    got = {r["t"]: r["ewma_micro"]
+           for r in ewma(df.withColumn("k", F.lit("s")), "k", "t", "v",
+                         alpha_num=1, alpha_den=den,
+                         window=window).collect()}
+    keep = den - 1
+    wint = [keep ** j * den ** (window - 1 - j) for j in range(window)]
+    vq = [math.floor(x * 1e6 + 0.5) for x in xs]
+    for t in range(len(xs)):
+        w = vq[max(0, t - window + 1):t + 1]
+        m = len(w)
+        num = sum(x * wint[m - 1 - i] for i, x in enumerate(w))
+        assert got[t] == num // sum(wint[:m]), (t, xs)
