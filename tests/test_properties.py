@@ -419,3 +419,34 @@ def test_ewma_integer_weights_match_reference(spark, xs, den, window):
         m = len(w)
         num = sum(x * wint[m - 1 - i] for i, x in enumerate(w))
         assert got[t] == num // sum(wint[:m]), (t, xs)
+
+
+@given(st.lists(st.tuples(st.integers(1, 5),      # user
+                          st.integers(0, 500),    # minute offset
+                          st.integers(0, 3)),     # type idx
+                min_size=2, max_size=60),
+       st.sampled_from(["linear", "first_touch", "last_touch"]))
+@settings(**_SETTINGS)
+def test_attribution_credits_always_reconcile(spark, evs, model):
+    """Every conversion hands out EXACTLY 1e6 micro-credits, whatever
+    the model, the event shuffle, or the tie structure — the invariant
+    that makes channel totals auditable."""
+    import datetime as dt
+
+    from meza_spark.analytics import attribution
+
+    types = ["view", "click", "email", "buy"]
+    rows = [(i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m),
+             u, types[t]) for i, (u, m, t) in enumerate(evs)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    out = attribution(df, "buy", ["view", "click", "email"],
+                      model=model, tiebreak="event_id").collect()
+    total = sum(r["credit_micro"] for r in out)
+    # count attributable conversions: distinct (user, ts) purchases
+    # with at least one strictly-earlier touch for the same user
+    convs = {(u, m) for u, m, t in evs if types[t] == "buy"}
+    touched = {(u, m) for (u, m) in convs
+               if any(u2 == u and m2 < m and types[t2] != "buy"
+                      for u2, m2, t2 in evs)}
+    assert total == 1_000_000 * len(touched), (evs, model)
