@@ -912,6 +912,17 @@ def readability_docs(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def benford_orders(spark, sf_dir):
+    """Benford first-digit profile of order totals (profile.benford):
+    digit from the quantized-integer STRING, share by integer
+    division, log10 expectation micro-rounded — every column
+    hash-gateable."""
+    from meza_spark.profile import benford
+
+    o = _t(spark, sf_dir, "orders")
+    return benford(o, "o_totalprice")
+
+
 def robust_outliers_events(spark, sf_dir):
     """Median/MAD outlier report per event type (profile.
     robust_outliers): two interpolated-percentile passes + a row-local
@@ -3411,6 +3422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index_docs": inverted_index_docs,
         "bm25_search": bm25_search,
         "readability_docs": readability_docs,
+        "benford_orders": benford_orders,
         "robust_outliers_events": robust_outliers_events,
         "resample_events": resample_events,
         "resample_linear": resample_linear,
@@ -5679,6 +5691,33 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM sc LEFT JOIN g
               ON sc.event_type = g.event_type AND sc.bk = g.bk
             ORDER BY sc.event_type, bucket_s
+        """,
+        "benford_orders": """
+            WITH q AS (
+              SELECT abs(CAST(o_totalprice AS DOUBLE)) AS y
+              FROM orders WHERE o_totalprice IS NOT NULL),
+            d AS (
+              SELECT floor(y / pow(CAST(10.0 AS DOUBLE),
+                                   floor(log10(y)))) AS d0
+              FROM q WHERE y > 0),
+            c AS (
+              SELECT CAST(CASE WHEN d0 >= 10 THEN 1
+                               WHEN d0 <= 0 THEN 9
+                               ELSE d0 END AS INTEGER) AS digit,
+                     count(*) AS n
+              FROM d GROUP BY 1),
+            t AS (SELECT sum(n) AS tot FROM c)
+            SELECT digit, n,
+                   CAST((n * 1000000) // tot AS BIGINT) AS share_micro,
+                   CAST(floor(log10(CAST(1.0 AS DOUBLE)
+                        + CAST(1.0 AS DOUBLE) / digit)
+                        * 1000000 + 0.5) AS BIGINT) AS benford_micro,
+                   CAST((n * 1000000) // tot AS BIGINT)
+                     - CAST(floor(log10(CAST(1.0 AS DOUBLE)
+                         + CAST(1.0 AS DOUBLE) / digit)
+                         * 1000000 + 0.5) AS BIGINT) AS deviation_micro
+            FROM c CROSS JOIN t
+            ORDER BY digit
         """,
         "robust_outliers_events": """
             WITH m AS (

@@ -82,6 +82,7 @@ HEADLINE = [
     "graph_lpa",
     "readability_docs",
     "robust_outliers_events",
+    "benford_orders",
     "multimodal_e2e",
     "image_features_docs",
 ]

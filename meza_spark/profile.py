@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["profile", "histogram", "winsorize", "skew_report", "psi_drift",
-           "robust_outliers"]
+           "robust_outliers", "benford"]
 
 _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
 
@@ -275,3 +275,44 @@ def robust_outliers(df: DataFrame, col: str,
     return (out.withColumn(
         "is_outlier", F.col("_absdev") > F.lit(float(k)) * F.col("mad"))
         .drop("_absdev"))
+
+
+def benford(df: DataFrame, col: str) -> DataFrame:
+    """Benford's-law first-digit profile — the classic fabricated-data
+    screen (organic multiplicative quantities follow
+    P(d) = log10(1 + 1/d); manual entry and synthetic padding don't).
+    Returns one row per leading digit 1-9: observed count, observed
+    share, the Benford expectation, and the deviation (1e-6 units).
+
+    Engine-exact: the leading digit comes from
+    ``y / 10^floor(log10 y)`` — one libm log10 + pow per row, the
+    same shapes on both engines (quantize-and-stringify would be
+    cleaner but ``floor()`` SATURATES at int64, silently bunching
+    every value past ~9.2e12 onto digit 9 — found by the unit test).
+    log10's last-ulp wobble at exact powers of ten wraps the lead to
+    [10,11) or (0,1); both cases fold back deterministically. The
+    share is an integer division of exact counts; the log10
+    expectation is micro-rounded (the nine constants sit nowhere near
+    a rounding boundary). One scan, one 9-row aggregate.
+    """
+    y = F.abs(F.col(col).cast("double"))
+    p = F.floor(F.log10(y))
+    lead = y / F.pow(F.lit(10.0), p.cast("double"))
+    d0 = F.floor(lead)
+    digit = (F.when(d0 >= 10, F.lit(1))
+             .when(d0 <= 0, F.lit(9))
+             .otherwise(d0)).cast("int")
+    counts = (df.where(F.col(col).isNotNull() & (y > 0))
+              .groupBy(digit.alias("digit"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    total = counts.agg(F.sum("n").alias("_t"))
+    share = F.expr("(n * 1000000) div _t").cast("long")
+    expect = F.floor(F.log10(F.lit(1.0) + F.lit(1.0)
+                             / F.col("digit").cast("double"))
+                     * 1000000 + F.lit(0.5)).cast("long")
+    return (counts.crossJoin(F.broadcast(total))
+            .select("digit", "n",
+                    share.alias("share_micro"),
+                    expect.alias("benford_micro"),
+                    (share - expect).alias("deviation_micro"))
+            .orderBy("digit"))

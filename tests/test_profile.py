@@ -192,3 +192,28 @@ def test_robust_outliers_global_and_approx(spark):
     # approx path returns the same shape (values sketch-close here)
     ap = robust_outliers(df, "v", k=1.0, exact=False).first()
     assert {"med", "mad", "is_outlier"} <= set(ap.asDict())
+
+
+def test_benford_digits_and_expectation(spark):
+    import math
+
+    from meza_spark.profile import benford
+
+    # multiplicative synthetic data follows Benford closely
+    rows = [(1.5 ** i,) for i in range(1, 120)] + [(None,), (0.0,)]
+    df = spark.createDataFrame(rows, "v double")
+    got = {r["digit"]: r for r in benford(df, "v").collect()}
+    assert set(got) <= set(range(1, 10))
+    n_total = sum(r["n"] for r in got.values())
+    assert n_total == 119               # null and zero excluded
+    for d, r in got.items():
+        assert r["benford_micro"] == math.floor(
+            math.log10(1 + 1 / d) * 1e6 + 0.5)
+        assert r["share_micro"] == r["n"] * 1000000 // n_total
+    # digit 1 most frequent (the Benford signature)
+    assert got[1]["n"] == max(r["n"] for r in got.values())
+    # uniform data deviates positive on high digits
+    uni = {r["digit"]: r["deviation_micro"] for r in benford(
+        spark.createDataFrame([(float(100 + i),) for i in range(900)],
+                              "v double"), "v").collect()}
+    assert uni[9] > 0 and uni[1] < 0
