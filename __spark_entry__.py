@@ -2929,6 +2929,22 @@ def zscore_events(spark, sf_dir):
             .orderBy("event_id"))
 
 
+def top_session_paths(spark, sf_dir):
+    """Most common session journeys: the session-path frame grouped by
+    its ordered event-type sequence — the clickstream report the
+    sessionizer exists to feed. Top-25 by frequency, path tiebreak."""
+    from meza_spark.streaming.ops import stream_session_paths
+
+    ev = _t(spark, sf_dir, "events")
+    paths = stream_session_paths(ev, "user_id", "ts", "event_type",
+                                 gap_seconds=1800)
+    return (paths.groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum("n_events").alias("n_events"))
+            .orderBy(F.col("n_sessions").desc(), "path")
+            .limit(25))
+
+
 def rfm_events(spark, sf_dir):
     """RFM customer segmentation over events (analytics.rfm): exact
     decimal monetary accumulation, ntile scores with user-id
@@ -3452,6 +3468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_weekly": cohort_weekly,
         "co_occur_parts": co_occur_parts,
         "zscore_events": zscore_events,
+        "top_session_paths": top_session_paths,
         "rfm_events": rfm_events,
         "session_paths_events": session_paths_events,
         "cusum_events": cusum_events,
@@ -6395,6 +6412,32 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(num // den AS BIGINT) AS ewma_micro
             FROM j
             ORDER BY event_id
+        """,
+        "top_session_paths": """
+            WITH q AS (
+              SELECT user_id, event_type AS et,
+                     epoch_us(ts) AS tus, epoch_ms(ts) AS tms,
+                     CAST(epoch_us(ts) AS DOUBLE)
+                       / CAST(1000000 AS DOUBLE) AS td
+              FROM events),
+            l AS (
+              SELECT *, lag(td) OVER w AS ptd
+              FROM q
+              WINDOW w AS (PARTITION BY user_id ORDER BY tus, et)),
+            s AS (
+              SELECT *, sum(CASE WHEN ptd IS NULL
+                                   OR td - ptd > CAST(1800 AS DOUBLE)
+                                 THEN 1 ELSE 0 END) OVER w AS sid
+              FROM l
+              WINDOW w AS (PARTITION BY user_id ORDER BY tus, et)),
+            g AS (
+              SELECT user_id, sid, count(*) AS n_events,
+                     string_agg(et, '>' ORDER BY tms, et) AS path
+              FROM s GROUP BY user_id, sid)
+            SELECT path, count(*) AS n_sessions,
+                   CAST(sum(n_events) AS BIGINT) AS n_events
+            FROM g GROUP BY path
+            ORDER BY n_sessions DESC, path LIMIT 25
         """,
         "rfm_events": """
             WITH pu AS (

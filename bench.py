@@ -73,6 +73,7 @@ HEADLINE = [
     "zscore_events",
     "cusum_events",
     "session_paths_events",
+    "top_session_paths",
     "rfm_events",
     "bm25_search",
     "inverted_index_docs",
