@@ -71,7 +71,8 @@ def _iter_tar_samples(data: bytes) -> Iterator[tuple[str, dict[str, bytes]]]:
 
 
 def read_webdataset(spark: SparkSession, path: str,
-                    ext_filter: list[str] | None = None) -> DataFrame:
+                    ext_filter: list[str] | None = None,
+                    on_error: str = "raise") -> DataFrame:
     """Distributed WebDataset reader: one row per SAMPLE (not per tar
     member), one task per shard file.
 
@@ -86,16 +87,36 @@ def read_webdataset(spark: SparkSession, path: str,
     (the sample row still appears if ANY survive) — pushing the
     column prune into the member walk so unwanted modalities are
     dropped before they ride the Arrow batch.
+
+    ``on_error``: ``'raise'`` (default) or ``'skip'``. Note the tar
+    format's own leniency: ``tarfile`` treats mid-archive garbage or
+    truncation as end-of-archive, so a damaged shard silently yields
+    its readable prefix in EITHER mode — pair with the sink manifests
+    to detect shortfalls. What actually raises is a file that is not
+    a tar at all, or a gzip CRC failure; ``'skip'`` turns those into
+    zero samples from that shard and keeps the scan alive (the
+    never-abort-the-batch posture of ``read_ndjson_quarantine``).
     """
     import pandas as _pd
 
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"read_webdataset: on_error={on_error!r}")
     wanted = set(ext_filter) if ext_filter else None
 
     def _parse(batches):
         for pdf in batches:
             rows = []
             for fname, content in zip(pdf["path"], pdf["content"]):
-                for key, members in _iter_tar_samples(bytes(content)):
+                it = _iter_tar_samples(bytes(content))
+                while True:
+                    try:
+                        key, members = next(it)
+                    except StopIteration:
+                        break
+                    except (_tarfile.TarError, EOFError, OSError):
+                        if on_error == "skip":
+                            break
+                        raise
                     if wanted is not None:
                         members = {e: b for e, b in members.items()
                                    if e in wanted}

@@ -107,3 +107,33 @@ def test_empty_frame(spark, tmp_path):
     path = str(tmp_path / "e.tar")
     records2webdataset(df, path, "key", {"txt": "text"})
     assert read_webdataset(spark, path).count() == 0
+
+
+def test_corrupt_shard_skip_vs_raise(spark, samples, tmp_path):
+    good = str(tmp_path / "good.tar")
+    records2webdataset(samples, good, "key", {"txt": "text"})
+    blob = open(good, "rb").read()
+    # damaged shard: header block garbled mid-archive — tarfile's
+    # documented leniency treats this as end-of-archive, so the
+    # readable PREFIX comes back in either mode (manifests catch the
+    # shortfall)
+    bad = str(tmp_path / "bad.tar")
+    cut = (len(blob) // 2) // 1024 * 1024   # header blocks sit at
+    open(bad, "wb").write(blob[:cut] + b"\xff" * 512   # even 512s
+                          + blob[cut + 512:])
+    # a file that is NOT a tar at all is what actually raises
+    rogue = str(tmp_path / "rogue.tar")
+    open(rogue, "wb").write(b"\xff" * 4096)
+    glob = str(tmp_path / "*.tar")
+    with pytest.raises(Exception):
+        read_webdataset(spark, glob).collect()        # default: loud
+    got = read_webdataset(spark, glob, on_error="skip").collect()
+    per_file = {}
+    for r in got:
+        name = r["file"].rsplit("/", 1)[-1]
+        per_file[name] = per_file.get(name, 0) + 1
+    assert per_file["good.tar"] == 40                 # intact shard
+    assert 0 < per_file.get("bad.tar", 0) < 40        # prefix only
+    assert "rogue.tar" not in per_file                # zero samples
+    with pytest.raises(ValueError):
+        read_webdataset(spark, glob, on_error="quarantine")
