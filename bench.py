@@ -120,7 +120,12 @@ SCALE_QUERIES = ["q1_pricing", "q3_shipping", "q5_local_supplier",
                  "embed_pca",
                  # round-4c operators under the slope lens
                  "decontam_semantic", "mixture_resample",
-                 "funnel_events", "cohort_weekly", "co_occur_parts"]
+                 "funnel_events", "cohort_weekly", "co_occur_parts",
+                 # round-4d operators under the slope lens
+                 "cusum_events", "ewma_events", "zscore_events",
+                 "attribution_events", "rfm_events", "graph_lpa",
+                 "session_paths_events", "bm25_search",
+                 "inverted_index_docs", "benford_orders"]
 
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
