@@ -450,3 +450,31 @@ def test_attribution_credits_always_reconcile(spark, evs, model):
                if any(u2 == u and m2 < m and types[t2] != "buy"
                       for u2, m2, t2 in evs)}
     assert total == 1_000_000 * len(touched), (evs, model)
+
+
+@given(st.lists(st.tuples(
+            st.text(alphabet="abcdefghij0123456789_-", min_size=1,
+                    max_size=12),
+            st.binary(max_size=200),
+            st.text(max_size=80)),
+        min_size=1, max_size=15,
+        unique_by=lambda t: t[0]))
+@settings(**_SETTINGS)
+def test_webdataset_roundtrip_property(spark, tmp_path_factory, rows):
+    """Any (key, binary, unicode-text) samples survive the tar shard
+    byte-exact — including empty payloads, NUL bytes, and non-ASCII
+    text."""
+    from meza_spark.io.webdataset import (read_webdataset,
+                                          records2webdataset)
+
+    d = tmp_path_factory.mktemp("wdsprop")
+    path = str(d / "p.tar")
+    df = spark.createDataFrame(rows, "key string, blob binary, txt string") \
+        .orderBy("key")
+    records2webdataset(df, path, "key", {"bin": "blob", "txt": "txt"})
+    got = {r["key"]: r["data"]
+           for r in read_webdataset(spark, path).collect()}
+    assert len(got) == len(rows)
+    for key, blob, txt in rows:
+        assert got[key]["bin"] == (blob or b"")
+        assert got[key]["txt"] == txt.encode("utf-8")
