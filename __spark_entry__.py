@@ -912,6 +912,28 @@ def readability_docs(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def json_normalize_lines(spark, sf_dir):
+    """Semi-structured roundtrip: lineitem rows collect into one JSON
+    document per order (deterministically sorted line array), then
+    process.normalize_json parses and EXPLODES the array back to a
+    child table — schema INFERRED from one sampled document. The
+    oracle is simply the original rows: encode→normalize must be the
+    identity."""
+    from meza_spark.process import normalize_json
+
+    li = _t(spark, sf_dir, "lineitem")
+    docs = (li.groupBy("l_orderkey")
+            .agg(F.to_json(F.struct(
+                F.col("l_orderkey").alias("o"),
+                F.sort_array(F.collect_list(F.struct(
+                    F.col("l_linenumber").alias("ln"),
+                    F.col("l_partkey").alias("pk"),
+                    F.col("l_quantity").alias("qty")))).alias("lines")))
+                 .alias("js")))
+    return (normalize_json(docs, "js", "lines")
+            .orderBy("o", "ln", "pk"))
+
+
 def benford_orders(spark, sf_dir):
     """Benford first-digit profile of order totals (profile.benford):
     digit from the quantized-integer STRING, share by integer
@@ -3438,6 +3460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index_docs": inverted_index_docs,
         "bm25_search": bm25_search,
         "readability_docs": readability_docs,
+        "json_normalize_lines": json_normalize_lines,
         "benford_orders": benford_orders,
         "robust_outliers_events": robust_outliers_events,
         "resample_events": resample_events,
@@ -5708,6 +5731,14 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM sc LEFT JOIN g
               ON sc.event_type = g.event_type AND sc.bk = g.bk
             ORDER BY sc.event_type, bucket_s
+        """,
+        "json_normalize_lines": """
+            SELECT l_orderkey AS o,
+                   l_linenumber AS ln,
+                   l_partkey AS pk,
+                   CAST(l_quantity AS DOUBLE) AS qty
+            FROM lineitem
+            ORDER BY o, ln, pk
         """,
         "benford_orders": """
             WITH q AS (

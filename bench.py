@@ -84,6 +84,7 @@ HEADLINE = [
     "readability_docs",
     "robust_outliers_events",
     "benford_orders",
+    "json_normalize_lines",
     "multimodal_e2e",
     "image_features_docs",
 ]

@@ -32,6 +32,7 @@ __all__ = [
     "asof_join", "flatten", "slice_rows", "salted_join", "salted_agg",
     "sessionize", "scd2_intervals", "normalized_join", "fuzzy_join",
     "merge_into", "snapshot_diff", "resolve_entities", "resample",
+    "normalize_json",
 ]
 
 
@@ -1226,3 +1227,59 @@ def co_occurrence(df: DataFrame, group_col: str, item_col: str,
              .groupBy("item_a", "item_b")
              .agg(F.count("*").alias("n_groups")))
     return pairs.where(F.col("n_groups") >= int(min_support))
+
+
+def normalize_json(df: DataFrame, json_col: str, array_field: str,
+                   keep: Sequence[str] | None = None,
+                   schema: str | None = None,
+                   prefix: str = "") -> DataFrame:
+    """Semi-structured → relational: parse a JSON string column and
+    EXPLODE one nested array-of-objects into a child table (one row
+    per element, parent columns carried). The one-to-many inverse of
+    collecting detail rows into a document — API-response and event-
+    payload ingestion in one step.
+
+    ``schema`` is a DDL string for the parsed document; when omitted
+    it is INFERRED from one non-null sample value via
+    ``schema_of_json`` — a single bounded driver job, the same
+    sampling posture as ``typetools.detect_types`` (pin the schema
+    explicitly in production so a sparse first document can't narrow
+    it). Top-level scalar fields of the document surface as columns;
+    the array's element fields surface with ``prefix``.
+
+    Row-local after the parse (``from_json`` + one ``explode`` —
+    codegen, no shuffle, no UDF); rows whose document is missing the
+    array or fails to parse produce no child rows (inner explode) —
+    quarantine upstream with ``io.read_ndjson_quarantine`` semantics
+    when that matters.
+    """
+    from pyspark.sql.types import ArrayType, StructType
+
+    if schema is None:
+        sample = (df.select(F.col(json_col))
+                  .where(F.col(json_col).isNotNull()).limit(1).collect())
+        if not sample:
+            raise ValueError("normalize_json: no non-null sample to "
+                             "infer a schema from; pass schema=")
+        schema = df.sparkSession.range(1).select(
+            F.schema_of_json(F.lit(sample[0][0])).alias("s")
+        ).collect()[0]["s"]
+    parsed = df.withColumn("_doc", F.from_json(F.col(json_col), schema))
+    dtype = parsed.schema["_doc"].dataType
+    if not isinstance(dtype, StructType) or \
+            array_field not in dtype.fieldNames():
+        raise ValueError(f"normalize_json: parsed document has no "
+                         f"field {array_field!r}")
+    adt = dtype[array_field].dataType
+    if not isinstance(adt, ArrayType):
+        raise ValueError(f"normalize_json: {array_field!r} is not an "
+                         f"array")
+    scalars = [f.name for f in dtype.fields if f.name != array_field]
+    out = (parsed.withColumn("_e", F.explode(f"_doc.{array_field}"))
+           .select(*(keep or []),
+                   *[F.col(f"_doc.{s}").alias(s) for s in scalars],
+                   *([F.col(f"_e.{f.name}").alias(f"{prefix}{f.name}")
+                      for f in adt.elementType.fields]
+                     if isinstance(adt.elementType, StructType)
+                     else [F.col("_e").alias(f"{prefix}value")])))
+    return out

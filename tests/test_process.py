@@ -542,3 +542,39 @@ class TestCoOccurrence:
         assert [tuple(r) for r in got] == [("a", "b", 1)]
         full = co_occurrence(df, "basket", "item", max_group=None)
         assert full.count() == 50 * 49 // 2 + 1
+
+
+def test_normalize_json_infer_explode_and_guards(spark):
+    import pytest as _pt
+
+    from meza_spark.process import normalize_json
+
+    rows = [
+        (1, '{"o": 10, "tag": "a", "lines": '
+            '[{"p": 1, "q": 2.5}, {"p": 2, "q": 1.0}]}'),
+        (2, '{"o": 20, "tag": "b", "lines": [{"p": 9, "q": 4.0}]}'),
+        (3, '{"o": 30, "tag": "c", "lines": []}'),     # empty array
+        (4, None),                                      # null doc
+        (5, "not json at all"),                         # parse failure
+    ]
+    df = spark.createDataFrame(rows, "row_id long, js string")
+    out = normalize_json(df, "js", "lines", keep=["row_id"],
+                         prefix="l_").orderBy("row_id", "l_p")
+    got = [tuple(r) for r in out.collect()]
+    # scalars carried, array exploded; empty/null/corrupt -> no rows
+    assert got == [(1, 10, "a", 1, 2.5), (1, 10, "a", 2, 1.0),
+                   (2, 20, "b", 9, 4.0)]
+    assert out.columns == ["row_id", "o", "tag", "l_p", "l_q"]
+    # scalar-array documents explode to a single value column
+    sdf = spark.createDataFrame(
+        [(1, '{"k": 1, "xs": [10, 20]}')], "row_id long, js string")
+    sv = normalize_json(sdf, "js", "xs").collect()
+    assert sorted(r["value"] for r in sv) == [10, 20]
+    # guards: unknown field / non-array field / no sample
+    with _pt.raises(ValueError):
+        normalize_json(df, "js", "nope")
+    with _pt.raises(ValueError):
+        normalize_json(df, "js", "o")
+    with _pt.raises(ValueError):
+        normalize_json(spark.createDataFrame([], "js string"),
+                       "js", "lines")
