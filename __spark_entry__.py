@@ -5748,12 +5748,17 @@ def _oracle_sql_base() -> dict[str, str]:
               SELECT floor(y / pow(CAST(10.0 AS DOUBLE),
                                    floor(log10(y)))) AS d0
               FROM q WHERE y > 0),
-            c AS (
+            o AS (
               SELECT CAST(CASE WHEN d0 >= 10 THEN 1
                                WHEN d0 <= 0 THEN 9
                                ELSE d0 END AS INTEGER) AS digit,
                      count(*) AS n
               FROM d GROUP BY 1),
+            c AS (
+              SELECT CAST(g.digit AS INTEGER) AS digit,
+                     CAST(coalesce(o.n, 0) AS BIGINT) AS n
+              FROM generate_series(1, 9) AS g(digit)
+              LEFT JOIN o ON o.digit = g.digit),
             t AS (SELECT sum(n) AS tot FROM c)
             SELECT digit, n,
                    CAST((n * 1000000) // tot AS BIGINT) AS share_micro,

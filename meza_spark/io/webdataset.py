@@ -93,9 +93,11 @@ def read_webdataset(spark: SparkSession, path: str,
     truncation as end-of-archive, so a damaged shard silently yields
     its readable prefix in EITHER mode — pair with the sink manifests
     to detect shortfalls. What actually raises is a file that is not
-    a tar at all, or a gzip CRC failure; ``'skip'`` turns those into
-    zero samples from that shard and keeps the scan alive (the
-    never-abort-the-batch posture of ``read_ndjson_quarantine``).
+    a tar at all, or a gzip CRC failure; ``'skip'`` keeps the scan
+    alive past those too — whatever samples parsed before the error
+    are kept (a not-a-tar file contributes zero), consistent with the
+    truncation case (the never-abort-the-batch posture of
+    ``read_ndjson_quarantine``).
     """
     import pandas as _pd
 
@@ -166,6 +168,15 @@ def _write_tar(sink, rows: Iterator, members: Mapping[str, int],
                        format=_tarfile.USTAR_FORMAT) as tf:
         for row in rows:
             key = str(row[0])
+            # the reader splits member names at the FIRST dot, so a
+            # dotted key would come back as a different key with
+            # mangled extensions, and a '/' would nest it — refuse
+            # loudly instead of corrupting the roundtrip silently
+            if "." in key or "/" in key or not key:
+                raise ValueError(
+                    f"webdataset: sample key {key!r} must be "
+                    f"non-empty and contain no '.' or '/' (keys and "
+                    f"extensions split at the first dot on read)")
             for ext, pos in members.items():
                 _tar_add(tf, f"{key}.{ext}", _coerce(row[pos]))
             n += 1

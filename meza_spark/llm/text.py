@@ -767,13 +767,14 @@ def bm25_topk(df: DataFrame, query: str, text_col: str = "text",
     variant with the +1-inside-ln idf): top-``k`` documents for a
     whitespace query. Returns ``(id, n_hits, score)``.
 
-    Scale shape: the tokenize/explode pass feeds BOTH the per-doc
-    length and the term-frequency aggregation, but term rows are
-    filtered to the query's terms BEFORE any shuffle (the filter
-    rides the explode), so the heavy agg touches O(matching tokens),
-    not the corpus. N/avgdl/df are tiny aggregates broadcast back;
+    Scale shape: ONE corpus scan — the per-doc aggregate computes the
+    document length AND one conditional count per query term in the
+    same pass (queries are a handful of terms, so the agg is |q|+1
+    counters per doc), then a ``stack`` unpivot turns the counters
+    into (doc, term, tf) rows. Everything downstream of that scan is
+    per-doc-sized: N/avgdl/df are tiny aggregates broadcast back,
     per-doc scores accumulate in decimal so term order can't wiggle
-    the sum; ranking is one TakeOrdered, never a global sort.
+    the sum, and ranking is one TakeOrdered, never a global sort.
     """
     q_terms = sorted({t for t in query.lower().split() if t})
     if not q_terms:
@@ -781,13 +782,22 @@ def bm25_topk(df: DataFrame, query: str, text_col: str = "text",
     pairs = df.select(F.col(id_col).alias("_id"),
                       F.explode(tokens(F.lower(F.col(text_col))))
                       .alias("term"))
-    dl = pairs.groupBy("_id").agg(F.count(F.lit(1)).alias("_dl"))
-    dl = dl.localCheckpoint()  # feeds N+avgdl AND the scoring join
-    stats = dl.agg(F.count(F.lit(1)).alias("_N"),
-                   F.sum("_dl").alias("_tot"))
-    tf = (pairs.where(F.col("term").isin(q_terms))
-          .groupBy("_id", "term").agg(F.count(F.lit(1)).alias("_tf")))
-    tf = tf.localCheckpoint()  # feeds df(term) AND the per-doc score
+    per_doc = pairs.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_dl"),
+        *[F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+          .alias(f"_tf_{i}") for i, t in enumerate(q_terms)])
+    # one row per doc — cheap to materialize; feeds N/avgdl AND the
+    # scoring path, so the corpus tokenize runs exactly once
+    per_doc = per_doc.localCheckpoint()
+    stats = per_doc.agg(F.count(F.lit(1)).alias("_N"),
+                        F.sum("_dl").alias("_tot"))
+    stack = ", ".join(
+        "'{}', _tf_{}".format(t.replace("'", "''"), i)
+        for i, t in enumerate(q_terms))
+    tf = (per_doc.selectExpr(
+        "_id", "_dl",
+        f"stack({len(q_terms)}, {stack}) AS (term, _tf)")
+        .where(F.col("_tf") > 0))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     nd = F.col("_N").cast("double")
     idf = F.log(F.lit(1.0) + (nd - F.col("_df") + F.lit(0.5))
@@ -799,7 +809,6 @@ def bm25_topk(df: DataFrame, query: str, text_col: str = "text",
         * (F.lit(1.0) - F.lit(float(b))
            + F.lit(float(b)) * F.col("_dl").cast("double") / avgdl))
     per_term = (tf.join(F.broadcast(dfreq), on="term")
-                .join(dl, on="_id")
                 .crossJoin(F.broadcast(stats))
                 .select("_id", (idf * norm).alias("_s")))
     scored = (per_term.groupBy("_id")
@@ -820,26 +829,35 @@ def inverted_index(df: DataFrame, text_col: str = "text",
     of :func:`bm25_topk` (score at query time with the same idf).
     Returns ``(term, df, postings array<long>)``.
 
-    One tokenize/explode pass → distinct (term, doc) → one groupBy on
-    the term key; postings sort inside the agg (``array_sort`` of
-    ``collect_list`` — per-term, never a global sort). ``min_df``
-    prunes hapax noise before the collect; ``max_postings`` caps the
-    hot terms (Zipf's head would otherwise make single reducer rows
-    of the stopwords — the same skew valve every pair generator here
-    uses) and records the truncation in ``truncated``.
+    One tokenize/explode pass → distinct (term, doc) → ONE term-key
+    partitioning shared by a window and the final collect (no second
+    exchange). ``df`` and the posting rank come from the window, so
+    ``min_df`` pruning and the ``max_postings`` cap are ROW filters
+    applied BEFORE any list materializes — the cap genuinely bounds
+    reducer memory (Zipf's head would otherwise make the stopword
+    rows collect a full posting array in a single reducer before any
+    slice could run — the same skew valve every pair generator here
+    uses). Truncation is recorded in ``truncated``.
     """
+    from pyspark.sql import Window
+
     pairs = (df.select(F.col(id_col).alias("_id"),
                        F.explode(tokens(F.lower(F.col(text_col))))
                        .alias("term"))
              .distinct())
-    idx = (pairs.groupBy("term")
-           .agg(F.count(F.lit(1)).alias("df"),
-                F.array_sort(F.collect_list("_id")).alias("postings")))
+    wt = Window.partitionBy("term")
+    pairs = (pairs
+             .withColumn("_df", F.count(F.lit(1)).over(wt))
+             .withColumn("_rn", F.row_number().over(
+                 wt.orderBy("_id"))))
     if min_df > 1:
-        idx = idx.where(F.col("df") >= int(min_df))
+        pairs = pairs.where(F.col("_df") >= int(min_df))
     if max_postings is not None:
-        idx = (idx.withColumn("truncated",
-                              F.col("df") > int(max_postings))
-               .withColumn("postings",
-                           F.slice("postings", 1, int(max_postings))))
+        pairs = pairs.where(F.col("_rn") <= int(max_postings))
+    idx = (pairs.groupBy("term")
+           .agg(F.max("_df").alias("df"),
+                F.array_sort(F.collect_list("_id")).alias("postings")))
+    if max_postings is not None:
+        idx = idx.withColumn("truncated",
+                             F.col("df") > int(max_postings))
     return idx

@@ -302,9 +302,18 @@ def benford(df: DataFrame, col: str) -> DataFrame:
     digit = (F.when(d0 >= 10, F.lit(1))
              .when(d0 <= 0, F.lit(9))
              .otherwise(d0)).cast("int")
-    counts = (df.where(F.col(col).isNotNull() & (y > 0))
-              .groupBy(digit.alias("digit"))
-              .agg(F.count(F.lit(1)).alias("n")))
+    observed = (df.where(F.col(col).isNotNull() & (y > 0))
+                .groupBy(digit.alias("digit"))
+                .agg(F.count(F.lit(1)).alias("n")))
+    # scaffold 1-9 so a NEVER-OCCURRING digit still reports (a digit
+    # with zero observations against a 30% expectation is the
+    # strongest fabrication signal — it must not vanish from the
+    # report just because groupBy never saw it)
+    spark = df.sparkSession
+    scaffold = spark.range(1, 10).select(
+        F.col("id").cast("int").alias("digit"))
+    counts = (scaffold.join(observed, on="digit", how="left")
+              .select("digit", F.coalesce("n", F.lit(0)).alias("n")))
     total = counts.agg(F.sum("n").alias("_t"))
     share = F.expr("(n * 1000000) div _t").cast("long")
     expect = F.floor(F.log10(F.lit(1.0) + F.lit(1.0)

@@ -137,18 +137,38 @@ def observed_metrics(df: DataFrame, cols: Sequence[str] | None = None,
 def partition_stats(df: DataFrame) -> DataFrame:
     """Partition-skew diagnostic: one row per physical partition with
     its row count — the first thing to look at when a stage straggles
-    (a 1000-executor job is as slow as its fattest partition). One
-    cheap agg on ``spark_partition_id()``; returns ``(partition_id,
-    n_rows)`` plus a ``skew`` ratio column (partition rows / mean
-    rows) so hot partitions read directly off the report.
+    (a 1000-executor job is as slow as its fattest partition).
+    Returns ``(partition_id, n_rows)`` plus a ``skew`` ratio column
+    (partition rows / mean rows over ALL partitions) so hot
+    partitions read directly off the report.
+
+    Built on ``mapInPandas`` + ``TaskContext`` rather than a
+    ``groupBy(spark_partition_id())`` — the aggregate form yields NO
+    row for an empty partition, so a frame where everything hashed to
+    one partition would report its single visible partition as
+    skew 1.0, "perfectly balanced" (the exact pathology this exists
+    to expose). Here every partition emits exactly one row, empty
+    ones included, and the skew denominator is the true mean.
     """
-    by_part = (df.groupBy(F.spark_partition_id().alias("partition_id"))
-               .agg(F.count(F.lit(1)).alias("n_rows")))
+    import pandas as _pd
+
+    def _count(batches):
+        from pyspark import TaskContext
+
+        pid, n = TaskContext.get().partitionId(), 0
+        for pdf in batches:
+            n += len(pdf)
+        yield _pd.DataFrame({"partition_id": [pid], "n_rows": [n]})
+
+    one_col = df.select(F.lit(1).alias("_one"))
+    by_part = one_col.mapInPandas(
+        _count, "partition_id int, n_rows long")
     total = by_part.agg(
         F.sum("n_rows").alias("_t"),
         F.count(F.lit(1)).alias("_p"))
     return (by_part.crossJoin(F.broadcast(total))
             .select("partition_id", "n_rows",
-                    (F.col("n_rows") * F.col("_p")
-                     / F.col("_t")).alias("skew"))
+                    F.when(F.col("_t") > 0,
+                           F.col("n_rows") * F.col("_p")
+                           / F.col("_t")).alias("skew"))
             .orderBy("partition_id"))

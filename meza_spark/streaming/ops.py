@@ -367,13 +367,22 @@ def stream_session_paths(df: DataFrame, user_col: str, ts_col: str,
                   "n_events long, path string")
     out_cols = [user_col, "session_start", "session_end",
                 "n_events", "path"]
+    # state carries MICROSECONDS: the batch path splits sessions on
+    # microsecond-precision double seconds (process.sessionize), and
+    # real event data carries sub-ms parts — gap math in truncated ms
+    # would merge/split differently than batch on ~0.4 ms boundaries
     state_schema = "ts array<long>, et array<string>"
     ts_col_, type_col_ = ts_col, type_col
+    gap_s = float(gap_seconds)
 
     def _sessions(evs):
+        """Split on the IDENTICAL arithmetic the batch window uses:
+        each µs timestamp becomes a float64 second (one IEEE divide,
+        same as Spark's timestamp→double cast) and the diff compares
+        against the float gap."""
         groups, cur = [], [evs[0]]
         for e in evs[1:]:
-            if e[0] - cur[-1][0] > gap_ms:
+            if (e[0] / 1e6) - (cur[-1][0] / 1e6) > gap_s:
                 groups.append(cur)
                 cur = [e]
             else:
@@ -389,29 +398,36 @@ def stream_session_paths(df: DataFrame, user_col: str, ts_col: str,
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            t = (pdf[ts_col_].astype("int64") // 1_000_000)
+            t = (pdf[ts_col_].astype("int64") // 1_000)   # ns → µs
             evs += list(zip(t.tolist(),
                             pdf[type_col_].astype(str).tolist()))
         rows = []
         if evs:
-            evs.sort()
+            evs.sort()   # (µs, type) — sessionize's (ts, tiebreak)
             groups = _sessions(evs)
-            # a session is closed the moment the watermark passes its
-            # last event + gap — whether we got here via the timeout
-            # or via new data for the key (a timeout may not even be
-            # settable for an already-stale session: timestamps at or
-            # before the current watermark are invalid)
+            # a session is closed once the watermark (ms) passes its
+            # last event + gap, with a 1 ms guard for the µs→ms
+            # truncation — whether we got here via the timeout or via
+            # new data (a timeout may not even be settable for an
+            # already-stale session: timestamps at or before the
+            # current watermark are invalid)
             wm = state.getCurrentWatermarkMs()
-            closed = [g for g in groups if g[-1][0] + gap_ms <= wm]
-            keep = [g for g in groups if g[-1][0] + gap_ms > wm]
-            rows = [(key[0], g[0][0], g[-1][0], len(g),
-                     ">".join(e[1] for e in g)) for g in closed]
+            closed = [g for g in groups
+                      if g[-1][0] // 1000 + gap_ms + 1 <= wm]
+            keep = [g for g in groups
+                    if g[-1][0] // 1000 + gap_ms + 1 > wm]
+            # member order inside the path matches the batch collect:
+            # (ms, type) — equal keys are interchangeable
+            rows = [(key[0], g[0][0] // 1000, g[-1][0] // 1000, len(g),
+                     ">".join(e[1] for e in
+                              sorted((e[0] // 1000, e[1]) for e in g)))
+                    for g in closed]
             tail = [e for g in keep for e in g]
             if tail:
                 state.update(([e[0] for e in tail],
                               [e[1] for e in tail]))
-                state.setTimeoutTimestamp(max(tail[-1][0] + gap_ms,
-                                              wm + 1))
+                state.setTimeoutTimestamp(
+                    max(tail[-1][0] // 1000 + gap_ms + 2, wm + 1))
             else:
                 state.remove()
         elif state.exists:

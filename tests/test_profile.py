@@ -203,7 +203,7 @@ def test_benford_digits_and_expectation(spark):
     rows = [(1.5 ** i,) for i in range(1, 120)] + [(None,), (0.0,)]
     df = spark.createDataFrame(rows, "v double")
     got = {r["digit"]: r for r in benford(df, "v").collect()}
-    assert set(got) <= set(range(1, 10))
+    assert set(got) == set(range(1, 10))   # ALL digits report
     n_total = sum(r["n"] for r in got.values())
     assert n_total == 119               # null and zero excluded
     for d, r in got.items():
@@ -217,3 +217,12 @@ def test_benford_digits_and_expectation(spark):
         spark.createDataFrame([(float(100 + i),) for i in range(900)],
                               "v double"), "v").collect()}
     assert uni[9] > 0 and uni[1] < 0
+    # a digit that NEVER occurs still reports, with full negative
+    # deviation — the strongest fabrication signal
+    nod9 = {r["digit"]: r for r in benford(
+        spark.createDataFrame([(float(d) ,) for d in range(1, 9)
+                               for _ in range(10)], "v double"),
+        "v").collect()}
+    assert nod9[9]["n"] == 0
+    assert nod9[9]["share_micro"] == 0
+    assert nod9[9]["deviation_micro"] == -nod9[9]["benford_micro"]

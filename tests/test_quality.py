@@ -126,11 +126,17 @@ def test_partition_stats_flags_skew(spark):
     from meza_spark.quality import partition_stats
 
     df = spark.createDataFrame([(i,) for i in range(90)], "id long")
-    # force a fat partition: everything to one partition + two thin
+    # force a fat partition: everything hashes to ONE of 3 partitions,
+    # leaving two EMPTY — the case the aggregate form can't see
     skewed = df.repartition(3, (F.col("id") * 0).cast("int"))
     got = {r["partition_id"]: (r["n_rows"], r["skew"])
            for r in partition_stats(skewed).collect()}
+    assert len(got) == 3                       # empty partitions REPORT
     rows = sorted(n for n, _ in got.values())
-    assert rows[-1] == 90                      # one partition holds all
+    assert rows == [0, 0, 90]                  # two empty + one fat
     hot = max(got.values())
-    assert hot[1] == len(got)                  # skew = n_parts × mean
+    assert hot == (90, 3.0)                    # 90 rows = 3x the mean
+    # balanced frame: every partition near skew 1
+    bal = partition_stats(df.repartition(3, "id")).collect()
+    assert len(bal) == 3
+    assert all(abs(r["skew"] - 1.0) < 0.5 for r in bal)

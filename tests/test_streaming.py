@@ -461,10 +461,21 @@ def test_streaming_session_paths_batch_parity(spark, tmp_path):
     def m(mins):
         return base + datetime.timedelta(minutes=mins)
 
+    def us(mins, micros):
+        return base + datetime.timedelta(minutes=mins,
+                                         microseconds=micros)
+
     f1 = [(1, m(0), 1, "signup"), (2, m(5), 1, "view"),
           (3, m(10), 1, "click"), (4, m(1), 2, "view")]
     f2 = [(5, m(30), 2, "click"),                       # joins user2
-          (6, m(180), 1, "view"), (7, m(182), 1, "purchase")]
+          (6, m(180), 1, "view"), (7, m(182), 1, "purchase"),
+          # user 3: events 3600.0004 s apart — batch's double-second
+          # gap math SPLITS them; ms-truncated math would merge (the
+          # regression the µs state fix pins)
+          (8, us(200, 250), 3, "view"), (9, us(260, 650), 3, "click"),
+          # user 4: 3599.9996 s apart — one session in both paths
+          (10, us(200, 700), 4, "view"),
+          (11, us(260, 300), 4, "click")]
     s1 = [(99, base + datetime.timedelta(days=2), 999, "noop")]
     s2 = [(100, base + datetime.timedelta(days=4), 999, "noop")]
 

@@ -137,3 +137,16 @@ def test_corrupt_shard_skip_vs_raise(spark, samples, tmp_path):
     assert "rogue.tar" not in per_file                # zero samples
     with pytest.raises(ValueError):
         read_webdataset(spark, glob, on_error="quarantine")
+
+
+def test_dotted_keys_rejected_at_write(spark, tmp_path):
+    # 'img.v2' would round-trip as key 'img' with ext 'v2.txt' —
+    # the sink refuses instead of corrupting silently
+    df = spark.createDataFrame([("img.v2", "x")], "key string, t string")
+    with pytest.raises(ValueError):
+        records2webdataset(df, str(tmp_path / "k.tar"), "key",
+                           {"txt": "t"})
+    df2 = spark.createDataFrame([("a/b", "x")], "key string, t string")
+    with pytest.raises(ValueError):
+        records2webdataset(df2, str(tmp_path / "k2.tar"), "key",
+                           {"txt": "t"})
