@@ -1232,7 +1232,8 @@ def co_occurrence(df: DataFrame, group_col: str, item_col: str,
 def normalize_json(df: DataFrame, json_col: str, array_field: str,
                    keep: Sequence[str] | None = None,
                    schema: str | None = None,
-                   prefix: str = "") -> DataFrame:
+                   prefix: str = "",
+                   keep_empty: bool = False) -> DataFrame:
     """Semi-structured → relational: parse a JSON string column and
     EXPLODE one nested array-of-objects into a child table (one row
     per element, parent columns carried). The one-to-many inverse of
@@ -1249,9 +1250,12 @@ def normalize_json(df: DataFrame, json_col: str, array_field: str,
 
     Row-local after the parse (``from_json`` + one ``explode`` —
     codegen, no shuffle, no UDF); rows whose document is missing the
-    array or fails to parse produce no child rows (inner explode) —
-    quarantine upstream with ``io.read_ndjson_quarantine`` semantics
-    when that matters.
+    array or fails to parse produce no child rows by default —
+    ``keep_empty=True`` switches to ``explode_outer`` so they surface
+    once with null element columns (the left-join shape: audit which
+    parents contributed nothing). Quarantine malformed documents
+    upstream with ``io.read_ndjson_quarantine`` semantics when that
+    matters.
     """
     from pyspark.sql.types import ArrayType, StructType
 
@@ -1275,7 +1279,8 @@ def normalize_json(df: DataFrame, json_col: str, array_field: str,
         raise ValueError(f"normalize_json: {array_field!r} is not an "
                          f"array")
     scalars = [f.name for f in dtype.fields if f.name != array_field]
-    out = (parsed.withColumn("_e", F.explode(f"_doc.{array_field}"))
+    expl = F.explode_outer if keep_empty else F.explode
+    out = (parsed.withColumn("_e", expl(f"_doc.{array_field}"))
            .select(*(keep or []),
                    *[F.col(f"_doc.{s}").alias(s) for s in scalars],
                    *([F.col(f"_e.{f.name}").alias(f"{prefix}{f.name}")

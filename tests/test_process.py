@@ -570,6 +570,11 @@ def test_normalize_json_infer_explode_and_guards(spark):
         [(1, '{"k": 1, "xs": [10, 20]}')], "row_id long, js string")
     sv = normalize_json(sdf, "js", "xs").collect()
     assert sorted(r["value"] for r in sv) == [10, 20]
+    # keep_empty=True: parents with empty/null docs surface once
+    outer = normalize_json(df, "js", "lines", keep=["row_id"],
+                           prefix="l_", keep_empty=True)
+    ids = sorted(r["row_id"] for r in outer.collect())
+    assert ids == [1, 1, 2, 3, 4, 5]
     # guards: unknown field / non-array field / no sample
     with _pt.raises(ValueError):
         normalize_json(df, "js", "nope")
