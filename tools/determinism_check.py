@@ -46,6 +46,10 @@ DEFAULT_QUERIES = [
     "attribution_events",
     "graph_lpa",
     "session_paths_events",
+    "top_session_paths",
+    "rfm_events",
+    "inverted_index_docs",
+    "json_normalize_lines",
 ]
 
 _WORKER = r"""
