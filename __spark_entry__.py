@@ -930,6 +930,9 @@ def json_normalize_lines(spark, sf_dir):
                     F.col("l_partkey").alias("pk"),
                     F.col("l_quantity").alias("qty")))).alias("lines")))
                  .alias("js")))
+    # schema inference samples one document, which would re-run the
+    # collect_list aggregation for the main pass — materialize once
+    docs = docs.localCheckpoint()
     return (normalize_json(docs, "js", "lines")
             .orderBy("o", "ln", "pk"))
 

@@ -272,12 +272,12 @@ def ewma(df: DataFrame, partition_col: str | Sequence[str], ts_col: str,
     # decimal(38,0) bound: Σ_j |vq|·w_j with |vq| ≤ ~1e13 (values to
     # ~1e7 in micro units) must stay under 1e38 — past that the exact
     # accumulator would overflow silently wrong, so refuse loudly
-    if sum(w_int) * window > 10 ** 24:
+    if sum(w_int) > 10 ** 25:
         raise ValueError(
             f"ewma: window={window} with alpha_den={alpha_den} needs "
             f"integer weights too large for exact decimal(38,0) "
-            f"accumulation; shrink the window or use a smaller "
-            f"alpha_den (bound: sum(weights)*window <= 1e24)")
+            f"accumulation (|vq| can reach ~1e13, so sum(weights) "
+            f"must stay <= 1e25); shrink the window or alpha_den")
     denoms = [sum(w_int[:n]) for n in range(window + 1)]
     wlits = F.array(*[F.lit(str(w)).cast("decimal(38,0)")
                       for w in w_int])

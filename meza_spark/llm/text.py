@@ -791,12 +791,18 @@ def bm25_topk(df: DataFrame, query: str, text_col: str = "text",
     per_doc = per_doc.localCheckpoint()
     stats = per_doc.agg(F.count(F.lit(1)).alias("_N"),
                         F.sum("_dl").alias("_tot"))
-    stack = ", ".join(
-        "'{}', _tf_{}".format(t.replace("'", "''"), i)
-        for i, t in enumerate(q_terms))
-    tf = (per_doc.selectExpr(
+    # Column-API unpivot — interpolating user query terms into a
+    # selectExpr string would mis-lex quotes/backslashes (adjacent
+    # string literals concatenate, collapsing distinct terms into one
+    # label and corrupting df)
+    tf = (per_doc.select(
         "_id", "_dl",
-        f"stack({len(q_terms)}, {stack}) AS (term, _tf)")
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("term"),
+                     F.col(f"_tf_{i}").alias("_tf"))
+            for i, t in enumerate(q_terms)])).alias("_kv"))
+        .select("_id", "_dl", F.col("_kv.term").alias("term"),
+                F.col("_kv._tf").alias("_tf"))
         .where(F.col("_tf") > 0))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     nd = F.col("_N").cast("double")

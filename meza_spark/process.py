@@ -1245,7 +1245,8 @@ def normalize_json(df: DataFrame, json_col: str, array_field: str,
     ``schema_of_json`` — a single bounded driver job, the same
     sampling posture as ``typetools.detect_types`` (pin the schema
     explicitly in production so a sparse first document can't narrow
-    it). Top-level scalar fields of the document surface as columns;
+    it — AND because the sample job executes the input's lineage once
+    before the real pass does; materialize expensive upstreams first). Top-level scalar fields of the document surface as columns;
     the array's element fields surface with ``prefix``.
 
     Row-local after the parse (``from_json`` + one ``explode`` —

@@ -302,7 +302,8 @@ def benford(df: DataFrame, col: str) -> DataFrame:
     digit = (F.when(d0 >= 10, F.lit(1))
              .when(d0 <= 0, F.lit(9))
              .otherwise(d0)).cast("int")
-    observed = (df.where(F.col(col).isNotNull() & (y > 0))
+    finite = ~F.isnan(y) & (y < float("inf"))
+    observed = (df.where(F.col(col).isNotNull() & (y > 0) & finite)
                 .groupBy(digit.alias("digit"))
                 .agg(F.count(F.lit(1)).alias("n")))
     # scaffold 1-9 so a NEVER-OCCURRING digit still reports (a digit

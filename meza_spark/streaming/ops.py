@@ -371,7 +371,10 @@ def stream_session_paths(df: DataFrame, user_col: str, ts_col: str,
     # microsecond-precision double seconds (process.sessionize), and
     # real event data carries sub-ms parts — gap math in truncated ms
     # would merge/split differently than batch on ~0.4 ms boundaries
-    state_schema = "ts array<long>, et array<string>"
+    # field named tus, not ts: a restart from a checkpoint written by
+    # the older millisecond-state build must FAIL the state-schema
+    # check loudly rather than silently reinterpret ms as µs
+    state_schema = "tus array<long>, et array<string>"
     ts_col_, type_col_ = ts_col, type_col
     gap_s = float(gap_seconds)
 

@@ -226,3 +226,14 @@ def test_benford_digits_and_expectation(spark):
     assert nod9[9]["n"] == 0
     assert nod9[9]["share_micro"] == 0
     assert nod9[9]["deviation_micro"] == -nod9[9]["benford_micro"]
+
+
+def test_benford_excludes_nan_and_inf(spark):
+    from meza_spark.profile import benford
+
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (float("inf",),) if False else
+         (float("inf"),), (25.0,), (None,)], "v double")
+    got = {r["digit"]: r["n"] for r in benford(df, "v").collect()}
+    assert sum(got.values()) == 2            # only 1.0 and 25.0 count
+    assert got[1] == 1 and got[2] == 1

@@ -420,3 +420,17 @@ def test_inverted_index_postings(spark):
     assert set(capped) == {"a", "b"}
     assert capped["a"] == ([1, 2], True)
     assert capped["b"] == ([2, 3], False)
+
+
+def test_bm25_quoted_and_backslash_terms_safe(spark):
+    from meza_spark.llm.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "it's here"), (2, "its twin"), (3, "don\\ thing")],
+        "doc_id long, text string")
+    # quote and backslash terms must stay distinct labels, not crash
+    # or collapse ("it''s" would lex-concatenate to 'its' in a SQL
+    # string — the Column-API unpivot is immune)
+    got = {r["doc_id"]: r["n_hits"]
+           for r in bm25_topk(docs, "it's don\\", k=10).collect()}
+    assert got == {1: 1, 3: 1}               # doc 2 ('its') no match
