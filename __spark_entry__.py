@@ -3743,7 +3743,8 @@ ratio AS (
   FROM tc FULL JOIN rc ON tc.bucket = rc.bucket, tot),
 docb AS (SELECT doc_id, bucket, count(*) AS cnt
          FROM b GROUP BY doc_id, bucket)
-SELECT d.doc_id, sum(cnt * coalesce(ratio_micro, 0)) AS dsir_w
+SELECT d.doc_id,
+       CAST(sum(cnt * coalesce(ratio_micro, 0)) AS BIGINT) AS dsir_w
 FROM docb d LEFT JOIN ratio USING (bucket)
 GROUP BY d.doc_id
 """
@@ -4210,9 +4211,9 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM toks)
             SELECT id_a, id_b, hamming FROM (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                     list_sum(list_transform(range(0, 64), j ->
+                     CAST(list_sum(list_transform(range(0, 64), j ->
                        CASE WHEN a.f[j+1] <> b.f[j+1] THEN 1 ELSE 0 END))
-                       AS hamming
+                       AS INTEGER) AS hamming
               FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
             WHERE hamming <= 3
         """,
@@ -5143,10 +5144,12 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "q12_priority": """
             SELECT l_returnflag,
-                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                       THEN 1 ELSE 0 END) AS high_line_count,
-                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                       THEN 0 ELSE 1 END) AS low_line_count
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                       ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                       ('1-URGENT', '2-HIGH')
+                       THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1997-01-01'

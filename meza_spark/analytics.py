@@ -59,10 +59,14 @@ def funnel(df: DataFrame, steps: Sequence[str],
         times = times.join(nxt, on=user_col, how="left")
     counts = times.agg(*[F.count(f"_t{i}").alias(f"_c{i}")
                          for i in range(1, len(steps) + 1)])
-    stack = ", ".join(f"{i}, '{s}', _c{i}"
-                      for i, s in enumerate(steps, start=1))
-    return counts.selectExpr(
-        f"stack({len(steps)}, {stack}) AS (step_idx, step, users)")
+    # unpivot via the Column API, not an interpolated stack() string —
+    # step names are user data and must never be lexed as SQL
+    rows = F.array(*[
+        F.struct(F.lit(i).alias("step_idx"), F.lit(s).alias("step"),
+                 F.col(f"_c{i}").alias("users"))
+        for i, s in enumerate(steps, start=1)])
+    return (counts.select(F.explode(rows).alias("_r"))
+            .select("_r.step_idx", "_r.step", "_r.users"))
 
 
 def cohort_retention(df: DataFrame, user_col: str = "user_id",

@@ -274,12 +274,16 @@ def semantic_contamination(corpus_emb: DataFrame, bench_emb: DataFrame,
             "benchmark matrix — use similarity.cosine_join for "
             "corpus-vs-corpus scale")
     rows = (bench_emb
-            .where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
-            .select(F.col(id_col).cast("long"),
+            .where(F.col(id_col).isNotNull()
+                   & F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+            .select(F.col(id_col),
                     F.transform(vec_col, lambda x: x.cast("double")))
             .collect())                       # bounded: eval-set sized
     rows.sort(key=lambda r: r[0])             # argmax tie -> min id
-    bench_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    # bench ids keep their native type (long ids -> int64 array,
+    # string/UUID ids -> object array); the output schema mirrors it
+    bench_id_type = dict(bench_emb.dtypes)[id_col]
+    bench_ids = np.array([r[0] for r in rows])
     B = np.array([r[1] for r in rows], dtype=np.float64)
     Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
     scale = 10.0 ** round_digits
@@ -313,7 +317,8 @@ def semantic_contamination(corpus_emb: DataFrame, bench_emb: DataFrame,
                     .alias("_v")))
     id_type = dict(corpus_emb.dtypes)[id_col]
     out = base.mapInPandas(
-        _score, schema=f"_cid {id_type}, bench_id long, cos_q long")
+        _score,
+        schema=f"_cid {id_type}, bench_id {bench_id_type}, cos_q long")
     return out.select(F.col("_cid").alias(id_col), "bench_id",
                       F.col("cos_q").alias(f"cosine_e{round_digits}"))
 

@@ -157,8 +157,12 @@ def fit_log_ratios(target: DataFrame | None, raw: DataFrame,
               .agg(F.count("*").alias("c")).collect()}
     t_total = sum(ct.values())
     r_total = sum(cr.values())
+    # emit ALL B buckets, not just the observed ones: a bucket unseen
+    # at fit time then carries the all-smoothing ratio
+    # ln((1/(Tt+B)) / (1/(Tr+B))), so held-out shards score with the
+    # documented Laplace semantics instead of a silent ln(1)=0 hole
     local = raw.sparkSession.createDataFrame(
-        [(b, ct.get(b, 0), cr.get(b, 0)) for b in sorted(set(ct) | set(cr))],
+        [(b, ct.get(b, 0), cr.get(b, 0)) for b in range(buckets)],
         "bucket long, ct long, cr long")
     p = (F.col("ct") + 1).cast("double") / F.lit(t_total + buckets)
     q = (F.col("cr") + 1).cast("double") / F.lit(r_total + buckets)
@@ -175,10 +179,11 @@ def dsir_weights(df: DataFrame, ratios: DataFrame,
 
     Plan: exploded ``(id, bucket, cnt)`` triples broadcast-join the
     B-row ratio table, then aggregate by document (map-side partials;
-    ids-only shuffle). A bucket unseen at fit time falls back to the
-    all-smoothing ratio ``ln((1/(Tt+B)) / (1/(Tr+B)))`` — impossible
-    when ``df`` is part of the fitted raw pool, possible when scoring
-    a held-out shard with a frozen table.
+    ids-only shuffle). :func:`fit_log_ratios` emits every one of the B
+    buckets (unseen ones carry the all-smoothing ratio
+    ``ln((1/(Tt+B)) / (1/(Tr+B)))``), so the left join only misses when
+    a frozen table was fitted with a different ``buckets``; that
+    residual case coalesces to 0.
     """
     per_bucket = hashed_gram_buckets(df, text_col, id_col, buckets)
     joined = per_bucket.join(F.broadcast(ratios), on="bucket",

@@ -32,7 +32,7 @@ __all__ = [
     "asof_join", "flatten", "slice_rows", "salted_join", "salted_agg",
     "sessionize", "scd2_intervals", "normalized_join", "fuzzy_join",
     "merge_into", "snapshot_diff", "resolve_entities", "resample",
-    "normalize_json",
+    "normalize_json", "co_occurrence",
 ]
 
 

@@ -57,6 +57,18 @@ def test_funnel_validates(spark):
         funnel(_ev(spark, []), [])
 
 
+def test_funnel_step_names_are_data_not_sql(spark):
+    """Step names containing quotes/backslashes must come back verbatim
+    — the unpivot is built with the Column API, never lexed as SQL
+    (round-4 ADVICE: the interpolated stack() string mis-lexed these)."""
+    evil = ["it's a view", 'say "click"', "back\\slash buy"]
+    rows = [(1, evil[0], 1, 0), (1, evil[1], 1, 1), (1, evil[2], 1, 2),
+            (2, evil[0], 2, 0)]
+    out = {r["step"]: r["users"]
+           for r in funnel(_ev(spark, rows), evil).collect()}
+    assert out == {evil[0]: 2, evil[1]: 1, evil[2]: 1}
+
+
 def test_cohort_retention_weekly(spark):
     rows = [
         (1, "x", 1, 0), (1, "x", 9, 0),    # cohort wk of Jan 1; wk+1

@@ -208,6 +208,25 @@ class TestSemantic:
         assert m == {1: True, 2: False, 3: True, 4: False,
                      5: False, 6: False}
 
+    def test_string_bench_ids_carry_through(self, spark):
+        """String/UUID benchmark ids must survive untouched — the old
+        hard cast-to-long nulled them and then crashed in np.array
+        (round-4 ADVICE). The output bench_id column mirrors the
+        benchmark id type."""
+        from meza_spark.llm.decontam import semantic_contamination
+
+        corpus, bench = self._frames(spark)
+        sbench = bench.select(
+            F.concat(F.lit("bench-"), F.col("vec_id").cast("string"))
+            .alias("vec_id"), "embedding")
+        got = {r["vec_id"]: r["bench_id"]
+               for r in semantic_contamination(
+                   corpus, sbench, threshold=0.995).collect()}
+        assert got == {1: "bench-100", 3: "bench-200"}
+        out_types = dict(semantic_contamination(
+            corpus, sbench, threshold=0.995).dtypes)
+        assert out_types["bench_id"] == "string"
+
     def test_bench_bound_guard(self, spark):
         from meza_spark.llm.decontam import semantic_contamination
 

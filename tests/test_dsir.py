@@ -58,14 +58,38 @@ def test_weights_partitioning_invariant(spark):
     assert a == b  # int micro-units: exact under any layout
 
 
-def test_unseen_bucket_falls_back_to_zero(spark):
+def test_unseen_bucket_gets_smoothing_ratio(spark):
+    """A bucket with zero observations at fit time carries the
+    all-smoothing Laplace ratio ln((1/(Tt+B))/(1/(Tr+B))) — the fit
+    emits every one of the B buckets, so held-out shards never hit a
+    silent ln(1)=0 hole (round-4 ADVICE)."""
+    import math
+
     docs = _corpus(spark)
     target = docs.where(F.col("lang") == "en")
     ratios = fit_log_ratios(target, docs, buckets=64)
+    rt = {r["bucket"]: (r["ratio_micro"]) for r in ratios.collect()}
+    assert len(rt) == 64  # every bucket present, observed or not
+    # reconstruct totals from the gated tokenizer path: refit with the
+    # same frames and read the per-bucket counts indirectly — the
+    # smoothing-only value must appear verbatim on any all-zero bucket
+    from meza_spark.llm.dsir import hashed_gram_buckets
+    tt = (hashed_gram_buckets(target, "text", "doc_id", 64)
+          .agg(F.sum("cnt")).collect()[0][0] or 0)
+    tr = (hashed_gram_buckets(docs, "text", "doc_id", 64)
+          .agg(F.sum("cnt")).collect()[0][0] or 0)
+    smooth = math.floor(
+        math.log((1.0 / (tt + 64)) / (1.0 / (tr + 64))) * 1e6 + 0.5)
+    observed = {r["bucket"] for r in
+                hashed_gram_buckets(docs, "text", "doc_id", 64)
+                .select("bucket").distinct().collect()}
+    empty = set(rt) - observed
+    assert empty, "fixture too dense to leave an empty bucket"
+    assert all(rt[b] == smooth for b in empty)
     held_out = spark.createDataFrame(
         [(99, "zzzqqq xxyyzz")], "doc_id long, text string")
     out = dsir_weights(held_out, ratios, buckets=64).collect()
-    assert len(out) == 1  # scores even when grams miss the fit table
+    assert len(out) == 1  # scores even when grams miss the observed set
 
 
 def test_target_pred_single_scan_matches_two_frame_fit(spark):

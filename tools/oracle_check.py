@@ -4,7 +4,13 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB at the given SF, then compares row count, column names, and an
 order-insensitive value hash (cells normalized to strings, rows sorted).
 
-Usage: python tools/oracle_check.py [sf_dir] [query ...]
+Usage: python tools/oracle_check.py [--strict-types] [sf_dir] [query ...]
+
+``--strict-types`` disables the float→int folding in ``norm_cell`` so a
+DuckDB float64 ``3.0`` no longer hashes equal to Spark's int ``3`` —
+the driver's hash is strict, and round 4 showed the lenient local mode
+can hide oracle output-typing bugs (dedup_simhash). Run the full suite
+with this flag once per round.
 """
 
 from __future__ import annotations
@@ -21,6 +27,10 @@ import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# set by main() from --strict-types; module-global so frame_hash stays
+# importable by tests with either behavior
+STRICT_TYPES = False
 
 
 def norm_cell(v):
@@ -40,6 +50,8 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
+        if STRICT_TYPES:
+            return repr(v)
         return repr(v) if v != int(v) or abs(v) >= 1e15 else str(int(v))
     if isinstance(v, bool):
         return str(bool(v))
@@ -59,9 +71,12 @@ def frame_hash(df: pd.DataFrame) -> tuple[int, str, str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) \
+    global STRICT_TYPES
+    args = [a for a in sys.argv[1:] if a != "--strict-types"]
+    STRICT_TYPES = "--strict-types" in sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) \
         else "/root/testdata/sf0.01"
-    only = set(a for a in sys.argv[2:] if not os.path.isdir(a))
+    only = set(a for a in args if not os.path.isdir(a))
 
     import __spark_entry__ as entry
     from meza_spark.session import get_spark
