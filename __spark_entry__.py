@@ -1402,6 +1402,37 @@ def dbf_roundtrip(spark, sf_dir):
     return read_dbf(spark, path)
 
 
+def mdb_roundtrip(spark, sf_dir):
+    """nation → records2mdb (minimal Jet4 builder) → read_mdb's
+    NATIVE pure-stdlib Jet4 parser (ref: meza/io.py:598-674 pipes
+    mdb-export; the parser itself is validated against the
+    reference's real Access-generated test.mdb). LONGINT back to
+    longs, TEXT to strings — closes the one source family that had
+    no oracle gate (r4 verdict #4)."""
+    from meza_spark.io.readers import read_mdb
+    from meza_spark.io.writers import records2mdb
+
+    path = _rt_path(sf_dir, "mdb")
+    records2mdb(_t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"), path,
+        table_name="nation")
+    return read_mdb(spark, path, table="nation")
+
+
+def mdb3_roundtrip(spark, sf_dir):
+    """nation → records2mdb(version=3) → read_mdb over a Jet3
+    (Access 97) file: 2 KB pages, 18-byte column entries, latin-1
+    text, 1-byte var-offset tails (r4 verdict #5)."""
+    from meza_spark.io.readers import read_mdb
+    from meza_spark.io.writers import records2mdb
+
+    path = _rt_path(sf_dir, "jet3.mdb")
+    records2mdb(_t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"), path,
+        table_name="nation", version=3)
+    return read_mdb(spark, path, table="nation")
+
+
 def sqlite_roundtrip(spark, sf_dir):
     """nation → records2sqlite → read_sqlite (ref: meza/io.py:725-760);
     INTEGER/TEXT affinity preserves types end-to-end."""
@@ -3381,6 +3412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xlsx_roundtrip": xlsx_roundtrip,
         "xls_roundtrip": xls_roundtrip,
         "dbf_roundtrip": dbf_roundtrip,
+        "mdb_roundtrip": mdb_roundtrip,
+        "mdb3_roundtrip": mdb3_roundtrip,
         "sqlite_roundtrip": sqlite_roundtrip,
         "yaml_roundtrip": yaml_roundtrip,
         "avro_roundtrip": avro_roundtrip,
@@ -4689,6 +4722,12 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT n_nationkey, n_name, n_regionkey FROM nation
         """,
         "dbf_roundtrip": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
+        """,
+        "mdb_roundtrip": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
+        """,
+        "mdb3_roundtrip": """
             SELECT n_nationkey, n_name, n_regionkey FROM nation
         """,
         "sqlite_roundtrip": """

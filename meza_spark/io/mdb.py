@@ -12,10 +12,24 @@ Format scope — honest gates, not silent wrong answers:
     (MSysObjects), TDEF column defs, fixed/var row cracking, null
     mask, overflow (lookup) rows, compressed/UTF-16 text, inline +
     single-page + chained LVAL memos, bool/byte/int/long/money/
-    float/double/datetime/text/memo/GUID.
-  - Jet3 (Access 97, 2 KB pages): NotImplementedError (different
-    struct layouts; no fixture to verify against — a wrong parse is
-    worse than a gate).
+    float/double/datetime/text/memo/GUID. Validated against the
+    reference's real Access-generated test.mdb (mdb-export parity).
+  - Jet3 (Access 97, 2 KB pages): supported for the common subset —
+    2 KB pages, 18-byte column entries (type@0, num@1, varnum@3,
+    flags@13, fixed-offset@14, length@16 per the mdbtools HACKING
+    layout), 1-byte name lengths, latin-1 text, 1-byte row column
+    counts and var-offset tails. HONEST GATES remain on what the
+    subset can't express: rows ≥ 256 bytes (Jet3 switches to a
+    jump-table var scheme there) and Jet3 LVAL memos both raise. No
+    real Access-97 file exists in this container, so the Jet3 path is
+    verified by writer→parser roundtrip plus the shared-machinery
+    argument (everything but the fmt constants is the same code the
+    real Jet4 fixture validates).
+
+A minimal WRITER (``build_jet`` / ``records2mdb`` in io/writers.py)
+exists so the reader can be differential-oracle-gated (mdb_roundtrip)
+and Jet3 fixture units are possible at all; it emits the exact subset
+the parser documents (no indexes, no usage maps, single-page TDEFs).
 
 Scale note: .mdb is a desktop format hard-capped at 2 GB, so the
 driver-side parse + ``createDataFrame`` path (one file per task via
@@ -28,9 +42,30 @@ from __future__ import annotations
 import struct
 from datetime import datetime, timedelta
 
-__all__ = ["JetDb", "JetTable", "JetColumn"]
+__all__ = ["JetDb", "JetTable", "JetColumn", "build_jet"]
 
 _EPOCH = datetime(1899, 12, 30)
+
+# Per-version format constants (public: mdbtools HACKING). Offsets are
+# within a page unless noted; col_* are within one column entry.
+_FMT = {
+    3: dict(page_size=2048, version_byte=0x00,
+            tdef_num_rows=0x0C, tdef_max_cols=0x15, tdef_num_var=0x17,
+            tdef_num_cols=0x19, tdef_num_ridx=0x1F, tdef_cols_start=0x2B,
+            ridx_entry=8, col_entry=18,
+            col_num=1, col_varnum=3, col_flags=13, col_offf=14,
+            col_len=16,
+            data_nrows=0x08, data_offs=0x0A,
+            rcols_size=1, voff_size=1),
+    4: dict(page_size=4096, version_byte=0x01,
+            tdef_num_rows=0x10, tdef_max_cols=0x29, tdef_num_var=0x2B,
+            tdef_num_cols=0x2D, tdef_num_ridx=0x33, tdef_cols_start=0x3F,
+            ridx_entry=12, col_entry=25,
+            col_num=5, col_varnum=7, col_flags=15, col_offf=21,
+            col_len=23,
+            data_nrows=0x0C, data_offs=0x0E,
+            rcols_size=2, voff_size=2),
+}
 
 # Jet column type codes (public, mdbtools HACKING)
 BOOL, BYTE, INT, LONGINT, MONEY, FLOAT, DOUBLE, DATETIME = \
@@ -69,27 +104,33 @@ class JetTable:
             buf += cont[8:]
             nxt, = struct.unpack_from("<I", cont, 4)
         pg = bytes(buf)
-        self.num_rows, = struct.unpack_from("<I", pg, 0x10)
-        self.max_cols, = struct.unpack_from("<H", pg, 0x29)
-        self.num_var_cols, = struct.unpack_from("<H", pg, 0x2B)
-        self.num_cols, = struct.unpack_from("<H", pg, 0x2D)
-        num_real_idx, = struct.unpack_from("<I", pg, 0x33)
-        pos = 0x3F + num_real_idx * 12
+        fmt = db.fmt
+        self.num_rows, = struct.unpack_from("<I", pg, fmt["tdef_num_rows"])
+        self.max_cols, = struct.unpack_from("<H", pg, fmt["tdef_max_cols"])
+        self.num_var_cols, = struct.unpack_from("<H", pg, fmt["tdef_num_var"])
+        self.num_cols, = struct.unpack_from("<H", pg, fmt["tdef_num_cols"])
+        num_real_idx, = struct.unpack_from("<I", pg, fmt["tdef_num_ridx"])
+        pos = fmt["tdef_cols_start"] + num_real_idx * fmt["ridx_entry"]
         cols = []
         for _ in range(self.num_cols):
             c = JetColumn()
             c.type = pg[pos]
-            c.num, = struct.unpack_from("<H", pg, pos + 5)
-            c.off_v, = struct.unpack_from("<H", pg, pos + 7)
-            c.is_fixed = bool(pg[pos + 15] & 0x01)
-            c.off_f, = struct.unpack_from("<H", pg, pos + 21)
-            c.length, = struct.unpack_from("<H", pg, pos + 23)
+            c.num, = struct.unpack_from("<H", pg, pos + fmt["col_num"])
+            c.off_v, = struct.unpack_from("<H", pg, pos + fmt["col_varnum"])
+            c.is_fixed = bool(pg[pos + fmt["col_flags"]] & 0x01)
+            c.off_f, = struct.unpack_from("<H", pg, pos + fmt["col_offf"])
+            c.length, = struct.unpack_from("<H", pg, pos + fmt["col_len"])
             cols.append(c)
-            pos += 25
+            pos += fmt["col_entry"]
         for c in cols:
-            nlen, = struct.unpack_from("<H", pg, pos)
-            c.name = pg[pos + 2:pos + 2 + nlen].decode("utf-16-le")
-            pos += 2 + nlen
+            if db.version >= 4:
+                nlen, = struct.unpack_from("<H", pg, pos)
+                c.name = pg[pos + 2:pos + 2 + nlen].decode("utf-16-le")
+                pos += 2 + nlen
+            else:
+                nlen = pg[pos]
+                c.name = pg[pos + 1:pos + 1 + nlen].decode("latin-1")
+                pos += 1 + nlen
         # row layout order = column number order
         self.columns = sorted(cols, key=lambda c: c.num)
 
@@ -113,8 +154,8 @@ class JetTable:
     def _page_rows(self, pgno: int):
         db = self.db
         pg = db.page(pgno)
-        nrows, = struct.unpack_from("<H", pg, 0x0C)
-        offs = [struct.unpack_from("<H", pg, 0x0E + 2 * i)[0]
+        nrows, = struct.unpack_from("<H", pg, db.fmt["data_nrows"])
+        offs = [struct.unpack_from("<H", pg, db.fmt["data_offs"] + 2 * i)[0]
                 for i in range(nrows)]
         prev = db.page_size
         for off in offs:
@@ -134,11 +175,13 @@ class JetTable:
                 yield out
 
     def _crack_row(self, row: bytes):
-        if len(row) < 2:
+        fmt = self.db.fmt
+        rsz, vsz = fmt["rcols_size"], fmt["voff_size"]
+        if len(row) < rsz:
             return None
-        rcols, = struct.unpack_from("<H", row, 0)
+        rcols = row[0] if rsz == 1 else struct.unpack_from("<H", row, 0)[0]
         bm = (rcols + 7) // 8
-        if len(row) < bm + 2:
+        if len(row) < bm + rsz:
             return None
         nullmask = row[len(row) - bm:]
 
@@ -148,11 +191,21 @@ class JetTable:
 
         var_off = None
         if self.num_var_cols:
-            base = len(row) - bm - 2
-            rvar, = struct.unpack_from("<H", row, base)
-            var_off = [struct.unpack_from(
-                "<H", row, base - 2 * (i + 1))[0]
-                for i in range(rvar + 1)]
+            if vsz == 1 and len(row) > 255:
+                # Jet3 switches to a jump-table var-offset scheme for
+                # rows ≥ 256 bytes; a wrong parse is worse than a gate
+                raise NotImplementedError(
+                    "Jet3 rows >= 256 bytes (jump-table var offsets) "
+                    "are not supported by the native parser")
+            base = len(row) - bm - vsz
+            if vsz == 2:
+                rvar, = struct.unpack_from("<H", row, base)
+                var_off = [struct.unpack_from(
+                    "<H", row, base - 2 * (i + 1))[0]
+                    for i in range(rvar + 1)]
+            else:
+                rvar = row[base]
+                var_off = [row[base - (i + 1)] for i in range(rvar + 1)]
         out = {}
         for c in self.columns:
             bit = has_value(c.num)
@@ -163,7 +216,7 @@ class JetTable:
                 out[c.name] = None
                 continue
             if c.is_fixed:
-                data = row[2 + c.off_f:2 + c.off_f + c.length]
+                data = row[rsz + c.off_f:rsz + c.off_f + c.length]
             else:
                 if var_off is None or c.off_v >= len(var_off) - 1:
                     out[c.name] = None
@@ -199,8 +252,12 @@ class JetTable:
                 return base + timedelta(
                     seconds=round(frac * 86400))
             if t == TEXT:
-                return _decode_text(b)
+                return _decode_text(b, self.db.version)
             if t == MEMO:
+                if self.db.version < 4:
+                    raise NotImplementedError(
+                        "Jet3 LVAL memos are not supported by the "
+                        "native parser")
                 return self._lval(b)
             if t == GUID:
                 return b[:16].hex()
@@ -250,13 +307,9 @@ class JetDb:
                 self.data = f.read()
         if self.data[4:19] != b"Standard Jet DB":
             raise ValueError("not a Jet (.mdb) database")
-        version = self.data[0x14]
-        if version < 1:
-            raise NotImplementedError(
-                "Jet3 (Access 97) .mdb is not supported by the native "
-                "parser — only Jet4 (Access 2000+); install mdbtools "
-                "for Jet3 files")
-        self.page_size = 4096
+        self.version = 4 if self.data[0x14] >= 1 else 3
+        self.fmt = _FMT[self.version]
+        self.page_size = self.fmt["page_size"]
         self.num_pages = len(self.data) // self.page_size
 
     def page(self, n: int) -> bytes:
@@ -317,10 +370,13 @@ class JetDb:
         return JetTable(self, name, pg)
 
 
-def _decode_text(b: bytes) -> str:
-    """Jet4 text payload → str: 0xFFFE prefix marks the documented
+def _decode_text(b: bytes, version: int = 4) -> str:
+    """Text payload → str. Jet3 stores latin-1 bytes; Jet4 stores
+    UTF-16LE, with a 0xFFFE prefix marking the documented
     unicode-compression scheme (0x00 toggles between 1-byte and 2-byte
-    characters); otherwise plain UTF-16LE."""
+    characters)."""
+    if version < 4:
+        return b.decode("latin-1")
     if len(b) >= 2 and b[0] == 0xFF and b[1] == 0xFE:
         out = bytearray()
         i, comp = 2, True
@@ -344,3 +400,253 @@ def _decode_text(b: bytes) -> str:
         return b.decode("utf-16-le")
     except UnicodeDecodeError:
         return b.decode("latin-1")
+
+
+# ---------------------------------------------------------------------------
+# Minimal Jet writer (fixture generation + records2mdb sink)
+# ---------------------------------------------------------------------------
+
+def _encode_text(s: str, version: int) -> bytes:
+    if version < 4:
+        return s.encode("latin-1", errors="replace")
+    return s.encode("utf-16-le")
+
+
+def _py_coltype(values):
+    """Infer a Jet column type from the first non-None python value.
+    Returns (jet_type, is_fixed, fixed_len)."""
+    from decimal import Decimal
+
+    v = next((x for x in values if x is not None), None)
+    if isinstance(v, bool):
+        return BOOL, True, 0
+    if isinstance(v, int):
+        return LONGINT, True, 4
+    if isinstance(v, float):
+        return DOUBLE, True, 8
+    if isinstance(v, Decimal):
+        return MONEY, True, 8
+    if isinstance(v, datetime):
+        return DATETIME, True, 8
+    if isinstance(v, (bytes, bytearray)):
+        return BINARY, False, 0
+    return TEXT, False, 0          # str / all-null
+
+
+def _encode_value(t: int, v, version: int) -> bytes:
+    from decimal import Decimal
+
+    if t == LONGINT:
+        if not -(1 << 31) <= v < (1 << 31):
+            raise ValueError(
+                f"value {v} exceeds Access LONGINT (int32) range — "
+                "store as double or text")
+        return struct.pack("<i", v)
+    if t == DOUBLE:
+        return struct.pack("<d", float(v))
+    if t == MONEY:
+        return struct.pack("<q", int(Decimal(v) * 10000))
+    if t == DATETIME:
+        delta = v - _EPOCH
+        days = delta.days + delta.seconds / 86400.0
+        return struct.pack("<d", days)
+    if t == TEXT:
+        return _encode_text(str(v), version)
+    if t == BINARY:
+        return bytes(v)
+    raise ValueError(f"unsupported jet type {t}")
+
+
+class _JetWriter:
+    """Assembles a minimal, parser-complete Jet file: page 0 header,
+    MSysObjects catalog (TDEF page 2 + one data page), one TDEF + data
+    pages per user table. No usage maps, no indexes, single-page
+    TDEFs — exactly the documented subset ``JetDb`` reads."""
+
+    def __init__(self, version: int = 4):
+        if version not in _FMT:
+            raise ValueError(f"jet version must be 3 or 4, got {version}")
+        self.version = version
+        self.fmt = _FMT[version]
+        self.pages: list[bytearray] = []
+
+    def _new_page(self) -> int:
+        self.pages.append(bytearray(self.fmt["page_size"]))
+        return len(self.pages) - 1
+
+    # -- TDEF -------------------------------------------------------------
+
+    def _tdef_page(self, pgno: int, cols, num_rows: int):
+        """cols: [(name, jet_type, is_fixed, off_f, off_v, length)]"""
+        fmt, pg = self.fmt, self.pages[pgno]
+        pg[0] = 0x02
+        pg[1] = 0x01
+        struct.pack_into("<I", pg, 4, 0)                  # no continuation
+        struct.pack_into("<I", pg, fmt["tdef_num_rows"], num_rows)
+        struct.pack_into("<H", pg, fmt["tdef_max_cols"], len(cols))
+        nvar = sum(1 for c in cols if not c[2])
+        struct.pack_into("<H", pg, fmt["tdef_num_var"], nvar)
+        struct.pack_into("<H", pg, fmt["tdef_num_cols"], len(cols))
+        struct.pack_into("<I", pg, fmt["tdef_num_ridx"], 0)
+        pos = fmt["tdef_cols_start"]
+        for num, (name, t, is_fixed, off_f, off_v, length) in \
+                enumerate(cols):
+            pg[pos] = t
+            struct.pack_into("<H", pg, pos + fmt["col_num"], num)
+            struct.pack_into("<H", pg, pos + fmt["col_varnum"], off_v)
+            pg[pos + fmt["col_flags"]] = 0x01 if is_fixed else 0x02
+            struct.pack_into("<H", pg, pos + fmt["col_offf"], off_f)
+            struct.pack_into("<H", pg, pos + fmt["col_len"], length)
+            pos += fmt["col_entry"]
+        for name, *_ in cols:
+            if self.version >= 4:
+                nb = name.encode("utf-16-le")
+                struct.pack_into("<H", pg, pos, len(nb))
+                pg[pos + 2:pos + 2 + len(nb)] = nb
+                pos += 2 + len(nb)
+            else:
+                nb = name.encode("latin-1")
+                pg[pos] = len(nb)
+                pg[pos + 1:pos + 1 + len(nb)] = nb
+                pos += 1 + len(nb)
+        if pos > fmt["page_size"]:
+            raise ValueError("TDEF exceeds one page (too many/long "
+                             "column names for the minimal writer)")
+
+    # -- rows -------------------------------------------------------------
+
+    def _encode_row(self, cols, rec: dict) -> bytes:
+        fmt = self.fmt
+        rsz, vsz = fmt["rcols_size"], fmt["voff_size"]
+        rcols = len(cols)
+        bm = (rcols + 7) // 8
+        fixed_size = max((c[3] + c[5] for c in cols if c[2]), default=0)
+        fixed = bytearray(fixed_size)
+        nullmask = bytearray(bm)
+        var_data = bytearray()
+        nvar = sum(1 for c in cols if not c[2])
+        var_off = [0] * (nvar + 1)
+        var_start = rsz + fixed_size
+        for num, (name, t, is_fixed, off_f, off_v, length) in \
+                enumerate(cols):
+            v = rec.get(name)
+            if t == BOOL:
+                if v:
+                    nullmask[num // 8] |= 1 << (num % 8)
+                continue
+            if is_fixed:
+                if v is not None:
+                    nullmask[num // 8] |= 1 << (num % 8)
+                    fixed[off_f:off_f + length] = \
+                        _encode_value(t, v, self.version)
+            else:
+                var_off[off_v] = var_start + len(var_data)
+                if v is not None:
+                    nullmask[num // 8] |= 1 << (num % 8)
+                    var_data += _encode_value(t, v, self.version)
+        var_off[nvar] = var_start + len(var_data)
+        head = (bytes([rcols]) if rsz == 1
+                else struct.pack("<H", rcols)) + bytes(fixed) + \
+            bytes(var_data)
+        trailer = bytearray()
+        if self.num_var_cols_of(cols):
+            for i in range(nvar, -1, -1):
+                if vsz == 2:
+                    trailer += struct.pack("<H", var_off[i])
+                else:
+                    if var_off[i] > 255:
+                        raise ValueError(
+                            "Jet3 row exceeds 255 bytes — the minimal "
+                            "writer does not emit jump-table rows")
+                    trailer.append(var_off[i])
+            if vsz == 2:
+                trailer += struct.pack("<H", nvar)
+            else:
+                trailer.append(nvar)
+        row = head + bytes(trailer) + bytes(nullmask)
+        if vsz == 1 and len(row) > 255:
+            raise ValueError(
+                "Jet3 row exceeds 255 bytes — the minimal writer "
+                "does not emit jump-table rows")
+        return row
+
+    @staticmethod
+    def num_var_cols_of(cols):
+        return sum(1 for c in cols if not c[2])
+
+    def _data_pages(self, tdef_pg: int, cols, records) -> int:
+        """Pack rows end-to-start into as many data pages as needed;
+        returns the row count written."""
+        fmt = self.fmt
+        pgno = None
+        floor_ = None
+        nrows = 0
+        total = 0
+        for rec in records:
+            row = self._encode_row(cols, rec)
+            need = len(row) + 2                    # + offset slot
+            if pgno is None or \
+                    floor_ - len(row) < fmt["data_offs"] + 2 * (nrows + 1):
+                pgno = self._new_page()
+                pg = self.pages[pgno]
+                pg[0] = 0x01
+                pg[1] = 0x01
+                struct.pack_into("<I", pg, 4, tdef_pg)
+                floor_ = fmt["page_size"]
+                nrows = 0
+            pg = self.pages[pgno]
+            floor_ -= len(row)
+            pg[floor_:floor_ + len(row)] = row
+            struct.pack_into("<H", pg, fmt["data_offs"] + 2 * nrows,
+                             floor_)
+            nrows += 1
+            total += 1
+            struct.pack_into("<H", pg, fmt["data_nrows"], nrows)
+            del need
+        return total
+
+    # -- assembly ---------------------------------------------------------
+
+    def build(self, tables: dict[str, list[dict]]) -> bytes:
+        """tables: {name: [records]} → .mdb file bytes."""
+        fmt = self.fmt
+        hdr = self._new_page()                     # page 0
+        self._new_page()                           # page 1 (free map)
+        cat_tdef = self._new_page()                # page 2: MSysObjects
+        assert cat_tdef == JetDb.MSYSOBJECTS_PG
+        cat_cols = [("Id", LONGINT, True, 0, 0, 4),
+                    ("Type", LONGINT, True, 4, 0, 4),
+                    ("Name", TEXT, False, 0, 0, 0)]
+        user = []
+        for name, records in tables.items():
+            recs = list(records)
+            keys = list(recs[0].keys()) if recs else []
+            specs = []
+            off_f = 0
+            off_v = 0
+            for k in keys:
+                t, is_fixed, flen = _py_coltype([r.get(k) for r in recs])
+                if is_fixed:
+                    specs.append((k, t, True, off_f, 0, flen))
+                    off_f += flen
+                else:
+                    specs.append((k, t, False, 0, off_v, 0))
+                    off_v += 1
+            tdef_pg = self._new_page()
+            self._tdef_page(tdef_pg, specs, len(recs))
+            self._data_pages(tdef_pg, specs, recs)
+            user.append({"Id": tdef_pg, "Type": 1, "Name": name})
+        self._tdef_page(cat_tdef, cat_cols, len(user))
+        self._data_pages(cat_tdef, cat_cols, user)
+        pg0 = self.pages[hdr]
+        pg0[4:19] = b"Standard Jet DB"
+        pg0[0x14] = fmt["version_byte"]
+        return b"".join(bytes(p) for p in self.pages)
+
+
+def build_jet(tables: dict[str, list[dict]], version: int = 4) -> bytes:
+    """Build a minimal .mdb byte string holding ``tables``
+    ({name: [row dicts]}); column types are inferred from the first
+    non-null value per key (bool/int/float/Decimal/datetime/str/bytes
+    → BOOL/LONGINT/DOUBLE/MONEY/DATETIME/TEXT/BINARY)."""
+    return _JetWriter(version).build(tables)

@@ -852,8 +852,10 @@ def read_mdb(spark: SparkSession, path: str,
          instead of mdb-export's CSV strings, so no lossy
          stringify-then-reinfer round-trip.
 
-    Jet3 (Access 97) files still gate on mdbtools
-    (NotImplementedError otherwise — see JetDb). Driver-side parse →
+    Jet3 (Access 97) files parse natively for the common subset
+    (2 KB pages, latin-1 text, <256-byte rows); the jump-table var
+    scheme and Jet3 memos still gate with NotImplementedError — route
+    those through mdbtools (see JetDb). Driver-side parse →
     ``createDataFrame``: .mdb is hard-capped at 2 GB by the format,
     so per-FILE parallelism via ``io_join`` is the distribution
     model (SURVEY §4.2.3), same as xls/dbf.

@@ -17,8 +17,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["records2csv", "records2tsv", "records2json", "records2geojson",
            "records2fixed", "records2html", "records2xlsx", "records2dbf",
-           "records2sqlite", "records2yaml", "records2xml", "write",
-           "write_bucketed",
+           "records2sqlite", "records2yaml", "records2xml", "records2mdb",
+           "write", "write_bucketed",
            "hash_file"]
 
 
@@ -385,6 +385,40 @@ def records2xls(df: DataFrame, path: str) -> None:
     for row in df.toLocalIterator():
         grid.append(list(row))
     write_biff(grid, path)
+
+
+def records2mdb(df: DataFrame, path: str, table_name: str = "data",
+                version: int = 4) -> None:
+    """DataFrame → MS Access .mdb (inverse of read_mdb, ref:
+    meza/io.py:598-674 reads them; mdbtools has no writer, so this is
+    the minimal Jet builder in io/mdb.py). ``version`` 4 = Jet4
+    (Access 2000+, 4 KB pages), 3 = Jet3 (Access 97, 2 KB pages,
+    ≤255-byte rows). Column types follow the schema: bool/ints/
+    float/decimal/timestamp/string/binary → BOOL/LONGINT/DOUBLE/
+    MONEY/DATETIME/TEXT/BINARY. Driver-side single artifact like the
+    other office sinks (the format is hard-capped at 2 GB)."""
+    from decimal import Decimal
+
+    from .mdb import build_jet
+
+    type_map = {}
+    for f_ in df.schema.fields:
+        t = f_.dataType.simpleString()
+        if t in ("tinyint", "smallint", "int", "bigint"):
+            type_map[f_.name] = int
+        elif t.startswith("decimal"):
+            type_map[f_.name] = Decimal
+
+    def conv(name, v):
+        if v is None:
+            return None
+        want = type_map.get(name)
+        return want(v) if want is not None else v
+
+    recs = [{c: conv(c, row[c]) for c in df.columns}
+            for row in df.toLocalIterator()]
+    with open(path, "wb") as f:
+        f.write(build_jet({table_name: recs}, version=version))
 
 
 def records2dbf(df: DataFrame, path: str) -> None:
