@@ -643,6 +643,40 @@ def multimodal_decode(spark, sf_dir):
                       F.round("mean_pixel", 6).alias("mean_pixel"))
 
 
+def multimodal_png(spark, sf_dir):
+    """REAL PNG decode, hash-gated (r4 verdict #6): synthesize a
+    non-interlaced 8-bit PNG per doc — RGB for even ids, grayscale
+    for odd — whose pixel bytes follow a closed-form pattern of
+    (doc_id, n_chars), encoded with the scanline filter CYCLING y%5
+    so every one of the five unfilter paths (None/Sub/Up/Average/
+    Paeth) is under the hash. The decoder is pure stdlib (zlib
+    inflate + filter reconstruction); the DuckDB oracle recomputes
+    the stats arithmetically from the same closed form."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from meza_spark.llm.multimodal import _encode_png, decode_image
+
+    @pandas_udf("binary")
+    def _png(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+        out = []
+        for i, n in zip(doc_id, n_chars):
+            w, h = int(n) % 24 + 1, int(i) % 16 + 1
+            c = 3 if int(i) % 2 == 0 else 1
+            j = np.arange(w * h * c, dtype=np.int64)
+            px = ((int(i) * 13 + j * 5) % 256).astype(np.uint8)
+            out.append(_encode_png(px.reshape(h, w, c)))
+        return pd.Series(out)
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        _png("doc_id", "n_chars").alias("payload"))
+    out = decode_image(d)
+    return out.select("media_id", "width", "height", "channels",
+                      F.round("mean_pixel", 6).alias("mean_pixel"))
+
+
 def multimodal_e2e(spark, sf_dir):
     """Multimodal FLAGSHIP: synthetic BMP images + json metadata →
     WebDataset tar shard (the training-data container) → sample-per-
@@ -3381,6 +3415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordinal_fmt": ordinal_fmt,
         "multimodal_meta": multimodal_meta,
         "multimodal_decode": multimodal_decode,
+        "multimodal_png": multimodal_png,
         "multimodal_e2e": multimodal_e2e,
         "image_features_docs": image_features_docs,
         "multimodal_audio": multimodal_audio,
@@ -4473,6 +4508,23 @@ def _oracle_sql_base() -> dict[str, str]:
                    round(list_avg(list_transform(
                      range(0, (n_chars % 24 + 1) * (doc_id % 16 + 1) * 3),
                      j -> (doc_id * 7 + j * 11) % 256)), 6) AS mean_pixel
+            FROM documents
+        """,
+        # PNG twin of multimodal_decode: same closed-form pixel
+        # arithmetic, channels split even/odd — the payload went
+        # through zlib + 5 cycling scanline filters on the Spark side,
+        # so a hash match proves the whole codec path.
+        "multimodal_png": """
+            SELECT doc_id AS media_id,
+                   CAST(n_chars % 24 + 1 AS INTEGER) AS width,
+                   CAST(doc_id % 16 + 1 AS INTEGER) AS height,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END
+                        AS INTEGER) AS channels,
+                   round(list_avg(list_transform(
+                     range(0, (n_chars % 24 + 1) * (doc_id % 16 + 1)
+                              * (CASE WHEN doc_id % 2 = 0
+                                 THEN 3 ELSE 1 END)),
+                     j -> (doc_id * 13 + j * 5) % 256)), 6) AS mean_pixel
             FROM documents
         """,
         # 16-bit mono WAV with samples (doc_id*31 + j*7) % 2001 - 1000;

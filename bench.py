@@ -100,6 +100,9 @@ HEADLINE = [
     "json_normalize_lines",
     "multimodal_e2e",
     "image_features_docs",
+    # round-5 operators (append-only: keep batch composition stable)
+    "mdb_roundtrip",
+    "multimodal_png",
 ]
 
 

@@ -2,9 +2,12 @@
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 Decode is REAL for every format stdlib+numpy can handle (r2 verdict
-#4): BMP (24-bit BI_RGB), netpbm PPM/P6 + PGM/P5, and WAV 16/8-bit PCM
-sample stats. Compressed formats (PNG/JPEG/GIF) still need Pillow —
-absent in this container — so they stay behind an honest
+#4): BMP (24-bit BI_RGB), netpbm PPM/P6 + PGM/P5, non-interlaced
+8-bit PNG (zlib inflate + all 5 scanline filters, gray/gray-alpha/
+RGB/RGBA/palette), and WAV 16/8-bit PCM sample stats. Formats that
+need a lossy/LZW codec (JPEG/GIF) — and the PNG shapes outside the
+stdlib subset (16-bit, Adam7 interlace) — still need Pillow, absent
+in this container, so they stay behind an honest
 ``NotImplementedError`` (or the opt-in deterministic stub used by the
 plumbing tests). On a cluster you add a Pillow branch to
 ``decode_pixels`` and nothing else changes.
@@ -163,23 +166,171 @@ def _decode_netpbm(b: bytes):
     return raw.reshape(h, w, ch).copy()
 
 
+def _png_paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _decode_png(b: bytes):
+    """Non-interlaced 8-bit PNG → (h, w, c) uint8 — pure stdlib
+    (zlib inflate + the 5 scanline filters per the public PNG spec,
+    RFC 2083 §6). Color types: 0 grayscale → (h,w,1), 2 RGB, 3
+    palette (PLTE lookup → (h,w,3)), 4 gray+alpha, 6 RGBA. Honest
+    gates stay on what this subset can't express: bit depths other
+    than 8 and Adam7 interlacing raise NotImplementedError (route
+    through Pillow)."""
+    import zlib
+
+    import numpy as np
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, plte = 8, [], None
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos:pos + 4], "big")
+        typ = b[pos + 4:pos + 8]
+        chunk = b[pos + 8:pos + 8 + ln]
+        pos += 12 + ln                      # 4 len + 4 type + data + 4 crc
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", chunk)
+            if comp != 0 or filt != 0:
+                raise ValueError("invalid PNG compression/filter method")
+        elif typ == b"PLTE":
+            plte = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG without IHDR")
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG bit depth {depth} / interlace {interlace} not "
+            "supported by the stdlib decoder (8-bit non-interlaced "
+            "only); install Pillow for the rest")
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"unknown PNG color type {ctype}")
+    c = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * c
+    if len(raw) < h * (1 + stride):
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    p = 0
+    for y in range(h):
+        ft = raw[p]
+        p += 1
+        row = np.frombuffer(raw, np.uint8, stride, p)
+        p += stride
+        prev = out[y - 1] if y else np.zeros(stride, np.uint8)
+        if ft == 0:
+            out[y] = row
+        elif ft == 2:                      # Up — vectorized wrap-add
+            out[y] = row + prev
+        elif ft == 1:                      # Sub — per-phase cumsum
+            for ph in range(c):
+                out[y, ph::c] = np.cumsum(
+                    row[ph::c].astype(np.int64)) & 0xFF
+        elif ft == 3:                      # Average — sequential left dep
+            cur = out[y]
+            for x in range(stride):
+                left = int(cur[x - c]) if x >= c else 0
+                cur[x] = (row[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ft == 4:                      # Paeth — sequential left dep
+            cur = out[y]
+            for x in range(stride):
+                a = int(cur[x - c]) if x >= c else 0
+                up = int(prev[x])
+                ul = int(prev[x - c]) if x >= c else 0
+                cur[x] = (row[x] + _png_paeth(a, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+    px = out.reshape(h, w, c)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        px = plte[px[:, :, 0]]
+    return px.copy()
+
+
+def _encode_png(px, filter_type: int | None = None) -> bytes:
+    """(h, w, c) uint8 → 8-bit non-interlaced PNG bytes (c = 1, 2, 3
+    or 4 → gray / gray+alpha / RGB / RGBA). ``filter_type`` forces one
+    scanline filter; default cycles y % 5 so a roundtrip exercises all
+    five unfilter paths. Round-trips through :func:`_decode_png`."""
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    flat = px.reshape(h, w * c).astype(np.int16)
+    zeros = np.zeros(w * c, dtype=np.int16)
+    body = bytearray()
+    for y in range(h):
+        ft = (y % 5) if filter_type is None else filter_type
+        row, prev = flat[y], (flat[y - 1] if y else zeros)
+        left = np.concatenate([np.zeros(c, np.int16), row[:-c]]) \
+            if w * c > c else np.zeros_like(row)
+        upleft = np.concatenate([np.zeros(c, np.int16), prev[:-c]]) \
+            if w * c > c else np.zeros_like(prev)
+        if ft == 0:
+            enc = row
+        elif ft == 1:
+            enc = row - left
+        elif ft == 2:
+            enc = row - prev
+        elif ft == 3:
+            enc = row - ((left + prev) >> 1)
+        else:
+            pred = np.array([_png_paeth(int(a), int(b_), int(cc))
+                             for a, b_, cc in zip(left, prev, upleft)],
+                            dtype=np.int16)
+            enc = row - pred
+        body.append(ft)
+        body += (enc & 0xFF).astype(np.uint8).tobytes()
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return struct.pack(">I", len(data)) + typ + data + \
+            struct.pack(">I", zlib.crc32(typ + data))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + \
+        chunk(b"IDAT", zlib.compress(bytes(body))) + chunk(b"IEND", b"")
+
+
 def decode_pixels(b: bytes):
     """Dispatch real pixel decode by magic bytes → (h, w, c) uint8.
 
-    BMP / PPM / PGM decode for real (stdlib struct + numpy). PNG, JPEG
-    and GIF require a compression codec (Pillow/libvips — not in this
-    container) and raise ``NotImplementedError``; unknown payloads
-    raise ``ValueError``.
+    BMP / PPM / PGM / non-interlaced 8-bit PNG decode for real
+    (stdlib struct + zlib + numpy). JPEG and GIF require a lossy/LZW
+    codec (Pillow/libvips — not in this container) and raise
+    ``NotImplementedError``; unknown payloads raise ``ValueError``.
     """
     if b[:2] == b"BM":
         return _decode_bmp(b)
     if b[:2] in (b"P5", b"P6"):
         return _decode_netpbm(b)
-    if (b[:8] == b"\x89PNG\r\n\x1a\n" or b[:3] == b"\xff\xd8\xff"
-            or b[:6] in (b"GIF87a", b"GIF89a")):
+    if b[:8] == _PNG_SIG:
+        return _decode_png(b)
+    if b[:3] == b"\xff\xd8\xff" or b[:6] in (b"GIF87a", b"GIF89a"):
         raise NotImplementedError(
-            "PNG/JPEG/GIF decode requires Pillow (not in this container); "
-            "BMP/PPM/PGM decode for real")
+            "JPEG/GIF decode requires Pillow (not in this container); "
+            "BMP/PPM/PGM/PNG decode for real")
     raise ValueError("unknown image container")
 
 
@@ -245,10 +396,10 @@ def decode_image(df: DataFrame, payload_col: str = "payload",
     """Decode images → per-image pixel stats via Arrow-batched
     mapInPandas.
 
-    REAL decode for BMP/PPM/PGM (see :func:`decode_pixels`):
+    REAL decode for BMP/PPM/PGM/PNG (see :func:`decode_pixels`):
     width/height/channels from the actual pixel array, ``mean_pixel``
     the true mean over every sample byte, ``crc`` of the payload.
-    Formats needing a codec (PNG/JPEG/GIF) or unknown payloads follow
+    Formats needing a codec (JPEG/GIF) or unknown payloads follow
     ``unsupported``: ``'error'`` (default — honest gate), ``'skip'``
     (drop the row; a curation pipeline's usual choice), or ``'stub'``
     (deterministic fake stats — plumbing tests only).
