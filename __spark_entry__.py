@@ -3062,6 +3062,52 @@ def session_paths_events(spark, sf_dir):
             .orderBy("user_id", "session_start"))
 
 
+def zscore_events_fast(spark, sf_dir):
+    """moving_zscore(exact=False): the production IEEE fast path —
+    plain window avg/stddev over doubles, no decimal accumulators or
+    string-routed casts. Rows-only gate by declared approximate
+    nature (±1 micro vs the hash-gated exact twin, parity-unit
+    pinned); exists so the bench quantifies what exactness costs
+    (r4 verdict #9)."""
+    from meza_spark.analytics import moving_zscore
+
+    ev = _t(spark, sf_dir, "events")
+    out = moving_zscore(ev, "event_type", "ts", "value",
+                        window=24, tiebreak="event_id", exact=False)
+    return (out.where(F.col("z_micro").isNotNull())
+            .select("event_id", "event_type", "z_micro")
+            .orderBy("event_id"))
+
+
+def cusum_events_fast(spark, sf_dir):
+    """cusum(exact=False): IEEE fast path of the changepoint
+    statistic. Rows-only by approximate nature (parity-unit
+    pinned)."""
+    from meza_spark.analytics import cusum
+
+    ev = _t(spark, sf_dir, "events")
+    out = cusum(ev, "event_type", "ts", "value",
+                slack=10.0, threshold=1000.0, tiebreak="event_id",
+                exact=False)
+    return (out.select("event_id", "event_type",
+                       "cusum_hi_micro", "cusum_lo_micro", "alarm")
+            .orderBy("event_id"))
+
+
+def ewma_events_fast(spark, sf_dir):
+    """ewma(exact=False): IEEE fast path (float weights, no
+    integer-weight ceiling). Rows-only by approximate nature
+    (parity-unit pinned)."""
+    from meza_spark.analytics import ewma
+
+    ev = _t(spark, sf_dir, "events")
+    out = ewma(ev, "event_type", "ts", "value",
+               alpha_num=3, alpha_den=10, window=8,
+               tiebreak="event_id", exact=False)
+    return (out.select("event_id", "event_type", "ewma_micro")
+            .orderBy("event_id"))
+
+
 def cusum_events(spark, sf_dir):
     """Per-event-type CUSUM changepoint statistic (analytics.cusum):
     running sum minus running min of exact cross-multiplied micro
@@ -3562,6 +3608,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_weekly": cohort_weekly,
         "co_occur_parts": co_occur_parts,
         "zscore_events": zscore_events,
+        "zscore_events_fast": zscore_events_fast,
+        "cusum_events_fast": cusum_events_fast,
+        "ewma_events_fast": ewma_events_fast,
         "top_session_paths": top_session_paths,
         "rfm_events": rfm_events,
         "session_paths_events": session_paths_events,

@@ -103,6 +103,9 @@ HEADLINE = [
     # round-5 operators (append-only: keep batch composition stable)
     "mdb_roundtrip",
     "multimodal_png",
+    "zscore_events_fast",
+    "cusum_events_fast",
+    "ewma_events_fast",
 ]
 
 

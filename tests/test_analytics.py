@@ -323,3 +323,75 @@ def test_rfm_scores_and_approx_path(spark):
     only_big = rfm(df, "user_id", "ts", "value",
                    event_filter=F.col("value") >= 30.0)
     assert only_big.count() == 3
+
+
+def _series(spark, n=400, series=3):
+    import math
+    rows = [(i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+             i % 7, f"t{i % series}",
+             round(50 + 30 * math.sin(i / 9.0) + (i % 13) * 1.7
+                   + (40 if i > 300 and i % series == 0 else 0), 3))
+            for i in range(n)]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+
+
+def test_zscore_fast_path_parity(spark):
+    """exact=False (IEEE window avg/stddev) must track the
+    hash-gated exact path within ±1 micro — same API, same nulls."""
+    from meza_spark.analytics import moving_zscore
+
+    ev = _series(spark)
+    a = {r["event_id"]: r["z_micro"] for r in moving_zscore(
+        ev, "event_type", "ts", "value", window=24,
+        tiebreak="event_id").collect()}
+    b = {r["event_id"]: r["z_micro"] for r in moving_zscore(
+        ev, "event_type", "ts", "value", window=24,
+        tiebreak="event_id", exact=False).collect()}
+    assert set(a) == set(b)
+    nulls_a = {k for k, v in a.items() if v is None}
+    nulls_b = {k for k, v in b.items() if v is None}
+    assert nulls_a == nulls_b
+    diffs = [abs(a[k] - b[k]) for k in a if a[k] is not None]
+    assert diffs and max(diffs) <= 1
+
+
+def test_cusum_fast_path_parity(spark):
+    from meza_spark.analytics import cusum
+
+    ev = _series(spark)
+    a = {r["event_id"]: (r["cusum_hi_micro"], r["cusum_lo_micro"])
+         for r in cusum(ev, "event_type", "ts", "value", slack=5.0,
+                        tiebreak="event_id").collect()}
+    b = {r["event_id"]: (r["cusum_hi_micro"], r["cusum_lo_micro"])
+         for r in cusum(ev, "event_type", "ts", "value", slack=5.0,
+                        tiebreak="event_id", exact=False).collect()}
+    assert set(a) == set(b)
+    worst = max(max(abs(a[k][0] - b[k][0]), abs(a[k][1] - b[k][1]))
+                for k in a)
+    # float running sums drift with series length; micro-units of a
+    # ~1e2-magnitude statistic keep it within a few last digits
+    assert worst <= 5
+
+
+def test_ewma_fast_path_parity(spark):
+    from meza_spark.analytics import ewma
+
+    ev = _series(spark)
+    a = {r["event_id"]: r["ewma_micro"] for r in ewma(
+        ev, "event_type", "ts", "value", alpha_num=3, alpha_den=10,
+        window=8, tiebreak="event_id").collect()}
+    b = {r["event_id"]: r["ewma_micro"] for r in ewma(
+        ev, "event_type", "ts", "value", alpha_num=3, alpha_den=10,
+        window=8, tiebreak="event_id", exact=False).collect()}
+    assert set(a) == set(b)
+    assert max(abs(a[k] - b[k]) for k in a) <= 1
+    # the fast path has no integer-weight ceiling: a window the exact
+    # path refuses runs fine
+    import pytest as _pt
+    with _pt.raises(ValueError, match="decimal"):
+        ewma(ev, "event_type", "ts", "value", alpha_num=3,
+             alpha_den=10, window=40)
+    ewma(ev, "event_type", "ts", "value", alpha_num=3, alpha_den=10,
+         window=40, exact=False).collect()
