@@ -145,7 +145,12 @@ SCALE_QUERIES = ["q1_pricing", "q3_shipping", "q5_local_supplier",
                  "cusum_events", "ewma_events", "zscore_events",
                  "attribution_events", "rfm_events", "graph_lpa",
                  "session_paths_events", "bm25_search",
-                 "inverted_index_docs", "benford_orders"]
+                 "inverted_index_docs", "benford_orders",
+                 # round-5: flagship E2Es under the slope lens
+                 # (r4 verdict #7 — the sf1 section records the
+                 # composed pipelines, not just per-operator rows)
+                 "curation_e2e", "crawl_e2e", "multimodal_e2e",
+                 "zscore_events_fast"]
 
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

@@ -323,14 +323,15 @@ class JetDb:
         if not 0 < pgno < self.num_pages:
             return None
         pg = self.page(pgno)
-        nrows, = struct.unpack_from("<H", pg, 0x0C)
+        nrows, = struct.unpack_from("<H", pg, self.fmt["data_nrows"])
         if rowno >= nrows:
             return None
-        off, = struct.unpack_from("<H", pg, 0x0E + 2 * rowno)
+        offs = self.fmt["data_offs"]
+        off, = struct.unpack_from("<H", pg, offs + 2 * rowno)
         if off & 0x8000:
             return None
         end = self.page_size if rowno == 0 else (
-            struct.unpack_from("<H", pg, 0x0E + 2 * (rowno - 1))[0]
+            struct.unpack_from("<H", pg, offs + 2 * (rowno - 1))[0]
             & 0x1FFF)
         return pg[off & 0x1FFF:end]
 
@@ -549,7 +550,7 @@ class _JetWriter:
                 else struct.pack("<H", rcols)) + bytes(fixed) + \
             bytes(var_data)
         trailer = bytearray()
-        if self.num_var_cols_of(cols):
+        if nvar:
             for i in range(nvar, -1, -1):
                 if vsz == 2:
                     trailer += struct.pack("<H", var_off[i])
@@ -570,10 +571,6 @@ class _JetWriter:
                 "does not emit jump-table rows")
         return row
 
-    @staticmethod
-    def num_var_cols_of(cols):
-        return sum(1 for c in cols if not c[2])
-
     def _data_pages(self, tdef_pg: int, cols, records) -> int:
         """Pack rows end-to-start into as many data pages as needed;
         returns the row count written."""
@@ -582,9 +579,17 @@ class _JetWriter:
         floor_ = None
         nrows = 0
         total = 0
+        # a fresh page holds a single row of at most page_size minus
+        # the page header and one offset slot
+        max_row = fmt["page_size"] - fmt["data_offs"] - 2
         for rec in records:
             row = self._encode_row(cols, rec)
-            need = len(row) + 2                    # + offset slot
+            if len(row) > max_row:
+                raise ValueError(
+                    f"row of {len(row)} bytes exceeds the "
+                    f"{max_row}-byte Jet{self.version} data-page "
+                    "capacity — the minimal writer does not emit "
+                    "overflow rows; store oversized text elsewhere")
             if pgno is None or \
                     floor_ - len(row) < fmt["data_offs"] + 2 * (nrows + 1):
                 pgno = self._new_page()
@@ -602,7 +607,6 @@ class _JetWriter:
             nrows += 1
             total += 1
             struct.pack_into("<H", pg, fmt["data_nrows"], nrows)
-            del need
         return total
 
     # -- assembly ---------------------------------------------------------

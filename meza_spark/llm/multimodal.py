@@ -194,6 +194,20 @@ def _decode_png(b: bytes):
 
     if b[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
+    try:
+        return _decode_png_inner(b)
+    except (zlib.error, struct.error, IndexError) as e:
+        # malformed payloads must surface as ValueError so the
+        # unsupported='skip'/'stub' pipelines treat them like any
+        # other corrupt image instead of crashing the job
+        raise ValueError(f"corrupt PNG payload: {e}") from e
+
+
+def _decode_png_inner(b: bytes):
+    import zlib
+
+    import numpy as np
+
     pos, idat, plte = 8, [], None
     w = h = depth = ctype = interlace = None
     while pos + 8 <= len(b):

@@ -743,3 +743,49 @@ def test_ndjson_quarantine_non_object_lines(spark, tmp_path):
     assert sorted(r["a"] for r in good.collect()) == [1, 2]
     bad_rows = {r["corrupt_record"].strip() for r in bad.collect()}
     assert bad_rows == {"42", "[1, 2]", '"just a string"'}
+
+
+def test_mdb_writer_oversized_row_raises(spark):
+    """A row too large for one data page must raise, not silently
+    corrupt the page (round-5 review finding: a ~2 KB string column
+    built a file that read back 0 rows)."""
+    from meza_spark.io.mdb import build_jet
+
+    with pytest.raises(ValueError, match="data-page capacity"):
+        build_jet({"t": [{"id": 1, "txt": "x" * 2040}]}, version=4)
+    # just under the cap still roundtrips
+    from meza_spark.io.mdb import JetDb
+
+    ok = "y" * 900
+    db = JetDb(build_jet({"t": [{"id": 1, "txt": ok}]}, version=4))
+    assert next(db.table("t").rows()) == {"id": 1, "txt": ok}
+
+
+def test_mdb_jet3_overflow_lookup_row(spark):
+    """row_bytes must use the Jet3 data-page offsets when resolving an
+    overflow (lookup) pointer (round-5 review finding: it hardcoded
+    the Jet4 offsets). Synthesize the overflow: relocate a written
+    row to a fresh page and leave a 0x4000-flagged 4-byte pointer."""
+    from meza_spark.io.mdb import JetDb, build_jet
+
+    raw = bytearray(build_jet(
+        {"t": [{"a": 7, "s": "overflowed"}]}, version=3))
+    ps = 2048
+    data_pg = 4                      # hdr, free, cat_tdef, tdef, data
+    base = data_pg * ps
+    assert raw[base] == 0x01
+    orig_off = struct.unpack_from("<H", raw, base + 0x0A)[0]
+    row = bytes(raw[base + orig_off:base + ps])
+    # new page holding the real row at its tail (rowno 0 ends at ps)
+    over_pg = len(raw) // ps
+    page = bytearray(ps)
+    struct.pack_into("<H", page, 0x08, 1)             # nrows (Jet3 off)
+    struct.pack_into("<H", page, 0x0A, ps - len(row))
+    page[ps - len(row):] = row
+    raw += page
+    # original slot becomes a 4-byte (page,row) pointer, flag 0x4000
+    ptr_off = ps - 4
+    struct.pack_into("<H", raw, base + 0x0A, ptr_off | 0x4000)
+    struct.pack_into("<I", raw, base + ptr_off, over_pg << 8 | 0)
+    got = list(JetDb(bytes(raw)).table("t").rows())
+    assert got == [{"a": 7, "s": "overflowed"}]

@@ -283,3 +283,46 @@ def test_decode_image_png_path(spark):
     assert (out[1]["width"], out[1]["height"], out[1]["channels"]) \
         == (7, 5, 3)
     assert out[1]["mean_pixel"] == out[2]["mean_pixel"]
+
+
+def test_corrupt_png_is_value_error_and_skippable(spark):
+    """Malformed PNG payloads (truncated IDAT, short IHDR, palette
+    index out of range) must raise ValueError — not zlib/struct/Index
+    errors — so unsupported='skip' pipelines drop them instead of
+    crashing (round-5 review finding)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from meza_spark.llm.multimodal import (_decode_png, _encode_png,
+                                           decode_image)
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + \
+            struct.pack(">I", zlib.crc32(t + d))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0))
+    bad = [
+        sig + ihdr + chunk(b"IDAT", b"\x01\x02not-zlib"),   # zlib.error
+        sig + chunk(b"IHDR", b"\x00\x00"),                  # struct.error
+        sig + ihdr + chunk(b"PLTE", bytes(6))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x09\x09\x09"
+                                       b"\x00\x09\x09\x09")),
+    ]
+    # the third needs color type 3 to hit the palette lookup
+    bad[2] = sig + chunk(b"IHDR", struct.pack(
+        ">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)) + chunk(b"PLTE", bytes(6)) \
+        + chunk(b"IDAT", zlib.compress(b"\x00\x09\x09\x09"
+                                       b"\x00\x09\x09\x09"))
+    for payload in bad:
+        with pytest.raises(ValueError):
+            _decode_png(payload)
+    import numpy as np
+    good = _encode_png(np.zeros((2, 3, 3), dtype=np.uint8))
+    rows = [(1, bytearray(bad[0])), (2, bytearray(bad[2])),
+            (3, bytearray(good))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = decode_image(df, unsupported="skip").collect()
+    assert [r["media_id"] for r in out] == [3]
