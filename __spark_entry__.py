@@ -649,9 +649,12 @@ def multimodal_png(spark, sf_dir):
     for odd — whose pixel bytes follow a closed-form pattern of
     (doc_id, n_chars), encoded with the scanline filter CYCLING y%5
     so every one of the five unfilter paths (None/Sub/Up/Average/
-    Paeth) is under the hash. The decoder is pure stdlib (zlib
-    inflate + filter reconstruction); the DuckDB oracle recomputes
-    the stats arithmetically from the same closed form."""
+    Paeth) is under the hash — and every third doc Adam7-INTERLACED,
+    so the seven-pass scatter is under it too. The decoder is pure
+    stdlib (zlib inflate + filter reconstruction); the DuckDB oracle
+    recomputes the stats arithmetically from the same closed form
+    (the payload encoding never appears in the oracle, so interlaced
+    and plain docs share one twin)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -666,7 +669,8 @@ def multimodal_png(spark, sf_dir):
             c = 3 if int(i) % 2 == 0 else 1
             j = np.arange(w * h * c, dtype=np.int64)
             px = ((int(i) * 13 + j * 5) % 256).astype(np.uint8)
-            out.append(_encode_png(px.reshape(h, w, c)))
+            out.append(_encode_png(px.reshape(h, w, c),
+                                   interlace=int(i) % 3 == 0))
         return pd.Series(out)
 
     d = _t(spark, sf_dir, "documents").select(

@@ -2,11 +2,11 @@
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 Decode is REAL for every format stdlib+numpy can handle (r2 verdict
-#4): BMP (24-bit BI_RGB), netpbm PPM/P6 + PGM/P5, non-interlaced
-8-bit PNG (zlib inflate + all 5 scanline filters, gray/gray-alpha/
-RGB/RGBA/palette), and WAV 16/8-bit PCM sample stats. Formats that
-need a lossy/LZW codec (JPEG/GIF) — and the PNG shapes outside the
-stdlib subset (16-bit, Adam7 interlace) — still need Pillow, absent
+#4): BMP (24-bit BI_RGB), netpbm PPM/P6 + PGM/P5, 8-bit PNG both
+non-interlaced and Adam7 (zlib inflate + all 5 scanline filters,
+gray/gray-alpha/RGB/RGBA/palette), and WAV 16/8-bit PCM sample
+stats. Formats that need a lossy/LZW codec (JPEG/GIF) — and 16-bit
+PNG — still need Pillow, absent
 in this container, so they stay behind an honest
 ``NotImplementedError`` (or the opt-in deterministic stub used by the
 plumbing tests). On a cluster you add a Pillow branch to
@@ -181,13 +181,12 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _decode_png(b: bytes):
-    """Non-interlaced 8-bit PNG → (h, w, c) uint8 — pure stdlib
-    (zlib inflate + the 5 scanline filters per the public PNG spec,
-    RFC 2083 §6). Color types: 0 grayscale → (h,w,1), 2 RGB, 3
-    palette (PLTE lookup → (h,w,3)), 4 gray+alpha, 6 RGBA. Honest
-    gates stay on what this subset can't express: bit depths other
-    than 8 and Adam7 interlacing raise NotImplementedError (route
-    through Pillow)."""
+    """8-bit PNG → (h, w, c) uint8 — pure stdlib (zlib inflate + the
+    5 scanline filters per the public PNG spec, RFC 2083 §6), both
+    non-interlaced and Adam7 interlaced. Color types: 0 grayscale →
+    (h,w,1), 2 RGB, 3 palette (PLTE lookup → (h,w,3)), 4 gray+alpha,
+    6 RGBA. The honest gate that remains: bit depths other than 8
+    raise NotImplementedError (route through Pillow)."""
     import zlib
 
     import numpy as np
@@ -228,20 +227,53 @@ def _decode_png_inner(b: bytes):
             break
     if w is None:
         raise ValueError("PNG without IHDR")
-    if depth != 8 or interlace != 0:
+    if depth != 8:
         raise NotImplementedError(
-            f"PNG bit depth {depth} / interlace {interlace} not "
-            "supported by the stdlib decoder (8-bit non-interlaced "
-            "only); install Pillow for the rest")
+            f"PNG bit depth {depth} not supported by the stdlib "
+            "decoder (8-bit only); install Pillow for the rest")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if ctype not in _PNG_CHANNELS:
         raise ValueError(f"unknown PNG color type {ctype}")
     c = _PNG_CHANNELS[ctype]
     raw = zlib.decompress(b"".join(idat))
+    if interlace == 0:
+        px, p = _png_unfilter(raw, 0, h, w, c)
+    else:
+        # Adam7: seven independently-filtered sub-images back-to-back
+        # in the stream, scattered onto the (x0 + j*dx, y0 + i*dy)
+        # grid per the public PNG spec; empty passes emit no bytes
+        px = np.zeros((h, w, c), dtype=np.uint8)
+        p = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            sub, p = _png_unfilter(raw, p, hp, wp, c)
+            px[y0::dy, x0::dx] = sub
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        px = plte[px[:, :, 0]]
+    return px.copy()
+
+
+# Adam7 pass geometry (PNG spec §8.2): (x_start, y_start, x_step, y_step)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _png_unfilter(raw: bytes, p: int, h: int, w: int, c: int):
+    """Reconstruct one filtered image (filter byte + scanline, h rows
+    of w pixels × c channels) starting at offset ``p`` in the inflated
+    stream; returns ``((h, w, c) uint8, next_offset)``."""
+    import numpy as np
+
     stride = w * c
-    if len(raw) < h * (1 + stride):
+    if len(raw) - p < h * (1 + stride):
         raise ValueError("truncated PNG pixel data")
     out = np.zeros((h, stride), dtype=np.uint8)
-    p = 0
     for y in range(h):
         ft = raw[p]
         p += 1
@@ -270,19 +302,17 @@ def _decode_png_inner(b: bytes):
                 cur[x] = (row[x] + _png_paeth(a, up, ul)) & 0xFF
         else:
             raise ValueError(f"unknown PNG filter type {ft}")
-    px = out.reshape(h, w, c)
-    if ctype == 3:
-        if plte is None:
-            raise ValueError("palette PNG without PLTE chunk")
-        px = plte[px[:, :, 0]]
-    return px.copy()
+    return out.reshape(h, w, c), p
 
 
-def _encode_png(px, filter_type: int | None = None) -> bytes:
-    """(h, w, c) uint8 → 8-bit non-interlaced PNG bytes (c = 1, 2, 3
-    or 4 → gray / gray+alpha / RGB / RGBA). ``filter_type`` forces one
-    scanline filter; default cycles y % 5 so a roundtrip exercises all
-    five unfilter paths. Round-trips through :func:`_decode_png`."""
+def _encode_png(px, filter_type: int | None = None,
+                interlace: bool = False) -> bytes:
+    """(h, w, c) uint8 → 8-bit PNG bytes (c = 1, 2, 3 or 4 → gray /
+    gray+alpha / RGB / RGBA). ``filter_type`` forces one scanline
+    filter; default cycles y % 5 so a roundtrip exercises all five
+    unfilter paths. ``interlace=True`` emits Adam7 (seven
+    independently-filtered sub-images). Round-trips through
+    :func:`_decode_png`."""
     import zlib
 
     import numpy as np
@@ -292,37 +322,53 @@ def _encode_png(px, filter_type: int | None = None) -> bytes:
         px = px[:, :, None]
     h, w, c = px.shape
     ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    flat = px.reshape(h, w * c).astype(np.int16)
-    zeros = np.zeros(w * c, dtype=np.int16)
-    body = bytearray()
-    for y in range(h):
-        ft = (y % 5) if filter_type is None else filter_type
-        row, prev = flat[y], (flat[y - 1] if y else zeros)
-        left = np.concatenate([np.zeros(c, np.int16), row[:-c]]) \
-            if w * c > c else np.zeros_like(row)
-        upleft = np.concatenate([np.zeros(c, np.int16), prev[:-c]]) \
-            if w * c > c else np.zeros_like(prev)
-        if ft == 0:
-            enc = row
-        elif ft == 1:
-            enc = row - left
-        elif ft == 2:
-            enc = row - prev
-        elif ft == 3:
-            enc = row - ((left + prev) >> 1)
-        else:
-            pred = np.array([_png_paeth(int(a), int(b_), int(cc))
-                             for a, b_, cc in zip(left, prev, upleft)],
-                            dtype=np.int16)
-            enc = row - pred
-        body.append(ft)
-        body += (enc & 0xFF).astype(np.uint8).tobytes()
+
+    def filt_image(img) -> bytearray:
+        hh, ww = img.shape[:2]
+        flat = img.reshape(hh, ww * c).astype(np.int16)
+        zeros = np.zeros(ww * c, dtype=np.int16)
+        body = bytearray()
+        for y in range(hh):
+            ft = (y % 5) if filter_type is None else filter_type
+            row, prev = flat[y], (flat[y - 1] if y else zeros)
+            left = np.concatenate([np.zeros(c, np.int16), row[:-c]]) \
+                if ww * c > c else np.zeros_like(row)
+            upleft = np.concatenate(
+                [np.zeros(c, np.int16), prev[:-c]]) \
+                if ww * c > c else np.zeros_like(prev)
+            if ft == 0:
+                enc = row
+            elif ft == 1:
+                enc = row - left
+            elif ft == 2:
+                enc = row - prev
+            elif ft == 3:
+                enc = row - ((left + prev) >> 1)
+            else:
+                pred = np.array(
+                    [_png_paeth(int(a), int(b_), int(cc))
+                     for a, b_, cc in zip(left, prev, upleft)],
+                    dtype=np.int16)
+                enc = row - pred
+            body.append(ft)
+            body += (enc & 0xFF).astype(np.uint8).tobytes()
+        return body
+
+    if not interlace:
+        body = filt_image(px)
+    else:
+        body = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                body += filt_image(sub)
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return struct.pack(">I", len(data)) + typ + data + \
             struct.pack(">I", zlib.crc32(typ + data))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0,
+                       1 if interlace else 0)
     return _PNG_SIG + chunk(b"IHDR", ihdr) + \
         chunk(b"IDAT", zlib.compress(bytes(body))) + chunk(b"IEND", b"")
 
@@ -330,9 +376,9 @@ def _encode_png(px, filter_type: int | None = None) -> bytes:
 def decode_pixels(b: bytes):
     """Dispatch real pixel decode by magic bytes → (h, w, c) uint8.
 
-    BMP / PPM / PGM / non-interlaced 8-bit PNG decode for real
-    (stdlib struct + zlib + numpy). JPEG and GIF require a lossy/LZW
-    codec (Pillow/libvips — not in this container) and raise
+    BMP / PPM / PGM / 8-bit PNG (non-interlaced AND Adam7) decode for
+    real (stdlib struct + zlib + numpy). JPEG and GIF require a
+    lossy/LZW codec (Pillow/libvips — not in this container) and raise
     ``NotImplementedError``; unknown payloads raise ``ValueError``.
     """
     if b[:2] == b"BM":

@@ -255,15 +255,30 @@ def test_png_palette_and_honest_gates():
         + chunk(b"IEND", b"")
     out = _decode_png(png)
     assert out.shape == (2, 3, 3) and out[1, 0].tolist() == [27, 28, 29]
-    # 16-bit and interlaced PNGs gate instead of mis-parsing
-    for depth, inter in ((16, 0), (8, 1)):
-        bad = sig + chunk(b"IHDR", struct.pack(
-            ">IIBBBBB", 3, 2, depth, 0, 0, 0, inter))
-        with pytest.raises(NotImplementedError):
-            _decode_png(bad)
+    # 16-bit PNGs gate instead of mis-parsing (Adam7 now decodes)
+    bad = sig + chunk(b"IHDR", struct.pack(
+        ">IIBBBBB", 3, 2, 16, 0, 0, 0, 0))
+    with pytest.raises(NotImplementedError):
+        _decode_png(bad)
     # JPEG still routes to the honest Pillow gate via decode_pixels
     with pytest.raises(NotImplementedError):
         decode_pixels(b"\xff\xd8\xff\xe0rest")
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7 PNGs (the progressive web export) decode for real: the
+    seven passes scatter back bit-exactly, including sizes where late
+    passes are empty (1x1 keeps only pass 1)."""
+    import numpy as np
+
+    from meza_spark.llm.multimodal import _decode_png, _encode_png
+
+    rng = np.random.default_rng(11)
+    for c in (1, 3, 4):
+        for (h, w) in [(1, 1), (2, 3), (8, 8), (9, 13), (7, 1)]:
+            px = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+            back = _decode_png(_encode_png(px, interlace=True))
+            assert np.array_equal(back, px), (c, h, w)
 
 
 def test_decode_image_png_path(spark):
