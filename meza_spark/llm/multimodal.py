@@ -227,31 +227,41 @@ def _decode_png_inner(b: bytes):
             break
     if w is None:
         raise ValueError("PNG without IHDR")
-    if depth != 8:
+    if depth not in (8, 16) or (depth == 16 and ctype == 3):
         raise NotImplementedError(
-            f"PNG bit depth {depth} not supported by the stdlib "
-            "decoder (8-bit only); install Pillow for the rest")
+            f"PNG bit depth {depth} (color type {ctype}) not "
+            "supported by the stdlib decoder (8- and 16-bit only); "
+            "install Pillow for the rest")
     if interlace not in (0, 1):
         raise ValueError(f"unknown PNG interlace method {interlace}")
     if ctype not in _PNG_CHANNELS:
         raise ValueError(f"unknown PNG color type {ctype}")
     c = _PNG_CHANNELS[ctype]
+    # filters operate on BYTES at a bpp stride: 16-bit samples make
+    # each pixel 2c filter-bytes wide, so the unfilter runs on a
+    # (h, w, 2c) BYTE image that folds back to samples afterwards
+    sb = depth // 8                        # bytes per sample
     raw = zlib.decompress(b"".join(idat))
     if interlace == 0:
-        px, p = _png_unfilter(raw, 0, h, w, c)
+        px, p = _png_unfilter(raw, 0, h, w, c * sb)
     else:
         # Adam7: seven independently-filtered sub-images back-to-back
         # in the stream, scattered onto the (x0 + j*dx, y0 + i*dy)
         # grid per the public PNG spec; empty passes emit no bytes
-        px = np.zeros((h, w, c), dtype=np.uint8)
+        px = np.zeros((h, w, c * sb), dtype=np.uint8)
         p = 0
         for x0, y0, dx, dy in _ADAM7:
             wp = (w - x0 + dx - 1) // dx
             hp = (h - y0 + dy - 1) // dy
             if wp <= 0 or hp <= 0:
                 continue
-            sub, p = _png_unfilter(raw, p, hp, wp, c)
+            sub, p = _png_unfilter(raw, p, hp, wp, c * sb)
             px[y0::dy, x0::dx] = sub
+    if sb == 2:
+        # big-endian sample pairs → uint8 by the high byte (the
+        # standard 16→8 downconversion; the pixel-stat consumers in
+        # this module are uint8-contracted)
+        px = px.reshape(h, w, c, 2)[:, :, :, 0]
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE chunk")

@@ -255,11 +255,13 @@ def test_png_palette_and_honest_gates():
         + chunk(b"IEND", b"")
     out = _decode_png(png)
     assert out.shape == (2, 3, 3) and out[1, 0].tolist() == [27, 28, 29]
-    # 16-bit PNGs gate instead of mis-parsing (Adam7 now decodes)
-    bad = sig + chunk(b"IHDR", struct.pack(
-        ">IIBBBBB", 3, 2, 16, 0, 0, 0, 0))
-    with pytest.raises(NotImplementedError):
-        _decode_png(bad)
+    # sub-byte depths and 16-bit palette gate instead of mis-parsing
+    # (8/16-bit and Adam7 now decode)
+    for depth, ct in ((4, 0), (1, 0), (16, 3)):
+        bad = sig + chunk(b"IHDR", struct.pack(
+            ">IIBBBBB", 3, 2, depth, ct, 0, 0, 0))
+        with pytest.raises(NotImplementedError):
+            _decode_png(bad)
     # JPEG still routes to the honest Pillow gate via decode_pixels
     with pytest.raises(NotImplementedError):
         decode_pixels(b"\xff\xd8\xff\xe0rest")
@@ -341,3 +343,68 @@ def test_corrupt_png_is_value_error_and_skippable(spark):
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     out = decode_image(df, unsupported="skip").collect()
     assert [r["media_id"] for r in out] == [3]
+
+
+def test_png_16bit_decode():
+    """16-bit PNGs decode via the same byte-level filter walk (bpp =
+    2c) and fold to uint8 by the high byte — the standard 16->8
+    downconversion. Covers plain + Adam7 and a Sub-filtered row
+    (where the left reference is 2c bytes away)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from meza_spark.llm.multimodal import _ADAM7, _decode_png
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + \
+            struct.pack(">I", zlib.crc32(t + d))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ctype_of = {1: 0, 3: 2, 4: 6}
+
+    def enc16(px16, interlace=0, sub_filter=False):
+        h, w, c = px16.shape
+        be = px16.astype(">u2")
+
+        def fimg(img):
+            body = bytearray()
+            for y in range(img.shape[0]):
+                rb = np.frombuffer(img[y].tobytes(), np.uint8)
+                if sub_filter:
+                    bpp = 2 * c
+                    left = np.concatenate(
+                        [np.zeros(bpp, np.int16),
+                         rb[:-bpp].astype(np.int16)]) \
+                        if len(rb) > bpp else np.zeros(len(rb), np.int16)
+                    body.append(1)
+                    body += ((rb.astype(np.int16) - left) & 0xFF) \
+                        .astype(np.uint8).tobytes()
+                else:
+                    body.append(0)
+                    body += rb.tobytes()
+            return body
+
+        if interlace:
+            body = bytearray()
+            for x0, y0, dx, dy in _ADAM7:
+                s = be[y0::dy, x0::dx]
+                if s.shape[0] and s.shape[1]:
+                    body += fimg(s)
+        else:
+            body = fimg(be)
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, ctype_of[c], 0, 0,
+                           1 if interlace else 0)
+        return sig + chunk(b"IHDR", ihdr) + \
+            chunk(b"IDAT", zlib.compress(bytes(body))) + \
+            chunk(b"IEND", b"")
+
+    rng = np.random.default_rng(5)
+    for c in (1, 3, 4):
+        px16 = rng.integers(0, 65536, (5, 7, c), dtype=np.uint16)
+        want = (px16 >> 8).astype(np.uint8)
+        for inter in (0, 1):
+            assert np.array_equal(_decode_png(enc16(px16, inter)), want)
+        assert np.array_equal(
+            _decode_png(enc16(px16, sub_filter=True)), want)
