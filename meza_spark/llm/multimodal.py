@@ -738,6 +738,61 @@ def _parse_headers(b: bytes) -> dict:
             out["duration_ms"] = int(data_sz * 1000 // byte_rate)
     elif b[4:8] == b"ftyp":
         out["format"] = "mp4"
+        out.update({k: v for k, v in _parse_mp4(b).items()
+                    if v is not None})
+    return out
+
+
+def _mp4_boxes(b: bytes, start: int, end: int):
+    """Iterate ISO-BMFF boxes in b[start:end] → (type, body_start,
+    box_end); handles 64-bit largesize and size-0 (to-end) boxes."""
+    pos = start
+    while pos + 8 <= end:
+        sz = int.from_bytes(b[pos:pos + 4], "big")
+        typ = b[pos + 4:pos + 8]
+        hdr = 8
+        if sz == 1 and pos + 16 <= end:
+            sz = int.from_bytes(b[pos + 8:pos + 16], "big")
+            hdr = 16
+        elif sz == 0:
+            sz = end - pos
+        if sz < hdr or pos + sz > end:
+            break
+        yield typ, pos + hdr, pos + sz
+        pos += sz
+
+
+def _parse_mp4(b: bytes) -> dict:
+    """REAL MP4/ISO-BMFF metadata — pure stdlib box walk, no codec:
+    ``mvhd`` timescale+duration → duration_ms, first video ``tkhd``
+    with non-zero dimensions → width/height (stored 16.16 fixed
+    point). Both box versions (32/64-bit times) handled."""
+    out = {"width": None, "height": None, "duration_ms": None}
+    for typ, s, e in _mp4_boxes(b, 0, len(b)):
+        if typ != b"moov":
+            continue
+        for t2, s2, e2 in _mp4_boxes(b, s, e):
+            if t2 == b"mvhd" and e2 - s2 >= 20:
+                ver = b[s2]
+                if ver == 1 and e2 - s2 >= 28:
+                    ts = int.from_bytes(b[s2 + 20:s2 + 24], "big")
+                    dur = int.from_bytes(b[s2 + 24:s2 + 32], "big")
+                else:
+                    ts = int.from_bytes(b[s2 + 12:s2 + 16], "big")
+                    dur = int.from_bytes(b[s2 + 16:s2 + 20], "big")
+                if ts:
+                    out["duration_ms"] = int(dur * 1000 // ts)
+            elif t2 == b"trak":
+                for t3, s3, e3 in _mp4_boxes(b, s2, e2):
+                    if t3 != b"tkhd":
+                        continue
+                    off = s3 + (88 if b[s3] == 1 else 76)
+                    if e3 - off < 8:
+                        continue
+                    w = int.from_bytes(b[off:off + 4], "big") >> 16
+                    h = int.from_bytes(b[off + 4:off + 8], "big") >> 16
+                    if w and h and out["width"] is None:
+                        out["width"], out["height"] = w, h
     return out
 
 

@@ -408,3 +408,42 @@ def test_png_16bit_decode():
             assert np.array_equal(_decode_png(enc16(px16, inter)), want)
         assert np.array_equal(
             _decode_png(enc16(px16, sub_filter=True)), want)
+
+
+def test_parse_headers_real_mp4_box_walk():
+    """MP4 metadata is a real ISO-BMFF box walk now, not just a
+    format sniff: mvhd timescale/duration -> duration_ms, the first
+    video tkhd's 16.16 fixed-point dims -> width/height. Covers both
+    box versions and a 64-bit largesize box."""
+    import struct
+
+    from meza_spark.llm.multimodal import _parse_headers
+
+    def box(typ, body, large=False):
+        if large:
+            return struct.pack(">I", 1) + typ + \
+                struct.pack(">Q", 16 + len(body)) + body
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    # v0 mvhd: ver/flags, ctime, mtime, timescale=600, duration=9000
+    mvhd = box(b"mvhd", struct.pack(">B3xIIII", 0, 0, 0, 600, 9000)
+               + b"\x00" * 80)
+    # v0 tkhd: 76 bytes to width; 640.0 x 360.0 in 16.16
+    tk_body = struct.pack(">B3x", 0) + b"\x00" * 72 \
+        + struct.pack(">II", 640 << 16, 360 << 16)
+    trak = box(b"trak", box(b"tkhd", tk_body))
+    moov = box(b"moov", mvhd + trak, large=True)
+    out = _parse_headers(ftyp + moov)
+    assert out["format"] == "mp4"
+    assert out["duration_ms"] == 9000 * 1000 // 600
+    assert (out["width"], out["height"]) == (640, 360)
+    # v1 (64-bit) mvhd/tkhd
+    mvhd1 = box(b"mvhd", struct.pack(">B3xQQIQ", 1, 0, 0, 1000, 2500)
+                + b"\x00" * 80)
+    tk1_body = struct.pack(">B3x", 1) + b"\x00" * 84 \
+        + struct.pack(">II", 1920 << 16, 1080 << 16)
+    moov1 = box(b"moov", mvhd1 + box(b"trak", box(b"tkhd", tk1_body)))
+    out1 = _parse_headers(ftyp + moov1)
+    assert out1["duration_ms"] == 2500
+    assert (out1["width"], out1["height"]) == (1920, 1080)

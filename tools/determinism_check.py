@@ -50,6 +50,13 @@ DEFAULT_QUERIES = [
     "rfm_events",
     "inverted_index_docs",
     "json_normalize_lines",
+    # round-5: IEEE fast paths (window-frame float sums must still be
+    # layout-invariant given the tiebreak total order) + the
+    # interlace-mixed PNG decode
+    "zscore_events_fast",
+    "cusum_events_fast",
+    "ewma_events_fast",
+    "multimodal_png",
 ]
 
 _WORKER = r"""
