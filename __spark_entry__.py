@@ -681,6 +681,54 @@ def multimodal_png(spark, sf_dir):
                       F.round("mean_pixel", 6).alias("mean_pixel"))
 
 
+def multimodal_mp4(spark, sf_dir):
+    """REAL MP4 metadata parse, hash-gated: synthesize an ISO-BMFF
+    shell per doc (ftyp + moov(mvhd + trak(tkhd))) with closed-form
+    timescale/duration/dims of (doc_id, n_chars) — even ids use v0
+    boxes, odd ids v1 (64-bit times) — and run the actual box walk;
+    the DuckDB twin recomputes the declared values arithmetically."""
+    import struct as _struct
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from meza_spark.llm.multimodal import parse_media_headers
+
+    @pandas_udf("binary")
+    def _mp4(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+        def box(typ, body):
+            return _struct.pack(">I", 8 + len(body)) + typ + body
+
+        out = []
+        for i, n in zip(doc_id, n_chars):
+            ts = 600 + int(i) % 5 * 100
+            dur = (int(n) % 5000 + 1) * ts // 10
+            w, h = (int(n) % 1280 + 16, int(i) % 720 + 16)
+            if int(i) % 2 == 0:
+                mvhd = box(b"mvhd", _struct.pack(
+                    ">B3xIIII", 0, 0, 0, ts, dur) + b"\x00" * 80)
+                tkhd = box(b"tkhd", _struct.pack(">B3x", 0)
+                           + b"\x00" * 72
+                           + _struct.pack(">II", w << 16, h << 16))
+            else:
+                mvhd = box(b"mvhd", _struct.pack(
+                    ">B3xQQIQ", 1, 0, 0, ts, dur) + b"\x00" * 80)
+                tkhd = box(b"tkhd", _struct.pack(">B3x", 1)
+                           + b"\x00" * 84
+                           + _struct.pack(">II", w << 16, h << 16))
+            out.append(box(b"ftyp", b"isom\x00\x00\x02\x00")
+                       + box(b"moov", mvhd + box(b"trak", tkhd)))
+        return pd.Series(out)
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        _mp4("doc_id", "n_chars").alias("payload"))
+    out = parse_media_headers(d)
+    return (out.select("media_id", "format", "width", "height",
+                       "duration_ms")
+            .orderBy("media_id"))
+
+
 def multimodal_e2e(spark, sf_dir):
     """Multimodal FLAGSHIP: synthetic BMP images + json metadata →
     WebDataset tar shard (the training-data container) → sample-per-
@@ -3466,6 +3514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": multimodal_meta,
         "multimodal_decode": multimodal_decode,
         "multimodal_png": multimodal_png,
+        "multimodal_mp4": multimodal_mp4,
         "multimodal_e2e": multimodal_e2e,
         "image_features_docs": image_features_docs,
         "multimodal_audio": multimodal_audio,
@@ -4579,6 +4628,20 @@ def _oracle_sql_base() -> dict[str, str]:
                                  THEN 3 ELSE 1 END)),
                      j -> (doc_id * 13 + j * 5) % 256)), 6) AS mean_pixel
             FROM documents
+        """,
+        # MP4 shell twin: the declared mvhd/tkhd values are closed
+        # forms of (doc_id, n_chars); duration_ms replays the decoder's
+        # integer dur*1000//ts with the same integer dur construction
+        "multimodal_mp4": """
+            SELECT doc_id AS media_id,
+                   'mp4' AS format,
+                   CAST(n_chars % 1280 + 16 AS INTEGER) AS width,
+                   CAST(doc_id % 720 + 16 AS INTEGER) AS height,
+                   CAST(((n_chars % 5000 + 1)
+                         * (600 + (doc_id % 5) * 100) // 10) * 1000
+                        // (600 + (doc_id % 5) * 100)
+                        AS BIGINT) AS duration_ms
+            FROM documents ORDER BY doc_id
         """,
         # 16-bit mono WAV with samples (doc_id*31 + j*7) % 2001 - 1000;
         # integer sums are exact in double and /2^15, sqrt are

@@ -106,6 +106,7 @@ HEADLINE = [
     "zscore_events_fast",
     "cusum_events_fast",
     "ewma_events_fast",
+    "multimodal_mp4",
 ]
 
 
