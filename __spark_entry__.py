@@ -681,6 +681,45 @@ def multimodal_png(spark, sf_dir):
                       F.round("mean_pixel", 6).alias("mean_pixel"))
 
 
+def multimodal_gif(spark, sf_dir):
+    """REAL GIF decode, hash-gated: synthesize a GIF89a per doc whose
+    pixels index a 64-entry palette by the closed form
+    p_j = (doc_id*7 + j*11) % 64, with channel values
+    (doc_id*13 + p*5) % 256 / (*17 + p*3) / (*19 + p*7) — every third
+    doc row-INTERLACED so the 4-pass scatter is under the hash. The
+    Spark side runs the actual variable-width LZW decode (sub-block
+    reassembly, KwKwK, width growth, palette lookup); the DuckDB twin
+    recomputes the stats arithmetically from the same closed form
+    (the LZW stream never appears in the oracle, so a hash match
+    proves the encode+decode path end to end)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from meza_spark.llm.multimodal import _encode_gif, decode_image
+
+    @pandas_udf("binary")
+    def _gif(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+        out = []
+        for i, n in zip(doc_id, n_chars):
+            w, h = int(n) % 24 + 1, int(i) % 16 + 1
+            j = np.arange(w * h, dtype=np.int64)
+            p = (int(i) * 7 + j * 11) % 64
+            px = np.stack([(int(i) * 13 + p * 5) % 256,
+                           (int(i) * 17 + p * 3) % 256,
+                           (int(i) * 19 + p * 7) % 256],
+                          axis=1).astype(np.uint8).reshape(h, w, 3)
+            out.append(_encode_gif(px, interlace=int(i) % 3 == 0))
+        return pd.Series(out)
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        _gif("doc_id", "n_chars").alias("payload"))
+    out = decode_image(d)
+    return out.select("media_id", "width", "height", "channels",
+                      F.round("mean_pixel", 6).alias("mean_pixel"))
+
+
 def multimodal_mp4(spark, sf_dir):
     """REAL MP4 metadata parse, hash-gated: synthesize an ISO-BMFF
     shell per doc (ftyp + moov(mvhd + trak(tkhd))) with closed-form
@@ -3514,6 +3553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": multimodal_meta,
         "multimodal_decode": multimodal_decode,
         "multimodal_png": multimodal_png,
+        "multimodal_gif": multimodal_gif,
         "multimodal_mp4": multimodal_mp4,
         "multimodal_e2e": multimodal_e2e,
         "image_features_docs": image_features_docs,
@@ -4627,6 +4667,24 @@ def _oracle_sql_base() -> dict[str, str]:
                               * (CASE WHEN doc_id % 2 = 0
                                  THEN 3 ELSE 1 END)),
                      j -> (doc_id * 13 + j * 5) % 256)), 6) AS mean_pixel
+            FROM documents
+        """,
+        # GIF twin of multimodal_png: the pixels index a 64-entry
+        # palette by a closed form, so the oracle recomputes the mean
+        # arithmetically — the LZW stream exists only on the Spark
+        # side; integer sums are exact in double, one division.
+        "multimodal_gif": """
+            SELECT doc_id AS media_id,
+                   CAST(n_chars % 24 + 1 AS INTEGER) AS width,
+                   CAST(doc_id % 16 + 1 AS INTEGER) AS height,
+                   CAST(3 AS INTEGER) AS channels,
+                   round(list_sum(list_transform(
+                     range(0, (n_chars % 24 + 1) * (doc_id % 16 + 1)),
+                     j -> (doc_id * 13 + ((doc_id * 7 + j * 11) % 64) * 5) % 256
+                        + (doc_id * 17 + ((doc_id * 7 + j * 11) % 64) * 3) % 256
+                        + (doc_id * 19 + ((doc_id * 7 + j * 11) % 64) * 7) % 256))
+                     / (3.0 * (n_chars % 24 + 1) * (doc_id % 16 + 1)),
+                     6) AS mean_pixel
             FROM documents
         """,
         # MP4 shell twin: the declared mvhd/tkhd values are closed

@@ -2,15 +2,14 @@
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 Decode is REAL for every format stdlib+numpy can handle (r2 verdict
-#4): BMP (24-bit BI_RGB), netpbm PPM/P6 + PGM/P5, 8-bit PNG both
+#4): BMP (24-bit BI_RGB), netpbm PPM/P6 + PGM/P5, 8/16-bit PNG both
 non-interlaced and Adam7 (zlib inflate + all 5 scanline filters,
-gray/gray-alpha/RGB/RGBA/palette), and WAV 16/8-bit PCM sample
-stats. Formats that need a lossy/LZW codec (JPEG/GIF) — and 16-bit
-PNG — still need Pillow, absent
-in this container, so they stay behind an honest
-``NotImplementedError`` (or the opt-in deterministic stub used by the
-plumbing tests). On a cluster you add a Pillow branch to
-``decode_pixels`` and nothing else changes.
+gray/gray-alpha/RGB/RGBA/palette), GIF87a/89a (variable-width LZW +
+palette, 4-pass interlace), and WAV 16/8-bit PCM sample stats. JPEG
+needs a DCT codec (Pillow, absent in this container), so it stays
+behind an honest ``NotImplementedError`` (or the opt-in deterministic
+stub used by the plumbing tests). On a cluster you add a Pillow
+branch to ``decode_pixels`` and nothing else changes.
 
 Scale notes: binary payloads ride in Arrow record batches; keep
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` low (e.g. 64) for
@@ -383,12 +382,219 @@ def _encode_png(px, filter_type: int | None = None,
         chunk(b"IDAT", zlib.compress(bytes(body))) + chunk(b"IEND", b"")
 
 
+def _gif_lzw(data: bytes, min_code_size: int, max_pixels: int):
+    """GIF LZW decompress (the public GIF89a spec's variable-width
+    code scheme): returns a list of palette indices, stopping at
+    ``max_pixels`` or the end-of-information code."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    acc = nbits = 0
+    prev = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = table[:eoi + 1]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):     # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= max_pixels:
+                return out
+    return out
+
+
+def _decode_gif(b: bytes):
+    """GIF87a/89a → (h, w, 3) uint8 RGB — pure stdlib LZW + palette
+    lookup per the public GIF spec: logical screen descriptor,
+    global/local color tables, sub-block reassembly, variable-width
+    LZW codes (incl. the KwKwK case and mid-stream clears), and the
+    4-pass row interlace. First image frame only (an animated GIF
+    decodes to its first frame); transparency index is ignored
+    (output is RGB)."""
+    import numpy as np
+
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags = struct.unpack("<HHB", b[6:11])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:                 # extension: skip sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:               # image descriptor
+            left, top, w, h, iflags = struct.unpack(
+                "<HHHHB", b[pos + 1:pos + 10])
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                ct = np.frombuffer(b, np.uint8, n * 3, pos) \
+                    .reshape(n, 3)
+                pos += n * 3
+            if ct is None:
+                raise ValueError("GIF image without a color table")
+            mcs = b[pos]
+            pos += 1
+            data = bytearray()            # reassemble the sub-blocks
+            while pos < len(b) and b[pos] != 0:
+                ln = b[pos]
+                data += b[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            idx = _gif_lzw(bytes(data), mcs, w * h)
+            if len(idx) < w * h:
+                raise ValueError("truncated GIF pixel data")
+            grid = np.frombuffer(bytes(idx), np.uint8,
+                                 w * h).reshape(h, w)
+            if iflags & 0x40:             # 4-pass row interlace
+                de = np.zeros_like(grid)
+                rows = [r for start, step in
+                        ((0, 8), (4, 8), (2, 4), (1, 2))
+                        for r in range(start, h, step)]
+                de[rows] = grid
+                grid = de
+            if int(grid.max()) >= len(ct):
+                raise ValueError("GIF palette index out of range")
+            return ct[grid].copy()
+        elif block == 0x3B:               # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF without an image frame")
+
+
+def _encode_gif(px, interlace: bool = False) -> bytes:
+    """(h, w, 3|1) uint8 → GIF89a bytes (fixture encoder for the
+    decoder's gates): palette from the unique colors (≤256 or raise),
+    real variable-width LZW with the early-change width growth my
+    decoder mirrors, a table reset at the 4096-code cap, optional
+    4-pass interlace. Round-trips through :func:`_decode_gif`."""
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if px.shape[2] == 1:
+        px = np.repeat(px, 3, axis=2)
+    h, w, _ = px.shape
+    colors, inverse = np.unique(px.reshape(-1, 3), axis=0,
+                                return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("GIF needs <= 256 unique colors")
+    bits = max(1, (max(len(colors) - 1, 1)).bit_length())
+    psize = 1 << bits
+    pal = np.zeros((psize, 3), np.uint8)
+    pal[:len(colors)] = colors
+    idx = inverse.reshape(h, w)
+    if interlace:
+        rows = [r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                for r in range(start, h, step)]
+        idx = idx[rows]
+
+    mcs = max(2, bits)
+    clear = 1 << mcs
+    eoi = clear + 1
+    out = bytearray()
+    acc = nacc = 0
+    width = mcs + 1
+
+    def emit(code):
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += width
+
+    def drain():
+        nonlocal acc, nacc
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    def reset():
+        nonlocal width
+        width = mcs + 1
+        return {bytes([i]): i for i in range(clear)}, eoi + 1
+
+    table, next_code = reset()
+    emit(clear)
+    cur = b""
+    for k in idx.flatten().tolist():
+        nxt = cur + bytes([k])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        drain()
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            # decoder grows its width when ITS table (one entry
+            # behind this one) reaches 2^width — mirror that point
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:                              # table full: clear + restart
+            emit(clear)
+            drain()
+            table, next_code = reset()
+        cur = bytes([k])
+    if cur:
+        emit(table[cur])
+    emit(eoi)
+    drain()
+    if nacc:
+        out.append(acc & 0xFF)
+
+    lsd_flags = 0x80 | (bits - 1)          # GCT present, 2^bits entries
+    head = b"GIF89a" + struct.pack("<HHBBB", w, h, lsd_flags, 0, 0) \
+        + pal.tobytes()
+    desc = b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h,
+                                 0x40 if interlace else 0) \
+        + bytes([mcs])
+    body = bytearray()
+    for i in range(0, len(out), 255):
+        chunk = out[i:i + 255]
+        body.append(len(chunk))
+        body += chunk
+    body.append(0)
+    return head + desc + bytes(body) + b"\x3B"
+
+
 def decode_pixels(b: bytes):
     """Dispatch real pixel decode by magic bytes → (h, w, c) uint8.
 
-    BMP / PPM / PGM / 8-bit PNG (non-interlaced AND Adam7) decode for
-    real (stdlib struct + zlib + numpy). JPEG and GIF require a
-    lossy/LZW codec (Pillow/libvips — not in this container) and raise
+    BMP / PPM / PGM / PNG (all 5 filters, Adam7, 8/16-bit) / GIF
+    (LZW + palette, interlace) decode for real — stdlib struct +
+    zlib + numpy, no Pillow. JPEG needs a DCT codec and raises
     ``NotImplementedError``; unknown payloads raise ``ValueError``.
     """
     if b[:2] == b"BM":
@@ -397,10 +603,12 @@ def decode_pixels(b: bytes):
         return _decode_netpbm(b)
     if b[:8] == _PNG_SIG:
         return _decode_png(b)
-    if b[:3] == b"\xff\xd8\xff" or b[:6] in (b"GIF87a", b"GIF89a"):
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(b)
+    if b[:3] == b"\xff\xd8\xff":
         raise NotImplementedError(
-            "JPEG/GIF decode requires Pillow (not in this container); "
-            "BMP/PPM/PGM/PNG decode for real")
+            "JPEG decode requires Pillow (not in this container); "
+            "BMP/PPM/PGM/PNG/GIF decode for real")
     raise ValueError("unknown image container")
 
 
@@ -466,10 +674,10 @@ def decode_image(df: DataFrame, payload_col: str = "payload",
     """Decode images → per-image pixel stats via Arrow-batched
     mapInPandas.
 
-    REAL decode for BMP/PPM/PGM/PNG (see :func:`decode_pixels`):
+    REAL decode for BMP/PPM/PGM/PNG/GIF (see :func:`decode_pixels`):
     width/height/channels from the actual pixel array, ``mean_pixel``
     the true mean over every sample byte, ``crc`` of the payload.
-    Formats needing a codec (JPEG/GIF) or unknown payloads follow
+    Formats needing a lossy codec (JPEG) or unknown payloads follow
     ``unsupported``: ``'error'`` (default — honest gate), ``'skip'``
     (drop the row; a curation pipeline's usual choice), or ``'stub'``
     (deterministic fake stats — plumbing tests only).

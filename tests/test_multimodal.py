@@ -447,3 +447,85 @@ def test_parse_headers_real_mp4_box_walk():
     out1 = _parse_headers(ftyp + moov1)
     assert out1["duration_ms"] == 2500
     assert (out1["width"], out1["height"]) == (1920, 1080)
+
+
+def test_gif_codec_roundtrip():
+    """_encode_gif/_decode_gif: pure-stdlib LZW + palette decode.
+    Plain and 4-pass interlaced frames, grayscale expansion, a
+    single-color frame (degenerate palette), and a large random frame
+    that overflows the 4096-code table (mid-stream clear + restart).
+    Reference: meza has no image codec; this serves the charter's
+    multimodal-column decode with GIF added to BMP/PPM/PGM/PNG."""
+    import numpy as np
+
+    from meza_spark.llm.multimodal import _decode_gif, _encode_gif
+
+    rng = np.random.default_rng(11)
+    # <=256 unique colors by construction: indices into a palette
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    for shape in ((1, 1), (5, 7), (16, 24), (64, 64)):
+        idx = rng.integers(0, 256, shape)
+        px = pal[idx]
+        for inter in (False, True):
+            assert np.array_equal(_decode_gif(_encode_gif(px, interlace=inter)), px)
+    # grayscale input expands to RGB
+    g = rng.integers(0, 256, (4, 6), dtype=np.uint8)
+    out = _decode_gif(_encode_gif(g))
+    assert out.shape == (4, 6, 3)
+    assert np.array_equal(out, np.repeat(g[:, :, None], 3, axis=2))
+    # single color: 1-entry palette, mcs floor of 2
+    solid = np.full((3, 9, 3), 77, dtype=np.uint8)
+    assert np.array_equal(_decode_gif(_encode_gif(solid)), solid)
+    # runs of one color drive the KwKwK (code == len(table)) branch
+    runs = pal[np.zeros((2, 200), dtype=int)].copy()
+    runs[1, 100:] = pal[3]
+    assert np.array_equal(_decode_gif(_encode_gif(runs)), runs)
+
+
+def test_gif_extensions_local_table_and_errors():
+    """Spec corners: extension blocks (animated GIFs' GCE) are
+    skipped, a local color table overrides the global one, and the
+    corrupt/unsupported paths raise ValueError (skippable rows) while
+    JPEG stays honestly gated."""
+    import numpy as np
+    import pytest
+
+    from meza_spark.llm.multimodal import (_decode_gif, _encode_gif,
+                                           decode_pixels)
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    enc = _encode_gif(px)
+    assert np.array_equal(decode_pixels(bytearray(enc)), px)
+
+    # splice a graphic-control extension (what animated GIFs carry)
+    # between the header+GCT and the image descriptor
+    lsd_flags = enc[10]
+    n_gct = 3 * (2 << (lsd_flags & 0x07))
+    head_end = 13 + n_gct
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    assert np.array_equal(
+        _decode_gif(enc[:head_end] + gce + enc[head_end:]), px)
+
+    # rewrite the same frame to use a LOCAL color table instead
+    desc = bytearray(enc[head_end:head_end + 10])
+    assert desc[0] == 0x2C
+    desc[9] = 0x80 | (lsd_flags & 0x07)   # LCT present, same size
+    no_gct = enc[:10] + bytes([lsd_flags & 0x7F]) + enc[11:13]
+    lct_form = no_gct + bytes(desc) + enc[13:head_end] \
+        + enc[head_end + 10:]
+    assert np.array_equal(_decode_gif(lct_form), px)
+
+    with pytest.raises(ValueError):
+        _decode_gif(b"NOTAGIF" + b"\x00" * 20)
+    with pytest.raises(ValueError):      # truncated pixel data
+        _decode_gif(enc[:head_end + 14])
+    with pytest.raises(ValueError):      # no frame before trailer
+        _decode_gif(enc[:head_end] + b"\x3B")
+    # 17x17 gradient: every pixel a distinct color -> 289 > 256
+    yy, xx = np.mgrid[0:17, 0:17].astype(np.uint8)
+    grad = np.stack([xx, yy, np.zeros_like(xx)], axis=2)
+    with pytest.raises(ValueError):      # >256 colors can't palettize
+        _encode_gif(grad)
+    with pytest.raises(NotImplementedError):
+        decode_pixels(b"\xff\xd8\xff" + b"\x00" * 10)
