@@ -720,6 +720,49 @@ def multimodal_gif(spark, sf_dir):
                       F.round("mean_pixel", 6).alias("mean_pixel"))
 
 
+def multimodal_jpeg(spark, sf_dir):
+    """REAL baseline-JPEG decode, hash-gated via a VALUES-pinned
+    oracle (r2 verdict #3 pattern — the DCT/Huffman arithmetic is
+    deterministic but not SQL-expressible): synthesize a closed-form
+    gradient image per doc and run the full encode→decode loop —
+    4:2:0 subsampling for even ids, grayscale every 5th, restart
+    intervals every 7th, quality cycling 75/85/95 — then emit the
+    decoded stats. Bit-deterministic across engine configs (pure
+    numpy + stdlib arithmetic, no seeds, no shuffling)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from meza_spark.llm.multimodal import _encode_jpeg, decode_image
+
+    @pandas_udf("binary")
+    def _jpg(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+        out = []
+        for i, n in zip(doc_id, n_chars):
+            i, n = int(i), int(n)
+            w, h = n % 24 + 8, i % 16 + 8
+            yy, xx = np.mgrid[0:h, 0:w]
+            if i % 5 == 0:
+                px = ((i * 11 + xx * 3 + yy * 5) % 256).astype(np.uint8)
+            else:
+                px = np.stack([(i * 11 + xx * 3 + yy * 5) % 256,
+                               (i * 7 + xx * 2 + yy * 3) % 256,
+                               (i * 13 + xx + yy * 7) % 256],
+                              axis=2).astype(np.uint8)
+            out.append(_encode_jpeg(
+                px, quality=75 + (i % 3) * 10,
+                subsample=i % 2 == 0,
+                restart_interval=2 if i % 7 == 0 else 0))
+        return pd.Series(out)
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        _jpg("doc_id", "n_chars").alias("payload"))
+    out = decode_image(d)
+    return out.select("media_id", "width", "height", "channels",
+                      F.round("mean_pixel", 6).alias("mean_pixel"))
+
+
 def multimodal_mp4(spark, sf_dir):
     """REAL MP4 metadata parse, hash-gated: synthesize an ISO-BMFF
     shell per doc (ftyp + moov(mvhd + trak(tkhd))) with closed-form
@@ -3554,6 +3597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": multimodal_decode,
         "multimodal_png": multimodal_png,
         "multimodal_gif": multimodal_gif,
+        "multimodal_jpeg": multimodal_jpeg,
         "multimodal_mp4": multimodal_mp4,
         "multimodal_e2e": multimodal_e2e,
         "image_features_docs": image_features_docs,

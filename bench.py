@@ -102,7 +102,7 @@ HEADLINE = [
     "image_features_docs",
     # round-5 operators (append-only: keep batch composition stable)
     "mdb_roundtrip",
-    "multimodal_png", "multimodal_gif",
+    "multimodal_png", "multimodal_gif", "multimodal_jpeg",
     "zscore_events_fast",
     "cusum_events_fast",
     "ewma_events_fast",

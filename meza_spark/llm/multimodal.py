@@ -5,11 +5,13 @@ Decode is REAL for every format stdlib+numpy can handle (r2 verdict
 #4): BMP (24-bit BI_RGB), netpbm PPM/P6 + PGM/P5, 8/16-bit PNG both
 non-interlaced and Adam7 (zlib inflate + all 5 scanline filters,
 gray/gray-alpha/RGB/RGBA/palette), GIF87a/89a (variable-width LZW +
-palette, 4-pass interlace), and WAV 16/8-bit PCM sample stats. JPEG
-needs a DCT codec (Pillow, absent in this container), so it stays
-behind an honest ``NotImplementedError`` (or the opt-in deterministic
-stub used by the plumbing tests). On a cluster you add a Pillow
-branch to ``decode_pixels`` and nothing else changes.
+palette, 4-pass interlace), baseline sequential JPEG (canonical
+Huffman, restart markers, orthonormal-basis IDCT, 4:2:0 chroma
+upsample, YCbCr→RGB), and WAV 16/8-bit PCM sample stats. Only
+progressive/hierarchical/arithmetic JPEG stays behind an honest
+``NotImplementedError`` (or the opt-in deterministic stub used by
+the plumbing tests); a cluster that wants those adds a Pillow branch
+to ``decode_pixels`` and nothing else changes.
 
 Scale notes: binary payloads ride in Arrow record batches; keep
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` low (e.g. 64) for
@@ -589,12 +591,553 @@ def _encode_gif(px, interlace: bool = False) -> bytes:
     return head + desc + bytes(body) + b"\x3B"
 
 
+# --- baseline JPEG (ISO/IEC 10918-1, JFIF) — pure stdlib + numpy ---
+# Annex K.1 example quantization tables (raster order)
+_JPEG_LUM_QT = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99]
+_JPEG_CHROM_QT = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99]
+# zig-zag scan: _JPEG_ZZ[k] = raster index of the k-th coefficient
+_JPEG_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63]
+# Annex K.3 typical Huffman tables: (BITS for code lengths 1..16,
+# HUFFVAL). Class 0 = DC, 1 = AC; id 0 = luma, 1 = chroma.
+_HUFF_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                list(range(12)))
+_HUFF_DC_CHROM = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                  list(range(12)))
+_HUFF_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+     0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA])
+_HUFF_AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+     0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+     0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+     0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+     0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+     0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+     0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+     0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+     0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+     0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA])
+
+_JPEG_NP = None
+
+
+def _jpeg_np():
+    """Lazily-built numpy constants: zig-zag index vector and the
+    orthonormal 8-point DCT-II basis A (DCT C = A B Aᵀ, IDCT
+    B = Aᵀ C A)."""
+    global _JPEG_NP
+    if _JPEG_NP is None:
+        import numpy as np
+
+        x = np.arange(8, dtype=np.float64)
+        a = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2
+        a[0] /= np.sqrt(2)
+        _JPEG_NP = {"zz": np.array(_JPEG_ZZ, dtype=np.int64), "A": a}
+    return _JPEG_NP
+
+
+def _huff_codes(bits, vals):
+    """Canonical Huffman assignment (10918-1 C.2): {value: (code,
+    length)} for the encoder."""
+    out = {}
+    code = k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits, vals):
+    """{(length, code): value} for the bit-by-bit decoder."""
+    out = {}
+    code = k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitReader:
+    """MSB-first reader over entropy-coded data: 0xFF00 unstuffing;
+    at a restart marker or segment end it pads with 1-bits (F.2.2.5)
+    until the caller resynchronizes via :meth:`align_restart`."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self):
+        while self.n <= 24:
+            if self.pos >= len(self.d):
+                self.acc = (self.acc << 8) | 0xFF
+                self.n += 8
+                continue
+            byte = self.d[self.pos]
+            if byte == 0xFF:
+                nxt = (self.d[self.pos + 1]
+                       if self.pos + 1 < len(self.d) else 0xD9)
+                if nxt == 0x00:                # stuffed literal FF
+                    self.pos += 2
+                else:                          # RSTn / EOI: pad, hold
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.n += 8
+                    continue
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | byte
+            self.n += 8
+
+    def read(self, k: int) -> int:
+        if k == 0:
+            return 0
+        if self.n < k:
+            self._fill()
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def huff(self, table) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.read(1)
+            v = table.get((ln, code))
+            if v is not None:
+                return v
+        raise ValueError("invalid JPEG Huffman code")
+
+    def align_restart(self):
+        """Drop buffered bits and skip just past the next RSTn."""
+        self.acc = 0
+        self.n = 0
+        d, p = self.d, self.pos
+        while p + 1 < len(d):
+            if d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
+                self.pos = p + 2
+                return
+            p += 1
+        raise ValueError("missing JPEG restart marker")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """F.2.2.1 EXTEND: map an s-bit magnitude to its signed value."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _decode_jpeg(b: bytes):
+    """Baseline sequential JFIF → (h, w, c) uint8, c = 3 (RGB) or 1.
+
+    REAL decode, pure stdlib + numpy: marker walk (DQT incl. 16-bit
+    tables, SOF0/1, DHT, DRI, SOS), canonical Huffman with byte
+    unstuffing and restart-marker resync, dequantize + dezigzag,
+    exact IDCT via the orthonormal DCT-II basis matrix, nearest
+    chroma upsample, YCbCr→RGB per the JFIF formulas. Progressive
+    (SOF2), hierarchical, arithmetic-coded, and 12-bit codestreams
+    raise NotImplementedError (honest gates); corrupt streams raise
+    ValueError (skippable rows)."""
+    import numpy as np
+
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    np_c = _jpeg_np()
+    zz = np_c["zz"]
+    qt, huff, comps = {}, {}, None
+    h = w = 0
+    restart = 0
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack(">H", b[pos + 2:pos + 4])[0]
+        seg = b[pos + 4:pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if marker == 0xDB:                       # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq:
+                    tab = np.frombuffer(seg, ">u2", 64, i).astype(np.int64)
+                    i += 128
+                else:
+                    tab = np.frombuffer(seg, np.uint8, 64, i).astype(np.int64)
+                    i += 64
+                q = np.zeros(64, np.int64)
+                q[zz] = tab
+                qt[tq] = q.reshape(8, 8).astype(np.float64)
+        elif marker in (0xC0, 0xC1):             # SOF0/1: baseline
+            prec = seg[0]
+            h, w = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            if h * w > 64_000_000:
+                raise ValueError("JPEG dimensions exceed decode cap")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = seg[6 + ci * 3:9 + ci * 3]
+                ch, cv = hv >> 4, hv & 15
+                if ch not in (1, 2, 4) or cv not in (1, 2, 4):
+                    raise ValueError("bad JPEG sampling factors")
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "progressive/hierarchical/arithmetic JPEG not supported"
+                " (baseline sequential decodes for real)")
+        elif marker == 0xC4:                     # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1:i + 17])
+                nv = sum(bits)
+                vals = list(seg[i + 17:i + 17 + nv])
+                huff[(tc, th)] = _huff_decode_table(bits, vals)
+                i += 17 + nv
+        elif marker == 0xDD:                     # DRI
+            restart = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:                     # SOS
+            if comps is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for si in range(ns):
+                cs, tt = seg[1 + si * 2], seg[2 + si * 2]
+                comp = next((c for c in comps if c["id"] == cs), None)
+                if comp is None or (0, tt >> 4) not in huff \
+                        or (1, tt & 15) not in huff:
+                    raise ValueError("JPEG scan references missing "
+                                     "component or Huffman table")
+                comp["dc"] = huff[(0, tt >> 4)]
+                comp["ac"] = huff[(1, tt & 15)]
+                scan.append(comp)
+            return _decode_jpeg_scan(b, pos, scan, qt, h, w, restart)
+    raise ValueError("JPEG without SOS scan")
+
+
+def _decode_jpeg_scan(b, pos, comps, qt, h, w, restart):
+    import numpy as np
+
+    np_c = _jpeg_np()
+    a, zz = np_c["A"], np_c["zz"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        if c["tq"] not in qt:
+            raise ValueError("JPEG component references missing DQT")
+        c["plane"] = np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8),
+                              np.float64)
+        c["pred"] = 0
+        c["q"] = qt[c["tq"]]
+    r = _JpegBitReader(b, pos)
+    for m in range(mcux * mcuy):
+        if restart and m and m % restart == 0:
+            r.align_restart()
+            for c in comps:
+                c["pred"] = 0
+        my, mx = divmod(m, mcux)
+        for c in comps:
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    coef = np.zeros(64, np.float64)
+                    s = r.huff(c["dc"])
+                    c["pred"] += _jpeg_extend(r.read(s), s)
+                    coef[0] = c["pred"]
+                    k = 1
+                    while k < 64:
+                        rs = r.huff(c["ac"])
+                        rr, ss = rs >> 4, rs & 15
+                        if rs == 0:              # EOB
+                            break
+                        if rs == 0xF0:           # ZRL
+                            k += 16
+                            continue
+                        k += rr
+                        if k > 63:
+                            raise ValueError("JPEG AC run past block")
+                        coef[zz[k]] = _jpeg_extend(r.read(ss), ss)
+                        k += 1
+                    block = a.T @ (coef.reshape(8, 8) * c["q"]) @ a
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    c["plane"][y0:y0 + 8, x0:x0 + 8] = block + 128
+    planes = []
+    for c in comps:
+        p = c["plane"]
+        if c["h"] != hmax:
+            p = np.repeat(p, hmax // c["h"], axis=1)
+        if c["v"] != vmax:
+            p = np.repeat(p, vmax // c["v"], axis=0)
+        planes.append(p[:h, :w])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255) \
+            .astype(np.uint8)[:, :, None]
+    if len(planes) != 3:
+        raise ValueError("unsupported JPEG component count")
+    y, cb, cr = planes
+    rgb = np.stack([y + 1.402 * (cr - 128),
+                    y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
+                    y + 1.772 * (cb - 128)], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | code
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)           # byte stuffing
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+
+
+def _jpeg_quality_scale(qtab, quality: int):
+    """libjpeg's linear quality→table scaling (public formula)."""
+    import numpy as np
+
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = np.asarray(qtab, dtype=np.int64)
+    return np.clip((q * scale + 50) // 100, 1, 255)
+
+
+def _encode_jpeg(px, quality: int = 90, subsample: bool = False,
+                 restart_interval: int = 0) -> bytes:
+    """(h, w, 3|1) uint8 → baseline JFIF bytes (fixture encoder for
+    the decoder's gates): quality-scaled Annex K quant tables,
+    standard Annex K Huffman tables, 4:4:4 (or 4:2:0 with
+    ``subsample=True``) sampling, optional restart intervals. Lossy —
+    round-trips through :func:`_decode_jpeg` within a quantization
+    tolerance, and exactly for uniform blocks."""
+    import numpy as np
+
+    np_c = _jpeg_np()
+    a, zz = np_c["A"], np_c["zz"]
+    px = np.asarray(px)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, nc = px.shape
+    gray = nc == 1
+    f = px.astype(np.float64)
+    if gray:
+        planes = [f[:, :, 0]]
+    else:
+        r_, g_, b_ = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        planes = [0.299 * r_ + 0.587 * g_ + 0.114 * b_,
+                  128 - 0.168736 * r_ - 0.331264 * g_ + 0.5 * b_,
+                  128 + 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_]
+    qlum = _jpeg_quality_scale(_JPEG_LUM_QT, quality) \
+        .reshape(8, 8).astype(np.float64)
+    qchr = _jpeg_quality_scale(_JPEG_CHROM_QT, quality) \
+        .reshape(8, 8).astype(np.float64)
+    sub = 2 if (subsample and not gray) else 1
+    mcu = 8 * sub
+    mcux = -(-w // mcu)
+    mcuy = -(-h // mcu)
+
+    def pad_to(p, ph, pw):
+        return np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                      mode="edge")
+
+    comp = []
+    for i, p in enumerate(planes):
+        if i > 0 and sub == 2:                  # box-average 2x2 chroma
+            p2 = pad_to(p, mcuy * mcu, mcux * mcu)
+            plane = (p2[0::2, 0::2] + p2[0::2, 1::2]
+                     + p2[1::2, 0::2] + p2[1::2, 1::2]) / 4
+            ch = cv = 1
+        else:
+            ch = cv = sub if i == 0 else 1
+            plane = pad_to(p, mcuy * 8 * cv, mcux * 8 * ch)
+        comp.append({
+            "plane": plane, "h": ch, "v": cv,
+            "q": qlum if i == 0 else qchr,
+            "dc": _huff_codes(*(_HUFF_DC_LUM if i == 0
+                                else _HUFF_DC_CHROM)),
+            "ac": _huff_codes(*(_HUFF_AC_LUM if i == 0
+                                else _HUFF_AC_CHROM)),
+            "pred": 0})
+    wtr = _JpegBitWriter()
+
+    def emit_block(c, y0, x0):
+        block = c["plane"][y0:y0 + 8, x0:x0 + 8] - 128
+        qc = np.round((a @ block @ a.T) / c["q"]).astype(np.int64)
+        z = qc.flatten()[zz]
+        diff = int(z[0]) - c["pred"]
+        c["pred"] = int(z[0])
+        s = abs(diff).bit_length()
+        code, ln = c["dc"][s]
+        wtr.write(code, ln)
+        if s:
+            v = diff if diff >= 0 else diff + (1 << s) - 1
+            wtr.write(v & ((1 << s) - 1), s)
+        run = 0
+        nz = np.nonzero(z[1:])[0]
+        last_nz = int(nz[-1]) + 1 if len(nz) else 0
+        for k in range(1, last_nz + 1):
+            v = int(z[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = c["ac"][0xF0]
+                wtr.write(code, ln)
+                run -= 16
+            s = abs(v).bit_length()
+            code, ln = c["ac"][(run << 4) | s]
+            wtr.write(code, ln)
+            vv = v if v >= 0 else v + (1 << s) - 1
+            wtr.write(vv & ((1 << s) - 1), s)
+            run = 0
+        if last_nz < 63:
+            code, ln = c["ac"][0x00]            # EOB
+            wtr.write(code, ln)
+
+    n_rst = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            wtr.flush()
+            wtr.out += bytes([0xFF, 0xD0 + (n_rst % 8)])
+            n_rst += 1
+            for c in comp:
+                c["pred"] = 0
+        my, mx = divmod(m, mcux)
+        for c in comp:
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    emit_block(c, (my * c["v"] + by) * 8,
+                               (mx * c["h"] + bx) * 8)
+    wtr.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) \
+            + struct.pack(">H", len(body) + 2) + body
+
+    def dqt(tid, q):
+        zvals = q.astype(np.int64).flatten()[zz]
+        return seg(0xDB, bytes([tid]) + bytes(int(x) for x in zvals))
+
+    def dht(tc, th, table):
+        bits, vals = table
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits)
+                   + bytes(vals))
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += dqt(0, qlum)
+    if not gray:
+        out += dqt(1, qchr)
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for i in range(ncomp):
+        sof += bytes([i + 1, (comp[i]["h"] << 4) | comp[i]["v"],
+                      0 if i == 0 else 1])
+    out += seg(0xC0, sof)
+    out += dht(0, 0, _HUFF_DC_LUM)
+    out += dht(1, 0, _HUFF_AC_LUM)
+    if not gray:
+        out += dht(0, 1, _HUFF_DC_CHROM)
+        out += dht(1, 1, _HUFF_AC_CHROM)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += wtr.out + b"\xff\xd9"
+    return bytes(out)
+
+
 def decode_pixels(b: bytes):
     """Dispatch real pixel decode by magic bytes → (h, w, c) uint8.
 
     BMP / PPM / PGM / PNG (all 5 filters, Adam7, 8/16-bit) / GIF
-    (LZW + palette, interlace) decode for real — stdlib struct +
-    zlib + numpy, no Pillow. JPEG needs a DCT codec and raises
+    (LZW + palette, interlace) / baseline JPEG (Huffman + IDCT +
+    YCbCr, 4:2:0) decode for real — stdlib struct + zlib + numpy, no
+    Pillow. Progressive/arithmetic JPEG raises
     ``NotImplementedError``; unknown payloads raise ``ValueError``.
     """
     if b[:2] == b"BM":
@@ -606,9 +1149,7 @@ def decode_pixels(b: bytes):
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(b)
     if b[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError(
-            "JPEG decode requires Pillow (not in this container); "
-            "BMP/PPM/PGM/PNG/GIF decode for real")
+        return _decode_jpeg(b)
     raise ValueError("unknown image container")
 
 
@@ -674,10 +1215,10 @@ def decode_image(df: DataFrame, payload_col: str = "payload",
     """Decode images → per-image pixel stats via Arrow-batched
     mapInPandas.
 
-    REAL decode for BMP/PPM/PGM/PNG/GIF (see :func:`decode_pixels`):
-    width/height/channels from the actual pixel array, ``mean_pixel``
-    the true mean over every sample byte, ``crc`` of the payload.
-    Formats needing a lossy codec (JPEG) or unknown payloads follow
+    REAL decode for BMP/PPM/PGM/PNG/GIF/baseline JPEG (see
+    :func:`decode_pixels`): width/height/channels from the actual
+    pixel array, ``mean_pixel`` the true mean over every sample byte,
+    ``crc`` of the payload. Progressive JPEG or unknown payloads follow
     ``unsupported``: ``'error'`` (default — honest gate), ``'skip'``
     (drop the row; a curation pipeline's usual choice), or ``'stub'``
     (deterministic fake stats — plumbing tests only).

@@ -262,8 +262,9 @@ def test_png_palette_and_honest_gates():
             ">IIBBBBB", 3, 2, depth, ct, 0, 0, 0))
         with pytest.raises(NotImplementedError):
             _decode_png(bad)
-    # JPEG still routes to the honest Pillow gate via decode_pixels
-    with pytest.raises(NotImplementedError):
+    # baseline JPEG decodes for real now; a truncated marker stream
+    # is a skippable ValueError, not a capability gate
+    with pytest.raises(ValueError):
         decode_pixels(b"\xff\xd8\xff\xe0rest")
 
 
@@ -527,5 +528,76 @@ def test_gif_extensions_local_table_and_errors():
     grad = np.stack([xx, yy, np.zeros_like(xx)], axis=2)
     with pytest.raises(ValueError):      # >256 colors can't palettize
         _encode_gif(grad)
+
+
+def test_jpeg_codec_roundtrip():
+    """Baseline JPEG decodes for real: pure stdlib+numpy Huffman +
+    dequant + orthonormal-basis IDCT + YCbCr->RGB. Encoder and
+    decoder share only the Annex K constants, so a round-trip within
+    quantization tolerance exercises both directions of the canonical
+    Huffman assignment, zig-zag, and the color transforms. Uniform
+    images (DC-only blocks) round-trip exactly."""
+    import numpy as np
+
+    from meza_spark.llm.multimodal import _decode_jpeg, _encode_jpeg
+
+    yy, xx = np.mgrid[0:32, 0:48]
+    smooth = np.stack([(xx * 3) % 256, (yy * 5) % 256,
+                       ((xx + yy) * 2) % 256], axis=2).astype(np.uint8)
+    for q, tol in ((95, 8), (75, 16)):
+        dec = _decode_jpeg(_encode_jpeg(smooth, quality=q))
+        assert dec.shape == smooth.shape
+        assert np.abs(dec.astype(int) - smooth.astype(int)).max() <= tol
+    # uniform color: DC-only, quantization exact
+    solid = np.full((16, 16, 3), 130, np.uint8)
+    assert np.array_equal(_decode_jpeg(_encode_jpeg(solid, quality=90)),
+                          solid)
+    # grayscale single-component scan
+    g = (np.arange(24 * 24).reshape(24, 24) % 256).astype(np.uint8)
+    dec = _decode_jpeg(_encode_jpeg(g, quality=92))
+    assert dec.shape == (24, 24, 1)
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).max() <= 8
+    # 4:2:0 subsampling: 16x16 MCUs, chroma box-average + upsample
+    dec = _decode_jpeg(_encode_jpeg(smooth, quality=90, subsample=True))
+    assert np.abs(dec.astype(int) - smooth.astype(int)).max() <= 12
+    # restart markers: DC predictors reset per interval
+    dec = _decode_jpeg(_encode_jpeg(smooth, quality=90,
+                                    restart_interval=2))
+    assert np.abs(dec.astype(int) - smooth.astype(int)).max() <= 8
+    # non-multiple-of-8 dims with high-frequency noise at q100
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, (17, 19, 3), dtype=np.uint8)
+    dec = _decode_jpeg(_encode_jpeg(noise, quality=100))
+    assert dec.shape == noise.shape
+    assert np.abs(dec.astype(int) - noise.astype(int)).max() <= 4
+
+
+def test_jpeg_gates_and_errors():
+    """decode_pixels routes JPEG to the real decoder now; progressive
+    (SOF2) stays honestly gated as NotImplementedError; corrupt
+    streams raise ValueError (skippable rows)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from meza_spark.llm.multimodal import (_decode_jpeg, _encode_jpeg,
+                                           decode_pixels)
+
+    px = np.full((8, 8, 3), 200, np.uint8)
+    enc = _encode_jpeg(px, quality=85)
+    assert np.array_equal(decode_pixels(bytearray(enc)), px)
+
+    # flip SOF0 -> SOF2 (progressive): honest capability gate
+    sof_at = enc.index(b"\xff\xc0")
+    prog = enc[:sof_at + 1] + b"\xc2" + enc[sof_at + 2:]
     with pytest.raises(NotImplementedError):
-        decode_pixels(b"\xff\xd8\xff" + b"\x00" * 10)
+        _decode_jpeg(prog)
+
+    with pytest.raises(ValueError):
+        _decode_jpeg(b"\xff\xd8NOPE" + b"\x00" * 16)
+    with pytest.raises(ValueError):      # SOS that names a missing comp
+        _decode_jpeg(enc[:2] + b"\xff\xda" + struct.pack(">H", 8)
+                     + bytes([1, 9, 0x00, 0, 63, 0]))
+    with pytest.raises(ValueError):      # no scan at all
+        _decode_jpeg(enc[:sof_at] + b"\xff\xd9")

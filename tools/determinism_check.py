@@ -56,7 +56,7 @@ DEFAULT_QUERIES = [
     "zscore_events_fast",
     "cusum_events_fast",
     "ewma_events_fast",
-    "multimodal_png", "multimodal_gif",
+    "multimodal_png", "multimodal_gif", "multimodal_jpeg",
 ]
 
 _WORKER = r"""
