@@ -720,6 +720,45 @@ def multimodal_gif(spark, sf_dir):
                       F.round("mean_pixel", 6).alias("mean_pixel"))
 
 
+def multimodal_mixed(spark, sf_dir):
+    """Format-dispatch gate: one corpus whose payloads cycle
+    BMP / PNG / GIF by doc_id%3 — all three lossless codecs decode
+    the SAME closed-form palette pixels, so a single arithmetic
+    DuckDB twin covers the whole frame and a hash match proves
+    decode_pixels routes every container to the right real decoder.
+    (JPEG is lossy, so it gates separately via the pinned
+    multimodal_jpeg.)"""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from meza_spark.llm.multimodal import (_encode_bmp, _encode_gif,
+                                           _encode_png, decode_image)
+
+    @pandas_udf("binary")
+    def _mixed(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+        out = []
+        for i, n in zip(doc_id, n_chars):
+            i, n = int(i), int(n)
+            w, h = n % 24 + 1, i % 16 + 1
+            j = np.arange(w * h, dtype=np.int64)
+            p = (i * 7 + j * 11) % 64
+            px = np.stack([(i * 13 + p * 5) % 256,
+                           (i * 17 + p * 3) % 256,
+                           (i * 19 + p * 7) % 256],
+                          axis=1).astype(np.uint8).reshape(h, w, 3)
+            enc = (_encode_bmp, _encode_png, _encode_gif)[i % 3]
+            out.append(enc(px))
+        return pd.Series(out)
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        _mixed("doc_id", "n_chars").alias("payload"))
+    out = decode_image(d)
+    return out.select("media_id", "width", "height", "channels",
+                      F.round("mean_pixel", 6).alias("mean_pixel"))
+
+
 def multimodal_jpeg(spark, sf_dir):
     """REAL baseline-JPEG decode, hash-gated via a VALUES-pinned
     oracle (r2 verdict #3 pattern — the DCT/Huffman arithmetic is
@@ -3598,6 +3637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png": multimodal_png,
         "multimodal_gif": multimodal_gif,
         "multimodal_jpeg": multimodal_jpeg,
+        "multimodal_mixed": multimodal_mixed,
         "multimodal_mp4": multimodal_mp4,
         "multimodal_e2e": multimodal_e2e,
         "image_features_docs": image_features_docs,
@@ -4718,6 +4758,24 @@ def _oracle_sql_base() -> dict[str, str]:
         # arithmetically — the LZW stream exists only on the Spark
         # side; integer sums are exact in double, one division.
         "multimodal_gif": """
+            SELECT doc_id AS media_id,
+                   CAST(n_chars % 24 + 1 AS INTEGER) AS width,
+                   CAST(doc_id % 16 + 1 AS INTEGER) AS height,
+                   CAST(3 AS INTEGER) AS channels,
+                   round(list_sum(list_transform(
+                     range(0, (n_chars % 24 + 1) * (doc_id % 16 + 1)),
+                     j -> (doc_id * 13 + ((doc_id * 7 + j * 11) % 64) * 5) % 256
+                        + (doc_id * 17 + ((doc_id * 7 + j * 11) % 64) * 3) % 256
+                        + (doc_id * 19 + ((doc_id * 7 + j * 11) % 64) * 7) % 256))
+                     / (3.0 * (n_chars % 24 + 1) * (doc_id % 16 + 1)),
+                     6) AS mean_pixel
+            FROM documents
+        """,
+        # Mixed-format twin: BMP/PNG/GIF encode the SAME closed-form
+        # pixels (all lossless), so the gif twin's arithmetic covers
+        # the whole frame; the format cycling exists only Spark-side,
+        # which is exactly what makes the hash prove the dispatch.
+        "multimodal_mixed": """
             SELECT doc_id AS media_id,
                    CAST(n_chars % 24 + 1 AS INTEGER) AS width,
                    CAST(doc_id % 16 + 1 AS INTEGER) AS height,

@@ -103,6 +103,7 @@ HEADLINE = [
     # round-5 operators (append-only: keep batch composition stable)
     "mdb_roundtrip",
     "multimodal_png", "multimodal_gif", "multimodal_jpeg",
+    "multimodal_mixed",
     "zscore_events_fast",
     "cusum_events_fast",
     "ewma_events_fast",

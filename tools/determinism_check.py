@@ -57,6 +57,7 @@ DEFAULT_QUERIES = [
     "cusum_events_fast",
     "ewma_events_fast",
     "multimodal_png", "multimodal_gif", "multimodal_jpeg",
+    "multimodal_mixed",
 ]
 
 _WORKER = r"""
