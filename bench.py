@@ -102,12 +102,14 @@ HEADLINE = [
     "image_features_docs",
     # round-5 operators (append-only: keep batch composition stable)
     "mdb_roundtrip",
-    "multimodal_png", "multimodal_gif", "multimodal_jpeg",
-    "multimodal_mixed",
+    "multimodal_png",
     "zscore_events_fast",
     "cusum_events_fast",
     "ewma_events_fast",
     "multimodal_mp4",
+    "multimodal_gif",
+    "multimodal_jpeg",
+    "multimodal_mixed",
 ]
 
 

@@ -182,12 +182,14 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _decode_png(b: bytes):
-    """8-bit PNG → (h, w, c) uint8 — pure stdlib (zlib inflate + the
-    5 scanline filters per the public PNG spec, RFC 2083 §6), both
-    non-interlaced and Adam7 interlaced. Color types: 0 grayscale →
-    (h,w,1), 2 RGB, 3 palette (PLTE lookup → (h,w,3)), 4 gray+alpha,
-    6 RGBA. The honest gate that remains: bit depths other than 8
-    raise NotImplementedError (route through Pillow)."""
+    """8/16-bit PNG → (h, w, c) uint8 — pure stdlib (zlib inflate +
+    the 5 scanline filters per the public PNG spec, RFC 2083 §6),
+    both non-interlaced and Adam7 interlaced; 16-bit samples decode
+    through the same byte-level filter walk and scale to 8 bits.
+    Color types: 0 grayscale → (h,w,1), 2 RGB, 3 palette (PLTE
+    lookup → (h,w,3)), 4 gray+alpha, 6 RGBA. The honest gates that
+    remain: sub-byte depths (1/2/4) and 16-bit palette raise
+    NotImplementedError (route through Pillow)."""
     import zlib
 
     import numpy as np
@@ -434,13 +436,25 @@ def _decode_gif(b: bytes):
     global/local color tables, sub-block reassembly, variable-width
     LZW codes (incl. the KwKwK case and mid-stream clears), and the
     4-pass row interlace. First image frame only (an animated GIF
-    decodes to its first frame); transparency index is ignored
-    (output is RGB)."""
-    import numpy as np
-
+    decodes to its first frame), composited onto the logical screen
+    at its declared left/top offset over the background color — so
+    the decoded dims agree with :func:`_parse_headers`' LSD dims;
+    transparency index is ignored (output is RGB)."""
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
-    sw, sh, flags = struct.unpack("<HHB", b[6:11])
+    try:
+        return _decode_gif_inner(b)
+    except (struct.error, IndexError) as e:
+        # malformed payloads must surface as ValueError so the
+        # unsupported='skip'/'stub' pipelines treat them like any
+        # other corrupt image instead of crashing the job
+        raise ValueError(f"corrupt GIF payload: {e}") from e
+
+
+def _decode_gif_inner(b: bytes):
+    import numpy as np
+
+    sw, sh, flags, bg = struct.unpack("<HHBB", b[6:12])
     pos = 13
     gct = None
     if flags & 0x80:
@@ -458,6 +472,8 @@ def _decode_gif(b: bytes):
             left, top, w, h, iflags = struct.unpack(
                 "<HHHHB", b[pos + 1:pos + 10])
             pos += 10
+            if w == 0 or h == 0:
+                raise ValueError("GIF frame with zero dimension")
             ct = gct
             if iflags & 0x80:
                 n = 2 << (iflags & 0x07)
@@ -487,7 +503,18 @@ def _decode_gif(b: bytes):
                 grid = de
             if int(grid.max()) >= len(ct):
                 raise ValueError("GIF palette index out of range")
-            return ct[grid].copy()
+            frame = ct[grid]
+            if ((left, top) == (0, 0) and (w, h) == (sw, sh)) \
+                    or sw == 0 or sh == 0:
+                return frame.copy()
+            if left + w > sw or top + h > sh:
+                raise ValueError("GIF frame exceeds logical screen")
+            bg_rgb = (gct[bg] if gct is not None and bg < len(gct)
+                      else np.zeros(3, np.uint8))
+            canvas = np.empty((sh, sw, 3), np.uint8)
+            canvas[:] = bg_rgb
+            canvas[top:top + h, left:left + w] = frame
+            return canvas
         elif block == 0x3B:               # trailer
             break
         else:
@@ -799,22 +826,40 @@ def _decode_jpeg(b: bytes):
     (SOF2), hierarchical, arithmetic-coded, and 12-bit codestreams
     raise NotImplementedError (honest gates); corrupt streams raise
     ValueError (skippable rows)."""
-    import numpy as np
-
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
+    try:
+        return _decode_jpeg_inner(b)
+    except (struct.error, IndexError) as e:
+        # malformed payloads must surface as ValueError so the
+        # unsupported='skip'/'stub' pipelines treat them like any
+        # other corrupt image instead of crashing the job
+        raise ValueError(f"corrupt JPEG payload: {e}") from e
+
+
+def _decode_jpeg_inner(b: bytes):
+    import numpy as np
+
     np_c = _jpeg_np()
     zz = np_c["zz"]
     qt, huff, comps = {}, {}, None
     h = w = 0
     restart = 0
     pos = 2
-    while pos + 4 <= len(b):
+    while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        # fill bytes: a run of 0xFF before the marker is legal padding
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1
         marker = b[pos + 1]
         if marker == 0xD9:
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2                         # TEM / stray RSTn: no body
+            continue
+        if pos + 4 > len(b):
+            raise ValueError("truncated JPEG segment header")
         seg_len = struct.unpack(">H", b[pos + 2:pos + 4])[0]
         seg = b[pos + 4:pos + 2 + seg_len]
         pos += 2 + seg_len
@@ -838,6 +883,8 @@ def _decode_jpeg(b: bytes):
             nc = seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
+            if h == 0 or w == 0:
+                raise ValueError("JPEG frame with zero dimension")
             if h * w > 64_000_000:
                 raise ValueError("JPEG dimensions exceed decode cap")
             comps = []
@@ -867,6 +914,11 @@ def _decode_jpeg(b: bytes):
             if comps is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            if ns < len(comps):
+                # a legal baseline variant, but decoding only the
+                # first scan would silently emit a grayscale Y plane
+                raise NotImplementedError(
+                    "non-interleaved multi-scan JPEG not supported")
             scan = []
             for si in range(ns):
                 cs, tt = seg[1 + si * 2], seg[2 + si * 2]
@@ -1523,7 +1575,12 @@ def _parse_mp4(b: bytes) -> dict:
         for t2, s2, e2 in _mp4_boxes(b, s, e):
             if t2 == b"mvhd" and e2 - s2 >= 20:
                 ver = b[s2]
-                if ver == 1 and e2 - s2 >= 28:
+                if ver == 1:
+                    # v1 layout needs 1+3 ver/flags + 8+8 times +
+                    # 4 timescale + 8 duration = 32 bytes; a shorter
+                    # box is corrupt — skip rather than misread
+                    if e2 - s2 < 32:
+                        continue
                     ts = int.from_bytes(b[s2 + 20:s2 + 24], "big")
                     dur = int.from_bytes(b[s2 + 24:s2 + 32], "big")
                 else:

@@ -601,3 +601,79 @@ def test_jpeg_gates_and_errors():
                      + bytes([1, 9, 0x00, 0, 63, 0]))
     with pytest.raises(ValueError):      # no scan at all
         _decode_jpeg(enc[:sof_at] + b"\xff\xd9")
+
+
+def test_codec_review_fixes():
+    """Round-5 review findings: corrupt GIF/JPEG payloads surface as
+    ValueError (skippable) instead of struct.error/IndexError; JPEG
+    fill bytes and standalone markers parse; zero-dim frames and
+    non-interleaved multi-scan JPEGs gate honestly; an offset GIF
+    frame composites onto the logical screen over the background
+    color so decoded dims agree with parse_media_headers; a
+    truncated v1 mvhd is skipped rather than misread."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from meza_spark.llm.multimodal import (_decode_gif, _decode_jpeg,
+                                           _encode_gif, _encode_jpeg,
+                                           _parse_headers)
+
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    px = pal[rng.integers(0, 8, (4, 6))]
+    gif = _encode_gif(px)
+    # truncated header / descriptor / LZW garbage: all ValueError now
+    for bad in (gif[:10], gif[:15], gif[:20]):
+        with pytest.raises(ValueError):
+            _decode_gif(bad)
+
+    # offset frame: widen the screen, shift the frame by (2, 1)
+    lsd_flags = gif[10]
+    n_gct = 3 * (2 << (lsd_flags & 0x07))
+    head_end = 13 + n_gct
+    sw, sh = 6 + 3, 4 + 2
+    moved = (gif[:6] + struct.pack("<HH", sw, sh) + gif[10:head_end]
+             + b"\x2C" + struct.pack("<HHHHB", 2, 1, 6, 4, 0)
+             + gif[head_end + 10:])
+    out = _decode_gif(moved)
+    assert out.shape == (sh, sw, 3)
+    assert np.array_equal(out[1:5, 2:8], px)
+    # background fill is uniform (palette entry 0 of the color table)
+    assert (out[0, :] == out[0, 0]).all() and (out[5, :] == out[0, 0]).all()
+    # a frame past the screen bounds is corrupt
+    overflow = (gif[:6] + struct.pack("<HH", 5, 3) + gif[10:head_end]
+                + b"\x2C" + struct.pack("<HHHHB", 2, 1, 6, 4, 0)
+                + gif[head_end + 10:])
+    with pytest.raises(ValueError):
+        _decode_gif(overflow)
+
+    jp = _encode_jpeg(np.full((8, 8, 3), 99, np.uint8))
+    # fill byte before a marker is legal padding
+    padded = jp[:2] + b"\xff" + jp[2:]
+    assert np.array_equal(_decode_jpeg(padded), _decode_jpeg(jp))
+    # truncated SOF: ValueError, not struct.error
+    sof_at = jp.index(b"\xff\xc0")
+    with pytest.raises(ValueError):
+        _decode_jpeg(jp[:sof_at + 6])
+    # zero-dimension SOF
+    zero = (jp[:sof_at + 5] + struct.pack(">HH", 0, 0)
+            + jp[sof_at + 9:])
+    with pytest.raises(ValueError):
+        _decode_jpeg(zero)
+    # non-interleaved multi-scan: honest capability gate
+    sos_at = jp.index(b"\xff\xda")
+    multi = (jp[:sos_at] + b"\xff\xda" + struct.pack(">H", 8)
+             + bytes([1, 1, 0x00, 0, 63, 0]))
+    with pytest.raises(NotImplementedError):
+        _decode_jpeg(multi)
+
+    # truncated v1 mvhd: duration skipped, not misread
+    def box(typ, body):
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isom")
+    short_mvhd = box(b"mvhd", struct.pack(">B3x", 1) + b"\x00" * 24)
+    meta = _parse_headers(ftyp + box(b"moov", short_mvhd))
+    assert meta["format"] == "mp4" and meta["duration_ms"] is None
