@@ -976,6 +976,51 @@ def multimodal_audio(spark, sf_dir):
                       F.round("peak", 6).alias("peak"))
 
 
+def multimodal_g711(spark, sf_dir):
+    """REAL ITU-T G.711 telephony decode, hash-gated: synthesize
+    8-bit companded mono WAV per doc — µ-law (format code 7) for even
+    ids, A-law (code 6) for odd — with closed-form byte patterns, run
+    the actual expansion tables (_g711_tables), and emit sample stats
+    the DuckDB twin recomputes by replaying the SAME integer bit
+    arithmetic (complement/xor, mantissa shift, segment unfold) in
+    SQL: every value is a dyadic rational, so sums are exact in
+    double and the one division + sqrt round identically."""
+    import struct as _struct
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from meza_spark.llm.multimodal import decode_audio
+
+    @pandas_udf("binary")
+    def _wav(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for i in doc_id:
+            i = int(i)
+            n = 200 + i % 89
+            j = np.arange(n, dtype=np.int64)
+            data = ((i * 31 + j * 7) % 256).astype(np.uint8).tobytes()
+            code = 7 if i % 2 == 0 else 6
+            out.append(
+                b"RIFF" + _struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + _struct.pack("<IHHIIHH", 16, code, 1, 8000,
+                                         8000, 1, 8)
+                + b"data" + _struct.pack("<I", len(data)) + data)
+        return pd.Series(out)
+
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.col("doc_id") % 10 == 5)
+         .select(F.col("doc_id").alias("media_id"),
+                 _wav("doc_id").alias("payload")))
+    out = decode_audio(d)
+    return out.select("media_id", "sample_rate", "channels", "n_samples",
+                      "duration_ms",
+                      F.round("mean_amp", 6).alias("mean_amp"),
+                      F.round("rms", 6).alias("rms"),
+                      F.round("peak", 6).alias("peak"))
+
+
 # one SQL text, two engines: runs verbatim through spark.sql AND the
 # DuckDB oracle — the engine's full ANSI surface (joins, windows,
 # QUALIFY-free rank filter) with zero dialect translation.
@@ -3638,6 +3683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif": multimodal_gif,
         "multimodal_jpeg": multimodal_jpeg,
         "multimodal_mixed": multimodal_mixed,
+        "multimodal_g711": multimodal_g711,
         "multimodal_mp4": multimodal_mp4,
         "multimodal_e2e": multimodal_e2e,
         "image_features_docs": image_features_docs,
@@ -4824,6 +4870,57 @@ def _oracle_sql_base() -> dict[str, str]:
                    round(list_max(list_transform(vs, x -> abs(x)))
                          / 32768.0, 6) AS peak
             FROM v
+        """,
+        # G.711 twin: replay the CCITT expansion bit arithmetic in SQL
+        # (u-law: complement + biased mantissa shift; A-law: xor 0x55 +
+        # segment unfold). Every decoded value is a dyadic rational, so
+        # the stat sums are exact in double on both engines.
+        "multimodal_g711": """
+            WITH v AS (
+              SELECT doc_id, 200 + doc_id % 89 AS n,
+                     list_transform(range(0, 200 + doc_id % 89),
+                       j -> (doc_id * 31 + j * 7) % 256) AS bs
+              FROM documents WHERE doc_id % 10 = 5),
+            d AS (
+              SELECT doc_id, n,
+                     CASE WHEN doc_id % 2 = 0 THEN
+                       list_transform(bs, b -> CASE WHEN b < 128
+                         THEN 132 - (((255 - b) % 16) * 8 + 132)
+                              * (1 << (((255 - b) // 16) % 8))
+                         ELSE (((255 - b) % 16) * 8 + 132)
+                              * (1 << (((255 - b) // 16) % 8)) - 132
+                         END)
+                     ELSE
+                       list_transform(bs, b -> CASE WHEN xor(b, 85) >= 128
+                         THEN (CASE WHEN ((xor(b, 85) // 16) % 8) = 0
+                                 THEN (xor(b, 85) % 16) * 16 + 8
+                               WHEN ((xor(b, 85) // 16) % 8) = 1
+                                 THEN (xor(b, 85) % 16) * 16 + 264
+                               ELSE ((xor(b, 85) % 16) * 16 + 264)
+                                    * (1 << (((xor(b, 85) // 16) % 8) - 1))
+                               END)
+                         ELSE -(CASE WHEN ((xor(b, 85) // 16) % 8) = 0
+                                 THEN (xor(b, 85) % 16) * 16 + 8
+                               WHEN ((xor(b, 85) // 16) % 8) = 1
+                                 THEN (xor(b, 85) % 16) * 16 + 264
+                               ELSE ((xor(b, 85) % 16) * 16 + 264)
+                                    * (1 << (((xor(b, 85) // 16) % 8) - 1))
+                               END)
+                         END)
+                     END AS vs
+              FROM v)
+            SELECT doc_id AS media_id,
+                   CAST(8000 AS INTEGER) AS sample_rate,
+                   CAST(1 AS INTEGER) AS channels,
+                   CAST(n AS BIGINT) AS n_samples,
+                   CAST((n * 1000) // 8000 AS BIGINT) AS duration_ms,
+                   round((list_sum(vs) / 32768.0) / n, 6) AS mean_amp,
+                   round(sqrt((list_sum(list_transform(vs,
+                       x -> CAST(x * x AS DOUBLE))) / 1073741824.0) / n),
+                       6) AS rms,
+                   round(list_max(list_transform(vs, x -> abs(x)))
+                         / 32768.0, 6) AS peak
+            FROM d
         """,
         # The synthesized payloads encode pure arithmetic of (doc_id,
         # n_chars); recomputing it here gates the full

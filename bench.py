@@ -110,6 +110,7 @@ HEADLINE = [
     "multimodal_gif",
     "multimodal_jpeg",
     "multimodal_mixed",
+    "multimodal_g711",
 ]
 
 

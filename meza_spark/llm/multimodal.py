@@ -1205,33 +1205,79 @@ def decode_pixels(b: bytes):
     raise ValueError("unknown image container")
 
 
+_G711_TABLES = None
+
+
+def _g711_tables():
+    """256-entry µ-law / A-law → 16-bit linear decode tables per the
+    public ITU-T G.711 reference arithmetic (the CCITT expansion
+    formulas: biased mantissa-shift for µ-law, segment unfold for
+    A-law)."""
+    global _G711_TABLES
+    if _G711_TABLES is None:
+        import numpy as np
+
+        ulaw = np.empty(256, np.int16)
+        for byte in range(256):
+            u = ~byte & 0xFF
+            t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+            ulaw[byte] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+        alaw = np.empty(256, np.int16)
+        for byte in range(256):
+            a = byte ^ 0x55
+            t = (a & 0x0F) << 4
+            seg = (a & 0x70) >> 4
+            if seg == 0:
+                t += 8
+            elif seg == 1:
+                t += 0x108
+            else:
+                t = (t + 0x108) << (seg - 1)
+            alaw[byte] = t if (a & 0x80) else -t
+        _G711_TABLES = {"ulaw": ulaw, "alaw": alaw}
+    return _G711_TABLES
+
+
 def _decode_wav(b: bytes) -> dict:
-    """WAV PCM sample statistics — real RIFF chunk walk + numpy over
-    the sample words: mean / RMS / peak (normalized to [-1, 1]),
-    sample count, duration. 16-bit and 8-bit PCM supported."""
+    """WAV sample statistics — real RIFF chunk walk + numpy over the
+    sample words: mean / RMS / peak (normalized to [-1, 1]), sample
+    count, duration. Formats: linear PCM 16/8-bit, and ITU-T G.711
+    A-law (code 6) / µ-law (code 7) via the real expansion tables —
+    telephony WAVs previously would have misdecoded as linear."""
     import numpy as np
 
     if not (b[:4] == b"RIFF" and b[8:12] == b"WAVE"):
         raise ValueError("not a WAV payload")
-    pos, bits, channels, rate, data = 12, None, None, None, None
+    pos, fmt, bits, channels, rate, data = 12, None, None, None, None, None
     while pos + 8 <= len(b):
         cid = b[pos:pos + 4]
         sz = struct.unpack("<I", b[pos + 4:pos + 8])[0]
         if cid == b"fmt " and pos + 24 <= len(b):
+            fmt = struct.unpack("<H", b[pos + 8:pos + 10])[0]
             channels = struct.unpack("<H", b[pos + 10:pos + 12])[0]
             rate = struct.unpack("<I", b[pos + 12:pos + 16])[0]
             bits = struct.unpack("<H", b[pos + 22:pos + 24])[0]
         elif cid == b"data":
             data = b[pos + 8:pos + 8 + sz]
         pos += 8 + sz + (sz & 1)
-    if data is None or not rate or bits not in (8, 16):
-        raise ValueError("unsupported WAV (needs fmt + data, 8/16-bit PCM)")
-    if bits == 16:
+    if data is None or not rate:
+        raise ValueError("unsupported WAV (needs fmt + data chunks)")
+    if fmt in (6, 7):                       # G.711 A-law / µ-law
+        tab = _g711_tables()["alaw" if fmt == 6 else "ulaw"]
+        s = tab[np.frombuffer(data, dtype=np.uint8)] \
+            .astype(np.float64) / 32768.0
+    elif fmt == 1 and bits == 16:
         s = np.frombuffer(data[:len(data) & ~1], dtype="<i2").astype(
             np.float64) / 32768.0
-    else:
+    elif fmt == 1 and bits == 8:
         s = (np.frombuffer(data, dtype=np.uint8).astype(np.float64)
              - 128.0) / 128.0
+    elif fmt == 3 and bits == 32:           # IEEE float WAV
+        s = np.frombuffer(data[:len(data) & ~3], dtype="<f4") \
+            .astype(np.float64)
+    else:
+        raise ValueError("unsupported WAV (PCM 8/16-bit, IEEE float, "
+                         "or G.711 A-law/µ-law)")
     n = int(s.size // channels)
     return {
         "sample_rate": int(rate), "channels": int(channels),

@@ -677,3 +677,61 @@ def test_codec_review_fixes():
     short_mvhd = box(b"mvhd", struct.pack(">B3x", 1) + b"\x00" * 24)
     meta = _parse_headers(ftyp + box(b"moov", short_mvhd))
     assert meta["format"] == "mp4" and meta["duration_ms"] is None
+
+
+def test_wav_g711_and_float_decode():
+    """G.711 telephony WAVs (format codes 6/7) decode through the
+    real ITU-T expansion tables — previously 8-bit companded data
+    would have misdecoded as offset-linear PCM — and IEEE-float WAVs
+    (code 3) decode natively. Spot values pin the CCITT reference
+    arithmetic; unknown codecs still gate as ValueError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from meza_spark.llm.multimodal import (_decode_wav, _g711_tables)
+
+    tabs = _g711_tables()
+    # CCITT reference points: u-law 0xFF -> 0, 0x7F -> 0 (negative
+    # zero), 0x80 -> -32124 (max negative), 0x00 -> +32124? sign
+    # convention: byte 0x00 complements to 0xFF (sign bit set) -> -max
+    assert tabs["ulaw"][0xFF] == 0
+    assert tabs["ulaw"][0x7F] == 0
+    assert tabs["ulaw"][0x00] == -32124
+    assert tabs["ulaw"][0x80] == 32124
+    # u-law symmetry: flipping the sign bit of the CODE negates
+    assert all(int(tabs["ulaw"][v]) == -int(tabs["ulaw"][v ^ 0x80])
+               for v in range(256))
+    # A-law: 0x55 decodes to -8 (smallest magnitude, negative),
+    # 0xD5 to +8, 0x2A to -688? spot the max: 0xAA codes +...
+    assert tabs["alaw"][0x55] == -8
+    assert tabs["alaw"][0xD5] == 8
+    assert int(tabs["alaw"][0xAA]) == -int(tabs["alaw"][0x2A])
+    assert all(int(tabs["alaw"][v]) == -int(tabs["alaw"][v ^ 0x80])
+               for v in range(256))
+    assert int(np.abs(tabs["alaw"]).max()) == 32256
+    assert int(np.abs(tabs["ulaw"]).max()) == 32124
+
+    def wav(code, bits, data, rate=8000):
+        blk = max(1, bits // 8)
+        return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, code, 1, rate,
+                                        rate * blk, blk, bits)
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    raw = bytes(range(256))
+    for code, key in ((7, "ulaw"), (6, "alaw")):
+        out = _decode_wav(wav(code, 8, raw))
+        want = tabs[key][np.frombuffer(raw, np.uint8)].astype(float) / 32768
+        assert out["n_samples"] == 256
+        assert abs(out["mean"] - want.mean()) < 1e-15
+        assert out["peak"] == float(np.abs(want).max())
+    # IEEE float32
+    fs = np.array([0.0, 0.5, -0.25, 1.0], dtype="<f4")
+    out = _decode_wav(wav(3, 32, fs.tobytes()))
+    assert out["n_samples"] == 4 and out["peak"] == 1.0
+    assert abs(out["mean"] - 0.3125) < 1e-15
+    # unknown codec stays a skippable gate
+    with pytest.raises(ValueError):
+        _decode_wav(wav(2, 4, b"\x00\x01\x02\x03"))  # MS-ADPCM

@@ -58,6 +58,7 @@ DEFAULT_QUERIES = [
     "ewma_events_fast",
     "multimodal_png", "multimodal_gif", "multimodal_jpeg",
     "multimodal_mixed",
+    "multimodal_g711",
 ]
 
 _WORKER = r"""
