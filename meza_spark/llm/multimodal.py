@@ -230,16 +230,53 @@ def _decode_png_inner(b: bytes):
             break
     if w is None:
         raise ValueError("PNG without IHDR")
-    if depth not in (8, 16) or (depth == 16 and ctype == 3):
+    if depth not in (1, 2, 4, 8, 16) or (depth == 16 and ctype == 3) \
+            or (depth in (1, 2, 4) and ctype not in (0, 3)):
         raise NotImplementedError(
             f"PNG bit depth {depth} (color type {ctype}) not "
-            "supported by the stdlib decoder (8- and 16-bit only); "
-            "install Pillow for the rest")
+            "supported by the stdlib decoder; install Pillow")
     if interlace not in (0, 1):
         raise ValueError(f"unknown PNG interlace method {interlace}")
     if ctype not in _PNG_CHANNELS:
         raise ValueError(f"unknown PNG color type {ctype}")
     c = _PNG_CHANNELS[ctype]
+    if depth in (1, 2, 4):
+        # sub-byte gray/palette: filters still operate on BYTES
+        # (bpp=1), so unfilter packed rows of ceil(w*depth/8) bytes,
+        # then unpack MSB-first bit groups into samples (PNG §7.2)
+        raw = zlib.decompress(b"".join(idat))
+
+        def read_pass(p, hp, wp):
+            rb = (wp * depth + 7) // 8
+            sub, p = _png_unfilter(raw, p, hp, rb, 1)
+            bits = np.unpackbits(sub[:, :, 0], axis=1)
+            if depth == 1:
+                s = bits
+            else:
+                s = (bits.reshape(hp, -1, depth)
+                     * (1 << np.arange(depth - 1, -1, -1))).sum(axis=2)
+            return s[:, :wp].astype(np.uint8), p
+
+        if interlace == 0:
+            px, _ = read_pass(0, h, w)
+        else:
+            px = np.zeros((h, w), dtype=np.uint8)
+            p = 0
+            for x0, y0, dx, dy in _ADAM7:
+                wp = (w - x0 + dx - 1) // dx
+                hp = (h - y0 + dy - 1) // dy
+                if wp <= 0 or hp <= 0:
+                    continue
+                sub, p = read_pass(p, hp, wp)
+                px[y0::dy, x0::dx] = sub
+        if ctype == 3:
+            if plte is None:
+                raise ValueError("palette PNG without PLTE chunk")
+            if int(px.max()) >= len(plte):
+                raise ValueError("PNG palette index out of range")
+            return plte[px].copy()
+        # gray: scale to 8 bits (255/(2^d-1) is an integer for 1/2/4)
+        return (px * (255 // ((1 << depth) - 1)))[:, :, None]
     # filters operate on BYTES at a bpp stride: 16-bit samples make
     # each pixel 2c filter-bytes wide, so the unfilter runs on a
     # (h, w, 2c) BYTE image that folds back to samples afterwards

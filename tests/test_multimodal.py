@@ -255,9 +255,9 @@ def test_png_palette_and_honest_gates():
         + chunk(b"IEND", b"")
     out = _decode_png(png)
     assert out.shape == (2, 3, 3) and out[1, 0].tolist() == [27, 28, 29]
-    # sub-byte depths and 16-bit palette gate instead of mis-parsing
-    # (8/16-bit and Adam7 now decode)
-    for depth, ct in ((4, 0), (1, 0), (16, 3)):
+    # 16-bit palette gates instead of mis-parsing (8/16-bit, Adam7,
+    # and sub-byte 1/2/4 gray+palette all decode now)
+    for depth, ct in ((16, 3),):
         bad = sig + chunk(b"IHDR", struct.pack(
             ">IIBBBBB", 3, 2, depth, ct, 0, 0, 0))
         with pytest.raises(NotImplementedError):
@@ -735,3 +735,87 @@ def test_wav_g711_and_float_decode():
     # unknown codec stays a skippable gate
     with pytest.raises(ValueError):
         _decode_wav(wav(2, 4, b"\x00\x01\x02\x03"))  # MS-ADPCM
+
+
+def test_png_subbyte_depths():
+    """1/2/4-bit PNGs (icons, scans, small palettes) decode through
+    the shared byte-level filter walk + MSB-first bit unpack (PNG
+    §7.2): gray scales by the exact 255/(2^d-1) integer, palette
+    looks up PLTE. Covers plain and Adam7, None and Up filters, and
+    widths that leave padding bits in the last byte."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from meza_spark.llm.multimodal import _ADAM7, _decode_png
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(typ, data):
+        body = typ + data
+        return struct.pack(">I", len(data)) + body \
+            + struct.pack(">I", zlib.crc32(body))
+
+    def pack_rows(samples, depth, up_filter=False):
+        hp, wp = samples.shape
+        body = bytearray()
+        prev = None
+        for y in range(hp):
+            bits = np.unpackbits(
+                samples[y].astype(np.uint8)[:, None], axis=1,
+                count=8)[:, 8 - depth:]
+            rb = (wp * depth + 7) // 8
+            packed = np.packbits(bits.flatten())
+            packed = np.pad(packed, (0, rb - len(packed)))[:rb]
+            if up_filter and prev is not None:
+                body += b"\x02" + ((packed - prev) & 0xFF).tobytes()
+            else:
+                body += b"\x00" + packed.tobytes()
+            prev = packed
+        return bytes(body)
+
+    def enc(samples, depth, ctype, plte=None, interlace=0,
+            up_filter=False):
+        hh, ww = samples.shape
+        if interlace:
+            body = b""
+            for x0, y0, dx, dy in _ADAM7:
+                s = samples[y0::dy, x0::dx]
+                if s.shape[0] and s.shape[1]:
+                    body += pack_rows(s, depth, up_filter)
+        else:
+            body = pack_rows(samples, depth, up_filter)
+        out = sig + chunk(b"IHDR", struct.pack(
+            ">IIBBBBB", ww, hh, depth, ctype, 0, 0, interlace))
+        if plte is not None:
+            out += chunk(b"PLTE", plte.tobytes())
+        return out + chunk(b"IDAT", zlib.compress(body)) \
+            + chunk(b"IEND", b"")
+
+    rng = np.random.default_rng(13)
+    for depth in (1, 2, 4):
+        # width 9 with depth 1/2/4 leaves padding bits in each row
+        s = rng.integers(0, 1 << depth, (6, 9), dtype=np.uint8)
+        want = (s * (255 // ((1 << depth) - 1)))[:, :, None]
+        for inter in (0, 1):
+            got = _decode_png(enc(s, depth, 0, interlace=inter))
+            assert np.array_equal(got, want), (depth, inter)
+        assert np.array_equal(
+            _decode_png(enc(s, depth, 0, up_filter=True)), want)
+    # 4-bit palette
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    s = rng.integers(0, 16, (5, 7), dtype=np.uint8)
+    for inter in (0, 1):
+        got = _decode_png(enc(s, 4, 3, plte=pal, interlace=inter))
+        assert np.array_equal(got, pal[s]), inter
+    # out-of-range palette index is corrupt, not an IndexError crash
+    tiny_pal = pal[:4]
+    with pytest.raises(ValueError):
+        _decode_png(enc(np.full((2, 2), 9, np.uint8), 4, 3,
+                        plte=tiny_pal))
+    # 16-bit palette stays honestly gated
+    with pytest.raises(NotImplementedError):
+        _decode_png(sig + chunk(b"IHDR", struct.pack(
+            ">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)))
