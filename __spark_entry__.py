@@ -976,6 +976,48 @@ def multimodal_audio(spark, sf_dir):
                       F.round("peak", 6).alias("peak"))
 
 
+def multimodal_tiff(spark, sf_dir):
+    """REAL TIFF decode, hash-gated: one corpus whose payloads cycle
+    compression None/LZW/PackBits by doc_id%3, horizontal-differencing
+    predictor for even ids, big-endian every 5th, multi-strip every
+    4th — all decoding the SAME closed-form palette pixels as the
+    gif/mixed gates, so one arithmetic DuckDB twin covers the whole
+    frame and the compression/predictor/endian machinery exists only
+    on the Spark side (a hash match proves the early-change LZW, the
+    PackBits runs, the IFD walk and the predictor undo end to end)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from meza_spark.llm.multimodal import _encode_tiff, decode_image
+
+    @pandas_udf("binary")
+    def _tif(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+        out = []
+        for i, n in zip(doc_id, n_chars):
+            i, n = int(i), int(n)
+            w, h = n % 24 + 1, i % 16 + 1
+            j = np.arange(w * h, dtype=np.int64)
+            p = (i * 7 + j * 11) % 64
+            px = np.stack([(i * 13 + p * 5) % 256,
+                           (i * 17 + p * 3) % 256,
+                           (i * 19 + p * 7) % 256],
+                          axis=1).astype(np.uint8).reshape(h, w, 3)
+            out.append(_encode_tiff(
+                px, compression=(1, 5, 32773)[i % 3],
+                predictor=2 if i % 2 == 0 else 1,
+                big_endian=i % 5 == 0,
+                rows_per_strip=3 if i % 4 == 0 else None))
+        return pd.Series(out)
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        _tif("doc_id", "n_chars").alias("payload"))
+    out = decode_image(d)
+    return out.select("media_id", "width", "height", "channels",
+                      F.round("mean_pixel", 6).alias("mean_pixel"))
+
+
 def multimodal_g711(spark, sf_dir):
     """REAL ITU-T G.711 telephony decode, hash-gated: synthesize
     8-bit companded mono WAV per doc — µ-law (format code 7) for even
@@ -3684,6 +3726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg": multimodal_jpeg,
         "multimodal_mixed": multimodal_mixed,
         "multimodal_g711": multimodal_g711,
+        "multimodal_tiff": multimodal_tiff,
         "multimodal_mp4": multimodal_mp4,
         "multimodal_e2e": multimodal_e2e,
         "image_features_docs": image_features_docs,
@@ -4870,6 +4913,22 @@ def _oracle_sql_base() -> dict[str, str]:
                    round(list_max(list_transform(vs, x -> abs(x)))
                          / 32768.0, 6) AS peak
             FROM v
+        """,
+        # TIFF twin: identical arithmetic to the gif/mixed twins —
+        # LZW/PackBits/predictor/endian cycling exists only Spark-side
+        "multimodal_tiff": """
+            SELECT doc_id AS media_id,
+                   CAST(n_chars % 24 + 1 AS INTEGER) AS width,
+                   CAST(doc_id % 16 + 1 AS INTEGER) AS height,
+                   CAST(3 AS INTEGER) AS channels,
+                   round(list_sum(list_transform(
+                     range(0, (n_chars % 24 + 1) * (doc_id % 16 + 1)),
+                     j -> (doc_id * 13 + ((doc_id * 7 + j * 11) % 64) * 5) % 256
+                        + (doc_id * 17 + ((doc_id * 7 + j * 11) % 64) * 3) % 256
+                        + (doc_id * 19 + ((doc_id * 7 + j * 11) % 64) * 7) % 256))
+                     / (3.0 * (n_chars % 24 + 1) * (doc_id % 16 + 1)),
+                     6) AS mean_pixel
+            FROM documents
         """,
         # G.711 twin: replay the CCITT expansion bit arithmetic in SQL
         # (u-law: complement + biased mantissa shift; A-law: xor 0x55 +

@@ -111,6 +111,7 @@ HEADLINE = [
     "multimodal_jpeg",
     "multimodal_mixed",
     "multimodal_g711",
+    "multimodal_tiff",
 ]
 
 

@@ -187,9 +187,10 @@ def _decode_png(b: bytes):
     both non-interlaced and Adam7 interlaced; 16-bit samples decode
     through the same byte-level filter walk and scale to 8 bits.
     Color types: 0 grayscale → (h,w,1), 2 RGB, 3 palette (PLTE
-    lookup → (h,w,3)), 4 gray+alpha, 6 RGBA. The honest gates that
-    remain: sub-byte depths (1/2/4) and 16-bit palette raise
-    NotImplementedError (route through Pillow)."""
+    lookup → (h,w,3)), 4 gray+alpha, 6 RGBA; sub-byte 1/2/4-bit
+    gray+palette decode through the same filter walk. Every legal
+    (depth, color-type) pair per PNG §11.2.2 decodes — illegal pairs
+    raise ValueError (corrupt file)."""
     import zlib
 
     import numpy as np
@@ -230,11 +231,14 @@ def _decode_png_inner(b: bytes):
             break
     if w is None:
         raise ValueError("PNG without IHDR")
-    if depth not in (1, 2, 4, 8, 16) or (depth == 16 and ctype == 3) \
-            or (depth in (1, 2, 4) and ctype not in (0, 3)):
-        raise NotImplementedError(
-            f"PNG bit depth {depth} (color type {ctype}) not "
-            "supported by the stdlib decoder; install Pillow")
+    # PNG §11.2.2 legal (depth, color-type) combinations: every one
+    # of them decodes here — an illegal pair is a corrupt file, not a
+    # capability gap
+    legal = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+             4: (8, 16), 6: (8, 16)}
+    if ctype in legal and depth not in legal[ctype]:
+        raise ValueError(
+            f"illegal PNG depth {depth} for color type {ctype}")
     if interlace not in (0, 1):
         raise ValueError(f"unknown PNG interlace method {interlace}")
     if ctype not in _PNG_CHANNELS:
@@ -653,6 +657,352 @@ def _encode_gif(px, interlace: bool = False) -> bytes:
         body += chunk
     body.append(0)
     return head + desc + bytes(body) + b"\x3B"
+
+
+# --- TIFF 6.0 (baseline + LZW/PackBits) — pure stdlib + numpy ---
+def _tiff_lzw(data: bytes, max_bytes: int) -> bytearray:
+    """TIFF-variant LZW (spec §13): MSB-first variable-width codes,
+    fixed 256-entry root + CLEAR/EOI, and the EARLY-CHANGE width
+    growth (one code earlier than GIF's)."""
+    CLEAR, EOI = 256, 257
+    width = 9
+    table = [bytes([i]) for i in range(256)] + [b"", b""]
+    out = bytearray()
+    prev = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            acc &= (1 << nbits) - 1
+            if code == CLEAR:
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == EOI:
+                return out
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("corrupt TIFF LZW stream")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):          # KwKwK
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt TIFF LZW stream")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1                     # early change
+            if len(out) >= max_bytes:
+                return out
+    return out
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF LZW compressor mirroring :func:`_tiff_lzw`'s early-change
+    width growth; clears the table before the 12-bit cap."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+            acc &= (1 << nbits) - 1
+
+    width = 9
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(CLEAR, width)
+    cur = b""
+    for byte in bytes(data):
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        table[nxt] = next_code
+        next_code += 1
+        # early change (TIFF 6.0 off-by-one): switch after ADDING the
+        # code whose value is 2^width - 1 — the decoder, one entry
+        # behind, mirrors this at table size 2^width - 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4093:                  # clear before the cap
+            emit(CLEAR, width)
+            width = 9
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+        cur = bytes([byte])
+    if cur:
+        emit(table[cur], width)
+    emit(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits(data: bytes, max_bytes: int) -> bytearray:
+    """Apple PackBits decompression (TIFF §9)."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < max_bytes:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                raise ValueError("truncated PackBits run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+    return out
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits compressor: repeat runs ≥3 as replicate runs, the
+    rest as literal runs of ≤128."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit = i
+        while i < n and i - lit < 128:
+            run = 1
+            while i + run < n and run < 3 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3 and i + run <= n:
+                break
+            i += 1
+        out += bytes([i - lit - 1]) + data[lit:i]
+    return bytes(out)
+
+
+def _decode_tiff(b: bytes):
+    """Baseline TIFF 6.0 → (h, w, c) uint8 — pure stdlib + numpy:
+    both byte orders, first IFD, strip organization, Compression
+    1/5/32773 (none / TIFF-LZW with early change / PackBits),
+    horizontal-differencing Predictor 2, Photometric 0/1/2/3
+    (white-is-zero, black-is-zero, RGB, palette via the 16-bit
+    ColorMap). 8-bit samples, chunky planar config; other layouts
+    raise NotImplementedError (honest gates), corrupt files
+    ValueError."""
+    if b[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise ValueError("not a TIFF")
+    try:
+        return _decode_tiff_inner(b)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"corrupt TIFF payload: {e}") from e
+
+
+def _decode_tiff_inner(b: bytes):
+    import numpy as np
+
+    en = "<" if b[:2] == b"II" else ">"
+    ifd_off = struct.unpack(en + "I", b[4:8])[0]
+    n_ent = struct.unpack(en + "H", b[ifd_off:ifd_off + 2])[0]
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4}
+    tags = {}
+    for i in range(n_ent):
+        e0 = ifd_off + 2 + i * 12
+        tag, typ = struct.unpack(en + "HH", b[e0:e0 + 4])
+        count = struct.unpack(en + "I", b[e0 + 4:e0 + 8])[0]
+        if typ not in type_size:
+            continue                           # RATIONAL etc: unused
+        total = type_size[typ] * count
+        raw = b[e0 + 8:e0 + 12] if total <= 4 else None
+        if raw is None:
+            voff = struct.unpack(en + "I", b[e0 + 8:e0 + 12])[0]
+            raw = b[voff:voff + total]
+        if len(raw) < total:
+            raise ValueError("truncated TIFF tag data")
+        fmt = {1: "B", 2: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(struct.unpack(en + fmt * count, raw[:total]))
+    try:
+        w = tags[256][0]
+        h = tags[257][0]
+        offsets = tags[273]
+        counts = tags[279]
+    except KeyError as e:
+        raise ValueError(f"TIFF missing required tag {e}")
+    if w == 0 or h == 0:
+        raise ValueError("TIFF frame with zero dimension")
+    if h * w > 64_000_000:
+        raise ValueError("TIFF dimensions exceed decode cap")
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [1] * spp)
+    comp = tags.get(259, [1])[0]
+    photo = tags.get(262, [1])[0]
+    rps = tags.get(278, [h])[0] or h
+    planar = tags.get(284, [1])[0]
+    predictor = tags.get(317, [1])[0]
+    if any(bd != 8 for bd in bits):
+        raise NotImplementedError("only 8-bit TIFF samples supported")
+    if planar != 1:
+        raise NotImplementedError("planar TIFF not supported")
+    if comp not in (1, 5, 32773):
+        raise NotImplementedError(f"TIFF compression {comp} not "
+                                  "supported (none/LZW/PackBits are)")
+    if spp not in (1, 3):
+        raise NotImplementedError("TIFF samples-per-pixel must be 1 or 3")
+    if photo not in (0, 1, 2, 3):
+        raise NotImplementedError(f"TIFF photometric {photo} not supported")
+    rows_done = 0
+    body = bytearray()
+    for off, cnt in zip(offsets, counts):
+        strip_rows = min(rps, h - rows_done)
+        if strip_rows <= 0:
+            break
+        need = strip_rows * w * spp
+        raw = b[off:off + cnt]
+        if len(raw) < cnt:
+            raise ValueError("truncated TIFF strip")
+        if comp == 1:
+            dec = raw[:need]
+        elif comp == 5:
+            dec = _tiff_lzw(raw, need)
+        else:
+            dec = _packbits(raw, need)
+        if len(dec) < need:
+            raise ValueError("short TIFF strip data")
+        body += dec[:need]
+        rows_done += strip_rows
+    if rows_done < h:
+        raise ValueError("TIFF strips cover fewer rows than declared")
+    px = np.frombuffer(bytes(body), np.uint8).reshape(h, w, spp)
+    if predictor == 2:                        # horizontal differencing
+        px = np.cumsum(px.astype(np.int64), axis=1).astype(np.uint8)
+    elif predictor != 1:
+        raise NotImplementedError(f"TIFF predictor {predictor}")
+    if photo == 3:
+        cmap = tags.get(320)
+        if not cmap or len(cmap) < 3 * 256 or spp != 1:
+            raise ValueError("palette TIFF without a usable ColorMap")
+        pal = (np.array(cmap[:768], np.uint16)
+               .reshape(3, 256).T >> 8).astype(np.uint8)
+        return pal[px[:, :, 0]].copy()
+    if photo == 0:                            # white-is-zero
+        px = 255 - px
+    return px.copy()
+
+
+def _encode_tiff(px, compression: int = 1, predictor: int = 1,
+                 rows_per_strip: int | None = None,
+                 big_endian: bool = False,
+                 palette=None) -> bytes:
+    """(h, w, 3|1) uint8 → TIFF bytes (fixture encoder for the
+    decoder's gates): strip organization, None/LZW/PackBits
+    compression, optional horizontal-differencing predictor, gray /
+    RGB / palette photometrics, either byte order. Round-trips
+    through :func:`_decode_tiff`."""
+    import numpy as np
+
+    en = ">" if big_endian else "<"
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, spp = px.shape
+    rps = rows_per_strip or h
+    photo = 2 if spp == 3 else (3 if palette is not None else 1)
+    src = px
+    if predictor == 2:
+        diff = px.astype(np.int64)
+        diff[:, 1:] = diff[:, 1:] - diff[:, :-1]
+        src = (diff & 0xFF).astype(np.uint8)
+    strips = []
+    for y0 in range(0, h, rps):
+        raw = src[y0:y0 + rps].tobytes()
+        if compression == 5:
+            strips.append(_tiff_lzw_encode(raw))
+        elif compression == 32773:
+            strips.append(_packbits_encode(raw))
+        else:
+            strips.append(raw)
+    n_strips = len(strips)
+
+    entries = []                               # (tag, typ, count, values)
+    entries.append((256, 4, 1, [w]))
+    entries.append((257, 4, 1, [h]))
+    entries.append((258, 3, spp, [8] * spp))
+    entries.append((259, 3, 1, [compression]))
+    entries.append((262, 3, 1, [photo]))
+    entries.append((273, 4, n_strips, None))   # offsets patched below
+    entries.append((277, 3, 1, [spp]))
+    entries.append((278, 4, 1, [rps]))
+    entries.append((279, 4, n_strips, [len(s) for s in strips]))
+    if predictor == 2:
+        entries.append((317, 3, 1, [2]))
+    if photo == 3:
+        cm = (np.asarray(palette, np.uint16) << 8)
+        cmap = list(cm[:, 0]) + list(cm[:, 1]) + list(cm[:, 2])
+        entries.append((320, 3, len(cmap), cmap))
+    entries.sort(key=lambda e: e[0])
+
+    type_size = {3: 2, 4: 4}
+    fmt_of = {3: "H", 4: "I"}
+    header = struct.pack(en + "2sHI", b"II" if en == "<" else b"MM",
+                         42, 8)
+    ifd_size = 2 + len(entries) * 12 + 4
+    # layout: header | IFD | overflow tag data | strips
+    over_off = 8 + ifd_size
+    overflow = bytearray()
+    strip_off0 = None
+    packed = []
+    for tag, typ, count, vals in entries:
+        if tag == 273:
+            vals = [0] * count                 # patched after layout
+        total = type_size[typ] * count
+        if total <= 4:
+            raw = struct.pack(en + fmt_of[typ] * count, *vals)
+            raw += b"\x00" * (4 - total)
+            packed.append([tag, typ, count, raw, None])
+        else:
+            packed.append([tag, typ, count, None, vals])
+    for p in packed:
+        if p[3] is None:
+            tag, typ, count, _, vals = p
+            p[3] = struct.pack(en + "I", over_off + len(overflow))
+            overflow += struct.pack(en + fmt_of[typ] * count, *vals)
+    data_off = over_off + len(overflow)
+    offsets = []
+    pos = data_off
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    # patch strip offsets into their slot (entry or overflow)
+    for p in packed:
+        if p[0] == 273:
+            if p[2] * 4 <= 4:
+                p[3] = struct.pack(en + "I" * p[2], *offsets) \
+                    + b"\x00" * (4 - 4 * p[2])
+            else:
+                voff = struct.unpack(en + "I", p[3])[0] - over_off
+                overflow[voff:voff + 4 * p[2]] = struct.pack(
+                    en + "I" * p[2], *offsets)
+    ifd = struct.pack(en + "H", len(packed))
+    for tag, typ, count, raw, _ in packed:
+        ifd += struct.pack(en + "HHI", tag, typ, count) + raw
+    ifd += struct.pack(en + "I", 0)            # no next IFD
+    return header + ifd + bytes(overflow) + b"".join(strips)
 
 
 # --- baseline JPEG (ISO/IEC 10918-1, JFIF) — pure stdlib + numpy ---
@@ -1239,6 +1589,8 @@ def decode_pixels(b: bytes):
         return _decode_gif(b)
     if b[:3] == b"\xff\xd8\xff":
         return _decode_jpeg(b)
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        return _decode_tiff(b)
     raise ValueError("unknown image container")
 
 
@@ -1275,17 +1627,65 @@ def _g711_tables():
     return _G711_TABLES
 
 
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_adpcm_decode(data: bytes, block_align: int):
+    """IMA/DVI ADPCM (WAV format 0x11, mono) → int16 samples — the
+    public IMA reference algorithm: per block, a 4-byte header
+    (int16 predictor + step index), then 4-bit codes low-nibble
+    first; step-scaled delta accumulation with predictor clamp and
+    index-table walk."""
+    import numpy as np
+
+    out = []
+    for bstart in range(0, len(data), block_align):
+        block = data[bstart:bstart + block_align]
+        if len(block) < 4:
+            break
+        pred = int.from_bytes(block[0:2], "little", signed=True)
+        index = min(88, max(0, block[2]))
+        out.append(pred)
+        for byte in block[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                step = _IMA_STEPS[index]
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                pred = pred - diff if nib & 8 else pred + diff
+                pred = min(32767, max(-32768, pred))
+                index = min(88, max(0, index + _IMA_INDEX[nib & 7]))
+                out.append(pred)
+    return np.array(out, dtype=np.int16)
+
+
 def _decode_wav(b: bytes) -> dict:
     """WAV sample statistics — real RIFF chunk walk + numpy over the
     sample words: mean / RMS / peak (normalized to [-1, 1]), sample
-    count, duration. Formats: linear PCM 16/8-bit, and ITU-T G.711
-    A-law (code 6) / µ-law (code 7) via the real expansion tables —
-    telephony WAVs previously would have misdecoded as linear."""
+    count, duration. Formats: linear PCM 16/8-bit, IEEE float32
+    (code 3), ITU-T G.711 A-law (6) / µ-law (7) via the real
+    expansion tables — telephony WAVs previously would have
+    misdecoded as linear — and mono IMA/DVI ADPCM (0x11) via the
+    reference step-table walk."""
     import numpy as np
 
     if not (b[:4] == b"RIFF" and b[8:12] == b"WAVE"):
         raise ValueError("not a WAV payload")
     pos, fmt, bits, channels, rate, data = 12, None, None, None, None, None
+    block_align = None
     while pos + 8 <= len(b):
         cid = b[pos:pos + 4]
         sz = struct.unpack("<I", b[pos + 4:pos + 8])[0]
@@ -1293,6 +1693,7 @@ def _decode_wav(b: bytes) -> dict:
             fmt = struct.unpack("<H", b[pos + 8:pos + 10])[0]
             channels = struct.unpack("<H", b[pos + 10:pos + 12])[0]
             rate = struct.unpack("<I", b[pos + 12:pos + 16])[0]
+            block_align = struct.unpack("<H", b[pos + 20:pos + 22])[0]
             bits = struct.unpack("<H", b[pos + 22:pos + 24])[0]
         elif cid == b"data":
             data = b[pos + 8:pos + 8 + sz]
@@ -1312,9 +1713,16 @@ def _decode_wav(b: bytes) -> dict:
     elif fmt == 3 and bits == 32:           # IEEE float WAV
         s = np.frombuffer(data[:len(data) & ~3], dtype="<f4") \
             .astype(np.float64)
+    elif fmt == 0x11 and bits == 4:         # IMA/DVI ADPCM
+        if channels != 1:
+            raise ValueError("only mono IMA ADPCM supported")
+        if not block_align or block_align < 4:
+            raise ValueError("IMA ADPCM needs a sane block align")
+        s = _ima_adpcm_decode(data, block_align) \
+            .astype(np.float64) / 32768.0
     else:
         raise ValueError("unsupported WAV (PCM 8/16-bit, IEEE float, "
-                         "or G.711 A-law/µ-law)")
+                         "G.711 A-law/µ-law, or mono IMA ADPCM)")
     n = int(s.size // channels)
     return {
         "sample_rate": int(rate), "channels": int(channels),
@@ -1561,8 +1969,9 @@ def resize_image(df: DataFrame, width: int, height: int,
 def _parse_headers(b: bytes) -> dict:
     """REAL (stdlib-only) container-header parse — no decode, no
     Pillow: PNG IHDR, JPEG SOF marker walk, GIF logical screen
-    descriptor, BMP info header, WAV RIFF fmt/data chunks. Returns
-    whatever the container declares; unknown formats → format only.
+    descriptor, BMP info header, TIFF first-IFD dims, WAV RIFF
+    fmt/data chunks, MP4 box walk. Returns whatever the container
+    declares; unknown formats → format only.
 
     This is the filter-stage metadata a pipeline needs (drop tiny
     images, cap durations) without touching pixel/sample data.
@@ -1620,6 +2029,22 @@ def _parse_headers(b: bytes) -> dict:
             pos += 8 + sz + (sz & 1)  # chunks are word-aligned
         if byte_rate and data_sz is not None:
             out["duration_ms"] = int(data_sz * 1000 // byte_rate)
+    elif b[:4] in (b"II*\x00", b"MM\x00*"):
+        out["format"] = "tiff"
+        try:
+            en = "<" if b[:2] == b"II" else ">"
+            off = struct.unpack(en + "I", b[4:8])[0]
+            n = struct.unpack(en + "H", b[off:off + 2])[0]
+            for i in range(n):
+                e0 = off + 2 + i * 12
+                tag, typ = struct.unpack(en + "HH", b[e0:e0 + 4])
+                if tag in (256, 257):
+                    v = struct.unpack(
+                        en + ("H" if typ == 3 else "I"),
+                        b[e0 + 8:e0 + 10 if typ == 3 else e0 + 12])[0]
+                    out["width" if tag == 256 else "height"] = int(v)
+        except (struct.error, IndexError):
+            pass                       # header-only parse stays lenient
     elif b[4:8] == b"ftyp":
         out["format"] = "mp4"
         out.update({k: v for k, v in _parse_mp4(b).items()

@@ -255,12 +255,12 @@ def test_png_palette_and_honest_gates():
         + chunk(b"IEND", b"")
     out = _decode_png(png)
     assert out.shape == (2, 3, 3) and out[1, 0].tolist() == [27, 28, 29]
-    # 16-bit palette gates instead of mis-parsing (8/16-bit, Adam7,
-    # and sub-byte 1/2/4 gray+palette all decode now)
-    for depth, ct in ((16, 3),):
+    # illegal (depth, color-type) pairs per PNG 11.2.2 are corrupt
+    # files, not capability gaps (every legal pair decodes now)
+    for depth, ct in ((16, 3), (2, 2), (4, 6)):
         bad = sig + chunk(b"IHDR", struct.pack(
             ">IIBBBBB", 3, 2, depth, ct, 0, 0, 0))
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             _decode_png(bad)
     # baseline JPEG decodes for real now; a truncated marker stream
     # is a skippable ValueError, not a capability gate
@@ -815,7 +815,188 @@ def test_png_subbyte_depths():
     with pytest.raises(ValueError):
         _decode_png(enc(np.full((2, 2), 9, np.uint8), 4, 3,
                         plte=tiny_pal))
-    # 16-bit palette stays honestly gated
-    with pytest.raises(NotImplementedError):
+    # 16-bit palette is an illegal pair per PNG 11.2.2: corrupt file
+    with pytest.raises(ValueError):
         _decode_png(sig + chunk(b"IHDR", struct.pack(
             ">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)))
+
+
+def test_wav_ima_adpcm_decode():
+    """Mono IMA/DVI ADPCM (WAV format 0x11) decodes through the
+    reference step-table walk. The in-test compressor reconstructs
+    its predictor exactly the way the decoder does, so the decoded
+    samples must EQUAL the encoder's reconstruction bit-for-bit —
+    across block boundaries, predictor clamps, and index walks."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from meza_spark.llm.multimodal import (_IMA_INDEX, _IMA_STEPS,
+                                           _decode_wav)
+
+    def compress(samples, spb):
+        # returns (data, block_align, expected_decode)
+        index = 0
+        blobs, expect = [], []
+        for b0 in range(0, len(samples), spb):
+            chunk = samples[b0:b0 + spb]
+            pred = int(chunk[0])
+            expect.append(pred)
+            head = struct.pack("<hBB", pred, index, 0)
+            nibs = []
+            for s in chunk[1:]:
+                step = _IMA_STEPS[index]
+                diff = int(s) - pred
+                nib = 0
+                if diff < 0:
+                    nib, diff = 8, -diff
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                d = step >> 3
+                if nib & 1:
+                    d += step >> 2
+                if nib & 2:
+                    d += step >> 1
+                if nib & 4:
+                    d += step
+                pred = pred - d if nib & 8 else pred + d
+                pred = min(32767, max(-32768, pred))
+                index = min(88, max(0, index + _IMA_INDEX[nib & 7]))
+                nibs.append(nib)
+                expect.append(pred)
+            data = bytes(a | (b << 4)
+                         for a, b in zip(nibs[0::2], nibs[1::2]))
+            blobs.append(head + data)
+        return b"".join(blobs), 4 + (spb - 1) // 2, expect
+
+    def wav(code, bits, data, block_align, rate=8000):
+        return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, code, 1, rate,
+                                        rate, block_align, bits)
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    # 8 kHz-ish sweep with a hard clip excursion to hit the clamps
+    t = np.arange(99, dtype=np.float64)
+    sig = (20000 * np.sin(t / 3) + 12000 * np.sin(t / 17)) \
+        .clip(-32768, 32767).astype(np.int64)
+    data, ba, expect = compress(sig, 9)          # 11 full blocks
+    out = _decode_wav(wav(0x11, 4, data, ba))
+    want = np.array(expect, dtype=np.float64) / 32768.0
+    assert out["n_samples"] == len(expect) == 99
+    got = np.array([out["mean"], out["rms"], out["peak"]])
+    ref = np.array([want.mean(),
+                    float(np.sqrt((want * want).mean())),
+                    float(np.abs(want).max())])
+    assert np.allclose(got, ref, rtol=0, atol=1e-15)
+    # ADPCM tracks the source within adaptive-step error once the
+    # step index has adapted (the first ~10 samples slope-overload
+    # from index 0 — genuine codec behavior, not a decode bug)
+    assert np.abs(np.array(expect) - sig)[10:].max() < 2000
+    # stereo and degenerate block_align gate as skippable
+    with pytest.raises(ValueError):
+        bad = bytearray(wav(0x11, 4, data, ba))
+        bad[22] = 2                                   # channels=2
+        _decode_wav(bytes(bad))
+    with pytest.raises(ValueError):
+        _decode_wav(wav(0x11, 4, data, 0))
+
+
+def test_tiff_codec_roundtrip_matrix():
+    """Baseline TIFF decodes for real: IFD walk (both byte orders),
+    strip organization, None / TIFF-LZW (early-change widths) /
+    PackBits compression, horizontal-differencing predictor, gray /
+    RGB / white-is-zero / palette photometrics. The fixture encoder
+    round-trips bit-exactly through the decoder across the whole
+    matrix."""
+    import numpy as np
+
+    from meza_spark.llm.multimodal import (_decode_tiff, _encode_tiff,
+                                           _parse_headers,
+                                           decode_pixels)
+
+    rng = np.random.default_rng(21)
+    rgb = rng.integers(0, 256, (13, 9, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (6, 11), dtype=np.uint8)
+    for comp in (1, 5, 32773):
+        for pred in (1, 2):
+            for be in (False, True):
+                enc = _encode_tiff(rgb, compression=comp,
+                                   predictor=pred, big_endian=be)
+                assert np.array_equal(_decode_tiff(enc), rgb), \
+                    (comp, pred, be)
+    # multi-strip with a ragged last strip
+    enc = _encode_tiff(rgb, compression=5, rows_per_strip=4)
+    assert np.array_equal(_decode_tiff(enc), rgb)
+    # gray -> (h, w, 1)
+    out = _decode_tiff(_encode_tiff(gray, compression=32773))
+    assert out.shape == (6, 11, 1)
+    assert np.array_equal(out[:, :, 0], gray)
+    # LZW over repetitive data exercises KwKwK + table growth; a big
+    # random frame crosses the early-change width boundaries
+    rep = np.tile(np.arange(7, dtype=np.uint8), (40, 60, 1))[:, :, 0]
+    assert np.array_equal(
+        _decode_tiff(_encode_tiff(rep, compression=5))[:, :, 0], rep)
+    big = rng.integers(0, 256, (70, 80, 3), dtype=np.uint8)
+    assert np.array_equal(_decode_tiff(_encode_tiff(big, compression=5)),
+                          big)
+    # palette: ColorMap is 16-bit x 3 planes; decode looks up >> 8
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, (5, 8), dtype=np.uint8)
+    enc = _encode_tiff(idx, palette=pal)
+    assert np.array_equal(_decode_tiff(enc), pal[idx])
+    # dispatch + header parse
+    enc = _encode_tiff(rgb)
+    assert np.array_equal(decode_pixels(bytearray(enc)), rgb)
+    meta = _parse_headers(enc)
+    assert (meta["format"], meta["width"], meta["height"]) \
+        == ("tiff", 9, 13)
+
+
+def test_tiff_gates_and_errors():
+    """Unsupported layouts gate honestly; corrupt files are
+    skippable ValueErrors."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from meza_spark.llm.multimodal import _decode_tiff, _encode_tiff
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    enc = _encode_tiff(px)
+
+    def patch_tag(buf, tag, value):
+        en = "<"
+        off = struct.unpack(en + "I", buf[4:8])[0]
+        n = struct.unpack(en + "H", buf[off:off + 2])[0]
+        out = bytearray(buf)
+        for i in range(n):
+            e0 = off + 2 + i * 12
+            t = struct.unpack(en + "H", buf[e0:e0 + 2])[0]
+            if t == tag:
+                out[e0 + 8:e0 + 12] = struct.pack(en + "HH", value, 0)
+        return bytes(out)
+
+    with pytest.raises(NotImplementedError):   # JPEG-in-TIFF
+        _decode_tiff(patch_tag(enc, 259, 7))
+    with pytest.raises(NotImplementedError):   # 2 samples per pixel
+        _decode_tiff(patch_tag(enc, 277, 2))
+    with pytest.raises(NotImplementedError):   # unknown predictor
+        _decode_tiff(patch_tag(
+            _encode_tiff(px, predictor=2), 317, 3))
+    with pytest.raises(ValueError):            # zero dims
+        _decode_tiff(patch_tag(enc, 256, 0))
+    with pytest.raises(ValueError):
+        _decode_tiff(b"II*\x00" + b"\xff" * 20)
+    with pytest.raises(ValueError):            # not a TIFF at all
+        _decode_tiff(b"NOPE")
+    # truncated strip data
+    with pytest.raises(ValueError):
+        _decode_tiff(enc[:-8])

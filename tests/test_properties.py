@@ -478,3 +478,69 @@ def test_webdataset_roundtrip_property(spark, tmp_path_factory, rows):
     for key, blob, txt in rows:
         assert got[key]["bin"] == (blob or b"")
         assert got[key]["txt"] == txt.encode("utf-8")
+
+
+@given(st.data())
+@settings(**_SETTINGS)
+def test_image_codec_roundtrip_property(data):
+    """Property: any small uint8 image round-trips bit-exactly
+    through every LOSSLESS codec — PNG (random filter/interlace),
+    GIF (palette-bounded), TIFF (random compression/predictor/
+    endian/strips), BMP — and the codecs agree with each other on
+    the decoded pixels. JPEG (lossy) is pinned separately."""
+    import numpy as np
+
+    from meza_spark.llm.multimodal import (_decode_bmp, _decode_gif,
+                                           _decode_png, _decode_tiff,
+                                           _encode_bmp, _encode_gif,
+                                           _encode_png, _encode_tiff)
+
+    h = data.draw(st.integers(1, 12), label="h")
+    w = data.draw(st.integers(1, 12), label="w")
+    seed = data.draw(st.integers(0, 2**32 - 1), label="seed")
+    rng = np.random.default_rng(seed)
+    # <=256 unique colors so GIF can always palettize
+    pal = rng.integers(0, 256, (min(256, h * w), 3), dtype=np.uint8)
+    px = pal[rng.integers(0, len(pal), (h, w))]
+
+    assert np.array_equal(_decode_bmp(_encode_bmp(px)), px)
+    interlace = data.draw(st.booleans(), label="interlace")
+    ft = data.draw(st.sampled_from([None, 0, 1, 2, 3, 4]), label="filter")
+    assert np.array_equal(
+        _decode_png(_encode_png(px, filter_type=ft,
+                                interlace=interlace)), px)
+    assert np.array_equal(_decode_gif(_encode_gif(px, interlace=interlace)),
+                          px)
+    comp = data.draw(st.sampled_from([1, 5, 32773]), label="tiff_comp")
+    pred = data.draw(st.sampled_from([1, 2]), label="tiff_pred")
+    be = data.draw(st.booleans(), label="tiff_be")
+    rps = data.draw(st.one_of(st.none(), st.integers(1, h)), label="rps")
+    assert np.array_equal(
+        _decode_tiff(_encode_tiff(px, compression=comp, predictor=pred,
+                                  big_endian=be, rows_per_strip=rps)),
+        px)
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(70, 95))
+@settings(**_SETTINGS)
+def test_jpeg_roundtrip_error_bound_property(seed, quality):
+    """Property: baseline JPEG round-trips any smooth image within a
+    quantization-scaled error bound, and uniform images exactly."""
+    import numpy as np
+
+    from meza_spark.llm.multimodal import _decode_jpeg, _encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    h, w = int(rng.integers(8, 25)), int(rng.integers(8, 25))
+    base = rng.integers(30, 226, 3)
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = np.clip(base[None, None, :] + xx[:, :, None] % 5
+                 + yy[:, :, None] % 3, 0, 255).astype(np.uint8)
+    dec = _decode_jpeg(_encode_jpeg(px, quality=int(quality),
+                                    subsample=bool(seed % 2)))
+    assert dec.shape == px.shape
+    tol = 10 if quality >= 90 else 24
+    assert np.abs(dec.astype(int) - px.astype(int)).max() <= tol
+    solid = np.full((9, 7, 3), int(rng.integers(0, 256)), np.uint8)
+    assert np.array_equal(_decode_jpeg(_encode_jpeg(solid, quality=90)),
+                          solid)

@@ -59,6 +59,7 @@ DEFAULT_QUERIES = [
     "multimodal_png", "multimodal_gif", "multimodal_jpeg",
     "multimodal_mixed",
     "multimodal_g711",
+    "multimodal_tiff",
 ]
 
 _WORKER = r"""
