@@ -427,10 +427,14 @@ def _encode_png(px, filter_type: int | None = None,
         chunk(b"IDAT", zlib.compress(bytes(body))) + chunk(b"IEND", b"")
 
 
-def _gif_lzw(data: bytes, min_code_size: int, max_pixels: int):
-    """GIF LZW decompress (the public GIF89a spec's variable-width
-    code scheme): returns a list of palette indices, stopping at
-    ``max_pixels`` or the end-of-information code."""
+def _lzw_decode(data: bytes, min_code_size: int, max_out: int,
+                msb_first: bool, early_change: bool) -> bytearray:
+    """Shared variable-width LZW walker serving BOTH dialects: GIF
+    (LSB-first bit packing, width grows at table size 2^w) and TIFF
+    (MSB-first, the spec's EARLY-CHANGE off-by-one — width grows one
+    entry sooner, at 2^w - 1). Handles mid-stream clears, the KwKwK
+    code, and the 12-bit width cap; stops at ``max_out`` bytes or the
+    end-of-information code."""
     clear = 1 << min_code_size
     eoi = clear + 1
     width = min_code_size + 1
@@ -438,13 +442,22 @@ def _gif_lzw(data: bytes, min_code_size: int, max_pixels: int):
     out = bytearray()
     acc = nbits = 0
     prev = None
+    grow_at = -1 if early_change else 0
     for byte in data:
-        acc |= byte << nbits
+        if msb_first:
+            acc = (acc << 8) | byte
+        else:
+            acc |= byte << nbits
         nbits += 8
         while nbits >= width:
-            code = acc & ((1 << width) - 1)
-            acc >>= width
-            nbits -= width
+            if msb_first:
+                code = (acc >> (nbits - width)) & ((1 << width) - 1)
+                nbits -= width
+                acc &= (1 << nbits) - 1
+            else:
+                code = acc & ((1 << width) - 1)
+                acc >>= width
+                nbits -= width
             if code == clear:
                 table = table[:eoi + 1]
                 width = min_code_size + 1
@@ -453,6 +466,8 @@ def _gif_lzw(data: bytes, min_code_size: int, max_pixels: int):
             if code == eoi:
                 return out
             if prev is None:
+                if code >= len(table):
+                    raise ValueError("corrupt LZW stream")
                 entry = table[code]
             elif code < len(table):
                 entry = table[code]
@@ -461,14 +476,22 @@ def _gif_lzw(data: bytes, min_code_size: int, max_pixels: int):
                 entry = prev + prev[:1]
                 table.append(entry)
             else:
-                raise ValueError("corrupt GIF LZW stream")
+                raise ValueError("corrupt LZW stream")
             out += entry
             prev = entry
-            if len(table) == (1 << width) and width < 12:
+            if len(table) == (1 << width) + grow_at and width < 12:
                 width += 1
-            if len(out) >= max_pixels:
+            if len(out) >= max_out:
                 return out
     return out
+
+
+def _gif_lzw(data: bytes, min_code_size: int, max_pixels: int):
+    """GIF LZW decompress (the public GIF89a spec's variable-width
+    code scheme): returns palette indices, stopping at ``max_pixels``
+    or the end-of-information code."""
+    return _lzw_decode(data, min_code_size, max_pixels,
+                       msb_first=False, early_change=False)
 
 
 def _decode_gif(b: bytes):
@@ -663,46 +686,10 @@ def _encode_gif(px, interlace: bool = False) -> bytes:
 def _tiff_lzw(data: bytes, max_bytes: int) -> bytearray:
     """TIFF-variant LZW (spec §13): MSB-first variable-width codes,
     fixed 256-entry root + CLEAR/EOI, and the EARLY-CHANGE width
-    growth (one code earlier than GIF's)."""
-    CLEAR, EOI = 256, 257
-    width = 9
-    table = [bytes([i]) for i in range(256)] + [b"", b""]
-    out = bytearray()
-    prev = None
-    acc = nbits = 0
-    for byte in data:
-        acc = (acc << 8) | byte
-        nbits += 8
-        while nbits >= width:
-            code = (acc >> (nbits - width)) & ((1 << width) - 1)
-            nbits -= width
-            acc &= (1 << nbits) - 1
-            if code == CLEAR:
-                table = table[:258]
-                width = 9
-                prev = None
-                continue
-            if code == EOI:
-                return out
-            if prev is None:
-                if code >= len(table):
-                    raise ValueError("corrupt TIFF LZW stream")
-                entry = table[code]
-            elif code < len(table):
-                entry = table[code]
-                table.append(prev + entry[:1])
-            elif code == len(table):          # KwKwK
-                entry = prev + prev[:1]
-                table.append(entry)
-            else:
-                raise ValueError("corrupt TIFF LZW stream")
-            out += entry
-            prev = entry
-            if len(table) == (1 << width) - 1 and width < 12:
-                width += 1                     # early change
-            if len(out) >= max_bytes:
-                return out
-    return out
+    growth (one code earlier than GIF's) — all via the shared
+    :func:`_lzw_decode` walker."""
+    return _lzw_decode(data, 8, max_bytes,
+                       msb_first=True, early_change=True)
 
 
 def _tiff_lzw_encode(data: bytes) -> bytes:
@@ -1647,6 +1634,10 @@ def _ima_adpcm_decode(data: bytes, block_align: int):
     index-table walk."""
     import numpy as np
 
+    if len(data) > 4_000_000:
+        # ~8M samples of pure-Python nibble loop; cap like the image
+        # decoders' 64M-pixel bound so one blob can't stall a task
+        raise ValueError("IMA ADPCM payload exceeds decode cap")
     out = []
     for bstart in range(0, len(data), block_align):
         block = data[bstart:bstart + block_align]

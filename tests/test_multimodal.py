@@ -984,6 +984,12 @@ def test_tiff_gates_and_errors():
                 out[e0 + 8:e0 + 12] = struct.pack(en + "HH", value, 0)
         return bytes(out)
 
+    # photometric 0 (white-is-zero): same bytes decode inverted
+    g = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    genc = _encode_tiff(g)
+    inv = _decode_tiff(patch_tag(genc, 262, 0))
+    assert np.array_equal(inv[:, :, 0], 255 - g)
+
     with pytest.raises(NotImplementedError):   # JPEG-in-TIFF
         _decode_tiff(patch_tag(enc, 259, 7))
     with pytest.raises(NotImplementedError):   # 2 samples per pixel
