@@ -1006,3 +1006,35 @@ def test_tiff_gates_and_errors():
     # truncated strip data
     with pytest.raises(ValueError):
         _decode_tiff(enc[:-8])
+
+
+def test_image_features_all_containers(spark):
+    """image_features and resize_image ride decode_pixels, so every
+    real codec feeds the feature path: the same pixels packaged as
+    BMP, PNG, GIF, and TIFF must produce IDENTICAL features, and the
+    (lossy) JPEG of a uniform image matches exactly too."""
+    import numpy as np
+
+    from meza_spark.llm.multimodal import (_encode_bmp, _encode_gif,
+                                           _encode_jpeg, _encode_png,
+                                           _encode_tiff,
+                                           image_features,
+                                           resize_image)
+
+    rng = np.random.default_rng(31)
+    pal = rng.integers(0, 256, (64, 3), dtype=np.uint8)
+    px = pal[rng.integers(0, 64, (12, 10))]
+    rows = [(1, bytearray(_encode_bmp(px))),
+            (2, bytearray(_encode_png(px))),
+            (3, bytearray(_encode_gif(px))),
+            (4, bytearray(_encode_tiff(px, compression=5))),
+            (5, bytearray(_encode_jpeg(
+                np.full((12, 10, 3), 90, np.uint8), quality=90)))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    feats = {r["media_id"]: r["features"]
+             for r in image_features(df, resize_to=8).collect()}
+    assert feats[1] == feats[2] == feats[3] == feats[4]
+    assert all(abs(v - 90 / 255) < 1e-6 for v in feats[5])
+    sizes = {r["media_id"]: (r["width"], r["height"])
+             for r in resize_image(df, 4, 5).collect()}
+    assert set(sizes.values()) == {(4, 5)}
