@@ -37,7 +37,28 @@ from pyspark.sql.types import (
 
 __all__ = ["media_schema", "attach_media_meta", "decode_image",
            "decode_audio", "decode_pixels", "resize_image",
-           "image_features", "frame_sample", "parse_media_headers"]
+           "image_features", "frame_sample", "parse_media_headers",
+           "MAX_DECODE_PIXELS", "MAX_AUDIO_BYTES"]
+
+# Decode budgets, validated BEFORE any header-driven allocation: a
+# hostile 200-byte payload declaring 65535x65535 pixels (or a zlib
+# bomb inflating 1000:1) must raise a skippable ValueError instead of
+# OOM-killing the executor — at 100-TB crawl scale one such payload
+# per shard would take down the whole stage, and MemoryError is NOT
+# caught by decode_image(unsupported='skip'). Every _decode_* checks
+# declared dims against MAX_DECODE_PIXELS before allocating, and PNG
+# inflates through a max_length-bounded decompressobj.
+MAX_DECODE_PIXELS = 64_000_000
+MAX_AUDIO_BYTES = 256_000_000
+
+
+def _check_pixels(h: int, w: int, fmt: str) -> None:
+    """Shared pre-allocation budget gate for the image decoders."""
+    if h <= 0 or w <= 0:
+        raise ValueError(f"{fmt} frame with non-positive dimension")
+    if h * w > MAX_DECODE_PIXELS:
+        raise ValueError(f"{fmt} dimensions {w}x{h} exceed the "
+                         f"{MAX_DECODE_PIXELS}-pixel decode budget")
 
 # canonical media metadata struct carried alongside the binary payload
 MEDIA_META_FIELDS = [
@@ -105,6 +126,7 @@ def _decode_bmp(b: bytes):
     if bpp != 24 or compression != 0:
         raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
     h = abs(h_raw)
+    _check_pixels(h, w, "BMP")
     row_sz = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
     need = data_off + row_sz * h
     if len(b) < need:
@@ -159,6 +181,7 @@ def _decode_netpbm(b: bytes):
         i = j
     i += 1  # the single whitespace after maxval
     w, h, maxval = fields
+    _check_pixels(h, w, "netpbm")
     if maxval > 255:
         raise ValueError("16-bit netpbm not supported")
     ch = 3 if b[:2] == b"P6" else 1
@@ -243,12 +266,14 @@ def _decode_png_inner(b: bytes):
         raise ValueError(f"unknown PNG interlace method {interlace}")
     if ctype not in _PNG_CHANNELS:
         raise ValueError(f"unknown PNG color type {ctype}")
+    _check_pixels(h, w, "PNG")
     c = _PNG_CHANNELS[ctype]
     if depth in (1, 2, 4):
         # sub-byte gray/palette: filters still operate on BYTES
         # (bpp=1), so unfilter packed rows of ceil(w*depth/8) bytes,
         # then unpack MSB-first bit groups into samples (PNG §7.2)
-        raw = zlib.decompress(b"".join(idat))
+        raw = _inflate_bounded(idat, _png_expected(
+            w, h, interlace, lambda wp: (wp * depth + 7) // 8))
 
         def read_pass(p, hp, wp):
             rb = (wp * depth + 7) // 8
@@ -285,7 +310,8 @@ def _decode_png_inner(b: bytes):
     # each pixel 2c filter-bytes wide, so the unfilter runs on a
     # (h, w, 2c) BYTE image that folds back to samples afterwards
     sb = depth // 8                        # bytes per sample
-    raw = zlib.decompress(b"".join(idat))
+    raw = _inflate_bounded(idat, _png_expected(
+        w, h, interlace, lambda wp: wp * c * sb))
     if interlace == 0:
         px, p = _png_unfilter(raw, 0, h, w, c * sb)
     else:
@@ -316,6 +342,30 @@ def _decode_png_inner(b: bytes):
 # Adam7 pass geometry (PNG spec §8.2): (x_start, y_start, x_step, y_step)
 _ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _png_expected(w: int, h: int, interlace: int, rowbytes) -> int:
+    """Exact inflated-stream size for a PNG image: per pass, one
+    filter byte plus ``rowbytes(pass_width)`` per scanline."""
+    if interlace == 0:
+        return h * (1 + rowbytes(w))
+    total = 0
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (w - x0 + dx - 1) // dx
+        hp = (h - y0 + dy - 1) // dy
+        if wp > 0 and hp > 0:
+            total += hp * (1 + rowbytes(wp))
+    return total
+
+
+def _inflate_bounded(idat: list, expected: int) -> bytes:
+    """Inflate the IDAT stream, emitting at most ``expected`` bytes —
+    a zlib bomb past the image's true size never materializes (the
+    budget half of the r5 hostile-bytes fix; the dimension half is
+    :func:`_check_pixels`)."""
+    import zlib
+
+    return zlib.decompressobj().decompress(b"".join(idat), expected)
 
 
 def _png_unfilter(raw: bytes, p: int, h: int, w: int, c: int):
@@ -519,6 +569,9 @@ def _decode_gif_inner(b: bytes):
     import numpy as np
 
     sw, sh, flags, bg = struct.unpack("<HHBB", b[6:12])
+    if sw * sh > MAX_DECODE_PIXELS:
+        raise ValueError(f"GIF logical screen {sw}x{sh} exceeds the "
+                         f"{MAX_DECODE_PIXELS}-pixel decode budget")
     pos = 13
     gct = None
     if flags & 0x80:
@@ -536,8 +589,7 @@ def _decode_gif_inner(b: bytes):
             left, top, w, h, iflags = struct.unpack(
                 "<HHHHB", b[pos + 1:pos + 10])
             pos += 10
-            if w == 0 or h == 0:
-                raise ValueError("GIF frame with zero dimension")
+            _check_pixels(h, w, "GIF")
             ct = gct
             if iflags & 0x80:
                 n = 2 << (iflags & 0x07)
@@ -831,10 +883,7 @@ def _decode_tiff_inner(b: bytes):
         counts = tags[279]
     except KeyError as e:
         raise ValueError(f"TIFF missing required tag {e}")
-    if w == 0 or h == 0:
-        raise ValueError("TIFF frame with zero dimension")
-    if h * w > 64_000_000:
-        raise ValueError("TIFF dimensions exceed decode cap")
+    _check_pixels(h, w, "TIFF")
     spp = tags.get(277, [1])[0]
     bits = tags.get(258, [1] * spp)
     comp = tags.get(259, [1])[0]
@@ -1257,10 +1306,7 @@ def _decode_jpeg_inner(b: bytes):
             nc = seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
-            if h == 0 or w == 0:
-                raise ValueError("JPEG frame with zero dimension")
-            if h * w > 64_000_000:
-                raise ValueError("JPEG dimensions exceed decode cap")
+            _check_pixels(h, w, "JPEG")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = seg[6 + ci * 3:9 + ci * 3]
@@ -1636,7 +1682,8 @@ def _ima_adpcm_decode(data: bytes, block_align: int):
 
     if len(data) > 4_000_000:
         # ~8M samples of pure-Python nibble loop; cap like the image
-        # decoders' 64M-pixel bound so one blob can't stall a task
+        # decoders' MAX_DECODE_PIXELS bound so one blob can't stall a
+        # task
         raise ValueError("IMA ADPCM payload exceeds decode cap")
     out = []
     for bstart in range(0, len(data), block_align):
@@ -1687,6 +1734,13 @@ def _decode_wav(b: bytes) -> dict:
             block_align = struct.unpack("<H", b[pos + 20:pos + 22])[0]
             bits = struct.unpack("<H", b[pos + 22:pos + 24])[0]
         elif cid == b"data":
+            if sz > MAX_AUDIO_BYTES:
+                # chunk-declared size is untrusted input: gate before
+                # slicing so the 8x float64 sample expansion below can
+                # never materialize gigabytes from one hostile blob
+                raise ValueError(
+                    f"WAV data chunk {sz} bytes exceeds the "
+                    f"{MAX_AUDIO_BYTES}-byte decode budget")
             data = b[pos + 8:pos + 8 + sz]
         pos += 8 + sz + (sz & 1)
     if data is None or not rate:

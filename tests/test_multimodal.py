@@ -1038,3 +1038,127 @@ def test_image_features_all_containers(spark):
     sizes = {r["media_id"]: (r["width"], r["height"])
              for r in resize_image(df, 4, 5).collect()}
     assert set(sizes.values()) == {(4, 5)}
+
+
+def test_decode_budgets_hostile_headers():
+    """r5 verdict #1: header-declared dims are untrusted — a tiny
+    payload declaring 65535x65535 must raise ValueError BEFORE any
+    allocation (never MemoryError, which 'skip' can't catch)."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from meza_spark.llm import multimodal as mm
+
+    # PNG: IHDR declares 65535x65535, IDAT is 4 bytes
+    ihdr = struct.pack(">IIBBBBB", 65535, 65535, 8, 2, 0, 0, 0)
+    png = (mm._PNG_SIG
+           + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + b"\0\0\0\0"
+           + struct.pack(">I", 4) + b"IDAT" + b"\0\0\0\0" + b"\0\0\0\0"
+           + struct.pack(">I", 0) + b"IEND" + b"\0\0\0\0")
+    with _pytest.raises(ValueError, match="decode budget"):
+        mm.decode_pixels(png)
+
+    # GIF: logical screen 65535x65535
+    gif_lsd = b"GIF89a" + struct.pack("<HHBBB", 65535, 65535, 0, 0, 0)
+    with _pytest.raises(ValueError, match="decode budget"):
+        mm.decode_pixels(gif_lsd + b"\x3B")
+    # GIF: small screen, huge frame descriptor
+    gif_frame = (b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0, 0, 0)
+                 + b"\x2C" + struct.pack("<HHHHB", 0, 0, 65535, 65535, 0)
+                 + b"\x02\x00\x3B")
+    with _pytest.raises(ValueError, match="decode budget"):
+        mm.decode_pixels(gif_frame)
+
+    # BMP: declares 100000x100000
+    bmp = (b"BM" + struct.pack("<IHHI", 60, 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, 100000, 100000, 1, 24, 0,
+                         0, 0, 0, 0, 0) + b"\0" * 8)
+    with _pytest.raises(ValueError, match="decode budget"):
+        mm.decode_pixels(bmp)
+
+    # netpbm: declares huge dims
+    with _pytest.raises(ValueError, match="decode budget"):
+        mm.decode_pixels(b"P6 100000 100000 255 ")
+
+    # TIFF: IFD declares 65535x65535 (shared helper now)
+    tif = mm._encode_tiff(
+        __import__("numpy").zeros((2, 2, 3), "uint8"))
+    # patch ImageWidth/ImageLength values in the little-endian IFD
+    import numpy as np
+    arr = bytearray(tif)
+    n_ent = struct.unpack("<H", arr[8:10])[0]
+    for i in range(n_ent):
+        e0 = 10 + i * 12
+        tag = struct.unpack("<H", arr[e0:e0 + 2])[0]
+        if tag in (256, 257):
+            arr[e0 + 8:e0 + 12] = struct.pack("<I", 65535)
+    with _pytest.raises(ValueError, match="decode budget"):
+        mm.decode_pixels(bytes(arr))
+
+    # JPEG: SOF0 declares 65535x65535
+    jpg = bytearray(mm._encode_jpeg(np.zeros((8, 8, 3), "uint8")))
+    i = jpg.find(b"\xff\xc0")
+    jpg[i + 5:i + 9] = struct.pack(">HH", 65535, 65535)
+    with _pytest.raises(ValueError, match="decode budget"):
+        mm.decode_pixels(bytes(jpg))
+
+
+def test_decode_budget_zlib_bomb_png():
+    """A PNG whose IDAT inflates far past the image's true size must
+    decode its declared pixels and never materialize the bomb."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from meza_spark.llm import multimodal as mm
+
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    good = mm._encode_png(px, filter_type=0)
+    # rebuild with an IDAT = real scanlines + 64 MB of trailing zeros
+    scan = bytearray()
+    for y in range(4):
+        scan.append(0)
+        scan += px[y].tobytes()
+    bomb = zlib.compress(bytes(scan) + b"\0" * (64 << 20), 9)
+    assert len(bomb) < 100_000          # the whole point: tiny on disk
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    payload = (mm._PNG_SIG
+               + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+               + b"\0\0\0\0"
+               + struct.pack(">I", len(bomb)) + b"IDAT" + bomb
+               + b"\0\0\0\0"
+               + struct.pack(">I", 0) + b"IEND" + b"\0\0\0\0")
+    out = mm.decode_pixels(payload)
+    assert (out == mm.decode_pixels(good)).all()
+
+
+def test_decode_budget_wav_and_skip_semantics(spark):
+    """Hostile WAV data-chunk size raises ValueError; every budget
+    violation is skippable through decode_image/audio('skip')."""
+    import struct
+
+    import pytest as _pytest
+
+    from meza_spark.llm import multimodal as mm
+
+    wav = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000,
+                                   2, 16)
+           + b"data" + struct.pack("<I", mm.MAX_AUDIO_BYTES + 1)
+           + b"\0\0")
+    with _pytest.raises(ValueError, match="decode budget"):
+        mm._decode_wav(wav)
+
+    ihdr = struct.pack(">IIBBBBB", 65535, 65535, 8, 2, 0, 0, 0)
+    png = (mm._PNG_SIG
+           + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + b"\0\0\0\0"
+           + struct.pack(">I", 4) + b"IDAT" + b"\0\0\0\0" + b"\0\0\0\0"
+           + struct.pack(">I", 0) + b"IEND" + b"\0\0\0\0")
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(wav))],
+        "media_id long, payload binary")
+    assert mm.decode_image(df, unsupported="skip").count() == 0
+    assert mm.decode_audio(df, unsupported="skip").count() == 0
