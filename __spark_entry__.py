@@ -802,6 +802,54 @@ def multimodal_jpeg(spark, sf_dir):
                       F.round("mean_pixel", 6).alias("mean_pixel"))
 
 
+def multimodal_jpeg_prog(spark, sf_dir):
+    """REAL progressive-JPEG (SOF2) decode, hash-gated via a
+    VALUES-pinned oracle (same pattern as multimodal_jpeg): the
+    progressive fixture encoder spreads the SAME quantized
+    coefficients across a libjpeg-style scan script — DC first with
+    successive approximation, DC refinement, AC spectral bands with
+    EOB runs, AC refinement with correction bits — so the decoder's
+    full T.81 §G machinery is under the pin. 4:2:0 for even ids,
+    grayscale every 5th, restart intervals every 7th, quality
+    cycling 75/85/95. Bit-deterministic (pure numpy + stdlib)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from meza_spark.llm.multimodal import (_encode_jpeg_progressive,
+                                           decode_image)
+
+    @pandas_udf("binary")
+    def _jpg(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+        out = []
+        for i, n in zip(doc_id, n_chars):
+            i, n = int(i), int(n)
+            w, h = n % 24 + 8, i % 16 + 8
+            yy, xx = np.mgrid[0:h, 0:w]
+            if i % 5 == 0:
+                px = ((i * 11 + xx * 3 + yy * 5) % 256).astype(np.uint8)
+            else:
+                px = np.stack([(i * 11 + xx * 3 + yy * 5) % 256,
+                               (i * 7 + xx * 2 + yy * 3) % 256,
+                               (i * 13 + xx + yy * 7) % 256],
+                              axis=2).astype(np.uint8)
+            out.append(_encode_jpeg_progressive(
+                px, quality=75 + (i % 3) * 10,
+                subsample=i % 2 == 0,
+                restart_interval=3 if i % 7 == 0 else 0))
+        return pd.Series(out)
+
+    # deterministic 1/4 subset: the gate checks the §G scan machinery
+    # EXACTNESS; full-corpus decode rate is multimodal_jpeg's job
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.col("doc_id") % 4 == 1)
+         .select(F.col("doc_id").alias("media_id"),
+                 _jpg("doc_id", "n_chars").alias("payload")))
+    out = decode_image(d)
+    return out.select("media_id", "width", "height", "channels",
+                      F.round("mean_pixel", 6).alias("mean_pixel"))
+
+
 def multimodal_mp4(spark, sf_dir):
     """REAL MP4 metadata parse, hash-gated: synthesize an ISO-BMFF
     shell per doc (ftyp + moov(mvhd + trak(tkhd))) with closed-form
@@ -3724,6 +3772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png": multimodal_png,
         "multimodal_gif": multimodal_gif,
         "multimodal_jpeg": multimodal_jpeg,
+        "multimodal_jpeg_prog": multimodal_jpeg_prog,
         "multimodal_mixed": multimodal_mixed,
         "multimodal_g711": multimodal_g711,
         "multimodal_tiff": multimodal_tiff,

@@ -112,6 +112,8 @@ HEADLINE = [
     "multimodal_mixed",
     "multimodal_g711",
     "multimodal_tiff",
+    # round 6 additions (append-only so earlier batches stay comparable)
+    "multimodal_jpeg_prog",
 ]
 
 

@@ -5,10 +5,11 @@ Decode is REAL for every format stdlib+numpy can handle (r2 verdict
 #4): BMP (24-bit BI_RGB), netpbm PPM/P6 + PGM/P5, 8/16-bit PNG both
 non-interlaced and Adam7 (zlib inflate + all 5 scanline filters,
 gray/gray-alpha/RGB/RGBA/palette), GIF87a/89a (variable-width LZW +
-palette, 4-pass interlace), baseline sequential JPEG (canonical
-Huffman, restart markers, orthonormal-basis IDCT, 4:2:0 chroma
-upsample, YCbCr→RGB), and WAV 16/8-bit PCM sample stats. Only
-progressive/hierarchical/arithmetic JPEG stays behind an honest
+palette, 4-pass interlace), baseline sequential AND progressive
+(SOF2) JPEG (canonical Huffman, restart markers, multi-scan spectral
+selection + successive approximation per T.81 §G, orthonormal-basis
+IDCT, 4:2:0 chroma upsample, YCbCr→RGB), and WAV 16/8-bit PCM sample
+stats. Only hierarchical/arithmetic JPEG stays behind an honest
 ``NotImplementedError`` (or the opt-in deterministic stub used by
 the plumbing tests); a cluster that wants those adds a Pillow branch
 to ``decode_pixels`` and nothing else changes.
@@ -1239,14 +1240,19 @@ def _jpeg_extend(v: int, s: int) -> int:
 
 
 def _decode_jpeg(b: bytes):
-    """Baseline sequential JFIF → (h, w, c) uint8, c = 3 (RGB) or 1.
+    """Baseline sequential AND progressive (SOF2) JFIF → (h, w, c)
+    uint8, c = 3 (RGB) or 1.
 
     REAL decode, pure stdlib + numpy: marker walk (DQT incl. 16-bit
-    tables, SOF0/1, DHT, DRI, SOS), canonical Huffman with byte
-    unstuffing and restart-marker resync, dequantize + dezigzag,
+    tables, SOF0/1/2, DHT, DRI, SOS), canonical Huffman with byte
+    unstuffing and restart-marker resync, multi-scan coefficient
+    accumulation — spectral selection + successive approximation per
+    ITU T.81 §G (DC first/refine, AC first with EOB runs, AC
+    refinement with correction bits) — then dequantize + dezigzag,
     exact IDCT via the orthonormal DCT-II basis matrix, nearest
-    chroma upsample, YCbCr→RGB per the JFIF formulas. Progressive
-    (SOF2), hierarchical, arithmetic-coded, and 12-bit codestreams
+    chroma upsample, YCbCr→RGB per the JFIF formulas. Baseline
+    non-interleaved multi-scan files decode through the same
+    framework. Hierarchical, arithmetic-coded, and 12-bit codestreams
     raise NotImplementedError (honest gates); corrupt streams raise
     ValueError (skippable rows)."""
     if b[:2] != b"\xff\xd8":
@@ -1268,6 +1274,8 @@ def _decode_jpeg_inner(b: bytes):
     qt, huff, comps = {}, {}, None
     h = w = 0
     restart = 0
+    progressive = False
+    scanned = False
     pos = 2
     while pos + 2 <= len(b):
         if b[pos] != 0xFF:
@@ -1300,13 +1308,14 @@ def _decode_jpeg_inner(b: bytes):
                 q = np.zeros(64, np.int64)
                 q[zz] = tab
                 qt[tq] = q.reshape(8, 8).astype(np.float64)
-        elif marker in (0xC0, 0xC1):             # SOF0/1: baseline
+        elif marker in (0xC0, 0xC1, 0xC2):       # SOF0/1 + SOF2
             prec = seg[0]
             h, w = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
             _check_pixels(h, w, "JPEG")
+            progressive = marker == 0xC2
             comps = []
             for ci in range(nc):
                 cid, hv, tq = seg[6 + ci * 3:9 + ci * 3]
@@ -1314,11 +1323,25 @@ def _decode_jpeg_inner(b: bytes):
                 if ch not in (1, 2, 4) or cv not in (1, 2, 4):
                     raise ValueError("bad JPEG sampling factors")
                 comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for c in comps:
+                # MCU-padded coefficient grid (interleaved scans code
+                # the padding blocks) + the component's OWN block grid
+                # (non-interleaved scans code only that, T.81 A.2.2)
+                c["bw_mcu"] = mcux * c["h"]
+                c["bh_mcu"] = mcuy * c["v"]
+                c["bw"] = (-(-w * c["h"] // hmax) + 7) // 8
+                c["bh"] = (-(-h * c["v"] // vmax) + 7) // 8
+                c["coef"] = np.zeros(
+                    (c["bh_mcu"], c["bw_mcu"], 64), np.int32)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/hierarchical/arithmetic JPEG not supported"
-                " (baseline sequential decodes for real)")
+                "hierarchical/arithmetic JPEG not supported (baseline "
+                "sequential and progressive decode for real)")
         elif marker == 0xC4:                     # DHT
             i = 0
             while i < len(seg):
@@ -1334,82 +1357,222 @@ def _decode_jpeg_inner(b: bytes):
             if comps is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            if ns < len(comps):
-                # a legal baseline variant, but decoding only the
-                # first scan would silently emit a grayscale Y plane
-                raise NotImplementedError(
-                    "non-interleaved multi-scan JPEG not supported")
+            if len(seg) < 1 + 2 * ns + 3:
+                raise ValueError("truncated JPEG SOS header")
+            ss_, se_ = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_, al_ = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            if progressive:
+                if ss_ == 0 and se_ != 0:
+                    raise ValueError("progressive DC scan with Se != 0")
+                if ss_ > 0 and ns != 1:
+                    raise ValueError("progressive AC scans are "
+                                     "single-component")
+                if se_ > 63 or ss_ > se_:
+                    raise ValueError("bad JPEG spectral selection")
+            elif (ss_, se_, ah_, al_) != (0, 63, 0, 0):
+                raise ValueError("bad baseline JPEG scan header")
             scan = []
             for si in range(ns):
                 cs, tt = seg[1 + si * 2], seg[2 + si * 2]
                 comp = next((c for c in comps if c["id"] == cs), None)
-                if comp is None or (0, tt >> 4) not in huff \
-                        or (1, tt & 15) not in huff:
+                if comp is None:
                     raise ValueError("JPEG scan references missing "
-                                     "component or Huffman table")
-                comp["dc"] = huff[(0, tt >> 4)]
-                comp["ac"] = huff[(1, tt & 15)]
+                                     "component")
+                need_dc = ss_ == 0 and ah_ == 0
+                need_ac = (not progressive) or ss_ > 0
+                if (need_dc and (0, tt >> 4) not in huff) or \
+                        (need_ac and (1, tt & 15) not in huff):
+                    raise ValueError("JPEG scan references missing "
+                                     "Huffman table")
+                comp["dc"] = huff.get((0, tt >> 4))
+                comp["ac"] = huff.get((1, tt & 15))
                 scan.append(comp)
-            return _decode_jpeg_scan(b, pos, scan, qt, h, w, restart)
-    raise ValueError("JPEG without SOS scan")
+            pos = _jpeg_decode_scan(b, pos, scan, restart, mcux, mcuy,
+                                    progressive, ss_, se_, ah_, al_, zz)
+            scanned = True
+    if not scanned:
+        raise ValueError("JPEG without SOS scan")
+    return _jpeg_reconstruct(comps, qt, h, w, hmax, vmax)
 
 
-def _decode_jpeg_scan(b, pos, comps, qt, h, w, restart):
+def _jpeg_next_marker(d: bytes, pos: int) -> int:
+    """Position of the next real marker (not a stuffed 0x00, not an
+    RSTn) at or after ``pos`` — where the post-scan walk resumes."""
+    p = pos
+    while p + 1 < len(d):
+        if d[p] == 0xFF and d[p + 1] != 0x00 and d[p + 1] != 0xFF \
+                and not (0xD0 <= d[p + 1] <= 0xD7):
+            return p
+        p += 1
+    return len(d)
+
+
+def _jpeg_decode_scan(b, pos, scan, restart, mcux, mcuy,
+                      progressive, ss_, se_, ah_, al_, zz):
+    """Decode one entropy-coded scan into the components' coefficient
+    arrays (T.81 §F baseline, §G progressive) and return the stream
+    position of the next marker. Interleaved scans (ns > 1) iterate
+    MCUs; single-component scans iterate the component's own block
+    grid. Restart markers reset DC predictors AND the EOB run."""
+    r = _JpegBitReader(b, pos)
+    eobrun = 0
+    for c in scan:
+        c["pred"] = 0
+    interleaved = len(scan) > 1
+    if interleaved:
+        units = [None] * (mcux * mcuy)          # unit = one MCU
+    else:
+        c0 = scan[0]
+        units = [None] * (c0["bw"] * c0["bh"])  # unit = one block
+    for m in range(len(units)):
+        if restart and m and m % restart == 0:
+            r.align_restart()
+            eobrun = 0
+            for c in scan:
+                c["pred"] = 0
+        if interleaved:
+            my, mx = divmod(m, mcux)
+            for c in scan:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        eobrun = _jpeg_decode_block(
+                            r, c, c["coef"][my * c["v"] + by,
+                                            mx * c["h"] + bx],
+                            progressive, ss_, se_, ah_, al_, zz,
+                            eobrun)
+        else:
+            by, bx = divmod(m, c0["bw"])
+            eobrun = _jpeg_decode_block(
+                r, c0, c0["coef"][by, bx], progressive,
+                ss_, se_, ah_, al_, zz, eobrun)
+    return _jpeg_next_marker(b, r.pos)
+
+
+def _jpeg_decode_block(r, c, coef, progressive, ss_, se_, ah_, al_,
+                       zz, eobrun):
+    """Decode one 8x8 block's contribution for the current scan into
+    ``coef`` (natural-order int32[64]); returns the updated EOB run."""
+    if not progressive:                         # full baseline block
+        s = r.huff(c["dc"])
+        c["pred"] += _jpeg_extend(r.read(s), s)
+        coef[0] = c["pred"]
+        k = 1
+        while k < 64:
+            rs = r.huff(c["ac"])
+            rr, sv = rs >> 4, rs & 15
+            if rs == 0:                          # EOB
+                break
+            if rs == 0xF0:                       # ZRL
+                k += 16
+                continue
+            k += rr
+            if k > 63:
+                raise ValueError("JPEG AC run past block")
+            coef[zz[k]] = _jpeg_extend(r.read(sv), sv)
+            k += 1
+        return 0
+    if ss_ == 0:                                # DC scan
+        if ah_ == 0:                            # first
+            s = r.huff(c["dc"])
+            c["pred"] += _jpeg_extend(r.read(s), s)
+            coef[0] = c["pred"] << al_
+        elif r.read(1):                         # refinement: one bit
+            coef[0] |= 1 << al_
+        return eobrun
+    if ah_ == 0:                                # AC first scan (G.1.2.2)
+        if eobrun > 0:
+            return eobrun - 1
+        k = ss_
+        while k <= se_:
+            rs = r.huff(c["ac"])
+            rr, sv = rs >> 4, rs & 15
+            if sv == 0:
+                if rr == 15:                     # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << rr) - 1           # EOBn: this block ends
+                if rr:
+                    eobrun += r.read(rr)
+                return eobrun
+            k += rr
+            if k > se_:
+                raise ValueError("JPEG AC run past band")
+            coef[zz[k]] = _jpeg_extend(r.read(sv), sv) << al_
+            k += 1
+        return 0
+    # AC refinement scan (G.1.2.3): correction bits on nonzero-history
+    # coefficients, ±1<<Al insertions at zero-history positions
+    p1 = 1 << al_
+    m1 = -1 << al_
+    k = ss_
+    if eobrun == 0:
+        while k <= se_:
+            rs = r.huff(c["ac"])
+            rr, sv = rs >> 4, rs & 15
+            val = 0
+            if sv == 0:
+                if rr < 15:                      # EOBn
+                    eobrun = 1 << rr
+                    if rr:
+                        eobrun += r.read(rr)
+                    break
+                # rr == 15: run of 16 zero-history coefficients
+            else:
+                if sv != 1:
+                    raise ValueError("bad JPEG AC refinement magnitude")
+                val = p1 if r.read(1) else m1
+            while k <= se_:
+                z = zz[k]
+                if coef[z] != 0:
+                    if r.read(1) and (coef[z] & p1) == 0:
+                        coef[z] += p1 if coef[z] > 0 else m1
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if val:
+                if k > se_:
+                    raise ValueError("JPEG refinement run past band")
+                coef[zz[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se_:
+            z = zz[k]
+            if coef[z] != 0:
+                if r.read(1) and (coef[z] & p1) == 0:
+                    coef[z] += p1 if coef[z] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_reconstruct(comps, qt, h, w, hmax, vmax):
+    """Dequantize + IDCT every component's coefficient grid, upsample
+    chroma, and color-convert — shared by the baseline and progressive
+    paths (the per-block ``a.T @ (coef * q) @ a`` arithmetic is the
+    round-5 baseline's exactly, so pinned gates are unchanged)."""
     import numpy as np
 
     np_c = _jpeg_np()
-    a, zz = np_c["A"], np_c["zz"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
+    a = np_c["A"]
+    planes = []
     for c in comps:
         if c["tq"] not in qt:
             raise ValueError("JPEG component references missing DQT")
-        c["plane"] = np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8),
-                              np.float64)
-        c["pred"] = 0
-        c["q"] = qt[c["tq"]]
-    r = _JpegBitReader(b, pos)
-    for m in range(mcux * mcuy):
-        if restart and m and m % restart == 0:
-            r.align_restart()
-            for c in comps:
-                c["pred"] = 0
-        my, mx = divmod(m, mcux)
-        for c in comps:
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    coef = np.zeros(64, np.float64)
-                    s = r.huff(c["dc"])
-                    c["pred"] += _jpeg_extend(r.read(s), s)
-                    coef[0] = c["pred"]
-                    k = 1
-                    while k < 64:
-                        rs = r.huff(c["ac"])
-                        rr, ss = rs >> 4, rs & 15
-                        if rs == 0:              # EOB
-                            break
-                        if rs == 0xF0:           # ZRL
-                            k += 16
-                            continue
-                        k += rr
-                        if k > 63:
-                            raise ValueError("JPEG AC run past block")
-                        coef[zz[k]] = _jpeg_extend(r.read(ss), ss)
-                        k += 1
-                    block = a.T @ (coef.reshape(8, 8) * c["q"]) @ a
-                    y0 = (my * c["v"] + by) * 8
-                    x0 = (mx * c["h"] + bx) * 8
-                    c["plane"][y0:y0 + 8, x0:x0 + 8] = block + 128
-    planes = []
-    for c in comps:
-        p = c["plane"]
+        q = qt[c["tq"]]
+        plane = np.zeros((c["bh_mcu"] * 8, c["bw_mcu"] * 8), np.float64)
+        coef = c["coef"]
+        for by in range(c["bh_mcu"]):
+            for bx in range(c["bw_mcu"]):
+                block = a.T @ (coef[by, bx].astype(np.float64)
+                               .reshape(8, 8) * q) @ a
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block + 128
         if c["h"] != hmax:
-            p = np.repeat(p, hmax // c["h"], axis=1)
+            plane = np.repeat(plane, hmax // c["h"], axis=1)
         if c["v"] != vmax:
-            p = np.repeat(p, vmax // c["v"], axis=0)
-        planes.append(p[:h, :w])
+            plane = np.repeat(plane, vmax // c["v"], axis=0)
+        planes.append(plane[:h, :w])
     if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255) \
             .astype(np.uint8)[:, :, None]
@@ -1455,18 +1618,13 @@ def _jpeg_quality_scale(qtab, quality: int):
     return np.clip((q * scale + 50) // 100, 1, 255)
 
 
-def _encode_jpeg(px, quality: int = 90, subsample: bool = False,
-                 restart_interval: int = 0) -> bytes:
-    """(h, w, 3|1) uint8 → baseline JFIF bytes (fixture encoder for
-    the decoder's gates): quality-scaled Annex K quant tables,
-    standard Annex K Huffman tables, 4:4:4 (or 4:2:0 with
-    ``subsample=True``) sampling, optional restart intervals. Lossy —
-    round-trips through :func:`_decode_jpeg` within a quantization
-    tolerance, and exactly for uniform blocks."""
+def _jpeg_forward_setup(px, quality: int, subsample: bool):
+    """Shared forward path for both JPEG fixture encoders: RGB→YCbCr,
+    optional 4:2:0 box-average chroma subsample, edge padding to MCU
+    multiples, quality-scaled Annex K quant tables. Returns
+    ``(comp, qlum, qchr, gray, h, w, mcux, mcuy, sub)``."""
     import numpy as np
 
-    np_c = _jpeg_np()
-    a, zz = np_c["A"], np_c["zz"]
     px = np.asarray(px)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -1511,6 +1669,23 @@ def _encode_jpeg(px, quality: int = 90, subsample: bool = False,
             "ac": _huff_codes(*(_HUFF_AC_LUM if i == 0
                                 else _HUFF_AC_CHROM)),
             "pred": 0})
+    return comp, qlum, qchr, gray, h, w, mcux, mcuy, sub
+
+
+def _encode_jpeg(px, quality: int = 90, subsample: bool = False,
+                 restart_interval: int = 0) -> bytes:
+    """(h, w, 3|1) uint8 → baseline JFIF bytes (fixture encoder for
+    the decoder's gates): quality-scaled Annex K quant tables,
+    standard Annex K Huffman tables, 4:4:4 (or 4:2:0 with
+    ``subsample=True``) sampling, optional restart intervals. Lossy —
+    round-trips through :func:`_decode_jpeg` within a quantization
+    tolerance, and exactly for uniform blocks."""
+    import numpy as np
+
+    np_c = _jpeg_np()
+    a, zz = np_c["A"], np_c["zz"]
+    comp, qlum, qchr, gray, h, w, mcux, mcuy, sub = \
+        _jpeg_forward_setup(px, quality, subsample)
     wtr = _JpegBitWriter()
 
     def emit_block(c, y0, x0):
@@ -1603,14 +1778,265 @@ def _encode_jpeg(px, quality: int = 90, subsample: bool = False,
     return bytes(out)
 
 
+# Progressive fixture encoder's AC Huffman table: a near-flat
+# canonical code covering ALL 256 symbol values (254 at 8 bits, 2 at
+# 9), because progressive scans emit EOBn symbols ((r<<4)|0 for
+# r 1..14) that the Annex K baseline tables don't define. The all-1s
+# codeword stays unused as T.81 requires.
+_HUFF_AC_FLAT = ([0, 0, 0, 0, 0, 0, 0, 254, 2, 0, 0, 0, 0, 0, 0, 0],
+                 list(range(256)))
+
+# libjpeg-style default progression: exercises DC first (Al=1), DC
+# refine, AC first with spectral bands + EOB runs, and AC refinement
+# with correction bits — every §G decoder path.
+_PROG_SCANS_COLOR = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+_PROG_SCANS_GRAY = [
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+def _encode_jpeg_progressive(px, quality: int = 90,
+                             subsample: bool = False,
+                             restart_interval: int = 0,
+                             scans=None) -> bytes:
+    """(h, w, 3|1) uint8 → progressive (SOF2) JFIF bytes — the fixture
+    encoder for the progressive decoder's gates. Identical forward
+    path to :func:`_encode_jpeg` (same quant tables, same coefficient
+    values), so decoding a progressive stream must reproduce the
+    baseline decode bit-for-bit on the cropped image; the scan script
+    (default: the public libjpeg progression) spreads those
+    coefficients across DC/AC first + refinement scans per T.81 §G."""
+    import numpy as np
+
+    np_c = _jpeg_np()
+    a, zz = np_c["A"], np_c["zz"]
+    comp, qlum, qchr, gray, h, w, mcux, mcuy, sub = \
+        _jpeg_forward_setup(px, quality, subsample)
+    hmax = max(c["h"] for c in comp)
+    vmax = max(c["v"] for c in comp)
+    # quantize every block up front, zigzag-ordered
+    for c in comp:
+        bh_m = c["plane"].shape[0] // 8
+        bw_m = c["plane"].shape[1] // 8
+        zc = np.zeros((bh_m, bw_m, 64), np.int64)
+        for by in range(bh_m):
+            for bx in range(bw_m):
+                block = c["plane"][by * 8:by * 8 + 8,
+                                   bx * 8:bx * 8 + 8] - 128
+                zc[by, bx] = np.round((a @ block @ a.T) / c["q"]) \
+                    .astype(np.int64).flatten()[zz]
+        c["zc"] = zc
+        c["bw_mcu"], c["bh_mcu"] = bw_m, bh_m
+        c["bw"] = (-(-w * c["h"] // hmax) + 7) // 8
+        c["bh"] = (-(-h * c["v"] // vmax) + 7) // 8
+        c["acp"] = _huff_codes(*_HUFF_AC_FLAT)
+    for ci, c in enumerate(comp):
+        c["ci"] = ci
+    if scans is None:
+        scans = _PROG_SCANS_GRAY if gray else _PROG_SCANS_COLOR
+
+    body = bytearray()
+    n_rst = 0
+    for comp_ids, ss_, se_, ah_, al_ in scans:
+        scan = [comp[i] for i in comp_ids]
+        wtr = _JpegBitWriter()
+        eobrun = 0
+        ebuf = []                               # deferred correction bits
+        for c in scan:
+            c["pred"] = 0
+
+        def emit_sym(c, table_key, v):
+            code, ln = c[table_key][v]
+            wtr.write(code, ln)
+
+        def flush_eob(c):
+            nonlocal eobrun, ebuf
+            if eobrun > 0:
+                rr = eobrun.bit_length() - 1
+                emit_sym(c, "acp", rr << 4)
+                if rr:
+                    wtr.write(eobrun - (1 << rr), rr)
+                eobrun = 0
+                for bit in ebuf:
+                    wtr.write(bit, 1)
+                ebuf = []
+
+        def block_dc_first(c, by, bx):
+            dcv = int(c["zc"][by, bx, 0]) >> al_
+            diff = dcv - c["pred"]
+            c["pred"] = dcv
+            s = abs(diff).bit_length()
+            emit_sym(c, "dc", s)
+            if s:
+                v = diff if diff >= 0 else diff + (1 << s) - 1
+                wtr.write(v & ((1 << s) - 1), s)
+
+        def block_dc_refine(c, by, bx):
+            wtr.write((int(c["zc"][by, bx, 0]) >> al_) & 1, 1)
+
+        def block_ac_first(c, by, bx):
+            nonlocal eobrun
+            z = c["zc"][by, bx]
+            r = 0
+            any_sym = False
+            for k in range(ss_, se_ + 1):
+                v = int(z[k])
+                t = abs(v) >> al_
+                if t == 0:
+                    r += 1
+                    continue
+                if eobrun > 0:
+                    flush_eob(c)
+                while r > 15:
+                    emit_sym(c, "acp", 0xF0)
+                    r -= 16
+                s = t.bit_length()
+                emit_sym(c, "acp", (r << 4) | s)
+                tv = t if v >= 0 else -t
+                vv = tv if tv >= 0 else tv + (1 << s) - 1
+                wtr.write(vv & ((1 << s) - 1), s)
+                r = 0
+                any_sym = True
+            if r > 0 or not any_sym:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob(c)
+
+        def block_ac_refine(c, by, bx):
+            nonlocal eobrun, ebuf
+            z = c["zc"][by, bx]
+            absv = [abs(int(z[k])) >> al_ for k in range(ss_, se_ + 1)]
+            eob_rel = -1
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eob_rel = i
+            r = 0
+            br = []
+            for i, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob_rel:
+                    flush_eob(c)
+                    emit_sym(c, "acp", 0xF0)
+                    r -= 16
+                    for bit in br:
+                        wtr.write(bit, 1)
+                    br = []
+                if t > 1:                       # already significant
+                    br.append(t & 1)
+                    continue
+                flush_eob(c)
+                emit_sym(c, "acp", (r << 4) | 1)
+                wtr.write(1 if int(z[ss_ + i]) >= 0 else 0, 1)
+                for bit in br:
+                    wtr.write(bit, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                ebuf += br
+                if eobrun == 0x7FFF:
+                    flush_eob(c)
+
+        if ss_ == 0:
+            block = block_dc_first if ah_ == 0 else block_dc_refine
+        else:
+            if len(scan) != 1:
+                raise ValueError("progressive AC scans are "
+                                 "single-component")
+            block = block_ac_first if ah_ == 0 else block_ac_refine
+        interleaved = len(scan) > 1
+        n_units = mcux * mcuy if interleaved \
+            else scan[0]["bw"] * scan[0]["bh"]
+        for m in range(n_units):
+            if restart_interval and m and m % restart_interval == 0:
+                flush_eob(scan[0])
+                wtr.flush()
+                wtr.out += bytes([0xFF, 0xD0 + (n_rst % 8)])
+                n_rst += 1
+                for c in scan:
+                    c["pred"] = 0
+            if interleaved:
+                my, mx = divmod(m, mcux)
+                for c in scan:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            block(c, my * c["v"] + by, mx * c["h"] + bx)
+            else:
+                by, bx = divmod(m, scan[0]["bw"])
+                block(scan[0], by, bx)
+        flush_eob(scan[0])
+        wtr.flush()
+
+        sos = bytes([len(scan)])
+        for c in scan:
+            td = 0 if c["ci"] == 0 else 1
+            sos += bytes([c["ci"] + 1, (td << 4) | 0])  # AC tbl 0 = flat
+        sos += bytes([ss_, se_, (ah_ << 4) | al_])
+        body += _jpeg_seg(0xDA, sos) + wtr.out
+
+    out = bytearray(b"\xff\xd8")
+    out += _jpeg_seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _jpeg_dqt(0, qlum, zz)
+    if not gray:
+        out += _jpeg_dqt(1, qchr, zz)
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for i in range(ncomp):
+        sof += bytes([i + 1, (comp[i]["h"] << 4) | comp[i]["v"],
+                      0 if i == 0 else 1])
+    out += _jpeg_seg(0xC2, sof)
+    out += _jpeg_dht(0, 0, _HUFF_DC_LUM)
+    out += _jpeg_dht(1, 0, _HUFF_AC_FLAT)
+    if not gray:
+        out += _jpeg_dht(0, 1, _HUFF_DC_CHROM)
+    if restart_interval:
+        out += _jpeg_seg(0xDD, struct.pack(">H", restart_interval))
+    out += body + b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _jpeg_dqt(tid: int, q, zz) -> bytes:
+    zvals = q.astype("int64").flatten()[zz]
+    return _jpeg_seg(0xDB, bytes([tid]) + bytes(int(x) for x in zvals))
+
+
+def _jpeg_dht(tc: int, th: int, table) -> bytes:
+    bits, vals = table
+    return _jpeg_seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits)
+                     + bytes(vals))
+
+
 def decode_pixels(b: bytes):
     """Dispatch real pixel decode by magic bytes → (h, w, c) uint8.
 
     BMP / PPM / PGM / PNG (all 5 filters, Adam7, 8/16-bit) / GIF
-    (LZW + palette, interlace) / baseline JPEG (Huffman + IDCT +
-    YCbCr, 4:2:0) decode for real — stdlib struct + zlib + numpy, no
-    Pillow. Progressive/arithmetic JPEG raises
-    ``NotImplementedError``; unknown payloads raise ``ValueError``.
+    (LZW + palette, interlace) / baseline AND progressive JPEG
+    (Huffman + IDCT + YCbCr, 4:2:0, T.81 §G multi-scan) decode for
+    real — stdlib struct + zlib + numpy, no Pillow. Hierarchical/
+    arithmetic JPEG raises ``NotImplementedError``; unknown payloads
+    raise ``ValueError``.
     """
     if b[:2] == b"BM":
         return _decode_bmp(b)
@@ -1803,10 +2229,10 @@ def decode_image(df: DataFrame, payload_col: str = "payload",
     """Decode images → per-image pixel stats via Arrow-batched
     mapInPandas.
 
-    REAL decode for BMP/PPM/PGM/PNG/GIF/baseline JPEG (see
-    :func:`decode_pixels`): width/height/channels from the actual
-    pixel array, ``mean_pixel`` the true mean over every sample byte,
-    ``crc`` of the payload. Progressive JPEG or unknown payloads follow
+    REAL decode for BMP/PPM/PGM/PNG/GIF/TIFF and baseline+progressive
+    JPEG (see :func:`decode_pixels`): width/height/channels from the
+    actual pixel array, ``mean_pixel`` the true mean over every sample
+    byte, ``crc`` of the payload. Undecodable payloads follow
     ``unsupported``: ``'error'`` (default — honest gate), ``'skip'``
     (drop the row; a curation pipeline's usual choice), or ``'stub'``
     (deterministic fake stats — plumbing tests only).

@@ -573,9 +573,12 @@ def test_jpeg_codec_roundtrip():
 
 
 def test_jpeg_gates_and_errors():
-    """decode_pixels routes JPEG to the real decoder now; progressive
-    (SOF2) stays honestly gated as NotImplementedError; corrupt
-    streams raise ValueError (skippable rows)."""
+    """decode_pixels routes JPEG to the real decoder; progressive
+    (SOF2) decodes for real since round 6, so a baseline stream
+    merely RELABELED as SOF2 is now a corrupt file (its scan header
+    violates the progressive spectral-selection rules); only
+    hierarchical/arithmetic stay gated. Corrupt streams raise
+    ValueError (skippable rows)."""
     import struct
 
     import numpy as np
@@ -588,11 +591,16 @@ def test_jpeg_gates_and_errors():
     enc = _encode_jpeg(px, quality=85)
     assert np.array_equal(decode_pixels(bytearray(enc)), px)
 
-    # flip SOF0 -> SOF2 (progressive): honest capability gate
+    # SOF0 relabeled SOF2: the baseline Se=63 interleaved scan is
+    # illegal in a progressive frame — corrupt, not a gate
     sof_at = enc.index(b"\xff\xc0")
     prog = enc[:sof_at + 1] + b"\xc2" + enc[sof_at + 2:]
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         _decode_jpeg(prog)
+    # arithmetic-coded (SOF9/10) stays an honest capability gate
+    arith = enc[:sof_at + 1] + b"\xc9" + enc[sof_at + 2:]
+    with pytest.raises(NotImplementedError):
+        _decode_jpeg(arith)
 
     with pytest.raises(ValueError):
         _decode_jpeg(b"\xff\xd8NOPE" + b"\x00" * 16)
@@ -606,8 +614,8 @@ def test_jpeg_gates_and_errors():
 def test_codec_review_fixes():
     """Round-5 review findings: corrupt GIF/JPEG payloads surface as
     ValueError (skippable) instead of struct.error/IndexError; JPEG
-    fill bytes and standalone markers parse; zero-dim frames and
-    non-interleaved multi-scan JPEGs gate honestly; an offset GIF
+    fill bytes and standalone markers parse; zero-dim frames raise
+    and truncated multi-scan streams surface as corrupt; an offset GIF
     frame composites onto the logical screen over the background
     color so decoded dims agree with parse_media_headers; a
     truncated v1 mvhd is skipped rather than misread."""
@@ -662,11 +670,13 @@ def test_codec_review_fixes():
             + jp[sof_at + 9:])
     with pytest.raises(ValueError):
         _decode_jpeg(zero)
-    # non-interleaved multi-scan: honest capability gate
+    # non-interleaved multi-scan decodes through the round-6 scan
+    # framework now; THIS fixture truncates mid-scan, so the padded
+    # 1-bits hit an invalid Huffman code — corrupt, skippable
     sos_at = jp.index(b"\xff\xda")
     multi = (jp[:sos_at] + b"\xff\xda" + struct.pack(">H", 8)
              + bytes([1, 1, 0x00, 0, 63, 0]))
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         _decode_jpeg(multi)
 
     # truncated v1 mvhd: duration skipped, not misread
@@ -1162,3 +1172,68 @@ def test_decode_budget_wav_and_skip_semantics(spark):
         "media_id long, payload binary")
     assert mm.decode_image(df, unsupported="skip").count() == 0
     assert mm.decode_audio(df, unsupported="skip").count() == 0
+
+
+def test_jpeg_progressive_matches_baseline():
+    """Progressive (SOF2) decode: the progressive fixture encoder
+    transmits the SAME quantized coefficients as the baseline encoder
+    (identical forward path), so decoding either stream must produce
+    bit-identical pixels. Exercises DC first (Al=1), DC refinement,
+    AC first scans with spectral bands + EOB runs, and AC refinement
+    with correction bits, across color/gray/4:2:0/odd sizes."""
+    import numpy as np
+
+    from meza_spark.llm.multimodal import (_decode_jpeg, _encode_jpeg,
+                                           _encode_jpeg_progressive)
+
+    rng = np.random.default_rng(42)
+    cases = [
+        (rng.integers(0, 256, (16, 24, 3), dtype=np.uint8), 90, False),
+        (rng.integers(0, 256, (13, 19, 3), dtype=np.uint8), 75, True),
+        (rng.integers(0, 256, (8, 8), dtype=np.uint8), 95, False),
+        (np.full((21, 10, 3), 130, np.uint8), 85, True),
+        # smooth gradient: long zero runs -> deep EOB runs across blocks
+        ((np.mgrid[0:32, 0:40].sum(axis=0) * 2 % 256)
+         .astype(np.uint8), 90, False),
+    ]
+    for px, q, sub in cases:
+        base = _decode_jpeg(_encode_jpeg(px, quality=q, subsample=sub))
+        prog = _decode_jpeg(
+            _encode_jpeg_progressive(px, quality=q, subsample=sub))
+        assert prog.shape == base.shape
+        assert np.array_equal(prog, base), (px.shape, q, sub)
+
+
+def test_jpeg_progressive_restart_markers():
+    """Restart intervals inside progressive scans: DC predictors and
+    the EOB run reset at each RSTn on both sides."""
+    import numpy as np
+
+    from meza_spark.llm.multimodal import (_decode_jpeg, _encode_jpeg,
+                                           _encode_jpeg_progressive)
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    base = _decode_jpeg(_encode_jpeg(px, quality=80))
+    prog = _decode_jpeg(
+        _encode_jpeg_progressive(px, quality=80, restart_interval=3))
+    assert np.array_equal(prog, base)
+
+
+def test_jpeg_progressive_header_parse_and_dispatch(spark):
+    """parse_media_headers reads SOF2 dims; decode_image routes
+    progressive payloads through the real decoder."""
+    import numpy as np
+
+    from meza_spark.llm.multimodal import (_encode_jpeg_progressive,
+                                           _parse_headers, decode_image)
+
+    px = np.full((10, 14, 3), 77, np.uint8)
+    enc = _encode_jpeg_progressive(px, quality=90)
+    meta = _parse_headers(enc)
+    assert (meta["format"], meta["width"], meta["height"]) \
+        == ("jpeg", 14, 10)
+    df = spark.createDataFrame([(1, bytearray(enc))],
+                               "media_id long, payload binary")
+    r = decode_image(df).collect()[0]
+    assert (r["width"], r["height"], r["channels"]) == (14, 10, 3)
