@@ -802,6 +802,104 @@ def multimodal_jpeg(spark, sf_dir):
                       F.round("mean_pixel", 6).alias("mean_pixel"))
 
 
+def multimodal_gif_anim(spark, sf_dir):
+    """REAL animated-GIF decode (decode_video), hash-gated by an
+    arithmetic DuckDB twin: each doc gets a 3-frame GIF89a — full
+    closed-form gray screen, an opaque patch composited at (1,1),
+    then a TRANSPARENT patch whose holes keep the prior canvas —
+    with closed-form per-frame delays. The oracle recomputes every
+    canvas snapshot's mean by sum algebra (S0, S0 - region + patch,
+    ...) so the GCE walk, transparency masking, offset compositing
+    and delay accounting are all under the hash."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from meza_spark.llm.multimodal import _encode_gif_anim, decode_video
+
+    @pandas_udf("binary")
+    def _gif(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+        out = []
+        for i, n in zip(doc_id, n_chars):
+            i, n = int(i), int(n)
+            w, h = n % 20 + 6, i % 12 + 4
+            pw, ph = w // 2, h // 2
+            j = np.arange(w * h, dtype=np.int64)
+            f0 = ((i * 7 + j * 11) % 256).astype(np.uint8) \
+                .reshape(h, w)
+            j2 = np.arange(pw * ph, dtype=np.int64)
+            p1 = ((i * 17 + j2 * 7) % 256).astype(np.uint8) \
+                .reshape(ph, pw)
+            p2 = ((i * 19 + j2 * 5) % 255).astype(np.uint8)
+            trans_mask = (j2 // pw + j2 % pw) % 3 == 0
+            p2[trans_mask] = 255
+            p2 = p2.reshape(ph, pw)
+            frames = [np.repeat(f[:, :, None], 3, axis=2)
+                      for f in (f0, p1, p2)]
+            vals = sorted({int(v) for f in (f0, p1, p2)
+                           for v in f.ravel()})
+            idx255 = vals.index(255)
+            d0, d1, d2 = (i % 10) * 10, ((i + 3) % 10) * 10, \
+                ((i + 7) % 10) * 10
+            out.append(_encode_gif_anim(
+                frames, delays_ms=[d0, d1, d2], disposals=[1, 1, 0],
+                offsets=[(0, 0), (1, 1), (1, 1)],
+                transparent=[None, None, idx255]))
+        return pd.Series(out)
+
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.col("doc_id") % 5 == 2)
+         .select(F.col("doc_id").alias("media_id"),
+                 _gif("doc_id", "n_chars").alias("payload")))
+    out = decode_video(d)
+    return out.select("media_id", "frame_idx", "ts_ms", "width",
+                      "height",
+                      F.round("mean_pixel", 6).alias("mean_pixel"))
+
+
+def multimodal_avi(spark, sf_dir):
+    """REAL MJPEG-in-AVI frame decode (decode_video), gated via a
+    VALUES-pinned oracle (lossy JPEG frames — the multimodal_jpeg
+    pattern): each doc gets a 3-frame AVI whose frames are
+    closed-form gradients at closed-form frame durations; the RIFF
+    hdrl/movi walk, the per-frame JPEG decode and the timestamp
+    arithmetic are all under the pin. Bit-deterministic (pure
+    numpy + stdlib)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from meza_spark.llm.multimodal import _encode_avi_mjpeg, decode_video
+
+    @pandas_udf("binary")
+    def _avi(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+        out = []
+        for i, n in zip(doc_id, n_chars):
+            i, n = int(i), int(n)
+            w, h = n % 24 + 8, i % 16 + 8
+            yy, xx = np.mgrid[0:h, 0:w]
+            frames = []
+            for k in range(3):
+                frames.append(np.stack(
+                    [(i * 11 + k * 29 + xx * 3 + yy * 5) % 256,
+                     (i * 7 + k * 23 + xx * 2 + yy * 3) % 256,
+                     (i * 13 + k * 17 + xx + yy * 7) % 256],
+                    axis=2).astype(np.uint8))
+            out.append(_encode_avi_mjpeg(
+                frames, us_per_frame=(i % 5 + 1) * 20000,
+                quality=75 + (i % 3) * 10))
+        return pd.Series(out)
+
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.col("doc_id") % 10 == 3)
+         .select(F.col("doc_id").alias("media_id"),
+                 _avi("doc_id", "n_chars").alias("payload")))
+    out = decode_video(d)
+    return out.select("media_id", "frame_idx", "ts_ms", "width",
+                      "height",
+                      F.round("mean_pixel", 6).alias("mean_pixel"))
+
+
 def multimodal_jpeg_prog(spark, sf_dir):
     """REAL progressive-JPEG (SOF2) decode, hash-gated via a
     VALUES-pinned oracle (same pattern as multimodal_jpeg): the
@@ -1028,11 +1126,14 @@ def multimodal_tiff(spark, sf_dir):
     """REAL TIFF decode, hash-gated: one corpus whose payloads cycle
     compression None/LZW/PackBits by doc_id%3, horizontal-differencing
     predictor for even ids, big-endian every 5th, multi-strip every
-    4th — all decoding the SAME closed-form palette pixels as the
-    gif/mixed gates, so one arithmetic DuckDB twin covers the whole
-    frame and the compression/predictor/endian machinery exists only
-    on the Spark side (a hash match proves the early-change LZW, the
-    PackBits runs, the IFD walk and the predictor undo end to end)."""
+    4th, PLANAR (PlanarConfiguration=2) every 7th, and 16-BIT samples
+    every 6th (stored as v*257 so the high-byte downconversion
+    returns the same closed form) — all decoding the SAME closed-form
+    palette pixels as the gif/mixed gates, so one arithmetic DuckDB
+    twin covers the whole frame and the compression/predictor/endian/
+    planar/depth machinery exists only on the Spark side (a hash
+    match proves the early-change LZW, the PackBits runs, the IFD
+    walk, the plane reassembly and the predictor undo end to end)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -1051,11 +1152,14 @@ def multimodal_tiff(spark, sf_dir):
                            (i * 17 + p * 3) % 256,
                            (i * 19 + p * 7) % 256],
                           axis=1).astype(np.uint8).reshape(h, w, 3)
+            if i % 6 == 0:
+                px = px.astype(np.uint16) * 257
             out.append(_encode_tiff(
                 px, compression=(1, 5, 32773)[i % 3],
                 predictor=2 if i % 2 == 0 else 1,
                 big_endian=i % 5 == 0,
-                rows_per_strip=3 if i % 4 == 0 else None))
+                rows_per_strip=3 if i % 4 == 0 else None,
+                planar=2 if i % 7 == 0 else 1))
         return pd.Series(out)
 
     d = _t(spark, sf_dir, "documents").select(
@@ -3771,6 +3875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": multimodal_decode,
         "multimodal_png": multimodal_png,
         "multimodal_gif": multimodal_gif,
+        "multimodal_gif_anim": multimodal_gif_anim,
+        "multimodal_avi": multimodal_avi,
         "multimodal_jpeg": multimodal_jpeg,
         "multimodal_jpeg_prog": multimodal_jpeg_prog,
         "multimodal_mixed": multimodal_mixed,
@@ -4908,6 +5014,54 @@ def _oracle_sql_base() -> dict[str, str]:
                      / (3.0 * (n_chars % 24 + 1) * (doc_id % 16 + 1)),
                      6) AS mean_pixel
             FROM documents
+        """,
+        # Animated-GIF twin: recompute each canvas snapshot's mean by
+        # sum algebra — S0 (full screen), S0 - region + patch
+        # (opaque composite at (1,1)), then the transparency-masked
+        # swap — plus the closed-form delay accounting. The GCE walk,
+        # LZW, masking and offsets exist only Spark-side.
+        "multimodal_gif_anim": """
+            WITH g AS (
+              SELECT doc_id AS i,
+                     (n_chars % 20 + 6) AS w, (doc_id % 12 + 4) AS h,
+                     (n_chars % 20 + 6) // 2 AS pw,
+                     (doc_id % 12 + 4) // 2 AS ph
+              FROM documents WHERE doc_id % 5 = 2
+            ), s AS (
+              SELECT i, w, h, pw, ph, w * h AS area,
+                list_sum(list_transform(range(0, w * h),
+                  j -> (i*7 + j*11) % 256)) AS s0,
+                list_sum(list_transform(range(0, pw * ph),
+                  j -> (i*7 + ((1 + j // pw) * w + 1 + j % pw) * 11)
+                       % 256)) AS sr0,
+                list_sum(list_transform(range(0, pw * ph),
+                  j -> (i*17 + j*7) % 256)) AS sp1,
+                list_sum(list_transform(range(0, pw * ph),
+                  j -> CASE WHEN (j // pw + j % pw) % 3 <> 0
+                       THEN (i*17 + j*7) % 256 ELSE 0 END)) AS sr1nt,
+                list_sum(list_transform(range(0, pw * ph),
+                  j -> CASE WHEN (j // pw + j % pw) % 3 <> 0
+                       THEN (i*19 + j*5) % 255 ELSE 0 END)) AS sp2nt,
+                (i % 10) * 10 AS d0, ((i + 3) % 10) * 10 AS d1
+              FROM g
+            )
+            SELECT i AS media_id, CAST(0 AS INTEGER) AS frame_idx,
+                   CAST(0 AS BIGINT) AS ts_ms,
+                   CAST(w AS INTEGER) AS width,
+                   CAST(h AS INTEGER) AS height,
+                   round(CAST(s0 AS DOUBLE) / area, 6) AS mean_pixel
+            FROM s
+            UNION ALL
+            SELECT i, CAST(1 AS INTEGER), CAST(d0 AS BIGINT),
+                   CAST(w AS INTEGER), CAST(h AS INTEGER),
+                   round(CAST(s0 - sr0 + sp1 AS DOUBLE) / area, 6)
+            FROM s
+            UNION ALL
+            SELECT i, CAST(2 AS INTEGER), CAST(d0 + d1 AS BIGINT),
+                   CAST(w AS INTEGER), CAST(h AS INTEGER),
+                   round(CAST(s0 - sr0 + sp1 - sr1nt + sp2nt
+                              AS DOUBLE) / area, 6)
+            FROM s
         """,
         # Mixed-format twin: BMP/PNG/GIF encode the SAME closed-form
         # pixels (all lossless), so the gif twin's arithmetic covers

@@ -114,6 +114,8 @@ HEADLINE = [
     "multimodal_tiff",
     # round 6 additions (append-only so earlier batches stay comparable)
     "multimodal_jpeg_prog",
+    "multimodal_gif_anim",
+    "multimodal_avi",
 ]
 
 

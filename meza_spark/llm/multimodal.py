@@ -37,9 +37,10 @@ from pyspark.sql.types import (
 )
 
 __all__ = ["media_schema", "attach_media_meta", "decode_image",
-           "decode_audio", "decode_pixels", "resize_image",
-           "image_features", "frame_sample", "parse_media_headers",
-           "MAX_DECODE_PIXELS", "MAX_AUDIO_BYTES"]
+           "decode_audio", "decode_video", "decode_pixels",
+           "resize_image", "image_features", "frame_sample",
+           "parse_media_headers", "MAX_DECODE_PIXELS",
+           "MAX_AUDIO_BYTES"]
 
 # Decode budgets, validated BEFORE any header-driven allocation: a
 # hostile 200-byte payload declaring 65535x65535 pixels (or a zlib
@@ -89,6 +90,8 @@ def _sniff_format(b: bytes) -> str:
         return "jpeg"
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "wav"
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        return "avi"
     if b[4:8] == b"ftyp":
         return "mp4"
     return "unknown"
@@ -566,7 +569,9 @@ def _decode_gif(b: bytes):
         raise ValueError(f"corrupt GIF payload: {e}") from e
 
 
-def _decode_gif_inner(b: bytes):
+def _gif_header(b: bytes):
+    """Parse the logical screen descriptor + global color table;
+    returns ``(sw, sh, bg, gct, pos)`` with the pixel budget applied."""
     import numpy as np
 
     sw, sh, flags, bg = struct.unpack("<HHBB", b[6:12])
@@ -579,6 +584,57 @@ def _decode_gif_inner(b: bytes):
         n = 2 << (flags & 0x07)
         gct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
+    return sw, sh, bg, gct, pos
+
+
+def _gif_image_block(b: bytes, pos: int, gct):
+    """Decode one image descriptor starting at ``b[pos]`` (the 0x2C
+    byte): local color table, sub-block reassembly, variable-width
+    LZW, 4-pass interlace de-scatter, palette bounds check. Returns
+    ``(grid, ct, left, top, w, h, next_pos)`` — shared by the
+    first-frame decoder and the animation walker so both run the
+    identical byte-level path."""
+    import numpy as np
+
+    left, top, w, h, iflags = struct.unpack(
+        "<HHHHB", b[pos + 1:pos + 10])
+    pos += 10
+    _check_pixels(h, w, "GIF")
+    ct = gct
+    if iflags & 0x80:
+        n = 2 << (iflags & 0x07)
+        ct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    if ct is None:
+        raise ValueError("GIF image without a color table")
+    mcs = b[pos]
+    pos += 1
+    data = bytearray()                    # reassemble the sub-blocks
+    while pos < len(b) and b[pos] != 0:
+        ln = b[pos]
+        data += b[pos + 1:pos + 1 + ln]
+        pos += 1 + ln
+    pos += 1                              # block terminator
+    idx = _gif_lzw(bytes(data), mcs, w * h)
+    if len(idx) < w * h:
+        raise ValueError("truncated GIF pixel data")
+    grid = np.frombuffer(bytes(idx), np.uint8, w * h).reshape(h, w)
+    if iflags & 0x40:                     # 4-pass row interlace
+        de = np.zeros_like(grid)
+        rows = [r for start, step in
+                ((0, 8), (4, 8), (2, 4), (1, 2))
+                for r in range(start, h, step)]
+        de[rows] = grid
+        grid = de
+    if int(grid.max()) >= len(ct):
+        raise ValueError("GIF palette index out of range")
+    return grid, ct, left, top, w, h, pos
+
+
+def _decode_gif_inner(b: bytes):
+    import numpy as np
+
+    sw, sh, bg, gct, pos = _gif_header(b)
     while pos < len(b):
         block = b[pos]
         if block == 0x21:                 # extension: skip sub-blocks
@@ -587,39 +643,8 @@ def _decode_gif_inner(b: bytes):
                 pos += 1 + b[pos]
             pos += 1
         elif block == 0x2C:               # image descriptor
-            left, top, w, h, iflags = struct.unpack(
-                "<HHHHB", b[pos + 1:pos + 10])
-            pos += 10
-            _check_pixels(h, w, "GIF")
-            ct = gct
-            if iflags & 0x80:
-                n = 2 << (iflags & 0x07)
-                ct = np.frombuffer(b, np.uint8, n * 3, pos) \
-                    .reshape(n, 3)
-                pos += n * 3
-            if ct is None:
-                raise ValueError("GIF image without a color table")
-            mcs = b[pos]
-            pos += 1
-            data = bytearray()            # reassemble the sub-blocks
-            while pos < len(b) and b[pos] != 0:
-                ln = b[pos]
-                data += b[pos + 1:pos + 1 + ln]
-                pos += 1 + ln
-            idx = _gif_lzw(bytes(data), mcs, w * h)
-            if len(idx) < w * h:
-                raise ValueError("truncated GIF pixel data")
-            grid = np.frombuffer(bytes(idx), np.uint8,
-                                 w * h).reshape(h, w)
-            if iflags & 0x40:             # 4-pass row interlace
-                de = np.zeros_like(grid)
-                rows = [r for start, step in
-                        ((0, 8), (4, 8), (2, 4), (1, 2))
-                        for r in range(start, h, step)]
-                de[rows] = grid
-                grid = de
-            if int(grid.max()) >= len(ct):
-                raise ValueError("GIF palette index out of range")
+            grid, ct, left, top, w, h, pos = \
+                _gif_image_block(b, pos, gct)
             frame = ct[grid]
             if ((left, top) == (0, 0) and (w, h) == (sw, sh)) \
                     or sw == 0 or sh == 0:
@@ -639,35 +664,82 @@ def _decode_gif_inner(b: bytes):
     raise ValueError("GIF without an image frame")
 
 
-def _encode_gif(px, interlace: bool = False) -> bytes:
-    """(h, w, 3|1) uint8 → GIF89a bytes (fixture encoder for the
-    decoder's gates): palette from the unique colors (≤256 or raise),
-    real variable-width LZW with the early-change width growth my
-    decoder mirrors, a table reset at the 4096-code cap, optional
-    4-pass interlace. Round-trips through :func:`_decode_gif`."""
+def _decode_gif_frames(b: bytes):
+    """FULL animated-GIF walk (GIF89a): every frame composited onto
+    the logical screen honoring the Graphic Control Extension —
+    transparency index (transparent pixels leave the canvas
+    unchanged), per-frame delay, and disposal methods 0/1 (leave in
+    place), 2 (restore region to background), 3 (restore to
+    previous). Returns ``(frames, delays_ms)`` where each frame is an
+    (sh, sw, 3) canvas snapshot. :func:`_decode_gif` keeps its
+    first-frame contract; this is the :func:`decode_video` path."""
     import numpy as np
 
-    px = np.asarray(px, dtype=np.uint8)
-    if px.ndim == 2:
-        px = px[:, :, None]
-    if px.shape[2] == 1:
-        px = np.repeat(px, 3, axis=2)
-    h, w, _ = px.shape
-    colors, inverse = np.unique(px.reshape(-1, 3), axis=0,
-                                return_inverse=True)
-    if len(colors) > 256:
-        raise ValueError("GIF needs <= 256 unique colors")
-    bits = max(1, (max(len(colors) - 1, 1)).bit_length())
-    psize = 1 << bits
-    pal = np.zeros((psize, 3), np.uint8)
-    pal[:len(colors)] = colors
-    idx = inverse.reshape(h, w)
-    if interlace:
-        rows = [r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
-                for r in range(start, h, step)]
-        idx = idx[rows]
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    try:
+        sw, sh, bg, gct, pos = _gif_header(b)
+        bg_rgb = (gct[bg] if gct is not None and bg < len(gct)
+                  else np.zeros(3, np.uint8))
+        canvas = None                     # allocated at first frame
+        frames, delays = [], []
+        disposal, transparent, delay = 0, None, 0
+        while pos < len(b):
+            block = b[pos]
+            if block == 0x21:
+                label = b[pos + 1]
+                pos += 2
+                if label == 0xF9 and pos < len(b) and b[pos] >= 4:
+                    gflags = b[pos + 1]
+                    delay = struct.unpack(
+                        "<H", b[pos + 2:pos + 4])[0] * 10   # 1/100 s
+                    transparent = b[pos + 4] if gflags & 1 else None
+                    disposal = (gflags >> 2) & 0x07
+                while pos < len(b) and b[pos] != 0:
+                    pos += 1 + b[pos]
+                pos += 1
+            elif block == 0x2C:
+                grid, ct, left, top, w, h, pos = \
+                    _gif_image_block(b, pos, gct)
+                if sw == 0 or sh == 0:
+                    sw, sh = w, h
+                if left + w > sw or top + h > sh:
+                    raise ValueError("GIF frame exceeds logical screen")
+                if canvas is None:
+                    canvas = np.empty((sh, sw, 3), np.uint8)
+                    canvas[:] = bg_rgb
+                if (len(frames) + 1) * sw * sh > MAX_DECODE_PIXELS:
+                    raise ValueError("animated GIF exceeds the "
+                                     "total-pixel decode budget")
+                base = canvas.copy()
+                region = canvas[top:top + h, left:left + w]
+                if transparent is not None:
+                    mask = grid != transparent
+                    region[mask] = ct[grid][mask]
+                else:
+                    region[:] = ct[grid]
+                frames.append(canvas.copy())
+                delays.append(delay)
+                if disposal == 2:         # restore region to background
+                    canvas[top:top + h, left:left + w] = bg_rgb
+                elif disposal == 3:       # restore to previous
+                    canvas = base
+                disposal, transparent, delay = 0, None, 0
+            elif block == 0x3B:
+                break
+            else:
+                raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if not frames:
+            raise ValueError("GIF without an image frame")
+        return frames, delays
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"corrupt GIF payload: {e}") from e
 
-    mcs = max(2, bits)
+
+def _gif_lzw_encode(idx_flat, mcs: int) -> bytes:
+    """Variable-width GIF LZW over a flat index sequence — the
+    early-change-free width growth my decoder mirrors, a table reset
+    at the 4096-code cap."""
     clear = 1 << mcs
     eoi = clear + 1
     out = bytearray()
@@ -694,7 +766,7 @@ def _encode_gif(px, interlace: bool = False) -> bytes:
     table, next_code = reset()
     emit(clear)
     cur = b""
-    for k in idx.flatten().tolist():
+    for k in idx_flat:
         nxt = cur + bytes([k])
         if nxt in table:
             cur = nxt
@@ -719,20 +791,111 @@ def _encode_gif(px, interlace: bool = False) -> bytes:
     drain()
     if nacc:
         out.append(acc & 0xFF)
+    return bytes(out)
 
+
+def _gif_subblocks(data: bytes) -> bytes:
+    """Pack an LZW stream into ≤255-byte GIF sub-blocks + terminator."""
+    body = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        body.append(len(chunk))
+        body += chunk
+    body.append(0)
+    return bytes(body)
+
+
+def _gif_palette(pxs):
+    """Shared palette over one or more RGB frames: unique colors
+    (≤256 or raise), power-of-two padded; returns (pal, bits, index
+    maps per frame)."""
+    import numpy as np
+
+    stacked = np.concatenate([p.reshape(-1, 3) for p in pxs])
+    colors, inverse = np.unique(stacked, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("GIF needs <= 256 unique colors")
+    bits = max(1, (max(len(colors) - 1, 1)).bit_length())
+    psize = 1 << bits
+    pal = np.zeros((psize, 3), np.uint8)
+    pal[:len(colors)] = colors
+    idxs, at = [], 0
+    for p in pxs:
+        n = p.shape[0] * p.shape[1]
+        idxs.append(inverse[at:at + n].reshape(p.shape[:2]))
+        at += n
+    return pal, bits, idxs
+
+
+def _encode_gif(px, interlace: bool = False) -> bytes:
+    """(h, w, 3|1) uint8 → GIF89a bytes (fixture encoder for the
+    decoder's gates): palette from the unique colors (≤256 or raise),
+    real variable-width LZW with the width growth my decoder mirrors,
+    a table reset at the 4096-code cap, optional 4-pass interlace.
+    Round-trips through :func:`_decode_gif`."""
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if px.shape[2] == 1:
+        px = np.repeat(px, 3, axis=2)
+    h, w, _ = px.shape
+    pal, bits, (idx,) = _gif_palette([px])
+    if interlace:
+        rows = [r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                for r in range(start, h, step)]
+        idx = idx[rows]
+    mcs = max(2, bits)
+    out = _gif_lzw_encode(idx.flatten().tolist(), mcs)
     lsd_flags = 0x80 | (bits - 1)          # GCT present, 2^bits entries
     head = b"GIF89a" + struct.pack("<HHBBB", w, h, lsd_flags, 0, 0) \
         + pal.tobytes()
     desc = b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h,
                                  0x40 if interlace else 0) \
         + bytes([mcs])
-    body = bytearray()
-    for i in range(0, len(out), 255):
-        chunk = out[i:i + 255]
-        body.append(len(chunk))
-        body += chunk
-    body.append(0)
-    return head + desc + bytes(body) + b"\x3B"
+    return head + desc + _gif_subblocks(out) + b"\x3B"
+
+
+def _encode_gif_anim(frames, delays_ms=None, disposals=None,
+                     offsets=None, transparent=None,
+                     bg_index: int = 0) -> bytes:
+    """Animated GIF89a fixture encoder: N frames sharing one global
+    palette, each preceded by a Graphic Control Extension carrying
+    its delay (ms, stored in 1/100 s), disposal method, and optional
+    transparency index; frames may be sub-rectangles at (left, top)
+    offsets. Round-trips through :func:`_decode_gif_frames`."""
+    import numpy as np
+
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    n = len(frames)
+    delays_ms = delays_ms or [0] * n
+    disposals = disposals or [0] * n
+    offsets = offsets or [(0, 0)] * n
+    transparent = transparent if transparent is not None else [None] * n
+    pal, bits, idxs = _gif_palette(frames)
+    mcs = max(2, bits)
+    sw = max(left + f.shape[1] for (left, top), f in zip(offsets, frames))
+    sh = max(top + f.shape[0] for (left, top), f in zip(offsets, frames))
+    lsd_flags = 0x80 | (bits - 1)
+    out = bytearray(b"GIF89a"
+                    + struct.pack("<HHBBB", sw, sh, lsd_flags,
+                                  bg_index, 0) + pal.tobytes())
+    # Netscape looping extension (application extension, public format)
+    out += (b"\x21\xFF\x0BNETSCAPE2.0\x03\x01\x00\x00\x00")
+    for f, idx, d_ms, disp, (left, top), tr in zip(
+            frames, idxs, delays_ms, disposals, offsets, transparent):
+        h, w = f.shape[:2]
+        gflags = (disp & 0x07) << 2 | (1 if tr is not None else 0)
+        out += (b"\x21\xF9\x04" + bytes([gflags])
+                + struct.pack("<H", d_ms // 10)
+                + bytes([tr or 0]) + b"\x00")
+        out += b"\x2C" + struct.pack("<HHHHB", left, top, w, h, 0) \
+            + bytes([mcs])
+        out += _gif_subblocks(_gif_lzw_encode(idx.flatten().tolist(),
+                                              mcs))
+    out += b"\x3B"
+    return bytes(out)
 
 
 # --- TIFF 6.0 (baseline + LZW/PackBits) — pure stdlib + numpy ---
@@ -892,10 +1055,13 @@ def _decode_tiff_inner(b: bytes):
     rps = tags.get(278, [h])[0] or h
     planar = tags.get(284, [1])[0]
     predictor = tags.get(317, [1])[0]
-    if any(bd != 8 for bd in bits):
-        raise NotImplementedError("only 8-bit TIFF samples supported")
-    if planar != 1:
-        raise NotImplementedError("planar TIFF not supported")
+    if any(bd not in (8, 16) for bd in bits) \
+            or len(set(bits)) != 1:
+        raise NotImplementedError(
+            "TIFF samples must be uniformly 8- or 16-bit")
+    ssz = bits[0] // 8                        # bytes per sample
+    if planar not in (1, 2):
+        raise ValueError(f"bad TIFF planar configuration {planar}")
     if comp not in (1, 5, 32773):
         raise NotImplementedError(f"TIFF compression {comp} not "
                                   "supported (none/LZW/PackBits are)")
@@ -903,34 +1069,56 @@ def _decode_tiff_inner(b: bytes):
         raise NotImplementedError("TIFF samples-per-pixel must be 1 or 3")
     if photo not in (0, 1, 2, 3):
         raise NotImplementedError(f"TIFF photometric {photo} not supported")
-    rows_done = 0
-    body = bytearray()
-    for off, cnt in zip(offsets, counts):
-        strip_rows = min(rps, h - rows_done)
-        if strip_rows <= 0:
-            break
-        need = strip_rows * w * spp
-        raw = b[off:off + cnt]
-        if len(raw) < cnt:
-            raise ValueError("truncated TIFF strip")
-        if comp == 1:
-            dec = raw[:need]
-        elif comp == 5:
-            dec = _tiff_lzw(raw, need)
-        else:
-            dec = _packbits(raw, need)
-        if len(dec) < need:
-            raise ValueError("short TIFF strip data")
-        body += dec[:need]
-        rows_done += strip_rows
-    if rows_done < h:
+    # planar=2 stores each sample plane as its own strip sequence
+    # (all plane-0 strips, then plane-1, ... — TIFF 6.0 §14); chunky
+    # interleaves spp samples per pixel within one strip sequence
+    n_planes = spp if planar == 2 else 1
+    row_samples = w if planar == 2 else w * spp
+    strips_per_plane = -(-h // rps)
+    if len(offsets) < strips_per_plane * n_planes \
+            or len(counts) < strips_per_plane * n_planes:
         raise ValueError("TIFF strips cover fewer rows than declared")
-    px = np.frombuffer(bytes(body), np.uint8).reshape(h, w, spp)
+    plane_bodies = []
+    for p in range(n_planes):
+        rows_done = 0
+        body = bytearray()
+        for s in range(strips_per_plane):
+            off = offsets[p * strips_per_plane + s]
+            cnt = counts[p * strips_per_plane + s]
+            strip_rows = min(rps, h - rows_done)
+            need = strip_rows * row_samples * ssz
+            raw = b[off:off + cnt]
+            if len(raw) < cnt:
+                raise ValueError("truncated TIFF strip")
+            if comp == 1:
+                dec = raw[:need]
+            elif comp == 5:
+                dec = _tiff_lzw(raw, need)
+            else:
+                dec = _packbits(raw, need)
+            if len(dec) < need:
+                raise ValueError("short TIFF strip data")
+            body += dec[:need]
+            rows_done += strip_rows
+        plane_bodies.append(bytes(body))
+    dt = np.uint8 if ssz == 1 else np.dtype(en + "u2")
+    if planar == 1:
+        px = np.frombuffer(plane_bodies[0], dt).reshape(h, w, spp)
+    else:
+        px = np.stack([np.frombuffer(pb, dt).reshape(h, w)
+                       for pb in plane_bodies], axis=2)
     if predictor == 2:                        # horizontal differencing
-        px = np.cumsum(px.astype(np.int64), axis=1).astype(np.uint8)
+        mask = (1 << bits[0]) - 1
+        px = (np.cumsum(px.astype(np.int64), axis=1) & mask).astype(dt)
     elif predictor != 1:
         raise NotImplementedError(f"TIFF predictor {predictor}")
+    if ssz == 2:
+        # 16 -> 8 by the high byte — the same downconversion the PNG
+        # decoder applies (pixel-stat consumers are uint8-contracted)
+        px = (px >> 8).astype(np.uint8)
     if photo == 3:
+        if ssz != 1:
+            raise NotImplementedError("16-bit palette TIFF not supported")
         cmap = tags.get(320)
         if not cmap or len(cmap) < 3 * 256 or spp != 1:
             raise ValueError("palette TIFF without a usable ColorMap")
@@ -945,16 +1133,20 @@ def _decode_tiff_inner(b: bytes):
 def _encode_tiff(px, compression: int = 1, predictor: int = 1,
                  rows_per_strip: int | None = None,
                  big_endian: bool = False,
-                 palette=None) -> bytes:
-    """(h, w, 3|1) uint8 → TIFF bytes (fixture encoder for the
-    decoder's gates): strip organization, None/LZW/PackBits
-    compression, optional horizontal-differencing predictor, gray /
-    RGB / palette photometrics, either byte order. Round-trips
-    through :func:`_decode_tiff`."""
+                 palette=None, planar: int = 1) -> bytes:
+    """(h, w, 3|1) uint8 — or uint16 for 16-bit samples — → TIFF
+    bytes (fixture encoder for the decoder's gates): strip
+    organization, None/LZW/PackBits compression, optional
+    horizontal-differencing predictor, gray / RGB / palette
+    photometrics, either byte order, chunky or planar
+    (PlanarConfiguration=2) layout. Round-trips through
+    :func:`_decode_tiff` (16-bit via the high-byte downconversion)."""
     import numpy as np
 
     en = ">" if big_endian else "<"
-    px = np.asarray(px, dtype=np.uint8)
+    px = np.asarray(px)
+    bits16 = px.dtype == np.uint16
+    px = px.astype(np.uint16 if bits16 else np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, spp = px.shape
@@ -964,28 +1156,41 @@ def _encode_tiff(px, compression: int = 1, predictor: int = 1,
     if predictor == 2:
         diff = px.astype(np.int64)
         diff[:, 1:] = diff[:, 1:] - diff[:, :-1]
-        src = (diff & 0xFF).astype(np.uint8)
-    strips = []
-    for y0 in range(0, h, rps):
-        raw = src[y0:y0 + rps].tobytes()
+        mask = 0xFFFF if bits16 else 0xFF
+        src = (diff & mask).astype(px.dtype)
+    sdt = np.dtype(en + "u2") if bits16 else np.uint8
+
+    def pack_strip(raw: bytes) -> bytes:
         if compression == 5:
-            strips.append(_tiff_lzw_encode(raw))
-        elif compression == 32773:
-            strips.append(_packbits_encode(raw))
-        else:
-            strips.append(raw)
+            return _tiff_lzw_encode(raw)
+        if compression == 32773:
+            return _packbits_encode(raw)
+        return raw
+
+    strips = []
+    if planar == 2:
+        for p in range(spp):
+            for y0 in range(0, h, rps):
+                strips.append(pack_strip(
+                    src[y0:y0 + rps, :, p].astype(sdt).tobytes()))
+    else:
+        for y0 in range(0, h, rps):
+            strips.append(pack_strip(src[y0:y0 + rps].astype(sdt)
+                                     .tobytes()))
     n_strips = len(strips)
 
     entries = []                               # (tag, typ, count, values)
     entries.append((256, 4, 1, [w]))
     entries.append((257, 4, 1, [h]))
-    entries.append((258, 3, spp, [8] * spp))
+    entries.append((258, 3, spp, [16 if bits16 else 8] * spp))
     entries.append((259, 3, 1, [compression]))
     entries.append((262, 3, 1, [photo]))
     entries.append((273, 4, n_strips, None))   # offsets patched below
     entries.append((277, 3, 1, [spp]))
     entries.append((278, 4, 1, [rps]))
     entries.append((279, 4, n_strips, [len(s) for s in strips]))
+    if planar == 2:
+        entries.append((284, 3, 1, [2]))
     if predictor == 2:
         entries.append((317, 3, 1, [2]))
     if photo == 3:
@@ -2028,6 +2233,102 @@ def _jpeg_dht(tc: int, th: int, table) -> bytes:
                      + bytes(vals))
 
 
+# --- MJPEG-in-AVI (RIFF) — real video FRAME decode in pure-public
+# formats: the RIFF walk is BMP-walk complexity and every frame is a
+# JPEG the codec above already decodes. H.264-in-MP4 stays honestly
+# metadata-only (_parse_mp4).
+def _riff_chunks(b: bytes, start: int, end: int):
+    """Iterate RIFF chunks in b[start:end] → (fourcc, body_start,
+    body_end); chunk bodies are word-aligned."""
+    pos = start
+    while pos + 8 <= end:
+        cid = b[pos:pos + 4]
+        sz = struct.unpack("<I", b[pos + 4:pos + 8])[0]
+        body = pos + 8
+        if body + sz > end:
+            raise ValueError("truncated RIFF chunk")
+        yield cid, body, body + sz
+        pos = body + sz + (sz & 1)
+
+
+def _decode_avi_frames(b: bytes):
+    """MJPEG-in-AVI → ``(frames, timestamps_ms)``: RIFF walk to the
+    ``hdrl``/``avih`` header (frame duration) and the ``movi`` list,
+    then every ``##dc``/``##db`` chunk decodes through the real JPEG
+    codec. Non-MJPEG payloads surface as ValueError from the JPEG
+    layer; each frame rides the per-image pixel budget and the frame
+    total rides the shared budget too."""
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    try:
+        us_per_frame = None
+        frames, ts = [], []
+        total_px = 0
+        for cid, s, e in _riff_chunks(b, 12, len(b)):
+            if cid != b"LIST":
+                continue
+            ltype = b[s:s + 4]
+            if ltype == b"hdrl":
+                for c2, s2, e2 in _riff_chunks(b, s + 4, e):
+                    if c2 == b"avih" and e2 - s2 >= 4:
+                        us_per_frame = struct.unpack(
+                            "<I", b[s2:s2 + 4])[0]
+            elif ltype == b"movi":
+                for c2, s2, e2 in _riff_chunks(b, s + 4, e):
+                    if c2[2:4] in (b"dc", b"db") and e2 > s2:
+                        px = _decode_jpeg(b[s2:e2])
+                        total_px += px.shape[0] * px.shape[1]
+                        if total_px > MAX_DECODE_PIXELS:
+                            raise ValueError(
+                                "AVI exceeds the total-pixel decode "
+                                "budget")
+                        dur = us_per_frame or 33333
+                        ts.append(len(frames) * dur // 1000)
+                        frames.append(px)
+        if not frames:
+            raise ValueError("AVI without decodable video frames")
+        return frames, ts
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"corrupt AVI payload: {e}") from e
+
+
+def _encode_avi_mjpeg(frames, us_per_frame: int = 40000,
+                      quality: int = 90) -> bytes:
+    """Frames → MJPEG-in-AVI bytes (fixture encoder for
+    :func:`_decode_avi_frames`): standard RIFF layout — hdrl(avih +
+    strl(strh'vids'/'MJPG' + strf BITMAPINFOHEADER)) + movi with one
+    ``00dc`` JPEG chunk per frame."""
+    import numpy as np
+
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = frames[0].shape[:2]
+    n = len(frames)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack("<14I", us_per_frame, 0, 0, 0x10, n, 0, 1,
+                       0, w, h, 0, 0, 0, 0)
+    strh = (b"vidsMJPG" + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
+                                      1, 1_000_000 // max(us_per_frame, 1),
+                                      0, n, 0, 0, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh)
+                     + chunk(b"strf", strf)))
+    movi_body = b"".join(
+        chunk(b"00dc", _encode_jpeg(f, quality=quality)) for f in frames)
+    movi = lst(b"movi", movi_body)
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
 def decode_pixels(b: bytes):
     """Dispatch real pixel decode by magic bytes → (h, w, c) uint8.
 
@@ -2315,6 +2616,62 @@ def decode_audio(df: DataFrame, payload_col: str = "payload",
         .mapInPandas(run, schema=out_schema)
 
 
+def decode_video(df: DataFrame, payload_col: str = "payload",
+                 id_col: str = "media_id",
+                 unsupported: str = "error") -> DataFrame:
+    """REAL per-frame video decode via Arrow-batched ``mapInPandas``:
+    one output row per frame with true pixel statistics. Containers:
+    animated GIF (full GCE walk — transparency, delays, disposal
+    methods 0-3; ``ts_ms`` is the frame's cumulative start time) and
+    MJPEG-in-AVI (RIFF walk, every frame through the real JPEG
+    codec; ``ts_ms`` from the avih frame duration). Other containers
+    follow ``unsupported`` ('error' | 'skip'). Row-local, zero
+    shuffle — the 100-TB shape."""
+    out_schema = StructType([
+        StructField(id_col, LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_ms", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_pixel", DoubleType()),
+    ])
+
+    def _frames(b: bytes):
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            frames, delays = _decode_gif_frames(b)
+            ts, t = [], 0
+            for d in delays:
+                ts.append(t)
+                t += d
+            return frames, ts
+        if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+            return _decode_avi_frames(b)
+        raise ValueError("not a frame-decodable video container "
+                         "(animated GIF / MJPEG AVI)")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    frames, ts = _frames(bytes(payload))
+                except (NotImplementedError, ValueError):
+                    if unsupported == "skip":
+                        continue
+                    raise
+                for i, (px, t) in enumerate(zip(frames, ts)):
+                    rows.append((mid, i, int(t), int(px.shape[1]),
+                                 int(px.shape[0]), float(px.mean())))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    from ..util import spread
+
+    return spread(df.select(id_col, payload_col)) \
+        .mapInPandas(run, schema=out_schema)
+
+
 def image_features(df: DataFrame, payload_col: str = "payload",
                    id_col: str = "media_id", resize_to: int = 32) -> DataFrame:
     """Fixed-width float vector per image — the shape a CLIP-style
@@ -2483,6 +2840,23 @@ def _parse_headers(b: bytes) -> dict:
         out["format"] = "bmp"
         w, h = struct.unpack("<ii", b[18:26])
         out["width"], out["height"] = int(w), abs(int(h))
+    elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        out["format"] = "avi"
+        try:
+            for cid, s, e in _riff_chunks(b, 12, len(b)):
+                if cid == b"LIST" and b[s:s + 4] == b"hdrl":
+                    for c2, s2, e2 in _riff_chunks(b, s + 4, e):
+                        if c2 == b"avih" and e2 - s2 >= 40:
+                            usf, = struct.unpack("<I", b[s2:s2 + 4])
+                            nfr, = struct.unpack(
+                                "<I", b[s2 + 16:s2 + 20])
+                            out["width"], out["height"] = struct.unpack(
+                                "<II", b[s2 + 32:s2 + 40])
+                            if usf:
+                                out["duration_ms"] = nfr * usf // 1000
+                    break
+        except (ValueError, struct.error, IndexError):
+            pass                       # header-only parse stays lenient
     elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         out["format"] = "wav"
         pos, byte_rate, data_sz = 12, None, None

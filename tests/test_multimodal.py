@@ -1237,3 +1237,172 @@ def test_jpeg_progressive_header_parse_and_dispatch(spark):
                                "media_id long, payload binary")
     r = decode_image(df).collect()[0]
     assert (r["width"], r["height"], r["channels"]) == (14, 10, 3)
+
+
+def test_tiff_planar_and_16bit():
+    """Round-6 TIFF extensions: PlanarConfiguration=2 (plane-ordered
+    strip sequences) and 16-bit samples (decoded via the high-byte
+    downconversion, matching PNG's convention) — across compression,
+    predictor, endianness, and multi-strip layouts."""
+    import itertools
+
+    import numpy as np
+
+    from meza_spark.llm.multimodal import _decode_tiff, _encode_tiff
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    for comp, pred, be, rps in itertools.product(
+            (1, 5, 32773), (1, 2), (False, True), (None, 3)):
+        # planar chunk order
+        enc = _encode_tiff(px, compression=comp, predictor=pred,
+                           big_endian=be, rows_per_strip=rps, planar=2)
+        assert np.array_equal(_decode_tiff(enc), px), \
+            ("planar", comp, pred, be, rps)
+        # 16-bit: v*257 has v as its high byte, so decode returns px
+        enc16 = _encode_tiff((px.astype(np.uint16) * 257),
+                             compression=comp, predictor=pred,
+                             big_endian=be, rows_per_strip=rps)
+        assert np.array_equal(_decode_tiff(enc16), px), \
+            ("16bit", comp, pred, be, rps)
+        # both at once, on a gray image
+        g16 = (px[:, :, :1].astype(np.uint16) * 257)
+        enc_both = _encode_tiff(g16, compression=comp, predictor=pred,
+                                big_endian=be, rows_per_strip=rps,
+                                planar=2)
+        assert np.array_equal(_decode_tiff(enc_both), px[:, :, :1]), \
+            ("both", comp, pred, be, rps)
+    # arbitrary 16-bit values: high-byte semantics exactly
+    v16 = rng.integers(0, 65536, (4, 6, 3), dtype=np.uint16)
+    dec = _decode_tiff(_encode_tiff(v16, predictor=2))
+    assert np.array_equal(dec, (v16 >> 8).astype(np.uint8))
+    # 16-bit white-is-zero gray inverts after downconversion
+    g = rng.integers(0, 65536, (3, 4, 1), dtype=np.uint16)
+    raw = _encode_tiff(g)
+    arr = bytearray(raw)
+    import struct
+    n_ent = struct.unpack("<H", arr[8:10])[0]
+    for i in range(n_ent):
+        e0 = 10 + i * 12
+        if struct.unpack("<H", arr[e0:e0 + 2])[0] == 262:
+            arr[e0 + 8] = 0                      # photometric 0
+    dec0 = _decode_tiff(bytes(arr))
+    assert np.array_equal(dec0, 255 - (g >> 8).astype(np.uint8))
+
+
+def test_gif_animation_full_walk():
+    """Animated GIF: all frames decode with GCE semantics — delays,
+    transparency (transparent pixels keep the prior canvas), disposal
+    2 (restore region to background) and 3 (restore to previous)."""
+    import numpy as np
+
+    from meza_spark.llm.multimodal import (_decode_gif,
+                                           _decode_gif_frames,
+                                           _encode_gif_anim)
+
+    # palette colors: bg=10, a=40, b=70, c=100 (gray triples)
+    bg = np.full((6, 8, 3), 10, np.uint8)
+    f1 = np.full((6, 8, 3), 40, np.uint8)
+    patch = np.full((2, 3, 3), 70, np.uint8)
+    patch2 = np.full((2, 3, 3), 100, np.uint8)
+    enc = _encode_gif_anim(
+        [f1, patch, patch2],
+        delays_ms=[100, 50, 200],
+        disposals=[1, 3, 2],
+        offsets=[(0, 0), (2, 1), (4, 3)],
+        transparent=[None, None, None])
+    frames, delays = _decode_gif_frames(enc)
+    assert len(frames) == 3 and delays == [100, 50, 200]
+    # frame 1: full screen of 40
+    assert (frames[0] == 40).all()
+    # frame 2: 40 everywhere except the patch at cols 2-4, rows 1-2
+    assert (frames[1][1:3, 2:5] == 70).all()
+    assert (frames[1][0, :] == 40).all()
+    # frame 3: disposal 3 on frame 2 restored the 40-canvas first
+    assert (frames[2][1:3, 2:5] == 40).all()
+    assert (frames[2][3:5, 4:7] == 100).all()
+    # first-frame contract of the single-image decoder is intact
+    assert (_decode_gif(enc) == 40).all()
+
+    # transparency: a hole in frame 2 keeps frame 1's pixels
+    hole = patch.copy()
+    hole[0, 0] = 10                      # palette color 10 = transparent
+    enc_t = _encode_gif_anim(
+        [f1, hole], delays_ms=[0, 0], disposals=[1, 0],
+        offsets=[(0, 0), (2, 1)],
+        transparent=[None, 0])           # index of color 10 in palette
+    frames_t, _ = _decode_gif_frames(enc_t)
+    assert frames_t[1][1, 2, 0] == 40    # transparent pixel unchanged
+    assert frames_t[1][1, 3, 0] == 70
+
+    # disposal 2: region goes back to background color before frame 3
+    enc_d2 = _encode_gif_anim(
+        [f1, patch, patch2],
+        disposals=[1, 2, 0],
+        offsets=[(0, 0), (2, 1), (2, 1)], bg_index=0)
+    fr = _decode_gif_frames(enc_d2)[0]
+    assert (fr[2][1:3, 2:5] == 100).all()
+
+
+def test_avi_mjpeg_frame_decode():
+    """MJPEG-in-AVI: the RIFF walk finds avih + movi and every 00dc
+    chunk decodes through the real JPEG codec — frame stats match
+    decoding the same JPEGs standalone."""
+    import numpy as np
+
+    from meza_spark.llm.multimodal import (_decode_avi_frames,
+                                           _decode_jpeg, _encode_avi_mjpeg,
+                                           _encode_jpeg, _parse_headers)
+
+    rng = np.random.default_rng(3)
+    fr = [rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+          for _ in range(4)]
+    avi = _encode_avi_mjpeg(fr, us_per_frame=40000, quality=85)
+    frames, ts = _decode_avi_frames(avi)
+    assert len(frames) == 4
+    assert ts == [0, 40, 80, 120]
+    for got, src in zip(frames, fr):
+        want = _decode_jpeg(_encode_jpeg(src, quality=85))
+        assert np.array_equal(got, want)
+    meta = _parse_headers(avi)
+    assert meta["format"] == "avi"
+    assert (meta["width"], meta["height"]) == (24, 16)
+    assert meta["duration_ms"] == 160
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        _decode_avi_frames(avi[:40])
+    with _pytest.raises(ValueError):
+        _decode_avi_frames(b"RIFF\x04\x00\x00\x00AVI ")
+
+
+def test_decode_video_df(spark):
+    """decode_video: one row per frame for GIF + AVI payloads; other
+    containers skip/raise per `unsupported`."""
+    import numpy as np
+
+    from meza_spark.llm.multimodal import (_encode_avi_mjpeg,
+                                           _encode_bmp, _encode_gif_anim,
+                                           decode_video)
+
+    f1 = np.full((4, 6, 3), 20, np.uint8)
+    f2 = np.full((4, 6, 3), 60, np.uint8)
+    gif = _encode_gif_anim([f1, f2], delays_ms=[30, 40])
+    avi = _encode_avi_mjpeg([f1, f2, f1], us_per_frame=50000)
+    bmp = _encode_bmp(f1)
+    df = spark.createDataFrame(
+        [(1, bytearray(gif)), (2, bytearray(avi)), (3, bytearray(bmp))],
+        "media_id long, payload binary")
+    rows = decode_video(df, unsupported="skip").collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert 3 not in by_id                   # still image skipped
+    assert len(by_id[1]) == 2 and len(by_id[2]) == 3
+    g = sorted(by_id[1], key=lambda r: r["frame_idx"])
+    assert [r["ts_ms"] for r in g] == [0, 30]
+    assert g[0]["mean_pixel"] == 20.0 and g[1]["mean_pixel"] == 60.0
+    a = sorted(by_id[2], key=lambda r: r["frame_idx"])
+    assert [r["ts_ms"] for r in a] == [0, 50, 100]
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        decode_video(df).collect()          # default errors on the BMP
