@@ -1879,6 +1879,32 @@ def mdb3_roundtrip(spark, sf_dir):
     return read_mdb(spark, path, table="nation")
 
 
+def mdb3_wide_roundtrip(spark, sf_dir):
+    """documents → records2mdb(version=3, memo_threshold) → read_mdb:
+    Jet3 WIDE rows (the text column pushes rows past 256 bytes, so
+    every row cracks through the jump-table var-offset scheme) plus a
+    MEMO column (repeated text → inline/single-page/chained LVAL
+    storage by length) — the round-5 verdict's two remaining Jet3
+    gates, now closed and differential-gated like mdb3_roundtrip."""
+    from meza_spark.io.readers import read_mdb
+    from meza_spark.io.writers import records2mdb
+
+    path = _rt_path(sf_dir, "jet3wide.mdb")
+    src = (_t(spark, sf_dir, "documents")
+           .where(F.col("doc_id") % 10 == 7)
+           .select("doc_id",
+                   F.substring("text", 1, 400).alias("wide_text"),
+                   F.concat(F.col("text"), F.col("text"),
+                            F.col("text"), F.col("text"),
+                            F.col("text"), F.col("text"))
+                   .alias("memo_text"),
+                   "lang", "n_chars")
+           .orderBy("doc_id"))
+    records2mdb(src, path, table_name="docs", version=3,
+                memo_threshold=64)
+    return read_mdb(spark, path, table="docs")
+
+
 def sqlite_roundtrip(spark, sf_dir):
     """nation → records2sqlite → read_sqlite (ref: meza/io.py:725-760);
     INTEGER/TEXT affinity preserves types end-to-end."""
@@ -3916,6 +3942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbf_roundtrip": dbf_roundtrip,
         "mdb_roundtrip": mdb_roundtrip,
         "mdb3_roundtrip": mdb3_roundtrip,
+        "mdb3_wide_roundtrip": mdb3_wide_roundtrip,
         "sqlite_roundtrip": sqlite_roundtrip,
         "yaml_roundtrip": yaml_roundtrip,
         "avro_roundtrip": avro_roundtrip,
@@ -5416,6 +5443,14 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "mdb3_roundtrip": """
             SELECT n_nationkey, n_name, n_regionkey FROM nation
+        """,
+        "mdb3_wide_roundtrip": """
+            SELECT doc_id,
+                   substr(text, 1, 400) AS wide_text,
+                   text || text || text || text || text || text
+                     AS memo_text,
+                   lang, n_chars
+            FROM documents WHERE doc_id % 10 = 7
         """,
         "sqlite_roundtrip": """
             SELECT n_nationkey, n_name, n_regionkey FROM nation

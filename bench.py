@@ -116,6 +116,7 @@ HEADLINE = [
     "multimodal_jpeg_prog",
     "multimodal_gif_anim",
     "multimodal_avi",
+    "mdb3_wide_roundtrip",
 ]
 
 

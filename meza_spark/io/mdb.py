@@ -14,17 +14,22 @@ Format scope — honest gates, not silent wrong answers:
     single-page + chained LVAL memos, bool/byte/int/long/money/
     float/double/datetime/text/memo/GUID. Validated against the
     reference's real Access-generated test.mdb (mdb-export parity).
-  - Jet3 (Access 97, 2 KB pages): supported for the common subset —
-    2 KB pages, 18-byte column entries (type@0, num@1, varnum@3,
-    flags@13, fixed-offset@14, length@16 per the mdbtools HACKING
-    layout), 1-byte name lengths, latin-1 text, 1-byte row column
-    counts and var-offset tails. HONEST GATES remain on what the
-    subset can't express: rows ≥ 256 bytes (Jet3 switches to a
-    jump-table var scheme there) and Jet3 LVAL memos both raise. No
-    real Access-97 file exists in this container, so the Jet3 path is
-    verified by writer→parser roundtrip plus the shared-machinery
-    argument (everything but the fmt constants is the same code the
-    real Jet4 fixture validates).
+  - Jet3 (Access 97, 2 KB pages): supported — 2 KB pages, 18-byte
+    column entries (type@0, num@1, varnum@3, flags@13,
+    fixed-offset@14, length@16 per the mdbtools HACKING layout),
+    1-byte name lengths, latin-1 text, 1-byte row column counts and
+    var-offset tails, rows ≥ 256 bytes via the JUMP-TABLE var-offset
+    scheme (mdbtools mdb_crack_row3 semantics: one slot per 256 row
+    bytes holding the var-column index where the segment counter
+    increments, with the dummy-last-slot rule), and LVAL memos (the
+    12-byte descriptor layout is shared with Jet4; only the text
+    encoding differs). No real Access-97 file exists in this
+    container, so the Jet3 path is verified by writer→parser
+    roundtrip plus the shared-machinery argument (everything but the
+    fmt constants is the same code the real Jet4 fixture validates);
+    per the r5 ADVICE, TDEF parsing carries structural sanity checks
+    (known type codes, in-page extents, name bounds) so a diverged
+    constant fails loudly instead of returning silently wrong rows.
 
 A minimal WRITER (``build_jet`` / ``records2mdb`` in io/writers.py)
 exists so the reader can be differential-oracle-gated (mdb_roundtrip)
@@ -72,6 +77,10 @@ BOOL, BYTE, INT, LONGINT, MONEY, FLOAT, DOUBLE, DATETIME = \
     0x01, 0x02, 0x03, 0x04, 0x05, 0x06, 0x07, 0x08
 BINARY, TEXT, OLE, MEMO, GUID, NUMERIC = \
     0x09, 0x0A, 0x0B, 0x0C, 0x0F, 0x10
+_KNOWN_TYPES = {BOOL, BYTE, INT, LONGINT, MONEY, FLOAT, DOUBLE,
+                DATETIME, BINARY, TEXT, OLE, MEMO, GUID, NUMERIC,
+                0x0D, 0x0E, 0x12}      # repid/unknown/complex appear
+                                       # in real system catalogs
 
 
 class JetColumn:
@@ -111,10 +120,26 @@ class JetTable:
         self.num_cols, = struct.unpack_from("<H", pg, fmt["tdef_num_cols"])
         num_real_idx, = struct.unpack_from("<I", pg, fmt["tdef_num_ridx"])
         pos = fmt["tdef_cols_start"] + num_real_idx * fmt["ridx_entry"]
+        # structural sanity (r5 ADVICE): no real Access-97 fixture
+        # exists in this container, so a diverged _FMT[3] constant
+        # must FAIL LOUDLY here instead of silently returning wrong
+        # rows — validate entry extents, known type codes, and name
+        # offsets against the stitched TDEF before trusting them
+        if self.num_cols > 255 or \
+                pos + self.num_cols * fmt["col_entry"] > len(pg):
+            raise ValueError(
+                f"TDEF for {self.name!r} declares {self.num_cols} "
+                "columns past the page extent — corrupt file or "
+                "unsupported Jet layout")
         cols = []
         for _ in range(self.num_cols):
             c = JetColumn()
             c.type = pg[pos]
+            if c.type not in _KNOWN_TYPES:
+                raise ValueError(
+                    f"TDEF for {self.name!r} has unknown Jet column "
+                    f"type 0x{c.type:02x} — corrupt file or "
+                    "unsupported Jet layout")
             c.num, = struct.unpack_from("<H", pg, pos + fmt["col_num"])
             c.off_v, = struct.unpack_from("<H", pg, pos + fmt["col_varnum"])
             c.is_fixed = bool(pg[pos + fmt["col_flags"]] & 0x01)
@@ -125,10 +150,20 @@ class JetTable:
         for c in cols:
             if db.version >= 4:
                 nlen, = struct.unpack_from("<H", pg, pos)
+                if nlen > 128 or pos + 2 + nlen > len(pg):
+                    raise ValueError(
+                        f"TDEF for {self.name!r} has a column name "
+                        "overrunning the page — corrupt file or "
+                        "unsupported Jet layout")
                 c.name = pg[pos + 2:pos + 2 + nlen].decode("utf-16-le")
                 pos += 2 + nlen
             else:
                 nlen = pg[pos]
+                if nlen == 0 or pos + 1 + nlen > len(pg):
+                    raise ValueError(
+                        f"TDEF for {self.name!r} has a column name "
+                        "overrunning the page — corrupt file or "
+                        "unsupported Jet layout")
                 c.name = pg[pos + 1:pos + 1 + nlen].decode("latin-1")
                 pos += 1 + nlen
         # row layout order = column number order
@@ -191,12 +226,6 @@ class JetTable:
 
         var_off = None
         if self.num_var_cols:
-            if vsz == 1 and len(row) > 255:
-                # Jet3 switches to a jump-table var-offset scheme for
-                # rows ≥ 256 bytes; a wrong parse is worse than a gate
-                raise NotImplementedError(
-                    "Jet3 rows >= 256 bytes (jump-table var offsets) "
-                    "are not supported by the native parser")
             base = len(row) - bm - vsz
             if vsz == 2:
                 rvar, = struct.unpack_from("<H", row, base)
@@ -204,8 +233,29 @@ class JetTable:
                     "<H", row, base - 2 * (i + 1))[0]
                     for i in range(rvar + 1)]
             else:
+                # Jet3: 1-byte offsets are LOW bytes; rows >= 256
+                # bytes add a jump table between the var-count byte
+                # and the var table — one slot per 256 bytes of row,
+                # each holding the var-column index at which the
+                # 256-segment counter increments (mdbtools
+                # mdb_crack_row3 semantics, incl. the dummy-last-jump
+                # rule: the slot is always present, its entry is
+                # ignored when no offset can reach that segment).
                 rvar = row[base]
-                var_off = [row[base - (i + 1)] for i in range(rvar + 1)]
+                row_len = len(row)
+                num_jumps = (row_len - 1) // 256
+                col_ptr = row_len - bm - num_jumps - 2
+                if num_jumps and (col_ptr - rvar) // 256 < num_jumps:
+                    num_jumps -= 1
+                jump = [row[row_len - bm - 2 - j]
+                        for j in range(num_jumps)]
+                var_off = []
+                jumps_used = 0
+                for i in range(rvar + 1):
+                    while jumps_used < num_jumps \
+                            and i == jump[jumps_used]:
+                        jumps_used += 1
+                    var_off.append(row[col_ptr - i] + 256 * jumps_used)
         out = {}
         for c in self.columns:
             bit = has_value(c.num)
@@ -254,10 +304,9 @@ class JetTable:
             if t == TEXT:
                 return _decode_text(b, self.db.version)
             if t == MEMO:
-                if self.db.version < 4:
-                    raise NotImplementedError(
-                        "Jet3 LVAL memos are not supported by the "
-                        "native parser")
+                # same 12-byte descriptor layout in Jet3 and Jet4
+                # (mdbtools reads both through one path); only the
+                # text payload encoding differs (latin-1 vs UTF-16)
                 return self._lval(b)
             if t == GUID:
                 return b[:16].hex()
@@ -269,17 +318,19 @@ class JetTable:
 
     def _lval(self, b: bytes):
         """Memo/OLE long value: 12-byte descriptor → inline bytes or
-        LVAL page row(s)."""
+        LVAL page row(s); payload text decodes per the file version
+        (latin-1 for Jet3, UTF-16/compressed for Jet4)."""
+        ver = self.db.version
         if len(b) < 12:
-            return _decode_text(b)
+            return _decode_text(b, ver)
         memo_len = int.from_bytes(b[:3], "little")
         flags = b[3]
         if flags & 0x80:            # inline
-            return _decode_text(b[12:12 + memo_len])
+            return _decode_text(b[12:12 + memo_len], ver)
         ptr, = struct.unpack_from("<I", b, 4)
         if flags & 0x40:            # single LVAL page row
             data = self.db.row_bytes(ptr)
-            return _decode_text(data or b"")
+            return _decode_text(data or b"", ver)
         chunks = []                  # chained LVAL rows
         seen = set()                 # corrupt-file cycle guard
         while ptr and ptr not in seen:
@@ -289,7 +340,7 @@ class JetTable:
                 break
             ptr, = struct.unpack_from("<I", data, 0)
             chunks.append(data[4:])
-        return _decode_text(b"".join(chunks)[:memo_len])
+        return _decode_text(b"".join(chunks)[:memo_len], ver)
 
 
 class JetDb:
@@ -464,11 +515,12 @@ class _JetWriter:
     pages per user table. No usage maps, no indexes, single-page
     TDEFs — exactly the documented subset ``JetDb`` reads."""
 
-    def __init__(self, version: int = 4):
+    def __init__(self, version: int = 4, memo_threshold: int | None = None):
         if version not in _FMT:
             raise ValueError(f"jet version must be 3 or 4, got {version}")
         self.version = version
         self.fmt = _FMT[version]
+        self.memo_threshold = memo_threshold
         self.pages: list[bytearray] = []
 
     def _new_page(self) -> int:
@@ -516,6 +568,43 @@ class _JetWriter:
 
     # -- rows -------------------------------------------------------------
 
+    def _lval_store(self, payload: bytes) -> bytes:
+        """Place a memo payload on LVAL page(s) and return its 12-byte
+        descriptor (+ nothing inline). Small payloads inline (flag
+        0x80), one-page payloads use a single LVAL row (0x40), larger
+        ones a backward-built chain of (next_ptr, chunk) rows (0x00) —
+        the three layouts :meth:`JetTable._lval` reads."""
+        fmt = self.fmt
+        max_row = fmt["page_size"] - fmt["data_offs"] - 2
+
+        def lval_row(data: bytes) -> int:
+            pgno = self._new_page()
+            pg = self.pages[pgno]
+            pg[0] = 0x01
+            pg[1] = 0x01
+            pg[4:8] = b"LVAL"          # owner slot marks LVAL pages,
+            #                            so table sweeps skip them
+            floor_ = fmt["page_size"] - len(data)
+            pg[floor_:floor_ + len(data)] = data
+            struct.pack_into("<H", pg, fmt["data_nrows"], 1)
+            struct.pack_into("<H", pg, fmt["data_offs"], floor_)
+            return (pgno << 8) | 0
+        n = len(payload)
+        if n + 12 <= 64:                       # inline
+            return (n.to_bytes(3, "little") + b"\x80"
+                    + b"\x00" * 8 + payload)
+        if n <= max_row:                       # single LVAL row
+            ptr = lval_row(payload)
+            return (n.to_bytes(3, "little") + b"\x40"
+                    + struct.pack("<I", ptr) + b"\x00" * 4)
+        chunk = max_row - 4                    # chained LVAL rows
+        ptr = 0
+        for at in range(((n - 1) // chunk) * chunk, -1, -chunk):
+            ptr = lval_row(struct.pack("<I", ptr)
+                           + payload[at:at + chunk])
+        return (n.to_bytes(3, "little") + b"\x00"
+                + struct.pack("<I", ptr) + b"\x00" * 4)
+
     def _encode_row(self, cols, rec: dict) -> bytes:
         fmt = self.fmt
         rsz, vsz = fmt["rcols_size"], fmt["voff_size"]
@@ -544,31 +633,44 @@ class _JetWriter:
                 var_off[off_v] = var_start + len(var_data)
                 if v is not None:
                     nullmask[num // 8] |= 1 << (num % 8)
-                    var_data += _encode_value(t, v, self.version)
+                    if t == MEMO:
+                        var_data += self._lval_store(
+                            _encode_text(str(v), self.version))
+                    else:
+                        var_data += _encode_value(t, v, self.version)
         var_off[nvar] = var_start + len(var_data)
         head = (bytes([rcols]) if rsz == 1
                 else struct.pack("<H", rcols)) + bytes(fixed) + \
             bytes(var_data)
         trailer = bytearray()
         if nvar:
-            for i in range(nvar, -1, -1):
-                if vsz == 2:
-                    trailer += struct.pack("<H", var_off[i])
-                else:
-                    if var_off[i] > 255:
-                        raise ValueError(
-                            "Jet3 row exceeds 255 bytes — the minimal "
-                            "writer does not emit jump-table rows")
-                    trailer.append(var_off[i])
             if vsz == 2:
+                for i in range(nvar, -1, -1):
+                    trailer += struct.pack("<H", var_off[i])
                 trailer += struct.pack("<H", nvar)
             else:
+                # Jet3: low bytes + jump table. The jump table's own
+                # bytes count toward the row length that sizes it —
+                # find the fixpoint nj == (row_len - 1) // 256, then
+                # emit one slot per segment: the first var-col index
+                # reaching that segment, 0xFF for the dummy slot the
+                # reader's adjustment rule ignores.
+                base_len = rsz + fixed_size + len(var_data) \
+                    + (nvar + 1) + 1 + bm
+                nj = 0
+                while (base_len + nj - 1) // 256 > nj:
+                    nj += 1
+                jump = []
+                for seg in range(1, nj + 1):
+                    idx = next((i for i in range(nvar + 1)
+                                if var_off[i] >= 256 * seg), None)
+                    jump.append(0xFF if idx is None else idx)
+                for i in range(nvar, -1, -1):
+                    trailer.append(var_off[i] & 0xFF)
+                for j in range(nj - 1, -1, -1):
+                    trailer.append(jump[j])
                 trailer.append(nvar)
         row = head + bytes(trailer) + bytes(nullmask)
-        if vsz == 1 and len(row) > 255:
-            raise ValueError(
-                "Jet3 row exceeds 255 bytes — the minimal writer "
-                "does not emit jump-table rows")
         return row
 
     def _data_pages(self, tdef_pg: int, cols, records) -> int:
@@ -630,6 +732,11 @@ class _JetWriter:
             off_v = 0
             for k in keys:
                 t, is_fixed, flen = _py_coltype([r.get(k) for r in recs])
+                if t == TEXT and self.memo_threshold is not None and \
+                        any(len(_encode_text(str(r[k]), self.version))
+                            > self.memo_threshold
+                            for r in recs if r.get(k) is not None):
+                    t = MEMO             # long text → LVAL storage
                 if is_fixed:
                     specs.append((k, t, True, off_f, 0, flen))
                     off_f += flen
@@ -648,9 +755,13 @@ class _JetWriter:
         return b"".join(bytes(p) for p in self.pages)
 
 
-def build_jet(tables: dict[str, list[dict]], version: int = 4) -> bytes:
+def build_jet(tables: dict[str, list[dict]], version: int = 4,
+              memo_threshold: int | None = None) -> bytes:
     """Build a minimal .mdb byte string holding ``tables``
     ({name: [row dicts]}); column types are inferred from the first
     non-null value per key (bool/int/float/Decimal/datetime/str/bytes
-    → BOOL/LONGINT/DOUBLE/MONEY/DATETIME/TEXT/BINARY)."""
-    return _JetWriter(version).build(tables)
+    → BOOL/LONGINT/DOUBLE/MONEY/DATETIME/TEXT/BINARY). With
+    ``memo_threshold`` set, text columns whose encoded values exceed
+    it become MEMO columns stored on LVAL pages (inline /
+    single-page / chained per payload size) — both Jet versions."""
+    return _JetWriter(version, memo_threshold).build(tables)

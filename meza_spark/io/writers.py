@@ -388,15 +388,18 @@ def records2xls(df: DataFrame, path: str) -> None:
 
 
 def records2mdb(df: DataFrame, path: str, table_name: str = "data",
-                version: int = 4) -> None:
+                version: int = 4,
+                memo_threshold: int | None = None) -> None:
     """DataFrame → MS Access .mdb (inverse of read_mdb, ref:
     meza/io.py:598-674 reads them; mdbtools has no writer, so this is
     the minimal Jet builder in io/mdb.py). ``version`` 4 = Jet4
-    (Access 2000+, 4 KB pages), 3 = Jet3 (Access 97, 2 KB pages,
-    ≤255-byte rows). Column types follow the schema: bool/ints/
-    float/decimal/timestamp/string/binary → BOOL/LONGINT/DOUBLE/
-    MONEY/DATETIME/TEXT/BINARY. Driver-side single artifact like the
-    other office sinks (the format is hard-capped at 2 GB)."""
+    (Access 2000+, 4 KB pages), 3 = Jet3 (Access 97, 2 KB pages —
+    wide rows emit the jump-table var-offset layout). Column types
+    follow the schema: bool/ints/float/decimal/timestamp/string/
+    binary → BOOL/LONGINT/DOUBLE/MONEY/DATETIME/TEXT/BINARY; with
+    ``memo_threshold``, long text becomes MEMO on LVAL pages.
+    Driver-side single artifact like the other office sinks (the
+    format is hard-capped at 2 GB)."""
     from decimal import Decimal
 
     from .mdb import build_jet
@@ -418,7 +421,8 @@ def records2mdb(df: DataFrame, path: str, table_name: str = "data",
     recs = [{c: conv(c, row[c]) for c in df.columns}
             for row in df.toLocalIterator()]
     with open(path, "wb") as f:
-        f.write(build_jet({table_name: recs}, version=version))
+        f.write(build_jet({table_name: recs}, version=version,
+                          memo_threshold=memo_threshold))
 
 
 def records2dbf(df: DataFrame, path: str) -> None:

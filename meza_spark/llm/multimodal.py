@@ -2329,16 +2329,81 @@ def _encode_avi_mjpeg(frames, us_per_frame: int = 40000,
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
+_PILLOW = None
+
+
+def _pillow():
+    """Lazy Pillow import; False when absent or disabled via
+    ``MEZA_SPARK_NO_PILLOW=1``."""
+    global _PILLOW
+    if _PILLOW is None:
+        import os
+
+        if os.environ.get("MEZA_SPARK_NO_PILLOW"):
+            _PILLOW = False
+        else:
+            try:
+                from PIL import Image
+                _PILLOW = Image
+            except ImportError:
+                _PILLOW = False
+    return _PILLOW
+
+
+def _pillow_decode(b: bytes):
+    """Pillow fast path for the LOSSLESS containers only (PNG / GIF
+    first frame / TIFF / BMP are bit-exact across conformant
+    decoders, unlike JPEG whose IDCT may differ in the last ulp) —
+    normalized to this module's conventions: gray → (h, w, 1),
+    palette → RGB, 16-bit → high byte. The stdlib path stays the
+    reference; test_pillow_parity pins equality on the gate corpus
+    wherever Pillow is installed. Budget-checked BEFORE the pixel
+    load, same as the stdlib decoders."""
+    import io
+
+    import numpy as np
+
+    Image = _pillow()
+    im = Image.open(io.BytesIO(b))
+    w, h = im.size
+    _check_pixels(h, w, im.format or "image")
+    im.load()
+    if im.mode == "P":
+        im = im.convert("RGB")
+    if im.mode in ("I;16", "I;16B", "I;16L", "I"):
+        arr = (np.asarray(im, dtype=np.int32) >> 8).astype(np.uint8)
+        return arr[:, :, None].copy()
+    arr = np.asarray(im)
+    if arr.dtype != np.uint8:
+        raise ValueError(f"unsupported Pillow mode {im.mode}")
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr.copy()
+
+
 def decode_pixels(b: bytes):
     """Dispatch real pixel decode by magic bytes → (h, w, c) uint8.
 
     BMP / PPM / PGM / PNG (all 5 filters, Adam7, 8/16-bit) / GIF
     (LZW + palette, interlace) / baseline AND progressive JPEG
     (Huffman + IDCT + YCbCr, 4:2:0, T.81 §G multi-scan) decode for
-    real — stdlib struct + zlib + numpy, no Pillow. Hierarchical/
-    arithmetic JPEG raises ``NotImplementedError``; unknown payloads
-    raise ``ValueError``.
+    real — stdlib struct + zlib + numpy, no Pillow required. When
+    Pillow IS importable, the lossless containers (PNG/GIF/TIFF/BMP)
+    prefer it for its C-speed inner loops and fall back to the
+    stdlib path on any Pillow error (parity is pinned by unit test
+    on Pillow hosts; disable with ``MEZA_SPARK_NO_PILLOW=1``).
+    Hierarchical/arithmetic JPEG raises ``NotImplementedError``;
+    unknown payloads raise ``ValueError``.
     """
+    lossless = (b[:2] == b"BM" or b[:8] == _PNG_SIG
+                or b[:6] in (b"GIF87a", b"GIF89a")
+                or b[:4] in (b"II*\x00", b"MM\x00*"))
+    if lossless and _pillow():
+        try:
+            return _pillow_decode(b)
+        except Exception:
+            pass          # any Pillow hiccup → authoritative stdlib
+            #               path (which also re-raises budget errors)
     if b[:2] == b"BM":
         return _decode_bmp(b)
     if b[:2] in (b"P5", b"P6"):

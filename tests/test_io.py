@@ -421,8 +421,9 @@ def test_mdb_bad_magic_gate(spark):
 
 def test_mdb_jet3_roundtrip_and_gates(spark):
     """Jet3 (Access 97) writer→parser roundtrip over every supported
-    type, plus the two honest gates: ≥256-byte rows (jump-table var
-    offsets) and memo columns both raise instead of mis-parsing."""
+    type; since round 6 the former honest gates decode for real —
+    ≥256-byte rows through the jump-table var-offset scheme and memo
+    columns through LVAL pages (see the dedicated tests below)."""
     import datetime as dt
     from decimal import Decimal
 
@@ -443,13 +444,81 @@ def test_mdb_jet3_roundtrip_and_gates(spark):
     assert got[1]["name"] == "bräzil" and got[1]["ts"] is None
     assert got[2]["name"] is None and got[2]["ok"] is True
     assert got[0]["amt"] == Decimal("12.34")
-    # gate 1: a >255-byte row cannot be written as Jet3
-    with pytest.raises(ValueError, match="jump-table"):
-        build_jet({"t": [{"x": "y" * 300}]}, version=3)
-    # gate 2: the parser refuses >255-byte Jet3 rows rather than
-    # guessing at the jump-table scheme (synthesize via a Jet4-size
-    # row patched into a Jet3 shell is overkill — the writer gate
-    # plus this parser branch are covered by the same length check)
+    # wide rows no longer gate: they roundtrip via the jump table
+    wide = list(JetDb(build_jet({"t": [{"x": "y" * 300}]},
+                                version=3)).table("t").rows())
+    assert wide == [{"x": "y" * 300}]
+
+
+def test_mdb_jet3_jump_table_rows(spark):
+    """Jet3 rows ≥ 256 bytes use the jump-table var-offset scheme
+    (mdbtools mdb_crack_row3 layout: low-byte offsets + one jump slot
+    per 256 bytes of row, dummy-last-slot rule). Exercise offsets
+    landing on and around every segment boundary, multi-segment
+    single values, nulls inside wide rows, and both Jet versions for
+    parity."""
+    from meza_spark.io.mdb import JetDb, build_jet
+
+    rows = []
+    for i in range(40):
+        rows.append({"id": i,
+                     "a": "A" * (120 + i * 13),   # crosses 256/512/...
+                     "b": "B" * (i * 23 % 300),
+                     "c": None if i % 7 == 0 else f"tail-{i}",
+                     "n": i * 1000})
+    rows.append({"id": 99, "a": "Q" * 1700, "b": "", "c": "x",
+                 "n": 1})                         # one value > 6 segments
+    for ver in (3, 4):
+        got = list(JetDb(build_jet({"w": rows}, version=ver))
+                   .table("w").rows())
+        assert got == rows, f"jet{ver} wide-row mismatch"
+
+
+def test_mdb_memo_lval_roundtrip(spark):
+    """MEMO columns (LVAL storage) roundtrip in BOTH Jet versions
+    across all three layouts the reader knows: inline (flag 0x80),
+    single LVAL page row (0x40), and chained rows (0x00); latin-1
+    payloads for Jet3, UTF-16 for Jet4."""
+    from meza_spark.io.mdb import JetDb, build_jet
+
+    rows = [{"id": 1, "m": "tiny"},
+            {"id": 2, "m": "é" * 400},
+            {"id": 3, "m": "chain-" + "z" * 4800},
+            {"id": 4, "m": None},
+            {"id": 5, "m": "edge" * 120}]
+    for ver in (3, 4):
+        raw = build_jet({"memos": rows}, version=ver, memo_threshold=64)
+        got = list(JetDb(raw).table("memos").rows())
+        assert got == rows, f"jet{ver} memo mismatch"
+    # without a threshold the writer keeps TEXT semantics (legacy)
+    raw = build_jet({"memos": [{"id": 1, "m": "plain"}]}, version=4)
+    assert next(JetDb(raw).table("memos").rows())["m"] == "plain"
+
+
+def test_mdb_tdef_sanity_checks(spark):
+    """r5 ADVICE: structural TDEF validation fails loudly on
+    corrupted column metadata instead of silently mis-parsing —
+    unknown type codes and name overruns both raise ValueError."""
+    import struct
+
+    from meza_spark.io.mdb import JetDb, build_jet
+
+    raw = bytearray(build_jet(
+        {"t": [{"id": 1, "name": "x"}]}, version=3))
+    db = JetDb(bytes(raw))
+    tdef_pg = db.list_tables()[0][1]
+    fmt = db.fmt
+    base = tdef_pg * fmt["page_size"]
+    # corrupt the first column's type byte to an unknown code
+    bad_type = bytearray(raw)
+    bad_type[base + fmt["tdef_cols_start"]] = 0x77
+    with pytest.raises(ValueError, match="unknown Jet column type"):
+        JetDb(bytes(bad_type)).table("t")
+    # corrupt num_cols far past the page extent
+    bad_cols = bytearray(raw)
+    struct.pack_into("<H", bad_cols, base + fmt["tdef_num_cols"], 9999)
+    with pytest.raises(ValueError, match="past the page extent"):
+        JetDb(bytes(bad_cols)).table("t")
 
 
 def test_mdb_cli_fallback_path(spark, tmp_path, monkeypatch):

@@ -1406,3 +1406,49 @@ def test_decode_video_df(spark):
     import pytest as _pytest
     with _pytest.raises(Exception):
         decode_video(df).collect()          # default errors on the BMP
+
+
+def test_pillow_parity_lossless_codecs():
+    """When Pillow is installed, decode_pixels prefers it for the
+    lossless containers; this pins bit-equality between the Pillow
+    branch and the authoritative stdlib decoders across the gate
+    corpus (PNG filters/interlace/16-bit, GIF incl. interlace, the
+    TIFF compression x predictor x endian x planar matrix, BMP).
+    Skipped where Pillow is absent — the stdlib path is then the
+    only path and is gated elsewhere."""
+    import itertools
+
+    import numpy as np
+    import pytest as _pytest
+
+    from meza_spark.llm import multimodal as mm
+
+    if not mm._pillow():
+        _pytest.skip("Pillow not installed in this environment")
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    gray = px[:, :, :1]
+    payloads = [mm._encode_bmp(px)]
+    for interlace in (False, True):
+        payloads.append(mm._encode_png(px, interlace=interlace))
+        payloads.append(mm._encode_png(gray[:, :, 0],
+                                       interlace=interlace))
+        pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+        payloads.append(mm._encode_gif(pal[rng.integers(0, 8, (6, 5))],
+                                       interlace=interlace))
+    for comp, pred, be, planar in itertools.product(
+            (1, 5, 32773), (1, 2), (False, True), (1, 2)):
+        payloads.append(mm._encode_tiff(px, compression=comp,
+                                        predictor=pred, big_endian=be,
+                                        planar=planar))
+    for b in payloads:
+        if b[:2] == b"BM":
+            ref = mm._decode_bmp(b)
+        elif b[:8] == mm._PNG_SIG:
+            ref = mm._decode_png(b)
+        elif b[:6] in (b"GIF87a", b"GIF89a"):
+            ref = mm._decode_gif(b)
+        else:
+            ref = mm._decode_tiff(b)
+        got = mm._pillow_decode(b)
+        assert np.array_equal(got, ref), b[:8]

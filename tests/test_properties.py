@@ -515,10 +515,133 @@ def test_image_codec_roundtrip_property(data):
     pred = data.draw(st.sampled_from([1, 2]), label="tiff_pred")
     be = data.draw(st.booleans(), label="tiff_be")
     rps = data.draw(st.one_of(st.none(), st.integers(1, h)), label="rps")
+    planar = data.draw(st.sampled_from([1, 2]), label="tiff_planar")
     assert np.array_equal(
         _decode_tiff(_encode_tiff(px, compression=comp, predictor=pred,
-                                  big_endian=be, rows_per_strip=rps)),
+                                  big_endian=be, rows_per_strip=rps,
+                                  planar=planar)),
         px)
+    # 16-bit samples: arbitrary uint16 decode to their high bytes
+    px16 = (px.astype(np.uint16) << 8) | rng.integers(
+        0, 256, px.shape, dtype=np.uint16)
+    assert np.array_equal(
+        _decode_tiff(_encode_tiff(px16, compression=comp,
+                                  predictor=pred, big_endian=be,
+                                  rows_per_strip=rps, planar=planar)),
+        px)
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(70, 95))
+@settings(**_SETTINGS)
+def test_jpeg_progressive_equals_baseline_property(seed, quality):
+    """Property: for ANY image, the progressive encoder transmits the
+    same quantized coefficients as the baseline encoder, so both
+    streams must decode bit-identically — random dims, gray/color,
+    4:2:0, restart intervals."""
+    import numpy as np
+
+    from meza_spark.llm.multimodal import (_decode_jpeg, _encode_jpeg,
+                                           _encode_jpeg_progressive)
+
+    rng = np.random.default_rng(seed)
+    h, w = int(rng.integers(1, 28)), int(rng.integers(1, 28))
+    gray = bool(seed % 3 == 0)
+    shape = (h, w) if gray else (h, w, 3)
+    px = rng.integers(0, 256, shape, dtype=np.uint8)
+    sub = bool(seed % 2)
+    rst = int(rng.integers(0, 4))
+    base = _decode_jpeg(_encode_jpeg(px, quality=int(quality),
+                                     subsample=sub))
+    prog = _decode_jpeg(_encode_jpeg_progressive(
+        px, quality=int(quality), subsample=sub, restart_interval=rst))
+    assert np.array_equal(prog, base)
+
+
+@given(st.integers(0, 2**32 - 1))
+@settings(**_SETTINGS)
+def test_gif_animation_roundtrip_property(seed):
+    """Property: random multi-frame GIFs (random offsets, delays,
+    disposal methods, optional transparency) decode to exactly the
+    canvases the GCE semantics dictate, computed by an independent
+    numpy reference compositor."""
+    import numpy as np
+
+    from meza_spark.llm.multimodal import (_decode_gif_frames,
+                                           _encode_gif_anim)
+
+    rng = np.random.default_rng(seed)
+    sw, sh = int(rng.integers(4, 14)), int(rng.integers(4, 14))
+    n = int(rng.integers(1, 5))
+    vals = rng.choice(256, size=min(250, 16), replace=False)
+    frames, offsets, disposals, delays, trans_vals = [], [], [], [], []
+    for k in range(n):
+        if k == 0:
+            fw, fh, left, top = sw, sh, 0, 0
+        else:
+            fw = int(rng.integers(1, sw + 1))
+            fh = int(rng.integers(1, sh + 1))
+            left = int(rng.integers(0, sw - fw + 1))
+            top = int(rng.integers(0, sh - fh + 1))
+        g = vals[rng.integers(0, len(vals), (fh, fw))].astype(np.uint8)
+        frames.append(np.repeat(g[:, :, None], 3, axis=2))
+        offsets.append((left, top))
+        disposals.append(int(rng.integers(0, 4)))
+        delays.append(int(rng.integers(0, 50)) * 10)
+        trans_vals.append(int(vals[rng.integers(0, len(vals))])
+                          if rng.integers(0, 2) else None)
+    pal_vals = sorted({int(v) for f in frames for v in f[:, :, 0].ravel()})
+    trans_idx = [pal_vals.index(t) if t is not None and t in pal_vals
+                 else None for t in trans_vals]
+    enc = _encode_gif_anim(frames, delays_ms=delays,
+                           disposals=disposals, offsets=offsets,
+                           transparent=trans_idx, bg_index=0)
+    got, got_delays = _decode_gif_frames(enc)
+    assert got_delays == delays
+    # independent reference compositor
+    bg = np.full((sh, sw, 3), pal_vals[0], np.uint8)
+    canvas = bg.copy()
+    for k, (f, (left, top), disp, t) in enumerate(
+            zip(frames, offsets, disposals, trans_idx)):
+        base = canvas.copy()
+        fh, fw = f.shape[:2]
+        region = canvas[top:top + fh, left:left + fw]
+        if t is not None:
+            mask = f[:, :, 0] != pal_vals[t]
+            region[mask] = f[mask]
+        else:
+            region[:] = f
+        assert np.array_equal(got[k], canvas), (seed, k)
+        if disp == 2:
+            canvas[top:top + fh, left:left + fw] = pal_vals[0]
+        elif disp == 3:
+            canvas = base
+
+
+@given(st.integers(0, 2**32 - 1), st.sampled_from([3, 4]))
+@settings(**_SETTINGS)
+def test_jet_wide_row_memo_property(seed, version):
+    """Property: random tables with var columns straddling every
+    256-byte boundary (Jet3 jump-table territory) plus memo columns
+    of random lengths (inline / single LVAL page / chained) roundtrip
+    exactly through the writer+parser pair in both Jet versions."""
+    import numpy as np
+
+    from meza_spark.io.mdb import JetDb, build_jet
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(int(rng.integers(1, 12))):
+        rows.append({
+            "id": i,
+            "a": "a" * int(rng.integers(0, 700)),
+            "b": "b" * int(rng.integers(0, 500)),
+            "m": "m" * int(rng.integers(0, 4000)),
+            "z": None if rng.integers(0, 4) == 0 else f"z{i}",
+        })
+    raw = build_jet({"t": rows}, version=int(version),
+                    memo_threshold=100)
+    got = list(JetDb(raw).table("t").rows())
+    assert got == rows
 
 
 @given(st.integers(0, 2**32 - 1), st.integers(70, 95))
