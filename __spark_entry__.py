@@ -885,9 +885,13 @@ def multimodal_avi(spark, sf_dir):
                      (i * 7 + k * 23 + xx * 2 + yy * 3) % 256,
                      (i * 13 + k * 17 + xx + yy * 7) % 256],
                     axis=2).astype(np.uint8))
+            # %10==3 corpus: i%5 is constant, so duration variation
+            # needs a modulus coprime with 10; every 3rd doc wraps
+            # frames in LIST 'rec ' groupings (r6 review #6/#8)
             out.append(_encode_avi_mjpeg(
-                frames, us_per_frame=(i % 5 + 1) * 20000,
-                quality=75 + (i % 3) * 10))
+                frames, us_per_frame=(i % 7 + 1) * 20000,
+                quality=75 + (i % 3) * 10,
+                rec_groups=i % 3 == 0))
         return pd.Series(out)
 
     d = (_t(spark, sf_dir, "documents")
@@ -931,9 +935,11 @@ def multimodal_jpeg_prog(spark, sf_dir):
                                (i * 7 + xx * 2 + yy * 3) % 256,
                                (i * 13 + xx + yy * 7) % 256],
                               axis=2).astype(np.uint8)
+            # the %4==1 corpus makes every i odd, so subsampling
+            # parity must come from a derived value (r6 review #2)
             out.append(_encode_jpeg_progressive(
                 px, quality=75 + (i % 3) * 10,
-                subsample=i % 2 == 0,
+                subsample=(i // 4) % 2 == 0,
                 restart_interval=3 if i % 7 == 0 else 0))
         return pd.Series(out)
 
@@ -1881,11 +1887,13 @@ def mdb3_roundtrip(spark, sf_dir):
 
 def mdb3_wide_roundtrip(spark, sf_dir):
     """documents → records2mdb(version=3, memo_threshold) → read_mdb:
-    Jet3 WIDE rows (the text column pushes rows past 256 bytes, so
-    every row cracks through the jump-table var-offset scheme) plus a
-    MEMO column (repeated text → inline/single-page/chained LVAL
-    storage by length) — the round-5 verdict's two remaining Jet3
-    gates, now closed and differential-gated like mdb3_roundtrip."""
+    Jet3 WIDE rows (the plain-TEXT wide_text column pushes most rows
+    past 256 bytes, so they crack through the jump-table var-offset
+    scheme; short docs stay in the classic layout — both paths under
+    one oracle) plus a MEMO column (repeated text → single-page or
+    chained LVAL storage by length) — the round-5 verdict's two
+    remaining Jet3 gates, now closed and differential-gated like
+    mdb3_roundtrip."""
     from meza_spark.io.readers import read_mdb
     from meza_spark.io.writers import records2mdb
 
@@ -1900,8 +1908,12 @@ def mdb3_wide_roundtrip(spark, sf_dir):
                    .alias("memo_text"),
                    "lang", "n_chars")
            .orderBy("doc_id"))
+    # threshold ABOVE the 400-byte wide_text cap so that column stays
+    # plain TEXT and rows genuinely exceed 256 bytes (jump-table
+    # territory); only the 6x memo_text column maps to LVAL (r6
+    # review #3)
     records2mdb(src, path, table_name="docs", version=3,
-                memo_threshold=64)
+                memo_threshold=450)
     return read_mdb(spark, path, table="docs")
 
 

@@ -132,14 +132,18 @@ class JetTable:
                 "columns past the page extent — corrupt file or "
                 "unsupported Jet layout")
         cols = []
+        unknown_types = 0
         for _ in range(self.num_cols):
             c = JetColumn()
             c.type = pg[pos]
             if c.type not in _KNOWN_TYPES:
-                raise ValueError(
-                    f"TDEF for {self.name!r} has unknown Jet column "
-                    f"type 0x{c.type:02x} — corrupt file or "
-                    "unsupported Jet layout")
+                # a single exotic type code (newer Access 'calculated'
+                # etc.) still reads — _value falls back to raw bytes —
+                # but a MAJORITY of unknown codes means the column
+                # stride itself is wrong (diverged _FMT constant /
+                # corrupt TDEF): fail loudly rather than return
+                # silently wrong rows
+                unknown_types += 1
             c.num, = struct.unpack_from("<H", pg, pos + fmt["col_num"])
             c.off_v, = struct.unpack_from("<H", pg, pos + fmt["col_varnum"])
             c.is_fixed = bool(pg[pos + fmt["col_flags"]] & 0x01)
@@ -147,6 +151,11 @@ class JetTable:
             c.length, = struct.unpack_from("<H", pg, pos + fmt["col_len"])
             cols.append(c)
             pos += fmt["col_entry"]
+        if cols and unknown_types > len(cols) // 2:
+            raise ValueError(
+                f"TDEF for {self.name!r}: {unknown_types} of "
+                f"{len(cols)} column type codes are unknown — corrupt "
+                "file or unsupported Jet layout")
         for c in cols:
             if db.version >= 4:
                 nlen, = struct.unpack_from("<H", pg, pos)

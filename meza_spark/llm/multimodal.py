@@ -711,7 +711,8 @@ def _decode_gif_frames(b: bytes):
                 if (len(frames) + 1) * sw * sh > MAX_DECODE_PIXELS:
                     raise ValueError("animated GIF exceeds the "
                                      "total-pixel decode budget")
-                base = canvas.copy()
+                # pre-draw snapshot only when disposal 3 will need it
+                base = canvas.copy() if disposal == 3 else None
                 region = canvas[top:top + h, left:left + w]
                 if transparent is not None:
                     mask = grid != transparent
@@ -2274,7 +2275,15 @@ def _decode_avi_frames(b: bytes):
                         us_per_frame = struct.unpack(
                             "<I", b[s2:s2 + 4])[0]
             elif ltype == b"movi":
-                for c2, s2, e2 in _riff_chunks(b, s + 4, e):
+                # interleaved muxers wrap frame chunks in LIST 'rec '
+                # groupings inside movi — walk one level down too
+                def movi_chunks(s0, e0):
+                    for c2, s2, e2 in _riff_chunks(b, s0, e0):
+                        if c2 == b"LIST" and b[s2:s2 + 4] == b"rec ":
+                            yield from _riff_chunks(b, s2 + 4, e2)
+                        else:
+                            yield c2, s2, e2
+                for c2, s2, e2 in movi_chunks(s + 4, e):
                     if c2[2:4] in (b"dc", b"db") and e2 > s2:
                         px = _decode_jpeg(b[s2:e2])
                         total_px += px.shape[0] * px.shape[1]
@@ -2293,11 +2302,14 @@ def _decode_avi_frames(b: bytes):
 
 
 def _encode_avi_mjpeg(frames, us_per_frame: int = 40000,
-                      quality: int = 90) -> bytes:
+                      quality: int = 90,
+                      rec_groups: bool = False) -> bytes:
     """Frames → MJPEG-in-AVI bytes (fixture encoder for
     :func:`_decode_avi_frames`): standard RIFF layout — hdrl(avih +
     strl(strh'vids'/'MJPG' + strf BITMAPINFOHEADER)) + movi with one
-    ``00dc`` JPEG chunk per frame."""
+    ``00dc`` JPEG chunk per frame; ``rec_groups`` wraps each frame
+    chunk in a LIST ``rec `` grouping (the interleaved-muxer layout
+    the decoder must also walk)."""
     import numpy as np
 
     frames = [np.asarray(f, dtype=np.uint8) for f in frames]
@@ -2322,8 +2334,14 @@ def _encode_avi_mjpeg(frames, us_per_frame: int = 40000,
     hdrl = lst(b"hdrl", chunk(b"avih", avih)
                + lst(b"strl", chunk(b"strh", strh)
                      + chunk(b"strf", strf)))
-    movi_body = b"".join(
-        chunk(b"00dc", _encode_jpeg(f, quality=quality)) for f in frames)
+    if rec_groups:
+        movi_body = b"".join(
+            lst(b"rec ", chunk(b"00dc", _encode_jpeg(f, quality=quality)))
+            for f in frames)
+    else:
+        movi_body = b"".join(
+            chunk(b"00dc", _encode_jpeg(f, quality=quality))
+            for f in frames)
     movi = lst(b"movi", movi_body)
     riff_body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
@@ -2333,13 +2351,18 @@ _PILLOW = None
 
 
 def _pillow():
-    """Lazy Pillow import; False when absent or disabled via
-    ``MEZA_SPARK_NO_PILLOW=1``."""
+    """Lazy Pillow import, OPT-IN via ``MEZA_SPARK_PILLOW=1``; False
+    otherwise. Opt-in (not auto-on) because Pillow accepts strictly
+    MORE inputs than the stdlib decoders (8-bit/32-bit BMP, Deflate
+    TIFF, ...), so auto-enabling would make decode_pixels results
+    host-dependent under ``unsupported='skip'`` — breaking the
+    bit-deterministic oracle contract. A cluster that opts in accepts
+    that its skip-set may differ from the stdlib baseline."""
     global _PILLOW
     if _PILLOW is None:
         import os
 
-        if os.environ.get("MEZA_SPARK_NO_PILLOW"):
+        if os.environ.get("MEZA_SPARK_PILLOW") != "1":
             _PILLOW = False
         else:
             try:
@@ -2351,14 +2374,16 @@ def _pillow():
 
 
 def _pillow_decode(b: bytes):
-    """Pillow fast path for the LOSSLESS containers only (PNG / GIF
-    first frame / TIFF / BMP are bit-exact across conformant
-    decoders, unlike JPEG whose IDCT may differ in the last ulp) —
-    normalized to this module's conventions: gray → (h, w, 1),
-    palette → RGB, 16-bit → high byte. The stdlib path stays the
-    reference; test_pillow_parity pins equality on the gate corpus
-    wherever Pillow is installed. Budget-checked BEFORE the pixel
-    load, same as the stdlib decoders."""
+    """Pillow fast path for PNG / TIFF / BMP only (lossless and
+    bit-exact across conformant decoders, unlike JPEG whose IDCT may
+    differ in the last ulp; GIF is excluded because Pillow fills the
+    uncovered first-frame canvas with palette index 0 where this
+    module uses the header background index) — normalized to this
+    module's conventions: gray → (h, w, 1), palette → RGB, 16-bit →
+    high byte. The stdlib path stays the reference;
+    test_pillow_parity pins equality on the gate corpus wherever
+    Pillow is installed. Budget-checked BEFORE the pixel load, same
+    as the stdlib decoders."""
     import io
 
     import numpy as np
@@ -2387,16 +2412,16 @@ def decode_pixels(b: bytes):
     BMP / PPM / PGM / PNG (all 5 filters, Adam7, 8/16-bit) / GIF
     (LZW + palette, interlace) / baseline AND progressive JPEG
     (Huffman + IDCT + YCbCr, 4:2:0, T.81 §G multi-scan) decode for
-    real — stdlib struct + zlib + numpy, no Pillow required. When
-    Pillow IS importable, the lossless containers (PNG/GIF/TIFF/BMP)
-    prefer it for its C-speed inner loops and fall back to the
-    stdlib path on any Pillow error (parity is pinned by unit test
-    on Pillow hosts; disable with ``MEZA_SPARK_NO_PILLOW=1``).
-    Hierarchical/arithmetic JPEG raises ``NotImplementedError``;
-    unknown payloads raise ``ValueError``.
+    real — stdlib struct + zlib + numpy, no Pillow required. With
+    ``MEZA_SPARK_PILLOW=1`` and Pillow importable, PNG/TIFF/BMP
+    prefer Pillow's C-speed inner loops, falling back to the stdlib
+    path on any Pillow error (parity pinned by unit test on Pillow
+    hosts; opt-in because Pillow accepts more inputs than the stdlib
+    baseline — see :func:`_pillow`). Hierarchical/arithmetic JPEG
+    raises ``NotImplementedError``; unknown payloads raise
+    ``ValueError``.
     """
     lossless = (b[:2] == b"BM" or b[:8] == _PNG_SIG
-                or b[:6] in (b"GIF87a", b"GIF89a")
                 or b[:4] in (b"II*\x00", b"MM\x00*"))
     if lossless and _pillow():
         try:

@@ -509,11 +509,20 @@ def test_mdb_tdef_sanity_checks(spark):
     tdef_pg = db.list_tables()[0][1]
     fmt = db.fmt
     base = tdef_pg * fmt["page_size"]
-    # corrupt the first column's type byte to an unknown code
+    # corrupt BOTH columns' type bytes: a majority of unknown codes
+    # is the diverged-stride signal (one exotic code alone is
+    # tolerated via the raw-bytes value fallback)
     bad_type = bytearray(raw)
-    bad_type[base + fmt["tdef_cols_start"]] = 0x77
-    with pytest.raises(ValueError, match="unknown Jet column type"):
+    for ci in range(2):
+        bad_type[base + fmt["tdef_cols_start"]
+                 + ci * fmt["col_entry"]] = 0x77
+    with pytest.raises(ValueError, match="type codes are unknown"):
         JetDb(bytes(bad_type)).table("t")
+    # a single unknown code still reads (raw-bytes fallback)
+    one_bad = bytearray(raw)
+    one_bad[base + fmt["tdef_cols_start"]] = 0x77
+    rows = list(JetDb(bytes(one_bad)).table("t").rows())
+    assert len(rows) == 1 and rows[0]["name"] == "x"
     # corrupt num_cols far past the page extent
     bad_cols = bytearray(raw)
     struct.pack_into("<H", bad_cols, base + fmt["tdef_num_cols"], 9999)

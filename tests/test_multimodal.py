@@ -1368,6 +1368,14 @@ def test_avi_mjpeg_frame_decode():
     assert meta["format"] == "avi"
     assert (meta["width"], meta["height"]) == (24, 16)
     assert meta["duration_ms"] == 160
+    # interleaved layout: frame chunks wrapped in LIST 'rec ' decode
+    # identically (r6 review #6)
+    avi_rec = _encode_avi_mjpeg(fr, us_per_frame=40000, quality=85,
+                                rec_groups=True)
+    frames_r, ts_r = _decode_avi_frames(avi_rec)
+    assert ts_r == ts and len(frames_r) == 4
+    import numpy as _np
+    assert all(_np.array_equal(a, b) for a, b in zip(frames_r, frames))
     import pytest as _pytest
     with _pytest.raises(ValueError):
         _decode_avi_frames(avi[:40])
@@ -1408,14 +1416,15 @@ def test_decode_video_df(spark):
         decode_video(df).collect()          # default errors on the BMP
 
 
-def test_pillow_parity_lossless_codecs():
-    """When Pillow is installed, decode_pixels prefers it for the
-    lossless containers; this pins bit-equality between the Pillow
-    branch and the authoritative stdlib decoders across the gate
-    corpus (PNG filters/interlace/16-bit, GIF incl. interlace, the
-    TIFF compression x predictor x endian x planar matrix, BMP).
-    Skipped where Pillow is absent — the stdlib path is then the
-    only path and is gated elsewhere."""
+def test_pillow_parity_lossless_codecs(monkeypatch):
+    """With MEZA_SPARK_PILLOW=1 on a Pillow host, decode_pixels
+    prefers Pillow for PNG/TIFF/BMP; this pins bit-equality between
+    the Pillow branch and the authoritative stdlib decoders across
+    the gate corpus (PNG filters/interlace/16-bit, the TIFF
+    compression x predictor x endian x planar matrix, BMP). GIF is
+    intentionally NOT routed through Pillow (background-fill
+    divergence). Skipped where Pillow is absent — the stdlib path is
+    then the only path and is gated elsewhere."""
     import itertools
 
     import numpy as np
@@ -1423,6 +1432,8 @@ def test_pillow_parity_lossless_codecs():
 
     from meza_spark.llm import multimodal as mm
 
+    monkeypatch.setenv("MEZA_SPARK_PILLOW", "1")
+    monkeypatch.setattr(mm, "_PILLOW", None)   # re-evaluate opt-in
     if not mm._pillow():
         _pytest.skip("Pillow not installed in this environment")
     rng = np.random.default_rng(5)
@@ -1432,9 +1443,6 @@ def test_pillow_parity_lossless_codecs():
     for interlace in (False, True):
         payloads.append(mm._encode_png(px, interlace=interlace))
         payloads.append(mm._encode_png(gray[:, :, 0],
-                                       interlace=interlace))
-        pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
-        payloads.append(mm._encode_gif(pal[rng.integers(0, 8, (6, 5))],
                                        interlace=interlace))
     for comp, pred, be, planar in itertools.product(
             (1, 5, 32773), (1, 2), (False, True), (1, 2)):
@@ -1446,9 +1454,21 @@ def test_pillow_parity_lossless_codecs():
             ref = mm._decode_bmp(b)
         elif b[:8] == mm._PNG_SIG:
             ref = mm._decode_png(b)
-        elif b[:6] in (b"GIF87a", b"GIF89a"):
-            ref = mm._decode_gif(b)
         else:
             ref = mm._decode_tiff(b)
         got = mm._pillow_decode(b)
         assert np.array_equal(got, ref), b[:8]
+    # GIF must NOT route through Pillow even when opted in
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    gif = mm._encode_gif(pal[rng.integers(0, 8, (6, 5))])
+    assert np.array_equal(mm.decode_pixels(gif), mm._decode_gif(gif))
+
+
+def test_pillow_default_off(monkeypatch):
+    """Without the explicit opt-in, decode_pixels never consults
+    Pillow — results are host-independent by default."""
+    from meza_spark.llm import multimodal as mm
+
+    monkeypatch.delenv("MEZA_SPARK_PILLOW", raising=False)
+    monkeypatch.setattr(mm, "_PILLOW", None)
+    assert mm._pillow() is False
