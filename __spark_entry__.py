@@ -904,6 +904,107 @@ def multimodal_avi(spark, sf_dir):
                       F.round("mean_pixel", 6).alias("mean_pixel"))
 
 
+def multimodal_mp4v(spark, sf_dir):
+    """REAL MJPEG-in-MP4 frame decode (decode_video), gated via a
+    VALUES-pinned oracle (lossy JPEG frames — the multimodal_avi
+    pattern): each doc gets a 3-frame MP4 whose video sample table
+    (stsd 'jpeg', stts, two-samples-per-chunk stsc, stsz, stco) the
+    walk must navigate; closed-form gradients, timescale 600,
+    closed-form frame durations. Bit-deterministic."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from meza_spark.llm.multimodal import _encode_mp4_mjpeg, decode_video
+
+    @pandas_udf("binary")
+    def _mp4(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+        out = []
+        for i, n in zip(doc_id, n_chars):
+            i, n = int(i), int(n)
+            w, h = n % 24 + 8, i % 16 + 8
+            yy, xx = np.mgrid[0:h, 0:w]
+            frames = []
+            for k in range(3):
+                frames.append(np.stack(
+                    [(i * 5 + k * 31 + xx * 3 + yy * 5) % 256,
+                     (i * 3 + k * 19 + xx * 2 + yy * 3) % 256,
+                     (i * 17 + k * 13 + xx + yy * 7) % 256],
+                    axis=2).astype(np.uint8))
+            out.append(_encode_mp4_mjpeg(
+                frames, timescale=600,
+                frame_dur=(i % 7 + 1) * 6,
+                quality=75 + (i % 3) * 10))
+        return pd.Series(out)
+
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.col("doc_id") % 10 == 9)
+         .select(F.col("doc_id").alias("media_id"),
+                 _mp4("doc_id", "n_chars").alias("payload")))
+    out = decode_video(d)
+    return out.select("media_id", "frame_idx", "ts_ms", "width",
+                      "height",
+                      F.round("mean_pixel", 6).alias("mean_pixel"))
+
+
+def multimodal_apng(spark, sf_dir):
+    """REAL animated-PNG decode (decode_video), hash-gated by an
+    arithmetic DuckDB twin: each doc gets a 3-frame APNG — full
+    closed-form RGBA screen, an OVER-blended patch with BINARY alpha
+    (255 replaces exactly, 0 keeps exactly — so the float compositing
+    is exact integer algebra), then a SOURCE-blended patch with a
+    closed-form alpha channel — with closed-form delays. The oracle
+    recomputes every RGBA canvas snapshot's mean by sum algebra, so
+    the fcTL/fdAT walk, the per-frame PNG decode, the blend ops and
+    the delay accounting are all under the hash."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from meza_spark.llm.multimodal import _encode_apng, decode_video
+
+    @pandas_udf("binary")
+    def _apng(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+        out = []
+        for i, n in zip(doc_id, n_chars):
+            i, n = int(i), int(n)
+            w, h = n % 20 + 6, i % 12 + 4
+            pw, ph = w // 2, h // 2
+            j = np.arange(w * h, dtype=np.int64)
+            f1 = np.zeros((h, w, 4), np.uint8)
+            f1[:, :, 0] = ((i * 7 + j * 11) % 256).reshape(h, w)
+            f1[:, :, 1] = ((i * 11 + j * 5) % 256).reshape(h, w)
+            f1[:, :, 2] = ((i * 3 + j * 13) % 256).reshape(h, w)
+            f1[:, :, 3] = 255
+            j2 = np.arange(pw * ph, dtype=np.int64)
+            p2 = np.zeros((ph, pw, 4), np.uint8)
+            v2 = ((i * 17 + j2 * 7) % 256).reshape(ph, pw)
+            p2[:, :, 0] = p2[:, :, 1] = p2[:, :, 2] = v2
+            p2[:, :, 3] = np.where(
+                ((j2 // pw + j2 % pw) % 3 != 0).reshape(ph, pw),
+                255, 0)
+            p3 = np.zeros((ph, pw, 4), np.uint8)
+            v3 = ((i * 19 + j2 * 5) % 256).reshape(ph, pw)
+            p3[:, :, 0] = p3[:, :, 1] = p3[:, :, 2] = v3
+            p3[:, :, 3] = ((i * 29 + j2 * 3) % 256).reshape(ph, pw)
+            d0, d1, d2 = (i % 10) * 10, ((i + 3) % 10) * 10, \
+                ((i + 7) % 10) * 10
+            out.append(_encode_apng(
+                [f1, p2, p3], delays_ms=[d0, d1, d2],
+                disposes=[0, 0, 0], blends=[0, 1, 0],
+                offsets=[(0, 0), (1, 1), (1, 1)]))
+        return pd.Series(out)
+
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.col("doc_id") % 5 == 1)
+         .select(F.col("doc_id").alias("media_id"),
+                 _apng("doc_id", "n_chars").alias("payload")))
+    out = decode_video(d)
+    return out.select("media_id", "frame_idx", "ts_ms", "width",
+                      "height",
+                      F.round("mean_pixel", 6).alias("mean_pixel"))
+
+
 def multimodal_jpeg_prog(spark, sf_dir):
     """REAL progressive-JPEG (SOF2) decode, hash-gated via a
     VALUES-pinned oracle (same pattern as multimodal_jpeg): the
@@ -1213,6 +1314,99 @@ def multimodal_g711(spark, sf_dir):
          .where(F.col("doc_id") % 10 == 5)
          .select(F.col("doc_id").alias("media_id"),
                  _wav("doc_id").alias("payload")))
+    out = decode_audio(d)
+    return out.select("media_id", "sample_rate", "channels", "n_samples",
+                      "duration_ms",
+                      F.round("mean_amp", 6).alias("mean_amp"),
+                      F.round("rms", 6).alias("rms"),
+                      F.round("peak", 6).alias("peak"))
+
+
+def multimodal_aiff(spark, sf_dir):
+    """REAL AIFF decode, hash-gated: synthesize a big-endian AIFF per
+    doc with a closed-form 16-bit sample pattern — every 3rd doc as
+    AIFF-C 'sowt' (little-endian pass-through), so both byte orders
+    sit under one arithmetic twin — decode via the IFF walk (COMM
+    80-bit-float rate, SSND offset header) and emit sample stats the
+    DuckDB oracle recomputes exactly (integer sums exact in double)."""
+    import struct as _struct
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from meza_spark.llm.multimodal import decode_audio
+
+    @pandas_udf("binary")
+    def _aiff(doc_id: pd.Series) -> pd.Series:
+        # 11025 Hz as an 80-bit extended float (exp 13, 64-bit mant)
+        f80 = bytes([0x40, 0x0C]) + (11025 << 50).to_bytes(8, "big")
+        out = []
+        for i in doc_id:
+            i = int(i)
+            n = 300 + i % 83
+            j = np.arange(n, dtype=np.int64)
+            v = ((i * 37 + j * 11) % 1801 - 900)
+            sowt = i % 3 == 0
+            data = v.astype("<i2" if sowt else ">i2").tobytes()
+            comm_body = _struct.pack(">HIH", 1, n, 16) + f80
+            if sowt:
+                comm_body += b"sowt" + b"\x0epcm\x00"
+                form_t = b"AIFC"
+            else:
+                form_t = b"AIFF"
+            comm = b"COMM" + _struct.pack(">I", len(comm_body)) \
+                + comm_body + (b"\x00" if len(comm_body) & 1 else b"")
+            ssnd_body = _struct.pack(">II", 0, 0) + data
+            ssnd = b"SSND" + _struct.pack(">I", len(ssnd_body)) \
+                + ssnd_body
+            form = form_t + comm + ssnd
+            out.append(b"FORM" + _struct.pack(">I", len(form)) + form)
+        return pd.Series(out)
+
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.col("doc_id") % 10 == 4)
+         .select(F.col("doc_id").alias("media_id"),
+                 _aiff("doc_id").alias("payload")))
+    out = decode_audio(d)
+    return out.select("media_id", "sample_rate", "channels", "n_samples",
+                      "duration_ms",
+                      F.round("mean_amp", 6).alias("mean_amp"),
+                      F.round("rms", 6).alias("rms"),
+                      F.round("peak", 6).alias("peak"))
+
+
+def multimodal_au(spark, sf_dir):
+    """REAL Sun .au decode, hash-gated: 16-bit big-endian linear PCM
+    (encoding 3) with a closed-form sample pattern per doc; the
+    24-byte header walk and the BE sample read sit under the same
+    exact-integer arithmetic twin as the WAV/AIFF gates (the µ-law
+    path shares the G.711 tables already gated by multimodal_g711)."""
+    import struct as _struct
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from meza_spark.llm.multimodal import decode_audio
+
+    @pandas_udf("binary")
+    def _au(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for i in doc_id:
+            i = int(i)
+            n = 250 + i % 71
+            j = np.arange(n, dtype=np.int64)
+            v = ((i * 43 + j * 13) % 1601 - 800).astype(">i2")
+            data = v.tobytes()
+            out.append(b".snd" + _struct.pack(
+                ">IIIII", 24, len(data), 3, 8000, 1) + data)
+        return pd.Series(out)
+
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.col("doc_id") % 10 == 6)
+         .select(F.col("doc_id").alias("media_id"),
+                 _au("doc_id").alias("payload")))
     out = decode_audio(d)
     return out.select("media_id", "sample_rate", "channels", "n_samples",
                       "duration_ms",
@@ -3915,6 +4109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif": multimodal_gif,
         "multimodal_gif_anim": multimodal_gif_anim,
         "multimodal_avi": multimodal_avi,
+        "multimodal_apng": multimodal_apng,
+        "multimodal_mp4v": multimodal_mp4v,
         "multimodal_jpeg": multimodal_jpeg,
         "multimodal_jpeg_prog": multimodal_jpeg_prog,
         "multimodal_mixed": multimodal_mixed,
@@ -3924,6 +4120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_e2e": multimodal_e2e,
         "image_features_docs": image_features_docs,
         "multimodal_audio": multimodal_audio,
+        "multimodal_aiff": multimodal_aiff,
+        "multimodal_au": multimodal_au,
         "stream_tumble_static": stream_tumble_static,
         "stream_session_static": stream_session_static,
         "join_asof": join_asof,
@@ -5102,6 +5300,64 @@ def _oracle_sql_base() -> dict[str, str]:
                               AS DOUBLE) / area, 6)
             FROM s
         """,
+        # APNG twin: the binary-alpha OVER blend reduces to exact
+        # select/replace algebra; the SOURCE blend replaces the whole
+        # RGBA region. Means are over all 4 channels of every canvas
+        # pixel, like decode_video's px.mean().
+        "multimodal_apng": """
+            WITH g AS (
+              SELECT doc_id AS i,
+                     (n_chars % 20 + 6) AS w, (doc_id % 12 + 4) AS h,
+                     (n_chars % 20 + 6) // 2 AS pw,
+                     (doc_id % 12 + 4) // 2 AS ph
+              FROM documents WHERE doc_id % 5 = 1
+            ), s AS (
+              SELECT i, w, h, pw, ph, 4 * w * h AS denom,
+                list_sum(list_transform(range(0, w * h), j ->
+                  (i*7 + j*11) % 256 + (i*11 + j*5) % 256
+                  + (i*3 + j*13) % 256 + 255)) AS s1,
+                list_sum(list_transform(range(0, pw * ph), j ->
+                  CASE WHEN (j // pw + j % pw) % 3 <> 0 THEN
+                    (i*7 + ((1 + j // pw) * w + 1 + j % pw) * 11) % 256
+                  + (i*11 + ((1 + j // pw) * w + 1 + j % pw) * 5) % 256
+                  + (i*3 + ((1 + j // pw) * w + 1 + j % pw) * 13) % 256
+                  + 255 ELSE 0 END)) AS sr1nt,
+                list_sum(list_transform(range(0, pw * ph), j ->
+                  CASE WHEN (j // pw + j % pw) % 3 <> 0
+                  THEN 3 * ((i*17 + j*7) % 256) + 255
+                  ELSE 0 END)) AS sp2nt,
+                list_sum(list_transform(range(0, pw * ph), j ->
+                  CASE WHEN (j // pw + j % pw) % 3 <> 0
+                  THEN 3 * ((i*17 + j*7) % 256) + 255
+                  ELSE
+                    (i*7 + ((1 + j // pw) * w + 1 + j % pw) * 11) % 256
+                  + (i*11 + ((1 + j // pw) * w + 1 + j % pw) * 5) % 256
+                  + (i*3 + ((1 + j // pw) * w + 1 + j % pw) * 13) % 256
+                  + 255 END)) AS sreg2,
+                list_sum(list_transform(range(0, pw * ph), j ->
+                  3 * ((i*19 + j*5) % 256)
+                  + (i*29 + j*3) % 256)) AS sp3,
+                (i % 10) * 10 AS d0, ((i + 3) % 10) * 10 AS d1
+              FROM g
+            )
+            SELECT i AS media_id, CAST(0 AS INTEGER) AS frame_idx,
+                   CAST(0 AS BIGINT) AS ts_ms,
+                   CAST(w AS INTEGER) AS width,
+                   CAST(h AS INTEGER) AS height,
+                   round(CAST(s1 AS DOUBLE) / denom, 6) AS mean_pixel
+            FROM s
+            UNION ALL
+            SELECT i, CAST(1 AS INTEGER), CAST(d0 AS BIGINT),
+                   CAST(w AS INTEGER), CAST(h AS INTEGER),
+                   round(CAST(s1 - sr1nt + sp2nt AS DOUBLE) / denom, 6)
+            FROM s
+            UNION ALL
+            SELECT i, CAST(2 AS INTEGER), CAST(d0 + d1 AS BIGINT),
+                   CAST(w AS INTEGER), CAST(h AS INTEGER),
+                   round(CAST(s1 - sr1nt + sp2nt - sreg2 + sp3
+                              AS DOUBLE) / denom, 6)
+            FROM s
+        """,
         # Mixed-format twin: BMP/PNG/GIF encode the SAME closed-form
         # pixels (all lossless), so the gif twin's arithmetic covers
         # the whole frame; the format cycling exists only Spark-side,
@@ -5137,6 +5393,48 @@ def _oracle_sql_base() -> dict[str, str]:
         # 16-bit mono WAV with samples (doc_id*31 + j*7) % 2001 - 1000;
         # integer sums are exact in double and /2^15, sqrt are
         # correctly rounded, so stats match the numpy decoder exactly.
+        # AIFF twin: same exact-integer arithmetic as the WAV twin —
+        # the IFF walk, 80-bit-float rate, and sowt byte order exist
+        # only Spark-side
+        "multimodal_aiff": """
+            WITH v AS (
+              SELECT doc_id, 300 + doc_id % 83 AS n,
+                     list_transform(range(0, 300 + doc_id % 83),
+                       j -> (doc_id * 37 + j * 11) % 1801 - 900) AS vs
+              FROM documents WHERE doc_id % 10 = 4)
+            SELECT doc_id AS media_id,
+                   CAST(11025 AS INTEGER) AS sample_rate,
+                   CAST(1 AS INTEGER) AS channels,
+                   CAST(n AS BIGINT) AS n_samples,
+                   CAST((n * 1000) // 11025 AS BIGINT) AS duration_ms,
+                   round((list_sum(vs) / CAST(n AS DOUBLE)) / 32768, 6)
+                     AS mean_amp,
+                   round(sqrt(list_sum(list_transform(vs,
+                       x -> CAST(x * x AS DOUBLE))) / n) / 32768, 6) AS rms,
+                   round(list_max(list_transform(vs, x -> abs(x)))
+                         / 32768.0, 6) AS peak
+            FROM v
+        """,
+        # Sun .au twin: 24-byte BE header + BE samples Spark-side only
+        "multimodal_au": """
+            WITH v AS (
+              SELECT doc_id, 250 + doc_id % 71 AS n,
+                     list_transform(range(0, 250 + doc_id % 71),
+                       j -> (doc_id * 43 + j * 13) % 1601 - 800) AS vs
+              FROM documents WHERE doc_id % 10 = 6)
+            SELECT doc_id AS media_id,
+                   CAST(8000 AS INTEGER) AS sample_rate,
+                   CAST(1 AS INTEGER) AS channels,
+                   CAST(n AS BIGINT) AS n_samples,
+                   CAST((n * 1000) // 8000 AS BIGINT) AS duration_ms,
+                   round((list_sum(vs) / CAST(n AS DOUBLE)) / 32768, 6)
+                     AS mean_amp,
+                   round(sqrt(list_sum(list_transform(vs,
+                       x -> CAST(x * x AS DOUBLE))) / n) / 32768, 6) AS rms,
+                   round(list_max(list_transform(vs, x -> abs(x)))
+                         / 32768.0, 6) AS peak
+            FROM v
+        """,
         "multimodal_audio": """
             WITH v AS (
               SELECT doc_id, 400 + doc_id % 97 AS n,

@@ -117,6 +117,10 @@ HEADLINE = [
     "multimodal_gif_anim",
     "multimodal_avi",
     "mdb3_wide_roundtrip",
+    "multimodal_aiff",
+    "multimodal_au",
+    "multimodal_apng",
+    "multimodal_mp4v",
 ]
 
 

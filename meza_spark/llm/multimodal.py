@@ -92,6 +92,10 @@ def _sniff_format(b: bytes) -> str:
         return "wav"
     if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
         return "avi"
+    if b[:4] == b"FORM" and b[8:12] in (b"AIFF", b"AIFC"):
+        return "aiff"
+    if b[:4] == b".snd":
+        return "au"
     if b[4:8] == b"ftyp":
         return "mp4"
     return "unknown"
@@ -896,6 +900,195 @@ def _encode_gif_anim(frames, delays_ms=None, disposals=None,
         out += _gif_subblocks(_gif_lzw_encode(idx.flatten().tolist(),
                                               mcs))
     out += b"\x3B"
+    return bytes(out)
+
+
+# --- APNG (animated PNG, the public PNG-extension spec) ------------
+def _png_chunks(b: bytes):
+    """Iterate PNG chunks → (type, data); bounds-checked."""
+    pos = 8
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos:pos + 4], "big")
+        typ = b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated PNG chunk")
+        yield typ, data
+        pos += 12 + ln
+        if typ == b"IEND":
+            break
+
+
+def _decode_apng_frames(b: bytes):
+    """FULL animated-PNG walk: acTL/fcTL/fdAT chunks per the public
+    APNG spec. Each frame's compressed data is rewrapped as a
+    standalone PNG (same depth/color type/palette) and decoded by the
+    battle-tested :func:`_decode_png` machinery, then composited onto
+    an RGBA canvas honoring blend_op (0 source, 1 over — straight
+    alpha compositing) and dispose_op (0 none, 1 background = clear
+    region to transparent black, 2 previous = revert region).
+    Returns ``(frames, delays_ms)`` with frames as (h, w, 4) RGBA
+    canvas snapshots. A PNG without acTL raises ValueError (still
+    image — not a video container). Note: palette frames composite
+    with alpha 255 (the stdlib PNG decoder ignores tRNS), matching
+    :func:`_decode_png`'s RGB contract."""
+    import numpy as np
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    try:
+        ihdr = None
+        actl = None
+        aux = []                           # PLTE/tRNS pass-through
+        fctls = []                         # (fctl_fields, [data...])
+        idat = []
+        idat_is_frame = False
+        for typ, data in _png_chunks(b):
+            if typ == b"IHDR":
+                ihdr = data
+            elif typ == b"acTL":
+                actl = struct.unpack(">II", data[:8])
+            elif typ in (b"PLTE", b"tRNS"):
+                aux.append((typ, data))
+            elif typ == b"fcTL":
+                f = struct.unpack(">IIIIIHHBB", data[:26])
+                fctls.append((f, []))
+                if not idat:
+                    idat_is_frame = True
+            elif typ == b"IDAT":
+                idat.append(data)
+            elif typ == b"fdAT":
+                if not fctls:
+                    raise ValueError("APNG fdAT before any fcTL")
+                fctls[-1][1].append(data[4:])   # drop sequence number
+        if ihdr is None:
+            raise ValueError("PNG without IHDR")
+        if actl is None:
+            raise ValueError("PNG without acTL (still image, not "
+                             "animated)")
+        w, h, depth, ctype, comp_m, filt_m, interlace = \
+            struct.unpack(">IIBBBBB", ihdr)
+        _check_pixels(h, w, "APNG")
+        if idat_is_frame and fctls:
+            fctls[0][1].extend(idat)       # default image IS frame 1
+        if not fctls or not fctls[0][1]:
+            raise ValueError("APNG without frame data")
+
+        def chunk(typ, data):
+            import zlib as _z
+            return struct.pack(">I", len(data)) + typ + data \
+                + struct.pack(">I", _z.crc32(typ + data))
+
+        def to_rgba(px):
+            c = px.shape[2]
+            if c == 1:
+                px = np.repeat(px, 3, axis=2)
+                c = 3
+            if c == 2:
+                out = np.empty((*px.shape[:2], 4), np.uint8)
+                out[:, :, 0] = out[:, :, 1] = out[:, :, 2] = px[:, :, 0]
+                out[:, :, 3] = px[:, :, 1]
+                return out
+            if c == 3:
+                out = np.empty((*px.shape[:2], 4), np.uint8)
+                out[:, :, :3] = px
+                out[:, :, 3] = 255
+                return out
+            return px
+
+        canvas = np.zeros((h, w, 4), np.uint8)   # transparent black
+        frames, delays = [], []
+        for fi, (f, datas) in enumerate(fctls):
+            _seq, fw, fh, x0, y0, dnum, dden, dispose, blend = f
+            if fw == 0 or fh == 0 or x0 + fw > w or y0 + fh > h:
+                raise ValueError("APNG frame exceeds the canvas")
+            if (len(frames) + 1) * w * h > MAX_DECODE_PIXELS:
+                raise ValueError("APNG exceeds the total-pixel "
+                                 "decode budget")
+            mini = _PNG_SIG + chunk(b"IHDR", struct.pack(
+                ">IIBBBBB", fw, fh, depth, ctype, comp_m, filt_m,
+                interlace))
+            for typ, data in aux:
+                mini += chunk(typ, data)
+            mini += chunk(b"IDAT", b"".join(datas)) + chunk(b"IEND", b"")
+            rgba = to_rgba(_decode_png(mini))
+            if fi == 0:
+                blend = 0                   # spec: first frame = source
+                if dispose == 2:
+                    dispose = 1
+            base = canvas[y0:y0 + fh, x0:x0 + fw].copy() \
+                if dispose == 2 else None
+            region = canvas[y0:y0 + fh, x0:x0 + fw]
+            if blend == 0:                  # SOURCE: replace
+                region[:] = rgba
+            else:                           # OVER: straight alpha
+                fa = rgba[:, :, 3:4].astype(np.float64) / 255.0
+                ba = region[:, :, 3:4].astype(np.float64) / 255.0
+                oa = fa + ba * (1 - fa)
+                safe = np.where(oa == 0, 1.0, oa)
+                orgb = (rgba[:, :, :3] * fa
+                        + region[:, :, :3] * ba * (1 - fa)) / safe
+                region[:, :, :3] = np.clip(
+                    np.round(orgb), 0, 255).astype(np.uint8)
+                region[:, :, 3] = np.clip(
+                    np.round(oa[:, :, 0] * 255), 0, 255).astype(np.uint8)
+            frames.append(canvas.copy())
+            delays.append(dnum * 1000 // (dden or 100))
+            if dispose == 1:                # region → transparent black
+                canvas[y0:y0 + fh, x0:x0 + fw] = 0
+            elif dispose == 2:
+                canvas[y0:y0 + fh, x0:x0 + fw] = base
+        return frames, delays
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"corrupt APNG payload: {e}") from e
+
+
+def _encode_apng(frames, delays_ms=None, disposes=None, blends=None,
+                 offsets=None) -> bytes:
+    """RGBA frames → APNG bytes (fixture encoder for
+    :func:`_decode_apng_frames`): IHDR + acTL, frame 1 as the default
+    image (fcTL before IDAT), subsequent frames as fcTL+fdAT;
+    8-bit RGBA, filter-0 scanlines."""
+    import zlib as _z
+
+    import numpy as np
+
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    n = len(frames)
+    delays_ms = delays_ms or [0] * n
+    disposes = disposes or [0] * n
+    blends = blends or [0] * n
+    offsets = offsets or [(0, 0)] * n
+    h, w = frames[0].shape[:2]
+
+    def chunk(typ, data):
+        return struct.pack(">I", len(data)) + typ + data \
+            + struct.pack(">I", _z.crc32(typ + data))
+
+    def scanlines(px):
+        body = bytearray()
+        for y in range(px.shape[0]):
+            body.append(0)
+            body += px[y].tobytes()
+        return _z.compress(bytes(body))
+
+    out = bytearray(_PNG_SIG)
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+    out += chunk(b"acTL", struct.pack(">II", n, 0))
+    seq = 0
+    for k, (f, d_ms, disp, bl, (x0, y0)) in enumerate(
+            zip(frames, delays_ms, disposes, blends, offsets)):
+        fh, fw = f.shape[:2]
+        out += chunk(b"fcTL", struct.pack(
+            ">IIIIIHHBB", seq, fw, fh, x0, y0, d_ms, 1000, disp, bl))
+        seq += 1
+        data = scanlines(f)
+        if k == 0:
+            out += chunk(b"IDAT", data)
+        else:
+            out += chunk(b"fdAT", struct.pack(">I", seq) + data)
+            seq += 1
+    out += chunk(b"IEND", b"")
     return bytes(out)
 
 
@@ -2301,6 +2494,199 @@ def _decode_avi_frames(b: bytes):
         raise ValueError(f"corrupt AVI payload: {e}") from e
 
 
+def _decode_mp4_frames(b: bytes):
+    """MJPEG-in-MP4 → ``(frames, timestamps_ms)``: ISO-BMFF walk to
+    the video track's sample tables (stsd codec check, stsz sizes,
+    stsc sample-to-chunk runs, stco/co64 chunk offsets, stts deltas
+    against the mdhd timescale), then every sample decodes through
+    the real JPEG codec. Tracks with compressed codecs (avc1/hev1/…)
+    raise ValueError — H.264 stays honestly out of stdlib scope, so
+    those files remain metadata-only via :func:`_parse_mp4`."""
+    import numpy as np  # noqa: F401  (parity with sibling decoders)
+
+    if b[4:8] != b"ftyp":
+        raise ValueError("not an MP4 payload")
+
+    def walk(path, s, e):
+        """Descend a box path; returns (body_start, body_end) or None."""
+        if not path:
+            return s, e
+        for typ, s2, e2 in _mp4_boxes(b, s, e):
+            if typ == path[0]:
+                return walk(path[1:], s2, e2)
+        return None
+
+    try:
+        codecs_seen = []
+        for typ, s, e in _mp4_boxes(b, 0, len(b)):
+            if typ != b"moov":
+                continue
+            for t2, s2, e2 in _mp4_boxes(b, s, e):
+                if t2 != b"trak":
+                    continue
+                mdia = walk([b"mdia"], s2, e2)
+                if mdia is None:
+                    continue
+                timescale = 1000
+                for t3, s3, e3 in _mp4_boxes(b, *mdia):
+                    if t3 == b"mdhd" and e3 - s3 >= 16:
+                        ver = b[s3]
+                        at = s3 + (20 if ver == 1 else 12)
+                        timescale = int.from_bytes(b[at:at + 4],
+                                                   "big") or 1000
+                stbl = walk([b"minf", b"stbl"], *mdia)
+                if stbl is None:
+                    continue
+                tabs = {}
+                for t3, s3, e3 in _mp4_boxes(b, *stbl):
+                    tabs[t3] = (s3, e3)
+                if b"stsd" not in tabs:
+                    continue
+                s3, e3 = tabs[b"stsd"]
+                if e3 - s3 < 16:
+                    continue
+                codec = b[s3 + 12:s3 + 16]
+                codecs_seen.append(codec)
+                if codec != b"jpeg":
+                    continue
+
+                def full(tag, skip=4):
+                    ts, te = tabs[tag]
+                    return ts + skip, te
+
+                # sample sizes
+                ss, se_ = full(b"stsz")
+                uniform = int.from_bytes(b[ss:ss + 4], "big")
+                n_samples = int.from_bytes(b[ss + 4:ss + 8], "big")
+                if uniform:
+                    sizes = [uniform] * n_samples
+                else:
+                    sizes = [int.from_bytes(
+                        b[ss + 8 + 4 * i:ss + 12 + 4 * i], "big")
+                        for i in range(n_samples)]
+                # chunk offsets (stco 32-bit or co64)
+                if b"stco" in tabs:
+                    cs, _ce = full(b"stco")
+                    nch = int.from_bytes(b[cs:cs + 4], "big")
+                    chunk_off = [int.from_bytes(
+                        b[cs + 4 + 4 * i:cs + 8 + 4 * i], "big")
+                        for i in range(nch)]
+                else:
+                    cs, _ce = full(b"co64")
+                    nch = int.from_bytes(b[cs:cs + 4], "big")
+                    chunk_off = [int.from_bytes(
+                        b[cs + 4 + 8 * i:cs + 12 + 8 * i], "big")
+                        for i in range(nch)]
+                # sample-to-chunk runs
+                scs, _sce = full(b"stsc")
+                nrun = int.from_bytes(b[scs:scs + 4], "big")
+                runs = [(int.from_bytes(b[scs + 4 + 12 * i:
+                                          scs + 8 + 12 * i], "big"),
+                         int.from_bytes(b[scs + 8 + 12 * i:
+                                          scs + 12 + 12 * i], "big"))
+                        for i in range(nrun)]
+                # per-chunk sample counts expanded over all chunks
+                per_chunk = []
+                for ri, (first, spc) in enumerate(runs):
+                    last = runs[ri + 1][0] - 1 if ri + 1 < nrun else nch
+                    per_chunk += [spc] * (last - first + 1)
+                # decode timestamps from stts
+                tts, _tte = full(b"stts")
+                ntt = int.from_bytes(b[tts:tts + 4], "big")
+                deltas = []
+                for i in range(ntt):
+                    cnt = int.from_bytes(
+                        b[tts + 4 + 8 * i:tts + 8 + 8 * i], "big")
+                    dlt = int.from_bytes(
+                        b[tts + 8 + 8 * i:tts + 12 + 8 * i], "big")
+                    deltas += [dlt] * cnt
+                frames, ts = [], []
+                total_px = 0
+                t_acc = 0
+                si = 0
+                for ci, coff in enumerate(chunk_off):
+                    at = coff
+                    for _ in range(per_chunk[ci]
+                                   if ci < len(per_chunk) else 0):
+                        if si >= n_samples:
+                            break
+                        sz = sizes[si]
+                        px = _decode_jpeg(b[at:at + sz])
+                        total_px += px.shape[0] * px.shape[1]
+                        if total_px > MAX_DECODE_PIXELS:
+                            raise ValueError(
+                                "MP4 exceeds the total-pixel decode "
+                                "budget")
+                        frames.append(px)
+                        ts.append(t_acc * 1000 // timescale)
+                        t_acc += deltas[si] if si < len(deltas) else 0
+                        at += sz
+                        si += 1
+                if frames:
+                    return frames, ts
+        if codecs_seen:
+            raise ValueError(
+                f"MP4 video codec {codecs_seen[0]!r} is not "
+                "frame-decodable (MJPEG 'jpeg' tracks are; "
+                "H.264/HEVC stay metadata-only)")
+        raise ValueError("MP4 without a video sample table")
+    except (struct.error, IndexError, KeyError) as e:
+        raise ValueError(f"corrupt MP4 payload: {e}") from e
+
+
+def _encode_mp4_mjpeg(frames, timescale: int = 1000,
+                      frame_dur: int = 40, quality: int = 90) -> bytes:
+    """Frames → minimal MJPEG-in-MP4 bytes (fixture encoder for
+    :func:`_decode_mp4_frames`): ftyp + mdat (concatenated JPEGs) +
+    moov with a full video sample table (stsd 'jpeg' VisualSampleEntry,
+    stts/stsc/stsz/stco), two samples per chunk to exercise the
+    sample-to-chunk walk."""
+    import numpy as np
+
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    jpgs = [_encode_jpeg(f, quality=quality) for f in frames]
+    h, w = frames[0].shape[:2]
+    n = len(jpgs)
+
+    def box(typ, body):
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat_start = len(ftyp) + 8
+    mdat = box(b"mdat", b"".join(jpgs))
+    # chunks of 2 samples each
+    chunk_offs, at, i = [], mdat_start, 0
+    while i < n:
+        chunk_offs.append(at)
+        at += sum(len(j) for j in jpgs[i:i + 2])
+        i += 2
+    mdhd = box(b"mdhd", struct.pack(">B3xIIIIHH", 0, 0, 0, timescale,
+                                    n * frame_dur, 0x55C4, 0))
+    hdlr = box(b"hdlr", struct.pack(">B3xI4s12x", 0, 0, b"vide")
+               + b"mjpeg\x00")
+    entry = (struct.pack(">I4s6xH", 86, b"jpeg", 1)
+             + struct.pack(">HHI8x", 0, 0, 0)
+             + struct.pack(">HHIIIH", w, h, 0x00480000, 0x00480000,
+                           0, 1)
+             + b"\x00" * 32 + struct.pack(">Hh", 24, -1))
+    stsd = box(b"stsd", struct.pack(">B3xI", 0, 1) + entry)
+    stts = box(b"stts", struct.pack(">B3xIII", 0, 1, n, frame_dur))
+    stsc = box(b"stsc", struct.pack(">B3xIIII", 0, 1, 1, 2, 1))
+    stsz = box(b"stsz", struct.pack(">B3xII", 0, 0, n)
+               + b"".join(struct.pack(">I", len(j)) for j in jpgs))
+    stco = box(b"stco", struct.pack(">B3xI", 0, len(chunk_offs))
+               + b"".join(struct.pack(">I", o) for o in chunk_offs))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    tkhd = box(b"tkhd", struct.pack(">B3x", 0) + b"\x00" * 72
+               + struct.pack(">II", w << 16, h << 16))
+    mvhd = box(b"mvhd", struct.pack(">B3xIIII", 0, 0, 0, timescale,
+                                    n * frame_dur) + b"\x00" * 80)
+    moov = box(b"moov", mvhd + box(b"trak", tkhd + mdia))
+    return ftyp + mdat + moov
+
+
 def _encode_avi_mjpeg(frames, us_per_frame: int = 40000,
                       quality: int = 90,
                       rec_groups: bool = False) -> bytes:
@@ -2585,15 +2971,140 @@ def _decode_wav(b: bytes) -> dict:
     else:
         raise ValueError("unsupported WAV (PCM 8/16-bit, IEEE float, "
                          "G.711 A-law/µ-law, or mono IMA ADPCM)")
-    n = int(s.size // channels)
+    return _audio_stats(s, rate, channels)
+
+
+def _audio_stats(s, rate: int, channels: int) -> dict:
+    """Shared stats tail for every audio decoder: mean / RMS / peak
+    over normalized samples + duration bookkeeping."""
+    import numpy as np
+
+    n = int(s.size // channels) if channels else 0
     return {
         "sample_rate": int(rate), "channels": int(channels),
         "n_samples": n,
-        "duration_ms": int(n * 1000 // rate),
+        "duration_ms": int(n * 1000 // rate) if rate else 0,
         "mean": float(s.mean()) if s.size else 0.0,
         "rms": float(np.sqrt((s * s).mean())) if s.size else 0.0,
         "peak": float(np.abs(s).max()) if s.size else 0.0,
     }
+
+
+def _parse_f80(b: bytes) -> int:
+    """80-bit IEEE 754 extended float → int (AIFF sample rates are
+    small integers; sign(1) exp(15) explicit-integer-bit mantissa(64))."""
+    if len(b) < 10:
+        raise ValueError("truncated 80-bit float")
+    sign = -1 if b[0] & 0x80 else 1
+    exp = ((b[0] & 0x7F) << 8) | b[1]
+    mant = int.from_bytes(b[2:10], "big")
+    if exp == 0 and mant == 0:
+        return 0
+    val = sign * mant * 2.0 ** (exp - 16383 - 63)
+    return int(round(val))
+
+
+def _decode_aiff(b: bytes) -> dict:
+    """AIFF / AIFF-C sample statistics — the big-endian IFF sibling of
+    the WAV walk: FORM/AIFF(-C) container, COMM chunk (channels,
+    frame count, bit depth, 80-bit extended-float sample rate,
+    AIFF-C compression fourcc), SSND chunk (offset+blocksize header
+    then big-endian PCM). PCM 8/16-bit and the AIFF-C pass-throughs
+    ('NONE'/'sowt' little-endian 16-bit) decode; compressed AIFF-C
+    raises ValueError (skippable)."""
+    import numpy as np
+
+    if b[:4] != b"FORM" or b[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF payload")
+    aifc = b[8:12] == b"AIFC"
+    pos = 12
+    channels = bits = rate = None
+    comp = b"NONE"
+    data = None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        sz = struct.unpack(">I", b[pos + 4:pos + 8])[0]
+        body = b[pos + 8:pos + 8 + sz]
+        if cid == b"COMM" and len(body) >= 18:
+            channels, _nframes, bits = struct.unpack(">HIH", body[:8])
+            rate = _parse_f80(body[8:18])
+            if aifc and len(body) >= 22:
+                comp = body[18:22]
+        elif cid == b"SSND" and len(body) >= 8:
+            if sz > MAX_AUDIO_BYTES:
+                raise ValueError(
+                    f"AIFF SSND chunk {sz} bytes exceeds the "
+                    f"{MAX_AUDIO_BYTES}-byte decode budget")
+            off, _blk = struct.unpack(">II", body[:8])
+            data = body[8 + off:]
+        pos += 8 + sz + (sz & 1)          # chunks are word-aligned
+    if data is None or not rate or not channels:
+        raise ValueError("unsupported AIFF (needs COMM + SSND chunks)")
+    if comp not in (b"NONE", b"sowt"):
+        raise ValueError(f"unsupported AIFF-C compression "
+                         f"{comp!r} (PCM only)")
+    if bits == 16:
+        dt = "<i2" if comp == b"sowt" else ">i2"
+        s = np.frombuffer(data[:len(data) & ~1], dtype=dt) \
+            .astype(np.float64) / 32768.0
+    elif bits == 8:                        # AIFF 8-bit PCM is SIGNED
+        s = np.frombuffer(data, dtype=np.int8) \
+            .astype(np.float64) / 128.0
+    else:
+        raise ValueError("unsupported AIFF bit depth (8/16 PCM)")
+    return _audio_stats(s, rate, channels)
+
+
+def _decode_au(b: bytes) -> dict:
+    """Sun/NeXT .au (.snd) sample statistics — the 24-byte big-endian
+    header (magic, data offset, size, encoding, rate, channels) then
+    samples: encoding 1 = G.711 µ-law and 27 = A-law (the same ITU-T
+    expansion tables the WAV path uses), 2/3 = 8/16-bit linear PCM
+    (big-endian), 6 = IEEE float32 (big-endian)."""
+    import numpy as np
+
+    if b[:4] != b".snd":
+        raise ValueError("not a Sun .au payload")
+    if len(b) < 24:
+        raise ValueError("truncated .au header")
+    off, size, enc, rate, channels = struct.unpack(">IIIII", b[4:24])
+    if off < 24 or off > len(b):
+        raise ValueError("bad .au data offset")
+    end = len(b) if size in (0, 0xFFFFFFFF) else min(len(b), off + size)
+    if end - off > MAX_AUDIO_BYTES:
+        raise ValueError(f".au data exceeds the {MAX_AUDIO_BYTES}-byte "
+                         "decode budget")
+    data = b[off:end]
+    if enc in (1, 27):                     # µ-law / A-law
+        tab = _g711_tables()["ulaw" if enc == 1 else "alaw"]
+        s = tab[np.frombuffer(data, dtype=np.uint8)] \
+            .astype(np.float64) / 32768.0
+    elif enc == 2:                         # 8-bit linear (signed)
+        s = np.frombuffer(data, dtype=np.int8) \
+            .astype(np.float64) / 128.0
+    elif enc == 3:                         # 16-bit linear big-endian
+        s = np.frombuffer(data[:len(data) & ~1], dtype=">i2") \
+            .astype(np.float64) / 32768.0
+    elif enc == 6:                         # IEEE float32 big-endian
+        s = np.frombuffer(data[:len(data) & ~3], dtype=">f4") \
+            .astype(np.float64)
+    else:
+        raise ValueError(f"unsupported .au encoding {enc}")
+    if not rate or not channels:
+        raise ValueError("bad .au rate/channels")
+    return _audio_stats(s, rate, channels)
+
+
+def _decode_audio_bytes(b: bytes) -> dict:
+    """Dispatch audio stat decode by magic bytes: RIFF/WAVE,
+    FORM/AIFF(-C), Sun .au."""
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return _decode_wav(b)
+    if b[:4] == b"FORM" and b[8:12] in (b"AIFF", b"AIFC"):
+        return _decode_aiff(b)
+    if b[:4] == b".snd":
+        return _decode_au(b)
+    raise ValueError("unknown audio container (WAV/AIFF/.au)")
 
 
 def _decode_image_stub(payload: bytes) -> dict:
@@ -2669,9 +3180,13 @@ def decode_image(df: DataFrame, payload_col: str = "payload",
 def decode_audio(df: DataFrame, payload_col: str = "payload",
                  id_col: str = "media_id",
                  unsupported: str = "error") -> DataFrame:
-    """WAV PCM decode → per-clip sample statistics (REAL: RIFF walk +
-    numpy over the PCM words; see :func:`_decode_wav`). Non-WAV or
-    compressed audio follows ``unsupported`` ('error' | 'skip')."""
+    """Audio decode → per-clip sample statistics (REAL: container
+    walk + numpy over the sample words). Containers: RIFF/WAV (PCM
+    8/16-bit, IEEE float, G.711, IMA ADPCM — :func:`_decode_wav`),
+    AIFF/AIFF-C (big-endian PCM incl. 'sowt' — :func:`_decode_aiff`),
+    and Sun .au (µ/A-law via the shared G.711 tables, linear PCM,
+    float — :func:`_decode_au`). Unknown or compressed audio follows
+    ``unsupported`` ('error' | 'skip')."""
     out_schema = StructType([
         StructField(id_col, LongType()),
         StructField("sample_rate", IntegerType()),
@@ -2690,7 +3205,7 @@ def decode_audio(df: DataFrame, payload_col: str = "payload",
                 if payload is None:
                     continue
                 try:
-                    d = _decode_wav(bytes(payload))
+                    d = _decode_audio_bytes(bytes(payload))
                 except ValueError:
                     if unsupported == "skip":
                         continue
@@ -2706,17 +3221,42 @@ def decode_audio(df: DataFrame, payload_col: str = "payload",
         .mapInPandas(run, schema=out_schema)
 
 
+def _video_frames_bytes(b: bytes):
+    """Dispatch full-frame video decode by magic bytes → ``(frames,
+    start_timestamps_ms)``: animated GIF, APNG (delay lists become
+    cumulative start times), MJPEG AVI, MJPEG MP4."""
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        frames, delays = _decode_gif_frames(b)
+    elif b[:8] == _PNG_SIG:
+        frames, delays = _decode_apng_frames(b)
+    elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        return _decode_avi_frames(b)
+    elif b[4:8] == b"ftyp":
+        return _decode_mp4_frames(b)
+    else:
+        raise ValueError("not a frame-decodable video container "
+                         "(animated GIF / APNG / MJPEG AVI / "
+                         "MJPEG MP4)")
+    ts, t = [], 0
+    for d in delays:
+        ts.append(t)
+        t += d
+    return frames, ts
+
+
 def decode_video(df: DataFrame, payload_col: str = "payload",
                  id_col: str = "media_id",
                  unsupported: str = "error") -> DataFrame:
     """REAL per-frame video decode via Arrow-batched ``mapInPandas``:
     one output row per frame with true pixel statistics. Containers:
     animated GIF (full GCE walk — transparency, delays, disposal
-    methods 0-3; ``ts_ms`` is the frame's cumulative start time) and
-    MJPEG-in-AVI (RIFF walk, every frame through the real JPEG
-    codec; ``ts_ms`` from the avih frame duration). Other containers
-    follow ``unsupported`` ('error' | 'skip'). Row-local, zero
-    shuffle — the 100-TB shape."""
+    methods 0-3), APNG (acTL/fcTL/fdAT walk — blend source/over,
+    dispose none/background/previous, RGBA canvas), and MJPEG-in-AVI
+    (RIFF walk incl. LIST 'rec ' groupings, every frame through the
+    real JPEG codec; ``ts_ms`` from the avih frame duration — for
+    GIF/APNG it is the frame's cumulative start time). Other
+    containers follow ``unsupported`` ('error' | 'skip'). Row-local,
+    zero shuffle — the 100-TB shape."""
     out_schema = StructType([
         StructField(id_col, LongType()),
         StructField("frame_idx", IntegerType()),
@@ -2726,19 +3266,6 @@ def decode_video(df: DataFrame, payload_col: str = "payload",
         StructField("mean_pixel", DoubleType()),
     ])
 
-    def _frames(b: bytes):
-        if b[:6] in (b"GIF87a", b"GIF89a"):
-            frames, delays = _decode_gif_frames(b)
-            ts, t = [], 0
-            for d in delays:
-                ts.append(t)
-                t += d
-            return frames, ts
-        if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
-            return _decode_avi_frames(b)
-        raise ValueError("not a frame-decodable video container "
-                         "(animated GIF / MJPEG AVI)")
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -2746,7 +3273,7 @@ def decode_video(df: DataFrame, payload_col: str = "payload",
                 if payload is None:
                     continue
                 try:
-                    frames, ts = _frames(bytes(payload))
+                    frames, ts = _video_frames_bytes(bytes(payload))
                 except (NotImplementedError, ValueError):
                     if unsupported == "skip":
                         continue
@@ -2804,8 +3331,15 @@ def image_features(df: DataFrame, payload_col: str = "payload",
 
 def frame_sample(df: DataFrame, payload_col: str = "payload",
                  id_col: str = "media_id", every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling plumbing: one output row per sampled frame
-    (stub timestamps; a real build calls pyav/ffmpeg per batch)."""
+    """Video frame sampling: one output row per ``every_ms`` tick.
+
+    REAL for the frame-decodable containers (animated GIF, APNG,
+    MJPEG AVI/MP4 — :func:`_video_frames_bytes`): each tick emits the
+    frame on screen at that instant, re-encoded as a 24-bit BMP
+    payload (RGBA canvases drop alpha), with ``frame_idx`` the source
+    frame's index and ``ts_ms`` the tick. Undecodable payloads keep
+    the legacy deterministic sha256 stub (5 fake frames) so the
+    plumbing shape is exercised even where no codec applies."""
     out_schema = StructType([
         StructField(id_col, LongType()),
         StructField("frame_idx", IntegerType()),
@@ -2820,11 +3354,26 @@ def frame_sample(df: DataFrame, payload_col: str = "payload",
                 if payload is None:
                     continue
                 b = bytes(payload)
-                # stub: pretend 5 frames, sample every `every_ms`
-                dur = 5000
-                for i, ts in enumerate(range(0, dur, every_ms)):
-                    tag = struct.pack("<qi", mid, i)
-                    rows.append((mid, i, ts, hashlib.sha256(b + tag).digest()))
+                try:
+                    frames, ts = _video_frames_bytes(b)
+                except (NotImplementedError, ValueError):
+                    # stub: pretend 5 frames, sample every `every_ms`
+                    dur = 5000
+                    for i, t in enumerate(range(0, dur, every_ms)):
+                        tag = struct.pack("<qi", mid, i)
+                        rows.append((mid, i, t,
+                                     hashlib.sha256(b + tag).digest()))
+                    continue
+                last = ts[-1] if ts else 0
+                fi = 0
+                for t in range(0, last + 1, every_ms):
+                    while fi + 1 < len(ts) and ts[fi + 1] <= t:
+                        fi += 1
+                    px = frames[fi][:, :, :3]   # RGBA -> RGB for BMP
+                    if px.shape[2] == 1:
+                        import numpy as np
+                        px = np.repeat(px, 3, axis=2)
+                    rows.append((mid, fi, t, _encode_bmp(px)))
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
@@ -2964,6 +3513,38 @@ def _parse_headers(b: bytes) -> dict:
             pos += 8 + sz + (sz & 1)  # chunks are word-aligned
         if byte_rate and data_sz is not None:
             out["duration_ms"] = int(data_sz * 1000 // byte_rate)
+    elif b[:4] == b"FORM" and b[8:12] in (b"AIFF", b"AIFC"):
+        out["format"] = "aiff"
+        try:
+            pos = 12
+            while pos + 8 <= len(b):
+                cid = b[pos:pos + 4]
+                sz = struct.unpack(">I", b[pos + 4:pos + 8])[0]
+                if cid == b"COMM" and pos + 26 <= len(b):
+                    ch, nframes, _bits = struct.unpack(
+                        ">HIH", b[pos + 8:pos + 16])
+                    rate = _parse_f80(b[pos + 16:pos + 26])
+                    out["channels"] = ch
+                    if rate:
+                        out["sample_rate"] = rate
+                        out["duration_ms"] = int(nframes * 1000 // rate)
+                    break
+                pos += 8 + sz + (sz & 1)
+        except (ValueError, struct.error, IndexError):
+            pass                       # header-only parse stays lenient
+    elif b[:4] == b".snd" and len(b) >= 24:
+        out["format"] = "au"
+        try:
+            off, size, enc, rate, ch = struct.unpack(">IIIII", b[4:24])
+            out["channels"] = ch
+            bps = {1: 1, 27: 1, 2: 1, 3: 2, 6: 4}.get(enc)
+            if rate:
+                out["sample_rate"] = rate
+                if bps and size not in (0, 0xFFFFFFFF) and ch:
+                    out["duration_ms"] = int(
+                        size // (bps * ch) * 1000 // rate)
+        except struct.error:
+            pass
     elif b[:4] in (b"II*\x00", b"MM\x00*"):
         out["format"] = "tiff"
         try:

@@ -1472,3 +1472,300 @@ def test_pillow_default_off(monkeypatch):
     monkeypatch.delenv("MEZA_SPARK_PILLOW", raising=False)
     monkeypatch.setattr(mm, "_PILLOW", None)
     assert mm._pillow() is False
+
+
+def _f80(x):
+    """Encode a positive integer as an 80-bit IEEE extended float."""
+    import math
+    if x == 0:
+        return b"\x00" * 10
+    exp = int(math.floor(math.log2(x)))
+    mant = int(x / 2.0 ** (exp - 63))
+    return bytes([((exp + 16383) >> 8) & 0x7F, (exp + 16383) & 0xFF]) \
+        + mant.to_bytes(8, "big")
+
+
+def _aiff(samples16, rate=8000, channels=1, aifc=False, sowt=False):
+    import struct
+
+    import numpy as np
+
+    dt = "<i2" if sowt else ">i2"
+    data = np.asarray(samples16, dtype=dt).tobytes()
+    comm_body = struct.pack(">HIH", channels,
+                            len(samples16) // channels, 16) + _f80(rate)
+    if aifc:
+        comm_body += (b"sowt" if sowt else b"NONE") + b"\x0epcm\x00"
+    comm = b"COMM" + struct.pack(">I", len(comm_body)) + comm_body
+    if len(comm_body) & 1:
+        comm += b"\x00"
+    ssnd_body = struct.pack(">II", 0, 0) + data
+    ssnd = b"SSND" + struct.pack(">I", len(ssnd_body)) + ssnd_body
+    form = (b"AIFC" if aifc else b"AIFF") + comm + ssnd
+    return b"FORM" + struct.pack(">I", len(form)) + form
+
+
+def test_aiff_decode():
+    """AIFF/AIFF-C: big-endian IFF walk, COMM 80-bit-float sample
+    rate, SSND offset header; 16-bit BE PCM, AIFF-C 'sowt'
+    little-endian pass-through; compressed AIFF-C gates."""
+    import numpy as np
+    import pytest as _pytest
+
+    from meza_spark.llm.multimodal import (_decode_aiff,
+                                           _decode_audio_bytes,
+                                           _parse_headers)
+
+    samples = [0, 16384, -16384, 32767, -32768, 100]
+    d = _decode_aiff(_aiff(samples, rate=44100))
+    s = np.array(samples) / 32768.0
+    assert (d["sample_rate"], d["channels"], d["n_samples"]) \
+        == (44100, 1, 6)
+    assert abs(d["rms"] - float(np.sqrt((s * s).mean()))) < 1e-12
+    assert d["peak"] == 1.0
+    # AIFF-C sowt stores little-endian samples; stats identical
+    d2 = _decode_aiff(_aiff(samples, aifc=True, sowt=True))
+    assert d2["rms"] == d["rms"] and d2["mean"] == d["mean"]
+    # stereo frame accounting
+    d3 = _decode_aiff(_aiff(samples, channels=2))
+    assert d3["n_samples"] == 3
+    # compressed AIFF-C is a skippable gate
+    bad = bytearray(_aiff(samples, aifc=True))
+    bad[bad.find(b"NONE"):bad.find(b"NONE") + 4] = b"ima4"
+    with _pytest.raises(ValueError, match="compression"):
+        _decode_aiff(bytes(bad))
+    # header parse + dispatcher
+    meta = _parse_headers(_aiff(samples, rate=8000))
+    assert meta["format"] == "aiff" and meta["sample_rate"] == 8000
+    assert meta["duration_ms"] == 6 * 1000 // 8000
+    assert _decode_audio_bytes(_aiff(samples))["n_samples"] == 6
+
+
+def test_au_decode():
+    """Sun .au: 24-byte BE header; µ-law/A-law through the shared
+    G.711 tables, 8/16-bit linear, float32; bad encodings gate."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from meza_spark.llm.multimodal import (_decode_au,
+                                           _decode_audio_bytes,
+                                           _g711_tables, _parse_headers)
+
+    def au(data, enc, rate=8000, ch=1):
+        return (b".snd" + struct.pack(">IIIII", 24, len(data), enc,
+                                      rate, ch) + data)
+
+    raw = bytes(range(0, 250, 7))
+    d = _decode_au(au(raw, 1))
+    tab = _g711_tables()["ulaw"]
+    want = tab[np.frombuffer(raw, np.uint8)].astype(float) / 32768.0
+    assert abs(d["rms"] - float(np.sqrt((want * want).mean()))) < 1e-12
+    da = _decode_au(au(raw, 27))
+    taba = _g711_tables()["alaw"]
+    wanta = taba[np.frombuffer(raw, np.uint8)].astype(float) / 32768.0
+    assert abs(da["mean"] - float(wanta.mean())) < 1e-12
+    # 16-bit linear big-endian
+    s16 = np.array([1000, -2000, 32767], dtype=">i2")
+    d16 = _decode_au(au(s16.tobytes(), 3, rate=16000))
+    assert d16["n_samples"] == 3 and d16["sample_rate"] == 16000
+    assert d16["peak"] == 32767 / 32768.0
+    # float32 BE
+    f32 = np.array([0.5, -0.25], dtype=">f4")
+    df_ = _decode_au(au(f32.tobytes(), 6))
+    assert df_["peak"] == 0.5
+    # 8-bit signed linear
+    d8 = _decode_au(au(np.array([64, -128], np.int8).tobytes(), 2))
+    assert d8["peak"] == 1.0
+    with _pytest.raises(ValueError, match="encoding"):
+        _decode_au(au(raw, 23))          # ADPCM .au not supported
+    meta = _parse_headers(au(s16.tobytes(), 3, rate=16000))
+    assert meta["format"] == "au" and meta["sample_rate"] == 16000
+    assert meta["duration_ms"] == 3 * 1000 // 16000
+    assert _decode_audio_bytes(au(raw, 1))["n_samples"] == len(raw)
+
+
+def test_decode_audio_df_dispatch(spark):
+    """decode_audio routes WAV + AIFF + .au through one dispatcher."""
+    import struct
+
+    import numpy as np
+
+    from meza_spark.llm.multimodal import decode_audio
+
+    sm = np.array([0, 8192, -8192], dtype="<i2")
+    wav = (b"RIFF" + struct.pack("<I", 36 + 6) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000,
+                                   2, 16)
+           + b"data" + struct.pack("<I", 6) + sm.tobytes())
+    aiff = _aiff([0, 8192, -8192])
+    au = (b".snd" + struct.pack(">IIIII", 24, 6, 3, 8000, 1)
+          + np.array([0, 8192, -8192], dtype=">i2").tobytes())
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(aiff)), (3, bytearray(au)),
+         (4, bytearray(b"not audio at all, really"))],
+        "media_id long, payload binary")
+    rows = {r["media_id"]: r
+            for r in decode_audio(df, unsupported="skip").collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["rms"] == rows[2]["rms"] == rows[3]["rms"]
+
+
+def test_apng_full_walk():
+    """APNG: acTL/fcTL/fdAT walk with blend_op source/over and all
+    three dispose_ops, checked against hand-computed canvases."""
+    import numpy as np
+    import pytest as _pytest
+
+    from meza_spark.llm.multimodal import (_decode_apng_frames,
+                                           _encode_apng, _encode_png,
+                                           decode_pixels)
+
+    def rgba(val, a=255, shape=(4, 6)):
+        f = np.zeros((*shape, 4), np.uint8)
+        f[:, :, :3] = val
+        f[:, :, 3] = a
+        return f
+
+    # frame 1 full canvas; frame 2 opaque patch (source); frame 3
+    # half-transparent patch (over) then dispose background
+    f1 = rgba(40)
+    p2 = rgba(200, shape=(2, 3))
+    p3 = rgba(100, a=128, shape=(2, 3))
+    enc = _encode_apng(
+        [f1, p2, p3],
+        delays_ms=[100, 50, 25],
+        disposes=[0, 2, 1],             # frame2 dispose=previous
+        blends=[0, 0, 1],
+        offsets=[(0, 0), (1, 1), (2, 2)])
+    frames, delays = _decode_apng_frames(enc)
+    assert delays == [100, 50, 25]
+    assert frames[0].shape == (4, 6, 4)
+    assert (frames[0][:, :, :3] == 40).all()
+    assert (frames[0][:, :, 3] == 255).all()
+    # frame 2: patch at x=1..3, y=1..2 (offsets are (x, y))
+    assert (frames[1][1:3, 1:4, 0] == 200).all()
+    assert frames[1][0, 0, 0] == 40
+    # frame 3: dispose=previous reverted the patch, then OVER blend of
+    # 100@128 over 40@255: out = round((100*128/255 + 40*(1-128/255)))
+    fa = 128 / 255
+    want = round(100 * fa + 40 * (1 - fa))
+    # reverted: the part of patch 2's region NOT under patch 3
+    assert (frames[2][1, 1:4, 0] == 40).all()
+    assert frames[2][2, 1, 0] == 40
+    got = frames[2][2:4, 2:5, 0]
+    assert (got == want).all(), (got[0, 0], want)
+    assert (frames[2][2:4, 2:5, 3] == 255).all()      # over opaque
+    # a still PNG is not a video container
+    still = _encode_png(np.full((3, 3, 3), 7, np.uint8))
+    with _pytest.raises(ValueError, match="acTL"):
+        _decode_apng_frames(still)
+    # decode_pixels still treats the APNG as its default (first) image
+    px = decode_pixels(enc)
+    assert px.shape == (4, 6, 4) and (px[:, :, :3] == 40).all()
+
+
+def test_decode_video_apng(spark):
+    """decode_video routes APNG payloads: one row per frame with
+    cumulative timestamps over the RGBA canvas stats."""
+    import numpy as np
+
+    from meza_spark.llm.multimodal import _encode_apng, decode_video
+
+    f = np.zeros((3, 5, 4), np.uint8)
+    f[:, :, 3] = 255
+    f2 = f.copy()
+    f2[:, :, 0] = 80
+    enc = _encode_apng([f, f2], delays_ms=[70, 30])
+    df = spark.createDataFrame([(9, bytearray(enc))],
+                               "media_id long, payload binary")
+    rows = sorted(decode_video(df).collect(),
+                  key=lambda r: r["frame_idx"])
+    assert [r["ts_ms"] for r in rows] == [0, 70]
+    assert rows[0]["width"] == 5 and rows[0]["height"] == 3
+    assert rows[1]["mean_pixel"] == (80 + 255) / 4.0
+
+
+def test_mp4_mjpeg_frame_decode():
+    """MJPEG-in-MP4: the stbl walk (stsd codec, stsz sizes, stsc
+    two-samples-per-chunk runs, stco offsets, stts/mdhd timestamps)
+    extracts every sample and decodes it through the real JPEG codec;
+    compressed codecs stay honest ValueError gates."""
+    import numpy as np
+    import pytest as _pytest
+
+    from meza_spark.llm.multimodal import (_decode_jpeg,
+                                           _decode_mp4_frames,
+                                           _encode_jpeg,
+                                           _encode_mp4_mjpeg)
+
+    rng = np.random.default_rng(13)
+    fr = [rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+          for _ in range(5)]
+    mp4 = _encode_mp4_mjpeg(fr, timescale=1000, frame_dur=40,
+                            quality=85)
+    frames, ts = _decode_mp4_frames(mp4)
+    assert len(frames) == 5
+    assert ts == [0, 40, 80, 120, 160]
+    for got, src in zip(frames, fr):
+        assert np.array_equal(got,
+                              _decode_jpeg(_encode_jpeg(src,
+                                                        quality=85)))
+    # an avc1 (H.264) track is not frame-decodable: honest gate
+    bad = bytearray(mp4)
+    at = bad.find(b"jpeg", bad.find(b"stsd"))
+    bad[at:at + 4] = b"avc1"
+    with _pytest.raises(ValueError, match="avc1"):
+        _decode_mp4_frames(bytes(bad))
+    with _pytest.raises(ValueError):
+        _decode_mp4_frames(mp4[:64])
+
+
+def test_decode_video_mp4(spark):
+    """decode_video routes MJPEG MP4s; metadata-only MP4s skip."""
+    import numpy as np
+
+    from meza_spark.llm.multimodal import (_encode_mp4_mjpeg,
+                                           decode_video)
+
+    f = np.full((8, 8, 3), 120, np.uint8)
+    mp4 = _encode_mp4_mjpeg([f, f, f], timescale=600, frame_dur=30)
+    df = spark.createDataFrame([(4, bytearray(mp4))],
+                               "media_id long, payload binary")
+    rows = sorted(decode_video(df).collect(),
+                  key=lambda r: r["frame_idx"])
+    assert len(rows) == 3
+    assert [r["ts_ms"] for r in rows] == [0, 50, 100]
+    assert rows[0]["width"] == 8
+
+
+def test_frame_sample_real_containers(spark):
+    """frame_sample emits REAL frames (BMP-encoded canvas snapshots)
+    for decodable video containers, keeping the deterministic stub
+    for everything else."""
+    import numpy as np
+
+    from meza_spark.llm.multimodal import (_decode_bmp,
+                                           _encode_gif_anim,
+                                           frame_sample)
+
+    f1 = np.full((4, 6, 3), 30, np.uint8)
+    f2 = np.full((4, 6, 3), 90, np.uint8)
+    gif = _encode_gif_anim([f1, f2], delays_ms=[100, 100])
+    df = spark.createDataFrame(
+        [(1, bytearray(gif)), (2, bytearray(b"not a video"))],
+        "media_id long, payload binary")
+    rows = frame_sample(df, every_ms=50).collect()
+    gif_rows = sorted([r for r in rows if r["media_id"] == 1],
+                      key=lambda r: r["ts_ms"])
+    # ticks 0..100 step 50: frame 0 on screen until ts 100
+    assert [(r["ts_ms"], r["frame_idx"]) for r in gif_rows] \
+        == [(0, 0), (50, 0), (100, 1)]
+    px0 = _decode_bmp(bytes(gif_rows[0]["frame"]))
+    px2 = _decode_bmp(bytes(gif_rows[2]["frame"]))
+    assert (px0 == 30).all() and (px2 == 90).all()
+    # undecodable payload keeps the legacy stub (5000 ms pretend
+    # duration sampled every tick)
+    stub_rows = [r for r in rows if r["media_id"] == 2]
+    assert len(stub_rows) == 5000 // 50
