@@ -376,6 +376,15 @@ def _inflate_bounded(idat: list, expected: int) -> bytes:
     return zlib.decompressobj().decompress(b"".join(idat), expected)
 
 
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    """One PNG chunk: length + type + data + CRC32 — shared by the
+    PNG encoder, the APNG frame rewrapper, and the APNG encoder."""
+    import zlib
+
+    return struct.pack(">I", len(data)) + typ + data \
+        + struct.pack(">I", zlib.crc32(typ + data))
+
+
 def _png_unfilter(raw: bytes, p: int, h: int, w: int, c: int):
     """Reconstruct one filtered image (filter byte + scanline, h rows
     of w pixels × c channels) starting at offset ``p`` in the inflated
@@ -475,14 +484,11 @@ def _encode_png(px, filter_type: int | None = None,
             if sub.shape[0] and sub.shape[1]:
                 body += filt_image(sub)
 
-    def chunk(typ: bytes, data: bytes) -> bytes:
-        return struct.pack(">I", len(data)) + typ + data + \
-            struct.pack(">I", zlib.crc32(typ + data))
-
     ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0,
                        1 if interlace else 0)
-    return _PNG_SIG + chunk(b"IHDR", ihdr) + \
-        chunk(b"IDAT", zlib.compress(bytes(body))) + chunk(b"IEND", b"")
+    return _PNG_SIG + _png_chunk(b"IHDR", ihdr) + \
+        _png_chunk(b"IDAT", zlib.compress(bytes(body))) + \
+        _png_chunk(b"IEND", b"")
 
 
 def _lzw_decode(data: bytes, min_code_size: int, max_out: int,
@@ -974,11 +980,6 @@ def _decode_apng_frames(b: bytes):
         if not fctls or not fctls[0][1]:
             raise ValueError("APNG without frame data")
 
-        def chunk(typ, data):
-            import zlib as _z
-            return struct.pack(">I", len(data)) + typ + data \
-                + struct.pack(">I", _z.crc32(typ + data))
-
         def to_rgba(px):
             c = px.shape[2]
             if c == 1:
@@ -1005,12 +1006,13 @@ def _decode_apng_frames(b: bytes):
             if (len(frames) + 1) * w * h > MAX_DECODE_PIXELS:
                 raise ValueError("APNG exceeds the total-pixel "
                                  "decode budget")
-            mini = _PNG_SIG + chunk(b"IHDR", struct.pack(
+            mini = _PNG_SIG + _png_chunk(b"IHDR", struct.pack(
                 ">IIBBBBB", fw, fh, depth, ctype, comp_m, filt_m,
                 interlace))
             for typ, data in aux:
-                mini += chunk(typ, data)
-            mini += chunk(b"IDAT", b"".join(datas)) + chunk(b"IEND", b"")
+                mini += _png_chunk(typ, data)
+            mini += _png_chunk(b"IDAT", b"".join(datas)) \
+                + _png_chunk(b"IEND", b"")
             rgba = to_rgba(_decode_png(mini))
             if fi == 0:
                 blend = 0                   # spec: first frame = source
@@ -1061,10 +1063,6 @@ def _encode_apng(frames, delays_ms=None, disposes=None, blends=None,
     offsets = offsets or [(0, 0)] * n
     h, w = frames[0].shape[:2]
 
-    def chunk(typ, data):
-        return struct.pack(">I", len(data)) + typ + data \
-            + struct.pack(">I", _z.crc32(typ + data))
-
     def scanlines(px):
         body = bytearray()
         for y in range(px.shape[0]):
@@ -1073,22 +1071,22 @@ def _encode_apng(frames, delays_ms=None, disposes=None, blends=None,
         return _z.compress(bytes(body))
 
     out = bytearray(_PNG_SIG)
-    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
-    out += chunk(b"acTL", struct.pack(">II", n, 0))
+    out += _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+    out += _png_chunk(b"acTL", struct.pack(">II", n, 0))
     seq = 0
     for k, (f, d_ms, disp, bl, (x0, y0)) in enumerate(
             zip(frames, delays_ms, disposes, blends, offsets)):
         fh, fw = f.shape[:2]
-        out += chunk(b"fcTL", struct.pack(
+        out += _png_chunk(b"fcTL", struct.pack(
             ">IIIIIHHBB", seq, fw, fh, x0, y0, d_ms, 1000, disp, bl))
         seq += 1
         data = scanlines(f)
         if k == 0:
-            out += chunk(b"IDAT", data)
+            out += _png_chunk(b"IDAT", data)
         else:
-            out += chunk(b"fdAT", struct.pack(">I", seq) + data)
+            out += _png_chunk(b"fdAT", struct.pack(">I", seq) + data)
             seq += 1
-    out += chunk(b"IEND", b"")
+    out += _png_chunk(b"IEND", b"")
     return bytes(out)
 
 
@@ -2554,32 +2552,47 @@ def _decode_mp4_frames(b: bytes):
                     ts, te = tabs[tag]
                     return ts + skip, te
 
+                # Every declared count below is UNTRUSTED input: clamp
+                # to what the table's actual byte extent can hold and
+                # to a sample budget, so a 200-byte bomb declaring
+                # 2^32 samples raises/truncates instead of allocating
+                # gigabyte lists the skip path can't catch (r6
+                # review #1 — the MAX_DECODE_PIXELS posture).
+                max_samples = MAX_DECODE_PIXELS // 64
                 # sample sizes
                 ss, se_ = full(b"stsz")
                 uniform = int.from_bytes(b[ss:ss + 4], "big")
                 n_samples = int.from_bytes(b[ss + 4:ss + 8], "big")
+                if n_samples > max_samples:
+                    raise ValueError("MP4 declares more samples than "
+                                     "the decode budget allows")
                 if uniform:
                     sizes = [uniform] * n_samples
                 else:
+                    n_samples = min(n_samples,
+                                    max(0, se_ - ss - 8) // 4)
                     sizes = [int.from_bytes(
                         b[ss + 8 + 4 * i:ss + 12 + 4 * i], "big")
                         for i in range(n_samples)]
                 # chunk offsets (stco 32-bit or co64)
                 if b"stco" in tabs:
-                    cs, _ce = full(b"stco")
-                    nch = int.from_bytes(b[cs:cs + 4], "big")
+                    cs, ce = full(b"stco")
+                    nch = min(int.from_bytes(b[cs:cs + 4], "big"),
+                              max(0, ce - cs - 4) // 4)
                     chunk_off = [int.from_bytes(
                         b[cs + 4 + 4 * i:cs + 8 + 4 * i], "big")
                         for i in range(nch)]
                 else:
-                    cs, _ce = full(b"co64")
-                    nch = int.from_bytes(b[cs:cs + 4], "big")
+                    cs, ce = full(b"co64")
+                    nch = min(int.from_bytes(b[cs:cs + 4], "big"),
+                              max(0, ce - cs - 4) // 8)
                     chunk_off = [int.from_bytes(
                         b[cs + 4 + 8 * i:cs + 12 + 8 * i], "big")
                         for i in range(nch)]
                 # sample-to-chunk runs
-                scs, _sce = full(b"stsc")
-                nrun = int.from_bytes(b[scs:scs + 4], "big")
+                scs, sce = full(b"stsc")
+                nrun = min(int.from_bytes(b[scs:scs + 4], "big"),
+                           max(0, sce - scs - 4) // 12)
                 runs = [(int.from_bytes(b[scs + 4 + 12 * i:
                                           scs + 8 + 12 * i], "big"),
                          int.from_bytes(b[scs + 8 + 12 * i:
@@ -2589,17 +2602,20 @@ def _decode_mp4_frames(b: bytes):
                 per_chunk = []
                 for ri, (first, spc) in enumerate(runs):
                     last = runs[ri + 1][0] - 1 if ri + 1 < nrun else nch
-                    per_chunk += [spc] * (last - first + 1)
+                    per_chunk += [min(spc, n_samples)] * \
+                        max(0, min(last - first + 1, nch))
                 # decode timestamps from stts
-                tts, _tte = full(b"stts")
-                ntt = int.from_bytes(b[tts:tts + 4], "big")
+                tts, tte = full(b"stts")
+                ntt = min(int.from_bytes(b[tts:tts + 4], "big"),
+                          max(0, tte - tts - 4) // 8)
                 deltas = []
                 for i in range(ntt):
                     cnt = int.from_bytes(
                         b[tts + 4 + 8 * i:tts + 8 + 8 * i], "big")
                     dlt = int.from_bytes(
                         b[tts + 8 + 8 * i:tts + 12 + 8 * i], "big")
-                    deltas += [dlt] * cnt
+                    deltas += [dlt] * min(cnt,
+                                          n_samples - len(deltas))
                 frames, ts = [], []
                 total_px = 0
                 t_acc = 0
@@ -3000,6 +3016,11 @@ def _parse_f80(b: bytes) -> int:
     mant = int.from_bytes(b[2:10], "big")
     if exp == 0 and mant == 0:
         return 0
+    if not 16383 - 40 <= exp <= 16383 + 40:
+        # sane sample rates are a few-digit integers; an extreme
+        # exponent would overflow the 2.0** below into OverflowError,
+        # which the skip paths can't catch (r6 review #2)
+        raise ValueError("implausible 80-bit float exponent")
     val = sign * mant * 2.0 ** (exp - 16383 - 63)
     return int(round(val))
 
@@ -3251,12 +3272,13 @@ def decode_video(df: DataFrame, payload_col: str = "payload",
     one output row per frame with true pixel statistics. Containers:
     animated GIF (full GCE walk — transparency, delays, disposal
     methods 0-3), APNG (acTL/fcTL/fdAT walk — blend source/over,
-    dispose none/background/previous, RGBA canvas), and MJPEG-in-AVI
-    (RIFF walk incl. LIST 'rec ' groupings, every frame through the
-    real JPEG codec; ``ts_ms`` from the avih frame duration — for
-    GIF/APNG it is the frame's cumulative start time). Other
-    containers follow ``unsupported`` ('error' | 'skip'). Row-local,
-    zero shuffle — the 100-TB shape."""
+    dispose none/background/previous, RGBA canvas), MJPEG-in-AVI
+    (RIFF walk incl. LIST 'rec ' groupings) and MJPEG-in-MP4 (stbl
+    sample-table walk; ``ts_ms`` from stts/mdhd) — every frame
+    through the real JPEG codec; for GIF/APNG ``ts_ms`` is the
+    frame's cumulative start time, for AVI it comes from the avih
+    frame duration. Other containers follow ``unsupported``
+    ('error' | 'skip'). Row-local, zero shuffle — the 100-TB shape."""
     out_schema = StructType([
         StructField(id_col, LongType()),
         StructField("frame_idx", IntegerType()),
@@ -3366,14 +3388,17 @@ def frame_sample(df: DataFrame, payload_col: str = "payload",
                     continue
                 last = ts[-1] if ts else 0
                 fi = 0
+                enc_fi, enc = -1, None      # encode each frame ONCE
                 for t in range(0, last + 1, every_ms):
                     while fi + 1 < len(ts) and ts[fi + 1] <= t:
                         fi += 1
-                    px = frames[fi][:, :, :3]   # RGBA -> RGB for BMP
-                    if px.shape[2] == 1:
-                        import numpy as np
-                        px = np.repeat(px, 3, axis=2)
-                    rows.append((mid, fi, t, _encode_bmp(px)))
+                    if fi != enc_fi:
+                        px = frames[fi][:, :, :3]  # RGBA→RGB for BMP
+                        if px.shape[2] == 1:
+                            import numpy as np
+                            px = np.repeat(px, 3, axis=2)
+                        enc_fi, enc = fi, _encode_bmp(px)
+                    rows.append((mid, fi, t, enc))
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)

@@ -1769,3 +1769,42 @@ def test_frame_sample_real_containers(spark):
     # duration sampled every tick)
     stub_rows = [r for r in rows if r["media_id"] == 2]
     assert len(stub_rows) == 5000 // 50
+
+
+def test_mp4_and_aiff_hostile_headers():
+    """r6 review #1/#2: declared sample-table counts and 80-bit float
+    exponents are untrusted — a few-hundred-byte bomb must raise
+    ValueError (skippable), never OverflowError/MemoryError."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from meza_spark.llm import multimodal as mm
+
+    f = np.full((8, 8, 3), 50, np.uint8)
+    mp4 = bytearray(mm._encode_mp4_mjpeg([f, f]))
+    # stsz declares 2^31 samples
+    at = mp4.find(b"stsz")
+    mp4_bomb = bytearray(mp4)
+    mp4_bomb[at + 12:at + 16] = struct.pack(">I", 1 << 31)
+    with _pytest.raises(ValueError, match="decode budget"):
+        mm._decode_mp4_frames(bytes(mp4_bomb))
+    # stts declares 2^32-1 entries: clamped to the table extent, the
+    # decode then proceeds on the real two frames
+    at = mp4.find(b"stts")
+    mp4_tts = bytearray(mp4)
+    mp4_tts[at + 8:at + 12] = struct.pack(">I", 0xFFFFFFFF)
+    frames, _ts = mm._decode_mp4_frames(bytes(mp4_tts))
+    assert len(frames) == 2
+
+    # AIFF COMM with an implausible 80-bit exponent: ValueError, and
+    # the lenient header parse survives
+    aiff = bytearray(
+        b"FORM" + struct.pack(">I", 30) + b"AIFF"
+        + b"COMM" + struct.pack(">I", 18)
+        + struct.pack(">HIH", 1, 4, 16)
+        + b"\x7f\xff" + b"\x80" + b"\x00" * 7)
+    with _pytest.raises(ValueError):
+        mm._decode_aiff(bytes(aiff))
+    assert mm._parse_headers(bytes(aiff))["format"] == "aiff"

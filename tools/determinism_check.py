@@ -60,6 +60,17 @@ DEFAULT_QUERIES = [
     "multimodal_mixed",
     "multimodal_g711",
     "multimodal_tiff",
+    # round-6: progressive JPEG, animation walks (GIF/APNG incl. the
+    # float over-blend), MJPEG container walks, new audio containers,
+    # Jet3 jump-table/LVAL roundtrip
+    "multimodal_jpeg_prog",
+    "multimodal_gif_anim",
+    "multimodal_apng",
+    "multimodal_avi",
+    "multimodal_mp4v",
+    "multimodal_aiff",
+    "multimodal_au",
+    "mdb3_wide_roundtrip",
 ]
 
 _WORKER = r"""
