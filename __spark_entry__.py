@@ -1921,17 +1921,25 @@ def approx_distinct(spark, sf_dir):
 def infer_types_orders(spark, sf_dir):
     """detect_types sampling inference (SURVEY §1.3) run over a fully
     stringified orders head — the engine must rediscover int/float/
-    datetime/text from messy strings; the voting/widening/confidence
-    result is deterministic, so it oracles as literal VALUES."""
+    datetime/text from messy strings. Since r7's realignment to the
+    reference's actual convergence loop (value-set gen_types + the
+    a·ln(1+votes) confidence break), the consumed-row count varies
+    with the data prefix (o_orderstatus 'F' rows vote bool, delaying
+    the text column's chosen-type votes) and so is SF-dependent; the
+    VALUES oracle therefore pins the TYPES — the data-pipeline
+    contract — plus the converged flag, while the confidence formula
+    and break behavior are unit-pinned on fixed input
+    (tests/test_typetools.py::test_confidence_break_reference_formula)."""
     from meza_spark import typetools as tt
 
     o = _t(spark, sf_dir, "orders").orderBy("o_orderkey")
     s = o.select([F.col(c).cast("string").alias(c) for c in o.columns])
     _, res = tt.detect_types(s)
-    rows = [(d["id"], d["type"], float(res["confidence"]), res["count"])
+    rows = [(d["id"], d["type"],
+             bool(res["confidence"] >= res["accuracy"]))
             for d in res["types"]]
     return spark.createDataFrame(
-        rows, "id string, type string, confidence double, n_sampled bigint")
+        rows, "id string, type string, converged boolean")
 
 
 def csv_roundtrip(spark, sf_dir):
@@ -3752,6 +3760,93 @@ def ewma_events_fast(spark, sf_dir):
             .orderBy("event_id"))
 
 
+def zscore_fast_parity(spark, sf_dir):
+    """Strict gate for the IEEE fast path (r6 verdict #8): full-outer
+    join of the exact and exact=False moving z-scores; transports the
+    hash-gated exact micro value plus a ``fast_within_1u`` flag
+    (|fast − exact| ≤ 1 micro — the fast path's declared accuracy
+    contract). The DuckDB twin replays the exact computation and
+    emits literal TRUE: any row where the fast path drifts past 1
+    micro (or appears/disappears — the full outer join turns that
+    into a rowcount mismatch) trips the value-hash gate. This is the
+    strongest cross-engine pin an engine-native-float path admits:
+    pinning its exact bits would require re-imposing the decimal
+    transport, i.e. the exact twin itself."""
+    from meza_spark.analytics import moving_zscore
+
+    ev = _t(spark, sf_dir, "events")
+    ex = (moving_zscore(ev, "event_type", "ts", "value",
+                        window=24, tiebreak="event_id")
+          .where(F.col("z_micro").isNotNull())
+          .select("event_id", "event_type", "z_micro"))
+    fa = (moving_zscore(ev, "event_type", "ts", "value",
+                        window=24, tiebreak="event_id", exact=False)
+          .where(F.col("z_micro").isNotNull())
+          .select(F.col("event_id").alias("f_id"),
+                  F.col("z_micro").alias("z_fast")))
+    j = ex.join(fa, ex.event_id == fa.f_id, "full_outer")
+    return (j.select(
+        F.coalesce(ex.event_id, fa.f_id).alias("event_id"),
+        "event_type", "z_micro",
+        (F.col("z_micro").isNotNull() & F.col("z_fast").isNotNull()
+         & (F.abs(F.col("z_micro") - F.col("z_fast")) <= 1)
+         ).alias("fast_within_1u"))
+        .orderBy("event_id"))
+
+
+def cusum_fast_parity(spark, sf_dir):
+    """Strict gate for cusum(exact=False): exact hi/lo micro values +
+    within-1-micro flags for the fast path (see zscore_fast_parity
+    for the contract rationale). The alarm flag is excluded from the
+    parity claim: a ±1-micro statistic difference legitimately flips
+    it exactly at the threshold."""
+    from meza_spark.analytics import cusum
+
+    ev = _t(spark, sf_dir, "events")
+    ex = (cusum(ev, "event_type", "ts", "value", slack=10.0,
+                threshold=1000.0, tiebreak="event_id")
+          .select("event_id", "event_type",
+                  "cusum_hi_micro", "cusum_lo_micro"))
+    fa = (cusum(ev, "event_type", "ts", "value", slack=10.0,
+                threshold=1000.0, tiebreak="event_id", exact=False)
+          .select(F.col("event_id").alias("f_id"),
+                  F.col("cusum_hi_micro").alias("hi_fast"),
+                  F.col("cusum_lo_micro").alias("lo_fast")))
+    j = ex.join(fa, ex.event_id == fa.f_id, "full_outer")
+    return (j.select(
+        F.coalesce(ex.event_id, fa.f_id).alias("event_id"),
+        "event_type", "cusum_hi_micro", "cusum_lo_micro",
+        (F.col("hi_fast").isNotNull()
+         & (F.abs(F.col("cusum_hi_micro") - F.col("hi_fast")) <= 1)
+         & (F.abs(F.col("cusum_lo_micro") - F.col("lo_fast")) <= 1)
+         ).alias("fast_within_1u"))
+        .orderBy("event_id"))
+
+
+def ewma_fast_parity(spark, sf_dir):
+    """Strict gate for ewma(exact=False): exact micro value + the
+    fast path's within-1-micro flag (see zscore_fast_parity)."""
+    from meza_spark.analytics import ewma
+
+    ev = _t(spark, sf_dir, "events")
+    ex = ewma(ev, "event_type", "ts", "value", alpha_num=3,
+              alpha_den=10, window=8, tiebreak="event_id") \
+        .select("event_id", "event_type", "ewma_micro")
+    fa = ewma(ev, "event_type", "ts", "value", alpha_num=3,
+              alpha_den=10, window=8, tiebreak="event_id",
+              exact=False) \
+        .select(F.col("event_id").alias("f_id"),
+                F.col("ewma_micro").alias("e_fast"))
+    j = ex.join(fa, ex.event_id == fa.f_id, "full_outer")
+    return (j.select(
+        F.coalesce(ex.event_id, fa.f_id).alias("event_id"),
+        "event_type", "ewma_micro",
+        (F.col("e_fast").isNotNull()
+         & (F.abs(F.col("ewma_micro") - F.col("e_fast")) <= 1)
+         ).alias("fast_within_1u"))
+        .orderBy("event_id"))
+
+
 def cusum_events(spark, sf_dir):
     """Per-event-type CUSUM changepoint statistic (analytics.cusum):
     running sum minus running min of exact cross-multiplied micro
@@ -4269,6 +4364,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_events_fast": zscore_events_fast,
         "cusum_events_fast": cusum_events_fast,
         "ewma_events_fast": ewma_events_fast,
+        "zscore_fast_parity": zscore_fast_parity,
+        "cusum_fast_parity": cusum_fast_parity,
+        "ewma_fast_parity": ewma_fast_parity,
         "top_session_paths": top_session_paths,
         "rfm_events": rfm_events,
         "session_paths_events": session_paths_events,
@@ -5703,14 +5801,17 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM part
         """,
         "infer_types_orders": """
+            -- types + convergence under the reference break rule
+            -- (confidence formula unit-pinned; consumed-row count is
+            -- prefix-dependent and so not a per-SF constant)
             SELECT * FROM (VALUES
-                ('o_orderkey',      'int',      0.7, CAST(100 AS BIGINT)),
-                ('o_custkey',       'int',      0.7, 100),
-                ('o_orderstatus',   'text',     0.7, 100),
-                ('o_totalprice',    'float',    0.7, 100),
-                ('o_orderdate',     'datetime', 0.7, 100),
-                ('o_orderpriority', 'text',     0.7, 100))
-            AS t(id, type, confidence, n_sampled)
+                ('o_orderkey',      'int',      TRUE),
+                ('o_custkey',       'int',      TRUE),
+                ('o_orderstatus',   'text',     TRUE),
+                ('o_totalprice',    'float',    TRUE),
+                ('o_orderdate',     'datetime', TRUE),
+                ('o_orderpriority', 'text',     TRUE))
+            AS t(id, type, converged)
         """,
         "csv_roundtrip": """
             SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
@@ -7462,6 +7563,45 @@ def _oracle_sql_base() -> dict[str, str]:
               AND (nd * s2d - s1d * s1d) / (nd * (nd - 1)) > 0
             ORDER BY event_id
         """,
+        # the *_fast_parity twins replay the EXACT computation and pin
+        # the fast path through a literal-TRUE contract flag: if the
+        # IEEE path drifts past 1 micro on any row, the Spark side
+        # emits false there and the value hash trips (r6 verdict #8)
+        "zscore_fast_parity": """
+            WITH q AS (
+              SELECT event_id, event_type, ts,
+                     CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5)
+                          AS HUGEINT) AS vq
+              FROM events),
+            w AS (
+              SELECT event_id, event_type, vq,
+                     count(vq) OVER win AS n,
+                     sum(vq) OVER win AS s1,
+                     sum(vq * vq) OVER win AS s2
+              FROM q
+              WINDOW win AS (PARTITION BY event_type
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN 24 PRECEDING
+                                      AND 1 PRECEDING)),
+            z AS (
+              SELECT event_id, event_type,
+                     CAST(n AS DOUBLE) AS nd,
+                     CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS s1d,
+                     CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS s2d,
+                     CAST(CAST(vq AS VARCHAR) AS DOUBLE) AS vd,
+                     n
+              FROM w)
+            SELECT event_id, event_type,
+                   CAST(floor(((vd - s1d / nd)
+                        / sqrt((nd * s2d - s1d * s1d)
+                               / (nd * (nd - 1)))) * 1000000 + 0.5)
+                        AS BIGINT) AS z_micro,
+                   TRUE AS fast_within_1u
+            FROM z
+            WHERE n >= 3
+              AND (nd * s2d - s1d * s1d) / (nd * (nd - 1)) > 0
+            ORDER BY event_id
+        """,
         "attribution_events": """
             WITH conv AS (
               SELECT DISTINCT user_id AS u, ts AS cts
@@ -7523,6 +7663,38 @@ def _oracle_sql_base() -> dict[str, str]:
               GROUP BY a.event_id, a.event_type)
             SELECT event_id, event_type,
                    CAST(num // den AS BIGINT) AS ewma_micro
+            FROM j
+            ORDER BY event_id
+        """,
+        "ewma_fast_parity": """
+            WITH q AS (
+              SELECT event_id, event_type, ts,
+                     CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5)
+                          AS BIGINT) AS vq,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id) AS rn
+              FROM events),
+            w(age, wt) AS (VALUES
+              (0, CAST(10000000 AS HUGEINT)),
+              (1, CAST(7000000 AS HUGEINT)),
+              (2, CAST(4900000 AS HUGEINT)),
+              (3, CAST(3430000 AS HUGEINT)),
+              (4, CAST(2401000 AS HUGEINT)),
+              (5, CAST(1680700 AS HUGEINT)),
+              (6, CAST(1176490 AS HUGEINT)),
+              (7, CAST(823543 AS HUGEINT))),
+            j AS (
+              SELECT a.event_id, a.event_type,
+                     sum(CAST(b.vq AS HUGEINT) * w.wt) AS num,
+                     sum(w.wt) AS den
+              FROM q a
+              JOIN q b ON b.event_type = a.event_type
+                      AND b.rn BETWEEN a.rn - 7 AND a.rn
+              JOIN w ON w.age = a.rn - b.rn
+              GROUP BY a.event_id, a.event_type)
+            SELECT event_id, event_type,
+                   CAST(num // den AS BIGINT) AS ewma_micro,
+                   TRUE AS fast_within_1u
             FROM j
             ORDER BY event_id
         """,
@@ -7642,6 +7814,45 @@ def _oracle_sql_base() -> dict[str, str]:
                    (cusum_hi_micro >= 1000000000
                     OR cusum_lo_micro >= 1000000000) AS alarm
             FROM c
+            ORDER BY event_id
+        """,
+        "cusum_fast_parity": """
+            WITH q AS (
+              SELECT event_id, event_type, ts,
+                     CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5)
+                          AS HUGEINT) AS vq
+              FROM events),
+            s AS (
+              SELECT event_id, event_type, ts, vq,
+                     count(vq) OVER (PARTITION BY event_type)
+                       AS n,
+                     sum(vq) OVER (PARTITION BY event_type) AS T
+              FROM q),
+            r AS (
+              SELECT event_id, event_type, ts, n,
+                     sum(n * vq - T - n * 10000000) OVER win AS shi,
+                     sum(T - n * vq - n * 10000000) OVER win AS slo
+              FROM s
+              WINDOW win AS (PARTITION BY event_type
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)),
+            m AS (
+              SELECT event_id, event_type, n, shi, slo,
+                     min(shi) OVER win AS mhi,
+                     min(slo) OVER win AS mlo
+              FROM r
+              WINDOW win AS (PARTITION BY event_type
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW))
+            SELECT event_id, event_type,
+                   CAST((shi - least(CAST(0 AS HUGEINT), mhi)) // n
+                        AS BIGINT) AS cusum_hi_micro,
+                   CAST((slo - least(CAST(0 AS HUGEINT), mlo)) // n
+                        AS BIGINT) AS cusum_lo_micro,
+                   TRUE AS fast_within_1u
+            FROM m
             ORDER BY event_id
         """,
         "co_occur_parts": """

@@ -165,7 +165,13 @@ SCALE_QUERIES = ["q1_pricing", "q3_shipping", "q5_local_supplier",
                  # (r4 verdict #7 — the sf1 section records the
                  # composed pipelines, not just per-operator rows)
                  "curation_e2e", "crawl_e2e", "multimodal_e2e",
-                 "zscore_events_fast"]
+                 "zscore_events_fast",
+                 # round-6 media tier under the slope lens (r6 verdict
+                 # #2): all row-local, so anything super-linear in
+                 # data volume is a bug, not a shuffle artifact
+                 "multimodal_jpeg_prog", "multimodal_gif_anim",
+                 "multimodal_apng", "multimodal_avi",
+                 "multimodal_mp4v"]
 
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -267,6 +273,21 @@ def _warmup(spark, qs, sf_dir: str):
         .mapInPandas(lambda it: it, "id long") \
         .write.format("noop").mode("overwrite").save()
     spark.createDataFrame(spark.range(64).toPandas()).count()
+    # compile the unrolled-iterative plan family on toy data (r6
+    # verdict #4): graph_lpa's 23-exchange 3-round plan is the one
+    # shape the scan/agg warmups above don't reach, so its first run
+    # paid 2-4 s of fresh-JVM whole-stage codegen every round and kept
+    # getting re-adjudicated as a regression. One 3-round LPA over 100
+    # synthetic edges compiles the same generated-code shapes in
+    # ~100 ms of work.
+    from pyspark.sql import functions as _F
+
+    from meza_spark.graph import label_propagation as _lpa
+
+    toy = spark.range(100).select(
+        (_F.col("id") % 20).alias("src"),
+        ((_F.col("id") * 7) % 20 + 20).alias("dst"))
+    _lpa(toy, n_iter=3).write.format("noop").mode("overwrite").save()
 
 
 def _time_queries(spark, qs, names, sf_dir: str) -> dict:

@@ -261,6 +261,10 @@ def read_csv(spark: SparkSession, path: str, has_header: bool = True,
         df = (spark.read
               .option("header", str(has_header).lower())
               .option("sep", delimiter).option("quote", quotechar)
+              # RFC 4180 doubled-quote escape ("" inside a quoted
+              # field); Spark's default escape is backslash, which
+              # leaves `""` as two literal quotes
+              .option("escape", quotechar)
               .option("encoding", spark_charset)
               .option("inferSchema", str(infer_schema).lower())
               .option("mode", "PERMISSIVE")
@@ -463,12 +467,37 @@ def _geojson_records(path: str) -> list[dict]:
     return out
 
 
-def read_geojson(spark: SparkSession, path: str) -> DataFrame:
+def read_geojson(spark: SparkSession, path: str,
+                 explode: bool = True) -> DataFrame:
     """GeoJSON → flat records (ref: meza/io.py:1191-1251).
+
+    ``explode=True`` (default, current-reference semantics): one row
+    per coordinate with id/type/lon/lat/pos/seq + properties.
+    ``explode=False``: one row per FEATURE — properties + the whole
+    geometry serialized into a ``geojson`` JSON-string column. This is
+    the shape of the reference's own published conversion
+    data/converted/geojson.csv (the tabutils-era record form) and the
+    right shape for feature-level analytics where per-vertex rows
+    would explode cardinality.
 
     A FeatureCollection is one JSON object → non-splittable; files
     parse independently (one task per file for many files)."""
-    return _per_file(spark, path, _geojson_records)
+    if explode:
+        return _per_file(spark, path, _geojson_records)
+
+    def feature_records(p: str) -> list[dict]:
+        with open(p, encoding="utf-8") as f:
+            collection = _json.load(f)
+        out = []
+        for feat in collection.get("features", []):
+            props = dict(feat.get("properties") or {})
+            rec = {"id": feat.get("id", props.get("id"))}
+            rec.update(props)
+            rec["geojson"] = _json.dumps(feat.get("geometry"))
+            out.append(rec)
+        return out
+
+    return _per_file(spark, path, feature_records)
 
 
 # ---------------------------------------------------------------------------
@@ -568,14 +597,22 @@ def read_html(spark: SparkSession, path: str, table: int = 0,
 
 
 def read_xls(spark: SparkSession, path: str, sheet: int = 0,
-             sanitize: bool = True, has_header: bool = True) -> DataFrame:
+             sanitize: bool = True, has_header: bool = True,
+             date1904: bool | None = None) -> DataFrame:
     """Excel (ref: meza/io.py:1033-1118). xlsx parsed with a minimal
     stdlib zip+XML reader (shared strings + 1904-date handling per the
     reference's sanitize_sheet, io.py:963-1022); legacy .xls needs
-    xlrd (import-gated)."""
+    xlrd (import-gated).
+
+    ``date1904`` overrides the workbook's declared date system — real
+    Mac-made files sometimes carry 1904-based serials without the
+    flag (the reference's own test.xlsx sheet 2 is such a file; its
+    published conversion data/converted/sheet_2.csv proves the 1904
+    epoch). Default ``None`` trusts the file.
+    """
     def parse(p):
         if p.endswith(".xlsx") or p.endswith(".xlsm"):
-            grid = _read_xlsx_grid(p, sheet)
+            grid = _read_xlsx_grid(p, sheet, date1904)
         else:
             # native stdlib BIFF8 parse (r2 verdict #7) — OLE2 container
             # + record walk in io/xls.py; xlrd is only a fallback for
@@ -583,7 +620,7 @@ def read_xls(spark: SparkSession, path: str, sheet: int = 0,
             from .xls import read_biff_grid
 
             try:
-                grid = read_biff_grid(p, sheet)
+                grid = read_biff_grid(p, sheet, date1904)
             except ValueError:
                 try:
                     import xlrd  # type: ignore
@@ -619,7 +656,8 @@ def _xl_cell(cell, datemode):  # pragma: no cover - xlrd path
     return cell.value
 
 
-def _read_xlsx_grid(path: str, sheet: int = 0) -> list[list]:
+def _read_xlsx_grid(path: str, sheet: int = 0,
+                    force_1904: bool | None = None) -> list[list]:
     """Tiny xlsx reader: worksheet XML + sharedStrings, stdlib only.
 
     Handles inline/shared strings, numbers, booleans, and the Excel
@@ -630,17 +668,78 @@ def _read_xlsx_grid(path: str, sheet: int = 0) -> list[list]:
     import xml.etree.ElementTree as ET
     import zipfile
 
+    from .xls import _DATE_FMT_RE, _DATE_IFMTS, _serial_to_iso
+
     NS = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    R_NS = ("{http://schemas.openxmlformats.org/officeDocument/2006/"
+            "relationships}id")
     with zipfile.ZipFile(path) as z:
+        names = set(z.namelist())
         shared = []
-        if "xl/sharedStrings.xml" in z.namelist():
+        if "xl/sharedStrings.xml" in names:
             root = ET.fromstring(z.read("xl/sharedStrings.xml"))
             for si in root.findall("m:si", NS):
                 shared.append("".join(t.text or "" for t in si.iter(
                     "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}t")))
-        # sheet index → file name via workbook order (1-based default)
+        # workbook: 1904 date system flag + sheet order → rel targets
+        date1904 = False
         sheet_path = f"xl/worksheets/sheet{sheet + 1}.xml"
+        if "xl/workbook.xml" in names:
+            wb = ET.fromstring(z.read("xl/workbook.xml"))
+            pr = wb.find("m:workbookPr", NS)
+            if pr is not None and pr.get("date1904", "0").lower() in (
+                    "1", "true"):
+                date1904 = True
+            rels = {}
+            if "xl/_rels/workbook.xml.rels" in names:
+                for rel in ET.fromstring(
+                        z.read("xl/_rels/workbook.xml.rels")):
+                    tgt = rel.get("Target", "").lstrip("/")
+                    rels[rel.get("Id")] = (
+                        tgt if tgt.startswith("xl/") else "xl/" + tgt)
+            sheet_el = wb.find("m:sheets", NS)
+            sheet_nodes = (sheet_el.findall("m:sheet", NS)
+                           if sheet_el is not None else [])
+            if sheet < len(sheet_nodes):
+                rid = sheet_nodes[sheet].get(R_NS)
+                if rid in rels:
+                    sheet_path = rels[rid]
+        if force_1904 is not None:
+            date1904 = force_1904
+        # styles: cellXfs numFmtId per style index; date-format detect
+        # mirrors the BIFF reader (io/xls.py is_date_xf)
+        xf_ifmt: list[int] = []
+        fmt_strings: dict[int, str] = {}
+        if "xl/styles.xml" in names:
+            st = ET.fromstring(z.read("xl/styles.xml"))
+            nf = st.find("m:numFmts", NS)
+            if nf is not None:
+                for f in nf.findall("m:numFmt", NS):
+                    fmt_strings[int(f.get("numFmtId"))] = \
+                        f.get("formatCode", "")
+            cx = st.find("m:cellXfs", NS)
+            if cx is not None:
+                for xf in cx.findall("m:xf", NS):
+                    xf_ifmt.append(int(xf.get("numFmtId", "0")))
         root = ET.fromstring(z.read(sheet_path))
+
+    def is_date_style(s_attr: str | None) -> bool:
+        if s_attr is None:
+            return False
+        try:
+            ixfe = int(s_attr)
+        except ValueError:
+            return False
+        if ixfe >= len(xf_ifmt):
+            return False
+        ifmt = xf_ifmt[ixfe]
+        if ifmt in _DATE_IFMTS:
+            return True
+        fmt = fmt_strings.get(ifmt)
+        if not fmt:
+            return False
+        bare = re.sub(r'"[^"]*"|\[[^\]]*\]', "", fmt)
+        return bool(_DATE_FMT_RE.search(bare)) and "#" not in bare
 
     def col_idx(ref: str) -> int:
         s = 0
@@ -675,6 +774,9 @@ def _read_xlsx_grid(path: str, sheet: int = 0) -> list[list]:
                         val = float(raw)
                     except ValueError:
                         val = raw
+                if isinstance(val, (int, float)) and not isinstance(
+                        val, bool) and is_date_style(c.get("s")):
+                    val = _serial_to_iso(float(val), date1904)
             else:
                 val = ""
             cells[col_idx(ref)] = val
@@ -1077,11 +1179,15 @@ def _records_df(spark: SparkSession, rows: list[dict],
     norm = [tuple(r.get(c) for c in cols) for r in rows]
     try:
         return spark.createDataFrame(norm, schema=cols)
-    except ValueError:
-        # A column that is None in every row (always-null GeoJSON
-        # property, empty DBF field) defeats Spark's type inference
-        # ("Some of types cannot be determined"); build an explicit
-        # schema from observed python values, all-None → string.
+    except (ValueError, TypeError):
+        # Two inference defeats: a column that is None in every row
+        # (always-null GeoJSON property, empty DBF field) → "Some of
+        # types cannot be determined" (ValueError); a column mixing
+        # int and float, or numbers and text (messy spreadsheets) →
+        # CANNOT_MERGE_TYPE (PySparkTypeError, a TypeError). Build an
+        # explicit schema from observed python values — widen
+        # int+float to double, anything else mixed to string — and
+        # coerce the values to match.
         import datetime as _dt
         import decimal as _dec
 
@@ -1091,34 +1197,53 @@ def _records_df(spark: SparkSession, rows: list[dict],
                                        TimestampType)
 
         def _spark_type(i):
-            saw_int = saw_float = False
+            kinds = set()
             for row in norm:
                 v = row[i]
                 if v is None:
                     continue
                 if isinstance(v, bool):
-                    return BooleanType()
-                if isinstance(v, int):
-                    saw_int = True
+                    kinds.add("bool")
+                elif isinstance(v, int):
+                    kinds.add("int")
                 elif isinstance(v, float):
-                    saw_float = True
+                    kinds.add("float")
                 elif isinstance(v, _dec.Decimal):
-                    return DecimalType(38, 18)
+                    kinds.add("dec")
                 elif isinstance(v, _dt.datetime):
-                    return TimestampType()
+                    kinds.add("ts")
                 elif isinstance(v, _dt.date):
-                    return DateType()
+                    kinds.add("date")
                 else:
-                    return StringType()
-            if saw_float:
+                    kinds.add("str")
+            if not kinds:
+                return StringType()
+            if len(kinds) == 1:
+                return {"bool": BooleanType(), "int": LongType(),
+                        "float": DoubleType(), "dec": DecimalType(38, 18),
+                        "ts": TimestampType(), "date": DateType(),
+                        "str": StringType()}[kinds.pop()]
+            if kinds <= {"int", "float"}:
                 return DoubleType()
-            if saw_int:
-                return LongType()
             return StringType()
 
         schema = StructType([StructField(c, _spark_type(i))
                              for i, c in enumerate(cols)])
-        return spark.createDataFrame(norm, schema=schema)
+
+        def _coerce(v, t):
+            if v is None:
+                return None
+            if isinstance(t, DoubleType) and isinstance(v, int) \
+                    and not isinstance(v, bool):
+                return float(v)
+            if isinstance(t, StringType) and not isinstance(v, str):
+                return str(v)
+            return v
+
+        fixed = [tuple(_coerce(v, f.dataType)
+                       for v, f in zip(row, schema.fields))
+                 for row in norm]
+        return spark.createDataFrame(fixed, schema=schema)
 
 
 def _per_file(spark: SparkSession, path: str, parse) -> DataFrame:

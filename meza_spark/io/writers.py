@@ -64,6 +64,9 @@ def records2csv(df: DataFrame, path: str, header: bool = True,
     ``single_file=True``: coalesce(1) + collapse — the meza-style one
     .csv artifact; only for driver-sized results.
     """
+    # RFC 4180 quoting (doubled "" escapes, like the reference's python
+    # csv.writer) unless the caller overrides `escape`
+    options.setdefault("escape", '"')
     w = df.write.mode("overwrite").option("header", str(header).lower())
     for k, v in options.items():
         w = w.option(k, v)
@@ -137,8 +140,10 @@ def records2geojson(df: DataFrame, path: str, id_col: str = "id",
                 if has_pos else F.lit(0))
     seq_parts = ([F.coalesce(F.col(seq_col).cast("long"),
                              F.lit(0)).alias("seq")] if has_seq else [])
+    gtype_expr = (F.first("type") if "type" in df.columns
+                  else F.lit("Point"))  # no geometry-type column → Points
     grouped = (df.groupBy(id_col)
-               .agg(F.first("type").alias("_gtype"),
+               .agg(gtype_expr.alias("_gtype"),
                     F.sort_array(F.collect_list(F.struct(
                         pos_expr.alias("pos"), *seq_parts,
                         F.col(lon_col).alias("lon"),

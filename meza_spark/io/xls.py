@@ -240,6 +240,12 @@ def _rk_value(rk: int) -> float | int:
 
 
 def _serial_to_iso(serial: float, date1904: bool) -> str:
+    if 0 <= serial < 1:
+        # time-of-day only (no date part) — the reference renders these
+        # as %H:%M:%S (meza/io.py:998-1001, sanitize_sheet time_func)
+        secs = round(serial * 86400)
+        return "%02d:%02d:%02d" % (secs // 3600, secs // 60 % 60,
+                                   secs % 60)
     if date1904:
         epoch = datetime.datetime(1904, 1, 1)
     else:
@@ -251,11 +257,17 @@ def _serial_to_iso(serial: float, date1904: bool) -> str:
     dt = epoch + datetime.timedelta(days=serial)
     if abs(serial - int(serial)) < 1e-9:
         return dt.date().isoformat()
-    return dt.replace(microsecond=round(dt.microsecond, -3) % 1000000) \
-             .isoformat()
+    # snap sub-millisecond float noise to the whole second (with carry —
+    # a bare microsecond=0 replace would truncate :12.99999 to :12)
+    if dt.microsecond >= 999000:
+        dt += datetime.timedelta(microseconds=1000000 - dt.microsecond)
+    elif dt.microsecond < 1000:
+        dt = dt.replace(microsecond=0)
+    return dt.isoformat()
 
 
-def read_biff_grid(path: str, sheet: int = 0) -> list[list]:
+def read_biff_grid(path: str, sheet: int = 0,
+                   force_1904: bool | None = None) -> list[list]:
     """Parse one .xls file → dense grid (list of rows) with the same
     cell semantics as the xlsx reader: numbers as int/float, strings,
     booleans, date-formatted serials as ISO strings."""
@@ -294,6 +306,8 @@ def read_biff_grid(path: str, sheet: int = 0) -> list[list]:
             sheets.append(struct.unpack("<I", rec[:4])[0])
     if pending_sst is not None:
         sst = _parse_sst(*pending_sst)
+    if force_1904 is not None:
+        date1904 = force_1904
 
     def is_date_xf(ixfe: int) -> bool:
         if ixfe >= len(xf_ifmt):

@@ -1524,19 +1524,51 @@ _HUFF_AC_CHROM = (
 
 _JPEG_NP = None
 
+# Orthonormal 8-point DCT-II basis A (DCT C = A B Aᵀ, IDCT
+# B = Aᵀ C A) as shortest-roundtrip double LITERALS rather than a
+# runtime cos() call: libm's cos differs in the last ulp across
+# host images, and one ulp in the basis flips isolated IDCT
+# round-to-uint8 decisions — which broke the "bit-deterministic
+# across environments" pin contract when the round-7 container's
+# libm changed 18/500 grayscale means by a single pixel step.
+# Values = cos((2j+1)·iπ/16)/2, row 0 further /√2.
+_DCT_BASIS = [
+    [0.35355339059327373, 0.35355339059327373, 0.35355339059327373,
+     0.35355339059327373, 0.35355339059327373, 0.35355339059327373,
+     0.35355339059327373, 0.35355339059327373],
+    [0.4903926402016152, 0.4157348061512726, 0.27778511650980114,
+     0.09754516100806417, -0.0975451610080641, -0.277785116509801,
+     -0.4157348061512727, -0.4903926402016152],
+    [0.46193976625564337, 0.19134171618254492, -0.19134171618254486,
+     -0.46193976625564337, -0.4619397662556434, -0.19134171618254517,
+     0.191341716182545, 0.46193976625564326],
+    [0.4157348061512726, -0.0975451610080641, -0.4903926402016152,
+     -0.2777851165098011, 0.2777851165098009, 0.4903926402016152,
+     0.09754516100806439, -0.41573480615127256],
+    [0.3535533905932738, -0.35355339059327373, -0.35355339059327384,
+     0.3535533905932737, 0.35355339059327384, -0.35355339059327334,
+     -0.35355339059327356, 0.3535533905932733],
+    [0.27778511650980114, -0.4903926402016152, 0.09754516100806415,
+     0.41573480615127273, -0.41573480615127256, -0.09754516100806401,
+     0.4903926402016153, -0.27778511650980076],
+    [0.19134171618254492, -0.4619397662556434, 0.46193976625564326,
+     -0.19134171618254495, -0.19134171618254528, 0.46193976625564337,
+     -0.4619397662556432, 0.19134171618254478],
+    [0.09754516100806417, -0.2777851165098011, 0.41573480615127273,
+     -0.4903926402016153, 0.4903926402016152, -0.4157348061512725,
+     0.27778511650980076, -0.09754516100806429],
+]
+
 
 def _jpeg_np():
     """Lazily-built numpy constants: zig-zag index vector and the
-    orthonormal 8-point DCT-II basis A (DCT C = A B Aᵀ, IDCT
-    B = Aᵀ C A)."""
+    literal DCT basis (see _DCT_BASIS)."""
     global _JPEG_NP
     if _JPEG_NP is None:
         import numpy as np
 
-        x = np.arange(8, dtype=np.float64)
-        a = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2
-        a[0] /= np.sqrt(2)
-        _JPEG_NP = {"zz": np.array(_JPEG_ZZ, dtype=np.int64), "A": a}
+        _JPEG_NP = {"zz": np.array(_JPEG_ZZ, dtype=np.int64),
+                    "A": np.array(_DCT_BASIS, dtype=np.float64)}
     return _JPEG_NP
 
 
@@ -2598,6 +2630,14 @@ def _decode_mp4_frames(b: bytes):
                          int.from_bytes(b[scs + 8 + 12 * i:
                                           scs + 12 + 12 * i], "big"))
                         for i in range(nrun)]
+                # ISO 14496-12 §8.7.4: runs start at chunk 1 with
+                # strictly increasing first_chunk; a violating table
+                # would silently mis-assign samples to chunks below
+                # (ADVICE r6 #3) — reject it as corrupt instead
+                if runs and (runs[0][0] != 1 or any(
+                        runs[i][0] >= runs[i + 1][0]
+                        for i in range(len(runs) - 1))):
+                    raise ValueError("invalid stsc first_chunk sequence")
                 # per-chunk sample counts expanded over all chunks
                 per_chunk = []
                 for ri, (first, spc) in enumerate(runs):
@@ -3022,7 +3062,12 @@ def _parse_f80(b: bytes) -> int:
         # which the skip paths can't catch (r6 review #2)
         raise ValueError("implausible 80-bit float exponent")
     val = sign * mant * 2.0 ** (exp - 16383 - 63)
-    return int(round(val))
+    rate = int(round(val))
+    if rate <= 0:
+        # a corrupt COMM with the sign bit set would otherwise flow a
+        # negative sample rate into duration math (ADVICE r6 #2)
+        raise ValueError("non-positive 80-bit sample rate")
+    return rate
 
 
 def _decode_aiff(b: bytes) -> dict:
@@ -3265,9 +3310,47 @@ def _video_frames_bytes(b: bytes):
     return frames, ts
 
 
+def _frames_with_decoder(b: bytes, decoder):
+    """Stdlib container walk first; ``decoder`` — the external-codec
+    plugin point (e.g. a PyAV/ffmpeg wrapper on a cluster that has
+    one) — only for payloads the stdlib tier gates on (H.264/HEVC
+    tracks, unknown containers). The external output passes the SAME
+    per-payload pixel budget and shape checks as the built-in codecs,
+    so a hostile payload can't route around the budgets via the hook.
+
+    ``decoder(payload: bytes) -> (frames, ts_ms)`` with ``frames`` an
+    iterable of HxWxC uint8 arrays (C in 1/3/4) and ``ts_ms`` the
+    per-frame start timestamps. Raise ValueError for payloads it
+    can't decode (kept skippable under ``unsupported='skip'``)."""
+    try:
+        return _video_frames_bytes(b)
+    except (NotImplementedError, ValueError):
+        if decoder is None:
+            raise
+    import numpy as np
+
+    frames, ts = decoder(b)
+    out, total = [], 0
+    for px in frames:
+        px = np.asarray(px)
+        if px.ndim != 3 or px.shape[2] not in (1, 3, 4):
+            raise ValueError("external decoder returned a non-HxWxC "
+                             "frame")
+        total += px.shape[0] * px.shape[1]
+        if total > MAX_DECODE_PIXELS:
+            raise ValueError("external decoder output exceeds the "
+                             "total-pixel decode budget")
+        out.append(px)
+    ts = [int(t) for t in ts]
+    if len(ts) != len(out):
+        raise ValueError("external decoder frame/timestamp length "
+                         "mismatch")
+    return out, ts
+
+
 def decode_video(df: DataFrame, payload_col: str = "payload",
                  id_col: str = "media_id",
-                 unsupported: str = "error") -> DataFrame:
+                 unsupported: str = "error", decoder=None) -> DataFrame:
     """REAL per-frame video decode via Arrow-batched ``mapInPandas``:
     one output row per frame with true pixel statistics. Containers:
     animated GIF (full GCE walk — transparency, delays, disposal
@@ -3278,7 +3361,13 @@ def decode_video(df: DataFrame, payload_col: str = "payload",
     through the real JPEG codec; for GIF/APNG ``ts_ms`` is the
     frame's cumulative start time, for AVI it comes from the avih
     frame duration. Other containers follow ``unsupported``
-    ('error' | 'skip'). Row-local, zero shuffle — the 100-TB shape."""
+    ('error' | 'skip'). Row-local, zero shuffle — the 100-TB shape.
+
+    ``decoder``: optional external-codec fallback for containers the
+    stdlib tier gates on (H.264/HEVC) — see
+    :func:`_frames_with_decoder` for the contract; budgets and the
+    row-per-frame shape are enforced on its output too. Without it,
+    compressed video keeps the honest ValueError gate."""
     out_schema = StructType([
         StructField(id_col, LongType()),
         StructField("frame_idx", IntegerType()),
@@ -3295,7 +3384,8 @@ def decode_video(df: DataFrame, payload_col: str = "payload",
                 if payload is None:
                     continue
                 try:
-                    frames, ts = _video_frames_bytes(bytes(payload))
+                    frames, ts = _frames_with_decoder(bytes(payload),
+                                                      decoder)
                 except (NotImplementedError, ValueError):
                     if unsupported == "skip":
                         continue
@@ -3352,8 +3442,11 @@ def image_features(df: DataFrame, payload_col: str = "payload",
 
 
 def frame_sample(df: DataFrame, payload_col: str = "payload",
-                 id_col: str = "media_id", every_ms: int = 1000) -> DataFrame:
+                 id_col: str = "media_id", every_ms: int = 1000,
+                 decoder=None) -> DataFrame:
     """Video frame sampling: one output row per ``every_ms`` tick.
+    ``decoder`` is the same external-codec plugin point as
+    :func:`decode_video` (budget-enforced fallback for H.264/HEVC).
 
     REAL for the frame-decodable containers (animated GIF, APNG,
     MJPEG AVI/MP4 — :func:`_video_frames_bytes`): each tick emits the
@@ -3377,7 +3470,7 @@ def frame_sample(df: DataFrame, payload_col: str = "payload",
                     continue
                 b = bytes(payload)
                 try:
-                    frames, ts = _video_frames_bytes(b)
+                    frames, ts = _frames_with_decoder(b, decoder)
                 except (NotImplementedError, ValueError):
                     # stub: pretend 5 frames, sample every `every_ms`
                     dur = 5000

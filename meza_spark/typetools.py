@@ -30,7 +30,10 @@ __all__ = ["detect_types", "guess_type_by_field", "guess_type_by_value"]
 
 _INT_RE = re.compile(r"^[+-]?\d{1,3}(,\d{3})*$|^[+-]?\d+$")
 _FLOAT_RE = re.compile(r"^[+-]?(\d{1,3}(,\d{3})*|\d*)\.\d+$|^[+-]?\d+\.?\d*[eE][+-]?\d+$")
-_CURRENCY_RE = re.compile(r"^[\$£€]")
+# currency symbols + thousand separators strip ANYWHERE, matching the
+# reference's fntools.strip (meza/fntools.py:426-451) — '41800000.01,'
+# (a separator-mangled fixed-width field) must still read as numeric
+_CURRENCY_RE = re.compile(r"[\$£€,]")
 _TIME_RE = re.compile(r"^\d{1,2}:\d{2}(:\d{2})?(\s*[aApP][mM])?$")
 _DATE_RE = re.compile(
     r"^(\d{4}[-/]\d{1,2}[-/]\d{1,2}|\d{1,2}[-/]\d{1,2}[-/]\d{2,4}|"
@@ -125,10 +128,10 @@ def _widen(types: set[str]) -> str:
     return "text"
 
 
-def _confidence(count: int, a: float = 0.5) -> float:
+def _confidence(count: int, a: float = 6) -> float:
     """Log-asymptotic confidence a·ln(1+x)/(1+a·ln(1+x))
-    (ref: meza/process.py:198-200 gen_confidences)."""
-    x = a * math.log(1 + count)
+    (ref: meza/process.py:258-260 gen_confidences, a = hweight)."""
+    x = a * math.log1p(count)
     return round(x / (1 + x), 2)
 
 
@@ -157,38 +160,55 @@ def detect_types(source: DataFrame | Iterable[dict],
                 break
         names = list(rows[0].keys()) if rows else []
 
-    tally: dict[str, dict[str, float]] = {n: {} for n in names}
-    for n in names:
-        t = guess_type_by_field(n)
-        tally[n][t] = tally[n].get(t, 0) + hweight
+    # Votes come from VALUES ONLY. The reference's header-name guesses
+    # (guess_type_by_field) never reach its tally: meza/process.py:328-332
+    # consumes the ftypes generator building the dict, so the follow-up
+    # `[iadd(tally[...][...], hweight)]` iterates an exhausted generator
+    # (and iadd on an int is a no-op anyway) — verified by running the
+    # reference detect_types directly. hweight only weights the
+    # confidence formula (gen_confidences, meza/process.py:258-260).
+    tally: dict[str, dict[str, int]] = {n: {} for n in names}
+
+    def _pick(votes: dict[str, int]) -> str:
+        # reference gen_types (meza/process.py:205-241): the SET of
+        # observed types decides — null drops out, a single survivor
+        # wins, compatible sets merge ({float,int}→float,
+        # {date,time,datetime}→datetime, {bool,int}→int), anything
+        # else → text. Counts don't matter.
+        non_null = {t for t in votes if t != "null"}
+        if not non_null:
+            # all-null column: the reference yields type 'null' here;
+            # we widen to text (same rendering — every value is empty)
+            return "text"
+        if len(non_null) == 1:
+            return next(iter(non_null))
+        return _widen(non_null)
 
     count = 0
     confidence = 0.0
+    types: list[dict[str, str]] = [{"id": n, "type": "text"}
+                                   for n in names]
     for row in rows:
         count += 1
         for n in names:
             t = guess_type_by_value(row.get(n))
             tally[n][t] = tally[n].get(t, 0) + 1
-        confidence = _confidence(count + hweight)
+        types = [{"id": n, "type": _pick(tally[n])} for n in names]
+        # reference confidence (meza/process.py:258-260): per-field
+        # a·ln(1+votes_for_chosen)/(1+same), a=hweight; overall = min
+        confidence = min(
+            (_confidence(tally[n].get(t["type"],
+                                      tally[n].get("null", 0)), hweight)
+             for n, t in zip(names, types)), default=0.0)
         if confidence >= min_conf:
             break
-
-    types = []
-    for n in names:
-        votes = tally[n]
-        # winner = most-voted; ties broken by widening the tied set
-        best = max(votes.values())
-        winners = {t for t, v in votes.items() if v == best}
-        non_null = {t for t in votes if t != "null"}
-        t = _widen(winners) if len(winners) > 1 else next(iter(winners))
-        if t == "null" and non_null:
-            t = _widen(non_null)
-        types.append({"id": n, "type": t})
 
     result = {
         "types": types,
         "confidence": confidence,
         "count": count,
         "accuracy": min_conf,
+        # reference result key (meza/process.py:352-356)
+        "accurate": confidence >= min_conf,
     }
     return source, result

@@ -1808,3 +1808,181 @@ def test_mp4_and_aiff_hostile_headers():
     with _pytest.raises(ValueError):
         mm._decode_aiff(bytes(aiff))
     assert mm._parse_headers(bytes(aiff))["format"] == "aiff"
+
+
+def test_aiff_negative_rate_and_stsc_validation():
+    """ADVICE r7: (a) a COMM whose 80-bit sample rate has the sign bit
+    set must raise (skippable), not flow a negative rate into the
+    duration math; (b) an stsc table whose first run doesn't start at
+    chunk 1 (or whose first_chunk values don't strictly increase) is
+    corrupt per ISO 14496-12 §8.7.4 and must raise, not silently
+    mis-assign samples to chunks."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from meza_spark.llm import multimodal as mm
+
+    # sign-bit-set 44100: exponent in the plausible band, value < 0
+    f80 = bytearray(_f80(44100))
+    f80[0] |= 0x80
+    with _pytest.raises(ValueError, match="non-positive"):
+        mm._parse_f80(bytes(f80))
+    aiff = bytearray(_aiff([0, 100, -100, 50]))
+    at = aiff.find(b"COMM") + 8 + struct.pack(">HIH", 1, 4, 16).__len__()
+    aiff[at] |= 0x80  # sign bit of the COMM rate field
+    with _pytest.raises(ValueError):
+        mm._decode_aiff(bytes(aiff))
+
+    f = np.full((8, 8, 3), 50, np.uint8)
+    mp4 = bytearray(mm._encode_mp4_mjpeg([f, f]))
+    at = mp4.find(b"stsc")
+    # entry 0's first_chunk := 2 (must be 1)
+    mp4_bad = bytearray(mp4)
+    mp4_bad[at + 12:at + 16] = struct.pack(">I", 2)
+    with _pytest.raises(ValueError, match="stsc"):
+        mm._decode_mp4_frames(bytes(mp4_bad))
+
+
+def test_decode_video_external_decoder_hook(spark):
+    """Verdict r6 #5: the `decoder=` plugin point. A fake external
+    decoder (standing in for PyAV/ffmpeg) receives exactly the
+    payloads the stdlib tier gates on, its frames flow through the
+    row-per-frame contract, the pixel budget still applies to its
+    output, and with no decoder the honest gate is unchanged."""
+    import numpy as np
+    import pytest as _pytest
+
+    from meza_spark.llm import multimodal as mm
+
+    f1 = np.full((4, 6, 3), 20, np.uint8)
+    gif = mm._encode_gif_anim([f1, f1], delays_ms=[30, 40])
+    fake_h264 = b"\x00\x00\x00\x18ftypisom" + b"\x5a" * 64
+
+    def fake_decoder(payload):
+        # derive pixels from the payload so the assertion below proves
+        # the hook received the actual bytes (the decoder runs in the
+        # executor worker — a driver-side `seen` list can't observe it)
+        v = payload[-1]  # 0x5a = 90
+        return [np.full((2, 3, 3), v, np.uint8),
+                np.full((2, 3, 3), 10, np.uint8)], [0, 40]
+
+    df = spark.createDataFrame(
+        [(1, bytearray(gif)), (2, bytearray(fake_h264))],
+        "media_id long, payload binary")
+    rows = mm.decode_video(df, decoder=fake_decoder).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    # GIF went through the stdlib walk (decoder never saw it)
+    assert len(by_id[1]) == 2 and len(by_id[2]) == 2
+    ext = sorted(by_id[2], key=lambda r: r["frame_idx"])
+    assert [r["ts_ms"] for r in ext] == [0, 40]
+    assert ext[0]["mean_pixel"] == 90.0 and ext[0]["width"] == 3
+
+    # budget: an external decoder returning > MAX_DECODE_PIXELS raises
+    def bomb_decoder(payload):
+        return [np.zeros((8000, 9000, 3), np.uint8)], [0]
+
+    with _pytest.raises(ValueError, match="decode budget"):
+        mm._frames_with_decoder(fake_h264, bomb_decoder)
+    # shape check: non-HxWxC output rejected
+    with _pytest.raises(ValueError, match="non-HxWxC"):
+        mm._frames_with_decoder(
+            fake_h264, lambda b: ([np.zeros((4, 4))], [0]))
+    # length mismatch rejected
+    with _pytest.raises(ValueError, match="length mismatch"):
+        mm._frames_with_decoder(
+            fake_h264, lambda b: ([np.zeros((2, 2, 3), np.uint8)], []))
+    # no decoder → honest gate unchanged
+    with _pytest.raises(ValueError):
+        mm._frames_with_decoder(fake_h264, None)
+    # frame_sample shares the hook: ticks come from external frames
+    fs = mm.frame_sample(
+        spark.createDataFrame([(2, bytearray(fake_h264))],
+                              "media_id long, payload binary"),
+        every_ms=40, decoder=fake_decoder).collect()
+    assert [r["ts_ms"] for r in fs] == [0, 40]
+    assert [r["frame_idx"] for r in fs] == [0, 1]
+
+
+def test_pillow_dispatch_and_fallback_without_pillow(monkeypatch):
+    """Verdict r6 #3 fallback option: Pillow isn't installable in this
+    environment, so exercise the dispatch-and-fallback logic with a
+    fake PIL vendored into sys.modules — (a) the opt-in routes
+    lossless payloads through the Pillow branch, (b) the pixel budget
+    is checked BEFORE the pixel load, (c) any Pillow error falls back
+    to the authoritative stdlib path, (d) lossy payloads (JPEG) never
+    touch Pillow. The bit-parity pin on a real Pillow host remains
+    test_pillow_parity_lossless_codecs."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from meza_spark.llm import multimodal as mm
+
+    px = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
+    png = mm._encode_png(px)
+    jpg = mm._encode_jpeg(px)
+    calls = {"open": 0, "load": 0}
+
+    class FakeIm:
+        format = "PNG"
+        mode = "RGB"
+
+        def __init__(self, huge):
+            self.size = (100_000, 100_000) if huge else (3, 3)
+            self._huge = huge
+
+        def load(self):
+            calls["load"] += 1
+
+        def __array__(self, dtype=None, copy=None):
+            return px.copy()
+
+    fake_image = types.SimpleNamespace()
+    state = {"huge": False, "boom": False}
+
+    def fake_open(buf):
+        calls["open"] += 1
+        if state["boom"]:
+            raise OSError("fake pillow failure")
+        return FakeIm(state["huge"])
+
+    fake_image.open = fake_open
+    pil = types.ModuleType("PIL")
+    pil.Image = fake_image
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image)
+    monkeypatch.setenv("MEZA_SPARK_PILLOW", "1")
+    monkeypatch.setattr(mm, "_PILLOW", None)   # re-evaluate opt-in
+
+    # (a) dispatch: PNG goes through the fake and returns its pixels
+    out = mm.decode_pixels(png)
+    assert calls["open"] == 1 and calls["load"] == 1
+    assert np.array_equal(out, px)
+
+    # (b) budget precedes load: huge declared size → ValueError inside
+    # the Pillow branch BEFORE .load(); decode_pixels then falls back
+    # to the stdlib decode of the real (tiny) payload
+    state["huge"] = True
+    out2 = mm.decode_pixels(png)
+    assert calls["load"] == 1           # load never ran for the bomb
+    assert np.array_equal(out2, mm._decode_png(png))
+    state["huge"] = False
+
+    # (c) Pillow blows up → stdlib fallback, bit-identical result
+    state["boom"] = True
+    out3 = mm.decode_pixels(png)
+    assert np.array_equal(out3, mm._decode_png(png))
+    state["boom"] = False
+
+    # (d) JPEG is never routed through Pillow
+    before = calls["open"]
+    mm.decode_pixels(jpg)
+    assert calls["open"] == before
+
+    # leave the module flag reset for other tests
+    monkeypatch.setattr(mm, "_PILLOW", None)

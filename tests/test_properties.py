@@ -667,3 +667,118 @@ def test_jpeg_roundtrip_error_bound_property(seed, quality):
     solid = np.full((9, 7, 3), int(rng.integers(0, 256)), np.uint8)
     assert np.array_equal(_decode_jpeg(_encode_jpeg(solid, quality=90)),
                           solid)
+
+
+# ---------------------------------------------------------------------------
+# Container-walk fuzz (round-7 verdict #7): byte-mutate valid media
+# payloads and assert every decoder either succeeds, raises the
+# skippable ValueError/NotImplementedError pair, or hits a budget —
+# never MemoryError, never an unwrapped struct/index error, never a
+# hang past a time bound, on ANY mutation.
+# ---------------------------------------------------------------------------
+
+import struct as _struct
+import time as _time
+
+import pytest
+
+
+def _px(w=12, h=9, seed=7):
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def _wav_fixture():
+    import numpy as np
+    data = (np.sin(np.arange(400) / 9.0) * 12000).astype("<i2").tobytes()
+    return (b"RIFF" + _struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, 8000,
+                                     16000, 2, 16)
+            + b"data" + _struct.pack("<I", len(data)) + data)
+
+
+def _aiff_fixture():
+    import numpy as np
+    data = (np.sin(np.arange(300) / 7.0) * 9000).astype(">i2").tobytes()
+    # 8000 Hz as an 80-bit float: exp 16383+12, mantissa 8000<<51
+    f80 = _struct.pack(">HQ", 16383 + 12, 8000 << 51)
+    comm = b"COMM" + _struct.pack(">I", 18) \
+        + _struct.pack(">HIH", 1, 300, 16) + f80
+    ssnd = b"SSND" + _struct.pack(">I", 8 + len(data)) \
+        + _struct.pack(">II", 0, 0) + data
+    form = b"AIFF" + comm + ssnd
+    return b"FORM" + _struct.pack(">I", len(form)) + form
+
+
+def _au_fixture():
+    import numpy as np
+    data = (np.sin(np.arange(300) / 7.0) * 9000).astype(">i2").tobytes()
+    return b".snd" + _struct.pack(">IIIII", 24, len(data), 3, 8000, 1) \
+        + data
+
+
+def _media_fixtures():
+    from meza_spark.llm import multimodal as mm
+    p = _px()
+    f1, f2 = _px(seed=1), _px(seed=2)
+    return {
+        "png": (mm._encode_png(p), "image"),
+        "gif": (mm._encode_gif_anim([f1, f2], delays_ms=[20, 30]),
+                "video"),
+        "apng": (mm._encode_apng([f1, f2], delays_ms=[20, 30]), "video"),
+        "tiff": (mm._encode_tiff(p), "image"),
+        "jpeg": (mm._encode_jpeg(p), "image"),
+        "bmp": (mm._encode_bmp(p), "image"),
+        "mp4": (mm._encode_mp4_mjpeg([f1, f2]), "video"),
+        "avi": (mm._encode_avi_mjpeg([f1, f2]), "video"),
+        "wav": (_wav_fixture(), "audio"),
+        "aiff": (_aiff_fixture(), "audio"),
+        "au": (_au_fixture(), "audio"),
+    }
+
+
+_FUZZ_TIME_BOUND = 20.0  # seconds; real decodes here run in ms
+
+
+def _fuzz_decode(kind, payload):
+    from meza_spark.llm import multimodal as mm
+    t0 = _time.monotonic()
+    try:
+        if kind == "image":
+            out = mm.decode_pixels(payload)
+            assert out.ndim == 3
+        elif kind == "audio":
+            out = mm._decode_audio_bytes(payload)
+            assert isinstance(out, dict)
+        else:
+            frames, ts = mm._video_frames_bytes(payload)
+            assert len(frames) == len(ts)
+    except (ValueError, NotImplementedError):
+        pass  # the documented skippable outcomes
+    elapsed = _time.monotonic() - t0
+    assert elapsed < _FUZZ_TIME_BOUND, f"{kind} decode took {elapsed:.1f}s"
+
+
+@pytest.mark.parametrize("name", sorted(_media_fixtures()))
+@given(data=st.data())
+@settings(max_examples=80, deadline=None)
+def test_container_fuzz_never_bombs(name, data):
+    """Random byte edits + truncation/extension over a valid payload:
+    decode must finish fast and either succeed or raise the skippable
+    pair. Any MemoryError, unwrapped struct/index/zlib error, or hang
+    is a real parser bug."""
+    base, kind = _media_fixtures()[name]
+    b = bytearray(base)
+    n = len(b)
+    edits = data.draw(st.lists(
+        st.tuples(st.integers(0, n - 1), st.integers(0, 255)),
+        min_size=1, max_size=12))
+    for pos, val in edits:
+        b[pos] = val
+    mode = data.draw(st.sampled_from(["keep", "truncate", "extend"]))
+    if mode == "truncate":
+        b = b[:data.draw(st.integers(0, n))]
+    elif mode == "extend":
+        b += bytes(data.draw(st.integers(1, 64)))
+    _fuzz_decode(kind, bytes(b))
