@@ -57,6 +57,51 @@ def _dsum(c) -> F.Column:
     return F.sum(c.cast("decimal(38,8)")).cast("string").cast("double")
 
 
+def _meza_render(df: DataFrame) -> DataFrame:
+    """Render every column to the reference's CSV text conventions —
+    Python ``str()`` of the typed value: booleans 'True'/'False',
+    dates ISO, timestamps ISO-'T', doubles via shortest-roundtrip
+    ``repr`` (the one piece Spark's string cast gets wrong: it emits
+    4.18E7-style scientific notation where python writes
+    '41800000.01'), nulls ''. Used by the golden_* gates whose DuckDB
+    twin reads the reference's published data/converted/*.csv
+    verbatim, so both sides must agree on TEXT."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _frepr(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: None if pd.isna(v) else repr(float(v)))
+
+    cols = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        t = f.dataType.simpleString()
+        if t == "boolean":
+            r = F.when(c, F.lit("True")).when(~c, F.lit("False"))
+        elif t == "date":
+            r = F.date_format(c, "yyyy-MM-dd")
+        elif t == "timestamp":
+            r = F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss")
+        elif t in ("double", "float"):
+            r = _frepr(c)
+        else:
+            r = c.cast("string")
+        cols.append(F.coalesce(r, F.lit("")).alias(f.name))
+    return df.select(*cols)
+
+
+def _detect_cast(df: DataFrame) -> DataFrame:
+    """The reference's README pipeline: detect then cast. hweight=1
+    minimizes the confidence prior so the bounded sample converges on
+    value evidence alone (the detected types are hweight-independent —
+    see typetools.detect_types)."""
+    from meza_spark import typetools as tt
+
+    _, res = tt.detect_types(df, hweight=1)
+    return cv.type_cast(df, res["types"])
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -2434,6 +2479,99 @@ def hello_world_pipeline(spark, sf_dir):
     return pr.merge(numeric, op="max", pred=lambda c: True)
 
 
+_REF_TEST = "/root/reference/data/test"
+
+
+def golden_json(spark, sf_dir):
+    """EXTERNAL golden gate (r6 verdict #1 under the DRIVER's hash):
+    the reference's test.json through read→detect_types→type_cast,
+    rendered to the reference's CSV text conventions; the DuckDB twin
+    reads the reference's OWN published conversion
+    data/converted/json.csv verbatim. sf_dir is unused — the fixture
+    corpus is the reference's, by design."""
+    from meza_spark.io.readers import read_json
+
+    return _meza_render(_detect_cast(
+        read_json(spark, f"{_REF_TEST}/test.json")))
+
+
+def golden_json_multiline(spark, sf_dir):
+    """newline.json (NDJSON) ≙ data/converted/json_multiline.csv."""
+    from meza_spark.io.readers import read_ndjson
+
+    return _meza_render(_detect_cast(
+        read_ndjson(spark, f"{_REF_TEST}/newline.json")))
+
+
+def golden_fixed(spark, sf_dir):
+    """fixed.txt (8-column width spec, golden header names)
+    ≙ data/converted/fixed.csv — width slicing, the all-blank row,
+    and the separator-mangled '41800000.01,' float field."""
+    from meza_spark.io.readers import read_fixed_fmt
+
+    fx = read_fixed_fmt(spark, f"{_REF_TEST}/fixed.txt",
+                        [0, 18, 29, 33, 38, 50, 58, 77])
+    fx = fx.toDF("text", "date", "integer", "boolean", "float", "time",
+                 "datetime", "empty_column")
+    return _meza_render(_detect_cast(fx))
+
+
+def golden_dbf(spark, sf_dir):
+    """test.dbf ≙ data/converted/dbf.csv — zero-padded codes stay
+    text, +signed coordinates cast float, N/F letters cast bool."""
+    from meza_spark.io.readers import read_dbf
+
+    return _meza_render(_detect_cast(
+        read_dbf(spark, f"{_REF_TEST}/test.dbf")))
+
+
+def golden_sheet2(spark, sf_dir):
+    """test.xlsx sheet 2 ≙ data/converted/sheet_2.csv. The fixture
+    carries 1904-epoch serials without the workbookPr flag (proved by
+    the golden itself and the same rows in test.json), hence
+    date1904=True; the blank ninth header is the tabutils-era
+    '_unnamed' in the golden and column_9 here."""
+    from meza_spark.io.readers import read_xls
+
+    df = read_xls(spark, f"{_REF_TEST}/test.xlsx", sheet=1,
+                  date1904=True)
+    return _meza_render(_detect_cast(df)
+                        .withColumnRenamed("column_9", "_unnamed"))
+
+
+def golden_geojson(spark, sf_dir):
+    """RFC 7946's canonical FeatureCollection (reconstructed verbatim
+    from the public spec — the golden's source file is not checked
+    in) through read_geojson(explode=False) ≙
+    data/converted/geojson.csv: feature-level records, geometry
+    serialized into a `geojson` column, heterogeneous prop1 widening
+    to text with Python renderings ('0.0', "{'this': 'that'}")."""
+    import json as _j
+
+    from meza_spark.io.readers import read_geojson
+
+    rfc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature",
+         "geometry": {"type": "Point", "coordinates": [102.0, 0.5]},
+         "properties": {"prop0": "value0"}},
+        {"type": "Feature",
+         "geometry": {"type": "LineString",
+                      "coordinates": [[102.0, 0.0], [103.0, 1.0],
+                                      [104.0, 0.0], [105.0, 1.0]]},
+         "properties": {"prop0": "value0", "prop1": 0.0}},
+        {"type": "Feature",
+         "geometry": {"type": "Polygon",
+                      "coordinates": [[[100.0, 0.0], [101.0, 0.0],
+                                       [101.0, 1.0], [100.0, 1.0],
+                                       [100.0, 0.0]]]},
+         "properties": {"prop0": "value0",
+                        "prop1": {"this": "that"}}}]}
+    p = f"/tmp/meza_golden_rfc7946_{os.path.basename(sf_dir.rstrip('/'))}.geojson"
+    with open(p, "w", encoding="utf-8") as f:
+        _j.dump(rfc, f)
+    return _meza_render(read_geojson(spark, p, explode=False))
+
+
 def q5_local_supplier(spark, sf_dir):
     """TPC-H Q5-style: 6-table join, dims broadcast, the only shuffles
     are lineitem⋈orders (largest pair) and the final agg key."""
@@ -4266,6 +4404,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_salted": agg_salted,
         "embed_ann_ivf": embed_ann_ivf,
         "hello_world_pipeline": hello_world_pipeline,
+        "golden_json": golden_json,
+        "golden_json_multiline": golden_json_multiline,
+        "golden_fixed": golden_fixed,
+        "golden_dbf": golden_dbf,
+        "golden_sheet2": golden_sheet2,
+        "golden_geojson": golden_geojson,
         "q5_local_supplier": q5_local_supplier,
         "io_join_ragged": io_join_ragged,
         "geojson_roundtrip": geojson_roundtrip,
@@ -5983,6 +6127,77 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT MAX(p_partkey) AS p_partkey, MAX(p_size) AS p_size,
                    MAX(p_retailprice) AS p_retailprice
             FROM part
+        """,
+        # EXTERNAL golden gates: the twin is the reference's OWN
+        # published conversion file, read verbatim (all_varchar so the
+        # comparison is on the golden's exact text; COALESCE restores
+        # the empty cells DuckDB parses as NULL)
+        "golden_json": """
+            SELECT COALESCE(text,'') AS text,
+                   COALESCE("float",'') AS "float",
+                   COALESCE("datetime",'') AS "datetime",
+                   COALESCE("boolean",'') AS "boolean",
+                   COALESCE("time",'') AS "time",
+                   COALESCE("date",'') AS "date",
+                   COALESCE("integer",'') AS "integer"
+            FROM read_csv('/root/reference/data/converted/json.csv',
+                          header=true, all_varchar=true)
+        """,
+        "golden_json_multiline": """
+            SELECT COALESCE(a,'') AS a, COALESCE(b,'') AS b,
+                   COALESCE(d,'') AS d
+            FROM read_csv(
+              '/root/reference/data/converted/json_multiline.csv',
+              header=true, all_varchar=true)
+        """,
+        "golden_fixed": """
+            SELECT COALESCE(text,'') AS text,
+                   COALESCE("date",'') AS "date",
+                   COALESCE("integer",'') AS "integer",
+                   COALESCE("boolean",'') AS "boolean",
+                   COALESCE("float",'') AS "float",
+                   COALESCE("time",'') AS "time",
+                   COALESCE("datetime",'') AS "datetime",
+                   COALESCE(empty_column,'') AS empty_column
+            FROM read_csv('/root/reference/data/converted/fixed.csv',
+                          header=true, all_varchar=true)
+        """,
+        "golden_dbf": """
+            SELECT COALESCE(statefp10,'') AS statefp10,
+                   COALESCE(cd111fp,'') AS cd111fp,
+                   COALESCE(geoid10,'') AS geoid10,
+                   COALESCE(namelsad10,'') AS namelsad10,
+                   COALESCE(lsad10,'') AS lsad10,
+                   COALESCE(cdsessn,'') AS cdsessn,
+                   COALESCE(mtfcc10,'') AS mtfcc10,
+                   COALESCE(funcstat10,'') AS funcstat10,
+                   COALESCE(aland10,'') AS aland10,
+                   COALESCE(awater10,'') AS awater10,
+                   COALESCE(intptlat10,'') AS intptlat10,
+                   COALESCE(intptlon10,'') AS intptlon10
+            FROM read_csv('/root/reference/data/converted/dbf.csv',
+                          header=true, all_varchar=true)
+        """,
+        "golden_sheet2": """
+            SELECT COALESCE(text,'') AS text,
+                   COALESCE("date",'') AS "date",
+                   COALESCE("integer",'') AS "integer",
+                   COALESCE("boolean",'') AS "boolean",
+                   COALESCE("float",'') AS "float",
+                   COALESCE("time",'') AS "time",
+                   COALESCE("datetime",'') AS "datetime",
+                   COALESCE(empty_column,'') AS empty_column,
+                   COALESCE(_unnamed,'') AS _unnamed
+            FROM read_csv('/root/reference/data/converted/sheet_2.csv',
+                          header=true, all_varchar=true)
+        """,
+        "golden_geojson": """
+            SELECT COALESCE(id,'') AS id,
+                   COALESCE(prop0,'') AS prop0,
+                   COALESCE(prop1,'') AS prop1,
+                   COALESCE(geojson,'') AS geojson
+            FROM read_csv('/root/reference/data/converted/geojson.csv',
+                          header=true, all_varchar=true)
         """,
         "q5_local_supplier": f"""
             SELECT n_name,

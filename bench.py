@@ -121,6 +121,16 @@ HEADLINE = [
     "multimodal_au",
     "multimodal_apng",
     "multimodal_mp4v",
+    # round 7 additions (append-only)
+    "golden_json",
+    "golden_json_multiline",
+    "golden_fixed",
+    "golden_dbf",
+    "golden_sheet2",
+    "golden_geojson",
+    "zscore_fast_parity",
+    "cusum_fast_parity",
+    "ewma_fast_parity",
 ]
 
 

@@ -71,6 +71,13 @@ DEFAULT_QUERIES = [
     "multimodal_aiff",
     "multimodal_au",
     "mdb3_wide_roundtrip",
+    # round-7: the fast-path contract gates (full-outer join of the
+    # exact and IEEE twins must be layout-invariant) and the realigned
+    # type-inference convergence
+    "zscore_fast_parity",
+    "cusum_fast_parity",
+    "ewma_fast_parity",
+    "infer_types_orders",
 ]
 
 _WORKER = r"""
