@@ -92,7 +92,31 @@ class JetColumn:
                 f"num={self.num}, fixed={self.is_fixed})")
 
 
+# Hostile/corrupt .mdb bytes must surface as the dispatcher-expected
+# ValueError, not raw IndexError/struct.error from deep in the page
+# walk — at crawl scale a damaged file fails its task cleanly (and
+# `unsupported`-style callers can skip it) instead of presenting an
+# exception class nobody catches. Found by the round-7 byte-mutation
+# fuzz (tests/test_properties.py::test_io_parser_fuzz_never_bombs).
+_CORRUPT_ERRS = (struct.error, IndexError, KeyError, UnicodeDecodeError,
+                 OverflowError, ZeroDivisionError)
+
+
+def _corrupt_guard(fn):
+    import functools
+
+    @functools.wraps(fn)
+    def wrap(*a, **k):
+        try:
+            return fn(*a, **k)
+        except _CORRUPT_ERRS as e:
+            raise ValueError(
+                f"corrupt mdb: {type(e).__name__}: {e}") from e
+    return wrap
+
+
 class JetTable:
+    @_corrupt_guard
     def __init__(self, db: "JetDb", name: str, tdef_pg: int):
         self.db = db
         self.name = name
@@ -102,13 +126,18 @@ class JetTable:
     def _parse_tdef(self):
         db = self.db
         pg = db.page(self.tdef_pg)
-        if pg[0] != 0x02:
+        if not pg or pg[0] != 0x02:
             raise ValueError(f"page {self.tdef_pg} is not a TDEF page")
         # stitch continuation pages: the TDEF payload continues after
-        # each continuation page's 8-byte header
+        # each continuation page's 8-byte header; a corrupt pointer
+        # chain (cycle or out-of-range) must not loop forever
         buf = bytearray(pg)
         nxt, = struct.unpack_from("<I", pg, 4)
+        seen = {self.tdef_pg}
         while nxt:
+            if nxt in seen or nxt >= db.num_pages:
+                raise ValueError("corrupt TDEF continuation chain")
+            seen.add(nxt)
             cont = db.page(nxt)
             buf += cont[8:]
             nxt, = struct.unpack_from("<I", cont, 4)
@@ -184,11 +213,19 @@ class JetTable:
         """Yield rows as dicts (column name → python value) from every
         data page owned by this table's TDEF. Page discovery is a
         single sweep of the (≤2 GB) file — the usage-map walk mdbtools
-        does buys nothing at this format's size cap."""
+        does buys nothing at this format's size cap. Corrupt pages
+        surface as ValueError (see _corrupt_guard)."""
+        try:
+            yield from self._rows_walk()
+        except _CORRUPT_ERRS as e:
+            raise ValueError(
+                f"corrupt mdb: {type(e).__name__}: {e}") from e
+
+    def _rows_walk(self):
         db = self.db
         for p in range(db.num_pages):
             pg = db.page(p)
-            if pg[0] != 0x01:
+            if not pg or pg[0] != 0x01:
                 continue
             owner, = struct.unpack_from("<I", pg, 4)
             if owner != self.tdef_pg:
@@ -367,6 +404,8 @@ class JetDb:
                 self.data = f.read()
         if self.data[4:19] != b"Standard Jet DB":
             raise ValueError("not a Jet (.mdb) database")
+        if len(self.data) < 0x200:
+            raise ValueError("truncated Jet database header")
         self.version = 4 if self.data[0x14] >= 1 else 3
         self.fmt = _FMT[self.version]
         self.page_size = self.fmt["page_size"]
@@ -395,6 +434,7 @@ class JetDb:
             & 0x1FFF)
         return pg[off & 0x1FFF:end]
 
+    @_corrupt_guard
     def list_tables(self, include_system: bool = False):
         """``[(name, tdef_page)]`` in catalog order — the order
         ``mdb-tables`` prints (the reference's "first table" default,
@@ -415,6 +455,7 @@ class JetDb:
             out.append((name, tid & 0x00FFFFFF))
         return out
 
+    @_corrupt_guard
     def table(self, name: str | None = None) -> JetTable:
         tables = self.list_tables()
         if not tables:

@@ -62,6 +62,9 @@ def _cfb_streams(data: bytes) -> dict[str, bytes]:
     fat_sectors = [x for x in struct.unpack("<109I", data[76:512])
                    if x not in (_FREE, _ENDCHAIN)][:n_fat]
     di = difat_start
+    # a corrupt header can declare up to 2^32 DIFAT sectors; the real
+    # count can never exceed the file's sector capacity
+    n_difat = min(n_difat, len(data) // max(ssz, 64) + 1)
     for _ in range(n_difat):
         if di in (_FREE, _ENDCHAIN):
             break
@@ -270,9 +273,22 @@ def read_biff_grid(path: str, sheet: int = 0,
                    force_1904: bool | None = None) -> list[list]:
     """Parse one .xls file → dense grid (list of rows) with the same
     cell semantics as the xlsx reader: numbers as int/float, strings,
-    booleans, date-formatted serials as ISO strings."""
+    booleans, date-formatted serials as ISO strings.
+
+    Corrupt bytes raise ValueError (the error class the read_xls
+    dispatcher handles), never raw struct/index errors — a damaged
+    spreadsheet in a crawl fails its task cleanly (round-7 fuzz)."""
     with open(path, "rb") as f:
         data = f.read()
+    try:
+        return _biff_grid_walk(data, sheet, force_1904)
+    except (struct.error, IndexError, KeyError, UnicodeDecodeError,
+            OverflowError, ZeroDivisionError) as e:
+        raise ValueError(f"corrupt xls: {type(e).__name__}: {e}") from e
+
+
+def _biff_grid_walk(data: bytes, sheet: int,
+                    force_1904: bool | None) -> list[list]:
     streams = _cfb_streams(data)
     wb = streams.get("Workbook") or streams.get("Book")
     if wb is None:

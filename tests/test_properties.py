@@ -782,3 +782,101 @@ def test_container_fuzz_never_bombs(name, data):
     elif mode == "extend":
         b += bytes(data.draw(st.integers(1, 64)))
     _fuzz_decode(kind, bytes(b))
+
+
+# ---------------------------------------------------------------------------
+# Binary IO-parser fuzz (round-7 extension of the media-container fuzz):
+# a corrupt .mdb/.xls/WARC/tar shard in a 100-TB crawl must fail its
+# task with a clean, catchable error — never a hang, never MemoryError,
+# never an exception class the read dispatchers don't expect.
+# ---------------------------------------------------------------------------
+
+
+def _io_fixtures(tmp_dir):
+    import datetime as dt
+
+    from meza_spark.io.mdb import build_jet
+    from meza_spark.io.xls import write_biff
+
+    recs = [{"k": 1, "name": "ALGERIA", "ok": True, "score": 3.25,
+             "ts": dt.datetime(2001, 5, 17, 12, 30, 15)},
+            {"k": 2, "name": "bräzil", "ok": False, "score": None,
+             "ts": None}]
+    jet4 = build_jet({"nation": recs}, version=4)
+    jet3 = build_jet({"nation": recs}, version=3)
+    biff_path = f"{tmp_dir}/f.xls"
+    write_biff([["a", "b"], ["x", 1], ["y", 2.5]], biff_path)
+    with open(biff_path, "rb") as f:
+        biff = f.read()
+    warc = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Record-ID: <urn:uuid:1>\r\nContent-Length: 10\r\n"
+            b"WARC-Target-URI: http://x/\r\n\r\n0123456789\r\n\r\n") * 3
+    import io as _io
+    import tarfile as _tf
+    buf = _io.BytesIO()
+    with _tf.open(fileobj=buf, mode="w") as tf:
+        for name, payload in (("s1.txt", b"hello"), ("s1.json", b"{}"),
+                              ("s2.txt", b"world")):
+            ti = _tf.TarInfo(name)
+            ti.size = len(payload)
+            tf.addfile(ti, _io.BytesIO(payload))
+    tar = buf.getvalue()
+    return {"jet4": jet4, "jet3": jet3, "biff": biff, "warc": warc,
+            "tar": tar}
+
+
+def _io_fuzz_decode(kind, payload, tmp_dir):
+    import io as _io
+
+    from meza_spark.io.mdb import JetDb
+    from meza_spark.io.warc import _iter_warc_records
+    from meza_spark.io.webdataset import _iter_tar_samples
+    from meza_spark.io.xls import read_biff_grid
+
+    import tarfile as _tf
+
+    t0 = _time.monotonic()
+    try:
+        if kind in ("jet4", "jet3"):
+            db = JetDb(payload)
+            for t, _pg in db.list_tables():
+                list(db.table(t).rows())
+        elif kind == "biff":
+            p = f"{tmp_dir}/fz.xls"
+            with open(p, "wb") as f:
+                f.write(payload)
+            read_biff_grid(p)
+        elif kind == "warc":
+            list(_iter_warc_records(_io.BytesIO(payload)))
+        else:
+            # read_webdataset catches exactly (TarError, EOFError,
+            # OSError) around this iterator — the same set applies
+            try:
+                list(_iter_tar_samples(payload))
+            except (_tf.TarError, EOFError, OSError):
+                pass
+    except (ValueError, NotImplementedError):
+        pass  # the clean, dispatcher-expected failures
+    elapsed = _time.monotonic() - t0
+    assert elapsed < _FUZZ_TIME_BOUND, f"{kind} parse took {elapsed:.1f}s"
+
+
+@pytest.mark.parametrize("kind", ["jet4", "jet3", "biff", "warc", "tar"])
+@given(data=st.data())
+@settings(max_examples=80, deadline=None)
+def test_io_parser_fuzz_never_bombs(kind, data, tmp_path_factory):
+    tmp_dir = str(tmp_path_factory.mktemp("iofuzz"))
+    base = _io_fixtures(tmp_dir)[kind]
+    b = bytearray(base)
+    n = len(b)
+    edits = data.draw(st.lists(
+        st.tuples(st.integers(0, n - 1), st.integers(0, 255)),
+        min_size=1, max_size=12))
+    for pos, val in edits:
+        b[pos] = val
+    mode = data.draw(st.sampled_from(["keep", "truncate", "extend"]))
+    if mode == "truncate":
+        b = b[:data.draw(st.integers(0, n))]
+    elif mode == "extend":
+        b += bytes(data.draw(st.integers(1, 64)))
+    _io_fuzz_decode(kind, bytes(b), tmp_dir)
