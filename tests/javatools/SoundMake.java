@@ -1,0 +1,44 @@
+// Independent audio ENCODER: takes "rate channels n\n" + n*channels
+// little-endian int16 frames on stdin and writes a WAV, AIFF, or AU
+// file through javax.sound.sampled -- byte streams produced entirely
+// outside this repository, for exercising _decode_wav / _decode_aiff /
+// _decode_au against a second implementation's output (AIFF and AU are
+// written big-endian PCM by the JDK, WAV little-endian, exactly the
+// layouts the stdlib readers must handle).
+//
+//   usage: SoundMake <wav|aiff|au> <outfile>
+import javax.sound.sampled.*;
+import java.io.BufferedInputStream;
+import java.io.ByteArrayInputStream;
+import java.io.DataInputStream;
+import java.io.File;
+import java.io.InputStream;
+
+public class SoundMake {
+  public static void main(String[] args) throws Exception {
+    InputStream in = new BufferedInputStream(System.in, 1 << 16);
+    StringBuilder hdr = new StringBuilder();
+    int c;
+    while ((c = in.read()) != -1 && c != '\n') hdr.append((char) c);
+    String[] parts = hdr.toString().trim().split(" ");
+    int rate = Integer.parseInt(parts[0]), ch = Integer.parseInt(parts[1]);
+    long n = Long.parseLong(parts[2]);
+    byte[] raw = new byte[(int) (n * ch * 2)];
+    new DataInputStream(in).readFully(raw);
+    boolean wav = args[0].equals("wav");
+    // AIFF/AU are big-endian formats; swap the int16 payload for them.
+    if (!wav)
+      for (int i = 0; i < raw.length; i += 2) {
+        byte t = raw[i]; raw[i] = raw[i + 1]; raw[i + 1] = t;
+      }
+    AudioFormat fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        rate, 16, ch, ch * 2, rate, !wav);
+    AudioInputStream stream = new AudioInputStream(
+        new ByteArrayInputStream(raw), fmt, n);
+    AudioFileFormat.Type type =
+        wav ? AudioFileFormat.Type.WAVE
+            : args[0].equals("aiff") ? AudioFileFormat.Type.AIFF
+                                     : AudioFileFormat.Type.AU;
+    AudioSystem.write(stream, type, new File(args[1]));
+  }
+}
