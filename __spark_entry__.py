@@ -1460,6 +1460,107 @@ def multimodal_au(spark, sf_dir):
                       F.round("peak", 6).alias("peak"))
 
 
+def multimodal_ima4(spark, sf_dir):
+    """REAL Apple QuickTime IMA4 ADPCM decode (AIFF-C 'ima4',
+    round 7), hash-gated at every SF: per doc, a closed-form int16
+    signal (64-multiple frame counts, so no padding ambiguity) is
+    compressed to 34-byte IMA4 packets, wrapped in an AIFF-C
+    container, and decoded by the real packet walk
+    (:func:`_ima4_decode` — 9-bit preamble predictor resync, step
+    and index table state machine). The DuckDB twin REPLAYS the
+    entire quantize/reconstruct state walk as a recursive CTE over
+    the public IMA step tables — the sequential-codec sibling of the
+    unrolled-CTE graph twins — so the sample statistics match
+    value-for-value, not just structurally."""
+    import struct as _struct
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from meza_spark.llm.multimodal import _encode_ima4, decode_audio
+
+    @pandas_udf("binary")
+    def _aifc(doc_id: pd.Series) -> pd.Series:
+        # 22050 Hz as an 80-bit extended float (exp 0x400D, 15-bit
+        # integer part at the top of the 64-bit mantissa)
+        f80 = bytes([0x40, 0x0D]) + (22050 << 49).to_bytes(8, "big")
+        out = []
+        for i in doc_id:
+            i = int(i)
+            # variant parity from i // 10: a % 10 subset makes i % 5
+            # constant (the closed-form-fixture trap in the verify
+            # skill), so the frame-count cycle must use the quotient
+            n = 192 + ((i // 10) % 5) * 64
+            j = np.arange(n, dtype=np.int64)
+            v = ((i * 37 + j * 23) % 2401 - 1200).astype(np.int16)
+            packets = _encode_ima4(v, 1)
+            comm_body = (_struct.pack(">HIH", 1, n, 16) + f80
+                         + b"ima4" + b"\x0bIMA 4:1\x00\x00\x00\x00")
+            comm = b"COMM" + _struct.pack(">I", len(comm_body)) \
+                + comm_body + (b"\x00" if len(comm_body) & 1 else b"")
+            ssnd_body = _struct.pack(">II", 0, 0) + packets
+            ssnd = b"SSND" + _struct.pack(">I", len(ssnd_body)) \
+                + ssnd_body
+            form = b"AIFC" + comm + ssnd
+            out.append(b"FORM" + _struct.pack(">I", len(form)) + form)
+        return pd.Series(out)
+
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.col("doc_id") % 10 == 8)
+         .select(F.col("doc_id").alias("media_id"),
+                 _aifc("doc_id").alias("payload")))
+    out = decode_audio(d)
+    return out.select("media_id", "sample_rate", "channels", "n_samples",
+                      "duration_ms",
+                      F.round("mean_amp", 6).alias("mean_amp"),
+                      F.round("rms", 6).alias("rms"),
+                      F.round("peak", 6).alias("peak"))
+
+
+def multimodal_tiff_pal16(spark, sf_dir):
+    """REAL 16-bit palette TIFF decode (round 7): fixed 16×8 frames
+    whose 16-bit sample values index a full 2^16-entry ColorMap
+    (TIFF 6.0 §23) with closed-form channel ramps — the raw-index
+    lookup path that must run BEFORE the 16→8 downconversion. The
+    constant header/IFD/ColorMap prefix is templated once per batch
+    (the per-doc payload is a strip splice), keeping the 384 KB
+    ColorMap from being re-serialized per row; the DuckDB twin
+    recomputes the palette arithmetic exactly."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from meza_spark.llm.multimodal import _encode_tiff, decode_image
+
+    W, H = 16, 8
+
+    @pandas_udf("binary")
+    def _tif(doc_id: pd.Series) -> pd.Series:
+        k = np.arange(65536, dtype=np.int64)
+        pal = np.stack([(k * 3 + 11) % 256, (k * 5 + 29) % 256,
+                        (k * 7 + 3) % 256], axis=1).astype(np.uint8)
+        tmpl = _encode_tiff(np.zeros((H, W, 1), np.uint16), palette=pal)
+        nstrip = W * H * 2
+        assert tmpl[-nstrip:] == b"\x00" * nstrip   # strips are last
+        head = tmpl[:-nstrip]
+        out = []
+        for i in doc_id:
+            i = int(i)
+            j = np.arange(W * H, dtype=np.int64)
+            idx = ((i * 13 + j * 31) % 65536).astype("<u2")
+            out.append(head + idx.tobytes())
+        return pd.Series(out)
+
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.col("doc_id") % 10 == 3)
+         .select(F.col("doc_id").alias("media_id"),
+                 _tif("doc_id").alias("payload")))
+    out = decode_image(d)
+    return out.select("media_id", "width", "height", "channels",
+                      F.round("mean_pixel", 6).alias("mean_pixel"))
+
+
 # one SQL text, two engines: runs verbatim through spark.sql AND the
 # DuckDB oracle — the engine's full ANSI surface (joins, windows,
 # QUALIFY-free rank filter) with zero dialect translation.
@@ -4355,6 +4456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": multimodal_audio,
         "multimodal_aiff": multimodal_aiff,
         "multimodal_au": multimodal_au,
+        "multimodal_ima4": multimodal_ima4,
+        "multimodal_tiff_pal16": multimodal_tiff_pal16,
         "stream_tumble_static": stream_tumble_static,
         "stream_session_static": stream_session_static,
         "join_asof": join_asof,
@@ -5676,6 +5779,111 @@ def _oracle_sql_base() -> dict[str, str]:
                    round(list_max(list_transform(vs, x -> abs(x)))
                          / 32768.0, 6) AS peak
             FROM v
+        """,
+        # IMA4 twin: the ENTIRE quantize/reconstruct state machine —
+        # 9-bit preamble resync at each 64-frame packet boundary, the
+        # 89-entry public IMA step table, the nibble threshold search
+        # and the mirrored predictor/index update — replayed as a
+        # recursive CTE (the sequential-codec sibling of the
+        # unrolled-CTE graph twins), one step per decoded sample.
+        "multimodal_ima4": """
+            WITH RECURSIVE
+            steps AS (SELECT * FROM (VALUES
+              (0,7),(1,8),(2,9),(3,10),(4,11),(5,12),(6,13),(7,14),(8,16),(9,17),
+              (10,19),(11,21),(12,23),(13,25),(14,28),(15,31),(16,34),(17,37),(18,41),(19,45),
+              (20,50),(21,55),(22,60),(23,66),(24,73),(25,80),(26,88),(27,97),(28,107),(29,118),
+              (30,130),(31,143),(32,157),(33,173),(34,190),(35,209),(36,230),(37,253),(38,279),(39,307),
+              (40,337),(41,371),(42,408),(43,449),(44,494),(45,544),(46,598),(47,658),(48,724),(49,796),
+              (50,876),(51,963),(52,1060),(53,1166),(54,1282),(55,1411),(56,1552),(57,1707),(58,1878),(59,2066),
+              (60,2272),(61,2499),(62,2749),(63,3024),(64,3327),(65,3660),(66,4026),(67,4428),(68,4871),(69,5358),
+              (70,5894),(71,6484),(72,7132),(73,7845),(74,8630),(75,9493),(76,10442),(77,11487),(78,12635),(79,13899),
+              (80,15289),(81,16818),(82,18500),(83,20350),(84,22385),(85,24623),(86,27086),(87,29794),(88,32767)
+            ) t(ix, step)),
+            docs AS (SELECT doc_id AS i,
+                            192 + ((doc_id // 10) % 5) * 64 AS n
+                     FROM documents WHERE doc_id % 10 = 8),
+            walk AS (
+              SELECT i, n, 0 AS j, 0 AS p, 0 AS ix,
+                     CAST(0 AS DOUBLE) AS ssum, CAST(0 AS DOUBLE) AS ssq,
+                     0 AS smax
+              FROM docs
+              UNION ALL
+              SELECT w.i, w.n, w.j + 1, np.p2, np.ix2,
+                     w.ssum + np.p2, w.ssq + CAST(np.p2 AS DOUBLE) * np.p2,
+                     GREATEST(w.smax, ABS(np.p2))
+              FROM walk w
+              CROSS JOIN LATERAL (
+                WITH s0 AS (
+                  SELECT CASE WHEN w.j % 64 = 0
+                              THEN CAST(FLOOR(CAST(w.p AS DOUBLE) / 128)
+                                        AS INTEGER) * 128
+                              ELSE w.p END AS psync,
+                         CAST((w.i * 37 + w.j * 23) % 2401 - 1200
+                              AS INTEGER) AS v
+                ), s1 AS (
+                  SELECT psync, v, st.step,
+                         CASE WHEN v < psync THEN 8 ELSE 0 END AS nsign,
+                         ABS(v - psync) AS ad
+                  FROM s0 JOIN steps st ON st.ix = w.ix
+                ), s2 AS (
+                  SELECT *,
+                         CASE WHEN ad >= step THEN 4 ELSE 0 END AS n4,
+                         CASE WHEN ad >= step THEN ad - step ELSE ad END AS ad1
+                  FROM s1
+                ), s3 AS (
+                  SELECT *,
+                         CASE WHEN ad1 >= step // 2 THEN 2 ELSE 0 END AS n2,
+                         CASE WHEN ad1 >= step // 2 THEN ad1 - step // 2
+                              ELSE ad1 END AS ad2
+                  FROM s2
+                ), s4 AS (
+                  SELECT *,
+                         CASE WHEN ad2 >= step // 4 THEN 1 ELSE 0 END AS n1
+                  FROM s3
+                ), s5 AS (
+                  SELECT step // 8 + n1 * (step // 4)
+                           + (n2 // 2) * (step // 2) + (n4 // 4) * step AS d,
+                         psync, nsign, n4, n2, n1
+                  FROM s4
+                )
+                SELECT LEAST(32767, GREATEST(-32768,
+                         CASE WHEN nsign = 8 THEN psync - d
+                              ELSE psync + d END)) AS p2,
+                       LEAST(88, GREATEST(0, w.ix +
+                         CASE (n4 + n2 + n1)
+                           WHEN 0 THEN -1 WHEN 1 THEN -1
+                           WHEN 2 THEN -1 WHEN 3 THEN -1
+                           WHEN 4 THEN 2 WHEN 5 THEN 4
+                           WHEN 6 THEN 6 WHEN 7 THEN 8
+                         END)) AS ix2
+                FROM s5
+              ) np
+              WHERE w.j < w.n
+            )
+            SELECT i AS media_id,
+                   CAST(22050 AS INTEGER) AS sample_rate,
+                   CAST(1 AS INTEGER) AS channels,
+                   CAST(n AS BIGINT) AS n_samples,
+                   CAST((n * 1000) // 22050 AS BIGINT) AS duration_ms,
+                   round((ssum / n) / 32768, 6) AS mean_amp,
+                   round(sqrt(ssq / n) / 32768, 6) AS rms,
+                   round(CAST(smax AS DOUBLE) / 32768, 6) AS peak
+            FROM walk WHERE j = n
+        """,
+        # 16-bit palette TIFF twin: palette arithmetic on the raw
+        # 16-bit indices — container, IFD, 2^16-entry ColorMap and
+        # the pre-downconversion lookup exist only Spark-side
+        "multimodal_tiff_pal16": """
+            SELECT doc_id AS media_id,
+                   CAST(16 AS INTEGER) AS width,
+                   CAST(8 AS INTEGER) AS height,
+                   CAST(3 AS INTEGER) AS channels,
+                   round(list_sum(list_transform(range(0, 128),
+                     j -> (((doc_id * 13 + j * 31) % 65536) * 3 + 11) % 256
+                        + (((doc_id * 13 + j * 31) % 65536) * 5 + 29) % 256
+                        + (((doc_id * 13 + j * 31) % 65536) * 7 + 3) % 256))
+                     / (3.0 * 128), 6) AS mean_pixel
+            FROM documents WHERE doc_id % 10 = 3
         """,
         "multimodal_audio": """
             WITH v AS (

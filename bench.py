@@ -131,6 +131,8 @@ HEADLINE = [
     "zscore_fast_parity",
     "cusum_fast_parity",
     "ewma_fast_parity",
+    "multimodal_ima4",
+    "multimodal_tiff_pal16",
 ]
 
 

@@ -1304,19 +1304,22 @@ def _decode_tiff_inner(b: bytes):
         px = (np.cumsum(px.astype(np.int64), axis=1) & mask).astype(dt)
     elif predictor != 1:
         raise NotImplementedError(f"TIFF predictor {predictor}")
+    if photo == 3:
+        # palette lookup happens on the RAW indices (before any 16→8
+        # downconversion — TIFF 6.0 §23 ColorMap is indexed by the
+        # full sample value, so 16-bit palette images need all
+        # 2^16 entries)
+        nent = 1 << bits[0]
+        cmap = tags.get(320)
+        if not cmap or len(cmap) < 3 * nent or spp != 1:
+            raise ValueError("palette TIFF without a usable ColorMap")
+        pal = (np.array(cmap[:3 * nent], np.uint16)
+               .reshape(3, nent).T >> 8).astype(np.uint8)
+        return pal[px[:, :, 0]].copy()
     if ssz == 2:
         # 16 -> 8 by the high byte — the same downconversion the PNG
         # decoder applies (pixel-stat consumers are uint8-contracted)
         px = (px >> 8).astype(np.uint8)
-    if photo == 3:
-        if ssz != 1:
-            raise NotImplementedError("16-bit palette TIFF not supported")
-        cmap = tags.get(320)
-        if not cmap or len(cmap) < 3 * 256 or spp != 1:
-            raise ValueError("palette TIFF without a usable ColorMap")
-        pal = (np.array(cmap[:768], np.uint16)
-               .reshape(3, 256).T >> 8).astype(np.uint8)
-        return pal[px[:, :, 0]].copy()
     if photo == 0:                            # white-is-zero
         px = 255 - px
     return px.copy()
@@ -2969,6 +2972,118 @@ def _ima_adpcm_decode(data: bytes, block_align: int):
     return np.array(out, dtype=np.int16)
 
 
+def _ima4_decode(data: bytes, channels: int):
+    """Apple QuickTime IMA4 (AIFF-C compression type ``'ima4'``) →
+    interleaved int16 samples. Public format (QuickTime File Format
+    spec; same step/index tables as the IMA reference algorithm the
+    WAV 0x11 path uses): 34-byte packets of 64 samples each — a
+    2-byte big-endian state preamble (top 9 bits = predictor, low
+    7 bits = step index) then 32 code bytes, low nibble first —
+    interleaved one packet per channel per 64-frame block. Unlike
+    WAV IMA, the preamble seeds state only; it is not emitted as a
+    sample."""
+    import numpy as np
+
+    if len(data) > 4_000_000:
+        # same pure-Python nibble-loop cap as _ima_adpcm_decode
+        raise ValueError("IMA4 payload exceeds decode cap")
+    if channels < 1:
+        raise ValueError("bad channel count for IMA4")
+    blocks = len(data) // (34 * channels)
+    if blocks == 0:
+        raise ValueError("IMA4 payload shorter than one packet")
+    out = np.empty((blocks * 64, channels), dtype=np.int16)
+    pos = 0
+    for blk in range(blocks):
+        row = blk * 64
+        for ch in range(channels):
+            pkt = data[pos:pos + 34]
+            pos += 34
+            pre = int.from_bytes(pkt[:2], "big")
+            pred = pre & 0xFF80
+            if pred >= 0x8000:
+                pred -= 0x10000
+            index = min(88, pre & 0x7F)
+            k = 0
+            for byte in pkt[2:]:
+                for nib in (byte & 0x0F, byte >> 4):
+                    step = _IMA_STEPS[index]
+                    diff = step >> 3
+                    if nib & 1:
+                        diff += step >> 2
+                    if nib & 2:
+                        diff += step >> 1
+                    if nib & 4:
+                        diff += step
+                    pred = pred - diff if nib & 8 else pred + diff
+                    pred = min(32767, max(-32768, pred))
+                    index = min(88, max(0, index + _IMA_INDEX[nib & 7]))
+                    out[row + k, ch] = pred
+                    k += 1
+    return out.reshape(-1)
+
+
+def _encode_ima4(samples, channels: int = 1) -> bytes:
+    """Interleaved int16 → Apple IMA4 packets (fixture encoder for
+    :func:`_ima4_decode`'s gates): per channel per 64-frame block,
+    write the running decoder state into the preamble and quantize
+    with the standard IMA nibble search; frames are zero-padded to a
+    64-multiple as real QuickTime muxers do."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64).reshape(-1, channels)
+    nframes = s.shape[0]
+    pad = (-nframes) % 64
+    if pad:
+        s = np.vstack([s, np.zeros((pad, channels), dtype=np.int64)])
+    out = bytearray()
+    pred = [0] * channels
+    index = [0] * channels
+    for blk in range(s.shape[0] // 64):
+        for ch in range(channels):
+            out += struct.pack(
+                ">H", (pred[ch] & 0xFF80) | index[ch])
+            # re-sync to the 9-bit preamble precision the decoder
+            # will seed from, so both sides track identically and
+            # the only error left is nibble quantization
+            m = pred[ch] & 0xFF80
+            p = m - 0x10000 if m >= 0x8000 else m
+            ix = index[ch]
+            nibs = []
+            for v in s[blk * 64:(blk + 1) * 64, ch]:
+                step = _IMA_STEPS[ix]
+                diff = int(v) - p
+                nib = 0
+                if diff < 0:
+                    nib = 8
+                    diff = -diff
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                # decoder-mirrored state update keeps the packet
+                # preambles equal to what the decoder will carry
+                d = step >> 3
+                if nib & 1:
+                    d += step >> 2
+                if nib & 2:
+                    d += step >> 1
+                if nib & 4:
+                    d += step
+                p = p - d if nib & 8 else p + d
+                p = min(32767, max(-32768, p))
+                ix = min(88, max(0, ix + _IMA_INDEX[nib & 7]))
+                nibs.append(nib)
+            pred[ch], index[ch] = p, ix
+            for lo, hi in zip(nibs[::2], nibs[1::2]):
+                out.append(lo | (hi << 4))
+    return bytes(out)
+
+
 def _decode_wav(b: bytes) -> dict:
     """WAV sample statistics — real RIFF chunk walk + numpy over the
     sample words: mean / RMS / peak (normalized to [-1, 1]), sample
@@ -3075,8 +3190,9 @@ def _decode_aiff(b: bytes) -> dict:
     the WAV walk: FORM/AIFF(-C) container, COMM chunk (channels,
     frame count, bit depth, 80-bit extended-float sample rate,
     AIFF-C compression fourcc), SSND chunk (offset+blocksize header
-    then big-endian PCM). PCM 8/16-bit and the AIFF-C pass-throughs
-    ('NONE'/'sowt' little-endian 16-bit) decode; compressed AIFF-C
+    then big-endian PCM). PCM 8/16-bit, the AIFF-C pass-throughs
+    ('NONE'/'sowt' little-endian 16-bit) and Apple QuickTime 'ima4'
+    ADPCM (:func:`_ima4_decode`) decode; other compressed AIFF-C
     raises ValueError (skippable)."""
     import numpy as np
 
@@ -3106,9 +3222,12 @@ def _decode_aiff(b: bytes) -> dict:
         pos += 8 + sz + (sz & 1)          # chunks are word-aligned
     if data is None or not rate or not channels:
         raise ValueError("unsupported AIFF (needs COMM + SSND chunks)")
-    if comp not in (b"NONE", b"sowt"):
+    if comp not in (b"NONE", b"sowt", b"ima4"):
         raise ValueError(f"unsupported AIFF-C compression "
-                         f"{comp!r} (PCM only)")
+                         f"{comp!r} (PCM or ima4)")
+    if comp == b"ima4":
+        s = _ima4_decode(data, channels).astype(np.float64) / 32768.0
+        return _audio_stats(s, rate, channels)
     if bits == 16:
         dt = "<i2" if comp == b"sowt" else ">i2"
         s = np.frombuffer(data[:len(data) & ~1], dtype=dt) \
@@ -3249,10 +3368,11 @@ def decode_audio(df: DataFrame, payload_col: str = "payload",
     """Audio decode → per-clip sample statistics (REAL: container
     walk + numpy over the sample words). Containers: RIFF/WAV (PCM
     8/16-bit, IEEE float, G.711, IMA ADPCM — :func:`_decode_wav`),
-    AIFF/AIFF-C (big-endian PCM incl. 'sowt' — :func:`_decode_aiff`),
-    and Sun .au (µ/A-law via the shared G.711 tables, linear PCM,
-    float — :func:`_decode_au`). Unknown or compressed audio follows
-    ``unsupported`` ('error' | 'skip')."""
+    AIFF/AIFF-C (big-endian PCM incl. 'sowt' and QuickTime 'ima4'
+    ADPCM — :func:`_decode_aiff`), and Sun .au (µ/A-law via the
+    shared G.711 tables, linear PCM, float — :func:`_decode_au`).
+    Unknown or still-compressed audio follows ``unsupported``
+    ('error' | 'skip')."""
     out_schema = StructType([
         StructField(id_col, LongType()),
         StructField("sample_rate", IntegerType()),

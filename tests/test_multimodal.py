@@ -1290,6 +1290,37 @@ def test_tiff_planar_and_16bit():
     assert np.array_equal(dec0, 255 - (g >> 8).astype(np.uint8))
 
 
+def test_tiff_palette16():
+    """16-bit palette TIFF (TIFF 6.0 §23: ColorMap indexed by the
+    full sample value, 3·2^16 entries) decodes via raw-index lookup
+    BEFORE the 16→8 downconversion — the round-6 permanent gate is
+    now a real path. 8-bit palette keeps working through the same
+    code."""
+    import numpy as np
+
+    from meza_spark.llm.multimodal import _decode_tiff, _encode_tiff
+
+    rng = np.random.default_rng(23)
+    pal16 = rng.integers(0, 256, (65536, 3), dtype=np.uint8)
+    idx16 = rng.integers(0, 65536, (5, 7, 1), dtype=np.uint16)
+    enc = _encode_tiff(idx16, palette=pal16)
+    assert np.array_equal(_decode_tiff(enc), pal16[idx16[:, :, 0]])
+    # big-endian + multi-strip variant
+    enc_be = _encode_tiff(idx16, palette=pal16, big_endian=True,
+                          rows_per_strip=2)
+    assert np.array_equal(_decode_tiff(enc_be), pal16[idx16[:, :, 0]])
+    # 8-bit palette still routes through the same generalized lookup
+    pal8 = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx8 = rng.integers(0, 256, (4, 6, 1), dtype=np.uint8)
+    assert np.array_equal(_decode_tiff(_encode_tiff(idx8, palette=pal8)),
+                          pal8[idx8[:, :, 0]])
+    # short ColorMap stays a loud, skippable error
+    import pytest as _pytest
+    trunc = _encode_tiff(idx8, palette=pal8[:100])
+    with _pytest.raises(ValueError, match="ColorMap"):
+        _decode_tiff(trunc)
+
+
 def test_gif_animation_full_walk():
     """Animated GIF: all frames decode with GCE semantics — delays,
     transparency (transparent pixels keep the prior canvas), disposal
@@ -1529,9 +1560,10 @@ def test_aiff_decode():
     # stereo frame accounting
     d3 = _decode_aiff(_aiff(samples, channels=2))
     assert d3["n_samples"] == 3
-    # compressed AIFF-C is a skippable gate
+    # compressed AIFF-C we don't decode (G.711-in-AIFF) stays a
+    # skippable gate ('ima4' graduated to a real decode path)
     bad = bytearray(_aiff(samples, aifc=True))
-    bad[bad.find(b"NONE"):bad.find(b"NONE") + 4] = b"ima4"
+    bad[bad.find(b"NONE"):bad.find(b"NONE") + 4] = b"ulaw"
     with _pytest.raises(ValueError, match="compression"):
         _decode_aiff(bytes(bad))
     # header parse + dispatcher
@@ -1539,6 +1571,101 @@ def test_aiff_decode():
     assert meta["format"] == "aiff" and meta["sample_rate"] == 8000
     assert meta["duration_ms"] == 6 * 1000 // 8000
     assert _decode_audio_bytes(_aiff(samples))["n_samples"] == 6
+
+
+def _aifc_ima4(packets, rate=8000, channels=1, nframes=0):
+    """Minimal AIFF-C container around pre-encoded ima4 packets."""
+    import struct
+
+    comm_body = (struct.pack(">HIH", channels, nframes, 16)
+                 + _f80(rate) + b"ima4" + b"\x0bIMA 4:1\x00\x00\x00\x00")
+    comm = b"COMM" + struct.pack(">I", len(comm_body)) + comm_body
+    if len(comm_body) & 1:
+        comm += b"\x00"
+    ssnd_body = struct.pack(">II", 0, 0) + packets
+    ssnd = b"SSND" + struct.pack(">I", len(ssnd_body)) + ssnd_body
+    form = b"AIFC" + comm + ssnd
+    return b"FORM" + struct.pack(">I", len(form)) + form
+
+
+def test_aiff_ima4_decode():
+    """AIFF-C 'ima4' (Apple QuickTime IMA, 34-byte packets, state
+    preamble not emitted as a sample) decodes for real: container
+    frame accounting, bounded tracking error on a smooth signal, and
+    per-packet state independence."""
+    import numpy as np
+
+    from meza_spark.llm.multimodal import (_decode_aiff, _decode_audio_bytes,
+                                           _encode_ima4, _ima4_decode)
+
+    t = np.arange(640)
+    sig = (3000 * np.sin(t / 10.0)).astype(np.int16)
+    payload = _encode_ima4(sig, 1)
+    assert len(payload) == (640 // 64) * 34          # 10 packets
+    dec = _ima4_decode(payload, 1)
+    assert dec.shape == (640,)
+    # ADPCM tracks a smooth sine closely once past the slope-overload
+    # attack of the first packet: steady-state error rms < 2%
+    err = (dec[64:].astype(np.float64) - sig[64:].astype(np.float64))
+    assert np.sqrt((err ** 2).mean()) < 0.02 * np.sqrt(
+        (sig[64:].astype(np.float64) ** 2).mean())
+    # packets carry their own state: decoding a packet slice alone
+    # reproduces exactly that packet's 64 samples
+    third = _ima4_decode(payload[2 * 34:3 * 34], 1)
+    assert np.array_equal(third, dec[128:192])
+    # container walk + stats
+    d = _decode_aiff(_aifc_ima4(payload, rate=22050, nframes=640))
+    assert d["sample_rate"] == 22050 and d["channels"] == 1
+    assert d["n_samples"] == 640
+    assert abs(d["rms"] - np.sqrt(
+        ((dec / 32768.0) ** 2).mean())) < 1e-12
+    assert _decode_audio_bytes(
+        _aifc_ima4(payload, nframes=640))["n_samples"] == 640
+
+
+def test_aiff_ima4_stereo_and_padding():
+    """Stereo ima4 interleaves one packet per channel per 64-frame
+    block; frame counts pad up to the 64 boundary like real
+    QuickTime muxers."""
+    import numpy as np
+
+    from meza_spark.llm.multimodal import _encode_ima4, _ima4_decode
+
+    n = 200                                          # pads to 256
+    left = (1500 * np.sin(np.arange(n) / 7.0)).astype(np.int16)
+    right = (-900 * np.cos(np.arange(n) / 5.0)).astype(np.int16)
+    inter = np.empty(2 * n, dtype=np.int16)
+    inter[0::2], inter[1::2] = left, right
+    payload = _encode_ima4(inter, 2)
+    assert len(payload) == 4 * 2 * 34                # 4 blocks x 2 ch
+    dec = _ima4_decode(payload, 2)
+    assert dec.shape == (256 * 2,)
+    dl, dr = dec[0::2].astype(np.float64), dec[1::2].astype(np.float64)
+    # per-channel steady-state tracking over the un-padded span
+    for got, want in ((dl[:n], left), (dr[:n], right)):
+        err = got[64:] - want[64:].astype(np.float64)
+        assert np.sqrt((err ** 2).mean()) < 0.03 * (
+            np.sqrt((want[64:].astype(np.float64) ** 2).mean()) + 1.0)
+
+
+def test_aiff_ima4_hostile():
+    """Hostile ima4 payloads fail as skippable ValueError, never an
+    allocation bomb: short payloads, zero channels, and the 4 MB
+    nibble-loop cap."""
+    import pytest as _pytest
+
+    from meza_spark.llm.multimodal import _decode_aiff, _ima4_decode
+
+    with _pytest.raises(ValueError, match="shorter"):
+        _ima4_decode(b"\x00" * 20, 1)
+    with _pytest.raises(ValueError, match="channel"):
+        _ima4_decode(b"\x00" * 68, 0)
+    with _pytest.raises(ValueError, match="cap"):
+        _ima4_decode(b"\x00" * 4_000_001, 1)
+    # a container whose SSND is one byte short of a packet
+    aifc = _aifc_ima4(b"\x00" * 33, rate=8000, nframes=64)
+    with _pytest.raises(ValueError, match="shorter"):
+        _decode_aiff(aifc)
 
 
 def test_au_decode():
