@@ -6,7 +6,12 @@
 // written big-endian PCM by the JDK, WAV little-endian, exactly the
 // layouts the stdlib readers must handle).
 //
-//   usage: SoundMake <wav|aiff|au> <outfile>
+//   usage: SoundMake <wav|aiff|au> <outfile> [ulaw|alaw]
+//
+// With the optional third argument the JDK CONVERTS the PCM16 input
+// through its own G.711 compressor before writing (WAV format code
+// 7/6, AU encoding 1/27) -- letting pytest exercise the stdlib G.711
+// expansion tables against companded bytes the JDK produced.
 import javax.sound.sampled.*;
 import java.io.BufferedInputStream;
 import java.io.ByteArrayInputStream;
@@ -35,6 +40,12 @@ public class SoundMake {
         rate, 16, ch, ch * 2, rate, !wav);
     AudioInputStream stream = new AudioInputStream(
         new ByteArrayInputStream(raw), fmt, n);
+    if (args.length > 2) {
+      AudioFormat.Encoding enc = args[2].equals("ulaw")
+          ? AudioFormat.Encoding.ULAW : AudioFormat.Encoding.ALAW;
+      stream = AudioSystem.getAudioInputStream(
+          new AudioFormat(enc, rate, 8, ch, ch, rate, false), stream);
+    }
     AudioFileFormat.Type type =
         wav ? AudioFileFormat.Type.WAVE
             : args[0].equals("aiff") ? AudioFileFormat.Type.AIFF

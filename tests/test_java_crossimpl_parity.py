@@ -326,6 +326,33 @@ def test_java_written_audio_decodes_exact(jtools, tmp_path, fmt, dec):
     assert abs(st["peak"] - float(np.abs(exp).max())) < 1e-12
 
 
+@pytest.mark.parametrize("container,codec", [
+    ("wav", "ulaw"), ("wav", "alaw"), ("au", "ulaw"), ("au", "alaw"),
+])
+def test_g711_tables_match_jdk(jtools, tmp_path, container, codec):
+    """The stdlib G.711 expansion tables (built from the ITU-T
+    companding arithmetic) against companded bytes the JDK produced
+    AND the JDK's own expansion of them: G.711 decode is exactly
+    specified, so both stacks must reconstruct the identical int16
+    stream — the stats match to the last bit."""
+    rng = _rng()
+    sr, ch, n = 8000, 1, 2000
+    pcm = rng.integers(-32768, 32768, (n, ch)).astype("<i2")
+    path = str(tmp_path / f"g.{codec}.{container}")
+    _jrun(jtools, "SoundMake", container, path, codec,
+          stdin=f"{sr} {ch} {n}\n".encode() + pcm.tobytes())
+    dec = mm._decode_wav if container == "wav" else mm._decode_au
+    st = dec(open(path, "rb").read())
+    out = _jrun(jtools, "SoundDump", path)
+    nl = out.index(b"\n")
+    rate2, ch2, frames = map(int, out[:nl].split())
+    jd = np.frombuffer(out[nl + 1:], dtype="<i2").astype(np.float64) / 32768.0
+    assert (st["n_samples"], st["sample_rate"]) == (frames, rate2) == (n, sr)
+    assert abs(st["mean"] - float(jd.mean())) < 1e-12
+    assert abs(st["rms"] - float(np.sqrt((jd * jd).mean()))) < 1e-12
+    assert abs(st["peak"] - float(np.abs(jd).max())) < 1e-12
+
+
 def test_sound_harness_roundtrip(jtools, tmp_path):
     """Harness self-check: SoundMake → SoundDump round-trips the
     samples, so a byte-order bug in the Java shims cannot silently
