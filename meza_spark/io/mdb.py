@@ -447,6 +447,11 @@ class JetDb:
             tid = row.get("Id")
             if typ is None or name is None or tid is None:
                 continue
+            if not isinstance(typ, int) or not isinstance(tid, int) \
+                    or not isinstance(name, str):
+                # corrupt catalog rows can decode any column under a
+                # wrong type code (fuzz find) — skip, don't TypeError
+                continue
             if (typ & 0x7F) != 1:    # 1 = table
                 continue
             system = name.startswith(("MSys", "~"))

@@ -2934,12 +2934,15 @@ _IMA_STEPS = [
 _IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
 
 
-def _ima_adpcm_decode(data: bytes, block_align: int):
-    """IMA/DVI ADPCM (WAV format 0x11, mono) → int16 samples — the
-    public IMA reference algorithm: per block, a 4-byte header
-    (int16 predictor + step index), then 4-bit codes low-nibble
-    first; step-scaled delta accumulation with predictor clamp and
-    index-table walk."""
+def _ima_adpcm_decode(data: bytes, block_align: int, channels: int = 1):
+    """IMA/DVI ADPCM (WAV format 0x11) → interleaved int16 samples —
+    the public IMA reference algorithm: per block, a 4-byte header
+    per channel (int16 predictor + step index, emitted as that
+    channel's first sample), then 4-bit codes low-nibble first;
+    step-scaled delta accumulation with predictor clamp and
+    index-table walk. Multi-channel blocks interleave the code
+    stream in 4-byte (8-nibble) sub-blocks per channel, per the
+    Microsoft WAVE layout."""
     import numpy as np
 
     if len(data) > 4_000_000:
@@ -2947,29 +2950,56 @@ def _ima_adpcm_decode(data: bytes, block_align: int):
         # decoders' MAX_DECODE_PIXELS bound so one blob can't stall a
         # task
         raise ValueError("IMA ADPCM payload exceeds decode cap")
-    out = []
+    if channels < 1:
+        raise ValueError("bad channel count for IMA ADPCM")
+
+    def walk(nibbles, pred, index, sink):
+        for nib in nibbles:
+            step = _IMA_STEPS[index]
+            diff = step >> 3
+            if nib & 1:
+                diff += step >> 2
+            if nib & 2:
+                diff += step >> 1
+            if nib & 4:
+                diff += step
+            pred = pred - diff if nib & 8 else pred + diff
+            pred = min(32767, max(-32768, pred))
+            index = min(88, max(0, index + _IMA_INDEX[nib & 7]))
+            sink.append(pred)
+        return pred, index
+
+    chans = [[] for _ in range(channels)]
     for bstart in range(0, len(data), block_align):
         block = data[bstart:bstart + block_align]
-        if len(block) < 4:
+        if len(block) < 4 * channels:
             break
-        pred = int.from_bytes(block[0:2], "little", signed=True)
-        index = min(88, max(0, block[2]))
-        out.append(pred)
-        for byte in block[4:]:
-            for nib in (byte & 0x0F, byte >> 4):
-                step = _IMA_STEPS[index]
-                diff = step >> 3
-                if nib & 1:
-                    diff += step >> 2
-                if nib & 2:
-                    diff += step >> 1
-                if nib & 4:
-                    diff += step
-                pred = pred - diff if nib & 8 else pred + diff
-                pred = min(32767, max(-32768, pred))
-                index = min(88, max(0, index + _IMA_INDEX[nib & 7]))
-                out.append(pred)
-    return np.array(out, dtype=np.int16)
+        state = []
+        for ch in range(channels):
+            pred = int.from_bytes(block[4 * ch:4 * ch + 2],
+                                  "little", signed=True)
+            index = min(88, max(0, block[4 * ch + 2]))
+            chans[ch].append(pred)
+            state.append((pred, index))
+        body = block[4 * channels:]
+        if channels == 1:
+            # byte-wise (any body length), matching the historical
+            # mono behavior for fixtures with non-4-multiple bodies
+            nibs = [n for byte in body for n in (byte & 0x0F, byte >> 4)]
+            state[0] = walk(nibs, *state[0], chans[0])
+        else:
+            group = 4 * channels
+            for g in range(0, len(body) - len(body) % group, group):
+                for ch in range(channels):
+                    sub = body[g + 4 * ch:g + 4 * ch + 4]
+                    nibs = [n for byte in sub
+                            for n in (byte & 0x0F, byte >> 4)]
+                    state[ch] = walk(nibs, *state[ch], chans[ch])
+    n = min(len(c) for c in chans)
+    out = np.empty(n * channels, dtype=np.int16)
+    for ch in range(channels):
+        out[ch::channels] = chans[ch][:n]
+    return out
 
 
 def _ima4_decode(data: bytes, channels: int):
@@ -3090,8 +3120,9 @@ def _decode_wav(b: bytes) -> dict:
     count, duration. Formats: linear PCM 16/8-bit, IEEE float32
     (code 3), ITU-T G.711 A-law (6) / µ-law (7) via the real
     expansion tables — telephony WAVs previously would have
-    misdecoded as linear — and mono IMA/DVI ADPCM (0x11) via the
-    reference step-table walk."""
+    misdecoded as linear — and mono or multi-channel IMA/DVI ADPCM
+    (0x11) via the reference step-table walk with the Microsoft
+    4-byte-sub-block channel interleave."""
     import numpy as np
 
     if not (b[:4] == b"RIFF" and b[8:12] == b"WAVE"):
@@ -3133,11 +3164,9 @@ def _decode_wav(b: bytes) -> dict:
         s = np.frombuffer(data[:len(data) & ~3], dtype="<f4") \
             .astype(np.float64)
     elif fmt == 0x11 and bits == 4:         # IMA/DVI ADPCM
-        if channels != 1:
-            raise ValueError("only mono IMA ADPCM supported")
-        if not block_align or block_align < 4:
+        if not block_align or block_align < 4 * channels:
             raise ValueError("IMA ADPCM needs a sane block align")
-        s = _ima_adpcm_decode(data, block_align) \
+        s = _ima_adpcm_decode(data, block_align, channels) \
             .astype(np.float64) / 32768.0
     else:
         raise ValueError("unsupported WAV (PCM 8/16-bit, IEEE float, "
@@ -3191,9 +3220,11 @@ def _decode_aiff(b: bytes) -> dict:
     frame count, bit depth, 80-bit extended-float sample rate,
     AIFF-C compression fourcc), SSND chunk (offset+blocksize header
     then big-endian PCM). PCM 8/16-bit, the AIFF-C pass-throughs
-    ('NONE'/'sowt' little-endian 16-bit) and Apple QuickTime 'ima4'
-    ADPCM (:func:`_ima4_decode`) decode; other compressed AIFF-C
-    raises ValueError (skippable)."""
+    ('NONE'/'sowt' little-endian 16-bit), Apple QuickTime 'ima4'
+    ADPCM (:func:`_ima4_decode`), G.711 'ulaw'/'ALAW' (the shared,
+    JDK-cross-validated expansion tables) and IEEE 'fl32'/'fl64'
+    floats decode; other compressed AIFF-C (GSM, MACE…) raises
+    ValueError (skippable)."""
     import numpy as np
 
     if b[:4] != b"FORM" or b[8:12] not in (b"AIFF", b"AIFC"):
@@ -3222,11 +3253,28 @@ def _decode_aiff(b: bytes) -> dict:
         pos += 8 + sz + (sz & 1)          # chunks are word-aligned
     if data is None or not rate or not channels:
         raise ValueError("unsupported AIFF (needs COMM + SSND chunks)")
-    if comp not in (b"NONE", b"sowt", b"ima4"):
+    known = (b"NONE", b"sowt", b"ima4", b"ulaw", b"ULAW", b"alaw",
+             b"ALAW", b"fl32", b"FL32", b"fl64", b"FL64")
+    if comp not in known:
         raise ValueError(f"unsupported AIFF-C compression "
-                         f"{comp!r} (PCM or ima4)")
+                         f"{comp!r} (PCM, ima4, G.711, or float)")
     if comp == b"ima4":
         s = _ima4_decode(data, channels).astype(np.float64) / 32768.0
+        return _audio_stats(s, rate, channels)
+    if comp in (b"ulaw", b"ULAW", b"alaw", b"ALAW"):
+        # SGI writes lowercase, Apple uppercase; same G.711 bytes
+        tab = _g711_tables()["ulaw" if comp.lower() == b"ulaw"
+                             else "alaw"]
+        s = tab[np.frombuffer(data, dtype=np.uint8)] \
+            .astype(np.float64) / 32768.0
+        return _audio_stats(s, rate, channels)
+    if comp in (b"fl32", b"FL32"):
+        s = np.frombuffer(data[:len(data) & ~3], dtype=">f4") \
+            .astype(np.float64)
+        return _audio_stats(s, rate, channels)
+    if comp in (b"fl64", b"FL64"):
+        s = np.frombuffer(data[:len(data) & ~7], dtype=">f8") \
+            .astype(np.float64)
         return _audio_stats(s, rate, channels)
     if bits == 16:
         dt = "<i2" if comp == b"sowt" else ">i2"
@@ -3245,7 +3293,7 @@ def _decode_au(b: bytes) -> dict:
     header (magic, data offset, size, encoding, rate, channels) then
     samples: encoding 1 = G.711 µ-law and 27 = A-law (the same ITU-T
     expansion tables the WAV path uses), 2/3 = 8/16-bit linear PCM
-    (big-endian), 6 = IEEE float32 (big-endian)."""
+    (big-endian), 6/7 = IEEE float32/float64 (big-endian)."""
     import numpy as np
 
     if b[:4] != b".snd":
@@ -3272,6 +3320,9 @@ def _decode_au(b: bytes) -> dict:
             .astype(np.float64) / 32768.0
     elif enc == 6:                         # IEEE float32 big-endian
         s = np.frombuffer(data[:len(data) & ~3], dtype=">f4") \
+            .astype(np.float64)
+    elif enc == 7:                         # IEEE float64 big-endian
+        s = np.frombuffer(data[:len(data) & ~7], dtype=">f8") \
             .astype(np.float64)
     else:
         raise ValueError(f"unsupported .au encoding {enc}")

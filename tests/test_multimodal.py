@@ -909,13 +909,150 @@ def test_wav_ima_adpcm_decode():
     # step index has adapted (the first ~10 samples slope-overload
     # from index 0 — genuine codec behavior, not a decode bug)
     assert np.abs(np.array(expect) - sig)[10:].max() < 2000
-    # stereo and degenerate block_align gate as skippable
+    # a block_align too small for the channel headers gates as
+    # skippable (stereo itself decodes for real now — see
+    # test_wav_ima_adpcm_stereo)
     with pytest.raises(ValueError):
         bad = bytearray(wav(0x11, 4, data, ba))
-        bad[22] = 2                                   # channels=2
+        bad[22] = 3                                   # 3ch needs 12 B
         _decode_wav(bytes(bad))
     with pytest.raises(ValueError):
         _decode_wav(wav(0x11, 4, data, 0))
+
+
+def test_wav_ima_adpcm_stereo():
+    """Stereo IMA ADPCM (WAV format 0x11): per-channel 4-byte block
+    headers then the code stream interleaved in 4-byte / 8-nibble
+    sub-blocks per channel (the Microsoft WAVE layout). The in-test
+    compressor mirrors the decoder state, so decoded samples equal
+    its reconstruction exactly; channels carry distinct signals to
+    pin the de-interleave."""
+    import struct
+
+    import numpy as np
+
+    from meza_spark.llm.multimodal import (_IMA_INDEX, _IMA_STEPS,
+                                           _decode_wav)
+
+    def press(chan_samples, index):
+        # one channel's worth of one block: header + nibbles, plus
+        # the exact reconstruction the decoder must produce
+        pred = int(chan_samples[0])
+        expect = [pred]
+        head = struct.pack("<hBB", pred, index, 0)
+        nibs = []
+        for s in chan_samples[1:]:
+            step = _IMA_STEPS[index]
+            diff = int(s) - pred
+            nib = 0
+            if diff < 0:
+                nib, diff = 8, -diff
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            d = step >> 3
+            if nib & 1:
+                d += step >> 2
+            if nib & 2:
+                d += step >> 1
+            if nib & 4:
+                d += step
+            pred = pred - d if nib & 8 else pred + d
+            pred = min(32767, max(-32768, pred))
+            index = min(88, max(0, index + _IMA_INDEX[nib & 7]))
+            nibs.append(nib)
+            expect.append(pred)
+        return head, nibs, expect, index
+
+    # 1 header sample + 16 coded samples per channel per block
+    # (two 8-nibble sub-blocks), 3 blocks
+    spb, blocks = 17, 3
+    t = np.arange(spb * blocks, dtype=np.float64)
+    left = (9000 * np.sin(t / 4)).astype(np.int64)
+    right = (-6000 * np.cos(t / 9)).astype(np.int64)
+    data, exp_l, exp_r = b"", [], []
+    ixl = ixr = 0
+    for b0 in range(0, len(t), spb):
+        hl, nl, el, ixl = press(left[b0:b0 + spb], ixl)
+        hr, nr, er, ixr = press(right[b0:b0 + spb], ixr)
+        body = b""
+        for g in range(0, len(nl), 8):
+            for nibs in (nl[g:g + 8], nr[g:g + 8]):
+                body += bytes(a | (b << 4)
+                              for a, b in zip(nibs[0::2], nibs[1::2]))
+        data += hl + hr + body
+        exp_l += el
+        exp_r += er
+    block_align = 8 + 2 * ((spb - 1) // 2)           # 24 B
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 0x11, 2, 8000,
+                                   8000, block_align, 4)
+           + b"data" + struct.pack("<I", len(data)) + data)
+    out = _decode_wav(wav)
+    inter = np.empty(2 * len(exp_l), dtype=np.float64)
+    inter[0::2] = exp_l
+    inter[1::2] = exp_r
+    want = inter / 32768.0
+    assert out["channels"] == 2
+    assert out["n_samples"] == len(exp_l) == spb * blocks
+    assert abs(out["mean"] - want.mean()) < 1e-15
+    assert abs(out["rms"] - float(np.sqrt((want * want).mean()))) < 1e-15
+    assert abs(out["peak"] - float(np.abs(want).max())) < 1e-15
+
+
+def test_aifc_g711_and_float():
+    """AIFF-C 'ulaw'/'ALAW' route through the same (JDK-validated)
+    G.711 tables as the WAV/.au paths — cross-container stats are
+    identical for identical companded bytes — and 'fl32'/'fl64'
+    decode big-endian IEEE floats; .au encoding 7 is float64."""
+    import struct
+
+    import numpy as np
+
+    from meza_spark.llm.multimodal import (_decode_aiff, _decode_au,
+                                           _decode_wav)
+
+    def aifc(comp, data, channels=1, bits=16):
+        comm_body = (struct.pack(">HIH", channels, 0, bits)
+                     + _f80(8000) + comp + b"\x00\x00")
+        comm = b"COMM" + struct.pack(">I", len(comm_body)) + comm_body
+        ssnd_body = struct.pack(">II", 0, 0) + data
+        ssnd = b"SSND" + struct.pack(">I", len(ssnd_body)) + ssnd_body
+        form = b"AIFC" + comm + ssnd
+        return b"FORM" + struct.pack(">I", len(form)) + form
+
+    comp_bytes = bytes(range(256))
+    wav = (b"RIFF" + struct.pack("<I", 36 + 256) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 7, 1, 8000,
+                                   8000, 1, 8)
+           + b"data" + struct.pack("<I", 256) + comp_bytes)
+    ref = _decode_wav(wav)                       # µ-law via WAV
+    for comp in (b"ulaw", b"ULAW"):
+        got = _decode_aiff(aifc(comp, comp_bytes))
+        assert got["rms"] == ref["rms"] and got["mean"] == ref["mean"]
+    au = (b".snd" + struct.pack(">IIIII", 24, 256, 27, 8000, 1)
+          + comp_bytes)                          # A-law via .au
+    ref_a = _decode_au(au)
+    for comp in (b"alaw", b"ALAW"):
+        got = _decode_aiff(aifc(comp, comp_bytes))
+        assert got["rms"] == ref_a["rms"] and got["mean"] == ref_a["mean"]
+    # floats: exact stats from known values
+    v = np.array([0.5, -0.25, 0.125, -1.0], dtype=np.float64)
+    got32 = _decode_aiff(aifc(b"fl32", v.astype(">f4").tobytes(), bits=32))
+    got64 = _decode_aiff(aifc(b"FL64", v.astype(">f8").tobytes(), bits=64))
+    for got in (got32, got64):
+        assert got["n_samples"] == 4
+        assert abs(got["peak"] - 1.0) < 1e-15
+        assert abs(got["mean"] - v.mean()) < 1e-15
+    au7 = (b".snd" + struct.pack(">IIIII", 24, 32, 7, 8000, 1)
+           + v.astype(">f8").tobytes())
+    got = _decode_au(au7)
+    assert got["n_samples"] == 4 and abs(got["peak"] - 1.0) < 1e-15
 
 
 def test_tiff_codec_roundtrip_matrix():
@@ -1560,10 +1697,10 @@ def test_aiff_decode():
     # stereo frame accounting
     d3 = _decode_aiff(_aiff(samples, channels=2))
     assert d3["n_samples"] == 3
-    # compressed AIFF-C we don't decode (G.711-in-AIFF) stays a
-    # skippable gate ('ima4' graduated to a real decode path)
+    # compressed AIFF-C we don't decode (GSM 6.10) stays a skippable
+    # gate ('ima4', G.711 and float all graduated to real paths)
     bad = bytearray(_aiff(samples, aifc=True))
-    bad[bad.find(b"NONE"):bad.find(b"NONE") + 4] = b"ulaw"
+    bad[bad.find(b"NONE"):bad.find(b"NONE") + 4] = b"GSM "
     with _pytest.raises(ValueError, match="compression"):
         _decode_aiff(bytes(bad))
     # header parse + dispatcher
