@@ -1276,7 +1276,8 @@ def multimodal_audio(spark, sf_dir):
 
 def multimodal_tiff(spark, sf_dir):
     """REAL TIFF decode, hash-gated: one corpus whose payloads cycle
-    compression None/LZW/PackBits by doc_id%3, horizontal-differencing
+    compression None/LZW/PackBits/Deflate by (doc_id//4)%4 (quotient
+    cycling decorrelates from the %4 strip cycle), horizontal-differencing
     predictor for even ids, big-endian every 5th, multi-strip every
     4th, PLANAR (PlanarConfiguration=2) every 7th, and 16-BIT samples
     every 6th (stored as v*257 so the high-byte downconversion
@@ -1307,7 +1308,7 @@ def multimodal_tiff(spark, sf_dir):
             if i % 6 == 0:
                 px = px.astype(np.uint16) * 257
             out.append(_encode_tiff(
-                px, compression=(1, 5, 32773)[i % 3],
+                px, compression=(1, 5, 32773, 8)[(i // 4) % 4],
                 predictor=2 if i % 2 == 0 else 1,
                 big_endian=i % 5 == 0,
                 rows_per_strip=3 if i % 4 == 0 else None,

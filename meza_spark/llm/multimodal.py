@@ -164,6 +164,68 @@ def _encode_bmp(px) -> bytes:
     return file_hdr + info_hdr + data
 
 
+def _wbmp_vlq(b: bytes, pos: int):
+    """WBMP multi-byte integer: 7 value bits per byte, high bit set
+    means another byte follows (WAP-237 §4.1)."""
+    val = 0
+    while True:
+        if pos >= len(b):
+            raise ValueError("truncated WBMP integer")
+        byte = b[pos]
+        pos += 1
+        val = (val << 7) | (byte & 0x7F)
+        if val > (1 << 28):
+            raise ValueError("WBMP dimension out of range")
+        if not byte & 0x80:
+            return val, pos
+
+
+def _decode_wbmp(b: bytes):
+    """WBMP (WAP-237 wireless bitmap, type 0) → (h, w, 1) uint8:
+    multi-byte width/height then 1-bit rows MSB-first, byte-padded;
+    1 = white (255). The JDK reads and writes this format, so both
+    directions sit under the cross-implementation parity suite."""
+    import numpy as np
+
+    if len(b) < 4 or b[0] != 0 or b[1] != 0:
+        raise ValueError("not a WBMP payload")
+    w, pos = _wbmp_vlq(b, 2)
+    h, pos = _wbmp_vlq(b, pos)
+    if not w or not h:
+        raise ValueError("bad WBMP dimensions")
+    _check_pixels(h, w, "WBMP")
+    stride = (w + 7) // 8
+    need = stride * h
+    data = b[pos:pos + need]
+    if len(data) < need:
+        raise ValueError("truncated WBMP rows")
+    bits = np.unpackbits(
+        np.frombuffer(data, np.uint8).reshape(h, stride), axis=1)[:, :w]
+    return (bits * 255).astype(np.uint8)[:, :, None]
+
+
+def _encode_wbmp(px) -> bytes:
+    """(h, w, 1)/(h, w) uint8 → WBMP bytes (≥128 → white bit).
+    Round-trips through :func:`_decode_wbmp`."""
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 3:
+        px = px[:, :, 0]
+    h, w = px.shape
+
+    def vlq(v):
+        out = [v & 0x7F]
+        v >>= 7
+        while v:
+            out.append((v & 0x7F) | 0x80)
+            v >>= 7
+        return bytes(reversed(out))
+
+    rows = np.packbits((px >= 128).astype(np.uint8), axis=1)
+    return b"\x00\x00" + vlq(w) + vlq(h) + rows.tobytes()
+
+
 def _decode_netpbm(b: bytes):
     """Binary netpbm → uint8 array: P5 (PGM, grayscale → (h, w, 1)) and
     P6 (PPM, RGB → (h, w, 3)); maxval ≤ 255 only."""
@@ -1195,7 +1257,8 @@ def _packbits_encode(data: bytes) -> bytes:
 def _decode_tiff(b: bytes):
     """Baseline TIFF 6.0 → (h, w, c) uint8 — pure stdlib + numpy:
     both byte orders, first IFD, strip organization, Compression
-    1/5/32773 (none / TIFF-LZW with early change / PackBits),
+    1/5/32773/8 (none / TIFF-LZW with early change / PackBits /
+    Adobe Deflate incl. the legacy 32946 code, bounded inflate),
     horizontal-differencing Predictor 2, Photometric 0/1/2/3
     (white-is-zero, black-is-zero, RGB, palette via the 16-bit
     ColorMap). 8-bit samples, chunky planar config; other layouts
@@ -1254,9 +1317,10 @@ def _decode_tiff_inner(b: bytes):
     ssz = bits[0] // 8                        # bytes per sample
     if planar not in (1, 2):
         raise ValueError(f"bad TIFF planar configuration {planar}")
-    if comp not in (1, 5, 32773):
-        raise NotImplementedError(f"TIFF compression {comp} not "
-                                  "supported (none/LZW/PackBits are)")
+    if comp not in (1, 5, 32773, 8, 32946):
+        raise NotImplementedError(
+            f"TIFF compression {comp} not supported "
+            "(none/LZW/PackBits/Deflate are)")
     if spp not in (1, 3):
         raise NotImplementedError("TIFF samples-per-pixel must be 1 or 3")
     if photo not in (0, 1, 2, 3):
@@ -1286,6 +1350,13 @@ def _decode_tiff_inner(b: bytes):
                 dec = raw[:need]
             elif comp == 5:
                 dec = _tiff_lzw(raw, need)
+            elif comp in (8, 32946):     # Adobe Deflate + legacy code
+                # bounded inflate, like the PNG path: a zlib bomb can
+                # never materialize past the strip's true size
+                try:
+                    dec = zlib.decompressobj().decompress(raw, need)
+                except zlib.error as e:
+                    raise ValueError(f"bad TIFF deflate strip: {e}")
             else:
                 dec = _packbits(raw, need)
             if len(dec) < need:
@@ -1360,6 +1431,8 @@ def _encode_tiff(px, compression: int = 1, predictor: int = 1,
             return _tiff_lzw_encode(raw)
         if compression == 32773:
             return _packbits_encode(raw)
+        if compression in (8, 32946):
+            return zlib.compress(raw)
         return raw
 
     strips = []
@@ -2886,6 +2959,10 @@ def decode_pixels(b: bytes):
         return _decode_jpeg(b)
     if b[:4] in (b"II*\x00", b"MM\x00*"):
         return _decode_tiff(b)
+    if b[:2] == b"\x00\x00":
+        # WBMP type 0 has no magic beyond the two zero bytes; checked
+        # LAST so every real signature wins, and bad dims still raise
+        return _decode_wbmp(b)
     raise ValueError("unknown image container")
 
 

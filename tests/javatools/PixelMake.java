@@ -4,14 +4,21 @@
 // meza_spark/llm/multimodal.py can be exercised against streams no
 // code in this repository produced.
 //
-//   usage: PixelMake <format> <outfile>   (format: png gif bmp tiff jpg)
+//   usage: PixelMake <format> <outfile> [compressionType]
+//   (format: png gif bmp tiff jpg wbmp; compressionType e.g. the TIFF
+//    writer's "LZW" / "PackBits" / "Deflate" / "ZLib")
 //
 // B=1 builds TYPE_BYTE_GRAY, B=3 TYPE_3BYTE_BGR (logical bands -- the
-// raster hides the BGR layout), B=4 TYPE_INT_ARGB.  The GIF writer
-// palettizes internally, so callers should feed it few-color images to
-// keep the write lossless; JPEG is lossy by nature and is compared
-// with tolerance on the Python side.
+// raster hides the BGR layout), B=4 TYPE_INT_ARGB; wbmp thresholds at
+// 128 into TYPE_BYTE_BINARY.  The GIF writer palettizes internally, so
+// callers should feed it few-color images to keep the write lossless;
+// JPEG is lossy by nature and is compared with tolerance on the Python
+// side.
+import javax.imageio.IIOImage;
 import javax.imageio.ImageIO;
+import javax.imageio.ImageWriteParam;
+import javax.imageio.ImageWriter;
+import javax.imageio.stream.ImageOutputStream;
 import java.awt.image.BufferedImage;
 import java.awt.image.WritableRaster;
 import java.io.BufferedInputStream;
@@ -50,6 +57,30 @@ public class PixelMake {
             r.setSample(x, y, b, raw[i++] & 0xff);
     }
     String fmt = args[0];
+    if (fmt.equals("wbmp")) {
+      BufferedImage bin = new BufferedImage(w, h,
+          BufferedImage.TYPE_BYTE_BINARY);
+      for (int y = 0; y < h; y++)
+        for (int x = 0; x < w; x++) {
+          int rgb = img.getRGB(x, y);
+          int lum = ((rgb >> 16) & 0xff);
+          bin.setRGB(x, y, lum >= 128 ? 0xFFFFFF : 0);
+        }
+      img = bin;
+    }
+    if (args.length > 2) {
+      ImageWriter wr = ImageIO.getImageWritersByFormatName(fmt).next();
+      ImageWriteParam p = wr.getDefaultWriteParam();
+      p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT);
+      p.setCompressionType(args[2]);
+      try (ImageOutputStream os =
+               ImageIO.createImageOutputStream(new File(args[1]))) {
+        wr.setOutput(os);
+        wr.write(null, new IIOImage(img, null, null), p);
+      }
+      wr.dispose();
+      return;
+    }
     if (!ImageIO.write(img, fmt, new File(args[1]))) {
       // Some writers reject the pixel layout (e.g. JPEG vs ARGB):
       // re-draw onto a layout the writer accepts before giving up.

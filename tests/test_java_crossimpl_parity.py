@@ -238,6 +238,46 @@ def test_our_encoders_decode_bit_exact_in_java(jtools, tmp_path, name,
     assert int(np.abs(a.astype(int) - b.astype(int)).max()) == 0
 
 
+@pytest.mark.parametrize("ctype", ["LZW", "PackBits", "Deflate", "ZLib"])
+def test_java_tiff_compressions_decode_bit_exact(jtools, tmp_path, ctype):
+    """The JDK's TIFF writer at each compression it offers (its LZW
+    code-stream choices, PackBits run splits, and zlib strips are all
+    its own) → the stdlib TIFF decoder reproduces the pixels
+    bit-exactly ('Deflate'/'ZLib' both land on Compression 8/32946,
+    new this round)."""
+    rng = _rng()
+    arr = rng.integers(0, 256, (23, 37, 3), dtype=np.uint8)
+    path = str(tmp_path / f"c.{ctype}.tiff")
+    pix_make_c(jtools, arr, "tiff", path, ctype)
+    ours = mm.decode_pixels(open(path, "rb").read())
+    assert ours.shape == arr.shape
+    assert int(np.abs(ours.astype(int) - arr.astype(int)).max()) == 0
+
+
+def pix_make_c(jtools, arr, fmt, path, ctype):
+    h, w, c = arr.shape
+    _jrun(jtools, "PixelMake", fmt, path, ctype,
+          stdin=f"{w} {h} {c}\n".encode() + arr.tobytes())
+
+
+def test_wbmp_both_directions(jtools, tmp_path):
+    """WBMP (WAP-237): the JDK's writer → stdlib decoder and the
+    stdlib encoder → JDK reader, both bit-exact, on a 200-px-wide
+    frame (exercising the two-byte VLQ width)."""
+    rng = _rng()
+    bw = (rng.integers(0, 2, (45, 200)) * 255).astype(np.uint8)
+    jpath = str(tmp_path / "j.wbmp")
+    pix_make(jtools, np.stack([bw] * 3, axis=2), "wbmp", jpath)
+    ours = mm.decode_pixels(open(jpath, "rb").read())
+    assert ours.shape == (45, 200, 1)
+    assert np.array_equal(ours[:, :, 0], bw)
+    opath = str(tmp_path / "o.wbmp")
+    with open(opath, "wb") as fh:
+        fh.write(mm._encode_wbmp(bw))
+    theirs = jdump(jtools, opath)
+    assert np.array_equal(theirs[:, :, 0], bw)
+
+
 # --------------------------------------------- JPEG same-stream parity
 
 def _gradient():

@@ -1427,6 +1427,58 @@ def test_tiff_planar_and_16bit():
     assert np.array_equal(dec0, 255 - (g >> 8).astype(np.uint8))
 
 
+def test_tiff_deflate_and_wbmp():
+    """Round-7 additions: Adobe Deflate TIFF (Compression 8 + legacy
+    32946, bounded per-strip inflate) across predictor/endian/strip
+    variants, and WBMP decode/encode with multi-byte dimensions and
+    hostile payloads."""
+    import numpy as np
+    import pytest as _pytest
+
+    from meza_spark.llm.multimodal import (_decode_tiff, _decode_wbmp,
+                                           _encode_tiff, _encode_wbmp,
+                                           decode_pixels)
+
+    rng = np.random.default_rng(31)
+    px = rng.integers(0, 256, (9, 6, 3), dtype=np.uint8)
+    for comp in (8, 32946):
+        for pred in (1, 2):
+            for be in (False, True):
+                enc = _encode_tiff(px, compression=comp, predictor=pred,
+                                   big_endian=be, rows_per_strip=4)
+                assert np.array_equal(_decode_tiff(enc), px), \
+                    (comp, pred, be)
+    # truncated / corrupt deflate strips fail as skippable ValueError
+    # (the bounded decompressobj also caps any bomb at the strip's
+    # true byte size — same posture as the PNG inflate)
+    whole = _encode_tiff(px, compression=8)
+    with _pytest.raises(ValueError):
+        _decode_tiff(whole[:-4])                  # truncated stream
+    broken = bytearray(whole)
+    broken[-8] ^= 0xFF                            # corrupt the stream
+    try:
+        _decode_tiff(bytes(broken))
+    except ValueError:
+        pass                                      # loud is fine
+    # (a lucky bitflip may still inflate; silence is fine too — the
+    # invariant is 'never a MemoryError, never past the size bound',
+    # which the bounded inflate enforces structurally)
+    # WBMP: 1-bit rows, byte padding, 2-byte VLQ width
+    bw = (rng.integers(0, 2, (13, 200)) * 255).astype(np.uint8)
+    enc = _encode_wbmp(bw)
+    assert enc[:2] == b"\x00\x00" and enc[2] & 0x80   # VLQ continuation
+    dec = _decode_wbmp(enc)
+    assert dec.shape == (13, 200, 1)
+    assert np.array_equal(dec[:, :, 0], bw)
+    assert np.array_equal(decode_pixels(enc), dec)    # dispatch tail
+    with _pytest.raises(ValueError):
+        _decode_wbmp(enc[:6])                         # truncated rows
+    with _pytest.raises(ValueError):
+        _decode_wbmp(b"\x00\x00\x00\x05")             # zero width
+    with _pytest.raises(ValueError):
+        _decode_wbmp(b"\x00\x00" + b"\xff" * 8)       # runaway VLQ
+
+
 def test_tiff_palette16():
     """16-bit palette TIFF (TIFF 6.0 §23: ColorMap indexed by the
     full sample value, 3·2^16 entries) decodes via raw-index lookup

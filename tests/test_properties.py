@@ -718,6 +718,23 @@ def _au_fixture():
         + data
 
 
+def _ima4_fixture():
+    import numpy as np
+
+    from meza_spark.llm import multimodal as mm
+    sig = (np.sin(np.arange(256) / 9.0) * 7000).astype(np.int16)
+    packets = mm._encode_ima4(sig, 1)
+    f80 = _struct.pack(">HQ", 16383 + 12, 8000 << 51)
+    comm_body = _struct.pack(">HIH", 1, 256, 16) + f80 \
+        + b"ima4" + b"\x0bIMA 4:1\x00\x00\x00\x00"
+    comm = b"COMM" + _struct.pack(">I", len(comm_body)) + comm_body \
+        + (b"\x00" if len(comm_body) & 1 else b"")
+    ssnd = b"SSND" + _struct.pack(">I", 8 + len(packets)) \
+        + _struct.pack(">II", 0, 0) + packets
+    form = b"AIFC" + comm + ssnd
+    return b"FORM" + _struct.pack(">I", len(form)) + form
+
+
 def _media_fixtures():
     from meza_spark.llm import multimodal as mm
     p = _px()
@@ -735,6 +752,9 @@ def _media_fixtures():
         "wav": (_wav_fixture(), "audio"),
         "aiff": (_aiff_fixture(), "audio"),
         "au": (_au_fixture(), "audio"),
+        "tiff_deflate": (mm._encode_tiff(p, compression=8), "image"),
+        "wbmp": (mm._encode_wbmp((p[:, :, 0] >= 128) * 255), "image"),
+        "ima4": (_ima4_fixture(), "audio"),
     }
 
 
