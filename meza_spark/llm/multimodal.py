@@ -116,35 +116,176 @@ def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
              .withColumn("payload_sha", F.sha2(p, 256))
 
 
-def _decode_bmp(b: bytes):
-    """24-bit uncompressed (BI_RGB) BMP → (h, w, 3) uint8 RGB array.
+def _bmp_rle8(data: bytes, w: int, h: int):
+    """BI_RLE8 → (h, w) palette indices, bottom-up rows as stored.
+    Escape codes per the Windows GDI spec: 00 00 end-of-line, 00 01
+    end-of-bitmap, 00 02 dx dy delta, 00 n absolute run (word-padded),
+    else count×value run. Skipped pixels stay index 0."""
+    import numpy as np
 
-    Real byte-level decode: BITMAPINFOHEADER dims, bottom-up row order,
-    4-byte row padding, BGR→RGB channel swap. Top-down (negative
-    height) handled. Other bit depths / compressions raise ValueError.
-    """
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = pos = 0
+    n = len(data)
+    while pos + 1 < n:
+        c0, c1 = data[pos], data[pos + 1]
+        pos += 2
+        if c0:                                    # encoded run
+            end = min(x + c0, w)
+            if y < h:
+                out[y, x:end] = c1
+            x = end
+        elif c1 == 0:                             # end of line
+            x, y = 0, y + 1
+            if y > h:
+                raise ValueError("RLE8 rows exceed BMP height")
+        elif c1 == 1:                             # end of bitmap
+            return out
+        elif c1 == 2:                             # delta
+            if pos + 2 > n:
+                raise ValueError("truncated RLE8 delta")
+            x = min(w, x + data[pos])
+            y += data[pos + 1]
+            if y > h:
+                raise ValueError("RLE8 delta exceeds BMP height")
+            pos += 2
+        else:                                     # absolute run
+            if pos + c1 > n:
+                raise ValueError("truncated RLE8 absolute run")
+            end = min(x + c1, w)
+            if y < h:
+                out[y, x:end] = np.frombuffer(
+                    data, np.uint8, count=end - x, offset=pos)
+            x = end
+            pos += c1 + (c1 & 1)                  # runs pad to words
+    return out
+
+
+def _mask_channel(vals, mask):
+    """Extract one BI_BITFIELDS channel and scale to 8 bits by bit
+    replication (the GDI convention; exact for 5-bit, standard for
+    6-bit)."""
+    import numpy as np
+
+    if not mask:
+        return np.zeros(vals.shape, dtype=np.uint8)
+    shift = (mask & -mask).bit_length() - 1
+    width = int(mask >> shift).bit_length()
+    ch = (vals >> shift) & ((1 << width) - 1)
+    if width >= 8:
+        return (ch >> (width - 8)).astype(np.uint8)
+    up = ch.astype(np.uint32) << (8 - width)
+    return (up | (up >> width)).astype(np.uint8)
+
+
+def _decode_bmp(b: bytes):
+    """BMP → (h, w, 3) uint8 RGB array — the classic Windows DIB
+    matrix: 24-bit and 32-bit BI_RGB, 16-bit BI_RGB (5-5-5), 16/32-bit
+    BI_BITFIELDS (arbitrary masks, e.g. 5-6-5, scaled by bit
+    replication), 1/4/8-bit palette, and BI_RLE8 runs — BITMAPINFOHEADER
+    dims, bottom-up or top-down row order, 4-byte row padding, BGRA
+    quads, BGR→RGB swap. BI_RLE4 and OS/2 headers raise ValueError
+    (honest gates)."""
     import numpy as np
 
     if b[:2] != b"BM" or len(b) < 54:
         raise ValueError("not a BMP")
     data_off = struct.unpack("<I", b[10:14])[0]
+    hdr_size = struct.unpack("<I", b[14:18])[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
     w, h_raw = struct.unpack("<ii", b[18:26])
     planes, bpp = struct.unpack("<HH", b[26:30])
     compression = struct.unpack("<I", b[30:34])[0]
-    if bpp != 24 or compression != 0:
-        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    clr_used = struct.unpack("<I", b[46:50])[0] if len(b) >= 50 else 0
     h = abs(h_raw)
+    if w <= 0 or h == 0:
+        raise ValueError("bad BMP dimensions")
     _check_pixels(h, w, "BMP")
-    row_sz = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
-    need = data_off + row_sz * h
-    if len(b) < need:
-        raise ValueError("truncated BMP pixel data")
-    raw = np.frombuffer(b, dtype=np.uint8,
-                        count=row_sz * h, offset=data_off)
-    rows = raw.reshape(h, row_sz)[:, :w * 3].reshape(h, w, 3)
-    if h_raw > 0:  # bottom-up storage
-        rows = rows[::-1]
-    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+    def finish(rows_rgb):
+        if h_raw > 0:                             # bottom-up storage
+            rows_rgb = rows_rgb[::-1]
+        return np.ascontiguousarray(rows_rgb)
+
+    def read_palette():
+        nent = clr_used or (1 << bpp)
+        if nent > 1 << bpp:
+            raise ValueError("BMP palette larger than bit depth allows")
+        pal_off = 14 + hdr_size
+        raw = b[pal_off:pal_off + 4 * nent]
+        if len(raw) < 4 * nent:
+            raise ValueError("truncated BMP palette")
+        quads = np.frombuffer(raw, np.uint8).reshape(nent, 4)
+        pal = np.zeros((256, 3), dtype=np.uint8)
+        pal[:nent] = quads[:, 2::-1]              # BGRx → RGB
+        return pal
+
+    if compression == 1:                          # BI_RLE8
+        if bpp != 8:
+            raise ValueError("BI_RLE8 requires 8-bit pixels")
+        idx = _bmp_rle8(b[data_off:], w, h)
+        return finish(read_palette()[idx])
+    if compression == 2:
+        raise ValueError("BI_RLE4 BMP not supported")
+    if compression not in (0, 3):
+        raise ValueError(f"unsupported BMP compression {compression}")
+
+    if bpp in (16, 32):
+        unit = bpp // 8
+        row_sz = (w * unit + 3) & ~3
+        if len(b) < data_off + row_sz * h:
+            raise ValueError("truncated BMP pixel data")
+        raw = np.frombuffer(b, np.uint8, count=row_sz * h,
+                            offset=data_off).reshape(h, row_sz)
+        vals = raw[:, :w * unit].reshape(h, w, unit)
+        vals = vals.astype(np.uint32)
+        word = vals[..., 0] | (vals[..., 1] << 8)
+        if unit == 4:
+            word |= (vals[..., 2] << 16) | (vals[..., 3] << 24)
+        if compression == 3:
+            # masks sit at byte 54 both for BITMAPINFOHEADER (appended)
+            # and V4/V5 headers (the RedMask field lands there)
+            if len(b) < 66:
+                raise ValueError("BI_BITFIELDS without masks")
+            rm, gm, bm = struct.unpack("<III", b[54:66])
+        elif unit == 2:
+            rm, gm, bm = 0x7C00, 0x03E0, 0x001F   # BI_RGB 16 = 5-5-5
+        else:
+            rm, gm, bm = 0xFF0000, 0x00FF00, 0x0000FF
+        rgb = np.stack([_mask_channel(word, rm), _mask_channel(word, gm),
+                        _mask_channel(word, bm)], axis=2)
+        return finish(rgb)
+
+    if bpp == 24:
+        row_sz = (w * 3 + 3) & ~3                 # rows pad to 4 bytes
+        if len(b) < data_off + row_sz * h:
+            raise ValueError("truncated BMP pixel data")
+        raw = np.frombuffer(b, np.uint8, count=row_sz * h,
+                            offset=data_off)
+        rows = raw.reshape(h, row_sz)[:, :w * 3].reshape(h, w, 3)
+        return finish(rows[:, :, ::-1])           # BGR → RGB
+
+    if bpp in (1, 4, 8):
+        pal = read_palette()
+        row_bits = w * bpp
+        row_sz = ((row_bits + 31) // 32) * 4
+        if len(b) < data_off + row_sz * h:
+            raise ValueError("truncated BMP pixel data")
+        raw = np.frombuffer(b, np.uint8, count=row_sz * h,
+                            offset=data_off).reshape(h, row_sz)
+        if bpp == 8:
+            idx = raw[:, :w]
+        elif bpp == 4:
+            nib = np.empty((h, row_sz * 2), dtype=np.uint8)
+            nib[:, 0::2] = raw >> 4
+            nib[:, 1::2] = raw & 0x0F
+            idx = nib[:, :w]
+        else:
+            bits = np.unpackbits(raw, axis=1)
+            idx = bits[:, :w]
+        return finish(pal[idx])
+
+    raise ValueError(f"unsupported BMP bit depth {bpp}")
 
 
 def _encode_bmp(px) -> bytes:

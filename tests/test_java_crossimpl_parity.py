@@ -260,6 +260,23 @@ def pix_make_c(jtools, arr, fmt, path, ctype):
           stdin=f"{w} {h} {c}\n".encode() + arr.tobytes())
 
 
+@pytest.mark.parametrize("bands,ctype", [
+    (3, "BI_RGB"), (1, "BI_RGB"), (3, "BI_BITFIELDS"), (1, "BI_RLE8"),
+])
+def test_java_bmp_variants_decode_bit_exact(jtools, tmp_path, bands, ctype):
+    """The JDK's BMP writer across its DIB repertoire — 24-bit BI_RGB,
+    8-bit palette (gray input), BI_BITFIELDS masks, and BI_RLE8 runs —
+    all decode bit-exactly through the widened stdlib BMP matrix."""
+    rng = _rng()
+    arr = rng.integers(0, 256, (19, 29, bands), dtype=np.uint8)
+    path = str(tmp_path / f"{ctype}.{bands}.bmp")
+    pix_make_c(jtools, arr, "bmp", path, ctype)
+    ours = mm.decode_pixels(open(path, "rb").read())
+    exp = arr if bands == 3 else np.repeat(arr, 3, axis=2)
+    assert ours.shape == exp.shape
+    assert int(np.abs(ours.astype(int) - exp.astype(int)).max()) == 0
+
+
 def test_wbmp_both_directions(jtools, tmp_path):
     """WBMP (WAP-237): the JDK's writer → stdlib decoder and the
     stdlib encoder → JDK reader, both bit-exact, on a 200-px-wide

@@ -1427,6 +1427,126 @@ def test_tiff_planar_and_16bit():
     assert np.array_equal(dec0, 255 - (g >> 8).astype(np.uint8))
 
 
+def test_bmp_variant_matrix():
+    """Round-7 BMP widening beyond 24-bit BI_RGB: 8/4/1-bit palette,
+    32-bit BI_RGB (reserved byte dropped), 16-bit 5-5-5, BI_BITFIELDS
+    5-6-5 (bit-replication scaling), and BI_RLE8 (runs, EOL, absolute
+    runs with word padding) — hand-built headers so every field is
+    exercised; RLE4 and sub-40-byte headers stay honest gates."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from meza_spark.llm.multimodal import _decode_bmp, decode_pixels
+
+    rng = np.random.default_rng(9)
+
+    def bmp(bpp, comp, data, w, h, palette=b"", masks=b""):
+        off = 54 + len(masks) + len(palette)
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, comp,
+                           len(data), 2835, 2835, len(palette) // 4, 0)
+        return (b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+                + info + masks + palette + data)
+
+    # 8-bit palette (bottom-up, padded rows)
+    pal = rng.integers(0, 256, (256, 4), dtype=np.uint8)
+    pal[:, 3] = 0
+    idx = rng.integers(0, 256, (7, 10), dtype=np.uint8)
+    row_sz = (10 + 3) & ~3
+    body = np.zeros((7, row_sz), np.uint8)
+    body[:, :10] = idx[::-1]
+    out = decode_pixels(bmp(8, 0, body.tobytes(), 10, 7,
+                            palette=pal.tobytes()))
+    assert np.array_equal(out, pal[:, 2::-1][idx])
+
+    # 1-bit palette
+    bits = rng.integers(0, 2, (5, 20), dtype=np.uint8)
+    packed = np.packbits(bits, axis=1)
+    row_sz = ((20 + 31) // 32) * 4
+    body = np.zeros((5, row_sz), np.uint8)
+    body[:, :packed.shape[1]] = packed[::-1]
+    pal2 = np.array([[0, 0, 0, 0], [255, 255, 255, 0]], np.uint8)
+    out = _decode_bmp(bmp(1, 0, body.tobytes(), 20, 5,
+                          palette=pal2.tobytes()))
+    assert np.array_equal(out, np.stack([bits * 255] * 3, axis=2))
+
+    # 4-bit palette
+    nidx = rng.integers(0, 16, (3, 7), dtype=np.uint8)
+    nib = np.zeros((3, 4), np.uint8)
+    for r in range(3):
+        for c in range(7):
+            nib[r, c // 2] |= nidx[r, c] << (4 if c % 2 == 0 else 0)
+    body = np.zeros((3, 4), np.uint8)
+    body[:] = nib[::-1]
+    pal16 = rng.integers(0, 256, (16, 4), dtype=np.uint8)
+    out = _decode_bmp(bmp(4, 0, body.tobytes(), 7, 3,
+                          palette=pal16.tobytes()))
+    assert np.array_equal(out, pal16[:, 2::-1][nidx])
+
+    # 32-bit BI_RGB
+    img32 = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    quads = np.zeros((6, 5, 4), np.uint8)
+    quads[..., 0], quads[..., 1], quads[..., 2] = \
+        img32[..., 2], img32[..., 1], img32[..., 0]
+    assert np.array_equal(
+        _decode_bmp(bmp(32, 0, quads[::-1].tobytes(), 5, 6)), img32)
+
+    # 16-bit 5-5-5 and BI_BITFIELDS 5-6-5
+    v = rng.integers(0, 32, (4, 6, 3), dtype=np.uint32)
+    rep5 = lambda x: ((x << 3) | (x >> 2)).astype(np.uint8)  # noqa: E731
+    word = (v[..., 0] << 10) | (v[..., 1] << 5) | v[..., 2]
+    wb = word.astype("<u2").view(np.uint8).reshape(4, 12)
+    row_sz = (12 + 3) & ~3
+    body = np.zeros((4, row_sz), np.uint8)
+    body[:, :12] = wb[::-1]
+    out = _decode_bmp(bmp(16, 0, body.tobytes(), 6, 4))
+    assert np.array_equal(
+        out, np.stack([rep5(v[..., 0]), rep5(v[..., 1]),
+                       rep5(v[..., 2])], axis=2))
+    g6 = (v[..., 1] * 2).astype(np.uint32)
+    word = (v[..., 0] << 11) | (g6 << 5) | v[..., 2]
+    wb = word.astype("<u2").view(np.uint8).reshape(4, 12)
+    body = np.zeros((4, row_sz), np.uint8)
+    body[:, :12] = wb[::-1]
+    masks = struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+    out = _decode_bmp(bmp(16, 3, body.tobytes(), 6, 4, masks=masks))
+    rep6 = ((g6 << 2) | (g6 >> 4)).astype(np.uint8)
+    assert np.array_equal(
+        out, np.stack([rep5(v[..., 0]), rep6, rep5(v[..., 2])], axis=2))
+
+    # BI_RLE8: encoded runs, EOL, absolute run (word-padded), EOB
+    rle = bytes([8, 5, 0, 0, 8, 6, 0, 0, 4, 1, 4, 2, 0, 0,
+                 0, 4, 9, 8, 7, 6, 4, 3, 0, 1])
+    out = _decode_bmp(bmp(8, 1, rle, 8, 4, palette=pal.tobytes()))
+    idx = np.zeros((4, 8), np.uint8)
+    idx[0, :] = 5
+    idx[1, :] = 6
+    idx[2, :4], idx[2, 4:] = 1, 2
+    idx[3, :4], idx[3, 4:] = [9, 8, 7, 6], 3
+    assert np.array_equal(out, pal[:, 2::-1][idx[::-1]])
+
+    # honest gates / hostile payloads
+    with _pytest.raises(ValueError, match="RLE4"):
+        _decode_bmp(bmp(4, 2, b"\x00\x01", 4, 4,
+                        palette=pal16.tobytes()))
+    with _pytest.raises(ValueError, match="truncated"):
+        _decode_bmp(bmp(8, 0, b"\x00" * 8, 10, 7,
+                        palette=pal.tobytes()))
+    # clr_used=0 means a full 2^bpp palette must be present; patching
+    # the field to 0 with only 8 palette bytes on disk must fail loudly
+    # (a SHORT declared palette like 2 entries is legal — indices past
+    # it are defined-zero, not an error)
+    short = bytearray(bmp(8, 0, body.tobytes(), 6, 4,
+                          palette=b"\x00" * 8))
+    short[46:50] = b"\x00\x00\x00\x00"
+    with _pytest.raises(ValueError, match="palette"):
+        _decode_bmp(bytes(short))
+    with _pytest.raises(ValueError):
+        _decode_bmp(bmp(8, 1, bytes([0, 2, 0, 200] * 30), 8, 4,
+                        palette=pal.tobytes()))    # delta past height
+
+
 def test_tiff_deflate_and_wbmp():
     """Round-7 additions: Adobe Deflate TIFF (Compression 8 + legacy
     32946, bounded per-strip inflate) across predictor/endian/strip
