@@ -128,7 +128,11 @@ def records2geojson(df: DataFrame, path: str, id_col: str = "id",
     """
     has_pos = pos_col in df.columns
     has_seq = seq_col in df.columns
-    skip = {id_col, lon_col, lat_col, "type"}
+    # the reference's black_list is {type, lon, lat} ONLY — the
+    # feature id stays in properties too (meza/convert.py:929-943,
+    # pinned by examples/usage.py); pos/seq are this engine's own
+    # vertex-order bookkeeping and never belong in properties
+    skip = {lon_col, lat_col, "type"}
     skip |= {pos_col} if has_pos else set()
     skip |= {seq_col} if has_seq else set()
     prop_cols = [c for c in df.columns if c not in skip]
@@ -174,7 +178,11 @@ def records2geojson(df: DataFrame, path: str, id_col: str = "id",
         })
     feats.sort(key=lambda f: (f["id"] is None, f["id"]))
     collection = {"type": "FeatureCollection", "bbox": bbox,
-                  "features": feats}
+                  "features": feats,
+                  # the reference always stamps its default CRS
+                  # (meza/convert.py:1050-1057, examples/usage.py)
+                  "crs": {"type": "name", "properties": {
+                      "name": "urn:ogc:def:crs:OGC:1.3:CRS84"}}}
     with open(path, "w", encoding="utf-8") as f:
         _json.dump(collection, f, default=float)
 

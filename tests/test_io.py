@@ -273,7 +273,9 @@ def test_geojson_line_polygon_roundtrip_order(spark, tmp_path):
         back = json.load(f)
     by_id = {f["id"]: f for f in back["features"]}
     assert by_id[1]["geometry"]["coordinates"] == line
-    assert by_id[1]["properties"] == {"name": "zig"}
+    # reference semantics (meza/convert.py:929: black_list is only
+    # {type, lon, lat}): the feature id STAYS in properties too
+    assert by_id[1]["properties"] == {"id": 1, "name": "zig"}
     assert by_id[2]["geometry"]["coordinates"] == [outer, hole]
 
 
