@@ -305,6 +305,56 @@ def _encode_bmp(px) -> bytes:
     return file_hdr + info_hdr + data
 
 
+def _decode_ico(b: bytes):
+    """ICO/CUR container → pixels of the LARGEST entry (then deepest
+    bpp): ICONDIR + ICONDIRENTRY walk; an entry is either an embedded
+    PNG (Vista+ icons, full signature) or a headerless DIB whose
+    biHeight counts the XOR **and** AND masks (doubled) — re-wrapped
+    as a BMP (height halved, data offset computed from the header +
+    palette extents) and decoded through the full DIB matrix. The
+    trailing 1-bit AND mask is ignored (32-bpp icons carry real alpha
+    in the reserved byte; the uint8 RGB contract drops it)."""
+    import numpy as np  # noqa: F401  (parity with sibling decoders)
+
+    if len(b) < 6 or b[:2] != b"\x00\x00" or b[2] not in (1, 2) \
+            or b[3] != 0:
+        raise ValueError("not an ICO/CUR payload")
+    n = struct.unpack("<H", b[4:6])[0]
+    if not n or 6 + 16 * n > len(b):
+        raise ValueError("bad ICO directory")
+    best = None
+    for i in range(n):
+        e = b[6 + 16 * i:6 + 16 * (i + 1)]
+        w, h = e[0] or 256, e[1] or 256
+        bpp = struct.unpack("<H", e[6:8])[0]
+        size, off = struct.unpack("<II", e[8:16])
+        if off + size > len(b) or size < 8:
+            continue                     # corrupt entry: try the rest
+        key = (w * h, bpp)
+        if best is None or key > best[0]:
+            best = (key, w, h, b[off:off + size])
+    if best is None:
+        raise ValueError("ICO has no decodable entries")
+    _, w, h, payload = best
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
+    if len(payload) < 40:
+        raise ValueError("truncated ICO DIB")
+    hdr_size = struct.unpack("<I", payload[:4])[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported ICO DIB header size {hdr_size}")
+    bpp = struct.unpack("<H", payload[14:16])[0]
+    clr_used = struct.unpack("<I", payload[32:36])[0]
+    pal_entries = clr_used or ((1 << bpp) if bpp <= 8 else 0)
+    data_off = 14 + hdr_size + 4 * pal_entries
+    # biHeight counts XOR+AND masks: halve it back to the real height
+    fixed = bytearray(payload)
+    fixed[8:12] = struct.pack("<i", h)
+    bmp = (b"BM" + struct.pack("<IHHI", 14 + len(fixed), 0, 0, data_off)
+           + bytes(fixed))
+    return _decode_bmp(bmp)
+
+
 def _wbmp_vlq(b: bytes, pos: int):
     """WBMP multi-byte integer: 7 value bits per byte, high bit set
     means another byte follows (WAP-237 §4.1)."""
@@ -3068,10 +3118,13 @@ def _pillow_decode(b: bytes):
 def decode_pixels(b: bytes):
     """Dispatch real pixel decode by magic bytes → (h, w, c) uint8.
 
-    BMP / PPM / PGM / PNG (all 5 filters, Adam7, 8/16-bit) / GIF
-    (LZW + palette, interlace) / baseline AND progressive JPEG
-    (Huffman + IDCT + YCbCr, 4:2:0, T.81 §G multi-scan) decode for
-    real — stdlib struct + zlib + numpy, no Pillow required. With
+    BMP (full DIB matrix: 24/32-bit, 16-bit 555/bitfields, 1/4/8-bit
+    palette, RLE8) / PPM / PGM / PNG (all 5 filters, Adam7,
+    8/16-bit) / GIF (LZW + palette, interlace) / baseline AND
+    progressive JPEG (Huffman + IDCT + YCbCr, 4:2:0, T.81 §G
+    multi-scan) / TIFF (none/LZW/PackBits/Deflate) / ICO and CUR
+    (largest entry, DIB or PNG-in-ICO) / WBMP decode for real —
+    stdlib struct + zlib + numpy, no Pillow required. With
     ``MEZA_SPARK_PILLOW=1`` and Pillow importable, PNG/TIFF/BMP
     prefer Pillow's C-speed inner loops, falling back to the stdlib
     path on any Pillow error (parity pinned by unit test on Pillow
@@ -3100,6 +3153,8 @@ def decode_pixels(b: bytes):
         return _decode_jpeg(b)
     if b[:4] in (b"II*\x00", b"MM\x00*"):
         return _decode_tiff(b)
+    if b[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+        return _decode_ico(b)            # ICO / CUR directory
     if b[:2] == b"\x00\x00":
         # WBMP type 0 has no magic beyond the two zero bytes; checked
         # LAST so every real signature wins, and bad dims still raise

@@ -1547,6 +1547,76 @@ def test_bmp_variant_matrix():
                         palette=pal.tobytes()))    # delta past height
 
 
+def test_ico_decode():
+    """ICO/CUR (round 7): largest-entry selection, headerless-DIB
+    re-wrap (doubled biHeight, palette-aware data offset) through the
+    BMP matrix, PNG-in-ICO, and three REAL icons (CPython's idle.ico,
+    pyasn1 and Jetty favicons) with pinned shapes and stats."""
+    import os
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from meza_spark.llm.multimodal import (_decode_ico, _encode_bmp,
+                                           _encode_png, decode_pixels)
+
+    rng = np.random.default_rng(17)
+
+    def dib_of(px):
+        bmp = _encode_bmp(px)
+        dib = bytearray(bmp[14:])
+        h = struct.unpack("<i", dib[8:12])[0]
+        dib[8:12] = struct.pack("<i", h * 2)      # XOR+AND doubled
+        return bytes(dib)
+
+    def ico(entries):
+        head = b"\x00\x00\x01\x00" + struct.pack("<H", len(entries))
+        dir_bytes = b""
+        off = 6 + 16 * len(entries)
+        blobs = b""
+        for (w, h, bpp, payload) in entries:
+            dir_bytes += struct.pack("<BBBBHHII", w % 256, h % 256, 0, 0,
+                                     1, bpp, len(payload), off)
+            blobs += payload
+            off += len(payload)
+        return head + dir_bytes + blobs
+
+    px = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    assert np.array_equal(_decode_ico(ico([(24, 24, 24, dib_of(px))])), px)
+    # multi-entry: the larger PNG entry wins over the small DIB
+    big = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+    multi = ico([(24, 24, 24, dib_of(px)), (48, 48, 32, _encode_png(big))])
+    assert np.array_equal(_decode_ico(multi), big)
+    # dispatch: ICO wins over the WBMP zero-byte catch-all
+    assert np.array_equal(decode_pixels(multi), big)
+
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures", "external")
+    real = {
+        "ico_png256_idle.ico": (256, 256, 4),
+        "ico_dib32_pyasn1.ico": (32, 30, 3),
+        "ico_dib32_jetty.ico": (16, 16, 3),
+    }
+    for name, shape in real.items():
+        p = os.path.join(fixdir, name)
+        if not os.path.exists(p):
+            continue
+        arr = decode_pixels(open(p, "rb").read())
+        assert arr.shape == shape, name
+        assert 0 < float(arr.mean()) < 255, name
+
+    # hostile payloads
+    with _pytest.raises(ValueError):
+        _decode_ico(b"\x00\x00\x01\x00\x02\x00" + b"\x00" * 8)  # short dir
+    with _pytest.raises(ValueError):
+        # entry points past the end: no decodable entries
+        bad = bytearray(ico([(24, 24, 24, dib_of(px))]))
+        bad[6 + 12:6 + 16] = struct.pack("<I", 1 << 30)
+        _decode_ico(bytes(bad))
+    with _pytest.raises(ValueError):
+        _decode_ico(ico([(4, 4, 24, b"\x0c\x00\x00\x00" + b"\x00" * 8)]))
+
+
 def test_tiff_deflate_and_wbmp():
     """Round-7 additions: Adobe Deflate TIFF (Compression 8 + legacy
     32946, bounded per-strip inflate) across predictor/endian/strip

@@ -735,6 +735,18 @@ def _ima4_fixture():
     return b"FORM" + _struct.pack(">I", len(form)) + form
 
 
+def _ico_fixture(px):
+    from meza_spark.llm import multimodal as mm
+    bmp = mm._encode_bmp(px)
+    dib = bytearray(bmp[14:])
+    h = _struct.unpack("<i", dib[8:12])[0]
+    dib[8:12] = _struct.pack("<i", h * 2)
+    head = b"\x00\x00\x01\x00\x01\x00"
+    entry = _struct.pack("<BBBBHHII", px.shape[1] % 256,
+                         px.shape[0] % 256, 0, 0, 1, 24, len(dib), 22)
+    return head + entry + bytes(dib)
+
+
 def _media_fixtures():
     from meza_spark.llm import multimodal as mm
     p = _px()
@@ -755,6 +767,7 @@ def _media_fixtures():
         "tiff_deflate": (mm._encode_tiff(p, compression=8), "image"),
         "wbmp": (mm._encode_wbmp((p[:, :, 0] >= 128) * 255), "image"),
         "ima4": (_ima4_fixture(), "audio"),
+        "ico": (_ico_fixture(p), "image"),
     }
 
 
