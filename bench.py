@@ -183,7 +183,11 @@ SCALE_QUERIES = ["q1_pricing", "q3_shipping", "q5_local_supplier",
                  # data volume is a bug, not a shuffle artifact
                  "multimodal_jpeg_prog", "multimodal_gif_anim",
                  "multimodal_apng", "multimodal_avi",
-                 "multimodal_mp4v"]
+                 "multimodal_mp4v",
+                 # round-7: the sequential-codec gate (row-local
+                 # pure-Python state walk — must scale linearly) and
+                 # the 16-bit palette lookup
+                 "multimodal_ima4", "multimodal_tiff_pal16"]
 
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

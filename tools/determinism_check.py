@@ -78,6 +78,11 @@ DEFAULT_QUERIES = [
     "cusum_fast_parity",
     "ewma_fast_parity",
     "infer_types_orders",
+    # round-7 second pass: the sequential ADPCM state walk (pure
+    # int state machine — must be bit-identical everywhere) and the
+    # 16-bit palette lookup
+    "multimodal_ima4",
+    "multimodal_tiff_pal16",
 ]
 
 _WORKER = r"""
