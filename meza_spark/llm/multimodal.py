@@ -160,6 +160,57 @@ def _bmp_rle8(data: bytes, w: int, h: int):
     return out
 
 
+def _bmp_rle4(data: bytes, w: int, h: int):
+    """BI_RLE4 → (h, w) palette indices, bottom-up rows as stored:
+    encoded runs alternate the byte's high/low nibbles, absolute runs
+    carry packed nibbles padded to word boundaries; same escape codes
+    as RLE8."""
+    import numpy as np
+
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = pos = 0
+    n = len(data)
+    while pos + 1 < n:
+        c0, c1 = data[pos], data[pos + 1]
+        pos += 2
+        if c0:                                    # encoded run
+            hi, lo = c1 >> 4, c1 & 0x0F
+            for k in range(c0):
+                if x >= w:
+                    break
+                if y < h:
+                    out[y, x] = hi if k % 2 == 0 else lo
+                x += 1
+        elif c1 == 0:                             # end of line
+            x, y = 0, y + 1
+            if y > h:
+                raise ValueError("RLE4 rows exceed BMP height")
+        elif c1 == 1:                             # end of bitmap
+            return out
+        elif c1 == 2:                             # delta
+            if pos + 2 > n:
+                raise ValueError("truncated RLE4 delta")
+            x = min(w, x + data[pos])
+            y += data[pos + 1]
+            if y > h:
+                raise ValueError("RLE4 delta exceeds BMP height")
+            pos += 2
+        else:                                     # absolute run
+            nbytes = (c1 + 1) // 2
+            nbytes += nbytes & 1                  # pad to word
+            if pos + nbytes > n:
+                raise ValueError("truncated RLE4 absolute run")
+            for k in range(c1):
+                if x >= w:
+                    break
+                byte = data[pos + k // 2]
+                if y < h:
+                    out[y, x] = (byte >> 4) if k % 2 == 0 else (byte & 0x0F)
+                x += 1
+            pos += nbytes
+    return out
+
+
 def _mask_channel(vals, mask):
     """Extract one BI_BITFIELDS channel and scale to 8 bits by bit
     replication (the GDI convention; exact for 5-bit, standard for
@@ -181,10 +232,10 @@ def _decode_bmp(b: bytes):
     """BMP → (h, w, 3) uint8 RGB array — the classic Windows DIB
     matrix: 24-bit and 32-bit BI_RGB, 16-bit BI_RGB (5-5-5), 16/32-bit
     BI_BITFIELDS (arbitrary masks, e.g. 5-6-5, scaled by bit
-    replication), 1/4/8-bit palette, and BI_RLE8 runs — BITMAPINFOHEADER
-    dims, bottom-up or top-down row order, 4-byte row padding, BGRA
-    quads, BGR→RGB swap. BI_RLE4 and OS/2 headers raise ValueError
-    (honest gates)."""
+    replication), 1/4/8-bit palette, and BI_RLE8 / BI_RLE4 runs —
+    BITMAPINFOHEADER dims, bottom-up or top-down row order, 4-byte
+    row padding, BGRA quads, BGR→RGB swap. OS/2 (sub-40-byte)
+    headers raise ValueError (honest gate)."""
     import numpy as np
 
     if b[:2] != b"BM" or len(b) < 54:
@@ -225,8 +276,11 @@ def _decode_bmp(b: bytes):
             raise ValueError("BI_RLE8 requires 8-bit pixels")
         idx = _bmp_rle8(b[data_off:], w, h)
         return finish(read_palette()[idx])
-    if compression == 2:
-        raise ValueError("BI_RLE4 BMP not supported")
+    if compression == 2:                          # BI_RLE4
+        if bpp != 4:
+            raise ValueError("BI_RLE4 requires 4-bit pixels")
+        idx = _bmp_rle4(b[data_off:], w, h)
+        return finish(read_palette()[idx])
     if compression not in (0, 3):
         raise ValueError(f"unsupported BMP compression {compression}")
 
@@ -3275,6 +3329,81 @@ def _ima_adpcm_decode(data: bytes, block_align: int, channels: int = 1):
     return out
 
 
+def _pcm24(data: bytes, en: str):
+    """3-byte packed signed PCM → float64 sample values (not yet
+    normalized). ``en`` '<' for WAV little-endian, '>' for AIFF/.au
+    big-endian."""
+    import numpy as np
+
+    usable = len(data) - len(data) % 3
+    b3 = np.frombuffer(data[:usable], np.uint8).reshape(-1, 3) \
+        .astype(np.int64)
+    if en == "<":
+        v = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+    else:
+        v = b3[:, 2] | (b3[:, 1] << 8) | (b3[:, 0] << 16)
+    return np.where(v >= 1 << 23, v - (1 << 24), v).astype(np.float64)
+
+
+# Microsoft ADPCM constants (public, from the WAVE format spec /
+# Multimedia Programming Interface and Data Specifications)
+_MS_ADAPT = (230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230)
+_MS_COEF1 = (256, 512, 0, 192, 240, 460, 392)
+_MS_COEF2 = (0, -256, 0, 64, 0, -208, -232)
+
+
+def _ms_adpcm_decode(data: bytes, block_align: int, channels: int):
+    """Microsoft ADPCM (WAV format code 2) → interleaved int16
+    samples. Per block, per channel: coefficient index byte, int16
+    initial delta, int16 sample1 (newer), int16 sample2 (older);
+    then 4-bit codes, one nibble per channel alternating, high
+    nibble first. The two header samples are emitted oldest-first."""
+    import numpy as np
+
+    if len(data) > 4_000_000:
+        raise ValueError("MS ADPCM payload exceeds decode cap")
+    head = 7 * channels
+    chans = [[] for _ in range(channels)]
+    for bstart in range(0, len(data), block_align):
+        block = data[bstart:bstart + block_align]
+        if len(block) < head:
+            break
+        coef1, coef2, delta, s1, s2 = [], [], [], [], []
+        for ch in range(channels):
+            ci = block[ch]
+            if ci >= len(_MS_COEF1):
+                raise ValueError(f"bad MS ADPCM coefficient index {ci}")
+            coef1.append(_MS_COEF1[ci])
+            coef2.append(_MS_COEF2[ci])
+        off = channels
+        for target in (delta, s1, s2):
+            for ch in range(channels):
+                target.append(int.from_bytes(
+                    block[off:off + 2], "little", signed=True))
+                off += 2
+        for ch in range(channels):
+            chans[ch].append(s2[ch])
+            chans[ch].append(s1[ch])
+        nib_ch = 0
+        for byte in block[head:]:
+            for nib in (byte >> 4, byte & 0x0F):
+                ch = nib_ch % channels
+                nib_ch += 1
+                signed = nib - 16 if nib >= 8 else nib
+                pred = (s1[ch] * coef1[ch] + s2[ch] * coef2[ch]) >> 8
+                pred += signed * delta[ch]
+                pred = min(32767, max(-32768, pred))
+                s2[ch], s1[ch] = s1[ch], pred
+                delta[ch] = max(16, (_MS_ADAPT[nib] * delta[ch]) >> 8)
+                chans[ch].append(pred)
+    n = min(len(c) for c in chans)
+    out = np.empty(n * channels, dtype=np.int16)
+    for ch in range(channels):
+        out[ch::channels] = chans[ch][:n]
+    return out
+
+
 def _ima4_decode(data: bytes, channels: int):
     """Apple QuickTime IMA4 (AIFF-C compression type ``'ima4'``) →
     interleaved int16 samples. Public format (QuickTime File Format
@@ -3390,8 +3519,10 @@ def _encode_ima4(samples, channels: int = 1) -> bytes:
 def _decode_wav(b: bytes) -> dict:
     """WAV sample statistics — real RIFF chunk walk + numpy over the
     sample words: mean / RMS / peak (normalized to [-1, 1]), sample
-    count, duration. Formats: linear PCM 16/8-bit, IEEE float32
-    (code 3), ITU-T G.711 A-law (6) / µ-law (7) via the real
+    count, duration. Formats: linear PCM 8/16/24/32-bit (24-bit =
+    3-byte packed studio audio), IEEE float32 (code 3), Microsoft
+    ADPCM (code 2, per-channel coefficient headers + alternating
+    nibbles), ITU-T G.711 A-law (6) / µ-law (7) via the real
     expansion tables — telephony WAVs previously would have
     misdecoded as linear — and mono or multi-channel IMA/DVI ADPCM
     (0x11) via the reference step-table walk with the Microsoft
@@ -3433,6 +3564,17 @@ def _decode_wav(b: bytes) -> dict:
     elif fmt == 1 and bits == 8:
         s = (np.frombuffer(data, dtype=np.uint8).astype(np.float64)
              - 128.0) / 128.0
+    elif fmt == 1 and bits == 24:           # studio PCM, 3-byte LE
+        s = _pcm24(data, "<") / 8388608.0
+    elif fmt == 1 and bits == 32:           # 32-bit int PCM
+        s = np.frombuffer(data[:len(data) & ~3], dtype="<i4") \
+            .astype(np.float64) / 2147483648.0
+    elif fmt == 2:                          # Microsoft ADPCM
+        if not block_align or block_align < 7 * channels \
+                or channels < 1:
+            raise ValueError("MS ADPCM needs a sane block align")
+        s = _ms_adpcm_decode(data, block_align, channels) \
+            .astype(np.float64) / 32768.0
     elif fmt == 3 and bits == 32:           # IEEE float WAV
         s = np.frombuffer(data[:len(data) & ~3], dtype="<f4") \
             .astype(np.float64)
@@ -3556,8 +3698,14 @@ def _decode_aiff(b: bytes) -> dict:
     elif bits == 8:                        # AIFF 8-bit PCM is SIGNED
         s = np.frombuffer(data, dtype=np.int8) \
             .astype(np.float64) / 128.0
+    elif bits == 24 and comp == b"NONE":   # studio PCM, 3-byte BE
+        s = _pcm24(data, ">") / 8388608.0
+    elif bits == 32 and comp == b"NONE":   # 32-bit int PCM BE
+        s = np.frombuffer(data[:len(data) & ~3], dtype=">i4") \
+            .astype(np.float64) / 2147483648.0
     else:
-        raise ValueError("unsupported AIFF bit depth (8/16 PCM)")
+        raise ValueError("unsupported AIFF bit depth "
+                         "(8/16/24/32 PCM)")
     return _audio_stats(s, rate, channels)
 
 
@@ -3591,6 +3739,11 @@ def _decode_au(b: bytes) -> dict:
     elif enc == 3:                         # 16-bit linear big-endian
         s = np.frombuffer(data[:len(data) & ~1], dtype=">i2") \
             .astype(np.float64) / 32768.0
+    elif enc == 4:                         # 24-bit linear big-endian
+        s = _pcm24(data, ">") / 8388608.0
+    elif enc == 5:                         # 32-bit linear big-endian
+        s = np.frombuffer(data[:len(data) & ~3], dtype=">i4") \
+            .astype(np.float64) / 2147483648.0
     elif enc == 6:                         # IEEE float32 big-endian
         s = np.frombuffer(data[:len(data) & ~3], dtype=">f4") \
             .astype(np.float64)
@@ -3691,7 +3844,8 @@ def decode_audio(df: DataFrame, payload_col: str = "payload",
                  unsupported: str = "error") -> DataFrame:
     """Audio decode → per-clip sample statistics (REAL: container
     walk + numpy over the sample words). Containers: RIFF/WAV (PCM
-    8/16-bit, IEEE float, G.711, IMA ADPCM — :func:`_decode_wav`),
+    8/16/24/32-bit, IEEE float, G.711, IMA + Microsoft ADPCM —
+    :func:`_decode_wav`),
     AIFF/AIFF-C (big-endian PCM incl. 'sowt' and QuickTime 'ima4'
     ADPCM — :func:`_decode_aiff`), and Sun .au (µ/A-law via the
     shared G.711 tables, linear PCM, float — :func:`_decode_au`).

@@ -6,12 +6,14 @@
 // written big-endian PCM by the JDK, WAV little-endian, exactly the
 // layouts the stdlib readers must handle).
 //
-//   usage: SoundMake <wav|aiff|au> <outfile> [ulaw|alaw]
+//   usage: SoundMake <wav|aiff|au> <outfile> [ulaw|alaw|pcm24]
 //
-// With the optional third argument the JDK CONVERTS the PCM16 input
-// through its own G.711 compressor before writing (WAV format code
-// 7/6, AU encoding 1/27) -- letting pytest exercise the stdlib G.711
-// expansion tables against companded bytes the JDK produced.
+// With "ulaw"/"alaw" the JDK CONVERTS the PCM16 input through its own
+// G.711 compressor before writing (WAV format code 7/6, AU encoding
+// 1/27) -- letting pytest exercise the stdlib G.711 expansion tables
+// against companded bytes the JDK produced.  With "pcm24" stdin
+// carries 3-byte little-endian frames instead of int16 and the JDK
+// writes 24-bit PCM (WAV little-endian, AIFF/AU big-endian).
 import javax.sound.sampled.*;
 import java.io.BufferedInputStream;
 import java.io.ByteArrayInputStream;
@@ -28,19 +30,26 @@ public class SoundMake {
     String[] parts = hdr.toString().trim().split(" ");
     int rate = Integer.parseInt(parts[0]), ch = Integer.parseInt(parts[1]);
     long n = Long.parseLong(parts[2]);
-    byte[] raw = new byte[(int) (n * ch * 2)];
-    new DataInputStream(in).readFully(raw);
     boolean wav = args[0].equals("wav");
-    // AIFF/AU are big-endian formats; swap the int16 payload for them.
-    if (!wav)
-      for (int i = 0; i < raw.length; i += 2) {
-        byte t = raw[i]; raw[i] = raw[i + 1]; raw[i + 1] = t;
-      }
+    int unit = (args.length > 2 && args[2].equals("pcm24")) ? 3 : 2;
+    byte[] raw = new byte[(int) (n * ch * unit)];
+    new DataInputStream(in).readFully(raw);
+    // AIFF/AU are big-endian formats; swap the sample payload.
+    if (!wav) {
+      if (unit == 2)
+        for (int i = 0; i < raw.length; i += 2) {
+          byte t = raw[i]; raw[i] = raw[i + 1]; raw[i + 1] = t;
+        }
+      else
+        for (int i = 0; i < raw.length; i += 3) {
+          byte t = raw[i]; raw[i] = raw[i + 2]; raw[i + 2] = t;
+        }
+    }
     AudioFormat fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
-        rate, 16, ch, ch * 2, rate, !wav);
+        rate, 8 * unit, ch, ch * unit, rate, !wav);
     AudioInputStream stream = new AudioInputStream(
         new ByteArrayInputStream(raw), fmt, n);
-    if (args.length > 2) {
+    if (args.length > 2 && !args[2].equals("pcm24")) {
       AudioFormat.Encoding enc = args[2].equals("ulaw")
           ? AudioFormat.Encoding.ULAW : AudioFormat.Encoding.ALAW;
       stream = AudioSystem.getAudioInputStream(

@@ -410,6 +410,31 @@ def test_g711_tables_match_jdk(jtools, tmp_path, container, codec):
     assert abs(st["peak"] - float(np.abs(jd).max())) < 1e-12
 
 
+@pytest.mark.parametrize("fmt,dec", [
+    ("wav", mm._decode_wav),
+    ("aiff", mm._decode_aiff),
+    ("au", mm._decode_au),
+])
+def test_java_written_pcm24_decodes_exact(jtools, tmp_path, fmt, dec):
+    """24-bit PCM (studio audio) written by the JDK — WAV 3-byte
+    little-endian, AIFF/AU big-endian — decodes to exact normalized
+    statistics through the new _pcm24 path."""
+    rng = _rng()
+    sr, ch, n = 48000, 1, 1000
+    vals = rng.integers(-(1 << 23), 1 << 23, n)
+    raw = b"".join(int(v).to_bytes(3, "little", signed=True)
+                   for v in vals)
+    path = str(tmp_path / f"s24.{fmt}")
+    _jrun(jtools, "SoundMake", fmt, path, "pcm24",
+          stdin=f"{sr} {ch} {n}\n".encode() + raw)
+    st = dec(open(path, "rb").read())
+    exp = vals.astype(np.float64) / 8388608.0
+    assert st["sample_rate"] == sr and st["n_samples"] == n
+    assert abs(st["mean"] - float(exp.mean())) < 1e-12
+    assert abs(st["rms"] - float(np.sqrt((exp * exp).mean()))) < 1e-12
+    assert abs(st["peak"] - float(np.abs(exp).max())) < 1e-12
+
+
 def test_sound_harness_roundtrip(jtools, tmp_path):
     """Harness self-check: SoundMake → SoundDump round-trips the
     samples, so a byte-order bug in the Java shims cannot silently

@@ -742,9 +742,14 @@ def test_wav_g711_and_float_decode():
     out = _decode_wav(wav(3, 32, fs.tobytes()))
     assert out["n_samples"] == 4 and out["peak"] == 1.0
     assert abs(out["mean"] - 0.3125) < 1e-15
-    # unknown codec stays a skippable gate
+    # unknown codec stays a skippable gate (MS ADPCM graduated to a
+    # real decode path — see test_wav_ms_adpcm; 0x55 = MP3-in-WAV)
     with pytest.raises(ValueError):
-        _decode_wav(wav(2, 4, b"\x00\x01\x02\x03"))  # MS-ADPCM
+        _decode_wav(wav(0x55, 0, b"\x00\x01\x02\x03"))
+    # a format-2 header whose block align can't hold the per-channel
+    # preambles is skippable, not a crash
+    with pytest.raises(ValueError):
+        _decode_wav(wav(2, 4, b"\x00\x01\x02\x03"))
 
 
 def test_png_subbyte_depths():
@@ -1003,6 +1008,146 @@ def test_wav_ima_adpcm_stereo():
     assert abs(out["mean"] - want.mean()) < 1e-15
     assert abs(out["rms"] - float(np.sqrt((want * want).mean()))) < 1e-15
     assert abs(out["peak"] - float(np.abs(want).max())) < 1e-15
+
+
+def test_wav_ms_adpcm():
+    """Microsoft ADPCM (WAV format 2): per-channel coefficient/delta/
+    two-sample block headers, alternating-channel nibbles, the
+    adaptation table walk — decoded samples EQUAL a decoder-mirroring
+    compressor's reconstruction bit-for-bit, mono and stereo."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from meza_spark.llm.multimodal import (_MS_ADAPT, _MS_COEF1,
+                                           _MS_COEF2, _decode_wav,
+                                           _ms_adpcm_decode)
+
+    def encode(samples, channels, spb, ci=0):
+        s = np.asarray(samples).reshape(-1, channels)
+        blocks, expect = [], [[] for _ in range(channels)]
+        for b0 in range(0, s.shape[0], spb):
+            chunk = s[b0:b0 + spb]
+            if chunk.shape[0] < 2:
+                break
+            delta = [16] * channels
+            s2 = [int(chunk[0, ch]) for ch in range(channels)]
+            s1 = [int(chunk[1, ch]) for ch in range(channels)]
+            head = bytes([ci] * channels)
+            for arr in (delta, s1, s2):
+                for ch in range(channels):
+                    head += struct.pack("<h", arr[ch])
+            for ch in range(channels):
+                expect[ch] += [s2[ch], s1[ch]]
+            nibs = []
+            for i in range(2, chunk.shape[0]):
+                for ch in range(channels):
+                    pred = (s1[ch] * _MS_COEF1[ci]
+                            + s2[ch] * _MS_COEF2[ci]) >> 8
+                    diff = int(chunk[i, ch]) - pred
+                    nib = max(-8, min(7, int(round(diff / delta[ch]))))
+                    dec = min(32767, max(-32768, pred + nib * delta[ch]))
+                    un = nib & 0x0F
+                    s2[ch], s1[ch] = s1[ch], dec
+                    delta[ch] = max(16, (_MS_ADAPT[un] * delta[ch]) >> 8)
+                    expect[ch].append(dec)
+                    nibs.append(un)
+            blocks.append(head + bytes((a << 4) | b for a, b in
+                                       zip(nibs[0::2], nibs[1::2])))
+        ba = max(len(b) for b in blocks)
+        return b"".join(b.ljust(ba, b"\x00") for b in blocks), ba, expect
+
+    def wav(data, ba, channels):
+        return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 2, channels,
+                                        8000, 8000, ba, 4)
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    # mono: spb=10 → 8 nibbles → 4 bytes exactly
+    sig = (2000 * np.sin(np.arange(40) / 3.0)).astype(np.int64)
+    data, ba, exp = encode(sig, 1, 10)
+    dec = _ms_adpcm_decode(data, ba, 1)
+    assert np.array_equal(dec, np.array(exp[0], np.int16))
+    st = _decode_wav(wav(data, ba, 1))
+    want = np.array(exp[0], np.float64) / 32768.0
+    assert st["n_samples"] == 40
+    assert abs(st["rms"] - float(np.sqrt((want * want).mean()))) < 1e-15
+    # stereo with distinct channels pins the nibble interleave
+    inter = np.empty(80, dtype=np.int64)
+    inter[0::2] = (1500 * np.sin(np.arange(40) / 4.0)).astype(np.int64)
+    inter[1::2] = (-800 * np.cos(np.arange(40) / 5.0)).astype(np.int64)
+    data, ba, exp = encode(inter, 2, 10)
+    dec = _ms_adpcm_decode(data, ba, 2)
+    assert np.array_equal(dec[0::2], np.array(exp[0], np.int16))
+    assert np.array_equal(dec[1::2], np.array(exp[1], np.int16))
+    # hostile: bad coefficient index and undersized block align
+    bad = bytearray(data)
+    bad[0] = 9
+    with _pytest.raises(ValueError, match="coefficient"):
+        _ms_adpcm_decode(bytes(bad), ba, 2)
+    with _pytest.raises(ValueError, match="block align"):
+        _decode_wav(wav(data, 6, 2))
+
+
+def test_pcm_deep_bits():
+    """24-bit (3-byte packed) and 32-bit integer PCM across all three
+    containers: WAV little-endian, AIFF and .au big-endian — exact
+    stats from known samples, including full-scale negatives."""
+    import struct
+
+    import numpy as np
+
+    from meza_spark.llm.multimodal import (_decode_aiff, _decode_au,
+                                           _decode_wav)
+
+    vals = np.array([0, 1, -1, (1 << 23) - 1, -(1 << 23), 4096, -77],
+                    np.int64)
+    exp = vals.astype(np.float64) / 8388608.0
+    rms = float(np.sqrt((exp * exp).mean()))
+
+    le = b"".join(int(v).to_bytes(3, "little", signed=True) for v in vals)
+    be = b"".join(int(v).to_bytes(3, "big", signed=True) for v in vals)
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(le)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000,
+                                   24000, 3, 24)
+           + b"data" + struct.pack("<I", len(le)) + le)
+    st = _decode_wav(wav)
+    assert st["n_samples"] == 7 and abs(st["rms"] - rms) < 1e-15
+
+    comm = struct.pack(">HIH", 1, 7, 24) + _f80(8000)
+    aiff = (b"FORM" + struct.pack(
+        ">I", 4 + 8 + len(comm) + 8 + 8 + len(be)) + b"AIFF"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", 8 + len(be))
+        + struct.pack(">II", 0, 0) + be)
+    st = _decode_aiff(aiff)
+    assert st["n_samples"] == 7 and abs(st["rms"] - rms) < 1e-15
+
+    au = b".snd" + struct.pack(">IIIII", 24, len(be), 4, 8000, 1) + be
+    st = _decode_au(au)
+    assert st["n_samples"] == 7 and abs(st["rms"] - rms) < 1e-15
+
+    # 32-bit int PCM
+    v32 = np.array([1 << 30, -(1 << 31), 3, -3], np.int64)
+    e32 = v32.astype(np.float64) / 2147483648.0
+    r32 = float(np.sqrt((e32 * e32).mean()))
+    le32 = v32.astype("<i4").tobytes()
+    be32 = v32.astype(">i4").tobytes()
+    wav32 = (b"RIFF" + struct.pack("<I", 36 + len(le32)) + b"WAVE"
+             + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000,
+                                     32000, 4, 32)
+             + b"data" + struct.pack("<I", len(le32)) + le32)
+    assert abs(_decode_wav(wav32)["rms"] - r32) < 1e-15
+    au32 = b".snd" + struct.pack(">IIIII", 24, len(be32), 5, 8000, 1) + be32
+    assert abs(_decode_au(au32)["rms"] - r32) < 1e-15
+    comm32 = struct.pack(">HIH", 1, 4, 32) + _f80(8000)
+    aiff32 = (b"FORM" + struct.pack(
+        ">I", 4 + 8 + len(comm32) + 8 + 8 + len(be32)) + b"AIFF"
+        + b"COMM" + struct.pack(">I", len(comm32)) + comm32
+        + b"SSND" + struct.pack(">I", 8 + len(be32))
+        + struct.pack(">II", 0, 0) + be32)
+    assert abs(_decode_aiff(aiff32)["rms"] - r32) < 1e-15
 
 
 def test_aifc_g711_and_float():
@@ -1526,10 +1671,21 @@ def test_bmp_variant_matrix():
     idx[3, :4], idx[3, 4:] = [9, 8, 7, 6], 3
     assert np.array_equal(out, pal[:, 2::-1][idx[::-1]])
 
+    # BI_RLE4: encoded runs alternate nibbles; absolute run packs
+    # nibbles word-padded; EOL/EOB escapes
+    rle4 = bytes([6, 0x12, 0, 0,              # row0: 1,2,1,2,1,2
+                  0, 4, 0x34, 0x56, 0, 0,     # row1: 3,4,5,6 absolute
+                  2, 0x70, 4, 0x89, 0, 1])    # row2: 7,0,8,9,8,9 EOB
+    out4 = _decode_bmp(bmp(4, 2, rle4, 6, 3, palette=pal16.tobytes()))
+    idx4 = np.array([[1, 2, 1, 2, 1, 2],
+                     [3, 4, 5, 6, 0, 0],
+                     [7, 0, 8, 9, 8, 9]], np.uint8)
+    assert np.array_equal(out4, pal16[:, 2::-1][idx4[::-1]])
+
     # honest gates / hostile payloads
     with _pytest.raises(ValueError, match="RLE4"):
-        _decode_bmp(bmp(4, 2, b"\x00\x01", 4, 4,
-                        palette=pal16.tobytes()))
+        _decode_bmp(bmp(8, 2, b"\x00\x01", 4, 4,   # RLE4 needs bpp=4
+                        palette=pal.tobytes()))
     with _pytest.raises(ValueError, match="truncated"):
         _decode_bmp(bmp(8, 0, b"\x00" * 8, 10, 7,
                         palette=pal.tobytes()))
