@@ -1562,6 +1562,66 @@ def multimodal_tiff_pal16(spark, sf_dir):
                       F.round("mean_pixel", 6).alias("mean_pixel"))
 
 
+def multimodal_pcm_deep(spark, sf_dir):
+    """REAL deep-bit PCM decode (round 7): one closed-form signal in
+    ±2^21 per doc, carried as 24-bit WAV (3-byte LE) for i//10%3==0,
+    24-bit AIFF (3-byte BE) for ==1, and 32-bit .au (BE, values <<8 —
+    the SAME normalized samples, since (v·2^8)/2^31 ≡ v/2^23) for
+    ==2. One arithmetic DuckDB twin covers all three containers and
+    both depths; integer squares stay ≤2^51, exact in double."""
+    import struct as _struct
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from meza_spark.llm.multimodal import decode_audio
+
+    @pandas_udf("binary")
+    def _deep(doc_id: pd.Series) -> pd.Series:
+        f80 = bytes([0x40, 0x0C]) + (12000 << 50).to_bytes(8, "big")
+        out = []
+        for i in doc_id:
+            i = int(i)
+            n = 300 + i % 89
+            j = np.arange(n, dtype=np.int64)
+            v = (i * 41 + j * 17) % 4194304 - 2097152
+            kind = (i // 10) % 3
+            if kind == 0:                      # 24-bit WAV LE
+                data = b"".join(int(x).to_bytes(3, "little", signed=True)
+                                for x in v)
+                out.append(
+                    b"RIFF" + _struct.pack("<I", 36 + len(data)) + b"WAVE"
+                    + b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, 12000,
+                                             36000, 3, 24)
+                    + b"data" + _struct.pack("<I", len(data)) + data)
+            elif kind == 1:                    # 24-bit AIFF BE
+                data = b"".join(int(x).to_bytes(3, "big", signed=True)
+                                for x in v)
+                comm = _struct.pack(">HIH", 1, n, 24) + f80
+                form = (b"AIFF"
+                        + b"COMM" + _struct.pack(">I", len(comm)) + comm
+                        + b"SSND" + _struct.pack(">I", 8 + len(data))
+                        + _struct.pack(">II", 0, 0) + data)
+                out.append(b"FORM" + _struct.pack(">I", len(form)) + form)
+            else:                              # 32-bit .au BE, v<<8
+                data = (v << 8).astype(">i4").tobytes()
+                out.append(b".snd" + _struct.pack(
+                    ">IIIII", 24, len(data), 5, 12000, 1) + data)
+        return pd.Series(out)
+
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.col("doc_id") % 10 == 5)
+         .select(F.col("doc_id").alias("media_id"),
+                 _deep("doc_id").alias("payload")))
+    out = decode_audio(d)
+    return out.select("media_id", "sample_rate", "channels", "n_samples",
+                      "duration_ms",
+                      F.round("mean_amp", 6).alias("mean_amp"),
+                      F.round("rms", 6).alias("rms"),
+                      F.round("peak", 6).alias("peak"))
+
+
 # one SQL text, two engines: runs verbatim through spark.sql AND the
 # DuckDB oracle — the engine's full ANSI surface (joins, windows,
 # QUALIFY-free rank filter) with zero dialect translation.
@@ -4459,6 +4519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_au": multimodal_au,
         "multimodal_ima4": multimodal_ima4,
         "multimodal_tiff_pal16": multimodal_tiff_pal16,
+        "multimodal_pcm_deep": multimodal_pcm_deep,
         "stream_tumble_static": stream_tumble_static,
         "stream_session_static": stream_session_static,
         "join_asof": join_asof,
@@ -5870,6 +5931,30 @@ def _oracle_sql_base() -> dict[str, str]:
                    round(sqrt(ssq / n) / 32768, 6) AS rms,
                    round(CAST(smax AS DOUBLE) / 32768, 6) AS peak
             FROM walk WHERE j = n
+        """,
+        # deep-bit PCM twin: one arithmetic over the shared closed
+        # form — 24-bit WAV/AIFF and 32-bit .au carry the SAME
+        # normalized samples by construction ((v·2^8)/2^31 ≡ v/2^23)
+        "multimodal_pcm_deep": """
+            WITH v AS (
+              SELECT doc_id, 300 + doc_id % 89 AS n,
+                     list_transform(range(0, 300 + doc_id % 89),
+                       j -> (doc_id * 41 + j * 17) % 4194304 - 2097152)
+                       AS vs
+              FROM documents WHERE doc_id % 10 = 5)
+            SELECT doc_id AS media_id,
+                   CAST(12000 AS INTEGER) AS sample_rate,
+                   CAST(1 AS INTEGER) AS channels,
+                   CAST(n AS BIGINT) AS n_samples,
+                   CAST((n * 1000) // 12000 AS BIGINT) AS duration_ms,
+                   round((list_sum(vs) / CAST(n AS DOUBLE)) / 8388608, 6)
+                     AS mean_amp,
+                   round(sqrt(list_sum(list_transform(vs,
+                       x -> CAST(x * x AS DOUBLE))) / n) / 8388608, 6)
+                     AS rms,
+                   round(list_max(list_transform(vs, x -> abs(x)))
+                         / 8388608.0, 6) AS peak
+            FROM v
         """,
         # 16-bit palette TIFF twin: palette arithmetic on the raw
         # 16-bit indices — container, IFD, 2^16-entry ColorMap and

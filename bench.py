@@ -133,6 +133,7 @@ HEADLINE = [
     "ewma_fast_parity",
     "multimodal_ima4",
     "multimodal_tiff_pal16",
+    "multimodal_pcm_deep",
 ]
 
 

@@ -22,7 +22,15 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
 
     Not for cheap scans/aggregations — a shuffle before a map-side
     partial agg only adds cost (measured q1: 0.4s -> 0.8s).
+
+    Streaming DataFrames pass through untouched: ``.rdd`` is illegal
+    on a stream (AnalysisException), and micro-batch parallelism is
+    the source's concern (maxFilesPerTrigger × file splits) — this
+    keeps every spread-guarded operator (media decode, signatures)
+    legal inside readStream → writeStream DAGs.
     """
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism * factor
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -517,3 +517,56 @@ def test_streaming_session_paths_batch_parity(spark, tmp_path):
     paths = {(t[0], t[1]): t[4] for t in got}
     assert paths[(1, int(base.timestamp() * 1000))] == "signup>view>click"
     assert paths[(2, int(m(1).timestamp() * 1000))] == "view>click"
+
+
+def test_streaming_media_decode_batch_parity(spark, tmp_path):
+    """decode_image and decode_audio are streaming-safe: the Arrow
+    mapInPandas media path is stateless and row-local, so
+    readStream → decode → writeStream(AvailableNow) must emit exactly
+    the batch decode of the same payloads (PNG pixels and WAV sample
+    stats alike). This pins the 100-TB ingest shape: media decode
+    runs inside the streaming ingest DAG, no separate batch hop."""
+    import struct
+
+    import numpy as np
+
+    from meza_spark.llm.multimodal import (_encode_png, decode_audio,
+                                           decode_image)
+
+    rng = np.random.default_rng(41)
+    img_rows = []
+    for i in range(6):
+        px = rng.integers(0, 256, (5 + i, 7, 3), dtype=np.uint8)
+        img_rows.append((i, bytearray(_encode_png(px))))
+    wav_rows = []
+    for i in range(4):
+        v = ((np.arange(50 + i) * 13 + i * 7) % 901 - 450).astype("<i2")
+        data = v.tobytes()
+        wav = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+               + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000,
+                                       16000, 2, 16)
+               + b"data" + struct.pack("<I", len(data)) + data)
+        wav_rows.append((100 + i, bytearray(wav)))
+
+    schema = "media_id long, payload binary"
+    for kind, rows, op in (("img", img_rows, decode_image),
+                           ("aud", wav_rows, decode_audio)):
+        src = tmp_path / f"{kind}_src"
+        src.mkdir()
+        ck, out = tmp_path / f"{kind}_ck", tmp_path / f"{kind}_out"
+        # two file arrivals → two micro-batches
+        half = len(rows) // 2
+        for part in (rows[:half], rows[half:]):
+            spark.createDataFrame(part, schema).coalesce(1) \
+                .write.mode("append").parquet(str(src))
+        sdf = spark.readStream.schema(
+            "media_id long, payload binary").parquet(str(src))
+        q = (op(sdf).writeStream.format("parquet")
+             .option("path", str(out))
+             .option("checkpointLocation", str(ck))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = sorted(map(tuple, spark.read.parquet(str(out)).collect()))
+        want = sorted(map(tuple, op(
+            spark.createDataFrame(rows, schema)).collect()))
+        assert got == want, kind
