@@ -225,7 +225,14 @@ def _mask_channel(vals, mask):
     if width >= 8:
         return (ch >> (width - 8)).astype(np.uint8)
     up = ch.astype(np.uint32) << (8 - width)
-    return (up | (up >> width)).astype(np.uint8)
+    # repeat the replication until the byte is saturated — one round
+    # only reaches full scale for widths >= 4 (a 2-bit mask's max
+    # value 3 must map to 255, not 240)
+    fill = width
+    while fill < 8:
+        up |= up >> fill
+        fill *= 2
+    return (up & 0xFF).astype(np.uint8)
 
 
 def _decode_bmp(b: bytes):
@@ -398,12 +405,21 @@ def _decode_ico(b: bytes):
     if hdr_size < 40:
         raise ValueError(f"unsupported ICO DIB header size {hdr_size}")
     bpp = struct.unpack("<H", payload[14:16])[0]
+    dib_comp = struct.unpack("<I", payload[16:20])[0]
     clr_used = struct.unpack("<I", payload[32:36])[0]
     pal_entries = clr_used or ((1 << bpp) if bpp <= 8 else 0)
     data_off = 14 + hdr_size + 4 * pal_entries
-    # biHeight counts XOR+AND masks: halve it back to the real height
+    if dib_comp == 3 and hdr_size == 40:
+        data_off += 12          # BI_BITFIELDS masks follow the header
+    # biHeight counts XOR+AND masks doubled; Windows trusts the DIB,
+    # not the 1-byte directory entry (buggy muxers disagree), so the
+    # real height is biHeight // 2 with the sign (row order) kept
+    dib_h = struct.unpack("<i", payload[8:12])[0]
+    real_h = dib_h // 2 if dib_h > 0 else -((-dib_h) // 2)
+    if real_h == 0:
+        real_h = h              # degenerate DIB: directory fallback
     fixed = bytearray(payload)
-    fixed[8:12] = struct.pack("<i", h)
+    fixed[8:12] = struct.pack("<i", real_h)
     bmp = (b"BM" + struct.pack("<IHHI", 14 + len(fixed), 0, 0, data_off)
            + bytes(fixed))
     return _decode_bmp(bmp)
@@ -3261,6 +3277,25 @@ _IMA_STEPS = [
 _IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
 
 
+def _ima_step(nib: int, pred: int, index: int):
+    """One IMA nibble expansion (shared by the WAV 0x11 walk, the
+    QuickTime ima4 walk, and the ima4 fixture encoder's mirrored
+    state): step-scaled delta accumulation, int16 clamp, index-table
+    update. A single definition keeps the encoder/decoder mirror
+    contract un-forkable."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = min(32767, max(-32768, pred))
+    return pred, min(88, max(0, index + _IMA_INDEX[nib & 7]))
+
+
 def _ima_adpcm_decode(data: bytes, block_align: int, channels: int = 1):
     """IMA/DVI ADPCM (WAV format 0x11) → interleaved int16 samples —
     the public IMA reference algorithm: per block, a 4-byte header
@@ -3282,17 +3317,7 @@ def _ima_adpcm_decode(data: bytes, block_align: int, channels: int = 1):
 
     def walk(nibbles, pred, index, sink):
         for nib in nibbles:
-            step = _IMA_STEPS[index]
-            diff = step >> 3
-            if nib & 1:
-                diff += step >> 2
-            if nib & 2:
-                diff += step >> 1
-            if nib & 4:
-                diff += step
-            pred = pred - diff if nib & 8 else pred + diff
-            pred = min(32767, max(-32768, pred))
-            index = min(88, max(0, index + _IMA_INDEX[nib & 7]))
+            pred, index = _ima_step(nib, pred, index)
             sink.append(pred)
         return pred, index
 
@@ -3391,7 +3416,12 @@ def _ms_adpcm_decode(data: bytes, block_align: int, channels: int):
                 ch = nib_ch % channels
                 nib_ch += 1
                 signed = nib - 16 if nib >= 8 else nib
-                pred = (s1[ch] * coef1[ch] + s2[ch] * coef2[ch]) >> 8
+                # spec semantics: the coefficient product divides by
+                # 256 TRUNCATING TOWARD ZERO (FFmpeg/GDI agree); a
+                # floor shift diverges whenever the product is
+                # negative and the error compounds within the block
+                t = s1[ch] * coef1[ch] + s2[ch] * coef2[ch]
+                pred = -((-t) >> 8) if t < 0 else t >> 8
                 pred += signed * delta[ch]
                 pred = min(32767, max(-32768, pred))
                 s2[ch], s1[ch] = s1[ch], pred
@@ -3439,17 +3469,7 @@ def _ima4_decode(data: bytes, channels: int):
             k = 0
             for byte in pkt[2:]:
                 for nib in (byte & 0x0F, byte >> 4):
-                    step = _IMA_STEPS[index]
-                    diff = step >> 3
-                    if nib & 1:
-                        diff += step >> 2
-                    if nib & 2:
-                        diff += step >> 1
-                    if nib & 4:
-                        diff += step
-                    pred = pred - diff if nib & 8 else pred + diff
-                    pred = min(32767, max(-32768, pred))
-                    index = min(88, max(0, index + _IMA_INDEX[nib & 7]))
+                    pred, index = _ima_step(nib, pred, index)
                     out[row + k, ch] = pred
                     k += 1
     return out.reshape(-1)
@@ -3499,16 +3519,7 @@ def _encode_ima4(samples, channels: int = 1) -> bytes:
                     nib |= 1
                 # decoder-mirrored state update keeps the packet
                 # preambles equal to what the decoder will carry
-                d = step >> 3
-                if nib & 1:
-                    d += step >> 2
-                if nib & 2:
-                    d += step >> 1
-                if nib & 4:
-                    d += step
-                p = p - d if nib & 8 else p + d
-                p = min(32767, max(-32768, p))
-                ix = min(88, max(0, ix + _IMA_INDEX[nib & 7]))
+                p, ix = _ima_step(nib, p, ix)
                 nibs.append(nib)
             pred[ch], index[ch] = p, ix
             for lo, hi in zip(nibs[::2], nibs[1::2]):
@@ -3533,6 +3544,7 @@ def _decode_wav(b: bytes) -> dict:
         raise ValueError("not a WAV payload")
     pos, fmt, bits, channels, rate, data = 12, None, None, None, None, None
     block_align = None
+    fact_frames = 0
     while pos + 8 <= len(b):
         cid = b[pos:pos + 4]
         sz = struct.unpack("<I", b[pos + 4:pos + 8])[0]
@@ -3542,6 +3554,10 @@ def _decode_wav(b: bytes) -> dict:
             rate = struct.unpack("<I", b[pos + 12:pos + 16])[0]
             block_align = struct.unpack("<H", b[pos + 20:pos + 22])[0]
             bits = struct.unpack("<H", b[pos + 22:pos + 24])[0]
+        elif cid == b"fact" and sz >= 4 and pos + 12 <= len(b):
+            # dwSampleLength: frames per channel — authoritative for
+            # compressed formats whose final block is zero-padded
+            fact_frames = struct.unpack("<I", b[pos + 8:pos + 12])[0]
         elif cid == b"data":
             if sz > MAX_AUDIO_BYTES:
                 # chunk-declared size is untrusted input: gate before
@@ -3573,16 +3589,22 @@ def _decode_wav(b: bytes) -> dict:
         if not block_align or block_align < 7 * channels \
                 or channels < 1:
             raise ValueError("MS ADPCM needs a sane block align")
-        s = _ms_adpcm_decode(data, block_align, channels) \
-            .astype(np.float64) / 32768.0
+        raw = _ms_adpcm_decode(data, block_align, channels)
+        if fact_frames and fact_frames * channels < raw.size:
+            # the final block zero-pads to block_align; the fact
+            # chunk says how many frames are real
+            raw = raw[:fact_frames * channels]
+        s = raw.astype(np.float64) / 32768.0
     elif fmt == 3 and bits == 32:           # IEEE float WAV
         s = np.frombuffer(data[:len(data) & ~3], dtype="<f4") \
             .astype(np.float64)
     elif fmt == 0x11 and bits == 4:         # IMA/DVI ADPCM
         if not block_align or block_align < 4 * channels:
             raise ValueError("IMA ADPCM needs a sane block align")
-        s = _ima_adpcm_decode(data, block_align, channels) \
-            .astype(np.float64) / 32768.0
+        raw = _ima_adpcm_decode(data, block_align, channels)
+        if fact_frames and fact_frames * channels < raw.size:
+            raw = raw[:fact_frames * channels]
+        s = raw.astype(np.float64) / 32768.0
     else:
         raise ValueError("unsupported WAV (PCM 8/16-bit, IEEE float, "
                          "G.711 A-law/µ-law, or mono IMA ADPCM)")
@@ -3647,6 +3669,7 @@ def _decode_aiff(b: bytes) -> dict:
     aifc = b[8:12] == b"AIFC"
     pos = 12
     channels = bits = rate = None
+    nframes = 0
     comp = b"NONE"
     data = None
     while pos + 8 <= len(b):
@@ -3654,7 +3677,7 @@ def _decode_aiff(b: bytes) -> dict:
         sz = struct.unpack(">I", b[pos + 4:pos + 8])[0]
         body = b[pos + 8:pos + 8 + sz]
         if cid == b"COMM" and len(body) >= 18:
-            channels, _nframes, bits = struct.unpack(">HIH", body[:8])
+            channels, nframes, bits = struct.unpack(">HIH", body[:8])
             rate = _parse_f80(body[8:18])
             if aifc and len(body) >= 22:
                 comp = body[18:22]
@@ -3674,7 +3697,12 @@ def _decode_aiff(b: bytes) -> dict:
         raise ValueError(f"unsupported AIFF-C compression "
                          f"{comp!r} (PCM, ima4, G.711, or float)")
     if comp == b"ima4":
-        s = _ima4_decode(data, channels).astype(np.float64) / 32768.0
+        raw = _ima4_decode(data, channels)
+        if nframes and nframes * channels < raw.size:
+            # packets pad up to 64-frame blocks; COMM numSampleFrames
+            # says how many are real (QuickTime/CoreAudio trim too)
+            raw = raw[:nframes * channels]
+        s = raw.astype(np.float64) / 32768.0
         return _audio_stats(s, rate, channels)
     if comp in (b"ulaw", b"ULAW", b"alaw", b"ALAW"):
         # SGI writes lowercase, Apple uppercase; same G.711 bytes

@@ -1043,8 +1043,9 @@ def test_wav_ms_adpcm():
             nibs = []
             for i in range(2, chunk.shape[0]):
                 for ch in range(channels):
-                    pred = (s1[ch] * _MS_COEF1[ci]
-                            + s2[ch] * _MS_COEF2[ci]) >> 8
+                    t = s1[ch] * _MS_COEF1[ci] + s2[ch] * _MS_COEF2[ci]
+                    # spec: truncate toward zero, not floor-shift
+                    pred = -((-t) >> 8) if t < 0 else t >> 8
                     diff = int(chunk[i, ch]) - pred
                     nib = max(-8, min(7, int(round(diff / delta[ch]))))
                     dec = min(32767, max(-32768, pred + nib * delta[ch]))
@@ -1088,6 +1089,50 @@ def test_wav_ms_adpcm():
         _ms_adpcm_decode(bytes(bad), ba, 2)
     with _pytest.raises(ValueError, match="block align"):
         _decode_wav(wav(data, 6, 2))
+
+    # spec truncation semantics, independent of the mirror encoder:
+    # coeff index 4 → (240, 0); with s1 = -999 the product is
+    # negative, where floor-shift (>> 8) and the spec's
+    # truncate-toward-zero differ by one — replay the walk by hand
+    blk = (bytes([4]) + struct.pack("<h", 16)
+           + struct.pack("<h", -999) + struct.pack("<h", -500)
+           + bytes([0x00, 0x70]))               # nibbles 0,0,7,0
+    dec = _ms_adpcm_decode(blk, len(blk), 1)
+    p, d, a, b2 = [], 16, -999, -500             # a=s1, b2=s2
+    for nib in (0, 0, 7, 0):
+        t = a * 240 + b2 * 0
+        pr = -((-t) >> 8) if t < 0 else t >> 8   # == int(t / 256)
+        signed = nib - 16 if nib >= 8 else nib
+        val = min(32767, max(-32768, pr + signed * d))
+        b2, a = a, val
+        d = max(16, (_MS_ADAPT[nib] * d) >> 8)
+        p.append(val)
+    assert dec.tolist() == [-500, -999] + p
+    assert all(int(t * 240 / 256) == (-((-t * 240) >> 8)
+                                      if t < 0 else (t * 240) >> 8)
+               for t in (-999, -937, -500))      # truncation identity
+
+    # fact-chunk trim: a zero-padded final block's pad nibbles are
+    # not real samples when dwSampleLength says so — the 12-byte
+    # block (12 real frames) padded to block_align 16 would decode
+    # 8 extra samples without the fact chunk
+    sig3 = (900 * np.sin(np.arange(12) / 2.0)).astype(np.int64)
+    data3, ba3, exp3 = encode(sig3, 1, 12)       # one 12-byte block
+    assert len(data3) == ba3 == 12
+    padded = data3.ljust(16, b"\x00")
+    wav_fact = (b"RIFF" + struct.pack("<I", 48 + len(padded)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 2, 1, 8000,
+                                        8000, 16, 4)
+                + b"fact" + struct.pack("<II", 4, 12)
+                + b"data" + struct.pack("<I", len(padded)) + padded)
+    st3 = _decode_wav(wav_fact)
+    assert st3["n_samples"] == 12
+    # without the fact chunk the pad nibbles do decode (structural)
+    wav_nofact = (b"RIFF" + struct.pack("<I", 36 + len(padded)) + b"WAVE"
+                  + b"fmt " + struct.pack("<IHHIIHH", 16, 2, 1, 8000,
+                                          8000, 16, 4)
+                  + b"data" + struct.pack("<I", len(padded)) + padded)
+    assert _decode_wav(wav_nofact)["n_samples"] == 20
 
 
 def test_pcm_deep_bits():
@@ -1671,6 +1716,14 @@ def test_bmp_variant_matrix():
     idx[3, :4], idx[3, 4:] = [9, 8, 7, 6], 3
     assert np.array_equal(out, pal[:, 2::-1][idx[::-1]])
 
+    # sub-4-bit BI_BITFIELDS masks reach full scale (review find:
+    # one replication round leaves a 2-bit channel maxing at 240)
+    from meza_spark.llm.multimodal import _mask_channel
+    two_bit = np.array([[0, 1, 2, 3]], np.uint32)
+    assert _mask_channel(two_bit, 0x3).tolist() == [[0, 85, 170, 255]]
+    one_bit = np.array([[0, 1]], np.uint32)
+    assert _mask_channel(one_bit, 0x1).tolist() == [[0, 255]]
+
     # BI_RLE4: encoded runs alternate nibbles; absolute run packs
     # nibbles word-padded; EOL/EOB escapes
     rle4 = bytes([6, 0x12, 0, 0,              # row0: 1,2,1,2,1,2
@@ -1760,6 +1813,30 @@ def test_ico_decode():
         arr = decode_pixels(open(p, "rb").read())
         assert arr.shape == shape, name
         assert 0 < float(arr.mean()) < 255, name
+
+    # BI_BITFIELDS DIB inside an ICO: the 12 mask bytes after the
+    # header shift the data offset (review find — pixels previously
+    # read from the mask words)
+    v5 = rng.integers(0, 32, (6, 8, 3), dtype=np.uint32)
+    word = (v5[..., 0] << 11) | ((v5[..., 1] * 2) << 5) | v5[..., 2]
+    row_sz = (8 * 2 + 3) & ~3
+    body = np.zeros((6, row_sz), np.uint8)
+    body[:, :16] = word.astype("<u2").view(np.uint8).reshape(6, 16)[::-1]
+    masks = struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+    info = struct.pack("<IiiHHIIiiII", 40, 8, 12, 1, 16, 3,
+                       len(body.tobytes()), 2835, 2835, 0, 0)
+    dib565 = info + masks + body.tobytes()       # biHeight doubled=12
+    ico565 = ico([(8, 6, 16, dib565)])
+    bmp565 = (b"BM" + struct.pack("<IHHI", 0, 0, 0, 54 + 12)
+              + struct.pack("<IiiHHIIiiII", 40, 8, 6, 1, 16, 3,
+                            len(body.tobytes()), 2835, 2835, 0, 0)
+              + masks + body.tobytes())
+    assert np.array_equal(_decode_ico(ico565), decode_pixels(bmp565))
+
+    # the DIB's biHeight (halved) is authoritative over the 1-byte
+    # directory height (Windows semantics; buggy muxers disagree)
+    mis = ico([(24, 0, 24, dib_of(px))])         # dir says 256
+    assert _decode_ico(mis).shape == px.shape
 
     # hostile payloads
     with _pytest.raises(ValueError):
@@ -2181,6 +2258,29 @@ def test_aiff_ima4_stereo_and_padding():
         err = got[64:] - want[64:].astype(np.float64)
         assert np.sqrt((err ** 2).mean()) < 0.03 * (
             np.sqrt((want[64:].astype(np.float64) ** 2).mean()) + 1.0)
+
+
+def test_aiff_ima4_nframes_trim():
+    """COMM numSampleFrames is authoritative: the encoder pads up to
+    64-frame packets, but a 200-frame file must report 200 samples
+    with stats over the real frames only (QuickTime semantics)."""
+    import numpy as np
+
+    from meza_spark.llm.multimodal import (_decode_aiff, _encode_ima4,
+                                           _ima4_decode)
+
+    n = 200
+    sig = (2500 * np.sin(np.arange(n) / 8.0)).astype(np.int16)
+    payload = _encode_ima4(sig, 1)               # pads to 256 frames
+    full = _ima4_decode(payload, 1)
+    assert full.shape == (256,)
+    st = _decode_aiff(_aifc_ima4(payload, rate=8000, nframes=n))
+    assert st["n_samples"] == n
+    want = full[:n].astype(np.float64) / 32768.0
+    assert abs(st["rms"] - float(np.sqrt((want * want).mean()))) < 1e-12
+    # nframes=0 (degenerate header) keeps the structural count
+    st0 = _decode_aiff(_aifc_ima4(payload, rate=8000, nframes=0))
+    assert st0["n_samples"] == 256
 
 
 def test_aiff_ima4_hostile():
