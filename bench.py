@@ -188,7 +188,8 @@ SCALE_QUERIES = ["q1_pricing", "q3_shipping", "q5_local_supplier",
                  # round-7: the sequential-codec gate (row-local
                  # pure-Python state walk — must scale linearly) and
                  # the 16-bit palette lookup
-                 "multimodal_ima4", "multimodal_tiff_pal16"]
+                 "multimodal_ima4", "multimodal_tiff_pal16",
+                 "multimodal_pcm_deep"]
 
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

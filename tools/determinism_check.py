@@ -83,6 +83,7 @@ DEFAULT_QUERIES = [
     # 16-bit palette lookup
     "multimodal_ima4",
     "multimodal_tiff_pal16",
+    "multimodal_pcm_deep",
 ]
 
 _WORKER = r"""
