@@ -1129,6 +1129,41 @@ def read(spark: SparkSession, path: str, ext: str | None = None,
     return _READERS[ext](spark, path, **kwargs)
 
 
+def read_media(spark: SparkSession, path: str, with_meta: bool = True,
+               recursive: bool = True, pattern: str | None = None,
+               payload_col: str = "payload") -> DataFrame:
+    """Directory (or glob) of media files → the canonical media
+    frame: one row per file via Spark's ``binaryFile`` source —
+    ``media_id`` (xxhash64 of the file path: stable across runs and
+    executors), ``path``, ``length``, and the raw bytes as
+    ``payload`` — ready for :func:`meza_spark.llm.multimodal
+    .decode_image` / ``decode_audio`` / ``decode_video``.
+
+    ``with_meta=True`` adds the JVM-side magic-byte sniff columns
+    (``format``/``n_bytes``/``payload_sha`` — no Python, no decode),
+    so format-partitioned routing (images → decode_image, audio →
+    decode_audio) stays a codegen'd filter.
+
+    Scale shape: binaryFile is one task per file (a 10M-file media
+    lake = a 10M-task scan, exactly right for row-local decode);
+    each payload materializes whole in its task, so shard multi-GB
+    videos upstream. For tar-sharded corpora use
+    :func:`read_webdataset` instead — far fewer, larger objects."""
+    from ..llm.multimodal import attach_media_meta
+
+    r = spark.read.format("binaryFile")
+    if pattern:
+        r = r.option("pathGlobFilter", pattern)
+    if recursive:
+        r = r.option("recursiveFileLookup", "true")
+    df = r.load(path).select(
+        F.xxhash64(F.col("path")).alias("media_id"),
+        F.col("path"),
+        F.col("length"),
+        F.col("content").alias(payload_col))
+    return attach_media_meta(df, payload_col) if with_meta else df
+
+
 def io_join(spark: SparkSession, *paths: str, **kwargs) -> DataFrame:
     """Multi-file concat (ref: meza/io.py:1695-1722, csvstack-style):
     union with ragged-schema tolerance — missing columns become null

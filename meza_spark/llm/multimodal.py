@@ -104,12 +104,30 @@ def _sniff_format(b: bytes) -> str:
 def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Sniff container format + size from magic bytes — pure JVM-side
     expressions over the binary column (substring/length work on
-    binary), no decode."""
+    binary), no decode. Covers every container the decode tier
+    handles (RIFF disambiguates WAV vs AVI by the form type at
+    offset 8; ICO/CUR/WBMP have only weak zero-byte magics, checked
+    after every real signature, mirroring decode_pixels)."""
     p = F.col(payload_col)
+    s4 = F.substring(p, 1, 4).cast("string")
+    form8 = F.substring(p, 9, 4).cast("string")
     fmt = (F.when(F.hex(F.substring(p, 1, 4)) == "89504E47", "png")
             .when(F.hex(F.substring(p, 1, 3)) == "FFD8FF", "jpeg")
-            .when(F.substring(p, 1, 4).cast("string") == "RIFF", "wav")
+            .when(F.substring(p, 1, 6).cast("string")
+                  .isin("GIF87a", "GIF89a"), "gif")
+            .when(F.substring(p, 1, 2).cast("string") == "BM", "bmp")
+            .when(F.hex(F.substring(p, 1, 4))
+                  .isin("49492A00", "4D4D002A"), "tiff")
+            .when((s4 == "RIFF") & (form8 == "WAVE"), "wav")
+            .when((s4 == "RIFF") & (form8 == "AVI "), "avi")
+            .when((s4 == "FORM") & form8.isin("AIFF", "AIFC"), "aiff")
+            .when(s4 == ".snd", "au")
             .when(F.substring(p, 5, 4).cast("string") == "ftyp", "mp4")
+            .when(F.substring(p, 1, 2).cast("string")
+                  .isin("P5", "P6"), "netpbm")
+            .when(F.hex(F.substring(p, 1, 4))
+                  .isin("00000100", "00000200"), "ico")
+            .when(F.hex(F.substring(p, 1, 2)) == "0000", "wbmp")
             .otherwise("unknown"))
     return df.withColumn("format", fmt) \
              .withColumn("n_bytes", F.length(p)) \
