@@ -5575,8 +5575,37 @@ def _oracle_sql_base() -> dict[str, str]:
                         ELSE 'th' END AS ord
             FROM nation
         """,
+        # the twin REPLAYS the sniff's text-expressible prefixes in
+        # the same precedence (a doc text CAN legally start 'BM…',
+        # 'P5…', 'GIF87a…' etc. — hardcoding 'unknown' was a silent
+        # parity trap flagged by review; the UTF-8-impossible magics
+        # (PNG \\x89, JPEG \\xFF) need no branch)
         "multimodal_meta": """
-            SELECT doc_id, 'unknown' AS format,
+            SELECT doc_id,
+                   CASE
+                     WHEN text LIKE 'GIF87a%' OR text LIKE 'GIF89a%'
+                       THEN 'gif'
+                     WHEN text LIKE 'BM%' THEN 'bmp'
+                     WHEN substr(text, 1, 4) = 'II*' || chr(0)
+                       OR substr(text, 1, 4) = 'MM' || chr(0) || '*'
+                       THEN 'tiff'
+                     WHEN substr(text, 1, 4) = 'RIFF'
+                          AND substr(text, 9, 4) = 'WAVE' THEN 'wav'
+                     WHEN substr(text, 1, 4) = 'RIFF'
+                          AND substr(text, 9, 4) = 'AVI ' THEN 'avi'
+                     WHEN substr(text, 1, 4) = 'FORM'
+                          AND substr(text, 9, 4) IN ('AIFF', 'AIFC')
+                       THEN 'aiff'
+                     WHEN substr(text, 1, 4) = '.snd' THEN 'au'
+                     WHEN substr(text, 1, 2) IN ('P5', 'P6')
+                       THEN 'netpbm'
+                     WHEN substr(text, 5, 4) = 'ftyp' THEN 'mp4'
+                     WHEN substr(text, 1, 4) IN (
+                            chr(0) || chr(0) || chr(1) || chr(0),
+                            chr(0) || chr(0) || chr(2) || chr(0))
+                       THEN 'ico'
+                     ELSE 'unknown'
+                   END AS format,
                    octet_length(encode(text)) AS n_bytes,
                    sha256(text) AS payload_sha
             FROM documents

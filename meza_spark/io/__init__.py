@@ -10,8 +10,8 @@ files, not within".
 
 from .readers import (
     detect_encoding, io_join, read, read_csv, read_dbf, read_fixed_fmt,
-    read_geojson, read_html, read_json, read_mdb, read_ndjson, read_sqlite,
-    read_tsv, read_xls, read_yaml,
+    read_geojson, read_html, read_json, read_mdb, read_media, read_ndjson,
+    read_sqlite, read_tsv, read_xls, read_yaml,
 )
 from .writers import (
     hash_file, records2csv, records2geojson, records2json, write,
@@ -20,7 +20,8 @@ from .writers import (
 __all__ = [
     "read", "read_csv", "read_tsv", "read_fixed_fmt", "read_json",
     "read_ndjson", "read_geojson", "read_yaml", "read_html", "read_xls",
-    "read_sqlite", "read_dbf", "read_mdb", "io_join", "detect_encoding",
+    "read_sqlite", "read_dbf", "read_mdb", "io_join", "read_media",
+    "detect_encoding",
     "records2csv", "records2json", "records2geojson", "write",
     "hash_file",
 ]

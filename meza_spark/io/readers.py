@@ -39,7 +39,8 @@ __all__ = [
     "read", "read_csv", "read_csv_distributed", "read_tsv", "read_fixed_fmt", "read_json",
     "read_ndjson", "read_ndjson_quarantine", "read_geojson", "read_yaml", "read_html", "read_xls",
     "read_sqlite", "read_dbf", "read_mdb", "read_orc", "read_xml",
-    "io_join", "detect_encoding", "get_ext", "ctype2ext", "to_filepath",
+    "io_join", "read_media", "detect_encoding", "get_ext", "ctype2ext",
+    "to_filepath",
 ]
 
 # HTTP content-type → extension (ref: meza/convert.py:47-78 ctype2ext)
@@ -1144,11 +1145,13 @@ def read_media(spark: SparkSession, path: str, with_meta: bool = True,
     so format-partitioned routing (images → decode_image, audio →
     decode_audio) stays a codegen'd filter.
 
-    Scale shape: binaryFile is one task per file (a 10M-file media
-    lake = a 10M-task scan, exactly right for row-local decode);
-    each payload materializes whole in its task, so shard multi-GB
-    videos upstream. For tar-sharded corpora use
-    :func:`read_webdataset` instead — far fewer, larger objects."""
+    Scale shape: files are unsplittable, but binaryFile BIN-PACKS
+    many small files per task (maxPartitionBytes / openCostInBytes,
+    like any file source), so a 10M-small-file lake becomes a
+    sanely-sized scan rather than 10M tasks; each payload still
+    materializes whole inside its task, so shard multi-GB videos
+    upstream. For tar-sharded corpora use :func:`read_webdataset`
+    instead — far fewer, larger objects."""
     from ..llm.multimodal import attach_media_meta
 
     r = spark.read.format("binaryFile")

@@ -84,10 +84,19 @@ def media_schema(payload_col: str = "payload") -> StructType:
 
 
 def _sniff_format(b: bytes) -> str:
+    """Python twin of :func:`attach_media_meta`'s JVM sniff — keep
+    the two in LOCKSTEP (same containers, same precedence); wbmp is
+    intentionally absent from both (no honest magic)."""
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
     if b[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if b[:2] == b"BM":
+        return "bmp"
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "wav"
     if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
@@ -96,8 +105,12 @@ def _sniff_format(b: bytes) -> str:
         return "aiff"
     if b[:4] == b".snd":
         return "au"
+    if b[:2] in (b"P5", b"P6"):
+        return "netpbm"
     if b[4:8] == b"ftyp":
         return "mp4"
+    if b[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+        return "ico"
     return "unknown"
 
 
@@ -122,12 +135,16 @@ def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             .when((s4 == "RIFF") & (form8 == "AVI "), "avi")
             .when((s4 == "FORM") & form8.isin("AIFF", "AIFC"), "aiff")
             .when(s4 == ".snd", "au")
-            .when(F.substring(p, 5, 4).cast("string") == "ftyp", "mp4")
             .when(F.substring(p, 1, 2).cast("string")
                   .isin("P5", "P6"), "netpbm")
+            .when(F.substring(p, 5, 4).cast("string") == "ftyp", "mp4")
             .when(F.hex(F.substring(p, 1, 4))
                   .isin("00000100", "00000200"), "ico")
-            .when(F.hex(F.substring(p, 1, 2)) == "0000", "wbmp")
+            # NO wbmp branch: its two-zero-byte "magic" also prefixes
+            # MPEG-PS/ES and JP2 — a sniffer must stay honest and
+            # return 'unknown'; decode_pixels still accepts WBMP when
+            # the caller routes it explicitly (dispatch of last
+            # resort there, after every real signature)
             .otherwise("unknown"))
     return df.withColumn("format", fmt) \
              .withColumn("n_bytes", F.length(p)) \

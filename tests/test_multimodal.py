@@ -2748,3 +2748,36 @@ def test_pillow_dispatch_and_fallback_without_pillow(monkeypatch):
 
     # leave the module flag reset for other tests
     monkeypatch.setattr(mm, "_PILLOW", None)
+
+
+def test_media_sniff_twin_parity_on_adversarial_prefixes(spark, tmp_path):
+    """The multimodal_meta DuckDB twin replays attach_media_meta's
+    text-expressible magic prefixes; the shipped corpus never starts
+    a document with 'BM'/'P5'/'GIF87a'/…, so this unit feeds texts
+    that DO and asserts Spark sniff == twin CASE, row for row (the
+    parity trap a review flagged in the hardcoded-'unknown' twin)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from meza_spark.llm.multimodal import attach_media_meta
+    from pyspark.sql import functions as F
+
+    texts = ["BMW motors", "P5 paper", "P6\n#ftyp maybe", "GIF87a art",
+             "GIF89a art", "RIFF not wave", "RIFFxxxxWAVE!", "FORMxxxxAIFF",
+             ".snd record", "ordinary text", "MM *tiffish", "xxxxftyp.mp4"]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["format"] for r in attach_media_meta(
+        df.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    ).collect()}
+
+    p = str(tmp_path / "documents.parquet")
+    df.write.parquet(p)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{p}/*.parquet'")
+    sql = entry.oracle_sql()["multimodal_meta"]
+    want = {r[0]: r[1] for r in con.sql(sql).fetchall()}
+    assert got == want
+    # sanity: the adversarial prefixes really fire (not all-unknown)
+    assert got[0] == "bmp" and got[3] == "gif" and got[6] == "wav"
+    assert got[9] == "unknown" and got[11] == "mp4"
