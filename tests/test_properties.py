@@ -913,3 +913,115 @@ def test_io_parser_fuzz_never_bombs(kind, data, tmp_path_factory):
     elif mode == "extend":
         b += bytes(data.draw(st.integers(1, 64)))
     _io_fuzz_decode(kind, bytes(b), tmp_dir)
+
+
+@given(data=st.data())
+@settings(max_examples=60, deadline=None)
+def test_bmp_dib_matrix_property(data):
+    """Randomized coverage of the round-7 BMP DIB matrix: random
+    dims/variant (24/32-bit, 16-bit 555, 5-6-5 bitfields, 8/4/1-bit
+    palette, RLE8 via absolute runs), hand-built headers in both row
+    orders — decode must reproduce the expected pixels exactly."""
+    import struct as _s
+
+    import numpy as np
+
+    from meza_spark.llm.multimodal import _decode_bmp
+
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**32 - 1)))
+    w = data.draw(st.integers(1, 12))
+    h = data.draw(st.integers(1, 10))
+    topdown = data.draw(st.booleans())
+    variant = data.draw(st.sampled_from(
+        ["24", "32", "555", "565", "pal8", "pal4", "pal1", "rle8"]))
+
+    def bmp(bpp, comp, body, palette=b"", masks=b""):
+        off = 54 + len(masks) + len(palette)
+        hraw = -h if topdown else h
+        info = _s.pack("<IiiHHIIiiII", 40, w, hraw, 1, bpp, comp,
+                       len(body), 2835, 2835, len(palette) // 4, 0)
+        return (b"BM" + _s.pack("<IHHI", off + len(body), 0, 0, off)
+                + info + masks + palette + body)
+
+    def rows_of(payload_rows):
+        # stored order: bottom-up unless topdown
+        return payload_rows if topdown else payload_rows[::-1]
+
+    exp = None
+    if variant in ("24", "32"):
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        unit = 3 if variant == "24" else 4
+        row_sz = (w * unit + 3) & ~3
+        body = np.zeros((h, row_sz), np.uint8)
+        stored = rows_of(px)
+        for r in range(h):
+            for c in range(w):
+                body[r, c * unit:c * unit + 3] = stored[r, c, ::-1]
+        out = _decode_bmp(bmp(8 * unit, 0, body.tobytes()))
+        exp = px
+    elif variant in ("555", "565"):
+        nbits = (5, 5, 5) if variant == "555" else (5, 6, 5)
+        vals = [rng.integers(0, 1 << b, (h, w), dtype=np.uint32)
+                for b in nbits]
+        if variant == "555":
+            word = (vals[0] << 10) | (vals[1] << 5) | vals[2]
+            comp, masks = 0, b""
+        else:
+            word = (vals[0] << 11) | (vals[1] << 5) | vals[2]
+            comp, masks = 3, _s.pack("<III", 0xF800, 0x07E0, 0x001F)
+        row_sz = (w * 2 + 3) & ~3
+        body = np.zeros((h, row_sz), np.uint8)
+        stored = rows_of(word)
+        body[:, :w * 2] = stored.astype("<u2").view(np.uint8) \
+            .reshape(h, w * 2)
+        out = _decode_bmp(bmp(16, comp, body.tobytes(), masks=masks))
+
+        def rep(v, b):
+            up = (v << (8 - b)).astype(np.uint32)
+            fill = b
+            while fill < 8:
+                up |= up >> fill
+                fill *= 2
+            return (up & 0xFF).astype(np.uint8)
+        exp = np.stack([rep(vals[i], nbits[i]) for i in range(3)], axis=2)
+    elif variant.startswith("pal"):
+        bpp = int(variant[3:])
+        nent = 1 << bpp
+        pal = rng.integers(0, 256, (nent, 4), dtype=np.uint8)
+        idx = rng.integers(0, nent, (h, w), dtype=np.uint8)
+        row_bits = w * bpp
+        row_sz = ((row_bits + 31) // 32) * 4
+        body = np.zeros((h, row_sz), np.uint8)
+        stored = rows_of(idx)
+        for r in range(h):
+            for c in range(w):
+                v = int(stored[r, c])
+                bit = c * bpp
+                body[r, bit // 8] |= v << (8 - bpp - bit % 8)
+        out = _decode_bmp(bmp(bpp, 0, body.tobytes(),
+                              palette=pal.tobytes()))
+        exp = pal[:, 2::-1][idx]
+    else:                                         # rle8 absolute runs
+        pal = rng.integers(0, 256, (256, 4), dtype=np.uint8)
+        idx = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        stored = rows_of(idx)
+        body = bytearray()
+        for r in range(h):
+            c = 0
+            while c < w:
+                n = min(w - c, data.draw(st.integers(1, 8)))
+                if n >= 3:                        # absolute run
+                    body += bytes([0, n]) + bytes(
+                        int(x) for x in stored[r, c:c + n])
+                    if n & 1:
+                        body += b"\x00"           # word padding
+                else:                             # encoded runs
+                    for k in range(n):
+                        body += bytes([1, int(stored[r, c + k])])
+                c += n
+            body += b"\x00\x00"                   # EOL
+        body += b"\x00\x01"                       # EOB
+        out = _decode_bmp(bmp(8, 1, bytes(body), palette=pal.tobytes()))
+        exp = pal[:, 2::-1][idx]
+    assert out.shape == (h, w, 3)
+    assert np.array_equal(out, exp), variant
