@@ -5579,7 +5579,12 @@ def _oracle_sql_base() -> dict[str, str]:
         # the same precedence (a doc text CAN legally start 'BM…',
         # 'P5…', 'GIF87a…' etc. — hardcoding 'unknown' was a silent
         # parity trap flagged by review; the UTF-8-impossible magics
-        # (PNG \\x89, JPEG \\xFF) need no branch)
+        # (PNG \\x89, JPEG \\xFF) need no branch). NOTE: substr/LIKE
+        # here are CHARACTER-indexed while the Spark sniff is
+        # BYTE-indexed over UTF-8 — equivalent only because the TPC-H
+        # document texts are pure ASCII (1 char = 1 byte); a corpus
+        # with multibyte chars in the first 12 bytes would need
+        # encode(text) byte slicing for the offset-5/9 branches.
         "multimodal_meta": """
             SELECT doc_id,
                    CASE

@@ -422,7 +422,11 @@ def _decode_ico(b: bytes):
     for i in range(n):
         e = b[6 + 16 * i:6 + 16 * (i + 1)]
         w, h = e[0] or 256, e[1] or 256
-        bpp = struct.unpack("<H", e[6:8])[0]
+        # bytes 4-7 are planes/bitcount only for icons (type 1); for
+        # cursors (type 2) they hold the hotspot X/Y, so a bpp
+        # tie-break would compare hotspot coordinates — key cursors
+        # on area alone
+        bpp = struct.unpack("<H", e[6:8])[0] if b[2] == 1 else 0
         size, off = struct.unpack("<II", e[8:16])
         if off + size > len(b) or size < 8:
             continue                     # corrupt entry: try the rest
@@ -3224,7 +3228,7 @@ def decode_pixels(b: bytes):
     """Dispatch real pixel decode by magic bytes → (h, w, c) uint8.
 
     BMP (full DIB matrix: 24/32-bit, 16-bit 555/bitfields, 1/4/8-bit
-    palette, RLE8) / PPM / PGM / PNG (all 5 filters, Adam7,
+    palette, RLE8 and RLE4) / PPM / PGM / PNG (all 5 filters, Adam7,
     8/16-bit) / GIF (LZW + palette, interlace) / baseline AND
     progressive JPEG (Huffman + IDCT + YCbCr, 4:2:0, T.81 §G
     multi-scan) / TIFF (none/LZW/PackBits/Deflate) / ICO and CUR
@@ -3641,8 +3645,9 @@ def _decode_wav(b: bytes) -> dict:
             raw = raw[:fact_frames * channels]
         s = raw.astype(np.float64) / 32768.0
     else:
-        raise ValueError("unsupported WAV (PCM 8/16-bit, IEEE float, "
-                         "G.711 A-law/µ-law, or mono IMA ADPCM)")
+        raise ValueError("unsupported WAV (PCM 8/16/24/32-bit, IEEE "
+                         "float, G.711 A-law/µ-law, IMA ADPCM, or "
+                         "Microsoft ADPCM)")
     return _audio_stats(s, rate, channels)
 
 

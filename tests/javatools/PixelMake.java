@@ -35,6 +35,10 @@ public class PixelMake {
     String[] parts = hdr.toString().trim().split(" ");
     int w = Integer.parseInt(parts[0]), h = Integer.parseInt(parts[1]),
         bands = Integer.parseInt(parts[2]);
+    if (bands != 1 && bands != 3 && bands != 4)
+      // bands==2 (gray+alpha) would fall into TYPE_INT_ARGB below but
+      // the sample loop only writes bands 0-1 — reject it loudly
+      throw new IllegalArgumentException("bands must be 1, 3, or 4");
     byte[] raw = new byte[w * h * bands];
     new DataInputStream(in).readFully(raw);
     int type = bands == 1 ? BufferedImage.TYPE_BYTE_GRAY
