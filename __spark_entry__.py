@@ -771,6 +771,9 @@ def multimodal_mixed(spark, sf_dir):
     the SAME closed-form palette pixels, so a single arithmetic
     DuckDB twin covers the whole frame and a hash match proves
     decode_pixels routes every container to the right real decoder.
+    BMP docs alternate Windows BITMAPINFOHEADER and OS/2
+    BITMAPCOREHEADER layouts by (doc_id//3)%2 (round 8 — the core
+    header decodes to the same pixels, so the twin is unchanged).
     (JPEG is lossy, so it gates separately via the pinned
     multimodal_jpeg.)"""
     import numpy as np
@@ -792,8 +795,10 @@ def multimodal_mixed(spark, sf_dir):
                            (i * 17 + p * 3) % 256,
                            (i * 19 + p * 7) % 256],
                           axis=1).astype(np.uint8).reshape(h, w, 3)
-            enc = (_encode_bmp, _encode_png, _encode_gif)[i % 3]
-            out.append(enc(px))
+            if i % 3 == 0:
+                out.append(_encode_bmp(px, os2=(i // 3) % 2 == 0))
+            else:
+                out.append((_encode_png, _encode_gif)[i % 3 - 1](px))
         return pd.Series(out)
 
     d = _t(spark, sf_dir, "documents").select(
@@ -1557,6 +1562,51 @@ def multimodal_tiff_pal16(spark, sf_dir):
          .where(F.col("doc_id") % 10 == 3)
          .select(F.col("doc_id").alias("media_id"),
                  _tif("doc_id").alias("payload")))
+    out = decode_image(d)
+    return out.select("media_id", "width", "height", "channels",
+                      F.round("mean_pixel", 6).alias("mean_pixel"))
+
+
+def multimodal_webp(spark, sf_dir):
+    """REAL lossless-WebP (VP8L) decode, hash-gated (round 8):
+    closed-form palette pixels (same family as the tiff/gif gates)
+    encoded through encode_webp_lossless cycling ALL FIVE encoder
+    variants by doc_id%5 — plain literal coding / subtract-green /
+    predictor / color-transform / palette with packed sub-pixels —
+    and RGBA (VP8L alpha) every 4th doc, then decoded by the
+    pure-stdlib VP8L decoder (meza_spark/llm/webp.py, bit-exact
+    against the system libwebp in tests/test_webp_crossimpl_parity).
+    Lossless end to end, so one arithmetic DuckDB twin covers the
+    whole transform/entropy machinery at every SF."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from meza_spark.llm.multimodal import decode_image
+    from meza_spark.llm.webp import encode_webp_lossless
+
+    variants = (None, "subtract_green", "predictor", "color", "palette")
+
+    @pandas_udf("binary")
+    def _webp(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+        out = []
+        for i, n in zip(doc_id, n_chars):
+            i, n = int(i), int(n)
+            w, h = n % 21 + 1, i % 14 + 1
+            j = np.arange(w * h, dtype=np.int64)
+            p = (i * 7 + j * 11) % 64
+            chans = [(i * 13 + p * 5) % 256, (i * 17 + p * 3) % 256,
+                     (i * 19 + p * 7) % 256]
+            if i % 4 == 0:
+                chans.append((i * 23 + p * 13) % 256)
+            px = np.stack(chans, axis=1).astype(np.uint8) \
+                .reshape(h, w, len(chans))
+            out.append(encode_webp_lossless(px, transform=variants[i % 5]))
+        return pd.Series(out)
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        _webp("doc_id", "n_chars").alias("payload"))
     out = decode_image(d)
     return out.select("media_id", "width", "height", "channels",
                       F.round("mean_pixel", 6).alias("mean_pixel"))
@@ -2424,6 +2474,69 @@ def wds_roundtrip(spark, sf_dir):
             "$.source").alias("source"),
         F.size("exts").alias("n_members"))
         .orderBy("doc_id"))
+
+
+def media_dir_roundtrip(spark, sf_dir):
+    """read_media driver gate (round 8, closing the one round-7
+    source family without an oracle): write a small on-disk media
+    corpus in-query — documents' own text bytes as .txt for
+    (doc_id//10)%2==0, a closed-form-pixel BMP for ==1 — then
+    `read_media` the directory back (binaryFile scan + the JVM
+    magic-byte sniff) and emit, per file: the sniffed format, byte
+    length, payload sha256 (text rows — DuckDB recomputes it
+    directly), and the decoded mean pixel (BMP rows — arithmetic
+    twin). A hash match proves the binaryFile plumbing, the sniff
+    precedence, and the bytes' integrity end to end."""
+    import os
+    import shutil
+
+    from meza_spark.io.readers import read_media
+    from meza_spark.llm.multimodal import decode_image
+
+    root = _rt_path(sf_dir, "mediadir")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    rows = (_t(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 10 == 3)
+            .select("doc_id", "text", "n_chars").collect())
+    import numpy as np
+
+    from meza_spark.llm.multimodal import _encode_bmp
+    for r in rows:
+        i = int(r["doc_id"])
+        if (i // 10) % 2 == 0:
+            with open(f"{root}/{i}.txt", "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+        else:
+            w, h = int(r["n_chars"]) % 21 + 1, i % 14 + 1
+            j = np.arange(w * h, dtype=np.int64)
+            p = (i * 7 + j * 11) % 64
+            px = np.stack([(i * 13 + p * 5) % 256,
+                           (i * 17 + p * 3) % 256,
+                           (i * 19 + p * 7) % 256],
+                          axis=1).astype(np.uint8).reshape(h, w, 3)
+            with open(f"{root}/{i}.bmp", "wb") as f:
+                f.write(_encode_bmp(px))
+
+    media = (read_media(spark, root)
+             .withColumn("doc_id", F.regexp_extract(
+                 "path", r"(\d+)\.(txt|bmp)$", 1).cast("long"))
+             .withColumn("ext", F.regexp_extract(
+                 "path", r"(\d+)\.(txt|bmp)$", 2)))
+    # branch on the EXTENSION we wrote, not the sniffed format: a
+    # text that legitimately starts 'BM…' sniffs as bmp but must not
+    # be pixel-decoded (the sniff column itself is still gated below)
+    stats = decode_image(
+        media.where(F.col("ext") == "bmp")
+             .select(F.col("doc_id").alias("media_id"), "payload"))
+    return (media.join(stats, media["doc_id"] == stats["media_id"],
+                       "left")
+            .select(media["doc_id"], "format",
+                    F.col("n_bytes").cast("long").alias("n_bytes"),
+                    F.when(F.col("ext") == "txt", F.col("payload_sha"))
+                     .alias("sha_txt"),
+                    F.round("mean_pixel", 6).alias("mean_pixel"))
+            .orderBy("doc_id"))
 
 
 def html_extract(spark, sf_dir):
@@ -4520,6 +4633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_ima4": multimodal_ima4,
         "multimodal_tiff_pal16": multimodal_tiff_pal16,
         "multimodal_pcm_deep": multimodal_pcm_deep,
+        "multimodal_webp": multimodal_webp,
+        "media_dir_roundtrip": media_dir_roundtrip,
         "stream_tumble_static": stream_tumble_static,
         "stream_session_static": stream_session_static,
         "join_asof": join_asof,
@@ -5598,6 +5713,8 @@ def _oracle_sql_base() -> dict[str, str]:
                           AND substr(text, 9, 4) = 'WAVE' THEN 'wav'
                      WHEN substr(text, 1, 4) = 'RIFF'
                           AND substr(text, 9, 4) = 'AVI ' THEN 'avi'
+                     WHEN substr(text, 1, 4) = 'RIFF'
+                          AND substr(text, 9, 4) = 'WEBP' THEN 'webp'
                      WHEN substr(text, 1, 4) = 'FORM'
                           AND substr(text, 9, 4) IN ('AIFF', 'AIFC')
                        THEN 'aiff'
@@ -5614,6 +5731,84 @@ def _oracle_sql_base() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    sha256(text) AS payload_sha
             FROM documents
+        """,
+        # VP8L is lossless, so the SAME arithmetic-twin pattern as
+        # multimodal_tiff covers all five encoder variants (the
+        # variant choice changes the bytes, never the pixels); the
+        # alpha branch mirrors the every-4th-doc RGBA payloads.
+        "multimodal_webp": """
+            SELECT doc_id AS media_id,
+                   CAST(n_chars % 21 + 1 AS INTEGER) AS width,
+                   CAST(doc_id % 14 + 1 AS INTEGER) AS height,
+                   CAST(CASE WHEN doc_id % 4 = 0 THEN 4 ELSE 3 END
+                        AS INTEGER) AS channels,
+                   round(list_sum(list_transform(
+                     range(0, (n_chars % 21 + 1) * (doc_id % 14 + 1)),
+                     j -> (doc_id * 13 + ((doc_id * 7 + j * 11) % 64) * 5) % 256
+                        + (doc_id * 17 + ((doc_id * 7 + j * 11) % 64) * 3) % 256
+                        + (doc_id * 19 + ((doc_id * 7 + j * 11) % 64) * 7) % 256
+                        + CASE WHEN doc_id % 4 = 0
+                            THEN (doc_id * 23
+                                  + ((doc_id * 7 + j * 11) % 64) * 13) % 256
+                            ELSE 0 END))
+                     / (CASE WHEN doc_id % 4 = 0 THEN 4.0 ELSE 3.0 END
+                        * (n_chars % 21 + 1) * (doc_id % 14 + 1)),
+                     6) AS mean_pixel
+            FROM documents
+        """,
+        # read_media gate: txt rows replay the sniff CASE + sha256
+        # over the document text itself (ASCII corpus — see the
+        # multimodal_meta byte-offset note); bmp rows recompute the
+        # closed-form byte size (54-byte header + padded rows) and
+        # pixel mean, sha NULL (the decode stat gates those bytes).
+        "media_dir_roundtrip": """
+            SELECT doc_id,
+                   CASE WHEN (doc_id // 10) % 2 = 1 THEN 'bmp'
+                     WHEN text LIKE 'GIF87a%' OR text LIKE 'GIF89a%'
+                       THEN 'gif'
+                     WHEN text LIKE 'BM%' THEN 'bmp'
+                     WHEN substr(text, 1, 4) = 'II*' || chr(0)
+                       OR substr(text, 1, 4) = 'MM' || chr(0) || '*'
+                       THEN 'tiff'
+                     WHEN substr(text, 1, 4) = 'RIFF'
+                          AND substr(text, 9, 4) = 'WAVE' THEN 'wav'
+                     WHEN substr(text, 1, 4) = 'RIFF'
+                          AND substr(text, 9, 4) = 'AVI ' THEN 'avi'
+                     WHEN substr(text, 1, 4) = 'RIFF'
+                          AND substr(text, 9, 4) = 'WEBP' THEN 'webp'
+                     WHEN substr(text, 1, 4) = 'FORM'
+                          AND substr(text, 9, 4) IN ('AIFF', 'AIFC')
+                       THEN 'aiff'
+                     WHEN substr(text, 1, 4) = '.snd' THEN 'au'
+                     WHEN substr(text, 1, 2) IN ('P5', 'P6')
+                       THEN 'netpbm'
+                     WHEN substr(text, 5, 4) = 'ftyp' THEN 'mp4'
+                     WHEN substr(text, 1, 4) IN (
+                            chr(0) || chr(0) || chr(1) || chr(0),
+                            chr(0) || chr(0) || chr(2) || chr(0))
+                       THEN 'ico'
+                     ELSE 'unknown'
+                   END AS format,
+                   CASE WHEN (doc_id // 10) % 2 = 0
+                        THEN octet_length(encode(text))
+                        ELSE 54 + (doc_id % 14 + 1)
+                             * (((n_chars % 21 + 1) * 3 + 3) // 4 * 4)
+                   END AS n_bytes,
+                   CASE WHEN (doc_id // 10) % 2 = 0 THEN sha256(text)
+                        ELSE CAST(NULL AS VARCHAR) END AS sha_txt,
+                   CASE WHEN (doc_id // 10) % 2 = 0
+                        THEN CAST(NULL AS DOUBLE)
+                        ELSE round(list_sum(list_transform(
+                          range(0, (n_chars % 21 + 1) * (doc_id % 14 + 1)),
+                          j -> (doc_id * 13 + ((doc_id * 7 + j * 11) % 64) * 5) % 256
+                             + (doc_id * 17 + ((doc_id * 7 + j * 11) % 64) * 3) % 256
+                             + (doc_id * 19 + ((doc_id * 7 + j * 11) % 64) * 7) % 256))
+                          / (3.0 * (n_chars % 21 + 1) * (doc_id % 14 + 1)),
+                          6)
+                   END AS mean_pixel
+            FROM documents
+            WHERE doc_id % 10 = 3
+            ORDER BY doc_id
         """,
         # The synthesized BMP's pixel bytes follow (doc_id*7 + j*11) %
         # 256 over j in [0, w*h*3); recomputing the stats arithmetically

@@ -101,6 +101,8 @@ def _sniff_format(b: bytes) -> str:
         return "wav"
     if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
         return "avi"
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        return "webp"
     if b[:4] == b"FORM" and b[8:12] in (b"AIFF", b"AIFC"):
         return "aiff"
     if b[:4] == b".snd":
@@ -133,6 +135,7 @@ def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                   .isin("49492A00", "4D4D002A"), "tiff")
             .when((s4 == "RIFF") & (form8 == "WAVE"), "wav")
             .when((s4 == "RIFF") & (form8 == "AVI "), "avi")
+            .when((s4 == "RIFF") & (form8 == "WEBP"), "webp")
             .when((s4 == "FORM") & form8.isin("AIFF", "AIFC"), "aiff")
             .when(s4 == ".snd", "au")
             .when(F.substring(p, 1, 2).cast("string")
@@ -276,20 +279,31 @@ def _decode_bmp(b: bytes):
     BI_BITFIELDS (arbitrary masks, e.g. 5-6-5, scaled by bit
     replication), 1/4/8-bit palette, and BI_RLE8 / BI_RLE4 runs —
     BITMAPINFOHEADER dims, bottom-up or top-down row order, 4-byte
-    row padding, BGRA quads, BGR→RGB swap. OS/2 (sub-40-byte)
-    headers raise ValueError (honest gate)."""
+    row padding, BGRA quads, BGR→RGB swap. OS/2 BITMAPCOREHEADER
+    (12-byte header, unsigned WORD dims, 3-byte BGR palette triples,
+    always bottom-up, 1/4/8/24-bit) decodes too — the last DIB-matrix
+    gate, lifted in round 8."""
     import numpy as np
 
-    if b[:2] != b"BM" or len(b) < 54:
+    if b[:2] != b"BM" or len(b) < 30:
         raise ValueError("not a BMP")
     data_off = struct.unpack("<I", b[10:14])[0]
     hdr_size = struct.unpack("<I", b[14:18])[0]
-    if hdr_size < 40:
+    core = hdr_size == 12
+    if core:                                      # OS/2 BITMAPCOREHEADER
+        w, h_raw, planes, bpp = struct.unpack("<HHHH", b[18:26])
+        compression, clr_used = 0, 0              # core has neither field
+        if bpp not in (1, 4, 8, 24):
+            raise ValueError(f"bad OS/2 BMP bit depth {bpp}")
+    elif hdr_size < 40:
         raise ValueError(f"unsupported BMP header size {hdr_size}")
-    w, h_raw = struct.unpack("<ii", b[18:26])
-    planes, bpp = struct.unpack("<HH", b[26:30])
-    compression = struct.unpack("<I", b[30:34])[0]
-    clr_used = struct.unpack("<I", b[46:50])[0] if len(b) >= 50 else 0
+    else:
+        if len(b) < 54:
+            raise ValueError("truncated BMP header")
+        w, h_raw = struct.unpack("<ii", b[18:26])
+        planes, bpp = struct.unpack("<HH", b[26:30])
+        compression = struct.unpack("<I", b[30:34])[0]
+        clr_used = struct.unpack("<I", b[46:50])[0] if len(b) >= 50 else 0
     h = abs(h_raw)
     if w <= 0 or h == 0:
         raise ValueError("bad BMP dimensions")
@@ -304,13 +318,14 @@ def _decode_bmp(b: bytes):
         nent = clr_used or (1 << bpp)
         if nent > 1 << bpp:
             raise ValueError("BMP palette larger than bit depth allows")
+        unit = 3 if core else 4                   # core: BGR triples
         pal_off = 14 + hdr_size
-        raw = b[pal_off:pal_off + 4 * nent]
-        if len(raw) < 4 * nent:
+        raw = b[pal_off:pal_off + unit * nent]
+        if len(raw) < unit * nent:
             raise ValueError("truncated BMP palette")
-        quads = np.frombuffer(raw, np.uint8).reshape(nent, 4)
+        ents = np.frombuffer(raw, np.uint8).reshape(nent, unit)
         pal = np.zeros((256, 3), dtype=np.uint8)
-        pal[:nent] = quads[:, 2::-1]              # BGRx → RGB
+        pal[:nent] = ents[:, 2::-1]               # BGR(x) → RGB
         return pal
 
     if compression == 1:                          # BI_RLE8
@@ -384,9 +399,10 @@ def _decode_bmp(b: bytes):
     raise ValueError(f"unsupported BMP bit depth {bpp}")
 
 
-def _encode_bmp(px) -> bytes:
-    """(h, w, 3) uint8 RGB → 24-bit BI_RGB BMP bytes (round-trips
-    through :func:`_decode_bmp`)."""
+def _encode_bmp(px, os2: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit BMP bytes (round-trips through
+    :func:`_decode_bmp`): Windows BITMAPINFOHEADER by default, OS/2
+    BITMAPCOREHEADER (12-byte, WORD dims) with ``os2=True``."""
     import numpy as np
 
     px = np.asarray(px, dtype=np.uint8)
@@ -395,6 +411,11 @@ def _encode_bmp(px) -> bytes:
     body = np.zeros((h, row_sz), dtype=np.uint8)
     body[:, :w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # RGB->BGR, bottom-up
     data = body.tobytes()
+    if os2:
+        if w > 0xFFFF or h > 0xFFFF:
+            raise ValueError("OS/2 core BMP dims exceed WORD range")
+        file_hdr = b"BM" + struct.pack("<IHHI", 26 + len(data), 0, 0, 26)
+        return file_hdr + struct.pack("<IHHHH", 12, w, h, 1, 24) + data
     file_hdr = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
     info_hdr = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
                            len(data), 2835, 2835, 0, 0)
@@ -3232,7 +3253,9 @@ def decode_pixels(b: bytes):
     8/16-bit) / GIF (LZW + palette, interlace) / baseline AND
     progressive JPEG (Huffman + IDCT + YCbCr, 4:2:0, T.81 §G
     multi-scan) / TIFF (none/LZW/PackBits/Deflate) / ICO and CUR
-    (largest entry, DIB or PNG-in-ICO) / WBMP decode for real —
+    (largest entry, DIB or PNG-in-ICO) / WBMP / lossless WebP (full
+    VP8L: all four transforms, meta-Huffman, LZ77 + color cache —
+    libwebp-parity-tested) decode for real —
     stdlib struct + zlib + numpy, no Pillow required. With
     ``MEZA_SPARK_PILLOW=1`` and Pillow importable, PNG/TIFF/BMP
     prefer Pillow's C-speed inner loops, falling back to the stdlib
@@ -3262,6 +3285,9 @@ def decode_pixels(b: bytes):
         return _decode_jpeg(b)
     if b[:4] in (b"II*\x00", b"MM\x00*"):
         return _decode_tiff(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        from meza_spark.llm.webp import decode_webp
+        return decode_webp(b)            # VP8L real; lossy VP8 gated
     if b[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
         return _decode_ico(b)            # ICO / CUR directory
     if b[:2] == b"\x00\x00":
@@ -4261,7 +4287,10 @@ def _parse_headers(b: bytes) -> dict:
         out["width"], out["height"] = int(w), int(h)
     elif b[:2] == b"BM" and len(b) >= 26:
         out["format"] = "bmp"
-        w, h = struct.unpack("<ii", b[18:26])
+        if struct.unpack("<I", b[14:18])[0] == 12:   # OS/2 core header
+            w, h = struct.unpack("<HH", b[18:22])
+        else:
+            w, h = struct.unpack("<ii", b[18:26])
         out["width"], out["height"] = int(w), abs(int(h))
     elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
         out["format"] = "avi"
@@ -4280,6 +4309,9 @@ def _parse_headers(b: bytes) -> dict:
                     break
         except (ValueError, struct.error, IndexError):
             pass                       # header-only parse stays lenient
+    elif b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        from meza_spark.llm.webp import webp_headers
+        out.update(webp_headers(b))
     elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         out["format"] = "wav"
         pos, byte_rate, data_sz = 12, None, None

@@ -219,6 +219,10 @@ def _our_encoder_cases():
             ("png_gray", mm._encode_png, gray),
             ("png_rgba", mm._encode_png, rgba),
             ("bmp", mm._encode_bmp, rgb),
+            # OS/2 BITMAPCOREHEADER (r8, last DIB-matrix gate): the
+            # JDK's BMPImageReader handles VERSION_2 core headers, so
+            # it independently validates the 12-byte-header writer
+            ("bmp_os2", lambda px: mm._encode_bmp(px, os2=True), rgb),
             ("tiff", mm._encode_tiff, rgb),
             ("gif", mm._encode_gif, few)]
 

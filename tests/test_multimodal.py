@@ -1622,7 +1622,8 @@ def test_bmp_variant_matrix():
     32-bit BI_RGB (reserved byte dropped), 16-bit 5-5-5, BI_BITFIELDS
     5-6-5 (bit-replication scaling), and BI_RLE8 (runs, EOL, absolute
     runs with word padding) — hand-built headers so every field is
-    exercised; RLE4 and sub-40-byte headers stay honest gates."""
+    exercised. RLE4 (round 7) and OS/2 core headers (round 8,
+    test_bmp_os2_core_header) closed the last matrix gates."""
     import struct
 
     import numpy as np
@@ -1754,6 +1755,67 @@ def test_bmp_variant_matrix():
     with _pytest.raises(ValueError):
         _decode_bmp(bmp(8, 1, bytes([0, 2, 0, 200] * 30), 8, 4,
                         palette=pal.tobytes()))    # delta past height
+
+
+def test_bmp_os2_core_header():
+    """OS/2 BITMAPCOREHEADER (round 8 — the last DIB-matrix gate):
+    12-byte header with unsigned WORD dims, 3-byte BGR palette
+    triples, always bottom-up; 24-bit via the encoder flag (JDK
+    parity in test_java_crossimpl_parity), 8/4/1-bit hand-built."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from meza_spark.llm.multimodal import (_decode_bmp, _encode_bmp,
+                                           _parse_headers, decode_pixels)
+
+    rng = np.random.default_rng(21)
+    px = rng.integers(0, 256, (9, 13, 3), dtype=np.uint8)
+    enc = _encode_bmp(px, os2=True)
+    assert struct.unpack("<I", enc[14:18])[0] == 12
+    assert np.array_equal(decode_pixels(enc), px)
+    hd = _parse_headers(enc)
+    assert (hd["width"], hd["height"]) == (13, 9)
+
+    def core(bpp, w, h, pal_rgb, idx):
+        body_rows = []
+        row_sz = ((w * bpp + 31) // 32) * 4
+        for y in range(h - 1, -1, -1):              # bottom-up
+            row = bytearray(row_sz)
+            for x in range(w):
+                v = int(idx[y, x])
+                if bpp == 8:
+                    row[x] = v
+                elif bpp == 4:
+                    row[x // 2] |= v << (4 if x % 2 == 0 else 0)
+                else:
+                    row[x // 8] |= v << (7 - x % 8)
+            body_rows.append(bytes(row))
+        body = b"".join(body_rows)
+        pal = pal_rgb[:, ::-1].tobytes()            # RGB → BGR triples
+        off = 14 + 12 + len(pal)
+        return (b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+                + struct.pack("<IHHHH", 12, w, h, 1, bpp) + pal + body)
+
+    for bpp in (8, 4, 1):
+        n = 1 << bpp
+        pal_rgb = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+        idx = rng.integers(0, n, (6, 11))
+        out = _decode_bmp(core(bpp, 11, 6, pal_rgb, idx))
+        assert np.array_equal(out, pal_rgb[idx]), f"core {bpp}-bit"
+
+    # hostile: truncated triple palette must raise, not mis-slice
+    pal_rgb = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, (4, 4))
+    f = core(8, 4, 4, pal_rgb, idx)
+    with _pytest.raises(ValueError, match="palette"):
+        _decode_bmp(f[:14 + 12 + 100])
+    # hostile: 16-bit depth is not legal in a core header
+    bad = (b"BM" + struct.pack("<IHHI", 26, 0, 0, 26)
+           + struct.pack("<IHHHH", 12, 2, 2, 1, 16))
+    with _pytest.raises(ValueError, match="OS/2"):
+        _decode_bmp(bad + b"\x00" * 16)
 
 
 def test_ico_decode():

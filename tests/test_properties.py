@@ -768,7 +768,16 @@ def _media_fixtures():
         "wbmp": (mm._encode_wbmp((p[:, :, 0] >= 128) * 255), "image"),
         "ima4": (_ima4_fixture(), "audio"),
         "ico": (_ico_fixture(p), "image"),
+        "bmp_os2": (mm._encode_bmp(p, os2=True), "image"),
+        "webp": (_webp_mod().encode_webp_lossless(p), "image"),
+        "webp_pal": (_webp_mod().encode_webp_lossless(
+            (p // 64) * 64, transform="palette"), "image"),
     }
+
+
+def _webp_mod():
+    from meza_spark.llm import webp
+    return webp
 
 
 _FUZZ_TIME_BOUND = 20.0  # seconds; real decodes here run in ms

@@ -84,6 +84,10 @@ DEFAULT_QUERIES = [
     "multimodal_ima4",
     "multimodal_tiff_pal16",
     "multimodal_pcm_deep",
+    # round-8: the VP8L entropy/transform machinery (pure integer
+    # bit arithmetic) and the binaryFile+sniff directory roundtrip
+    "multimodal_webp",
+    "media_dir_roundtrip",
 ]
 
 _WORKER = r"""
