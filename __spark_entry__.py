@@ -5722,6 +5722,8 @@ def _oracle_sql_base() -> dict[str, str]:
                      WHEN substr(text, 1, 2) IN ('P5', 'P6')
                        THEN 'netpbm'
                      WHEN substr(text, 5, 4) = 'ftyp' THEN 'mp4'
+                     WHEN substr(text, 1, 4) = 'fLaC' THEN 'flac'
+                     WHEN substr(text, 1, 3) = 'ID3' THEN 'mp3'
                      WHEN substr(text, 1, 4) IN (
                             chr(0) || chr(0) || chr(1) || chr(0),
                             chr(0) || chr(0) || chr(2) || chr(0))
@@ -5783,6 +5785,8 @@ def _oracle_sql_base() -> dict[str, str]:
                      WHEN substr(text, 1, 2) IN ('P5', 'P6')
                        THEN 'netpbm'
                      WHEN substr(text, 5, 4) = 'ftyp' THEN 'mp4'
+                     WHEN substr(text, 1, 4) = 'fLaC' THEN 'flac'
+                     WHEN substr(text, 1, 3) = 'ID3' THEN 'mp3'
                      WHEN substr(text, 1, 4) IN (
                             chr(0) || chr(0) || chr(1) || chr(0),
                             chr(0) || chr(0) || chr(2) || chr(0))

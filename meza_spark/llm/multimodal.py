@@ -111,8 +111,20 @@ def _sniff_format(b: bytes) -> str:
         return "netpbm"
     if b[4:8] == b"ftyp":
         return "mp4"
+    if b[:4] == b"fLaC":
+        return "flac"
+    if b[:3] == b"ID3":
+        return "mp3"
     if b[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
         return "ico"
+    if len(b) >= 4 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0 \
+            and (b[1] & 0x18) != 0x08 and (b[1] & 0x06) != 0 \
+            and (b[2] & 0xF0) != 0xF0 and (b[2] & 0x0C) != 0x0C:
+        # bare MPEG audio sync: 11 set bits plus non-reserved
+        # version/layer/bitrate/samplerate fields (the standard
+        # `file`-style validity screen — a lone 0xFF byte is common
+        # junk, a fully valid frame header is not)
+        return "mp3"
     return "unknown"
 
 
@@ -126,6 +138,9 @@ def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     p = F.col(payload_col)
     s4 = F.substring(p, 1, 4).cast("string")
     form8 = F.substring(p, 9, 4).cast("string")
+    # bytes 2 and 3 as ints for the MPEG-sync bit tests (codegen'd)
+    _b2 = F.conv(F.hex(F.substring(p, 2, 1)), 16, 10).cast("int")
+    _b3 = F.conv(F.hex(F.substring(p, 3, 1)), 16, 10).cast("int")
     fmt = (F.when(F.hex(F.substring(p, 1, 4)) == "89504E47", "png")
             .when(F.hex(F.substring(p, 1, 3)) == "FFD8FF", "jpeg")
             .when(F.substring(p, 1, 6).cast("string")
@@ -141,8 +156,21 @@ def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             .when(F.substring(p, 1, 2).cast("string")
                   .isin("P5", "P6"), "netpbm")
             .when(F.substring(p, 5, 4).cast("string") == "ftyp", "mp4")
+            .when(F.substring(p, 1, 4).cast("string") == "fLaC", "flac")
+            .when(F.substring(p, 1, 3).cast("string") == "ID3", "mp3")
             .when(F.hex(F.substring(p, 1, 4))
                   .isin("00000100", "00000200"), "ico")
+            # bare MPEG sync (placed after every byte-solid magic,
+            # mirroring the Python sniff): byte1 == FF plus
+            # non-reserved version/layer/bitrate/samplerate bits —
+            # 0xFF can never open valid UTF-8 text, so the replaying
+            # DuckDB twin needs no branch for this arm
+            .when((F.hex(F.substring(p, 1, 1)) == "FF")
+                  & (_b2.bitwiseAND(F.lit(0xE0)) == 0xE0)
+                  & (_b2.bitwiseAND(F.lit(0x18)) != 0x08)
+                  & (_b2.bitwiseAND(F.lit(0x06)) != 0)
+                  & (_b3.bitwiseAND(F.lit(0xF0)) != 0xF0)
+                  & (_b3.bitwiseAND(F.lit(0x0C)) != 0x0C), "mp3")
             # NO wbmp branch: its two-zero-byte "magic" also prefixes
             # MPEG-PS/ES and JP2 — a sniffer must stay honest and
             # return 'unknown'; decode_pixels still accepts WBMP when
@@ -3860,6 +3888,15 @@ def _decode_audio_bytes(b: bytes) -> dict:
         return _decode_aiff(b)
     if b[:4] == b".snd":
         return _decode_au(b)
+    if b[:4] == b"fLaC":
+        raise NotImplementedError(
+            "FLAC sample decode not implemented (headers parse via "
+            "parse_media_headers); route to a decoder= plugin")
+    if _sniff_format(b) == "mp3":
+        raise NotImplementedError(
+            "MP3 is a perceptual codec outside the pure-stdlib "
+            "charter (headers/duration parse via parse_media_headers)"
+            "; route to a decoder= plugin")
     raise ValueError("unknown audio container (WAV/AIFF/.au)")
 
 
@@ -4243,11 +4280,111 @@ def resize_image(df: DataFrame, width: int, height: int,
         .mapInPandas(run, schema=out_schema)
 
 
+# MPEG audio frame-header tables (ISO/IEC 11172-3 / 13818-3): bitrate
+# kbps by (version-group, layer) and sample rate by version bits
+_MP3_BITRATES = {
+    (1, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352,
+             384, 416, 448),
+    (1, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+             320, 384),
+    (1, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+             256, 320),
+    (2, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192,
+             224, 256),
+    (2, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160),
+    (2, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160),
+}
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              0: (11025, 12000, 8000)}
+
+
+def _mp3_frame(b: bytes, pos: int):
+    """Validate + measure one MPEG audio frame header at ``pos`` →
+    (frame_bytes, samples_per_frame, sample_rate, channels) or None."""
+    if pos + 4 > len(b) or b[pos] != 0xFF or (b[pos + 1] & 0xE0) != 0xE0:
+        return None
+    ver = (b[pos + 1] >> 3) & 3          # 3=MPEG1 2=MPEG2 0=MPEG2.5
+    layer = (b[pos + 1] >> 1) & 3        # 3=I 2=II 1=III
+    br_idx = (b[pos + 2] >> 4) & 15
+    sr_idx = (b[pos + 2] >> 2) & 3
+    pad = (b[pos + 2] >> 1) & 1
+    if ver == 1 or layer == 0 or br_idx in (0, 15) or sr_idx == 3:
+        return None                      # reserved fields / free form
+    vgroup = 1 if ver == 3 else 2
+    lnum = 4 - layer                     # bits→layer number
+    bitrate = _MP3_BITRATES[(vgroup, lnum)][br_idx] * 1000
+    rate = _MP3_RATES[ver][sr_idx]
+    channels = 1 if ((b[pos + 3] >> 6) & 3) == 3 else 2
+    if lnum == 1:
+        samples = 384
+        frame = (12 * bitrate // rate + pad) * 4
+    else:
+        samples = 576 if (lnum == 3 and ver != 3) else 1152
+        frame = samples // 8 * bitrate // rate + pad
+    if frame <= 4:
+        return None
+    return frame, samples, rate, channels
+
+
+def _mp3_headers(b: bytes, out: dict) -> None:
+    """MP3 metadata without decode: skip an ID3v2 tag (syncsafe
+    length), resync to the first valid frame within a 4 KiB window,
+    then WALK every frame — exact duration for CBR and VBR alike
+    (no Xing-header trust needed); stops at trailing ID3v1/APE tags."""
+    pos = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        pos = 10 + ((b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9])
+    start = pos
+    while pos < min(len(b), start + 4096):
+        if _mp3_frame(b, pos):
+            break
+        pos += 1
+    total = 0
+    frames = 0
+    while True:
+        f = _mp3_frame(b, pos)
+        if f is None:
+            break
+        frame, samples, rate, channels = f
+        if frames == 0:
+            out["sample_rate"], out["channels"] = rate, channels
+        total += samples
+        frames += 1
+        pos += frame
+    if frames and out["sample_rate"]:
+        out["duration_ms"] = total * 1000 // out["sample_rate"]
+
+
+def _flac_headers(b: bytes, out: dict) -> None:
+    """FLAC STREAMINFO (the mandatory first metadata block): sample
+    rate (20 bits), channels-1 (3), bits-1 (5), total samples (36)
+    packed big-endian at byte 10 of the block."""
+    pos = 4
+    while pos + 4 <= len(b):
+        last, typ = b[pos] & 0x80, b[pos] & 0x7F
+        ln = int.from_bytes(b[pos + 1:pos + 4], "big")
+        if typ == 0 and ln >= 34 and pos + 4 + 18 <= len(b):
+            packed = int.from_bytes(b[pos + 14:pos + 22], "big")
+            rate = packed >> 44
+            out["channels"] = ((packed >> 41) & 7) + 1
+            if rate:
+                out["sample_rate"] = rate
+                out["duration_ms"] = \
+                    (packed & ((1 << 36) - 1)) * 1000 // rate
+            return
+        if last:
+            return
+        pos += 4 + ln
+
+
 def _parse_headers(b: bytes) -> dict:
     """REAL (stdlib-only) container-header parse — no decode, no
     Pillow: PNG IHDR, JPEG SOF marker walk, GIF logical screen
     descriptor, BMP info header, TIFF first-IFD dims, WAV RIFF
-    fmt/data chunks, MP4 box walk. Returns whatever the container
+    fmt/data chunks, MP4 box walk, MP3 frame walk (exact VBR-safe
+    duration), FLAC STREAMINFO. Returns whatever the container
     declares; unknown formats → format only.
 
     This is the filter-stage metadata a pipeline needs (drop tiny
@@ -4381,6 +4518,18 @@ def _parse_headers(b: bytes) -> dict:
         out["format"] = "mp4"
         out.update({k: v for k, v in _parse_mp4(b).items()
                     if v is not None})
+    elif b[:4] == b"fLaC":
+        out["format"] = "flac"
+        try:
+            _flac_headers(b, out)
+        except (ValueError, IndexError):
+            pass                       # header-only parse stays lenient
+    elif _sniff_format(b) == "mp3":
+        out["format"] = "mp3"
+        try:
+            _mp3_headers(b, out)
+        except (ValueError, IndexError):
+            pass                       # header-only parse stays lenient
     return out
 
 
