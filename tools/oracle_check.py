@@ -93,13 +93,17 @@ def main():
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
-    # VALUES-pinned oracles are captured at one SF; at any other SF
-    # they don't apply (different data → different seeded output)
+    # VALUES-pinned oracles apply at the SF they were captured at
+    # (r8: both 0.01 and 0.1 are captured, so SCALE_DIFF covers the
+    # full registry); any other SF reports PINNED-SKIP.
     try:
-        from _oracle_pins import PIN_SF, PINNED
+        from _oracle_pins import PINNED_BY_SF
 
-        pin_ok = sf_dir.rstrip("/").endswith(f"sf{PIN_SF}")
-        pinned_names = set() if pin_ok else set(PINNED)
+        cur_sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        pins_here = PINNED_BY_SF.get(cur_sf, {})
+        oracles = dict(oracles, **pins_here)
+        pinned_names = set().union(*PINNED_BY_SF.values()) \
+            - set(pins_here)
     except ImportError:
         pinned_names = set()
     results = []
@@ -108,7 +112,7 @@ def main():
             continue
         if name in pinned_names:
             results.append((name, "PINNED-SKIP",
-                            f"VALUES pin applies at sf{PIN_SF} only"))
+                            "VALUES pin captured at other SFs only"))
             continue
         t0 = time.time()
         try:
