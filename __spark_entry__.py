@@ -1612,6 +1612,64 @@ def multimodal_webp(spark, sf_dir):
                       F.round("mean_pixel", 6).alias("mean_pixel"))
 
 
+def multimodal_webp_anim(spark, sf_dir):
+    """REAL animated-WebP decode (decode_video → ANMF walk +
+    per-frame VP8L decode + canvas compositing), hash-gated by an
+    arithmetic DuckDB twin mirroring multimodal_apng: 3 frames per
+    doc — a full closed-form RGBA canvas (replace), an OVER-blended
+    patch with BINARY alpha at the even offset (2,2) (255 replaces
+    exactly, 0 keeps exactly — float compositing becomes exact
+    integer algebra), then a replace-blended patch with closed-form
+    alpha — plus closed-form durations feeding the cumulative start
+    timestamps."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from meza_spark.llm.multimodal import decode_video
+    from meza_spark.llm.webp import encode_webp_anim
+
+    @pandas_udf("binary")
+    def _anim(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+        out = []
+        for i, n in zip(doc_id, n_chars):
+            i, n = int(i), int(n)
+            w, h = n % 20 + 6, i % 12 + 4
+            pw, ph = w // 2, h // 2
+            j = np.arange(w * h, dtype=np.int64)
+            f1 = np.zeros((h, w, 4), np.uint8)
+            f1[:, :, 0] = ((i * 7 + j * 11) % 256).reshape(h, w)
+            f1[:, :, 1] = ((i * 11 + j * 5) % 256).reshape(h, w)
+            f1[:, :, 2] = ((i * 3 + j * 13) % 256).reshape(h, w)
+            f1[:, :, 3] = 255
+            j2 = np.arange(pw * ph, dtype=np.int64)
+            p2 = np.zeros((ph, pw, 4), np.uint8)
+            v2 = ((i * 17 + j2 * 7) % 256).reshape(ph, pw)
+            p2[:, :, 0] = p2[:, :, 1] = p2[:, :, 2] = v2
+            p2[:, :, 3] = np.where(
+                ((j2 // pw + j2 % pw) % 3 != 0).reshape(ph, pw),
+                255, 0)
+            p3 = np.zeros((ph, pw, 4), np.uint8)
+            v3 = ((i * 19 + j2 * 5) % 256).reshape(ph, pw)
+            p3[:, :, 0] = p3[:, :, 1] = p3[:, :, 2] = v3
+            p3[:, :, 3] = ((i * 29 + j2 * 3) % 256).reshape(ph, pw)
+            d0, d1 = (i % 10) * 10, ((i + 3) % 10) * 10
+            out.append(encode_webp_anim(
+                [f1, p2, p3], delays_ms=[d0, d1, ((i + 7) % 10) * 10],
+                blends=[False, True, False],
+                offsets=[(0, 0), (2, 2), (2, 2)], canvas=(w, h)))
+        return pd.Series(out)
+
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.col("doc_id") % 5 == 2)
+         .select(F.col("doc_id").alias("media_id"),
+                 _anim("doc_id", "n_chars").alias("payload")))
+    out = decode_video(d)
+    return out.select("media_id", "frame_idx", "ts_ms", "width",
+                      "height",
+                      F.round("mean_pixel", 6).alias("mean_pixel"))
+
+
 def multimodal_pcm_deep(spark, sf_dir):
     """REAL deep-bit PCM decode (round 7): one closed-form signal in
     ±2^21 per doc, carried as 24-bit WAV (3-byte LE) for i//10%3==0,
@@ -4634,6 +4692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_tiff_pal16": multimodal_tiff_pal16,
         "multimodal_pcm_deep": multimodal_pcm_deep,
         "multimodal_webp": multimodal_webp,
+        "multimodal_webp_anim": multimodal_webp_anim,
         "media_dir_roundtrip": media_dir_roundtrip,
         "stream_tumble_static": stream_tumble_static,
         "stream_session_static": stream_session_static,
@@ -5973,6 +6032,64 @@ def _oracle_sql_base() -> dict[str, str]:
                     (i*7 + ((1 + j // pw) * w + 1 + j % pw) * 11) % 256
                   + (i*11 + ((1 + j // pw) * w + 1 + j % pw) * 5) % 256
                   + (i*3 + ((1 + j // pw) * w + 1 + j % pw) * 13) % 256
+                  + 255 END)) AS sreg2,
+                list_sum(list_transform(range(0, pw * ph), j ->
+                  3 * ((i*19 + j*5) % 256)
+                  + (i*29 + j*3) % 256)) AS sp3,
+                (i % 10) * 10 AS d0, ((i + 3) % 10) * 10 AS d1
+              FROM g
+            )
+            SELECT i AS media_id, CAST(0 AS INTEGER) AS frame_idx,
+                   CAST(0 AS BIGINT) AS ts_ms,
+                   CAST(w AS INTEGER) AS width,
+                   CAST(h AS INTEGER) AS height,
+                   round(CAST(s1 AS DOUBLE) / denom, 6) AS mean_pixel
+            FROM s
+            UNION ALL
+            SELECT i, CAST(1 AS INTEGER), CAST(d0 AS BIGINT),
+                   CAST(w AS INTEGER), CAST(h AS INTEGER),
+                   round(CAST(s1 - sr1nt + sp2nt AS DOUBLE) / denom, 6)
+            FROM s
+            UNION ALL
+            SELECT i, CAST(2 AS INTEGER), CAST(d0 + d1 AS BIGINT),
+                   CAST(w AS INTEGER), CAST(h AS INTEGER),
+                   round(CAST(s1 - sr1nt + sp2nt - sreg2 + sp3
+                              AS DOUBLE) / denom, 6)
+            FROM s
+        """,
+        # Animated-WebP twin (r8): same sum-algebra pattern as the
+        # APNG twin above, with the patch at the ANMF-legal even
+        # offset (2,2) — canvas position (2 + j//pw)*w + (2 + j%pw).
+        # ts_ms are cumulative frame START times (0, d0, d0+d1).
+        "multimodal_webp_anim": """
+            WITH g AS (
+              SELECT doc_id AS i,
+                     (n_chars % 20 + 6) AS w, (doc_id % 12 + 4) AS h,
+                     (n_chars % 20 + 6) // 2 AS pw,
+                     (doc_id % 12 + 4) // 2 AS ph
+              FROM documents WHERE doc_id % 5 = 2
+            ), s AS (
+              SELECT i, w, h, pw, ph, 4 * w * h AS denom,
+                list_sum(list_transform(range(0, w * h), j ->
+                  (i*7 + j*11) % 256 + (i*11 + j*5) % 256
+                  + (i*3 + j*13) % 256 + 255)) AS s1,
+                list_sum(list_transform(range(0, pw * ph), j ->
+                  CASE WHEN (j // pw + j % pw) % 3 <> 0 THEN
+                    (i*7 + ((2 + j // pw) * w + 2 + j % pw) * 11) % 256
+                  + (i*11 + ((2 + j // pw) * w + 2 + j % pw) * 5) % 256
+                  + (i*3 + ((2 + j // pw) * w + 2 + j % pw) * 13) % 256
+                  + 255 ELSE 0 END)) AS sr1nt,
+                list_sum(list_transform(range(0, pw * ph), j ->
+                  CASE WHEN (j // pw + j % pw) % 3 <> 0
+                  THEN 3 * ((i*17 + j*7) % 256) + 255
+                  ELSE 0 END)) AS sp2nt,
+                list_sum(list_transform(range(0, pw * ph), j ->
+                  CASE WHEN (j // pw + j % pw) % 3 <> 0
+                  THEN 3 * ((i*17 + j*7) % 256) + 255
+                  ELSE
+                    (i*7 + ((2 + j // pw) * w + 2 + j % pw) * 11) % 256
+                  + (i*11 + ((2 + j // pw) * w + 2 + j % pw) * 5) % 256
+                  + (i*3 + ((2 + j // pw) * w + 2 + j % pw) * 13) % 256
                   + 255 END)) AS sreg2,
                 list_sum(list_transform(range(0, pw * ph), j ->
                   3 * ((i*19 + j*5) % 256)

@@ -136,6 +136,7 @@ HEADLINE = [
     "multimodal_pcm_deep",
     "multimodal_webp",
     "media_dir_roundtrip",
+    "multimodal_webp_anim",
 ]
 
 # Self-adjudicating bench (r7 verdict #2). Three identical-code r7
@@ -230,7 +231,11 @@ SCALE_QUERIES = ["q1_pricing", "q3_shipping", "q5_local_supplier",
                  # pure-Python state walk — must scale linearly) and
                  # the 16-bit palette lookup
                  "multimodal_ima4", "multimodal_tiff_pal16",
-                 "multimodal_pcm_deep"]
+                 "multimodal_pcm_deep",
+                 # round-8: VP8L codec + animation compositing and
+                 # the binaryFile media-directory scan (all row-local)
+                 "multimodal_webp", "multimodal_webp_anim",
+                 "media_dir_roundtrip"]
 
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

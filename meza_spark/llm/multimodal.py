@@ -4019,19 +4019,23 @@ def decode_audio(df: DataFrame, payload_col: str = "payload",
 def _video_frames_bytes(b: bytes):
     """Dispatch full-frame video decode by magic bytes → ``(frames,
     start_timestamps_ms)``: animated GIF, APNG (delay lists become
-    cumulative start times), MJPEG AVI, MJPEG MP4."""
+    cumulative start times), animated WebP (VP8L frames), MJPEG AVI,
+    MJPEG MP4."""
     if b[:6] in (b"GIF87a", b"GIF89a"):
         frames, delays = _decode_gif_frames(b)
     elif b[:8] == _PNG_SIG:
         frames, delays = _decode_apng_frames(b)
     elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
         return _decode_avi_frames(b)
+    elif b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        from meza_spark.llm.webp import decode_webp_frames
+        return decode_webp_frames(b)
     elif b[4:8] == b"ftyp":
         return _decode_mp4_frames(b)
     else:
         raise ValueError("not a frame-decodable video container "
-                         "(animated GIF / APNG / MJPEG AVI / "
-                         "MJPEG MP4)")
+                         "(animated GIF / APNG / animated WebP / "
+                         "MJPEG AVI / MJPEG MP4)")
     ts, t = [], 0
     for d in delays:
         ts.append(t)

@@ -31,7 +31,8 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["decode_webp", "encode_webp_lossless", "webp_headers"]
+__all__ = ["decode_webp", "decode_webp_frames", "encode_webp_anim",
+           "encode_webp_lossless", "webp_headers"]
 
 # widest legal VP8L dimension (14-bit field) — used for sanity only
 _VP8L_MAX_DIM = 1 << 14
@@ -563,7 +564,9 @@ def decode_webp(b: bytes):
             saw_anim = True
     if saw_anim:
         raise NotImplementedError(
-            "animated WebP: frame decode via decode_video(decoder=...)")
+            "animated WebP is a video container here — use "
+            "decode_video/frame_sample (decode_webp_frames walks "
+            "VP8L-framed animations for real)")
     if saw_lossy:
         raise NotImplementedError(
             "lossy VP8 WebP needs an external decoder= plugin "
@@ -681,6 +684,16 @@ def encode_webp_lossless(px, transform: str | None = None) -> bytes:
     colors). Validated against libwebp's decoder in
     tests/test_webp_crossimpl_parity.py.
     """
+    payload = _vp8l_payload(px, transform)
+    riff_body = b"WEBP" + b"VP8L" + struct.pack("<I", len(payload)) \
+        + payload + (b"\x00" if len(payload) & 1 else b"")
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def _vp8l_payload(px, transform: str | None = None) -> bytes:
+    """Encoder core: pixels → a raw VP8L chunk payload (shared by the
+    still-image wrapper above and the ANMF frames of
+    :func:`encode_webp_anim`)."""
     import numpy as np
 
     arr = np.asarray(px, dtype=np.uint8)
@@ -787,10 +800,7 @@ def encode_webp_lossless(px, transform: str | None = None) -> bytes:
         raise ValueError(f"unknown encode transform {transform!r}")
     bw.bits(0, 1)                                     # end of transforms
     _emit_literal_image(bw, argb, const_alpha, level0=True)
-    payload = bw.done()
-    riff_body = b"WEBP" + b"VP8L" + struct.pack("<I", len(payload)) \
-        + payload + (b"\x00" if len(payload) & 1 else b"")
-    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+    return bw.done()
 
 
 def _sub_px(a: int, b: int) -> int:
@@ -799,3 +809,147 @@ def _sub_px(a: int, b: int) -> int:
     for sh in (24, 16, 8, 0):
         out |= ((((a >> sh) & 0xFF) - ((b >> sh) & 0xFF)) & 0xFF) << sh
     return out
+
+
+# ------------------------------------------------------- animated WebP
+
+def decode_webp_frames(b: bytes):
+    """FULL animated-WebP walk (the public WebP container spec,
+    VP8X + ANIM + ANMF): each lossless (VP8L) frame decodes through
+    :func:`decode_vp8l` and composites onto an RGBA canvas honoring
+    the ANMF blend bit (unset = straight-alpha over, set = replace)
+    and disposal bit (1 = clear the frame rectangle). Disposal fills
+    with TRANSPARENT BLACK, matching libwebp's AnimDecoder and every
+    browser (the spec nominally says "background color" but the
+    reference implementation ignores the ANIM background for
+    compositing). Returns ``(frames, start_timestamps_ms)`` — canvas
+    snapshots (h, w, 4) and cumulative frame START times (the
+    GIF/APNG convention of :func:`_video_frames_bytes`). Lossy (VP8)
+    frames raise ``NotImplementedError``; a non-animated WebP raises
+    ValueError.
+    """
+    import numpy as np
+
+    from meza_spark.llm.multimodal import MAX_DECODE_PIXELS, _check_pixels
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    canvas_wh = None
+    anim = False
+    anmfs = []
+    for tag, s, e in _webp_chunks(b):
+        if tag == b"VP8X" and e - s >= 10:
+            canvas_wh = (1 + int.from_bytes(b[s + 4:s + 7], "little"),
+                         1 + int.from_bytes(b[s + 7:s + 10], "little"))
+        elif tag == b"ANIM":
+            anim = True
+        elif tag == b"ANMF" and e - s >= 16:
+            anmfs.append((s, e))
+    if not anim or canvas_wh is None:
+        raise ValueError("not an animated WebP (no VP8X+ANIM)")
+    if not anmfs:
+        raise ValueError("animated WebP with no frames")
+    w, h = canvas_wh
+    _check_pixels(h, w, "animated WebP")
+    if len(anmfs) * w * h > MAX_DECODE_PIXELS:
+        raise ValueError("animated WebP exceeds the total-pixel "
+                         "decode budget")
+    canvas = np.zeros((h, w, 4), np.uint8)
+    frames, stamps = [], []
+    t = 0
+    for s, e in anmfs:
+        x0 = 2 * int.from_bytes(b[s:s + 3], "little")
+        y0 = 2 * int.from_bytes(b[s + 3:s + 6], "little")
+        fw = 1 + int.from_bytes(b[s + 6:s + 9], "little")
+        fh = 1 + int.from_bytes(b[s + 9:s + 12], "little")
+        dur = int.from_bytes(b[s + 12:s + 15], "little")
+        flags = b[s + 15]
+        if x0 + fw > w or y0 + fh > h:
+            raise ValueError("ANMF frame exceeds the canvas")
+        rgba = None
+        pos = s + 16
+        while pos + 8 <= e:                    # frame's image chunks
+            tag = b[pos:pos + 4]
+            sz = struct.unpack("<I", b[pos + 4:pos + 8])[0]
+            if pos + 8 + sz > e:
+                raise ValueError("truncated ANMF sub-chunk")
+            if tag == b"VP8L":
+                px = decode_vp8l(b[pos + 8:pos + 8 + sz])
+                if px.shape[:2] != (fh, fw):
+                    raise ValueError("ANMF dims disagree with VP8L")
+                if px.shape[2] == 3:
+                    px = np.dstack([px, np.full((fh, fw), 255, np.uint8)])
+                rgba = px
+            elif tag == b"VP8 ":
+                raise NotImplementedError(
+                    "lossy VP8 animation frame needs a decoder= plugin")
+            pos += 8 + sz + (sz & 1)
+        if rgba is None:
+            raise ValueError("ANMF frame with no image chunk")
+        region = canvas[y0:y0 + fh, x0:x0 + fw]
+        if flags & 0x02:                       # do-not-blend: replace
+            region[:] = rgba
+        else:                                  # straight-alpha over
+            fa = rgba[:, :, 3:4].astype(np.float64) / 255.0
+            ba = region[:, :, 3:4].astype(np.float64) / 255.0
+            oa = fa + ba * (1 - fa)
+            safe = np.where(oa == 0, 1.0, oa)
+            orgb = (rgba[:, :, :3] * fa
+                    + region[:, :, :3] * ba * (1 - fa)) / safe
+            region[:, :, :3] = np.clip(np.round(orgb), 0,
+                                       255).astype(np.uint8)
+            region[:, :, 3] = np.clip(np.round(oa[:, :, 0] * 255), 0,
+                                      255).astype(np.uint8)
+        frames.append(canvas.copy())
+        stamps.append(t)                       # frame START time (the
+        t += dur                               # GIF/APNG convention)
+        if flags & 0x01:                       # dispose: clear rect
+            canvas[y0:y0 + fh, x0:x0 + fw] = 0
+    return frames, stamps
+
+
+def encode_webp_anim(frames, delays_ms=None, disposals=None,
+                     blends=None, offsets=None, canvas=None) -> bytes:
+    """RGBA/RGB frames → animated WebP (VP8X + ANIM + ANMF with VP8L
+    lossless frame payloads) — the fixture muxer for
+    :func:`decode_webp_frames`. ``blends[i]`` True = alpha-blend
+    (flag bit CLEAR), ``disposals[i]`` True = clear the rect after
+    display. Frame offsets must be even (the ANMF fields store
+    coordinates divided by 2)."""
+    import numpy as np
+
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    n = len(frames)
+    delays_ms = delays_ms or [40] * n
+    disposals = disposals or [False] * n
+    blends = blends or [False] * n
+    offsets = offsets or [(0, 0)] * n
+    if canvas is None:
+        canvas = (max(o[0] + f.shape[1] for o, f in zip(offsets, frames)),
+                  max(o[1] + f.shape[0] for o, f in zip(offsets, frames)))
+    cw, ch = canvas
+    has_alpha = any(f.ndim == 3 and f.shape[2] == 4 for f in frames)
+    vp8x = bytes([(0x10 if has_alpha else 0) | 0x02]) + b"\x00" * 3 \
+        + (cw - 1).to_bytes(3, "little") + (ch - 1).to_bytes(3, "little")
+    body = b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    anim = b"\x00" * 4 + struct.pack("<H", 0)      # bg color + loop=∞
+    body += b"ANIM" + struct.pack("<I", len(anim)) + anim
+    for f, d, disp, blend, (x0, y0) in zip(frames, delays_ms, disposals,
+                                           blends, offsets):
+        if x0 % 2 or y0 % 2:
+            raise ValueError("ANMF offsets must be even")
+        fh, fw = f.shape[:2]
+        payload = _vp8l_payload(f)
+        sub = b"VP8L" + struct.pack("<I", len(payload)) + payload \
+            + (b"\x00" if len(payload) & 1 else b"")
+        hdr = (x0 // 2).to_bytes(3, "little") \
+            + (y0 // 2).to_bytes(3, "little") \
+            + (fw - 1).to_bytes(3, "little") \
+            + (fh - 1).to_bytes(3, "little") \
+            + int(d).to_bytes(3, "little") \
+            + bytes([(0 if blend else 0x02) | (0x01 if disp else 0)])
+        anmf = hdr + sub
+        body += b"ANMF" + struct.pack("<I", len(anmf)) + anmf \
+            + (b"\x00" if len(anmf) & 1 else b"")
+    riff_body = b"WEBP" + body
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body

@@ -772,6 +772,8 @@ def _media_fixtures():
         "webp": (_webp_mod().encode_webp_lossless(p), "image"),
         "webp_pal": (_webp_mod().encode_webp_lossless(
             (p // 64) * 64, transform="palette"), "image"),
+        "webp_anim": (_webp_mod().encode_webp_anim(
+            [f1, f2], delays_ms=[20, 30]), "video"),
     }
 
 

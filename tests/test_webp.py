@@ -200,6 +200,84 @@ def test_bit_reader_truncation():
         br.read(1)
 
 
+# ------------------------------------------------------------ animation
+
+def test_anim_roundtrip_and_compositing():
+    """Replace → binary-alpha over-blend → dispose → replace: every
+    compositing branch of the ANMF walk, checked against hand
+    integer algebra (the same structure the driver gate twins)."""
+    rng = np.random.RandomState(5)
+    from meza_spark.llm.webp import decode_webp_frames, encode_webp_anim
+    f1 = rng.randint(0, 256, (10, 14, 4)).astype(np.uint8)
+    f2 = rng.randint(0, 256, (6, 8, 4)).astype(np.uint8)
+    f3 = rng.randint(0, 256, (10, 14, 3)).astype(np.uint8)
+    b = encode_webp_anim([f1, f2, f3], delays_ms=[20, 30, 40],
+                         disposals=[False, True, False],
+                         blends=[False, True, False],
+                         offsets=[(0, 0), (4, 2), (0, 0)])
+    frames, ts = decode_webp_frames(b)
+    assert ts == [0, 20, 50]                 # cumulative START times
+    assert (frames[0] == f1).all()           # replace
+    base = f1[2:8, 4:12].astype(np.float64)  # over-blend, straight alpha
+    fa = f2[:, :, 3:4] / 255.0
+    ba = base[:, :, 3:4] / 255.0
+    oa = fa + ba * (1 - fa)
+    safe = np.where(oa == 0, 1.0, oa)
+    exp = frames[0].copy()
+    exp[2:8, 4:12, :3] = np.clip(np.round(
+        (f2[:, :, :3] * fa + base[:, :, :3] * ba * (1 - fa)) / safe),
+        0, 255).astype(np.uint8)
+    exp[2:8, 4:12, 3] = np.clip(np.round(oa[:, :, 0] * 255),
+                                0, 255).astype(np.uint8)
+    assert (frames[1] == exp).all()
+    # frame 2's rect disposed (cleared) before frame 3's full replace
+    exp3 = np.dstack([f3, np.full((10, 14), 255, np.uint8)])
+    assert (frames[2] == exp3).all()
+
+
+def test_anim_dispatch_and_still_gate():
+    from meza_spark.llm.webp import encode_webp_anim
+    b = encode_webp_anim([_px(4, 6, 3, seed=1), _px(4, 6, 3, seed=2)])
+    frames, ts = mm._video_frames_bytes(b)
+    assert len(frames) == 2 and ts == [0, 40]
+    with pytest.raises(NotImplementedError, match="video container"):
+        decode_webp(b)                       # stills API refuses anims
+    hd = mm._parse_headers(b)                # VP8X canvas dims
+    assert (hd["width"], hd["height"]) == (6, 4)
+
+
+def test_anim_hostile():
+    from meza_spark.llm.webp import decode_webp_frames, encode_webp_anim
+    b = encode_webp_anim([_px(4, 6, 3)])
+    for cut in (16, 30, len(b) - 5):
+        with pytest.raises(ValueError):
+            decode_webp_frames(b[:cut])
+    with pytest.raises(ValueError, match="not an animated"):
+        decode_webp_frames(encode_webp_lossless(_px(3, 3, 3)))
+    with pytest.raises(ValueError, match="even"):
+        encode_webp_anim([_px(2, 2, 3)], offsets=[(1, 0)])
+    # frame rectangle outside the declared canvas
+    with pytest.raises(ValueError, match="exceeds the canvas"):
+        decode_webp_frames(encode_webp_anim(
+            [_px(4, 6, 3)], offsets=[(4, 0)], canvas=(6, 4)))
+
+
+def test_anim_total_pixel_budget():
+    """Many frames × canvas must trip the cumulative budget before
+    the snapshot list allocates."""
+    from meza_spark.llm.webp import encode_webp_anim
+    frames = [np.zeros((2, 2, 3), np.uint8)] * 3
+    b = bytearray(encode_webp_anim(frames, canvas=(2, 2)))
+    # inflate the declared canvas to 8000x8000 in VP8X (bytes follow
+    # 'VP8X' + size(4) + flags(4): canvas w-1 / h-1 as 3-byte LE)
+    i = b.index(b"VP8X") + 8 + 4
+    b[i:i + 3] = (7999).to_bytes(3, "little")
+    b[i + 3:i + 6] = (7999).to_bytes(3, "little")
+    with pytest.raises(ValueError, match="budget|exceeds the canvas"):
+        from meza_spark.llm.webp import decode_webp_frames
+        decode_webp_frames(bytes(b))
+
+
 # ------------------------------------------------------------ meta fields
 
 def test_attach_media_meta_webp(spark):

@@ -87,6 +87,7 @@ DEFAULT_QUERIES = [
     # round-8: the VP8L entropy/transform machinery (pure integer
     # bit arithmetic) and the binaryFile+sniff directory roundtrip
     "multimodal_webp",
+    "multimodal_webp_anim",
     "media_dir_roundtrip",
 ]
 
