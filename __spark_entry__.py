@@ -1670,6 +1670,54 @@ def multimodal_webp_anim(spark, sf_dir):
                       F.round("mean_pixel", 6).alias("mean_pixel"))
 
 
+def multimodal_flac(spark, sf_dir):
+    """REAL FLAC decode (round 8), hash-gated: one closed-form stereo
+    int16 signal per doc, encoded through encode_flac cycling the
+    subframe machinery — fixed predictor order i%5 (verbatim when 0
+    warmup would be degenerate), Rice parameter width by i%2, stereo
+    decorrelation cycling none/left-side/right-side/mid-side by
+    (i//10)%4 — then decoded by the full spec decoder (Rice unary
+    walk, predictor reconstruction, decorrelation undo, CRC-8/16 +
+    MD5 ladder). Lossless, so one arithmetic DuckDB twin covers every
+    variant: the cycling exists only Spark-side, which is exactly
+    what the hash proves."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from meza_spark.llm.flac import encode_flac
+    from meza_spark.llm.multimodal import decode_audio
+
+    modes = (None, "left_side", "right_side", "mid_side")
+
+    @pandas_udf("binary")
+    def _flac(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for i in doc_id:
+            i = int(i)
+            n = 300 + i % 89
+            j = np.arange(n, dtype=np.int64)
+            ch0 = (i * 41 + j * 17) % 32768 - 16384
+            ch1 = (i * 23 + j * 29) % 32768 - 16384
+            out.append(encode_flac(
+                np.stack([ch0, ch1], axis=1), rate=12000,
+                subframe="fixed" if i % 5 else "verbatim",
+                order=i % 5, rice_method=i % 2,
+                stereo_mode=modes[(i // 10) % 4]))
+        return pd.Series(out)
+
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.col("doc_id") % 10 == 6)
+         .select(F.col("doc_id").alias("media_id"),
+                 _flac("doc_id").alias("payload")))
+    out = decode_audio(d)
+    return out.select("media_id", "sample_rate", "channels",
+                      "n_samples", "duration_ms",
+                      F.round("mean_amp", 6).alias("mean_amp"),
+                      F.round("rms", 6).alias("rms"),
+                      F.round("peak", 6).alias("peak"))
+
+
 def multimodal_pcm_deep(spark, sf_dir):
     """REAL deep-bit PCM decode (round 7): one closed-form signal in
     ±2^21 per doc, carried as 24-bit WAV (3-byte LE) for i//10%3==0,
@@ -4693,6 +4741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_pcm_deep": multimodal_pcm_deep,
         "multimodal_webp": multimodal_webp,
         "multimodal_webp_anim": multimodal_webp_anim,
+        "multimodal_flac": multimodal_flac,
         "media_dir_roundtrip": media_dir_roundtrip,
         "stream_tumble_static": stream_tumble_static,
         "stream_session_static": stream_session_static,
@@ -6056,6 +6105,38 @@ def _oracle_sql_base() -> dict[str, str]:
                    round(CAST(s1 - sr1nt + sp2nt - sreg2 + sp3
                               AS DOUBLE) / denom, 6)
             FROM s
+        """,
+        # FLAC twin (r8): lossless codec, so the closed-form stereo
+        # signal's stats replay exactly — every integer square is
+        # <= 2^30 and the sums < 2^40, exact in double; the
+        # subframe/Rice/decorrelation cycling exists only Spark-side.
+        "multimodal_flac": """
+            WITH v AS (
+              SELECT doc_id, 300 + doc_id % 89 AS n,
+                     list_transform(range(0, 300 + doc_id % 89),
+                       j -> (doc_id * 41 + j * 17) % 32768 - 16384)
+                       AS c0,
+                     list_transform(range(0, 300 + doc_id % 89),
+                       j -> (doc_id * 23 + j * 29) % 32768 - 16384)
+                       AS c1
+              FROM documents WHERE doc_id % 10 = 6)
+            SELECT doc_id AS media_id,
+                   CAST(12000 AS INTEGER) AS sample_rate,
+                   CAST(2 AS INTEGER) AS channels,
+                   CAST(n AS BIGINT) AS n_samples,
+                   CAST((n * 1000) // 12000 AS BIGINT) AS duration_ms,
+                   round((list_sum(c0) + list_sum(c1))
+                         / 32768.0 / (2 * n), 6) AS mean_amp,
+                   round(sqrt((list_sum(list_transform(c0,
+                           x -> CAST(x * x AS DOUBLE)))
+                         + list_sum(list_transform(c1,
+                           x -> CAST(x * x AS DOUBLE))))
+                         / 1073741824.0 / (2 * n)), 6) AS rms,
+                   round(greatest(
+                       list_max(list_transform(c0, x -> abs(x))),
+                       list_max(list_transform(c1, x -> abs(x))))
+                       / 32768.0, 6) AS peak
+            FROM v
         """,
         # Animated-WebP twin (r8): same sum-algebra pattern as the
         # APNG twin above, with the patch at the ANMF-legal even

@@ -137,6 +137,7 @@ HEADLINE = [
     "multimodal_webp",
     "media_dir_roundtrip",
     "multimodal_webp_anim",
+    "multimodal_flac",
 ]
 
 # Self-adjudicating bench (r7 verdict #2). Three identical-code r7
@@ -235,7 +236,7 @@ SCALE_QUERIES = ["q1_pricing", "q3_shipping", "q5_local_supplier",
                  # round-8: VP8L codec + animation compositing and
                  # the binaryFile media-directory scan (all row-local)
                  "multimodal_webp", "multimodal_webp_anim",
-                 "media_dir_roundtrip"]
+                 "multimodal_flac", "media_dir_roundtrip"]
 
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

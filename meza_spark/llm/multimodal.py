@@ -3889,9 +3889,8 @@ def _decode_audio_bytes(b: bytes) -> dict:
     if b[:4] == b".snd":
         return _decode_au(b)
     if b[:4] == b"fLaC":
-        raise NotImplementedError(
-            "FLAC sample decode not implemented (headers parse via "
-            "parse_media_headers); route to a decoder= plugin")
+        from meza_spark.llm.flac import decode_flac
+        return decode_flac(b)        # full decode, CRC+MD5 verified
     if _sniff_format(b) == "mp3":
         raise NotImplementedError(
             "MP3 is a perceptual codec outside the pure-stdlib "
@@ -3978,8 +3977,12 @@ def decode_audio(df: DataFrame, payload_col: str = "payload",
     8/16/24/32-bit, IEEE float, G.711, IMA + Microsoft ADPCM —
     :func:`_decode_wav`),
     AIFF/AIFF-C (big-endian PCM incl. 'sowt' and QuickTime 'ima4'
-    ADPCM — :func:`_decode_aiff`), and Sun .au (µ/A-law via the
-    shared G.711 tables, linear PCM, float — :func:`_decode_au`).
+    ADPCM — :func:`_decode_aiff`), Sun .au (µ/A-law via the shared
+    G.711 tables, linear PCM, float — :func:`_decode_au`), and FLAC
+    (all subframe types, Rice residuals, stereo decorrelation,
+    CRC-8/CRC-16/MD5 verified — :func:`meza_spark.llm.flac
+    .decode_flac`). MP3 stays an honest ``NotImplementedError``
+    (perceptual codec — headers/duration via parse_media_headers).
     Unknown or still-compressed audio follows ``unsupported``
     ('error' | 'skip')."""
     out_schema = StructType([

@@ -157,10 +157,11 @@ def test_flac_streaminfo_fields():
     assert hd["sample_rate"] == 44100
 
 
-def test_flac_hostile_and_gate():
+def test_flac_hostile_headers():
     assert mm._parse_headers(b"fLaC")["sample_rate"] is None
     assert mm._parse_headers(b"fLaC\x00\x00\x00")["sample_rate"] is None
     trunc = _flac_fixture()[:20]
     assert mm._parse_headers(trunc)["sample_rate"] is None
-    with pytest.raises(NotImplementedError, match="FLAC"):
+    # a frameless stream parses headers but cannot decode samples
+    with pytest.raises(ValueError, match="no frames"):
         mm._decode_audio_bytes(_flac_fixture())

@@ -2140,6 +2140,9 @@ def test_pillow_parity_lossless_codecs(monkeypatch):
     monkeypatch.setenv("MEZA_SPARK_PILLOW", "1")
     monkeypatch.setattr(mm, "_PILLOW", None)   # re-evaluate opt-in
     if not mm._pillow():
+        # r8 re-check (r7 verdict #8): no Pillow anywhere on disk and
+        # pip has no network route on this image — the skip stands
+        # until a future image ships a wheel
         _pytest.skip("Pillow not installed in this environment")
     rng = np.random.default_rng(5)
     px = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)

@@ -774,7 +774,17 @@ def _media_fixtures():
             (p // 64) * 64, transform="palette"), "image"),
         "webp_anim": (_webp_mod().encode_webp_anim(
             [f1, f2], delays_ms=[20, 30]), "video"),
+        "flac": (_flac_fixture_bytes(), "audio"),
     }
+
+
+def _flac_fixture_bytes():
+    import numpy as np
+
+    from meza_spark.llm.flac import encode_flac
+    sig = (np.sin(np.arange(600) / 9.0) * 9000).astype(np.int64)
+    return encode_flac(np.stack([sig, sig // 2], axis=1),
+                       stereo_mode="mid_side", blocksize=256)
 
 
 def _webp_mod():

@@ -88,6 +88,7 @@ DEFAULT_QUERIES = [
     # bit arithmetic) and the binaryFile+sniff directory roundtrip
     "multimodal_webp",
     "multimodal_webp_anim",
+    "multimodal_flac",
     "media_dir_roundtrip",
 ]
 
