@@ -4272,6 +4272,9 @@ def resize_image(df: DataFrame, width: int, height: int,
         small = px[ys][:, xs]
         if small.shape[2] == 1:  # gray -> RGB for the BMP container
             small = np.repeat(small, 3, axis=2)
+        elif small.shape[2] == 4:  # RGBA (PNG/WebP) -> drop alpha:
+            small = small[:, :, :3]  # the 24-bit BMP container can't
+            #                          carry it (was a reshape crash)
         return _encode_bmp(small)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

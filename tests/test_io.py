@@ -910,3 +910,12 @@ def test_read_media_real_directory(spark):
     out = decode_image(df).collect()
     assert len(out) == len(rows)
     assert all(r["width"] > 0 and r["height"] > 0 for r in out)
+    # round-8 vendored additions: the real WebP (VP8X+lossy) and MP3
+    # sniff correctly too, and decode_image(unsupported='skip') drops
+    # the lossy WebP instead of erroring — the curation posture
+    all_rows = {os.path.basename(r["path"]): r
+                for r in read_media(spark, fixdir).collect()}
+    assert all_rows["webp_vp8x_lossy_python.webp"]["format"] == "webp"
+    assert all_rows["mp3_mpeg2_l3_gsutil.mp3"]["format"] == "mp3"
+    wdf = read_media(spark, fixdir, pattern="*.webp")
+    assert decode_image(wdf, unsupported="skip").count() == 0

@@ -131,6 +131,30 @@ def test_resize_image_real_bmp_roundtrip(spark):
     assert small[1, 0, 0] == 30 and small[1, 1, 0] == 40
 
 
+def test_resize_image_rgba_inputs(spark):
+    """r8 regression: 4-channel decodes (RGBA PNG / alpha WebP) used
+    to crash the re-encode reshape inside the UDF — alpha must drop
+    into the 24-bit BMP container instead."""
+    import numpy as np
+
+    from meza_spark.llm.multimodal import _decode_bmp, _encode_png
+    from meza_spark.llm.webp import encode_webp_lossless
+
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, (6, 9, 4), dtype=np.uint8)
+    rows = [(1, bytearray(_encode_png(px))),
+            (2, bytearray(encode_webp_lossless(px)))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in resize_image(df, 3, 3).collect()}
+    for mid in (1, 2):
+        small = _decode_bmp(bytes(out[mid]["payload"]))
+        assert small.shape == (3, 3, 3)
+        # NN sample of the RGB planes, alpha dropped
+        ys = (np.arange(3) * 6) // 3
+        xs = (np.arange(3) * 9) // 3
+        assert np.array_equal(small, px[ys][:, xs][:, :, :3])
+
+
 def test_image_features_real_gray_gradient(spark):
     import numpy as np
 

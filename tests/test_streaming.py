@@ -533,11 +533,17 @@ def test_streaming_media_decode_batch_parity(spark, tmp_path):
     from meza_spark.llm.multimodal import (_encode_png, decode_audio,
                                            decode_image)
 
+    from meza_spark.llm.flac import encode_flac
+    from meza_spark.llm.webp import encode_webp_lossless
+
     rng = np.random.default_rng(41)
     img_rows = []
     for i in range(6):
         px = rng.integers(0, 256, (5 + i, 7, 3), dtype=np.uint8)
-        img_rows.append((i, bytearray(_encode_png(px))))
+        # r8: alternate PNG and lossless WebP payloads — the webp
+        # module must be stream-safe too
+        enc = _encode_png if i % 2 else encode_webp_lossless
+        img_rows.append((i, bytearray(enc(px))))
     wav_rows = []
     for i in range(4):
         v = ((np.arange(50 + i) * 13 + i * 7) % 901 - 450).astype("<i2")
@@ -547,6 +553,9 @@ def test_streaming_media_decode_batch_parity(spark, tmp_path):
                                        16000, 2, 16)
                + b"data" + struct.pack("<I", len(data)) + data)
         wav_rows.append((100 + i, bytearray(wav)))
+    for i in range(2):                 # r8: FLAC through the same DAG
+        sig = ((np.arange(80) * 19 + i * 31) % 1201 - 600).astype(np.int64)
+        wav_rows.append((200 + i, bytearray(encode_flac(sig, rate=8000))))
 
     schema = "media_id long, payload binary"
     for kind, rows, op in (("img", img_rows, decode_image),
