@@ -5832,6 +5832,7 @@ def _oracle_sql_base() -> dict[str, str]:
                      WHEN substr(text, 5, 4) = 'ftyp' THEN 'mp4'
                      WHEN substr(text, 1, 4) = 'fLaC' THEN 'flac'
                      WHEN substr(text, 1, 3) = 'ID3' THEN 'mp3'
+                     WHEN substr(text, 1, 4) = 'OggS' THEN 'ogg'
                      WHEN substr(text, 1, 4) IN (
                             chr(0) || chr(0) || chr(1) || chr(0),
                             chr(0) || chr(0) || chr(2) || chr(0))
@@ -5895,6 +5896,7 @@ def _oracle_sql_base() -> dict[str, str]:
                      WHEN substr(text, 5, 4) = 'ftyp' THEN 'mp4'
                      WHEN substr(text, 1, 4) = 'fLaC' THEN 'flac'
                      WHEN substr(text, 1, 3) = 'ID3' THEN 'mp3'
+                     WHEN substr(text, 1, 4) = 'OggS' THEN 'ogg'
                      WHEN substr(text, 1, 4) IN (
                             chr(0) || chr(0) || chr(1) || chr(0),
                             chr(0) || chr(0) || chr(2) || chr(0))

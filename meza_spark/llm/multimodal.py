@@ -115,6 +115,11 @@ def _sniff_format(b: bytes) -> str:
         return "flac"
     if b[:3] == b"ID3":
         return "mp3"
+    if b[:4] == b"OggS":
+        return "ogg"
+    if b[:4] == b"\x1aE\xdf\xa3":
+        return "ebml"                # mkv-vs-webm split is a header
+        #                              parse (DocType), not a sniff
     if b[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
         return "ico"
     if len(b) >= 4 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0 \
@@ -158,6 +163,13 @@ def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             .when(F.substring(p, 5, 4).cast("string") == "ftyp", "mp4")
             .when(F.substring(p, 1, 4).cast("string") == "fLaC", "flac")
             .when(F.substring(p, 1, 3).cast("string") == "ID3", "mp3")
+            .when(F.substring(p, 1, 4).cast("string") == "OggS", "ogg")
+            # EBML (Matroska/WebM): the JVM side reports the container
+            # family; the finer mkv-vs-webm DocType split needs the
+            # Python-side EBML walk (_sniff_ebml). 0x1A can't open
+            # ASCII text, so the ASCII-corpus twins need no branch
+            # (documented char-vs-byte caveat at multimodal_meta).
+            .when(F.hex(F.substring(p, 1, 4)) == "1A45DFA3", "ebml")
             .when(F.hex(F.substring(p, 1, 4))
                   .isin("00000100", "00000200"), "ico")
             # bare MPEG sync (placed after every byte-solid magic,
@@ -3891,12 +3903,13 @@ def _decode_audio_bytes(b: bytes) -> dict:
     if b[:4] == b"fLaC":
         from meza_spark.llm.flac import decode_flac
         return decode_flac(b)        # full decode, CRC+MD5 verified
-    if _sniff_format(b) == "mp3":
+    sniffed = _sniff_format(b)
+    if sniffed in ("mp3", "ogg"):
         raise NotImplementedError(
-            "MP3 is a perceptual codec outside the pure-stdlib "
-            "charter (headers/duration parse via parse_media_headers)"
-            "; route to a decoder= plugin")
-    raise ValueError("unknown audio container (WAV/AIFF/.au)")
+            f"{sniffed} carries perceptual codecs outside the "
+            "pure-stdlib charter (headers/duration parse via "
+            "parse_media_headers); route to a decoder= plugin")
+    raise ValueError("unknown audio container (WAV/AIFF/.au/FLAC)")
 
 
 def _decode_image_stub(payload: bytes) -> dict:
@@ -4367,6 +4380,90 @@ def _mp3_headers(b: bytes, out: dict) -> None:
         out["duration_ms"] = total * 1000 // out["sample_rate"]
 
 
+def _ogg_headers(b: bytes, out: dict) -> None:
+    """Ogg (RFC 3533) page walk: codec id from the first BOS packet
+    (Vorbis ident header / OpusHead / FLAC-in-Ogg / Theora), duration
+    from the LAST page's granule position — Vorbis granules count PCM
+    samples at the declared rate; Opus granules always count 48 kHz
+    samples minus the pre-skip."""
+    pos = 0
+    last_granule = None
+    codec = None
+    preskip = 0
+    first = True
+    while pos + 27 <= len(b) and b[pos:pos + 4] == b"OggS" \
+            and b[pos + 4] == 0:
+        granule = int.from_bytes(b[pos + 6:pos + 14], "little",
+                                 signed=True)
+        nsegs = b[pos + 26]
+        seg_table = b[pos + 27:pos + 27 + nsegs]
+        if len(seg_table) < nsegs:
+            break
+        body = pos + 27 + nsegs
+        size = sum(seg_table)
+        if body + size > len(b):
+            break
+        if first:
+            pk = b[body:body + 64]
+            if pk[:7] == b"\x01vorbis" and len(pk) >= 16:
+                codec = "vorbis"
+                out["channels"] = pk[11]
+                out["sample_rate"] = int.from_bytes(pk[12:16], "little")
+            elif pk[:8] == b"OpusHead" and len(pk) >= 12:
+                codec = "opus"
+                out["channels"] = pk[9]
+                preskip = int.from_bytes(pk[10:12], "little")
+                out["sample_rate"] = 48000     # Opus always decodes @48k
+            elif pk[:5] == b"\x7fFLAC":
+                codec = "flac"
+            elif pk[:7] == b"\x80theora":
+                codec = "theora"
+            first = False
+        if granule >= 0:
+            last_granule = granule
+        pos = body + size
+    if last_granule is not None:
+        if codec == "vorbis" and out.get("sample_rate"):
+            out["duration_ms"] = last_granule * 1000 \
+                // out["sample_rate"]
+        elif codec == "opus":
+            out["duration_ms"] = max(0, last_granule - preskip) \
+                * 1000 // 48000
+
+
+def _ebml_headers(b: bytes, out: dict) -> None:
+    """Minimal EBML header walk: refine the container family to
+    matroska/webm by the DocType string (a bounded scan over the
+    EBML header element's children — vint ids/sizes per RFC 8794)."""
+    def vint(pos, keep_marker):
+        if pos >= len(b):
+            raise ValueError("truncated EBML vint")
+        lead = b[pos]
+        if lead == 0:
+            raise ValueError("invalid EBML vint")
+        ln = 1
+        while not (lead >> (8 - ln)) & 1:
+            ln += 1
+        if pos + ln > len(b):
+            raise ValueError("truncated EBML vint")
+        v = int.from_bytes(b[pos:pos + ln], "big")
+        if not keep_marker:
+            v &= (1 << (7 * ln)) - 1
+        return v, pos + ln
+    _, pos = vint(0, True)                         # 0x1A45DFA3 id
+    hdr_size, pos = vint(pos, False)
+    end = min(pos + hdr_size, len(b))
+    while pos < end:
+        eid, pos = vint(pos, True)
+        esize, pos = vint(pos, False)
+        if eid == 0x4282:                          # DocType
+            doctype = b[pos:pos + esize].decode("ascii", "replace")
+            if doctype in ("matroska", "webm"):
+                out["format"] = "webm" if doctype == "webm" else "mkv"
+            return
+        pos += esize
+
+
 def _flac_headers(b: bytes, out: dict) -> None:
     """FLAC STREAMINFO (the mandatory first metadata block): sample
     rate (20 bits), channels-1 (3), bits-1 (5), total samples (36)
@@ -4532,6 +4629,18 @@ def _parse_headers(b: bytes) -> dict:
         out["format"] = "flac"
         try:
             _flac_headers(b, out)
+        except (ValueError, IndexError):
+            pass                       # header-only parse stays lenient
+    elif b[:4] == b"OggS":
+        out["format"] = "ogg"
+        try:
+            _ogg_headers(b, out)
+        except (ValueError, IndexError):
+            pass                       # header-only parse stays lenient
+    elif b[:4] == b"\x1aE\xdf\xa3":
+        out["format"] = "ebml"
+        try:
+            _ebml_headers(b, out)      # refine to mkv/webm by DocType
         except (ValueError, IndexError):
             pass                       # header-only parse stays lenient
     elif _sniff_format(b) == "mp3":

@@ -157,6 +157,89 @@ def test_flac_streaminfo_fields():
     assert hd["sample_rate"] == 44100
 
 
+# ------------------------------------------------------------- ogg/ebml
+
+def _ogg_page(body, granule, seq, flags=0, serial=7):
+    segs = []
+    rem = len(body)
+    while rem >= 255:
+        segs.append(255)
+        rem -= 255
+    segs.append(rem)
+    hdr = (b"OggS" + bytes([0, flags])
+           + granule.to_bytes(8, "little", signed=True)
+           + serial.to_bytes(4, "little") + seq.to_bytes(4, "little")
+           + b"\x00\x00\x00\x00" + bytes([len(segs)]) + bytes(segs))
+    return hdr + body
+
+
+def test_ogg_vorbis_headers():
+    ident = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([2])
+             + struct.pack("<I", 44100) + b"\x00" * 16)
+    b = (_ogg_page(ident, 0, 0, flags=0x02)
+         + _ogg_page(b"\x00" * 20, 88200, 1)
+         + _ogg_page(b"\x00" * 10, 132300, 2, flags=0x04))
+    assert mm._sniff_format(b) == "ogg"
+    hd = mm._parse_headers(b)
+    assert hd["format"] == "ogg"
+    assert hd["sample_rate"] == 44100 and hd["channels"] == 2
+    assert hd["duration_ms"] == 132300 * 1000 // 44100
+    with pytest.raises(NotImplementedError, match="perceptual"):
+        mm._decode_audio_bytes(b)
+
+
+def test_ogg_opus_headers():
+    head = (b"OpusHead" + bytes([1, 1])
+            + struct.pack("<H", 312) + struct.pack("<I", 16000)
+            + b"\x00\x00\x00")
+    b = (_ogg_page(head, 0, 0, flags=0x02)
+         + _ogg_page(b"\x00" * 30, 48000 + 312, 1, flags=0x04))
+    hd = mm._parse_headers(b)
+    # Opus always decodes at 48 kHz regardless of the input rate field
+    assert hd["sample_rate"] == 48000 and hd["channels"] == 1
+    assert hd["duration_ms"] == 1000
+
+
+def test_ogg_hostile():
+    ident = b"\x01vorbis" + b"\x00" * 20
+    good = _ogg_page(ident, 0, 0, flags=0x02)
+    for cut in (3, 10, 26, len(good) - 2):
+        out = mm._parse_headers(good[:cut])
+        assert isinstance(out, dict)     # lenient, never raises
+    # -1 granule (no packet finishes on the page) must not poison
+    b = _ogg_page(ident, -1, 0, flags=0x02)
+    assert mm._parse_headers(b)["duration_ms"] is None
+
+
+def _ebml(doctype):
+    body = (b"\x42\x82" + bytes([0x80 | len(doctype)])
+            + doctype)                       # DocType element
+    return b"\x1aE\xdf\xa3" + bytes([0x80 | len(body)]) + body
+
+
+def test_ebml_doctype():
+    for doctype, want in ((b"matroska", "mkv"), (b"webm", "webm"),
+                          (b"other", "ebml")):
+        b = _ebml(doctype) + b"\x00" * 8
+        assert mm._sniff_format(b) == "ebml"
+        assert mm._parse_headers(b)["format"] == want
+    # truncated / hostile vints stay lenient (padded past the
+    # 12-byte parse floor)
+    assert mm._parse_headers(
+        b"\x1aE\xdf\xa3\xff" + b" " * 8)["format"] == "ebml"
+    assert mm._parse_headers(
+        b"\x1aE\xdf\xa3\x00\x00" + b" " * 8)["format"] == "ebml"
+
+
+def test_jvm_sniff_ogg_ebml(spark):
+    rows = [(1, bytearray(b"OggS" + b"\x00" * 30)),
+            (2, bytearray(b"\x1aE\xdf\xa3" + b"\x00" * 10))]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r["id"]: r["format"]
+           for r in mm.attach_media_meta(df).collect()}
+    assert got == {1: "ogg", 2: "ebml"}
+
+
 def test_flac_hostile_headers():
     assert mm._parse_headers(b"fLaC")["sample_rate"] is None
     assert mm._parse_headers(b"fLaC\x00\x00\x00")["sample_rate"] is None

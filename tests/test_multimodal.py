@@ -2854,7 +2854,8 @@ def test_media_sniff_twin_parity_on_adversarial_prefixes(spark, tmp_path):
     texts = ["BMW motors", "P5 paper", "P6\n#ftyp maybe", "GIF87a art",
              "GIF89a art", "RIFF not wave", "RIFFxxxxWAVE!", "FORMxxxxAIFF",
              ".snd record", "ordinary text", "MM *tiffish", "xxxxftyp.mp4",
-             "RIFFxxxxWEBP too", "fLaC stream", "ID3 tagged", "ID2 not"]
+             "RIFFxxxxWEBP too", "fLaC stream", "ID3 tagged", "ID2 not",
+             "OggS page here"]
     rows = [(i, t) for i, t in enumerate(texts)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["format"] for r in attach_media_meta(
@@ -2872,4 +2873,4 @@ def test_media_sniff_twin_parity_on_adversarial_prefixes(spark, tmp_path):
     assert got[0] == "bmp" and got[3] == "gif" and got[6] == "wav"
     assert got[9] == "unknown" and got[11] == "mp4"
     assert got[12] == "webp" and got[13] == "flac" and got[14] == "mp3"
-    assert got[15] == "unknown"
+    assert got[15] == "unknown" and got[16] == "ogg"
