@@ -1617,13 +1617,14 @@ def _packbits_encode(data: bytes) -> bytes:
 
 def _decode_tiff(b: bytes):
     """Baseline TIFF 6.0 → (h, w, c) uint8 — pure stdlib + numpy:
-    both byte orders, first IFD, strip organization, Compression
-    1/5/32773/8 (none / TIFF-LZW with early change / PackBits /
-    Adobe Deflate incl. the legacy 32946 code, bounded inflate),
-    horizontal-differencing Predictor 2, Photometric 0/1/2/3
+    both byte orders, first IFD, strip AND tile organization (§15 —
+    the common GeoTIFF layout, r8), Compression 1/5/32773/8 (none /
+    TIFF-LZW with early change / PackBits / Adobe Deflate incl. the
+    legacy 32946 code, bounded inflate), horizontal-differencing
+    Predictor 2 (per-tile reset in tiled files), Photometric 0/1/2/3
     (white-is-zero, black-is-zero, RGB, palette via the 16-bit
-    ColorMap). 8-bit samples, chunky planar config; other layouts
-    raise NotImplementedError (honest gates), corrupt files
+    ColorMap). 8/16-bit samples, chunky or planar config; other
+    layouts raise NotImplementedError (honest gates), corrupt files
     ValueError."""
     if b[:4] not in (b"II*\x00", b"MM\x00*"):
         raise ValueError("not a TIFF")
@@ -1659,8 +1660,9 @@ def _decode_tiff_inner(b: bytes):
     try:
         w = tags[256][0]
         h = tags[257][0]
-        offsets = tags[273]
-        counts = tags[279]
+        if 322 not in tags:               # tile layout has no strips
+            offsets = tags[273]
+            counts = tags[279]
     except KeyError as e:
         raise ValueError(f"TIFF missing required tag {e}")
     _check_pixels(h, w, "TIFF")
@@ -1686,10 +1688,70 @@ def _decode_tiff_inner(b: bytes):
         raise NotImplementedError("TIFF samples-per-pixel must be 1 or 3")
     if photo not in (0, 1, 2, 3):
         raise NotImplementedError(f"TIFF photometric {photo} not supported")
-    # planar=2 stores each sample plane as its own strip sequence
-    # (all plane-0 strips, then plane-1, ... — TIFF 6.0 §14); chunky
-    # interleaves spp samples per pixel within one strip sequence
+    def unpack(raw: bytes, need: int) -> bytes:
+        if comp == 1:
+            dec = raw[:need]
+        elif comp == 5:
+            dec = _tiff_lzw(raw, need)
+        elif comp in (8, 32946):         # Adobe Deflate + legacy code
+            # bounded inflate, like the PNG path: a zlib bomb can
+            # never materialize past the segment's true size
+            try:
+                dec = zlib.decompressobj().decompress(raw, need)
+            except zlib.error as e:
+                raise ValueError(f"bad TIFF deflate data: {e}")
+        else:
+            dec = _packbits(raw, need)
+        if len(dec) < need:
+            raise ValueError("short TIFF segment data")
+        return bytes(dec[:need])
+
+    # planar=2 stores each sample plane as its own strip/tile sequence
+    # (all plane-0 segments, then plane-1, ... — TIFF 6.0 §14); chunky
+    # interleaves spp samples per pixel within one segment sequence
     n_planes = spp if planar == 2 else 1
+    dt = np.uint8 if ssz == 1 else np.dtype(en + "u2")
+    mask = (1 << bits[0]) - 1
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor}")
+
+    if 322 in tags:                      # tile organization (§15) —
+        # the common GeoTIFF layout; predictor 2 resets at each
+        # tile's row start, so differencing undoes WITHIN each tile
+        # before the canvas paste (edge tiles pad to full size)
+        tw_, tl_ = tags[322][0], tags[323][0]
+        toffs, tcnts = tags.get(324), tags.get(325)
+        if not tw_ or not tl_ or toffs is None or tcnts is None:
+            raise ValueError("bad TIFF tile tags")
+        across, down = -(-w // tw_), -(-h // tl_)
+        per_plane = across * down
+        if len(toffs) < per_plane * n_planes \
+                or len(tcnts) < per_plane * n_planes:
+            raise ValueError("TIFF tiles cover fewer pixels than "
+                             "declared")
+        tile_c = spp if planar == 1 else 1
+        planes = [np.zeros((h, w, tile_c), dt) for _ in range(n_planes)]
+        for p in range(n_planes):
+            for ti in range(per_plane):
+                off, cnt = toffs[p * per_plane + ti], \
+                    tcnts[p * per_plane + ti]
+                raw = b[off:off + cnt]
+                if len(raw) < cnt:
+                    raise ValueError("truncated TIFF tile")
+                need = tl_ * tw_ * tile_c * ssz
+                arr = np.frombuffer(unpack(raw, need), dt) \
+                    .reshape(tl_, tw_, tile_c)
+                if predictor == 2:
+                    arr = (np.cumsum(arr.astype(np.int64), axis=1)
+                           & mask).astype(dt)
+                y0, x0 = (ti // across) * tl_, (ti % across) * tw_
+                ph_, pw_ = min(tl_, h - y0), min(tw_, w - x0)
+                planes[p][y0:y0 + ph_, x0:x0 + pw_] = \
+                    arr[:ph_, :pw_]
+        px = planes[0] if planar == 1 else np.concatenate(planes,
+                                                          axis=2)
+        return _tiff_finish(px, photo, tags, bits, en)
+
     row_samples = w if planar == 2 else w * spp
     strips_per_plane = -(-h // rps)
     if len(offsets) < strips_per_plane * n_planes \
@@ -1725,17 +1787,23 @@ def _decode_tiff_inner(b: bytes):
             body += dec[:need]
             rows_done += strip_rows
         plane_bodies.append(bytes(body))
-    dt = np.uint8 if ssz == 1 else np.dtype(en + "u2")
     if planar == 1:
         px = np.frombuffer(plane_bodies[0], dt).reshape(h, w, spp)
     else:
         px = np.stack([np.frombuffer(pb, dt).reshape(h, w)
                        for pb in plane_bodies], axis=2)
     if predictor == 2:                        # horizontal differencing
-        mask = (1 << bits[0]) - 1
         px = (np.cumsum(px.astype(np.int64), axis=1) & mask).astype(dt)
-    elif predictor != 1:
-        raise NotImplementedError(f"TIFF predictor {predictor}")
+    return _tiff_finish(px, photo, tags, bits, en)
+
+
+def _tiff_finish(px, photo: int, tags: dict, bits, en: str):
+    """Shared post-assembly tail for strip- and tile-organized TIFFs:
+    palette lookup on the RAW indices, 16→8 high-byte downconversion,
+    white-is-zero inversion."""
+    import numpy as np
+
+    spp = px.shape[2]
     if photo == 3:
         # palette lookup happens on the RAW indices (before any 16→8
         # downconversion — TIFF 6.0 §23 ColorMap is indexed by the
@@ -1748,7 +1816,7 @@ def _decode_tiff_inner(b: bytes):
         pal = (np.array(cmap[:3 * nent], np.uint16)
                .reshape(3, nent).T >> 8).astype(np.uint8)
         return pal[px[:, :, 0]].copy()
-    if ssz == 2:
+    if bits[0] == 16:
         # 16 -> 8 by the high byte — the same downconversion the PNG
         # decoder applies (pixel-stat consumers are uint8-contracted)
         px = (px >> 8).astype(np.uint8)

@@ -75,8 +75,15 @@ public class PixelMake {
     if (args.length > 2) {
       ImageWriter wr = ImageIO.getImageWritersByFormatName(fmt).next();
       ImageWriteParam p = wr.getDefaultWriteParam();
-      p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT);
-      p.setCompressionType(args[2]);
+      if (!args[2].equals("None")) {
+        p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT);
+        p.setCompressionType(args[2]);
+      }
+      if (args.length > 4) {  // tiled layout: tileW tileH (TIFF §15)
+        p.setTilingMode(ImageWriteParam.MODE_EXPLICIT);
+        p.setTiling(Integer.parseInt(args[3]),
+                    Integer.parseInt(args[4]), 0, 0);
+      }
       try (ImageOutputStream os =
                ImageIO.createImageOutputStream(new File(args[1]))) {
         wr.setOutput(os);

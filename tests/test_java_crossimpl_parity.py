@@ -258,10 +258,34 @@ def test_java_tiff_compressions_decode_bit_exact(jtools, tmp_path, ctype):
     assert int(np.abs(ours.astype(int) - arr.astype(int)).max()) == 0
 
 
-def pix_make_c(jtools, arr, fmt, path, ctype):
+def pix_make_c(jtools, arr, fmt, path, ctype, tiles=None):
     h, w, c = arr.shape
-    _jrun(jtools, "PixelMake", fmt, path, ctype,
+    extra = [str(tiles[0]), str(tiles[1])] if tiles else []
+    _jrun(jtools, "PixelMake", fmt, path, ctype, *extra,
           stdin=f"{w} {h} {c}\n".encode() + arr.tobytes())
+
+
+@pytest.mark.parametrize("ctype,tiles", [
+    ("None", (32, 16)), ("LZW", (16, 16)), ("Deflate", (32, 32)),
+    ("PackBits", (16, 32)),
+])
+def test_java_tiled_tiff_decodes_bit_exact(jtools, tmp_path, ctype,
+                                           tiles):
+    """r8: TILE-organized TIFFs (TIFF 6.0 §15 — the common GeoTIFF
+    layout) written by the JDK's writer with explicit tiling, edge
+    tiles padded, at every compression — the stdlib tile-walk
+    reassembly must be bit-exact (a 55x41 canvas guarantees partial
+    edge tiles on both axes)."""
+    rng = _rng()
+    arr = rng.integers(0, 256, (41, 55, 3), dtype=np.uint8)
+    path = str(tmp_path / f"t.{ctype}.tiff")
+    pix_make_c(jtools, arr, "tiff", path, ctype, tiles=tiles)
+    raw = open(path, "rb").read()
+    # confirm the writer really tiled it (tag 322 present)
+    assert b"\x42\x01" in raw or b"\x01\x42" in raw
+    ours = mm.decode_pixels(raw)
+    assert ours.shape == arr.shape
+    assert int(np.abs(ours.astype(int) - arr.astype(int)).max()) == 0
 
 
 @pytest.mark.parametrize("bands,ctype", [

@@ -1781,6 +1781,78 @@ def test_bmp_variant_matrix():
                         palette=pal.tobytes()))    # delta past height
 
 
+def test_tiff_tiled_predictor_resets_per_tile():
+    """r8 tile organization: hand-build a 2x2-tile TIFF with
+    horizontal-differencing Predictor 2 — the cumsum must reset at
+    EACH tile's left edge, not run across the canvas row (the bug a
+    strip-style global cumsum would produce), and edge tiles crop."""
+    import struct
+
+    import numpy as np
+
+    from meza_spark.llm.multimodal import _decode_tiff
+
+    rng = np.random.default_rng(33)
+    w, h, tw, tl = 10, 6, 8, 4            # edge tiles on both axes
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+    tiles = []
+    for ty in range(2):
+        for tx in range(2):
+            tile = np.zeros((tl, tw, 3), np.int64)
+            part = px[ty * tl:ty * tl + tl, tx * tw:tx * tw + tw]
+            tile[:part.shape[0], :part.shape[1]] = part
+            diff = tile.copy()
+            diff[:, 1:] -= tile[:, :-1]   # per-tile differencing
+            tiles.append((diff & 0xFF).astype(np.uint8).tobytes())
+
+    entries = [(256, 4, 1, [w]), (257, 4, 1, [h]), (258, 3, 3, [8] * 3),
+               (259, 3, 1, [1]), (262, 3, 1, [2]), (277, 3, 1, [3]),
+               (317, 3, 1, [2]), (322, 4, 1, [tw]), (323, 4, 1, [tl])]
+    # layout: header(8) + IFD + value areas + tile data
+    n_ent = len(entries) + 2              # + TileOffsets/ByteCounts
+    ifd = 8
+    data0 = ifd + 2 + n_ent * 12 + 4 + 2 * 16 + 8  # after arrays
+    offs = []
+    pos = data0
+    for t in tiles:
+        offs.append(pos)
+        pos += len(t)
+    arr_off = ifd + 2 + n_ent * 12 + 4
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd))
+    body = struct.pack("<H", n_ent)
+    fmtc = {3: "H", 4: "I"}
+
+    def entry(tag, typ, cnt, vals, voff=None):
+        raw = b"".join(struct.pack("<" + fmtc[typ], v) for v in vals) \
+            if vals else b""
+        if voff is not None:
+            return struct.pack("<HHII", tag, typ, cnt, voff)
+        raw = raw + b"\x00" * (4 - len(raw))
+        return struct.pack("<HHI", tag, typ, cnt) + raw[:4]
+
+    all_entries = entries + [(324, 4, 4, None), (325, 4, 4, None)]
+    all_entries.sort(key=lambda e: e[0])
+    for tag, typ, cnt, vals in all_entries:
+        if tag == 324:
+            body += entry(tag, typ, cnt, None, voff=arr_off)
+        elif tag == 325:
+            body += entry(tag, typ, cnt, None, voff=arr_off + 16)
+        elif typ == 3 and cnt > 1:
+            body += entry(tag, typ, cnt, None, voff=arr_off + 32)
+        else:
+            body += entry(tag, typ, cnt, vals)
+    body += struct.pack("<I", 0)          # next-IFD pointer
+    body += b"".join(struct.pack("<I", o) for o in offs)
+    body += b"".join(struct.pack("<I", len(t)) for t in tiles)
+    body += struct.pack("<HHH", 8, 8, 8) + b"\x00\x00"  # BitsPerSample
+    out += body
+    out += b"".join(tiles)
+    got = _decode_tiff(bytes(out))
+    assert got.shape == (h, w, 3)
+    assert np.array_equal(got, px)
+
+
 def test_bmp_os2_core_header():
     """OS/2 BITMAPCOREHEADER (round 8 — the last DIB-matrix gate):
     12-byte header with unsigned WORD dims, 3-byte BGR palette
