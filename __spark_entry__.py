@@ -2022,8 +2022,11 @@ def multimodal_headers(spark, sf_dir):
     via the Arrow-batched header walker. Hash-gated (r3): the parsed
     fields are exactly the synthesizer's arithmetic on (doc_id,
     n_chars), so the DuckDB oracle computes them directly — gating the
-    full struct.pack -> header-walk roundtrip. Byte-level edge cases
-    stay unit-pinned in tests/test_multimodal.py."""
+    full struct.pack -> header-walk roundtrip. Round 8 widens the
+    cycle to %4 with a JPEG carrying an EXIF APP1 whose Orientation
+    tag is (doc_id%8)+1 — the phone-photo field a crawl pipeline must
+    honor. Byte-level edge cases stay unit-pinned in
+    tests/test_multimodal.py."""
     import struct
 
     import pandas as pd
@@ -2036,12 +2039,28 @@ def multimodal_headers(spark, sf_dir):
         out = []
         for i, n in zip(doc_id, n_chars):
             w, h = int(n) % 500 + 1, int(i) % 300 + 1
-            if i % 3 == 0:
+            if i % 4 == 0:
                 out.append(b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13)
                            + b"IHDR" + struct.pack(">IIBBBBB", w, h,
                                                    8, 6, 0, 0, 0))
-            elif i % 3 == 1:
+            elif i % 4 == 1:
                 out.append(b"GIF89a" + struct.pack("<HH", w, h) + b"\0\0")
+            elif i % 4 == 3:
+                # JPEG header shell: SOI + EXIF APP1 (Orientation
+                # (i%8)+1 in a one-entry IFD0) + SOF0 with 3 comps
+                tiff = (b"II*\x00" + struct.pack("<I", 8)
+                        + struct.pack("<H", 1)
+                        + struct.pack("<HHIHH", 0x0112, 3, 1,
+                                      int(i) % 8 + 1, 0)
+                        + struct.pack("<I", 0))
+                app1 = b"Exif\x00\x00" + tiff
+                sof = struct.pack(">BHHB", 8, h, w, 3) \
+                    + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+                out.append(b"\xff\xd8"
+                           + b"\xff\xe1" + struct.pack(">H", 2 + len(app1))
+                           + app1
+                           + b"\xff\xc0" + struct.pack(">H", 2 + len(sof))
+                           + sof)
             else:
                 rate, sec = 4000, int(n) % 2 + 1
                 data = b"\x00" * (rate * 2 * sec)
@@ -6495,20 +6514,26 @@ def _oracle_sql_base() -> dict[str, str]:
         # struct.pack -> _parse_headers roundtrip.
         "multimodal_headers": """
             SELECT doc_id AS media_id,
-                   CASE doc_id % 3 WHEN 0 THEN 'png'
+                   CASE doc_id % 4 WHEN 0 THEN 'png'
                                    WHEN 1 THEN 'gif'
+                                   WHEN 3 THEN 'jpeg'
                                    ELSE 'wav' END AS format,
-                   CASE WHEN doc_id % 3 IN (0, 1)
+                   CASE WHEN doc_id % 4 IN (0, 1, 3)
                         THEN CAST(n_chars % 500 + 1 AS INTEGER) END AS width,
-                   CASE WHEN doc_id % 3 IN (0, 1)
+                   CASE WHEN doc_id % 4 IN (0, 1, 3)
                         THEN CAST(doc_id % 300 + 1 AS INTEGER) END AS height,
-                   CASE WHEN doc_id % 3 = 2
-                        THEN CAST(1 AS INTEGER) END AS channels,
-                   CASE WHEN doc_id % 3 = 2
+                   CASE WHEN doc_id % 4 = 2
+                        THEN CAST(1 AS INTEGER)
+                        WHEN doc_id % 4 = 3
+                        THEN CAST(3 AS INTEGER) END AS channels,
+                   CASE WHEN doc_id % 4 = 2
                         THEN CAST(4000 AS INTEGER) END AS sample_rate,
-                   CASE WHEN doc_id % 3 = 2
+                   CASE WHEN doc_id % 4 = 2
                         THEN CAST((n_chars % 2 + 1) * 1000 AS BIGINT)
-                        END AS duration_ms
+                        END AS duration_ms,
+                   CASE WHEN doc_id % 4 = 3
+                        THEN CAST(doc_id % 8 + 1 AS INTEGER)
+                        END AS orientation
             FROM documents ORDER BY doc_id
         """,
         "stream_tumble_static": """

@@ -4448,6 +4448,27 @@ def _mp3_headers(b: bytes, out: dict) -> None:
         out["duration_ms"] = total * 1000 // out["sample_rate"]
 
 
+def _exif_orientation(t: bytes):
+    """EXIF APP1 payload (after the 'Exif\\0\\0' prefix) → the IFD0
+    Orientation tag (0x0112) value 1-8, or None — the field a crawl
+    pipeline must honor before any pixel-space geometry (phones
+    store sensor-native pixels + this tag)."""
+    if t[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise ValueError("bad EXIF TIFF header")
+    en = "<" if t[:2] == b"II" else ">"
+    off = struct.unpack(en + "I", t[4:8])[0]
+    n = struct.unpack(en + "H", t[off:off + 2])[0]
+    if n > 512:
+        raise ValueError("implausible EXIF IFD size")
+    for i in range(n):
+        e0 = off + 2 + i * 12
+        tag, typ = struct.unpack(en + "HH", t[e0:e0 + 4])
+        if tag == 0x0112 and typ == 3:
+            v = struct.unpack(en + "H", t[e0 + 8:e0 + 10])[0]
+            return v if 1 <= v <= 8 else None
+    return None
+
+
 def _ogg_headers(b: bytes, out: dict) -> None:
     """Ogg (RFC 3533) page walk: codec id from the first BOS packet
     (Vorbis ident header / OpusHead / FLAC-in-Ogg / Theora), duration
@@ -4566,7 +4587,8 @@ def _parse_headers(b: bytes) -> dict:
     images, cap durations) without touching pixel/sample data.
     """
     out = {"format": "unknown", "width": None, "height": None,
-           "channels": None, "sample_rate": None, "duration_ms": None}
+           "channels": None, "sample_rate": None, "duration_ms": None,
+           "orientation": None}
     if len(b) < 12:
         return out
     if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
@@ -4587,6 +4609,12 @@ def _parse_headers(b: bytes) -> dict:
                 i += 2
                 continue
             seglen = struct.unpack(">H", b[i + 2:i + 4])[0]
+            if marker == 0xE1 and b[i + 4:i + 10] == b"Exif\x00\x00":
+                try:
+                    out["orientation"] = _exif_orientation(
+                        b[i + 10:i + 2 + seglen])
+                except (ValueError, struct.error, IndexError):
+                    pass               # header-only parse stays lenient
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 h, w = struct.unpack(">HH", b[i + 5:i + 9])
                 out["width"], out["height"] = int(w), int(h)
@@ -4794,6 +4822,7 @@ def parse_media_headers(df: DataFrame, payload_col: str = "payload",
         StructField("channels", IntegerType()),
         StructField("sample_rate", IntegerType()),
         StructField("duration_ms", LongType()),
+        StructField("orientation", IntegerType()),   # EXIF 1-8 (r8)
     ])
     names = [f.name for f in out_schema]
 
@@ -4806,7 +4835,7 @@ def parse_media_headers(df: DataFrame, payload_col: str = "payload",
                 d = _parse_headers(bytes(payload))
                 rows.append((mid, d["format"], d["width"], d["height"],
                              d["channels"], d["sample_rate"],
-                             d["duration_ms"]))
+                             d["duration_ms"], d["orientation"]))
             yield pd.DataFrame(rows, columns=names)
 
     from ..util import spread

@@ -216,7 +216,7 @@ def test_parse_headers_pure():
 
     assert _parse_headers(_mini_png(640, 480)) == {
         "format": "png", "width": 640, "height": 480, "channels": None,
-        "sample_rate": None, "duration_ms": None}
+        "sample_rate": None, "duration_ms": None, "orientation": None}
     assert _parse_headers(_mini_gif(12, 34))["width"] == 12
     j = _parse_headers(_mini_jpeg(1920, 1080))
     assert (j["format"], j["width"], j["height"]) == ("jpeg", 1920, 1080)
@@ -1779,6 +1779,52 @@ def test_bmp_variant_matrix():
     with _pytest.raises(ValueError):
         _decode_bmp(bmp(8, 1, bytes([0, 2, 0, 200] * 30), 8, 4,
                         palette=pal.tobytes()))    # delta past height
+
+
+def test_exif_orientation():
+    """r8: EXIF Orientation (0x0112) from the APP1 IFD0 — both byte
+    orders, invalid values rejected, hostile payloads lenient, and a
+    REAL camera-chain file (flower-of-life.jpg carries an actual EXIF
+    block with orientation 1)."""
+    import struct
+
+    from meza_spark.llm.multimodal import _exif_orientation, _parse_headers
+
+    def jpeg_with_exif(tiff):
+        app1 = b"Exif\x00\x00" + tiff
+        sof = struct.pack(">BHHB", 8, 5, 7, 3) \
+            + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+        return (b"\xff\xd8\xff\xe1" + struct.pack(">H", 2 + len(app1))
+                + app1 + b"\xff\xc0" + struct.pack(">H", 2 + len(sof))
+                + sof)
+
+    le = (b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 1)
+          + struct.pack("<HHIHH", 0x0112, 3, 1, 6, 0)
+          + struct.pack("<I", 0))
+    be = (b"MM\x00*" + struct.pack(">I", 8) + struct.pack(">H", 1)
+          + struct.pack(">HHIHH", 0x0112, 3, 1, 8, 0)
+          + struct.pack(">I", 0))
+    assert _parse_headers(jpeg_with_exif(le))["orientation"] == 6
+    assert _parse_headers(jpeg_with_exif(be))["orientation"] == 8
+    # out-of-range orientation value -> None, not garbage
+    bad = (b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 1)
+           + struct.pack("<HHIHH", 0x0112, 3, 1, 9, 0)
+           + struct.pack("<I", 0))
+    assert _parse_headers(jpeg_with_exif(bad))["orientation"] is None
+    # hostile: truncated TIFF block stays lenient (dims still parse)
+    hd = _parse_headers(jpeg_with_exif(b"II*\x00\x08"))
+    assert hd["orientation"] is None and hd["width"] == 7
+    with _pytest_raises_value_error():
+        _exif_orientation(b"XX*\x00" + b"\x00" * 8)
+    # the real vendored camera file
+    real = open("tests/fixtures/external/jpeg_sof0_flower.jpg",
+                "rb").read()
+    assert _parse_headers(real)["orientation"] == 1
+
+
+def _pytest_raises_value_error():
+    import pytest as _pytest
+    return _pytest.raises(ValueError)
 
 
 def test_tiff_tiled_predictor_resets_per_tile():
