@@ -5174,6 +5174,44 @@ GROUP BY d.doc_id
 """
 
 
+# The sniff-replay WHEN chain shared by the multimodal_meta and
+# media_dir_roundtrip twins (review find, r8: the precedence used to
+# live in two copy-pasted SQL blocks — any new container had to be
+# edited twice or the oracles diverged). Text-expressible prefixes of
+# attach_media_meta's CASE, same precedence; substr/LIKE here are
+# CHARACTER-indexed vs the byte-indexed Spark sniff — equivalent only
+# on the ASCII corpus (multibyte-safe magics like PNG/JPEG/EBML/bare
+# MPEG sync need no branch: their lead bytes can't open ASCII text).
+_SNIFF_WHENS = """
+                     WHEN text LIKE 'GIF87a%' OR text LIKE 'GIF89a%'
+                       THEN 'gif'
+                     WHEN text LIKE 'BM%' THEN 'bmp'
+                     WHEN substr(text, 1, 4) = 'II*' || chr(0)
+                       OR substr(text, 1, 4) = 'MM' || chr(0) || '*'
+                       THEN 'tiff'
+                     WHEN substr(text, 1, 4) = 'RIFF'
+                          AND substr(text, 9, 4) = 'WAVE' THEN 'wav'
+                     WHEN substr(text, 1, 4) = 'RIFF'
+                          AND substr(text, 9, 4) = 'AVI ' THEN 'avi'
+                     WHEN substr(text, 1, 4) = 'RIFF'
+                          AND substr(text, 9, 4) = 'WEBP' THEN 'webp'
+                     WHEN substr(text, 1, 4) = 'FORM'
+                          AND substr(text, 9, 4) IN ('AIFF', 'AIFC')
+                       THEN 'aiff'
+                     WHEN substr(text, 1, 4) = '.snd' THEN 'au'
+                     WHEN substr(text, 1, 2) IN ('P5', 'P6')
+                       THEN 'netpbm'
+                     WHEN substr(text, 5, 4) = 'ftyp' THEN 'mp4'
+                     WHEN substr(text, 1, 4) = 'fLaC' THEN 'flac'
+                     WHEN substr(text, 1, 3) = 'ID3' THEN 'mp3'
+                     WHEN substr(text, 1, 4) = 'OggS' THEN 'ogg'
+                     WHEN substr(text, 1, 4) IN (
+                            chr(0) || chr(0) || chr(1) || chr(0),
+                            chr(0) || chr(0) || chr(2) || chr(0))
+                       THEN 'ico'
+"""
+
+
 def _oracle_sql_base() -> dict[str, str]:
     # decimal -> string -> double: direct decimal->double casts differ
     # by an ulp across engines at ~1e9 magnitudes; the string
@@ -5827,35 +5865,9 @@ def _oracle_sql_base() -> dict[str, str]:
         # document texts are pure ASCII (1 char = 1 byte); a corpus
         # with multibyte chars in the first 12 bytes would need
         # encode(text) byte slicing for the offset-5/9 branches.
-        "multimodal_meta": """
+        "multimodal_meta": f"""
             SELECT doc_id,
-                   CASE
-                     WHEN text LIKE 'GIF87a%' OR text LIKE 'GIF89a%'
-                       THEN 'gif'
-                     WHEN text LIKE 'BM%' THEN 'bmp'
-                     WHEN substr(text, 1, 4) = 'II*' || chr(0)
-                       OR substr(text, 1, 4) = 'MM' || chr(0) || '*'
-                       THEN 'tiff'
-                     WHEN substr(text, 1, 4) = 'RIFF'
-                          AND substr(text, 9, 4) = 'WAVE' THEN 'wav'
-                     WHEN substr(text, 1, 4) = 'RIFF'
-                          AND substr(text, 9, 4) = 'AVI ' THEN 'avi'
-                     WHEN substr(text, 1, 4) = 'RIFF'
-                          AND substr(text, 9, 4) = 'WEBP' THEN 'webp'
-                     WHEN substr(text, 1, 4) = 'FORM'
-                          AND substr(text, 9, 4) IN ('AIFF', 'AIFC')
-                       THEN 'aiff'
-                     WHEN substr(text, 1, 4) = '.snd' THEN 'au'
-                     WHEN substr(text, 1, 2) IN ('P5', 'P6')
-                       THEN 'netpbm'
-                     WHEN substr(text, 5, 4) = 'ftyp' THEN 'mp4'
-                     WHEN substr(text, 1, 4) = 'fLaC' THEN 'flac'
-                     WHEN substr(text, 1, 3) = 'ID3' THEN 'mp3'
-                     WHEN substr(text, 1, 4) = 'OggS' THEN 'ogg'
-                     WHEN substr(text, 1, 4) IN (
-                            chr(0) || chr(0) || chr(1) || chr(0),
-                            chr(0) || chr(0) || chr(2) || chr(0))
-                       THEN 'ico'
+                   CASE {_SNIFF_WHENS}
                      ELSE 'unknown'
                    END AS format,
                    octet_length(encode(text)) AS n_bytes,
@@ -5891,35 +5903,10 @@ def _oracle_sql_base() -> dict[str, str]:
         # multimodal_meta byte-offset note); bmp rows recompute the
         # closed-form byte size (54-byte header + padded rows) and
         # pixel mean, sha NULL (the decode stat gates those bytes).
-        "media_dir_roundtrip": """
+        "media_dir_roundtrip": f"""
             SELECT doc_id,
                    CASE WHEN (doc_id // 10) % 2 = 1 THEN 'bmp'
-                     WHEN text LIKE 'GIF87a%' OR text LIKE 'GIF89a%'
-                       THEN 'gif'
-                     WHEN text LIKE 'BM%' THEN 'bmp'
-                     WHEN substr(text, 1, 4) = 'II*' || chr(0)
-                       OR substr(text, 1, 4) = 'MM' || chr(0) || '*'
-                       THEN 'tiff'
-                     WHEN substr(text, 1, 4) = 'RIFF'
-                          AND substr(text, 9, 4) = 'WAVE' THEN 'wav'
-                     WHEN substr(text, 1, 4) = 'RIFF'
-                          AND substr(text, 9, 4) = 'AVI ' THEN 'avi'
-                     WHEN substr(text, 1, 4) = 'RIFF'
-                          AND substr(text, 9, 4) = 'WEBP' THEN 'webp'
-                     WHEN substr(text, 1, 4) = 'FORM'
-                          AND substr(text, 9, 4) IN ('AIFF', 'AIFC')
-                       THEN 'aiff'
-                     WHEN substr(text, 1, 4) = '.snd' THEN 'au'
-                     WHEN substr(text, 1, 2) IN ('P5', 'P6')
-                       THEN 'netpbm'
-                     WHEN substr(text, 5, 4) = 'ftyp' THEN 'mp4'
-                     WHEN substr(text, 1, 4) = 'fLaC' THEN 'flac'
-                     WHEN substr(text, 1, 3) = 'ID3' THEN 'mp3'
-                     WHEN substr(text, 1, 4) = 'OggS' THEN 'ogg'
-                     WHEN substr(text, 1, 4) IN (
-                            chr(0) || chr(0) || chr(1) || chr(0),
-                            chr(0) || chr(0) || chr(2) || chr(0))
-                       THEN 'ico'
+                   {_SNIFF_WHENS}
                      ELSE 'unknown'
                    END AS format,
                    CASE WHEN (doc_id // 10) % 2 = 0

@@ -337,7 +337,11 @@ def decode_flac(b: bytes, verify_md5: bool = True) -> dict:
         raise ValueError("FLAC exceeds the decoded-audio budget")
 
     channels_out = None
-    samples = []                       # per-channel lists
+    chunks = []                        # per-frame (blocksize, nch)
+    #                                    int64 arrays — numpy, not
+    #                                    boxed-int lists, so real
+    #                                    memory tracks the budget
+    #                                    (review find, r8)
     total = 0
     hasher = hashlib.md5() if verify_md5 else None
     while pos < len(b):
@@ -426,22 +430,19 @@ def decode_flac(b: bytes, verify_md5: bool = True) -> dict:
             chans = [left, right]
         if channels_out is None:
             channels_out = nch
-            samples = [[] for _ in range(nch)]
         elif nch != channels_out:
             raise ValueError("FLAC channel count changes mid-stream")
+        frame_arr = np.empty((blocksize, nch), dtype=np.int64)
         for ci in range(nch):
-            samples[ci].extend(chans[ci])
+            frame_arr[:, ci] = chans[ci]
+        chunks.append(frame_arr)
         total += blocksize
         if hasher is not None:
             nbytes = (bps + 7) // 8
-            frame_arr = np.empty((blocksize, nch), dtype=np.int64)
-            for ci in range(nch):
-                frame_arr[:, ci] = chans[ci]
             flat = frame_arr.reshape(-1)
             le = np.zeros((flat.size, nbytes), np.uint8)
-            v = flat.astype(np.int64)
             for byte_i in range(nbytes):
-                le[:, byte_i] = (v >> (8 * byte_i)) & 0xFF
+                le[:, byte_i] = (flat >> (8 * byte_i)) & 0xFF
             hasher.update(le.tobytes())
 
     if channels_out is None:
@@ -452,11 +453,8 @@ def decode_flac(b: bytes, verify_md5: bool = True) -> dict:
             and hasher.digest() != md5:
         raise ValueError("FLAC MD5 signature mismatch — corrupt "
                          "stream or decoder divergence")
-    arr = np.empty(total * channels_out, dtype=np.float64)
-    scale = float(1 << (si_bps - 1))
-    for ci in range(channels_out):
-        arr[ci::channels_out] = samples[ci]
-    arr /= scale
+    arr = np.concatenate(chunks).reshape(-1).astype(np.float64)
+    arr /= float(1 << (si_bps - 1))
     return _audio_stats(arr, rate, channels_out)
 
 

@@ -122,7 +122,7 @@ def _sniff_format(b: bytes) -> str:
         #                              parse (DocType), not a sniff
     if b[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
         return "ico"
-    if len(b) >= 4 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0 \
+    if len(b) >= 3 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0 \
             and (b[1] & 0x18) != 0x08 and (b[1] & 0x06) != 0 \
             and (b[2] & 0xF0) != 0xF0 and (b[2] & 0x0C) != 0x0C:
         # bare MPEG audio sync: 11 set bits plus non-reserved
@@ -1724,6 +1724,11 @@ def _decode_tiff_inner(b: bytes):
         if not tw_ or not tl_ or toffs is None or tcnts is None:
             raise ValueError("bad TIFF tile tags")
         across, down = -(-w // tw_), -(-h // tl_)
+        # budget the PADDED tile grid, not just the declared image —
+        # a hostile 8x8 image declaring 16384x16384 tiles would
+        # otherwise inflate need-sized buffers past the pixel budget
+        # (review find, r8)
+        _check_pixels(tl_ * down, tw_ * across, "TIFF tile grid")
         per_plane = across * down
         if len(toffs) < per_plane * n_planes \
                 or len(tcnts) < per_plane * n_planes:
@@ -1769,22 +1774,7 @@ def _decode_tiff_inner(b: bytes):
             raw = b[off:off + cnt]
             if len(raw) < cnt:
                 raise ValueError("truncated TIFF strip")
-            if comp == 1:
-                dec = raw[:need]
-            elif comp == 5:
-                dec = _tiff_lzw(raw, need)
-            elif comp in (8, 32946):     # Adobe Deflate + legacy code
-                # bounded inflate, like the PNG path: a zlib bomb can
-                # never materialize past the strip's true size
-                try:
-                    dec = zlib.decompressobj().decompress(raw, need)
-                except zlib.error as e:
-                    raise ValueError(f"bad TIFF deflate strip: {e}")
-            else:
-                dec = _packbits(raw, need)
-            if len(dec) < need:
-                raise ValueError("short TIFF strip data")
-            body += dec[:need]
+            body += unpack(raw, need)
             rows_done += strip_rows
         plane_bodies.append(bytes(body))
     if planar == 1:
@@ -4353,6 +4343,8 @@ def resize_image(df: DataFrame, width: int, height: int,
         small = px[ys][:, xs]
         if small.shape[2] == 1:  # gray -> RGB for the BMP container
             small = np.repeat(small, 3, axis=2)
+        elif small.shape[2] == 2:  # gray+alpha PNG (color type 4):
+            small = np.repeat(small[:, :, :1], 3, axis=2)
         elif small.shape[2] == 4:  # RGBA (PNG/WebP) -> drop alpha:
             small = small[:, :, :3]  # the 24-bit BMP container can't
             #                          carry it (was a reshape crash)
@@ -4441,6 +4433,14 @@ def _mp3_headers(b: bytes, out: dict) -> None:
         frame, samples, rate, channels = f
         if frames == 0:
             out["sample_rate"], out["channels"] = rate, channels
+            # a LAME/Fraunhofer VBR header frame (Xing/Info/VBRI in
+            # the first frame's payload) is spec-valid but carries no
+            # audio — counting it overstates every VBR duration by
+            # one frame (review find, r8)
+            if b[pos + 4:pos + frame].find(b"Xing") >= 0 \
+                    or b[pos + 4:pos + frame].find(b"Info") >= 0 \
+                    or b[pos + 4:pos + frame].find(b"VBRI") >= 0:
+                samples = 0
         total += samples
         frames += 1
         pos += frame

@@ -114,6 +114,26 @@ def test_mp3_id3_skip_and_trailing_tag():
     assert hd["duration_ms"] == 2 * 576 * 1000 // 24000
 
 
+def test_mp3_xing_header_frame_excluded():
+    """r8 review fix: a LAME-style Xing/Info VBR header frame is
+    spec-valid but carries no audio — its samples must not count
+    toward the duration (previously every VBR file read one frame
+    long)."""
+    plain, _ = _mp3_frame_bytes()
+    for marker in (b"Xing", b"Info", b"VBRI"):
+        hdr = plain[:4] + b"\x00" * 32 + marker + b"\x00\x00\x00\x01" \
+            + plain[4 + 32 + 8:]
+        assert len(hdr) == len(plain)
+        stream = hdr + plain + plain
+        got = mm._parse_headers(stream)
+        assert got["duration_ms"] == 2 * 1152 * 1000 // 44100, marker
+    # a marker in a NON-first frame does not suppress anything (the
+    # VBR header convention is first-frame-only)
+    stream = plain + hdr + plain
+    assert mm._parse_headers(stream)["duration_ms"] == \
+        3 * 1152 * 1000 // 44100
+
+
 def test_mp3_layer2_and_padding():
     f1, (ln1, s1, r1, _) = _mp3_frame_bytes(layer_bits=2, br_idx=8,
                                             pad=1)

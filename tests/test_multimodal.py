@@ -1781,6 +1781,51 @@ def test_bmp_variant_matrix():
                         palette=pal.tobytes()))    # delta past height
 
 
+def test_tiff_hostile_tile_grid_budget():
+    """r8 review fix: a tiny declared image with enormous declared
+    TILES (8x8 image, 16384x16384 tiles) must trip the pixel budget
+    BEFORE any tile decompression buffer is sized — the bomb shape
+    the strip path was already immune to."""
+    import struct
+
+    import pytest as _pytest
+
+    from meza_spark.llm.multimodal import _decode_tiff
+
+    entries = [(256, 4, 1, 8), (257, 4, 1, 8), (258, 3, 1, 8),
+               (259, 3, 1, 8), (262, 3, 1, 1), (277, 3, 1, 1),
+               (322, 4, 1, 16384), (323, 4, 1, 16384),
+               (324, 4, 1, 200), (325, 4, 1, 4)]
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    out += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        fmt = "<HHIHxx" if typ == 3 else "<HHII"
+        out += struct.pack(fmt, tag, typ, cnt, val)
+    out += struct.pack("<I", 0)
+    out += b"\x00" * 120                   # "tile data"
+    with _pytest.raises(ValueError, match="budget"):
+        _decode_tiff(bytes(out))
+
+
+def test_resize_image_gray_alpha_inputs(spark):
+    """r8 review fix: 2-channel gray+alpha PNGs (color type 4) used
+    to crash the re-encode reshape — gray repeats into RGB instead."""
+    import numpy as np
+
+    from meza_spark.llm.multimodal import (_decode_bmp, _encode_png,
+                                           resize_image)
+
+    rng = np.random.default_rng(7)
+    la = rng.integers(0, 256, (8, 9, 2), dtype=np.uint8)
+    df = spark.createDataFrame([(1, bytearray(_encode_png(la)))],
+                               "media_id long, payload binary")
+    r = resize_image(df, 4, 4).collect()[0]
+    small = _decode_bmp(bytes(r["payload"]))
+    ys, xs = (np.arange(4) * 8) // 4, (np.arange(4) * 9) // 4
+    want = np.repeat(la[ys][:, xs][:, :, :1], 3, axis=2)
+    assert np.array_equal(small, want)
+
+
 def test_exif_orientation():
     """r8: EXIF Orientation (0x0112) from the APP1 IFD0 — both byte
     orders, invalid values rejected, hostile payloads lenient, and a
