@@ -531,6 +531,87 @@ def test_image_codec_roundtrip_property(data):
         px)
 
 
+@given(data=st.data())
+@settings(**_SETTINGS)
+def test_webp_codec_roundtrip_property(data):
+    """Property (r8): any small uint8 image round-trips bit-exactly
+    through the VP8L encoder at a random transform variant and
+    channel count; a random 2-4-frame animation round-trips through
+    the ANMF muxer with replace-blend full frames (exact by
+    construction at any alpha)."""
+    import numpy as np
+
+    from meza_spark.llm.webp import (decode_webp, decode_webp_frames,
+                                     encode_webp_anim,
+                                     encode_webp_lossless)
+
+    h = data.draw(st.integers(1, 12), label="h")
+    w = data.draw(st.integers(1, 12), label="w")
+    c = data.draw(st.sampled_from([3, 4]), label="c")
+    seed = data.draw(st.integers(0, 2**32 - 1), label="seed")
+    tr = data.draw(st.sampled_from(
+        [None, "subtract_green", "predictor", "color", "palette"]),
+        label="transform")
+    rng = np.random.default_rng(seed)
+    if tr == "palette":
+        pal = rng.integers(0, 256, (min(200, h * w), c), dtype=np.uint8)
+        px = pal[rng.integers(0, len(pal), (h, w))]
+    else:
+        px = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+    assert np.array_equal(decode_webp(encode_webp_lossless(px, tr)), px)
+
+    nf = data.draw(st.integers(2, 4), label="n_frames")
+    frames = [rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+              for _ in range(nf)]
+    delays = [int(d) for d in rng.integers(1, 100, nf)]
+    got, ts = decode_webp_frames(encode_webp_anim(frames, delays))
+    assert ts == [sum(delays[:i]) for i in range(nf)]
+    for f, g in zip(frames, got):
+        assert np.array_equal(f, g)
+
+
+@given(data=st.data())
+@settings(**_SETTINGS)
+def test_flac_roundtrip_property(data):
+    """Property (r8): random int16 signals round-trip to exact sample
+    stats through random FLAC encoder paths — subframe type, fixed
+    order, Rice parameter width, partition order, stereo
+    decorrelation, block size — with the CRC-8/16 + MD5 ladder
+    verifying every draw."""
+    import numpy as np
+
+    from meza_spark.llm.flac import decode_flac, encode_flac
+    from meza_spark.llm.multimodal import _audio_stats
+
+    n = data.draw(st.integers(16, 700), label="n")
+    nch = data.draw(st.sampled_from([1, 2]), label="channels")
+    seed = data.draw(st.integers(0, 2**32 - 1), label="seed")
+    sub = data.draw(st.sampled_from(["verbatim", "fixed", "lpc"]),
+                    label="subframe")
+    order = data.draw(st.integers(0, 4) if sub == "fixed"
+                      else st.integers(1, 4), label="order")
+    rice = data.draw(st.sampled_from([0, 1]), label="rice")
+    mode = data.draw(st.sampled_from(
+        [None, "left_side", "right_side", "mid_side"])
+        if nch == 2 else st.none(), label="stereo")
+    rng = np.random.default_rng(seed)
+    sig = rng.integers(-30000, 30000, (n, nch)).astype(np.int64)
+    # blocksize must exceed the predictor order for the first frame
+    bs = data.draw(st.sampled_from([64, 256, 4096]), label="blocksize")
+    enc = encode_flac(sig, subframe=sub, order=order, rice_method=rice,
+                      stereo_mode=mode, blocksize=bs,
+                      lpc_coefs=[700, -200, 90, -30][:order],
+                      lpc_shift=9)
+    got = decode_flac(enc)
+    want = _audio_stats(
+        sig.reshape(-1).astype(np.float64) / 32768.0, 44100, nch)
+    for k, v in want.items():
+        if isinstance(v, float):
+            assert abs(got[k] - v) < 1e-12, k
+        else:
+            assert got[k] == v, k
+
+
 @given(st.integers(0, 2**32 - 1), st.integers(70, 95))
 @settings(**_SETTINGS)
 def test_jpeg_progressive_equals_baseline_property(seed, quality):
