@@ -518,6 +518,12 @@ def _decode_ico(b: bytes):
     real_h = dib_h // 2 if dib_h > 0 else -((-dib_h) // 2)
     if real_h == 0:
         real_h = h              # degenerate DIB: directory fallback
+    if data_off >= 14 + len(payload):
+        # hostile header/palette counts can push the computed offset
+        # past the payload (or past uint32, overflowing the pack
+        # below — hypothesis find, r8 close): no pixel data could
+        # ever live there
+        raise ValueError("ICO DIB data offset beyond the payload")
     fixed = bytearray(payload)
     fixed[8:12] = struct.pack("<i", real_h)
     bmp = (b"BM" + struct.pack("<IHHI", 14 + len(fixed), 0, 0, data_off)
