@@ -2621,8 +2621,12 @@ def media_dir_roundtrip(spark, sf_dir):
     root = _rt_path(sf_dir, "mediadir")
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
+    # the fixture collect is capped by a deterministic doc_id bound
+    # (not .limit, which is order-unstable): ≤500 rows at ANY scale
+    # factor, so the gate's driver memory is O(1) in the SF limit
+    # (verdict task #7, r9)
     rows = (_t(spark, sf_dir, "documents")
-            .where(F.col("doc_id") % 10 == 3)
+            .where((F.col("doc_id") % 10 == 3) & (F.col("doc_id") < 5000))
             .select("doc_id", "text", "n_chars").collect())
     import numpy as np
 
@@ -5201,6 +5205,23 @@ _SNIFF_WHENS = """
                      WHEN substr(text, 1, 4) = '.snd' THEN 'au'
                      WHEN substr(text, 1, 2) IN ('P5', 'P6')
                        THEN 'netpbm'
+                     WHEN substr(text, 1, 5) = '%PDF-' THEN 'pdf'
+                     WHEN substr(text, 1, 4) = '<svg'
+                       OR ((substr(text, 1, 5) = '<?xml'
+                            OR substr(text, 1, 4) = '<!--'
+                            OR substr(text, 1, 13) = '<!DOCTYPE svg') AND
+                           position('<svg' IN substr(text, 1, 1024)) > 0)
+                       THEN 'svg'
+                     WHEN substr(text, 5, 4) = 'ftyp'
+                          AND substr(text, 9, 4) IN ('avif', 'avis')
+                       THEN 'avif'
+                     WHEN substr(text, 5, 4) = 'ftyp'
+                          AND substr(text, 9, 4) IN
+                              ('heic', 'heix', 'hevc', 'hevx')
+                       THEN 'heic'
+                     WHEN substr(text, 5, 4) = 'ftyp'
+                          AND substr(text, 9, 4) IN ('mif1', 'msf1')
+                       THEN 'heif'
                      WHEN substr(text, 5, 4) = 'ftyp' THEN 'mp4'
                      WHEN substr(text, 1, 4) = 'fLaC' THEN 'flac'
                      WHEN substr(text, 1, 3) = 'ID3' THEN 'mp3'
@@ -5927,7 +5948,7 @@ def _oracle_sql_base() -> dict[str, str]:
                           6)
                    END AS mean_pixel
             FROM documents
-            WHERE doc_id % 10 = 3
+            WHERE doc_id % 10 = 3 AND doc_id < 5000
             ORDER BY doc_id
         """,
         # The synthesized BMP's pixel bytes follow (doc_id*7 + j*11) %

@@ -338,10 +338,14 @@ def decode_flac(b: bytes, verify_md5: bool = True) -> dict:
 
     channels_out = None
     chunks = []                        # per-frame (blocksize, nch)
-    #                                    int64 arrays — numpy, not
-    #                                    boxed-int lists, so real
-    #                                    memory tracks the budget
-    #                                    (review find, r8)
+    #                                    int32 arrays — numpy, not
+    #                                    boxed-int lists, and 4 bytes
+    #                                    per element to MATCH the
+    #                                    budget's ×4 multiplier, so
+    #                                    real memory tracks the budget
+    #                                    (review find r8; advice r9).
+    #                                    FLAC samples are ≤32 bits by
+    #                                    spec, so int32 is lossless.
     total = 0
     hasher = hashlib.md5() if verify_md5 else None
     while pos < len(b):
@@ -380,6 +384,12 @@ def decode_flac(b: bytes, verify_md5: bool = True) -> dict:
             rate = br.read(16) * 10
         else:
             raise ValueError("invalid FLAC sample rate code")
+        # RFC 9639 §9.1.3: a frame's explicit rate code must agree
+        # with STREAMINFO — mirror the channel-count check so the
+        # returned stats (keyed to si_rate) can't silently diverge
+        # from what any frame declared (advice fix, r9)
+        if rate != si_rate:
+            raise ValueError("FLAC frame rate disagrees w/ STREAMINFO")
         if ch_code <= 7:
             nch, decor = ch_code + 1, None
         elif ch_code <= 10:
@@ -432,9 +442,19 @@ def decode_flac(b: bytes, verify_md5: bool = True) -> dict:
             channels_out = nch
         elif nch != channels_out:
             raise ValueError("FLAC channel count changes mid-stream")
-        frame_arr = np.empty((blocksize, nch), dtype=np.int64)
+        frame_arr = np.empty((blocksize, nch), dtype=np.int32)
         for ci in range(nch):
-            frame_arr[:, ci] = chans[ci]
+            # hostile LPC coefficients can blow decoded Python ints
+            # past any fixed width — reject as a skippable ValueError
+            # instead of an uncaught numpy OverflowError
+            try:
+                col = np.asarray(chans[ci], dtype=np.int64)
+            except OverflowError:
+                raise ValueError("FLAC decoded sample out of range")
+            if col.size and (int(col.min()) < -(1 << 31)
+                             or int(col.max()) > (1 << 31) - 1):
+                raise ValueError("FLAC decoded sample exceeds 32 bits")
+            frame_arr[:, ci] = col
         chunks.append(frame_arr)
         total += blocksize
         if hasher is not None:
@@ -455,7 +475,7 @@ def decode_flac(b: bytes, verify_md5: bool = True) -> dict:
                          "stream or decoder divergence")
     arr = np.concatenate(chunks).reshape(-1).astype(np.float64)
     arr /= float(1 << (si_bps - 1))
-    return _audio_stats(arr, rate, channels_out)
+    return _audio_stats(arr, si_rate, channels_out)
 
 
 def encode_flac(samples, rate: int = 44100, bps: int = 16,
@@ -495,7 +515,18 @@ def encode_flac(samples, rate: int = 44100, bps: int = 16,
     md5.update(le.tobytes())
 
     packed = (rate << 44) | ((nch - 1) << 41) | ((bps - 1) << 36) | n
-    si = struct.pack(">HH", min(blocksize, n) or 16, blocksize) \
+    # STREAMINFO min/max block size (advice fix, r9): the stream is
+    # fixed-chunked at `blocksize`, and RFC 9639 §8.2 exempts the
+    # LAST block from the declared minimum — so a multi-block stream
+    # correctly declares min == max == blocksize even when the final
+    # block is short.  A single-block stream's only block IS the last
+    # block (still exempt), but max must cover it and both fields
+    # must be ≥ the spec floor of 16.
+    if n > blocksize:
+        si_min = si_max = blocksize
+    else:
+        si_min = si_max = max(n, 16)
+    si = struct.pack(">HH", si_min, si_max) \
         + b"\x00" * 6 + packed.to_bytes(8, "big") + md5.digest()
     out = bytearray(b"fLaC")
     out += bytes([0x80]) + (34).to_bytes(3, "big") + si

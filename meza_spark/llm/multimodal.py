@@ -24,6 +24,7 @@ fixed-width features, never the blobs.
 from __future__ import annotations
 
 import hashlib
+import re
 import struct
 import zlib
 from collections.abc import Iterator
@@ -109,7 +110,27 @@ def _sniff_format(b: bytes) -> str:
         return "au"
     if b[:2] in (b"P5", b"P6"):
         return "netpbm"
+    if b[:5] == b"%PDF-":
+        return "pdf"
+    if b[:4] == b"<svg" or (
+            (b[:5] == b"<?xml" or b[:4] == b"<!--"
+             or b[:13] == b"<!DOCTYPE svg")
+            and b.find(b"<svg", 0, 1024) >= 0):
+        # bare <svg> root, or an XML prolog / leading comment /
+        # SVG doctype whose root element opens within the sniff
+        # window; plain XML and HTML stay 'unknown'
+        return "svg"
     if b[4:8] == b"ftyp":
+        # ISO-BMFF family split by major brand (r8 verdict task #4):
+        # AVIF/HEIC are the modern-crawl image containers; mif1/msf1
+        # are brand-agnostic HEIF shells
+        brand = b[8:12]
+        if brand in (b"avif", b"avis"):
+            return "avif"
+        if brand in (b"heic", b"heix", b"hevc", b"hevx"):
+            return "heic"
+        if brand in (b"mif1", b"msf1"):
+            return "heif"
         return "mp4"
     if b[:4] == b"fLaC":
         return "flac"
@@ -160,6 +181,27 @@ def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             .when(s4 == ".snd", "au")
             .when(F.substring(p, 1, 2).cast("string")
                   .isin("P5", "P6"), "netpbm")
+            .when(F.substring(p, 1, 5).cast("string") == "%PDF-", "pdf")
+            # SVG: bare <svg> root, or XML prolog / leading comment /
+            # SVG doctype + <svg within the first 1 KiB (mirrors the
+            # Python sniff window exactly)
+            .when((F.substring(p, 1, 4).cast("string") == "<svg")
+                  | (((F.substring(p, 1, 5).cast("string") == "<?xml")
+                      | (F.substring(p, 1, 4).cast("string") == "<!--")
+                      | (F.substring(p, 1, 13).cast("string")
+                         == "<!DOCTYPE svg"))
+                     & (F.instr(F.substring(p, 1, 1024).cast("string"),
+                                "<svg") > 0)), "svg")
+            # ISO-BMFF brand split (lockstep with _sniff_format)
+            .when((F.substring(p, 5, 4).cast("string") == "ftyp")
+                  & F.substring(p, 9, 4).cast("string")
+                     .isin("avif", "avis"), "avif")
+            .when((F.substring(p, 5, 4).cast("string") == "ftyp")
+                  & F.substring(p, 9, 4).cast("string")
+                     .isin("heic", "heix", "hevc", "hevx"), "heic")
+            .when((F.substring(p, 5, 4).cast("string") == "ftyp")
+                  & F.substring(p, 9, 4).cast("string")
+                     .isin("mif1", "msf1"), "heif")
             .when(F.substring(p, 5, 4).cast("string") == "ftyp", "mp4")
             .when(F.substring(p, 1, 4).cast("string") == "fLaC", "flac")
             .when(F.substring(p, 1, 3).cast("string") == "ID3", "mp3")
@@ -4439,13 +4481,23 @@ def _mp3_headers(b: bytes, out: dict) -> None:
         frame, samples, rate, channels = f
         if frames == 0:
             out["sample_rate"], out["channels"] = rate, channels
-            # a LAME/Fraunhofer VBR header frame (Xing/Info/VBRI in
-            # the first frame's payload) is spec-valid but carries no
-            # audio — counting it overstates every VBR duration by
-            # one frame (review find, r8)
-            if b[pos + 4:pos + frame].find(b"Xing") >= 0 \
-                    or b[pos + 4:pos + frame].find(b"Info") >= 0 \
-                    or b[pos + 4:pos + frame].find(b"VBRI") >= 0:
+            # a LAME/Fraunhofer VBR header frame is spec-valid but
+            # carries no audio — counting it overstates every VBR
+            # duration by one frame (review find, r8).  The Xing/Info
+            # tag sits at a spec-defined offset: 4-byte header +
+            # 2-byte CRC when the protection bit is 0 + the Layer III
+            # side info (MPEG1: 17 mono / 32 stereo; MPEG2/2.5:
+            # 9 / 17); VBRI is always exactly 32 bytes after the
+            # header.  Checking only those offsets (advice fix, r9)
+            # keeps a CBR frame whose compressed audio coincidentally
+            # contains the ASCII bytes 'Info' from losing a frame.
+            mpeg1 = ((b[pos + 1] >> 3) & 3) == 3
+            crc = 0 if (b[pos + 1] & 1) else 2
+            side = (17 if channels == 1 else 32) if mpeg1 \
+                else (9 if channels == 1 else 17)
+            tag = pos + 4 + crc + side
+            if b[tag:tag + 4] in (b"Xing", b"Info") \
+                    or b[pos + 36:pos + 40] == b"VBRI":
                 samples = 0
         total += samples
         frames += 1
@@ -4724,9 +4776,24 @@ def _parse_headers(b: bytes) -> dict:
         except (struct.error, IndexError):
             pass                       # header-only parse stays lenient
     elif b[4:8] == b"ftyp":
-        out["format"] = "mp4"
-        out.update({k: v for k, v in _parse_mp4(b).items()
-                    if v is not None})
+        out["format"] = _sniff_format(b)   # mp4 / avif / heic / heif
+        if out["format"] == "mp4":
+            out.update({k: v for k, v in _parse_mp4(b).items()
+                        if v is not None})
+        else:
+            try:
+                _heif_headers(b, out)
+            except (ValueError, struct.error, IndexError):
+                pass                       # header-only parse stays lenient
+    elif b[:5] == b"%PDF-":
+        from meza_spark.llm.pdf import pdf_headers
+        out.update(pdf_headers(b))
+    elif _sniff_format(b) == "svg":
+        out["format"] = "svg"
+        try:
+            _svg_headers(b, out)
+        except (ValueError, IndexError):
+            pass                           # header-only parse stays lenient
     elif b[:4] == b"fLaC":
         out["format"] = "flac"
         try:
@@ -4752,6 +4819,92 @@ def _parse_headers(b: bytes) -> dict:
         except (ValueError, IndexError):
             pass                       # header-only parse stays lenient
     return out
+
+
+# irot (anti-clockwise quarter turns) × imir (axis: 0 = vertical
+# axis / horizontal flip, 1 = horizontal axis / vertical flip) →
+# EXIF orientation, assuming the ISO 23008-12-prescribed application
+# order rotation-then-mirroring; derived by matrix composition
+# (tests/test_pdf_heif_svg.py re-derives it with numpy)
+_HEIF_ORIENT = {(0, None): 1, (0, 0): 2, (0, 1): 4,
+                (1, None): 8, (1, 0): 7, (1, 1): 5,
+                (2, None): 3, (2, 0): 4, (2, 1): 2,
+                (3, None): 6, (3, 0): 5, (3, 1): 7}
+
+
+def _heif_headers(b: bytes, out: dict) -> None:
+    """AVIF/HEIC header metadata (r8 verdict task #4): reuse the
+    ISO-BMFF box walk — meta (a FULL box: 4 version/flags bytes) →
+    iprp → ipco, reading ispe (spatial extents) and irot/imir
+    (orientation, surfaced as the EXIF-equivalent code so pipelines
+    handle phone photos and AVIF crawls through one column). Decode
+    stays plugin-gated (AV1/HEVC are perceptual codecs)."""
+    rot, mir, seen = 0, None, False
+    for typ, s, e in _mp4_boxes(b, 0, len(b)):
+        if typ != b"meta":
+            continue
+        for t2, s2, e2 in _mp4_boxes(b, s + 4, e):
+            if t2 != b"iprp":
+                continue
+            for t3, s3, e3 in _mp4_boxes(b, s2, e2):
+                if t3 != b"ipco":
+                    continue
+                for t4, s4, e4 in _mp4_boxes(b, s3, e3):
+                    if t4 == b"ispe" and e4 - s4 >= 12:
+                        w, h = struct.unpack(">II", b[s4 + 4:s4 + 12])
+                        if out["width"] is None:
+                            out["width"], out["height"] = int(w), int(h)
+                    elif t4 == b"irot" and e4 > s4:
+                        rot, seen = b[s4] & 3, True
+                    elif t4 == b"imir" and e4 > s4:
+                        mir, seen = b[s4] & 1, True
+    if seen:                  # no transform boxes → None, like a
+        #                       JPEG without an EXIF orientation tag
+        out["orientation"] = _HEIF_ORIENT[(rot, mir)]
+
+
+_SVG_DIM_RE = re.compile(
+    rb'(width|height)\s*=\s*["\']\s*([0-9.]+)\s*'
+    rb'(px|pt|mm|cm|in|pc|%)?\s*["\']', re.I)
+_SVG_VIEWBOX_RE = re.compile(
+    rb'viewBox\s*=\s*["\']\s*[0-9.+-]+[,\s]+[0-9.+-]+[,\s]+'
+    rb'([0-9.]+)[,\s]+([0-9.]+)\s*["\']', re.I)
+# CSS absolute-unit → px at the spec's 96 dpi reference
+_SVG_UNIT_PX = {b"px": 1.0, b"pt": 96 / 72, b"pc": 16.0,
+                b"in": 96.0, b"mm": 96 / 25.4, b"cm": 96 / 2.54}
+
+
+def _svg_headers(b: bytes, out: dict) -> None:
+    """SVG dims (r8 verdict task #5): width/height attributes off the
+    root <svg> tag (unit suffixes converted to px at 96 dpi; %
+    ignored), viewBox as the fallback. Pure regex over the first tag
+    — no XML parse of untrusted bytes."""
+    start = b.find(b"<svg")
+    if start < 0:
+        return
+    tag_end = b.find(b">", start)
+    tag = b[start:tag_end if tag_end > 0 else start + 4096]
+    dims = {}
+    for m in _SVG_DIM_RE.finditer(tag):
+        unit = m.group(3) or b"px"
+        if unit.lower() == b"%":
+            continue
+        try:
+            px = float(m.group(2)) * _SVG_UNIT_PX[unit.lower()]
+        except (ValueError, KeyError):
+            continue
+        dims[m.group(1).lower()] = int(px + 0.5)   # half-up, not
+        #                                            banker's rounding
+    if b"width" in dims and b"height" in dims:
+        out["width"], out["height"] = dims[b"width"], dims[b"height"]
+        return
+    m = _SVG_VIEWBOX_RE.search(tag)
+    if m:
+        try:
+            out["width"] = int(float(m.group(1)) + 0.5)
+            out["height"] = int(float(m.group(2)) + 0.5)
+        except ValueError:
+            pass
 
 
 def _mp4_boxes(b: bytes, start: int, end: int):

@@ -184,3 +184,65 @@ def test_spark_decode_audio_flac(spark):
     want = _stats(s, 8000, 1)
     assert row["n_samples"] == 400
     assert abs(row["rms"] - want["rms"]) < 1e-12
+
+
+# ------------------------------------------------- r9 advice regressions
+
+def test_streaminfo_min_max_blocksize_truthful():
+    """r9 advice fix: a multi-block fixed-chunked stream declares
+    min == max == blocksize (RFC 9639 exempts the short LAST block);
+    a single-block stream declares its own size, floored at 16."""
+    s = _sig(250)
+    b = encode_flac(s, blocksize=100)        # blocks: 100, 100, 50
+    assert struct.unpack(">HH", b[8:12]) == (100, 100)
+    b = encode_flac(s[:60], blocksize=100)   # single short block
+    assert struct.unpack(">HH", b[8:12]) == (60, 60)
+    b = encode_flac(s[:8], blocksize=100)    # below the spec floor
+    assert struct.unpack(">HH", b[8:12]) == (16, 16)
+    for src in (s, s[:60], s[:8]):           # all still decode clean
+        got = decode_flac(encode_flac(src, blocksize=100))
+        assert got["n_samples"] == len(src)
+
+
+def test_frame_rate_must_match_streaminfo():
+    """r9 advice fix: a frame carrying an explicit rate code that
+    disagrees with STREAMINFO raises (stats are keyed to si_rate, so
+    divergence must be loud, like the channel-count check)."""
+    s = _sig(100)
+    b = bytearray(encode_flac(s, rate=44100, blocksize=100))
+    # single frame starts at 42 (fLaC + 4-byte block hdr + 34-byte
+    # STREAMINFO); byte 44 = bs code (hi nibble) | rate code (lo).
+    # encoder writes rate code 0 (STREAMINFO); patch to code 9
+    # (44100) first to prove agreement passes, then to code 4 (8000)
+    # to prove disagreement raises.
+    assert b[44] & 0x0F == 0
+    ok = _refix_crcs(bytearray(b), 44, 0x09)
+    assert decode_flac(bytes(ok))["sample_rate"] == 44100
+    bad = _refix_crcs(bytearray(b), 44, 0x04)   # 8000 ≠ STREAMINFO
+    with pytest.raises(ValueError, match="disagrees"):
+        decode_flac(bytes(bad))
+
+
+def _refix_crcs(b, byte_at, or_bits):
+    """Patch one header byte then recompute the single frame's header
+    CRC-8 (at byte 49 for this fixture shape: sync(2) + bs|rate +
+    ch|bps + utf8-num + 16-bit bs-1) and the trailing frame CRC-16."""
+    b[byte_at] |= or_bits
+    hdr_start, crc8_at = 42, 49
+    b[crc8_at] = _crc8(bytes(b[hdr_start:crc8_at]))
+    b[-2:] = struct.pack(">H", _crc16(bytes(b[hdr_start:-2])))
+    return b
+
+
+def test_bps32_roundtrip_int32_lossless():
+    """r9 advice fix companion: frames accumulate as int32 now — a
+    full-scale 32-bit-per-sample signal roundtrips exactly, proving
+    int32 holds every spec-legal FLAC sample."""
+    s = np.array([(1 << 31) - 1, -(1 << 31), 0, -1, 12345, -98765],
+                 dtype=np.int64)
+    got = decode_flac(encode_flac(s, bps=32, subframe="verbatim",
+                                  blocksize=6))
+    want = _stats(s, 44100, 1, bps=32)
+    assert got["n_samples"] == 6
+    assert abs(got["peak"] - want["peak"]) < 1e-12
+    assert abs(got["rms"] - want["rms"]) < 1e-12

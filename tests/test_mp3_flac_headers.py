@@ -115,14 +115,17 @@ def test_mp3_id3_skip_and_trailing_tag():
 
 
 def test_mp3_xing_header_frame_excluded():
-    """r8 review fix: a LAME-style Xing/Info VBR header frame is
-    spec-valid but carries no audio — its samples must not count
-    toward the duration (previously every VBR file read one frame
-    long)."""
-    plain, _ = _mp3_frame_bytes()
-    for marker in (b"Xing", b"Info", b"VBRI"):
-        hdr = plain[:4] + b"\x00" * 32 + marker + b"\x00\x00\x00\x01" \
-            + plain[4 + 32 + 8:]
+    """r8 review fix + r9 advice fix: a LAME-style Xing/Info VBR
+    header frame is spec-valid but carries no audio — its samples
+    must not count toward the duration. The tag is recognized ONLY at
+    its spec offset (4-byte header + Layer III side info: 17 bytes
+    for MPEG1 mono; VBRI fixed at header+32), not by substring
+    search."""
+    plain, _ = _mp3_frame_bytes()          # MPEG1 L3 mono, no CRC
+    for marker, off in ((b"Xing", 4 + 17), (b"Info", 4 + 17),
+                        (b"VBRI", 4 + 32)):
+        hdr = plain[:off] + marker + b"\x00\x00\x00\x01" \
+            + plain[off + 8:]
         assert len(hdr) == len(plain)
         stream = hdr + plain + plain
         got = mm._parse_headers(stream)
@@ -132,6 +135,32 @@ def test_mp3_xing_header_frame_excluded():
     stream = plain + hdr + plain
     assert mm._parse_headers(stream)["duration_ms"] == \
         3 * 1152 * 1000 // 44100
+
+
+def test_mp3_cbr_audio_containing_info_bytes_keeps_frame():
+    """r9 advice fix: a plain CBR stream whose compressed audio
+    coincidentally contains the ASCII bytes 'Info' / 'Xing' at a
+    NON-spec offset must not lose its first frame."""
+    plain, _ = _mp3_frame_bytes()
+    for marker in (b"Info", b"Xing", b"VBRI"):
+        # plant the marker mid-payload, away from offsets 21 and 36
+        body = plain[:80] + marker + plain[84:]
+        assert len(body) == len(plain)
+        stream = body + plain + plain
+        assert mm._parse_headers(stream)["duration_ms"] == \
+            3 * 1152 * 1000 // 44100, marker
+    # stereo MPEG1 frame: side info is 32 bytes, so the tag offset is
+    # 36 — a marker at the MONO offset (21) must NOT suppress there
+    st, _ = _mp3_frame_bytes(mode=0, br_idx=12)
+    body = st[:21] + b"Xing" + st[25:]
+    stream = body + st
+    assert mm._parse_headers(stream)["duration_ms"] == \
+        2 * 1152 * 1000 // 44100
+    # ...but at the stereo offset (36) it does
+    body = st[:36] + b"Xing" + st[40:]
+    stream = body + st
+    assert mm._parse_headers(stream)["duration_ms"] == \
+        1 * 1152 * 1000 // 44100
 
 
 def test_mp3_layer2_and_padding():

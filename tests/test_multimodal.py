@@ -3018,6 +3018,16 @@ def test_sniffer_lockstep_over_every_container(spark):
     payloads["mp3_id3"] = b"ID3\x04\x00\x00\x00\x00\x00\x00" + b"\x00" * 8
     payloads["mp3_sync"] = b"\xff\xfb\x90\x00" + b"\x00" * 16
     payloads["flac"] = b"fLaC" + b"\x00" * 20
+    payloads["pdf"] = b"%PDF-1.4\n1 0 obj\n<< >>\nendobj\n"
+    payloads["svg_bare"] = b"<svg width=\"3\" height=\"4\"></svg>"
+    payloads["svg_xml"] = b"<?xml version=\"1.0\"?>\n<svg/>" + b" " * 8
+    payloads["svg_comment"] = b"<!--\n * license\n-->\n<svg  />" + b" " * 4
+    payloads["svg_doctype"] = b"<!DOCTYPE svg PUBLIC x>\n<svg/>  "
+    payloads["comment_not_svg"] = b"<!-- a plain xml comment -->    "
+    payloads["xml_not_svg"] = b"<?xml version=\"1.0\"?><note/>    "
+    payloads["avif"] = b"\x00\x00\x00\x18ftypavif\x00\x00\x00\x00avif"
+    payloads["heic"] = b"\x00\x00\x00\x18ftypheic\x00\x00\x00\x00heic"
+    payloads["heif"] = b"\x00\x00\x00\x18ftypmif1\x00\x00\x00\x00mif1"
     payloads["short"] = b"\xff\xfb"        # sub-3-byte: both unknown
     rows = [(i, bytearray(p))
             for i, p in enumerate(payloads.values())]
@@ -3043,7 +3053,10 @@ def test_media_sniff_twin_parity_on_adversarial_prefixes(spark, tmp_path):
              "GIF89a art", "RIFF not wave", "RIFFxxxxWAVE!", "FORMxxxxAIFF",
              ".snd record", "ordinary text", "MM *tiffish", "xxxxftyp.mp4",
              "RIFFxxxxWEBP too", "fLaC stream", "ID3 tagged", "ID2 not",
-             "OggS page here"]
+             "OggS page here", "%PDF-1.7 fake doc", "%PDF no dash",
+             "<svg width='1'/>", "<?xml version='1.0'?><svg/>",
+             "<?xml version='1.0'?><rss/>", "xxxxftypavifxxxx",
+             "xxxxftypheicxxxx", "xxxxftypmif1xxxx", "xxxxftypheixwrong"]
     rows = [(i, t) for i, t in enumerate(texts)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["format"] for r in attach_media_meta(

@@ -1,0 +1,375 @@
+"""Round-9 format tier: PDF text extraction (the one real-corpus
+format the engine could not touch — verdict task #1), AVIF/HEIC
+header metadata via the existing ISO-BMFF walk (task #4), and SVG
+dims (task #5). PDF is validated three ways: a spec-built encoder
+able to force every decoder path (both xref flavors, ObjStm packing,
+all five text filters, four font/charmap flavors, TJ kerning,
+indirect /Length), two REAL pdfTeX documents from the system doc
+trees (xref streams + object streams + /Differences fonts, pinned by
+page count, producer and text content), and hostile/fuzz payloads
+that must raise skippable ValueError, never crash or over-allocate."""
+
+import os
+import struct
+import zlib
+
+import pytest
+
+import meza_spark.llm.pdf as P
+from meza_spark.llm import multimodal as mm
+from meza_spark.llm.pdf import encode_pdf, extract_pdf_bytes
+
+REAL_SPEC = "/usr/share/doc/shared-mime-info/shared-mime-info-spec.pdf"
+REAL_TASN = "/usr/share/doc/libtasn1-doc/libtasn1.pdf"
+
+PAGE1 = "data query small row (slow) \\ row [big] group"
+PAGE2 = "page two line1\nline2 <ok> %not a comment"
+WANT = PAGE1 + "\n" + PAGE2.replace("\n", "\n")
+
+
+# -------------------------------------------------------------- roundtrips
+
+@pytest.mark.parametrize("kw", [
+    {},
+    {"stream_filter": "flate"},
+    {"stream_filter": "ahx"},
+    {"stream_filter": "a85"},
+    {"stream_filter": "rle"},
+    {"stream_filter": "lzw"},
+    {"xref_stream": True},
+    {"xref_stream": True, "use_objstm": True, "stream_filter": "flate"},
+    {"font": "standard"},
+    {"font": "differences"},
+    {"font": "tounicode"},
+    {"kern": True},
+    {"length_indirect": True},
+    {"xref_stream": True, "use_objstm": True, "stream_filter": "lzw",
+     "font": "tounicode", "kern": False},
+])
+def test_roundtrip_every_decoder_path(kw):
+    b = encode_pdf([PAGE1, PAGE2], title="T", **kw)
+    assert mm._sniff_format(b) == "pdf"
+    r = extract_pdf_bytes(b)
+    assert r["n_pages"] == 2
+    assert r["title"] == "T"
+    assert r["producer"] == "meza_spark"
+    assert r["text"] == PAGE1 + "\n" + PAGE2
+
+
+def test_single_page_and_empty_text():
+    r = extract_pdf_bytes(encode_pdf(["hello"]))
+    assert r["n_pages"] == 1 and r["text"] == "hello"
+    r = extract_pdf_bytes(encode_pdf([""]))
+    assert r["n_pages"] == 1 and r["text"] == ""
+
+
+def test_nonascii_literal_string_octal_escapes():
+    # latin-1 page text exercises the \ddd escape path both ways
+    txt = "caf\xe9 \xdcber stra\xdfe"
+    r = extract_pdf_bytes(encode_pdf([txt], font="winansi"))
+    assert r["text"] == "café Über straße"
+
+
+def test_tounicode_non_bmp_ascii_mix():
+    txt = "mixed ascii and ünïcødé"
+    r = extract_pdf_bytes(encode_pdf([txt], font="tounicode"))
+    assert r["text"] == txt
+
+
+def test_max_pages_still_counts():
+    b = encode_pdf(["p1", "p2", "p3"])
+    r = extract_pdf_bytes(b, max_pages=1)
+    assert r["n_pages"] == 3
+    assert r["text"] == "p1"
+
+
+# ------------------------------------------------------------- real files
+
+@pytest.mark.skipif(not os.path.exists(REAL_SPEC),
+                    reason="system doc PDF absent")
+def test_real_pdftex_shared_mime_info():
+    """pdfTeX 1.5: xref STREAM + 7 object streams + Flate throughout;
+    page count cross-checked against the catalog's declared /Count."""
+    b = open(REAL_SPEC, "rb").read()
+    assert mm._sniff_format(b) == "pdf"
+    r = extract_pdf_bytes(b)
+    assert r["version"] == "1.5"
+    assert r["n_pages"] == 17
+    assert r["producer"] == "pdfTeX-1.40.22"
+    assert "Shared MIME-info Database" in r["text"]
+    assert "This is version 0.21 of the Shared MIME-info Database" \
+        in r["text"]
+    assert "freedesktop.org" in r["text"]
+    doc = P._Doc(b)
+    root = doc.resolve(doc.trailer["Root"])
+    declared = doc.resolve(doc.resolve(root["Pages"])["Count"])
+    assert declared == r["n_pages"]
+
+
+@pytest.mark.skipif(not os.path.exists(REAL_TASN),
+                    reason="system doc PDF absent")
+def test_real_pdftex_libtasn1():
+    b = open(REAL_TASN, "rb").read()
+    r = extract_pdf_bytes(b)
+    assert r["n_pages"] == 36
+    assert r["producer"] == "pdfTeX-1.40.24"
+    assert "Abstract Syntax Notation One" in r["text"]
+    assert "asn1_parser2tree" in r["text"]
+    # TeX ligature/quote glyphs must come through the AGL map,
+    # not as mojibake
+    assert "�" not in r["text"][:2000]
+
+
+@pytest.mark.skipif(not os.path.exists(REAL_TASN),
+                    reason="system doc PDF absent")
+def test_real_pdf_truncations_never_crash():
+    b = open(REAL_TASN, "rb").read()
+    for cut in (7, 42, 300, 5000, len(b) // 2, len(b) - 19):
+        try:
+            extract_pdf_bytes(b[:cut])
+        except ValueError:
+            pass                       # skippable is the contract
+
+
+# ------------------------------------------------------ hostile payloads
+
+def test_not_a_pdf():
+    with pytest.raises(ValueError, match="not a PDF"):
+        extract_pdf_bytes(b"GIF89a not a pdf at all" + b"\x00" * 40)
+
+
+def test_encrypted_pdf_is_an_honest_gate():
+    b = encode_pdf(["secret"])
+    # splice /Encrypt into the trailer dict
+    bad = b.replace(b"/Size", b"/Encrypt 9 0 R /Size", 1)
+    with pytest.raises(ValueError, match="encrypted"):
+        extract_pdf_bytes(bad)
+
+
+def test_inflate_budget_gates_before_alloc(monkeypatch):
+    """A 40 KiB Flate stream inflating to 12 MiB must trip the capped
+    inflater once the budget says stop — allocation never happens."""
+    monkeypatch.setattr(P, "MAX_STREAM_BYTES", 1_000_000)
+    monkeypatch.setattr(P, "MAX_TOTAL_INFLATE", 1_000_000)
+    bomb = zlib.compress(b"\x00" * 12_000_000)
+    with pytest.raises(ValueError, match="budget"):
+        P._apply_filters(bomb, "FlateDecode", None, [0])
+
+
+def test_lzw_earlychange0_is_gated():
+    with pytest.raises(ValueError, match="EarlyChange"):
+        P._apply_filters(b"\x80", "LZWDecode", {"EarlyChange": 0}, [0])
+
+
+def test_unsupported_filter_is_gated():
+    with pytest.raises(ValueError, match="unsupported"):
+        P._apply_filters(b"x", "DCTDecode", None, [0])
+    with pytest.raises(ValueError, match="Crypt"):
+        P._apply_filters(b"x", "Crypt", None, [0])
+
+
+def test_reference_cycle_guard():
+    b = (b"%PDF-1.4\n"
+         b"1 0 obj\n2 0 R\nendobj\n"
+         b"2 0 obj\n1 0 R\nendobj\n"
+         b"trailer\n<< /Root 1 0 R >>\n")
+    with pytest.raises(ValueError):
+        extract_pdf_bytes(b)
+
+
+def test_page_tree_cycle_guard():
+    b = (b"%PDF-1.4\n"
+         b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+         b"2 0 obj\n<< /Type /Pages /Kids [2 0 R] /Count 1 >>\nendobj\n"
+         b"trailer\n<< /Root 1 0 R >>\n")
+    with pytest.raises(ValueError, match="cycle|deep"):
+        extract_pdf_bytes(b)
+
+
+def test_fuzz_random_bytes_never_crash():
+    import random
+
+    rng = random.Random(99)
+    for trial in range(200):
+        n = rng.randrange(6, 400)
+        payload = b"%PDF-" + bytes(rng.randrange(256) for _ in range(n))
+        try:
+            extract_pdf_bytes(payload)
+        except ValueError:
+            pass
+
+
+def test_fuzz_mutated_valid_pdf_never_crashes():
+    import random
+
+    rng = random.Random(7)
+    base = bytearray(encode_pdf([PAGE1], stream_filter="flate",
+                                xref_stream=True, use_objstm=True))
+    for trial in range(200):
+        mut = bytearray(base)
+        for _ in range(rng.randrange(1, 6)):
+            mut[rng.randrange(len(mut))] = rng.randrange(256)
+        try:
+            extract_pdf_bytes(bytes(mut))
+        except ValueError:
+            pass
+
+
+def test_scan_fallback_recovers_broken_startxref():
+    b = encode_pdf(["rescued text"])
+    # corrupt the startxref offset → chain parse fails → object scan
+    import re
+    bad = re.sub(rb"startxref\n\d+", b"startxref\n999999999", b)
+    r = extract_pdf_bytes(bad)
+    assert r["text"] == "rescued text"
+
+
+def test_lexer_units():
+    lex = P._Lex(b"<< /A (x\\)y) /B <4869> /C [1 2.5 /N] /D 3 0 R >>")
+    d = P._parse_object(lex)
+    assert d["A"] == b"x)y"
+    assert d["B"] == b"Hi"
+    assert d["C"] == [1, 2.5, P._Name("N")]
+    assert d["D"] == P._Ref(3, 0)
+    # octal escapes, line continuation, nested parens
+    lex = P._Lex(rb"(a\101\n(nested)\
+z)")
+    assert P._parse_string(lex) == b"aA\n(nested)z"
+    # name with #hex escape
+    lex = P._Lex(b"/A#20B")
+    assert P._parse_object(lex) == "A B"
+
+
+def test_png_predictor_roundtrip():
+    """Predictor-12 (PNG Up) xref-stream parms — decode path unit."""
+    rows = [bytes([i * 7 % 256 for i in range(5)]) for _ in range(4)]
+    enc = bytearray()
+    prev = bytes(5)
+    for r in rows:
+        enc.append(2)                                # Up filter
+        enc += bytes((a - b) & 0xFF for a, b in zip(r, prev))
+        prev = r
+    got = P._png_predict(bytes(enc), columns=5, colors=1, bpc=8)
+    assert got == b"".join(rows)
+
+
+def test_cmap_bfchar_and_array_bfrange():
+    cm, lengths = P._parse_cmap(
+        b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+        b"2 beginbfchar <41> <0058> <42> <0059> endbfchar\n"
+        b"1 beginbfrange <50> <52> [<005A> <005B> <005C>] endbfrange\n")
+    assert cm[0x41] == "X" and cm[0x42] == "Y"
+    assert cm[0x50] == "Z" and cm[0x52] == "\\"
+    assert lengths == [1]
+
+
+# ----------------------------------------------------------- headers/sniff
+
+def test_pdf_headers_mediabox():
+    hd = mm._parse_headers(encode_pdf(["x"]))
+    assert hd["format"] == "pdf"
+    assert (hd["width"], hd["height"]) == (612, 792)
+
+
+def _box(t, body):
+    return struct.pack(">I", 8 + len(body)) + t + body
+
+
+def _heif(brand=b"avif", w=31, h=17, rot=None, mir=None):
+    props = _box(b"ispe", b"\x00\x00\x00\x00" + struct.pack(">II", w, h))
+    if rot is not None:
+        props += _box(b"irot", bytes([rot]))
+    if mir is not None:
+        props += _box(b"imir", bytes([mir]))
+    meta = _box(b"meta", b"\x00\x00\x00\x00"
+                + _box(b"iprp", _box(b"ipco", props)))
+    return _box(b"ftyp", brand + b"\x00\x00\x00\x00" + brand) + meta
+
+
+def test_heif_headers_dims_and_brands():
+    for brand, fmt in ((b"avif", "avif"), (b"avis", "avif"),
+                       (b"heic", "heic"), (b"heix", "heic"),
+                       (b"mif1", "heif"), (b"msf1", "heif")):
+        hd = mm._parse_headers(_heif(brand=brand, w=99, h=44))
+        assert hd["format"] == fmt, brand
+        assert (hd["width"], hd["height"]) == (99, 44)
+        assert hd["orientation"] is None      # no transform boxes
+
+
+def test_heif_orientation_table_matches_numpy_rederivation():
+    """Re-derive the 12-entry irot×imir → EXIF table by matrix
+    composition (rotation applied before mirroring, the ISO 23008-12
+    order) and pin _HEIF_ORIENT against it."""
+    import numpy as np
+
+    a = np.arange(12).reshape(3, 4)
+    exif_ops = {1: lambda x: x, 2: np.fliplr, 3: lambda x: np.rot90(x, 2),
+                4: np.flipud, 5: lambda x: x.T,
+                6: lambda x: np.rot90(x, -1),
+                7: lambda x: np.rot90(np.fliplr(x), -1),
+                8: lambda x: np.rot90(x, 1)}
+    for rot in range(4):
+        for mir in (None, 0, 1):
+            img = np.rot90(a, rot)               # irot: ccw quarters
+            if mir == 0:
+                img = np.fliplr(img)             # vertical axis
+            elif mir == 1:
+                img = np.flipud(img)             # horizontal axis
+            want = [o for o, op in exif_ops.items()
+                    if op(a).shape == img.shape and (op(a) == img).all()]
+            assert mm._HEIF_ORIENT[(rot, mir)] == want[0], (rot, mir)
+            hd = mm._parse_headers(_heif(rot=rot, mir=mir))
+            assert hd["orientation"] == want[0], (rot, mir)
+
+
+def test_heif_hostile_truncations():
+    b = _heif(rot=1, mir=0)
+    for cut in range(0, len(b), 7):
+        out = mm._parse_headers(b[:cut])
+        assert isinstance(out, dict)
+
+
+def test_svg_headers_units_and_viewbox():
+    cases = [
+        (b'<svg width="10" height="20">', 10, 20),
+        (b'<svg width="72pt" height="1in">', 96, 96),
+        (b'<svg width="25.4mm" height="2.54cm">', 96, 96),
+        (b'<svg width="2pc" height="3px">', 32, 3),
+        (b'<svg width="50%" height="50%" viewBox="0 0 640 480">',
+         640, 480),
+        (b'<svg viewBox="0,0, 12.5 7">', 13, 7),
+        (b'<?xml version="1.0"?>\n<!-- c -->\n<svg width="5" height="6">',
+         5, 6),
+    ]
+    for payload, w, h in cases:
+        hd = mm._parse_headers(payload + b"</svg>" + b" " * 16)
+        assert hd["format"] == "svg", payload
+        assert (hd["width"], hd["height"]) == (w, h), payload
+
+
+def test_svg_real_system_files():
+    real = "/usr/share/doc/nodejs/api/assets/js-flavor-esm.svg"
+    if not os.path.exists(real):
+        pytest.skip("system svg absent")
+    b = open(real, "rb").read()
+    hd = mm._parse_headers(b)
+    assert hd["format"] == "svg"
+    assert hd["width"] and hd["height"]
+
+
+# ------------------------------------------------------------ spark layer
+
+def test_pdf_text_spark(spark):
+    from meza_spark.llm.pdf import pdf_text
+
+    rows = [(1, bytearray(encode_pdf(["alpha beta"], title="A"))),
+            (2, bytearray(encode_pdf(["p1", "p2"], stream_filter="flate",
+                                     xref_stream=True))),
+            (3, bytearray(b"%PDF-1.4 broken garbage")),
+            (4, bytearray(b"not a pdf at all......"))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in pdf_text(df).collect()}
+    assert got[1]["text"] == "alpha beta" and got[1]["title"] == "A"
+    assert got[2]["n_pages"] == 2 and got[2]["text"] == "p1\np2"
+    assert got[3]["error"] is not None
+    assert got[4]["error"] is not None and "not a PDF" in got[4]["error"]

@@ -79,25 +79,18 @@ def main():
                   f"{len(cols)} cols")
         by_sf[sf] = pins
 
+    # the pin DATA goes to a JSON fixture, NOT a .py file, so the
+    # generated VALUES text stays out of the repo's Python LoC
+    # surface (r8 verdict task #6); _oracle_pins.py is a small
+    # hand-written loader over this file
+    import json
+
     out_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "_oracle_pins.py")
+        os.path.abspath(__file__))), "tests", "fixtures",
+        "oracle_pins.json")
     with open(out_path, "w") as f:
-        f.write('"""AUTO-GENERATED by tools/pin_oracles.py — do not edit.\n\n'
-                "VALUES-literal oracles capturing the seeded deterministic\n"
-                "output of the k-means/ANN/SemDeDup queries at each driver\n"
-                "SF (0.01 = correctness gate, 0.1 = scale-diff gate).\n"
-                "`PINNED` stays the flat sf" + PIN_SFS[0] + " dict that "
-                "oracle_sql() merges\nfor the driver; PINNED_BY_SF carries "
-                "every captured SF.\nRegenerate after any change to those "
-                "operators:\npython tools/pin_oracles.py\n"
-                '"""\n\n'
-                f"PIN_SF = {PIN_SFS[0]!r}\n\nPINNED_BY_SF = {{\n")
-        for sf, pins in by_sf.items():
-            f.write(f"  {sf!r}: {{\n")
-            for name, sql in pins.items():
-                f.write(f"    {name!r}: '''\n        {sql}        ''',\n")
-            f.write("  },\n")
-        f.write("}\n\nPINNED = PINNED_BY_SF[PIN_SF]\n")
+        json.dump({"pin_sf": PIN_SFS[0], "pinned_by_sf": by_sf},
+                  f, indent=1)
     print(f"wrote {out_path}")
 
 
