@@ -2022,11 +2022,15 @@ def multimodal_headers(spark, sf_dir):
     via the Arrow-batched header walker. Hash-gated (r3): the parsed
     fields are exactly the synthesizer's arithmetic on (doc_id,
     n_chars), so the DuckDB oracle computes them directly — gating the
-    full struct.pack -> header-walk roundtrip. Round 8 widens the
+    full struct.pack -> header-walk roundtrip. Round 8 widened the
     cycle to %4 with a JPEG carrying an EXIF APP1 whose Orientation
     tag is (doc_id%8)+1 — the phone-photo field a crawl pipeline must
-    honor. Byte-level edge cases stay unit-pinned in
-    tests/test_multimodal.py."""
+    honor. Round 9 widens to %7: an AVIF shell whose irot/imir boxes
+    cycle all 12 rotation×mirror combos (the oracle replays the
+    EXIF-equivalence table), a transform-free HEIC shell (orientation
+    NULL, like a JPEG without EXIF), and an SVG root tag. Byte-level
+    edge cases stay unit-pinned in tests/test_multimodal.py and
+    tests/test_pdf_heif_svg.py."""
     import struct
 
     import pandas as pd
@@ -2034,18 +2038,46 @@ def multimodal_headers(spark, sf_dir):
 
     from meza_spark.llm.multimodal import parse_media_headers
 
+    def _bmff(t, body):
+        return struct.pack(">I", 8 + len(body)) + t + body
+
     @pandas_udf("binary")
     def _payload(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
         out = []
         for i, n in zip(doc_id, n_chars):
             w, h = int(n) % 500 + 1, int(i) % 300 + 1
-            if i % 4 == 0:
+            if i % 7 == 0:
                 out.append(b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13)
                            + b"IHDR" + struct.pack(">IIBBBBB", w, h,
                                                    8, 6, 0, 0, 0))
-            elif i % 4 == 1:
+            elif i % 7 == 1:
                 out.append(b"GIF89a" + struct.pack("<HH", w, h) + b"\0\0")
-            elif i % 4 == 3:
+            elif i % 7 == 4:
+                # AVIF shell: ftyp + meta/iprp/ipco with ispe and the
+                # (i//7)-cycled irot/imir transform boxes
+                rot, m3 = (int(i) // 7) % 4, (int(i) // 7) % 3
+                props = _bmff(b"ispe", b"\x00" * 4
+                              + struct.pack(">II", w, h))
+                props += _bmff(b"irot", bytes([rot]))
+                if m3:
+                    props += _bmff(b"imir", bytes([m3 - 1]))
+                out.append(_bmff(b"ftyp", b"avif\x00\x00\x00\x00avif")
+                           + _bmff(b"meta", b"\x00" * 4
+                                   + _bmff(b"iprp",
+                                           _bmff(b"ipco", props))))
+            elif i % 7 == 5:
+                # HEIC shell, no transform boxes → orientation NULL
+                props = _bmff(b"ispe", b"\x00" * 4
+                              + struct.pack(">II", w, h))
+                out.append(_bmff(b"ftyp", b"heic\x00\x00\x00\x00heic")
+                           + _bmff(b"meta", b"\x00" * 4
+                                   + _bmff(b"iprp",
+                                           _bmff(b"ipco", props))))
+            elif i % 7 == 6:
+                out.append((f'<svg xmlns="http://www.w3.org/2000/svg" '
+                            f'width="{w}" height="{h}"></svg>')
+                           .encode("ascii"))
+            elif i % 7 == 3:
                 # JPEG header shell: SOI + EXIF APP1 (Orientation
                 # (i%8)+1 in a one-entry IFD0) + SOF0 with 3 comps
                 tiff = (b"II*\x00" + struct.pack("<I", 8)
@@ -2666,6 +2698,67 @@ def media_dir_roundtrip(spark, sf_dir):
                      .alias("sha_txt"),
                     F.round("mean_pixel", 6).alias("mean_pixel"))
             .orderBy("doc_id"))
+
+
+def pdf_extract(spark, sf_dir):
+    """PDF text-extraction driver gate (round 9, verdict task #1):
+    per document, spec-build a PDF whose page text IS the document
+    text (the (doc_id//10)%8 cycle forces every decoder path — raw /
+    Flate / ASCIIHex / ASCII85 / RunLength / LZW streams, classic
+    tables vs xref STREAMS vs ObjStm packing, WinAnsi / Standard /
+    /Differences / Type0-ToUnicode charmaps, TJ-kerned spaces, two
+    PDF versions) — then extract it back with the full parser
+    (meza_spark/llm/pdf.py) in the same Arrow batch. Multi-page
+    variants split the text at n_chars//2, so the expected extraction
+    is substr(text,1,h) || chr(10) || substr(text,h+1) — the DuckDB
+    oracle recomputes the sha256 directly. Row-local, zero shuffle;
+    the doc_id<5000 bound keeps the gate O(1)-per-executor at any SF.
+    The two REAL pdfTeX documents (xref streams + ObjStms +
+    Type1-builtin encodings) are pinned in tests/test_pdf_heif_svg.py."""
+    import pandas as pd
+
+    from meza_spark.llm.pdf import encode_pdf, extract_pdf_bytes
+
+    schema = ("doc_id long, version string, n_pages int, "
+              "n_chars_out int, text_sha string")
+
+    def run(batches):
+        import hashlib
+
+        for pdf_b in batches:
+            rows = []
+            for i, text in zip(pdf_b["doc_id"], pdf_b["text"]):
+                v = (int(i) // 10) % 8
+                if v in (1, 2, 3):
+                    half = len(text) // 2
+                    pages = [text[:half], text[half:]]
+                else:
+                    pages = [text]
+                b = encode_pdf(
+                    pages,
+                    stream_filter=["none", "flate", "flate", "flate",
+                                   "ahx", "a85", "rle", "lzw"][v],
+                    xref_stream=v in (2, 3),
+                    use_objstm=v == 3,
+                    font={4: "differences", 6: "standard",
+                          7: "tounicode"}.get(v, "winansi"),
+                    kern=v == 5,
+                    version="1.4" if v % 2 == 0 else "1.7")
+                r = extract_pdf_bytes(b)
+                rows.append((int(i), r["version"], r["n_pages"],
+                             len(r["text"]),
+                             hashlib.sha256(
+                                 r["text"].encode("utf-8")).hexdigest()))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "version", "n_pages", "n_chars_out",
+                "text_sha"])
+
+    from meza_spark.util import spread
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where((F.col("doc_id") % 10 == 4) & (F.col("doc_id") < 5000))
+            .select("doc_id", "text"))
+    return spread(docs).mapInPandas(run, schema=schema).orderBy("doc_id")
 
 
 def html_extract(spark, sf_dir):
@@ -4766,6 +4859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_webp_anim": multimodal_webp_anim,
         "multimodal_flac": multimodal_flac,
         "media_dir_roundtrip": media_dir_roundtrip,
+        "pdf_extract": pdf_extract,
         "stream_tumble_static": stream_tumble_static,
         "stream_session_static": stream_session_static,
         "join_asof": join_asof,
@@ -5951,6 +6045,29 @@ def _oracle_sql_base() -> dict[str, str]:
             WHERE doc_id % 10 = 3 AND doc_id < 5000
             ORDER BY doc_id
         """,
+        # pdf_extract: the page text IS the document text (multi-page
+        # variants split at n_chars//2 and re-join with the extractor's
+        # newline), so the oracle recomputes every column — including
+        # the sha256 of the extracted text — from `documents` alone.
+        # This gates the whole encode→xref→filter→content→charmap
+        # pipeline end to end at every SF.
+        "pdf_extract": """
+            SELECT doc_id,
+                   CASE WHEN (doc_id // 10) % 2 = 0
+                        THEN '1.4' ELSE '1.7' END AS version,
+                   CAST(CASE WHEN (doc_id // 10) % 8 IN (1, 2, 3)
+                        THEN 2 ELSE 1 END AS INTEGER) AS n_pages,
+                   CAST(n_chars + CASE WHEN (doc_id // 10) % 8 IN (1, 2, 3)
+                        THEN 1 ELSE 0 END AS INTEGER) AS n_chars_out,
+                   CASE WHEN (doc_id // 10) % 8 IN (1, 2, 3)
+                        THEN sha256(substr(text, 1, n_chars // 2)
+                                    || chr(10)
+                                    || substr(text, n_chars // 2 + 1))
+                        ELSE sha256(text) END AS text_sha
+            FROM documents
+            WHERE doc_id % 10 = 4 AND doc_id < 5000
+            ORDER BY doc_id
+        """,
         # The synthesized BMP's pixel bytes follow (doc_id*7 + j*11) %
         # 256 over j in [0, w*h*3); recomputing the stats arithmetically
         # gates the real _encode_bmp -> _decode_bmp byte path (padding,
@@ -6522,25 +6639,45 @@ def _oracle_sql_base() -> dict[str, str]:
         # struct.pack -> _parse_headers roundtrip.
         "multimodal_headers": """
             SELECT doc_id AS media_id,
-                   CASE doc_id % 4 WHEN 0 THEN 'png'
+                   CASE doc_id % 7 WHEN 0 THEN 'png'
                                    WHEN 1 THEN 'gif'
                                    WHEN 3 THEN 'jpeg'
+                                   WHEN 4 THEN 'avif'
+                                   WHEN 5 THEN 'heic'
+                                   WHEN 6 THEN 'svg'
                                    ELSE 'wav' END AS format,
-                   CASE WHEN doc_id % 4 IN (0, 1, 3)
+                   CASE WHEN doc_id % 7 <> 2
                         THEN CAST(n_chars % 500 + 1 AS INTEGER) END AS width,
-                   CASE WHEN doc_id % 4 IN (0, 1, 3)
+                   CASE WHEN doc_id % 7 <> 2
                         THEN CAST(doc_id % 300 + 1 AS INTEGER) END AS height,
-                   CASE WHEN doc_id % 4 = 2
+                   CASE WHEN doc_id % 7 = 2
                         THEN CAST(1 AS INTEGER)
-                        WHEN doc_id % 4 = 3
+                        WHEN doc_id % 7 = 3
                         THEN CAST(3 AS INTEGER) END AS channels,
-                   CASE WHEN doc_id % 4 = 2
+                   CASE WHEN doc_id % 7 = 2
                         THEN CAST(4000 AS INTEGER) END AS sample_rate,
-                   CASE WHEN doc_id % 4 = 2
+                   CASE WHEN doc_id % 7 = 2
                         THEN CAST((n_chars % 2 + 1) * 1000 AS BIGINT)
                         END AS duration_ms,
-                   CASE WHEN doc_id % 4 = 3
+                   CASE WHEN doc_id % 7 = 3
                         THEN CAST(doc_id % 8 + 1 AS INTEGER)
+                        WHEN doc_id % 7 = 4 THEN
+                        -- the irot x imir -> EXIF equivalence table
+                        -- (rotation applied before mirroring, ISO
+                        -- 23008-12 order): rows keyed by mirror mode
+                        -- (doc_id//7)%3: 0 none, 1 vertical axis,
+                        -- 2 horizontal axis
+                        CAST(CASE (doc_id // 7) % 3
+                          WHEN 0 THEN CASE (doc_id // 7) % 4
+                            WHEN 0 THEN 1 WHEN 1 THEN 8
+                            WHEN 2 THEN 3 ELSE 6 END
+                          WHEN 1 THEN CASE (doc_id // 7) % 4
+                            WHEN 0 THEN 2 WHEN 1 THEN 7
+                            WHEN 2 THEN 4 ELSE 5 END
+                          ELSE CASE (doc_id // 7) % 4
+                            WHEN 0 THEN 4 WHEN 1 THEN 5
+                            WHEN 2 THEN 2 ELSE 7 END
+                        END AS INTEGER)
                         END AS orientation
             FROM documents ORDER BY doc_id
         """,

@@ -138,6 +138,7 @@ HEADLINE = [
     "media_dir_roundtrip",
     "multimodal_webp_anim",
     "multimodal_flac",
+    "pdf_extract",
 ]
 
 # Self-adjudicating bench (r7 verdict #2). Three identical-code r7
@@ -236,7 +237,9 @@ SCALE_QUERIES = ["q1_pricing", "q3_shipping", "q5_local_supplier",
                  # round-8: VP8L codec + animation compositing and
                  # the binaryFile media-directory scan (all row-local)
                  "multimodal_webp", "multimodal_webp_anim",
-                 "multimodal_flac", "media_dir_roundtrip"]
+                 "multimodal_flac", "media_dir_roundtrip",
+                 # round-9: the PDF encode->extract pipeline
+                 "pdf_extract"]
 
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

@@ -90,6 +90,9 @@ DEFAULT_QUERIES = [
     "multimodal_webp_anim",
     "multimodal_flac",
     "media_dir_roundtrip",
+    # round-9: PDF pipeline + the widened avif/heic/svg headers cycle
+    "pdf_extract",
+    "multimodal_headers",
 ]
 
 _WORKER = r"""
