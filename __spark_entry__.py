@@ -1164,7 +1164,8 @@ def multimodal_e2e(spark, sf_dir):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    from meza_spark.io.webdataset import read_webdataset, records2webdataset
+    from meza_spark.io.webdataset import (read_webdataset,
+                                          write_webdataset_shards)
     from meza_spark.llm.multimodal import _encode_bmp, decode_image
 
     @pandas_udf("binary")
@@ -1180,10 +1181,19 @@ def multimodal_e2e(spark, sf_dir):
     docs = (_t(spark, sf_dir, "documents")
             .select(F.col("doc_id").cast("string").alias("key"),
                     _bmp("doc_id", "n_chars").alias("img"),
-                    F.to_json(F.struct("lang", "source")).alias("meta"))
-            .orderBy("key"))
-    path = _rt_path(sf_dir, "mm.wds.tar")
-    records2webdataset(docs, path, "key", {"bmp": "img", "json": "meta"})
+                    F.to_json(F.struct("lang", "source")).alias("meta")))
+    # executor-parallel shard write (r8 verdict task #2): the single-
+    # tar records2webdataset sink serializes every sample through the
+    # driver (super-linear in the factor-10 slope sample, 11.8×);
+    # shards hash by key and sort internally, so bytes stay
+    # deterministic per shard without the global orderBy
+    path = _rt_path(sf_dir, "mm.wds.dir")
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)   # no stale shards
+    write_webdataset_shards(docs, path, "key",
+                            {"bmp": "img", "json": "meta"},
+                            n_shards=32).collect()
     wds = read_webdataset(spark, path)
     media = wds.select(
         F.col("key").cast("long").alias("media_id"),
@@ -2799,7 +2809,7 @@ def crawl_e2e(spark, sf_dir):
     twin rebuilds the expected extraction (same whitespace-collapse
     class) and replays the Gopher flags + token count on it. Chains
     into curation_e2e's dedup→decontam→DSIR→pack back half."""
-    from meza_spark.io.warc import read_warc, records2warc
+    from meza_spark.io.warc import read_warc, records2warc_sharded
     from meza_spark.llm.htmltext import extract_text
 
     esc = F.col("text")
@@ -2815,8 +2825,14 @@ def crawl_e2e(spark, sf_dir):
             .select(F.concat(F.lit("https://corpus.example/"),
                              F.col("doc_id").cast("string")).alias("url"),
                     page.alias("html")))
-    path = _rt_path(sf_dir, "crawl.warc.gz")
-    records2warc(docs, path, url_col="url", payload_col="html")
+    # sharded archive write (r8 verdict task #2): the single-artifact
+    # records2warc funnels every page through the driver serially —
+    # measured super-linear in the factor-10 slope sample (15.3×).
+    # The executor-parallel segment layout is also what a real crawl
+    # snapshot looks like on disk.
+    path = _rt_path(sf_dir, "crawl.warcdir")
+    records2warc_sharded(docs, path, url_col="url", payload_col="html",
+                         shards=32)
     pages = (read_warc(spark, path)
              .select(F.regexp_extract("target_uri", r"/(\d+)$", 1)
                      .cast("long").alias("doc_id"),

@@ -489,7 +489,16 @@ def main():
         t0 = time.time()
         _build_scaled(spark, entry, sf_dir, scale_dir)
         gen_sec = round(time.time() - t0, 3)
-        stimes = _time_queries(spark, qs, SCALE_QUERIES, scale_dir)
+        # self-adjudication (r8 verdict task #3), same contract as the
+        # headline: TWO interleaved whole-list passes, per-query min
+        # as canonical, pass totals + spread recorded inline — a
+        # single drifted sample can no longer masquerade as a
+        # super-linear slope
+        s_passes = [_time_queries(spark, qs, SCALE_QUERIES, scale_dir)
+                    for _ in range(max(1, n_passes))]
+        stimes = {n: min(p[n] for p in s_passes if n in p)
+                  for n in s_passes[0]}
+        s_totals = [round(sum(p.values()), 3) for p in s_passes]
         # the 10x key-shifted replica of sf0.1 IS the sf1-scale dataset
         # (r2 verdict #8): generated once, persisted at scale_dir and
         # reused across runs (gen_sec==0 on reuse); slopes are t_sf1/t_sf0.1
@@ -498,6 +507,10 @@ def main():
             "persisted_at": scale_dir,
             "queries": stimes,
             "total_sec": round(sum(stimes.values()), 3),
+            "pass_totals_sec": s_totals,
+            "pass_spread": (round(max(s_totals) / min(s_totals), 3)
+                            if len(s_totals) >= 2 and min(s_totals)
+                            else None),
             "slope_vs_sf0.1": {
                 n: round(stimes[n] / times[n], 2)
                 for n in stimes if times.get(n)},
