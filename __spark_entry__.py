@@ -2713,11 +2713,13 @@ def media_dir_roundtrip(spark, sf_dir):
 def pdf_extract(spark, sf_dir):
     """PDF text-extraction driver gate (round 9, verdict task #1):
     per document, spec-build a PDF whose page text IS the document
-    text (the (doc_id//10)%8 cycle forces every decoder path — raw /
+    text (the (doc_id//10)%10 cycle forces every decoder path — raw /
     Flate / ASCIIHex / ASCII85 / RunLength / LZW streams, classic
     tables vs xref STREAMS vs ObjStm packing, WinAnsi / Standard /
     /Differences / Type0-ToUnicode charmaps, TJ-kerned spaces, two
-    PDF versions) — then extract it back with the full parser
+    PDF versions, and RC4-40/RC4-128 standard security with an empty
+    user password — the permissions-only encryption real crawled PDFs
+    carry) — then extract it back with the full parser
     (meza_spark/llm/pdf.py) in the same Arrow batch. Multi-page
     variants split the text at n_chars//2, so the expected extraction
     is substr(text,1,h) || chr(10) || substr(text,h+1) — the DuckDB
@@ -2738,8 +2740,8 @@ def pdf_extract(spark, sf_dir):
         for pdf_b in batches:
             rows = []
             for i, text in zip(pdf_b["doc_id"], pdf_b["text"]):
-                v = (int(i) // 10) % 8
-                if v in (1, 2, 3):
+                v = (int(i) // 10) % 10
+                if v in (1, 2, 3, 9):
                     half = len(text) // 2
                     pages = [text[:half], text[half:]]
                 else:
@@ -2747,12 +2749,14 @@ def pdf_extract(spark, sf_dir):
                 b = encode_pdf(
                     pages,
                     stream_filter=["none", "flate", "flate", "flate",
-                                   "ahx", "a85", "rle", "lzw"][v],
-                    xref_stream=v in (2, 3),
+                                   "ahx", "a85", "rle", "lzw",
+                                   "flate", "ahx"][v],
+                    xref_stream=v in (2, 3, 8),
                     use_objstm=v == 3,
                     font={4: "differences", 6: "standard",
                           7: "tounicode"}.get(v, "winansi"),
                     kern=v == 5,
+                    encrypt={8: "rc4-128", 9: "rc4-40"}.get(v),
                     version="1.4" if v % 2 == 0 else "1.7")
                 r = extract_pdf_bytes(b)
                 rows.append((int(i), r["version"], r["n_pages"],
@@ -6071,11 +6075,11 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN (doc_id // 10) % 2 = 0
                         THEN '1.4' ELSE '1.7' END AS version,
-                   CAST(CASE WHEN (doc_id // 10) % 8 IN (1, 2, 3)
+                   CAST(CASE WHEN (doc_id // 10) % 10 IN (1, 2, 3, 9)
                         THEN 2 ELSE 1 END AS INTEGER) AS n_pages,
-                   CAST(n_chars + CASE WHEN (doc_id // 10) % 8 IN (1, 2, 3)
+                   CAST(n_chars + CASE WHEN (doc_id // 10) % 10 IN (1, 2, 3, 9)
                         THEN 1 ELSE 0 END AS INTEGER) AS n_chars_out,
-                   CASE WHEN (doc_id // 10) % 8 IN (1, 2, 3)
+                   CASE WHEN (doc_id // 10) % 10 IN (1, 2, 3, 9)
                         THEN sha256(substr(text, 1, n_chars // 2)
                                     || chr(10)
                                     || substr(text, n_chars // 2 + 1))

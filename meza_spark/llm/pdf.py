@@ -25,11 +25,14 @@ Scope (the dominant modern-PDF case, same playbook as Jet/BIFF/WARC):
   MacRoman bases + /Differences) through an Adobe-Glyph-List subset,
   Type0/Identity fallbacks.
 
-Honest gates (skippable ``ValueError``): encrypted PDFs (``/Encrypt``
-in the trailer — decryption is out of charter), unsupported stream
-filters in the xref/content path, EarlyChange=0 LZW. Every inflate is
-budget-capped BEFORE allocation (the tile-grid-bomb discipline,
-multimodal.py r8).
+Encryption: the standard security handler with an EMPTY user
+password (RC4, V1/V2 R2/R3 — the permissions-only encryption most
+real "encrypted" PDFs carry) decrypts transparently via
+hashlib.md5 + a 12-line RC4. Honest gates (skippable ``ValueError``):
+AES encryption (V≥4 — no stdlib AES), a real user password, custom
+security handlers, unsupported stream filters in the xref/content
+path, EarlyChange=0 LZW. Every inflate is budget-capped BEFORE
+allocation (the tile-grid-bomb discipline, multimodal.py r8).
 
 Reference parity: the reference engine (/root/reference/meza) has no
 PDF support — this module is part of the beyond-reference
@@ -772,8 +775,37 @@ class _Doc:
             self.xref, self.trailer = {}, {}
         if not self.xref or "Root" not in self.trailer:
             self._scan_fallback()
+        self._crypt_key = None
         if "Encrypt" in self.trailer:
-            raise ValueError("encrypted PDF — decryption unsupported")
+            self._setup_encryption()
+
+    def _setup_encryption(self):
+        """RC4 standard security with an EMPTY user password — the
+        overwhelmingly common 'permissions-only' encryption on real
+        crawled PDFs — decrypts transparently (ISO 32000-1 §7.6.3,
+        algorithms 1/2/4/5, all hashlib+RC4). Anything else (AES V≥4,
+        custom handlers, a real user password) stays a skippable
+        honest gate."""
+        enc = self.resolve(self.trailer["Encrypt"])
+        if not isinstance(enc, dict):
+            raise ValueError("encrypted PDF — malformed /Encrypt")
+        if str(self.resolve(enc.get("Filter", ""))) != "Standard":
+            raise ValueError(
+                "encrypted PDF — non-Standard security handler")
+        v = int(self.resolve(enc.get("V", 0)) or 0)
+        r = int(self.resolve(enc.get("R", 2)) or 2)
+        if v not in (1, 2) or r not in (2, 3):
+            raise ValueError(
+                "encrypted PDF — only RC4 (V1/V2, R2/R3) supported; "
+                "AES stays gated")
+        ids = self.resolve(self.trailer.get("ID"))
+        id0 = (bytes(ids[0]) if isinstance(ids, list) and ids
+               and isinstance(ids[0], bytes) else b"")
+        key = _std_file_key(enc, id0)
+        if not _std_user_check(enc, id0, key):
+            raise ValueError("password-protected PDF — empty user "
+                             "password rejected")
+        self._crypt_key = key
 
     # -------------------------------------------------- xref parsing
 
@@ -911,9 +943,10 @@ class _Doc:
                 if isinstance(o, dict) and str(o.get("Type")) == "Catalog":
                     self.trailer["Root"] = _Ref(num, 0)
                     break
-        if re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", self.b) \
-                and "Encrypt" not in self.trailer:
-            self.trailer["Encrypt"] = True
+        m = re.search(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", self.b)
+        if m and "Encrypt" not in self.trailer:
+            self.trailer["Encrypt"] = _Ref(int(m.group(1)),
+                                           int(m.group(2)))
 
     # ------------------------------------------------ object loading
 
@@ -967,12 +1000,19 @@ class _Doc:
         lex = _Lex(self.b, m.end())
         obj = _parse_object(lex)
         lex.skip_ws()
+        okey = (_obj_key(self._crypt_key, want_num, int(m.group(2)))
+                if getattr(self, "_crypt_key", None) else None)
         if self.b[lex.pos:lex.pos + 6] == b"stream":
             if not isinstance(obj, dict):
                 raise ValueError("PDF stream without a dict")
             data = self._read_stream_data(lex, obj)
+            if okey is not None:
+                # streams are encrypted AFTER filter encoding, so
+                # decrypt the stored bytes before _apply_filters runs
+                obj = _decrypt_obj(obj, okey)
+                data = _rc4(okey, data)
             return _Stream(obj, data)
-        return obj
+        return obj if okey is None else _decrypt_obj(obj, okey)
 
     def _parse_stream_at(self, pos: int):
         """Parse `<<dict>> stream..endstream` at pos (xref streams,
@@ -1441,7 +1481,9 @@ def encode_pdf(pages, *, stream_filter: str = "none",
                font: str = "winansi", kern: bool = False,
                title: str | None = None,
                producer: str = "meza_spark", version: str = "1.4",
-               length_indirect: bool = False) -> bytes:
+               length_indirect: bool = False,
+               encrypt: str | None = None,
+               owner_password: bytes = b"owner") -> bytes:
     """Spec-built PDF able to force every decoder path (the
     encode_flac of this module): ``pages`` is a list of page texts
     (embedded ``\\n`` become in-page line moves). Options cycle the
@@ -1455,6 +1497,45 @@ def encode_pdf(pages, *, stream_filter: str = "none",
     if isinstance(pages, str):
         pages = [pages]
     n = len(pages)
+
+    # standard security (permissions-only: empty USER password, so
+    # readers decrypt transparently — the common real-corpus shape)
+    key = id0 = enc_body = None
+    if encrypt is not None:
+        import hashlib
+
+        r, klen = {"rc4-40": (2, 5), "rc4-128": (3, 16)}[encrypt]
+        p_perms = -44                                # deny print/modify
+        id0 = hashlib.md5(("\x00".join(pages) + version)
+                          .encode("utf-8", "replace")).digest()
+        ok = hashlib.md5((owner_password + _PAD)[:32]).digest()
+        if r >= 3:
+            for _ in range(50):
+                ok = hashlib.md5(ok).digest()
+        ok = ok[:klen]
+        o_ent = _rc4(ok, _PAD)                       # empty user pwd pad
+        if r >= 3:
+            for i in range(1, 20):
+                o_ent = _rc4(bytes(b ^ i for b in ok), o_ent)
+        key = _std_file_key({"R": r, "Length": klen * 8, "O": o_ent,
+                             "P": p_perms}, id0)
+        if r == 2:
+            u_ent = _rc4(key, _PAD)
+        else:
+            x = hashlib.md5(_PAD + id0).digest()
+            x = _rc4(key, x)
+            for i in range(1, 20):
+                x = _rc4(bytes(b ^ i for b in key), x)
+            u_ent = x + b"\x00" * 16
+        enc_body = (b"<< /Filter /Standard /V %d /R %d /Length %d "
+                    b"/O (%s) /U (%s) /P %d >>"
+                    % (1 if r == 2 else 2, r, klen * 8,
+                       _esc_literal(o_ent), _esc_literal(u_ent),
+                       p_perms))
+
+    def _enc_payload(num: int, data: bytes) -> bytes:
+        # RC4 preserves length, so /Length stays correct either way
+        return _rc4(_obj_key(key, num, 0), data) if key else data
 
     objs: dict[int, bytes] = {}          # num → serialized body
     in_objstm: list[int] = []            # nums packed into the ObjStm
@@ -1493,6 +1574,7 @@ def encode_pdf(pages, *, stream_filter: str = "none",
                 b"endcodespacerange\n"
                 b"1 beginbfrange\n<0000> <FFFF> <0000>\n"
                 b"endbfrange\nendcmap\nend\nend\n")
+        cmap = _enc_payload(num_tu, cmap)
         objs[num_tu] = (b"<< /Length %d >>\nstream\n%s\nendstream"
                         % (len(cmap), cmap))
         objs[num_font] = (
@@ -1530,6 +1612,7 @@ def encode_pdf(pages, *, stream_filter: str = "none",
         body.append(b"ET")
         content = b"\n".join(body)
         payload, fdecl = _enc_stream(content, stream_filter)
+        payload = _enc_payload(num_cont0 + i, payload)
         if length_indirect:
             num_len = next_extra
             next_extra += 1
@@ -1546,11 +1629,25 @@ def encode_pdf(pages, *, stream_filter: str = "none",
 
     num_info = next_extra
     next_extra += 1
-    info = b"<< /Producer (%s)" % _esc_literal(producer.encode("latin-1"))
+
+    def _info_str(s2: str) -> bytes:
+        raw = s2.encode("latin-1")
+        # strings inside an object stream are NOT separately
+        # encrypted (the whole ObjStm payload is) — ISO 32000-1 §7.5.7
+        if key is not None and not use_objstm:
+            raw = _rc4(_obj_key(key, num_info, 0), raw)
+        return _esc_literal(raw)
+
+    info = b"<< /Producer (%s)" % _info_str(producer)
     if title is not None:
-        info += b" /Title (%s)" % _esc_literal(title.encode("latin-1"))
+        info += b" /Title (%s)" % _info_str(title)
     info += b" >>"
     objs[num_info] = info
+    num_enc = None
+    if enc_body is not None:
+        num_enc = next_extra
+        next_extra += 1
+        objs[num_enc] = enc_body
 
     if use_objstm:
         in_objstm = [num_cat, num_pages, num_info] \
@@ -1588,10 +1685,17 @@ def encode_pdf(pages, *, stream_filter: str = "none",
         hdr = b" ".join(hdr_parts) + b"\n"
         stm_data = hdr + b"".join(bodies)
         payload, fdecl = _enc_stream(stm_data, "flate")
+        payload = _enc_payload(num_objstm, payload)
         emit(num_objstm, b"<< /Type /ObjStm /N %d /First %d %s "
                          b"/Length %d >>\nstream\n%s\nendstream"
              % (len(in_objstm), len(hdr), fdecl, len(payload), payload))
 
+    tail_extra = b""
+    if enc_body is not None:
+        import binascii as _ba
+        hx = _ba.hexlify(id0)
+        tail_extra = (b" /Encrypt %d 0 R /ID [<%s> <%s>]"
+                      % (num_enc, hx, hx))
     size = next_extra if not xref_stream else next_extra + 1
     if not xref_stream:
         xref_off = len(out)
@@ -1599,9 +1703,9 @@ def encode_pdf(pages, *, stream_filter: str = "none",
         out.extend(b"0000000000 65535 f \n")
         for num in range(1, size):
             out.extend(b"%010d 00000 n \n" % offsets.get(num, 0))
-        out.extend(b"trailer\n<< /Size %d /Root %d 0 R /Info %d 0 R "
-                   b">>\nstartxref\n%d\n%%%%EOF\n"
-                   % (size, num_cat, num_info, xref_off))
+        out.extend(b"trailer\n<< /Size %d /Root %d 0 R /Info %d 0 R"
+                   b"%s >>\nstartxref\n%d\n%%%%EOF\n"
+                   % (size, num_cat, num_info, tail_extra, xref_off))
     else:
         num_x = next_extra
         rows = bytearray()
@@ -1619,8 +1723,9 @@ def encode_pdf(pages, *, stream_filter: str = "none",
         payload, fdecl = _enc_stream(bytes(rows), "flate")
         xref_off = len(out)
         emit(num_x, b"<< /Type /XRef /Size %d /W [1 4 2] /Root %d 0 R "
-                    b"/Info %d 0 R %s /Length %d >>\nstream\n%s\nendstream"
-             % (size, num_cat, num_info, fdecl, len(payload), payload))
+                    b"/Info %d 0 R%s %s /Length %d >>\nstream\n%s\nendstream"
+             % (size, num_cat, num_info, tail_extra, fdecl,
+                len(payload), payload))
         out.extend(b"startxref\n%d\n%%%%EOF\n" % xref_off)
     return bytes(out)
 
@@ -1674,3 +1779,87 @@ def pdf_text(df, payload_col: str = "payload",
 
     return spread(df.select(id_col, payload_col)) \
         .mapInPandas(run, schema=out_schema)
+
+
+# ------------------------------------------------- standard encryption
+
+# ISO 32000-1 §7.6.3.3 Algorithm-2 padding string (public constant)
+_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A])
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (the spec's cipher for V≤2 standard security) — a
+    dozen lines of public algorithm, no third-party dependency."""
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = c ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _std_file_key(enc: dict, id0: bytes, password: bytes = b"") -> bytes:
+    """Algorithm 2: password → file encryption key (V=1/2, R=2/3)."""
+    import hashlib
+
+    r = int(enc.get("R", 2))
+    n = int(enc.get("Length", 40)) // 8 if r >= 3 else 5
+    if not 5 <= n <= 16:
+        raise ValueError("bad PDF /Encrypt key length")
+    o = bytes(enc.get("O", b""))[:32]
+    if len(o) < 32:
+        raise ValueError("bad PDF /Encrypt /O entry")
+    p = int(enc.get("P", 0)) & 0xFFFFFFFF
+    h = hashlib.md5((password + _PAD)[:32] + o
+                    + struct.pack("<I", p) + id0).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    return h[:n]
+
+
+def _std_user_check(enc: dict, id0: bytes, key: bytes) -> bool:
+    """Algorithms 4/5: does `key` (derived from the tried password)
+    reproduce /U? True ⇒ that password IS the user password."""
+    import hashlib
+
+    u = bytes(enc.get("U", b""))
+    if int(enc.get("R", 2)) == 2:
+        return _rc4(key, _PAD) == u[:32]
+    x = hashlib.md5(_PAD + id0).digest()
+    x = _rc4(key, x)
+    for i in range(1, 20):
+        x = _rc4(bytes(b ^ i for b in key), x)
+    return x[:16] == u[:16]
+
+
+def _obj_key(key: bytes, num: int, gen: int) -> bytes:
+    """Algorithm 1: per-object RC4 key."""
+    import hashlib
+
+    return hashlib.md5(key + num.to_bytes(3, "little")
+                       + gen.to_bytes(2, "little")).digest()[
+                           :min(len(key) + 5, 16)]
+
+
+def _decrypt_obj(obj, okey: bytes):
+    """Recursively RC4-decrypt every string in a loaded object
+    (streams handle their raw bytes separately)."""
+    if isinstance(obj, bytes):
+        return _rc4(okey, obj)
+    if isinstance(obj, list):
+        return [_decrypt_obj(v, okey) for v in obj]
+    if isinstance(obj, dict):
+        return {k: _decrypt_obj(v, okey) for k, v in obj.items()}
+    return obj

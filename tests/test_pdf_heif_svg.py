@@ -373,3 +373,59 @@ def test_pdf_text_spark(spark):
     assert got[2]["n_pages"] == 2 and got[2]["text"] == "p1\np2"
     assert got[3]["error"] is not None
     assert got[4]["error"] is not None and "not a PDF" in got[4]["error"]
+
+
+# ------------------------------------------------------------ encryption
+
+@pytest.mark.parametrize("kw", [
+    {"encrypt": "rc4-40"},
+    {"encrypt": "rc4-128"},
+    {"encrypt": "rc4-128", "stream_filter": "flate"},
+    {"encrypt": "rc4-128", "stream_filter": "flate",
+     "xref_stream": True},
+    {"encrypt": "rc4-128", "stream_filter": "flate",
+     "xref_stream": True, "use_objstm": True},
+    {"encrypt": "rc4-128", "font": "tounicode"},
+    {"encrypt": "rc4-40", "stream_filter": "ahx", "kern": True},
+])
+def test_rc4_standard_security_roundtrip(kw):
+    """Permissions-only encryption (empty user password) decrypts
+    transparently — streams post-filter, Info strings, ObjStm
+    contents left alone (the whole stream is ciphered instead)."""
+    b = encode_pdf([PAGE1, PAGE2], title="Ti", **kw)
+    assert b"/Encrypt" in b
+    # ciphertext really is opaque: the page text must not appear raw
+    assert PAGE1.encode("latin-1") not in b
+    r = extract_pdf_bytes(b)
+    assert r["text"] == PAGE1 + "\n" + PAGE2
+    assert r["title"] == "Ti"
+    assert r["producer"] == "meza_spark"
+
+
+def test_real_user_password_is_rejected():
+    """Corrupting /U means the empty user password no longer
+    verifies — the honest 'needs a real password' gate."""
+    b = encode_pdf(["secret"], encrypt="rc4-128")
+    import re
+    m = re.search(rb"/U \(", b)
+    pos = m.end() + 2
+    bad = b[:pos] + bytes([b[pos] ^ 0xFF]) + b[pos + 1:]
+    with pytest.raises(ValueError, match="password-protected"):
+        extract_pdf_bytes(bad)
+
+
+def test_aes_and_exotic_handlers_stay_gated():
+    b = encode_pdf(["x"], encrypt="rc4-128")
+    for old, new, msg in ((b"/V 2", b"/V 4", "only RC4"),
+                          (b"/Filter /Standard /V 2",
+                           b"/Filter /MyCrypt /V 2", "non-Standard")):
+        bad = b.replace(old, new, 1)
+        with pytest.raises(ValueError, match=msg):
+            extract_pdf_bytes(bad)
+
+
+def test_rc4_known_vector():
+    """Public RC4 test vector (key 'Key', plaintext 'Plaintext')."""
+    assert P._rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+    # involution: decrypt == encrypt
+    assert P._rc4(b"Key", P._rc4(b"Key", b"data 123")) == b"data 123"

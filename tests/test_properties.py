@@ -1127,3 +1127,37 @@ def test_bmp_dib_matrix_property(data):
         exp = pal[:, 2::-1][idx]
     assert out.shape == (h, w, 3)
     assert np.array_equal(out, exp), variant
+
+
+@given(data=st.data())
+@settings(**_SETTINGS)
+def test_pdf_codec_roundtrip_property(data):
+    """Property (r9): any ASCII page list round-trips exactly through
+    the PDF fixture encoder at a random filter / xref flavor / ObjStm
+    packing / charmap / kerning combination — the same always-holds
+    contract as the WebP/FLAC codec properties."""
+    from meza_spark.llm.pdf import encode_pdf, extract_pdf_bytes
+
+    n_pages = data.draw(st.integers(1, 3), label="n_pages")
+    # printable ASCII minus the space-run edge (kern mode rebuilds
+    # single spaces only — multi-space fidelity is not the contract)
+    line = st.text(
+        alphabet=st.characters(min_codepoint=0x21, max_codepoint=0x7E),
+        min_size=1, max_size=40)   # non-empty words: kern mode
+    #                                rebuilds exactly one space per gap
+    pages = data.draw(st.lists(
+        st.lists(line, min_size=1, max_size=3).map(" ".join),
+        min_size=n_pages, max_size=n_pages), label="pages")
+    flt = data.draw(st.sampled_from(
+        ["none", "flate", "ahx", "a85", "rle", "lzw"]), label="filter")
+    xs = data.draw(st.booleans(), label="xref_stream")
+    objstm = xs and data.draw(st.booleans(), label="objstm")
+    font = data.draw(st.sampled_from(
+        ["winansi", "differences", "tounicode"]), label="font")
+    kern = data.draw(st.booleans(), label="kern")
+    b = encode_pdf(pages, stream_filter=flt, xref_stream=xs,
+                   use_objstm=objstm, font=font, kern=kern)
+    r = extract_pdf_bytes(b)
+    want = "\n".join(p.strip("\n") for p in pages)
+    assert r["n_pages"] == n_pages
+    assert r["text"] == want
