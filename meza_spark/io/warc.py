@@ -179,8 +179,6 @@ def records2warc(df: DataFrame, path: str, url_col: str = "url",
     cluster layouts. Streams via ``toLocalIterator`` like the other
     single-artifact sinks (writers.py) — driver memory stays O(row).
     """
-    import hashlib as _hashlib
-
     import re as _re
 
     gz = path.endswith(".gz") if gzip_members is None else gzip_members

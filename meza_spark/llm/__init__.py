@@ -32,6 +32,7 @@ from .dsir import (dsir_sample, dsir_weights, fit_log_ratios,
 from .htmltext import extract_page, extract_text
 from .mixing import fit_domain_weights, mixture_sample
 from .pca import pca_fit, pca_project
+from .pdf import encode_pdf, extract_pdf_bytes, pdf_text
 from .sampling import budget_sample
 from .text import (
     chunk_documents, fingerprint, gopher_filter, lang_id,
@@ -60,5 +61,6 @@ __all__ = [
     "dsir_sample",
     "quality_features", "fit_logistic", "score_logistic",
     "extract_page", "extract_text",
+    "extract_pdf_bytes", "encode_pdf", "pdf_text",
     "fit_domain_weights", "mixture_sample",
 ]

