@@ -956,6 +956,10 @@ class _Doc:
             for m in re.finditer(rb"/Root\s+(\d+)\s+(\d+)\s+R", self.b):
                 self.trailer["Root"] = _Ref(int(m.group(1)),
                                             int(m.group(2)))
+        if "Info" not in self.trailer:
+            for m in re.finditer(rb"/Info\s+(\d+)\s+(\d+)\s+R", self.b):
+                self.trailer["Info"] = _Ref(int(m.group(1)),
+                                            int(m.group(2)))
         if "Root" not in self.trailer:
             # last resort: any /Type /Catalog object
             for num in self.xref:

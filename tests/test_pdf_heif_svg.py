@@ -506,3 +506,86 @@ def test_pdf_text_error_isolation_any_exception(spark):
     assert got[1]["text"] == "ok"
     assert got[2]["text"] == "ok" or got[2]["error"] is not None \
         or got[2]["n_pages"] is not None
+
+
+# ------------------------------------------- content-operator coverage
+
+def _wrap_pdf(content: bytes, extra_objs: bytes = b"",
+              resources: bytes = b"<< /Font << /F1 3 0 R >> >>") -> bytes:
+    """Minimal hand-rolled single-page PDF around a raw content
+    stream (classic xref omitted — the scan-fallback path loads it)."""
+    return (b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [4 0 R] /Count 1 "
+            b"/Resources " + resources + b" >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont "
+            b"/Helvetica /Encoding /WinAnsiEncoding >>\nendobj\n"
+            b"4 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 5 0 R "
+            b">>\nendobj\n"
+            b"5 0 obj\n<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+            + extra_objs
+            + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+
+
+def test_quote_operators_and_leading():
+    content = (b"BT /F1 10 Tf 20 TL 72 700 Td (first) Tj "
+               b"(second) ' 1 2 (third) \" ET")
+    r = extract_pdf_bytes(_wrap_pdf(content))
+    assert r["text"] == "first\nsecond\nthird"
+
+
+def test_hex_string_show_simple_font():
+    content = b"BT /F1 10 Tf 72 700 Td <48692068657821> Tj ET"
+    assert extract_pdf_bytes(_wrap_pdf(content))["text"] == "Hi hex!"
+
+
+def test_form_xobject_recursion():
+    form = b"BT /F1 9 Tf 10 10 Td (from the form) Tj ET"
+    extra = (b"6 0 obj\n<< /Subtype /Form /Length "
+             + str(len(form)).encode() + b" >>\nstream\n" + form
+             + b"\nendstream\nendobj\n")
+    content = b"BT /F1 10 Tf 72 700 Td (before) Tj ET /X1 Do"
+    res = (b"<< /Font << /F1 3 0 R >> /XObject << /X1 6 0 R >> >>")
+    r = extract_pdf_bytes(_wrap_pdf(content, extra, res))
+    assert r["text"] == "before\nfrom the form" \
+        or r["text"] == "beforefrom the form"
+
+
+def test_inline_image_is_skipped():
+    content = (b"BT /F1 10 Tf 72 700 Td (pre) Tj ET\n"
+               b"BI /W 2 /H 1 /BPC 8 /CS /G ID \xff\x00 EI\n"
+               b"BT /F1 10 Tf 72 600 Td (post) Tj ET")
+    r = extract_pdf_bytes(_wrap_pdf(content))
+    assert "pre" in r["text"] and "post" in r["text"]
+
+
+def test_contents_array_concatenation():
+    c1 = b"BT /F1 10 Tf 72 700 Td (part one ) Tj"
+    c2 = b"(and two) Tj ET"
+    b = (b"%PDF-1.4\n"
+         b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+         b"2 0 obj\n<< /Type /Pages /Kids [4 0 R] /Count 1 "
+         b"/Resources << /Font << /F1 3 0 R >> >> >>\nendobj\n"
+         b"3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont "
+         b"/Helvetica /Encoding /WinAnsiEncoding >>\nendobj\n"
+         b"4 0 obj\n<< /Type /Page /Parent 2 0 R /Contents "
+         b"[5 0 R 6 0 R] >>\nendobj\n"
+         b"5 0 obj\n<< /Length " + str(len(c1)).encode()
+         + b" >>\nstream\n" + c1 + b"\nendstream\nendobj\n"
+         b"6 0 obj\n<< /Length " + str(len(c2)).encode()
+         + b" >>\nstream\n" + c2 + b"\nendstream\nendobj\n"
+         b"trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    assert extract_pdf_bytes(b)["text"] == "part one and two"
+
+
+def test_utf16_bom_info_strings():
+    b = encode_pdf(["x"], title="plain")
+    # splice a UTF-16BE title: (þÿ...) with BOM bytes escaped
+    t = "Ünïcode".encode("utf-16-be")
+    rep = b"/Title (" + P._esc_literal(b"\xfe\xff" + t) + b")"
+    import re
+    # function repl: the octal escapes in `rep` would otherwise be
+    # eaten as re group references
+    bad = re.sub(rb"/Title \(plain\)", lambda m: rep, b)
+    assert extract_pdf_bytes(bad)["title"] == "Ünïcode"
