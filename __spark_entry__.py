@@ -2717,9 +2717,14 @@ def pdf_extract(spark, sf_dir):
     Flate / ASCIIHex / ASCII85 / RunLength / LZW streams, classic
     tables vs xref STREAMS vs ObjStm packing, WinAnsi / Standard /
     /Differences / Type0-ToUnicode charmaps, TJ-kerned spaces, two
-    PDF versions, and RC4-40/RC4-128 standard security with an empty
-    user password — the permissions-only encryption real crawled PDFs
-    carry) — then extract it back with the full parser
+    PDF versions, and standard security with an empty user password —
+    the permissions-only encryption real crawled PDFs carry. The
+    encrypted buckets sub-cycle on doc_id//100 across RC4-40/RC4-128,
+    AESV2 (V4 crypt filters, AES-128-CBC) and AESV3 (V5 R6 AES-256,
+    SHA-2 hash chain); AES-256 is rationed to ~1 in 4 of its bucket
+    because algorithm 2.B is spec-mandated expensive (≥64 chained
+    AES-CBC rounds per hash, ~1.7 s/doc even on the T-table core) —
+    then extract it back with the full parser
     (meza_spark/llm/pdf.py) in the same Arrow batch. Multi-page
     variants split the text at n_chars//2, so the expected extraction
     is substr(text,1,h) || chr(10) || substr(text,h+1) — the DuckDB
@@ -2756,7 +2761,9 @@ def pdf_extract(spark, sf_dir):
                     font={4: "differences", 6: "standard",
                           7: "tounicode"}.get(v, "winansi"),
                     kern=v == 5,
-                    encrypt={8: "rc4-128", 9: "rc4-40"}.get(v),
+                    encrypt={8: ("rc4-128", "aesv2")[(int(i) // 100) % 2],
+                             9: ("rc4-40", "aes256", "rc4-40",
+                                 "aesv2")[(int(i) // 100) % 4]}.get(v),
                     version="1.4" if v % 2 == 0 else "1.7")
                 r = extract_pdf_bytes(b)
                 rows.append((int(i), r["version"], r["n_pages"],

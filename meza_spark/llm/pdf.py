@@ -797,16 +797,19 @@ class _Doc:
         if not self.xref or "Root" not in self.trailer:
             self._scan_fallback()
         self._crypt_key = None
+        self._crypt_cfm = "rc4"
         if "Encrypt" in self.trailer:
             self._setup_encryption()
 
     def _setup_encryption(self):
-        """RC4 standard security with an EMPTY user password — the
+        """Standard security with an EMPTY user password — the
         overwhelmingly common 'permissions-only' encryption on real
-        crawled PDFs — decrypts transparently (ISO 32000-1 §7.6.3,
-        algorithms 1/2/4/5, all hashlib+RC4). Anything else (AES V≥4,
-        custom handlers, a real user password) stays a skippable
-        honest gate."""
+        crawled PDFs — decrypts transparently: RC4 V1/V2 (R2/R3),
+        V4 crypt filters (/CFM /V2 RC4 or /AESV2 AES-128-CBC,
+        ISO 32000-1 §7.6.3-7.6.5) and V5 AES-256 (/AESV3, R5/R6,
+        ISO 32000-2 §7.6.4, SHA-2 hash chain). Custom handlers,
+        per-stream crypt filters beyond /StdCF//Identity, and a real
+        (non-empty) user password stay skippable honest gates."""
         enc = self.resolve(self.trailer["Encrypt"])
         if not isinstance(enc, dict):
             raise ValueError("encrypted PDF — malformed /Encrypt")
@@ -816,10 +819,19 @@ class _Doc:
                 "encrypted PDF — non-Standard security handler")
         v = _as_int(enc.get("V", 0) or 0, "/Encrypt /V")
         r = _as_int(enc.get("R", 2) or 2, "/Encrypt /R")
-        if v not in (1, 2) or r not in (2, 3):
+        self._crypt_cfm = "rc4"
+        if v in (1, 2) and r in (2, 3):
+            pass                                     # classic RC4
+        elif v == 4 and r == 4:
+            self._crypt_cfm = self._v4_cfm(enc)
+        elif v == 5 and r in (5, 6):
+            self._crypt_cfm = "aes256"
+            self._crypt_key = self._v5_file_key(enc, r)
+            return
+        else:
             raise ValueError(
-                "encrypted PDF — only RC4 (V1/V2, R2/R3) supported; "
-                "AES stays gated")
+                "encrypted PDF — unsupported /Encrypt V/R "
+                f"({v}/{r})")
         ids = self.resolve(self.trailer.get("ID"))
         id0 = (bytes(ids[0]) if isinstance(ids, list) and ids
                and isinstance(ids[0], bytes) else b"")
@@ -828,6 +840,64 @@ class _Doc:
             raise ValueError("password-protected PDF — empty user "
                              "password rejected")
         self._crypt_key = key
+
+    def _v4_cfm(self, enc: dict) -> str:
+        """V4 crypt-filter mode: /CF maps names to filters; /StmF and
+        /StrF select the default (ISO 32000-1 §7.6.5). Only the
+        uniform /StdCF (or /Identity) layout is supported — mixed
+        per-stream filters are an honest gate."""
+        stmf = str(enc.get("StmF", "Identity"))
+        strf = str(enc.get("StrF", "Identity"))
+        if stmf != strf:
+            raise ValueError(
+                "encrypted PDF — split /StmF vs /StrF crypt filters")
+        if stmf == "Identity":
+            return "identity"
+        cf = self.resolve(enc.get("CF"))
+        if not isinstance(cf, dict) or stmf not in cf:
+            raise ValueError("encrypted PDF — missing /CF entry")
+        cfd = self.resolve(cf[stmf])
+        if not isinstance(cfd, dict):
+            raise ValueError("encrypted PDF — malformed crypt filter")
+        cfm = str(self.resolve(cfd.get("CFM", "")))
+        if cfm == "V2":
+            return "rc4"
+        if cfm == "AESV2":
+            return "aesv2"
+        raise ValueError(f"encrypted PDF — unsupported /CFM {cfm}")
+
+    def _v5_file_key(self, enc: dict, r: int) -> bytes:
+        """AES-256 (R5 legacy / R6): validate the EMPTY user password
+        against /U's hash+validation-salt, then unwrap the file key
+        from /UE (ISO 32000-2 §7.6.4.3.3, 'algorithm 2.A')."""
+        import hashlib
+
+        from meza_spark.llm.aes import aes_cbc_decrypt, aes_ecb_decrypt
+
+        u_raw = enc.get("U", b"")
+        ue_raw = enc.get("UE", b"")
+        if not (isinstance(u_raw, (bytes, bytearray)) and len(u_raw) >= 48
+                and isinstance(ue_raw, (bytes, bytearray))
+                and len(ue_raw) >= 32):
+            raise ValueError("bad PDF /Encrypt /U or /UE entry")
+        u = bytes(u_raw)
+        vsalt, ksalt = u[32:40], u[40:48]
+        if r == 6:
+            h = _hash_2b(b"", vsalt, b"")
+            ik = _hash_2b(b"", ksalt, b"")
+        else:                                        # R5 (legacy ext.)
+            h = hashlib.sha256(vsalt).digest()
+            ik = hashlib.sha256(ksalt).digest()
+        if h != u[:32]:
+            raise ValueError("password-protected PDF — empty user "
+                             "password rejected")
+        key = aes_cbc_decrypt(ik, b"\x00" * 16, bytes(ue_raw)[:32])
+        perms = enc.get("Perms")
+        if isinstance(perms, (bytes, bytearray)) and len(perms) >= 16:
+            dec = aes_ecb_decrypt(key, bytes(perms)[:16])
+            if dec[9:12] != b"adb":
+                raise ValueError("encrypted PDF — /Perms check failed")
+        return key
 
     # -------------------------------------------------- xref parsing
 
@@ -1027,19 +1097,38 @@ class _Doc:
         lex = _Lex(self.b, m.end())
         obj = _parse_object(lex)
         lex.skip_ws()
-        okey = (_obj_key(self._crypt_key, want_num, int(m.group(2)))
-                if getattr(self, "_crypt_key", None) else None)
+        dec = self._obj_cipher(want_num, int(m.group(2)))
         if self.b[lex.pos:lex.pos + 6] == b"stream":
             if not isinstance(obj, dict):
                 raise ValueError("PDF stream without a dict")
             data = self._read_stream_data(lex, obj)
-            if okey is not None:
+            if dec is not None:
                 # streams are encrypted AFTER filter encoding, so
                 # decrypt the stored bytes before _apply_filters runs
-                obj = _decrypt_obj(obj, okey)
-                data = _rc4(okey, data)
+                obj = _decrypt_obj(obj, dec)
+                data = dec(data)
             return _Stream(obj, data)
-        return obj if okey is None else _decrypt_obj(obj, okey)
+        return obj if dec is None else _decrypt_obj(obj, dec)
+
+    def _obj_cipher(self, num: int, gen: int):
+        """Per-object decryptor for the document's crypt mode, or
+        None when the document is unencrypted (or /Identity). RC4
+        and AESV2 derive a per-object key (algorithm 1, with the
+        AES 'sAlT' suffix); AES-256 uses the file key directly."""
+        key = getattr(self, "_crypt_key", None)
+        if key is None:
+            return None
+        cfm = getattr(self, "_crypt_cfm", "rc4")
+        if cfm == "identity":
+            return None
+        if cfm == "rc4":
+            okey = _obj_key(key, num, gen)
+            return lambda d: _rc4(okey, d)
+        if cfm == "aesv2":
+            okey = _obj_key(key, num, gen, aes=True)
+        else:                                        # aes256
+            okey = key
+        return lambda d: _aes_payload_decrypt(okey, d)
 
     def _parse_stream_at(self, pos: int):
         """Parse `<<dict>> stream..endstream` at pos (xref streams,
@@ -1533,11 +1622,13 @@ def encode_pdf(pages, *, stream_filter: str = "none",
     # standard security (permissions-only: empty USER password, so
     # readers decrypt transparently — the common real-corpus shape)
     key = id0 = enc_body = None
-    if encrypt is not None:
+    cfm = "rc4"
+    p_perms = -44                                    # deny print/modify
+    if encrypt in ("rc4-40", "rc4-128", "aesv2"):
         import hashlib
 
-        r, klen = {"rc4-40": (2, 5), "rc4-128": (3, 16)}[encrypt]
-        p_perms = -44                                # deny print/modify
+        r, klen = {"rc4-40": (2, 5), "rc4-128": (3, 16),
+                   "aesv2": (4, 16)}[encrypt]
         id0 = hashlib.md5(("\x00".join(pages) + version)
                           .encode("utf-8", "replace")).digest()
         ok = hashlib.md5((owner_password + _PAD)[:32]).digest()
@@ -1559,15 +1650,69 @@ def encode_pdf(pages, *, stream_filter: str = "none",
             for i in range(1, 20):
                 x = _rc4(bytes(b ^ i for b in key), x)
             u_ent = x + b"\x00" * 16
-        enc_body = (b"<< /Filter /Standard /V %d /R %d /Length %d "
-                    b"/O (%s) /U (%s) /P %d >>"
-                    % (1 if r == 2 else 2, r, klen * 8,
-                       _esc_literal(o_ent), _esc_literal(u_ent),
-                       p_perms))
+        if encrypt == "aesv2":
+            cfm = "aesv2"
+            enc_body = (b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+                        b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+                        b" /StmF /StdCF /StrF /StdCF "
+                        b"/O (%s) /U (%s) /P %d >>"
+                        % (_esc_literal(o_ent), _esc_literal(u_ent),
+                           p_perms))
+        else:
+            enc_body = (b"<< /Filter /Standard /V %d /R %d /Length %d "
+                        b"/O (%s) /U (%s) /P %d >>"
+                        % (1 if r == 2 else 2, r, klen * 8,
+                           _esc_literal(o_ent), _esc_literal(u_ent),
+                           p_perms))
+    elif encrypt == "aes256":
+        import hashlib
+
+        from meza_spark.llm.aes import aes_cbc_encrypt, aes_ecb_encrypt
+
+        cfm = "aes256"
+        id0 = hashlib.md5(("\x00".join(pages) + version)
+                          .encode("utf-8", "replace")).digest()
+        # deterministic key + salts (fixture: derived, not random)
+        key = hashlib.sha256(b"meza-aes256-key" + id0).digest()
+        vsalt = hashlib.sha256(b"vs" + id0).digest()[:8]
+        ksalt = hashlib.sha256(b"ks" + id0).digest()[:8]
+        u_ent = _hash_2b(b"", vsalt, b"") + vsalt + ksalt
+        ue_ent = aes_cbc_encrypt(_hash_2b(b"", ksalt, b""),
+                                 b"\x00" * 16, key)
+        ovs = hashlib.sha256(b"ovs" + id0).digest()[:8]
+        oks = hashlib.sha256(b"oks" + id0).digest()[:8]
+        o_ent = _hash_2b(owner_password, ovs, u_ent) + ovs + oks
+        oe_ent = aes_cbc_encrypt(_hash_2b(owner_password, oks, u_ent),
+                                 b"\x00" * 16, key)
+        perms = aes_ecb_encrypt(
+            key, struct.pack("<i", p_perms) + b"\xff\xff\xff\xffT"
+            + b"adbmeza")
+        enc_body = (b"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+                    b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >>"
+                    b" /StmF /StdCF /StrF /StdCF "
+                    b"/O (%s) /U (%s) /OE (%s) /UE (%s) /Perms (%s) "
+                    b"/P %d >>"
+                    % (_esc_literal(o_ent), _esc_literal(u_ent),
+                       _esc_literal(oe_ent), _esc_literal(ue_ent),
+                       _esc_literal(perms), p_perms))
+    elif encrypt is not None:
+        raise ValueError(f"unknown fixture encryption {encrypt!r}")
 
     def _enc_payload(num: int, data: bytes) -> bytes:
-        # RC4 preserves length, so /Length stays correct either way
-        return _rc4(_obj_key(key, num, 0), data) if key else data
+        if key is None:
+            return data
+        if cfm == "rc4":
+            # RC4 preserves length, so /Length stays correct either way
+            return _rc4(_obj_key(key, num, 0), data)
+        import hashlib
+
+        from meza_spark.llm.aes import aes_cbc_encrypt, pkcs7_pad
+
+        okey = _obj_key(key, num, 0, aes=True) if cfm == "aesv2" else key
+        # deterministic per-object IV — fixtures need reproducibility,
+        # not confidentiality
+        iv = hashlib.md5(b"meza-pdf-iv" + num.to_bytes(4, "big")).digest()
+        return iv + aes_cbc_encrypt(okey, iv, pkcs7_pad(data))
 
     objs: dict[int, bytes] = {}          # num → serialized body
     in_objstm: list[int] = []            # nums packed into the ObjStm
@@ -1667,7 +1812,7 @@ def encode_pdf(pages, *, stream_filter: str = "none",
         # strings inside an object stream are NOT separately
         # encrypted (the whole ObjStm payload is) — ISO 32000-1 §7.5.7
         if key is not None and not use_objstm:
-            raw = _rc4(_obj_key(key, num_info, 0), raw)
+            raw = _enc_payload(num_info, raw)
         return _esc_literal(raw)
 
     info = b"<< /Producer (%s)" % _info_str(producer)
@@ -1864,8 +2009,11 @@ def _std_file_key(enc: dict, id0: bytes, password: bytes = b"") -> bytes:
     if len(o) < 32:
         raise ValueError("bad PDF /Encrypt /O entry")
     p = _as_int(enc.get("P", 0), "/Encrypt /P") & 0xFFFFFFFF
+    extra = b""
+    if r >= 4 and enc.get("EncryptMetadata") is False:
+        extra = b"\xff\xff\xff\xff"                  # §7.6.3.3 step f
     h = hashlib.md5((password + _PAD)[:32] + o
-                    + struct.pack("<I", p) + id0).digest()
+                    + struct.pack("<I", p) + id0 + extra).digest()
     if r >= 3:
         for _ in range(50):
             h = hashlib.md5(h[:n]).digest()
@@ -1890,26 +2038,61 @@ def _std_user_check(enc: dict, id0: bytes, key: bytes) -> bool:
     return x[:16] == u[:16]
 
 
-def _obj_key(key: bytes, num: int, gen: int) -> bytes:
-    """Algorithm 1: per-object RC4 key. Object/generation numbers
-    beyond their spec widths (24/16 bits) are hostile — skippable
-    ValueError, not OverflowError (review find, r9)."""
+def _obj_key(key: bytes, num: int, gen: int, aes: bool = False) -> bytes:
+    """Algorithm 1: per-object key. Object/generation numbers beyond
+    their spec widths (24/16 bits) are hostile — skippable
+    ValueError, not OverflowError (review find, r9). AESV2 appends
+    the spec's 4-byte 'sAlT' marker to the MD5 input."""
     import hashlib
 
     if not (0 <= num < (1 << 24) and 0 <= gen <= 0xFFFF):
         raise ValueError("PDF object/generation number out of range")
     return hashlib.md5(key + num.to_bytes(3, "little")
-                       + gen.to_bytes(2, "little")).digest()[
+                       + gen.to_bytes(2, "little")
+                       + (b"sAlT" if aes else b"")).digest()[
                            :min(len(key) + 5, 16)]
 
 
-def _decrypt_obj(obj, okey: bytes):
-    """Recursively RC4-decrypt every string in a loaded object
-    (streams handle their raw bytes separately)."""
+def _aes_payload_decrypt(okey: bytes, data: bytes) -> bytes:
+    """AESV2/AESV3 payload: 16-byte IV prefix + CBC ciphertext +
+    PKCS#7 padding (ISO 32000-1 §7.6.2). Anything shorter than
+    IV+one block, or misaligned, is hostile → skippable ValueError."""
+    from meza_spark.llm.aes import aes_cbc_decrypt, pkcs7_unpad
+
+    if not data:
+        return b""
+    if len(data) < 32 or len(data) % 16:
+        raise ValueError("bad PDF AES-CBC payload length")
+    return pkcs7_unpad(aes_cbc_decrypt(okey, data[:16], data[16:]))
+
+
+def _hash_2b(pwd: bytes, salt: bytes, udata: bytes) -> bytes:
+    """ISO 32000-2 §7.6.4.3.4 algorithm 2.B — the R6 password hash:
+    an SHA-256/384/512 chain keyed by an AES-128-CBC round, at least
+    64 rounds, data-dependent stop."""
+    import hashlib
+
+    from meza_spark.llm.aes import aes_cbc_encrypt
+
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    rnd = 0
+    while True:
+        k1 = (pwd + k + udata) * 64
+        e = aes_cbc_encrypt(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384,
+             hashlib.sha512)[sum(e[:16]) % 3](e).digest()
+        rnd += 1
+        if rnd >= 64 and e[-1] <= rnd - 32:
+            return k[:32]
+
+
+def _decrypt_obj(obj, dec):
+    """Recursively decrypt every string in a loaded object with the
+    per-object cipher (streams handle their raw bytes separately)."""
     if isinstance(obj, bytes):
-        return _rc4(okey, obj)
+        return dec(obj)
     if isinstance(obj, list):
-        return [_decrypt_obj(v, okey) for v in obj]
+        return [_decrypt_obj(v, dec) for v in obj]
     if isinstance(obj, dict):
-        return {k: _decrypt_obj(v, okey) for k, v in obj.items()}
+        return {k: _decrypt_obj(v, dec) for k, v in obj.items()}
     return obj

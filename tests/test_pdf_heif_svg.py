@@ -414,9 +414,12 @@ def test_real_user_password_is_rejected():
         extract_pdf_bytes(bad)
 
 
-def test_aes_and_exotic_handlers_stay_gated():
+def test_exotic_handlers_stay_gated():
+    """V/R combos outside the supported set and non-Standard
+    handlers stay honest gates (AES V4/V5 are now SUPPORTED — see
+    the AES suite below)."""
     b = encode_pdf(["x"], encrypt="rc4-128")
-    for old, new, msg in ((b"/V 2", b"/V 4", "only RC4"),
+    for old, new, msg in ((b"/V 2", b"/V 3", "unsupported"),
                           (b"/Filter /Standard /V 2",
                            b"/Filter /MyCrypt /V 2", "non-Standard")):
         bad = b.replace(old, new, 1)
@@ -429,6 +432,137 @@ def test_rc4_known_vector():
     assert P._rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
     # involution: decrypt == encrypt
     assert P._rc4(b"Key", P._rc4(b"Key", b"data 123")) == b"data 123"
+
+
+# ------------------------------------------------- AES (V4/V5) encryption
+
+def test_aes_block_cipher_fips197_vectors():
+    """The pure-stdlib AES core against the FIPS-197 appendix-C
+    vectors (all three key sizes) and an SP 800-38A CBC vector."""
+    from meza_spark.llm import aes as A
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    for klen, exp in ((16, "69c4e0d86a7b0430d8cdb78070b4c55a"),
+                      (24, "dda97ca4864cdfe06eaf70a0ec0d7191"),
+                      (32, "8ea2b7ca516745bfeafc49904b496089")):
+        key = bytes(range(klen))
+        ct = A.aes_ecb_encrypt(key, pt)
+        assert ct.hex() == exp
+        assert A.aes_ecb_decrypt(key, ct) == pt
+    key = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    iv = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    block = bytes.fromhex("6bc1bee22e409f96e93d7e117393172a")
+    ct = A.aes_cbc_encrypt(key, iv, block)
+    assert ct.hex() == "7649abac8119b246cee98e9b12e9197d"
+    assert A.aes_cbc_decrypt(key, iv, ct) == block
+
+
+def test_aes_padding_and_alignment_guards():
+    from meza_spark.llm import aes as A
+
+    assert A.pkcs7_unpad(A.pkcs7_pad(b"")) == b""
+    assert A.pkcs7_unpad(A.pkcs7_pad(b"x" * 16)) == b"x" * 16
+    with pytest.raises(ValueError, match="padding"):
+        A.pkcs7_unpad(b"\x00" * 16)
+    with pytest.raises(ValueError, match="length"):
+        A.pkcs7_unpad(b"abc")
+    with pytest.raises(ValueError, match="aligned"):
+        A.aes_cbc_decrypt(b"k" * 16, b"i" * 16, b"short")
+    with pytest.raises(ValueError, match="key"):
+        A.aes_ecb_encrypt(b"k" * 7, b"b" * 16)
+
+
+@pytest.mark.parametrize("kw", [
+    {"encrypt": "aesv2"},
+    {"encrypt": "aesv2", "stream_filter": "flate"},
+    {"encrypt": "aesv2", "stream_filter": "flate", "xref_stream": True},
+    {"encrypt": "aesv2", "stream_filter": "flate", "xref_stream": True,
+     "use_objstm": True},
+    {"encrypt": "aesv2", "font": "tounicode"},
+    {"encrypt": "aesv2", "font": "differences", "kern": True},
+    {"encrypt": "aes256"},
+    {"encrypt": "aes256", "stream_filter": "flate"},
+    {"encrypt": "aes256", "stream_filter": "flate", "xref_stream": True},
+    {"encrypt": "aes256", "stream_filter": "flate", "xref_stream": True,
+     "use_objstm": True},
+    {"encrypt": "aes256", "font": "tounicode"},
+    {"encrypt": "aes256", "stream_filter": "a85", "kern": True},
+])
+def test_aes_standard_security_roundtrip(kw):
+    """AESV2 (V4 crypt filters, AES-128-CBC) and AESV3 (V5 R6,
+    AES-256 with the SHA-2 hash chain) decrypt transparently under
+    the empty user password — streams post-filter, Info strings,
+    IV-prefixed CBC payloads, PKCS#7 padding."""
+    b = encode_pdf([PAGE1, PAGE2], title="Ti", **kw)
+    assert b"/Encrypt" in b
+    assert PAGE1.encode("latin-1") not in b
+    r = extract_pdf_bytes(b)
+    assert r["text"] == PAGE1 + "\n" + PAGE2
+    assert r["title"] == "Ti"
+    assert r["producer"] == "meza_spark"
+
+
+@pytest.mark.parametrize("enc", ["aesv2", "aes256"])
+def test_aes_real_user_password_is_rejected(enc):
+    import re
+
+    b = encode_pdf(["secret"], encrypt=enc)
+    m = re.search(rb"/U \(", b)
+    pos = m.end() + 2
+    bad = b[:pos] + bytes([b[pos] ^ 0xFF]) + b[pos + 1:]
+    with pytest.raises(ValueError,
+                       match="password-protected|bad PDF"):
+        extract_pdf_bytes(bad)
+
+
+def test_aes256_perms_tamper_detected():
+    b = encode_pdf(["secret"], encrypt="aes256")
+    import re
+
+    m = re.search(rb"/Perms \(", b)
+    pos = m.end() + 2
+    bad = b[:pos] + bytes([b[pos] ^ 0xFF]) + b[pos + 1:]
+    with pytest.raises(ValueError, match="Perms|bad PDF"):
+        extract_pdf_bytes(bad)
+
+
+def test_v4_split_or_unknown_crypt_filters_stay_gated():
+    b = encode_pdf(["x"], encrypt="aesv2")
+    bad = b.replace(b"/StmF /StdCF /StrF /StdCF",
+                    b"/StmF /StdCF /StrF /Identity", 1)
+    with pytest.raises(ValueError, match="split"):
+        extract_pdf_bytes(bad)
+    bad = b.replace(b"/CFM /AESV2", b"/CFM /None", 1)
+    with pytest.raises(ValueError, match="unsupported /CFM"):
+        extract_pdf_bytes(bad)
+
+
+def test_aes_payload_decrypt_hostile_shapes():
+    with pytest.raises(ValueError, match="length"):
+        P._aes_payload_decrypt(b"k" * 16, b"\x01" * 16)   # IV, no block
+    with pytest.raises(ValueError, match="length"):
+        P._aes_payload_decrypt(b"k" * 16, b"\x01" * 33)   # misaligned
+    assert P._aes_payload_decrypt(b"k" * 16, b"") == b""  # empty string
+
+
+def test_hash_2b_determinism_pin():
+    """Algorithm 2.B regression pin: the hash is deterministic and
+    at least 64 rounds deep; a table or chain regression moves it."""
+    h = P._hash_2b(b"", b"saltsalt", b"")
+    assert len(h) == 32
+    assert h == P._hash_2b(b"", b"saltsalt", b"")
+    assert h != P._hash_2b(b"", b"SALTSALT", b"")
+    assert h != P._hash_2b(b"x", b"saltsalt", b"")
+
+
+def test_r4_encryptmetadata_false_changes_the_key():
+    """§7.6.3.3 step f: /EncryptMetadata false appends 0xFFFFFFFF to
+    the MD5 input for R4+ — the derived key must differ."""
+    enc = {"R": 4, "Length": 128, "O": b"o" * 32, "P": -44}
+    k1 = P._std_file_key(enc, b"id0")
+    k2 = P._std_file_key({**enc, "EncryptMetadata": False}, b"id0")
+    k3 = P._std_file_key({**enc, "EncryptMetadata": True}, b"id0")
+    assert k1 == k3 and k1 != k2
 
 
 # ----------------------------------------------- r9 review regressions
