@@ -2782,6 +2782,60 @@ def pdf_extract(spark, sf_dir):
     return spread(docs).mapInPandas(run, schema=schema).orderBy("doc_id")
 
 
+def office_extract(spark, sf_dir):
+    """Zip-document text-extraction driver gate (round 9, beyond the
+    PDF task): per document, build the container whose body text IS
+    the document text — the (doc_id//10)%4 cycle walks DOCX
+    (WordprocessingML w:p/w:t), PPTX (slideN.xml a:p/a:t in numeric
+    spine order), ODT (OpenDocument text:p) and EPUB (OCF container →
+    OPF spine → XHTML) — then extract it back with the full parser
+    (meza_spark/llm/office.py) in the same Arrow batch. Every variant
+    splits the text at n_chars//2 into two parts, so the expected
+    extraction is substr(text,1,h) || sep || substr(text,h+1) with
+    sep = chr(10) for paragraph formats (docx/odt) and
+    chr(10)||chr(10) for multi-part formats (pptx slides / epub
+    chapters); the DuckDB oracle recomputes the sha256 directly.
+    Titles exercise docProps/core.xml, meta.xml and the OPF
+    dc:title. Row-local, zero shuffle; doc_id<5000 keeps the gate
+    O(1)-per-executor at any SF."""
+    import pandas as pd
+
+    from meza_spark.llm.office import (encode_docx, encode_epub,
+                                       encode_odt, encode_pptx,
+                                       extract_office_bytes)
+
+    schema = ("doc_id long, format string, n_parts int, title string, "
+              "n_chars_out int, text_sha string")
+
+    def run(batches):
+        import hashlib
+
+        enc = {0: encode_docx, 1: encode_pptx, 2: encode_odt,
+               3: encode_epub}
+        for pdf_b in batches:
+            rows = []
+            for i, text in zip(pdf_b["doc_id"], pdf_b["text"]):
+                v = (int(i) // 10) % 4
+                half = len(text) // 2
+                b = enc[v]([text[:half], text[half:]],
+                           title="Doc %d" % int(i))
+                r = extract_office_bytes(b)
+                rows.append((int(i), r["format"], r["n_parts"],
+                             r["title"], len(r["text"]),
+                             hashlib.sha256(
+                                 r["text"].encode("utf-8")).hexdigest()))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "format", "n_parts", "title", "n_chars_out",
+                "text_sha"])
+
+    from meza_spark.util import spread
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where((F.col("doc_id") % 10 == 6) & (F.col("doc_id") < 5000))
+            .select("doc_id", "text"))
+    return spread(docs).mapInPandas(run, schema=schema).orderBy("doc_id")
+
+
 def html_extract(spark, sf_dir):
     """Boilerplate-removing HTML→text extraction (llm/htmltext.py,
     jusText-lite): wrap each document in a synthetic page (title +
@@ -4887,6 +4941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_flac": multimodal_flac,
         "media_dir_roundtrip": media_dir_roundtrip,
         "pdf_extract": pdf_extract,
+        "office_extract": office_extract,
         "stream_tumble_static": stream_tumble_static,
         "stream_session_static": stream_session_static,
         "join_asof": join_asof,
@@ -6093,6 +6148,30 @@ def _oracle_sql_base() -> dict[str, str]:
                         ELSE sha256(text) END AS text_sha
             FROM documents
             WHERE doc_id % 10 = 4 AND doc_id < 5000
+            ORDER BY doc_id
+        """,
+        # office_extract: the container body text IS the document text
+        # (two parts split at n_chars//2, re-joined with chr(10) for
+        # paragraph formats and a blank line for slide/chapter
+        # formats), so the oracle recomputes every column — including
+        # the extracted-text sha256 — from `documents` alone. This
+        # gates the zip budget walk, member XML parses, spine
+        # ordering, and title plumbing end to end at every SF.
+        "office_extract": """
+            SELECT doc_id,
+                   CASE (doc_id // 10) % 4 WHEN 0 THEN 'docx'
+                        WHEN 1 THEN 'pptx' WHEN 2 THEN 'odt'
+                        ELSE 'epub' END AS format,
+                   CAST(2 AS INTEGER) AS n_parts,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+                   CAST(n_chars + CASE WHEN (doc_id // 10) % 4 IN (1, 3)
+                        THEN 2 ELSE 1 END AS INTEGER) AS n_chars_out,
+                   sha256(substr(text, 1, n_chars // 2)
+                          || CASE WHEN (doc_id // 10) % 4 IN (1, 3)
+                             THEN chr(10) || chr(10) ELSE chr(10) END
+                          || substr(text, n_chars // 2 + 1)) AS text_sha
+            FROM documents
+            WHERE doc_id % 10 = 6 AND doc_id < 5000
             ORDER BY doc_id
         """,
         # The synthesized BMP's pixel bytes follow (doc_id*7 + j*11) %

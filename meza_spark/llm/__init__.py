@@ -32,6 +32,8 @@ from .dsir import (dsir_sample, dsir_weights, fit_log_ratios,
 from .htmltext import extract_page, extract_text
 from .mixing import fit_domain_weights, mixture_sample
 from .pca import pca_fit, pca_project
+from .office import (encode_docx, encode_epub, encode_odt, encode_pptx,
+                     extract_office_bytes, office_text, sniff_zip_doc)
 from .pdf import encode_pdf, extract_pdf_bytes, pdf_text
 from .sampling import budget_sample
 from .text import (

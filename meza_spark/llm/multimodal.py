@@ -138,6 +138,10 @@ def _sniff_format(b: bytes) -> str:
         return "mp3"
     if b[:4] == b"OggS":
         return "ogg"
+    if b[:4] == b"PK\x03\x04":
+        return "zip"                 # docx/pptx/odt/epub refinement
+        #                              is a member walk (office.py's
+        #                              sniff_zip_doc), not a magic
     if b[:4] == b"\x1aE\xdf\xa3":
         return "ebml"                # mkv-vs-webm split is a header
         #                              parse (DocType), not a sniff
@@ -206,6 +210,12 @@ def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             .when(F.substring(p, 1, 4).cast("string") == "fLaC", "flac")
             .when(F.substring(p, 1, 3).cast("string") == "ID3", "mp3")
             .when(F.substring(p, 1, 4).cast("string") == "OggS", "ogg")
+            # ZIP local-file magic (docx/pptx/odt/epub live inside;
+            # the flavor split is a member walk — office.py — not a
+            # sniff). chr(3)/chr(4) can't open ASCII text, so the
+            # replaying DuckDB twins need no branch (same
+            # char-vs-byte caveat as EBML at multimodal_meta).
+            .when(F.hex(F.substring(p, 1, 4)) == "504B0304", "zip")
             # EBML (Matroska/WebM): the JVM side reports the container
             # family; the finer mkv-vs-webm DocType split needs the
             # Python-side EBML walk (_sniff_ebml). 0x1A can't open

@@ -3028,6 +3028,9 @@ def test_sniffer_lockstep_over_every_container(spark):
     payloads["avif"] = b"\x00\x00\x00\x18ftypavif\x00\x00\x00\x00avif"
     payloads["heic"] = b"\x00\x00\x00\x18ftypheic\x00\x00\x00\x00heic"
     payloads["heif"] = b"\x00\x00\x00\x18ftypmif1\x00\x00\x00\x00mif1"
+    from meza_spark.llm.office import encode_docx
+    payloads["zip"] = encode_docx(["lockstep"])       # real PK\x03\x04
+    payloads["pk_text"] = b"PK archive (not zip magic)"
     payloads["short"] = b"\xff\xfb"        # sub-3-byte: both unknown
     rows = [(i, bytearray(p))
             for i, p in enumerate(payloads.values())]
@@ -3055,7 +3058,8 @@ def test_media_sniff_twin_parity_on_adversarial_prefixes(spark, tmp_path):
              "RIFFxxxxWEBP too", "fLaC stream", "ID3 tagged", "ID2 not",
              "OggS page here", "%PDF-1.7 fake doc", "%PDF no dash",
              "<svg width='1'/>", "<?xml version='1.0'?><svg/>",
-             "<?xml version='1.0'?><rss/>", "xxxxftypavifxxxx",
+             "<?xml version='1.0'?><rss/>", "PK text is not zip magic",
+             "xxxxftypavifxxxx",
              "xxxxftypheicxxxx", "xxxxftypmif1xxxx", "xxxxftypheixwrong"]
     rows = [(i, t) for i, t in enumerate(texts)]
     df = spark.createDataFrame(rows, "doc_id long, text string")

@@ -91,7 +91,9 @@ DEFAULT_QUERIES = [
     "multimodal_flac",
     "media_dir_roundtrip",
     # round-9: PDF pipeline + the widened avif/heic/svg headers cycle
+    # + the zip-document (docx/pptx/odt/epub) pipeline
     "pdf_extract",
+    "office_extract",
     "multimodal_headers",
 ]
 
