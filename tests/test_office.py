@@ -330,6 +330,39 @@ def test_office_text_spark(spark):
 
 # --------------------------------------------------------- real-file pins
 
+_DOCUTILS_ODT = ("/root/.pyenv/versions/3.11.7/lib/python3.11/"
+                 "site-packages/docutils/writers/odf_odt/styles.odt")
+
+
+def test_real_libreoffice_odt_pin():
+    """The one real Office document this image ships: docutils'
+    styles.odt — produced by a REAL LibreOffice (full OCF layout:
+    manifest.rdf, styles.xml, Thumbnails, Configurations2). Pins the
+    extraction against the file's actual structure, cross-validating
+    the member walk against an independent producer the way the JDK
+    suite does for the image codecs."""
+    import hashlib
+    import os
+
+    if not os.path.exists(_DOCUTILS_ODT):
+        pytest.skip("docutils styles.odt not on this image")
+    with open(_DOCUTILS_ODT, "rb") as f:
+        b = f.read()
+    assert sniff_zip_doc(b) == "odt"
+    r = extract_office_bytes(b)
+    assert r["format"] == "odt"
+    assert r["n_parts"] == 25
+    assert r["text"].startswith(
+        "Table style 0 (rststyle-table-0)")
+    assert "Do not change the name of this table" in r["text"]
+    assert hashlib.sha256(r["text"].encode()).hexdigest() == (
+        _DOCUTILS_ODT_SHA)
+
+
+_DOCUTILS_ODT_SHA = (
+    "d0f053a5f4e4afa27bfeb2f51709d0dde91a6f065f3583a42edd172b789d0fe9")
+
+
 def test_real_system_documents_if_any():
     """Opportunistic: extract every .docx/.odt/.epub the container OS
     ships (none is guaranteed); assert non-empty text, no crash."""

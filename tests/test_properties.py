@@ -1161,3 +1161,56 @@ def test_pdf_codec_roundtrip_property(data):
     want = "\n".join(p.strip("\n") for p in pages)
     assert r["n_pages"] == n_pages
     assert r["text"] == want
+
+
+@given(data=st.data())
+@settings(max_examples=12, deadline=None)
+def test_pdf_encryption_roundtrip_property(data):
+    """Property (r9): the PDF codec contract holds under every
+    standard-security flavor — RC4-40/128, AESV2 (V4 crypt filters)
+    and AES-256 (V5 R6). Few examples: the R6 hash chain is
+    spec-mandated ~0.25 s per call and each document derives six."""
+    from meza_spark.llm.pdf import encode_pdf, extract_pdf_bytes
+
+    enc = data.draw(st.sampled_from(
+        ["rc4-40", "rc4-128", "aesv2", "aes256"]), label="encrypt")
+    text = data.draw(st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        min_size=1, max_size=120), label="text")
+    flt = data.draw(st.sampled_from(["none", "flate"]), label="filter")
+    xs = data.draw(st.booleans(), label="xref_stream")
+    objstm = xs and data.draw(st.booleans(), label="objstm")
+    b = encode_pdf([text], stream_filter=flt, xref_stream=xs,
+                   use_objstm=objstm, encrypt=enc, title="t")
+    r = extract_pdf_bytes(b)
+    assert r["text"] == text.strip("\n")
+    assert r["title"] == "t"
+
+
+@given(data=st.data())
+@settings(**_SETTINGS)
+def test_office_codec_roundtrip_property(data):
+    """Property (r9): any list of non-empty printable-ASCII line
+    blocks round-trips exactly through every zip-document fixture
+    encoder (docx / pptx / odt / epub) — paragraph formats join
+    parts with a newline, slide/chapter formats with a blank line."""
+    from meza_spark.llm.office import (encode_docx, encode_epub,
+                                       encode_odt, encode_pptx,
+                                       extract_office_bytes)
+
+    fmt = data.draw(st.sampled_from(
+        ["docx", "pptx", "odt", "epub"]), label="format")
+    line = st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        min_size=1, max_size=50)
+    parts = data.draw(st.lists(
+        st.lists(line, min_size=1, max_size=3).map("\n".join),
+        min_size=1, max_size=3), label="parts")
+    enc = {"docx": encode_docx, "pptx": encode_pptx,
+           "odt": encode_odt, "epub": encode_epub}[fmt]
+    sep = "\n" if fmt in ("docx", "odt") else "\n\n"
+    r = extract_office_bytes(enc(parts, title="T"))
+    assert r["format"] == fmt
+    assert r["n_parts"] == len(parts)
+    assert r["title"] == "T"
+    assert r["text"] == sep.join(parts)
