@@ -2836,6 +2836,60 @@ def office_extract(spark, sf_dir):
     return spread(docs).mapInPandas(run, schema=schema).orderBy("doc_id")
 
 
+def rtf_extract(spark, sf_dir):
+    """RTF text-extraction driver gate (round 9): per document,
+    spec-build an RTF whose body IS the document text — the
+    (doc_id//10)%5 cycle forces the decoder paths: plain body, a
+    two-paragraph \\par split at n_chars//2, an {\\info{\\title}}
+    destination, a 'café — ' prefix (\\'hh code-page escapes plus a
+    \\uN?-with-fallback unicode emdash), and a \\tab split — then
+    extract it back (meza_spark/llm/rtf.py) in the same Arrow batch.
+    The fonttbl/colortbl destinations are present in EVERY fixture,
+    so the skip machinery is always live. The DuckDB oracle
+    recomputes the sha256 from `documents` alone. Row-local, zero
+    shuffle; doc_id<5000 keeps it O(1)-per-executor at any SF."""
+    import pandas as pd
+
+    from meza_spark.llm.rtf import encode_rtf, extract_rtf_bytes
+
+    schema = ("doc_id long, title string, n_chars_out int, "
+              "text_sha string")
+
+    def run(batches):
+        import hashlib
+
+        for pdf_b in batches:
+            rows = []
+            for i, text in zip(pdf_b["doc_id"], pdf_b["text"]):
+                v = (int(i) // 10) % 5
+                half = len(text) // 2
+                title = None
+                if v == 0:
+                    paras = [text]
+                elif v == 1:
+                    paras = [text[:half], text[half:]]
+                elif v == 2:
+                    title = "Doc %d" % int(i)
+                    paras = [text]
+                elif v == 3:
+                    paras = ["café — " + text]
+                else:
+                    paras = [text[:half] + "\t" + text[half:]]
+                r = extract_rtf_bytes(encode_rtf(paras, title=title))
+                rows.append((int(i), r["title"], len(r["text"]),
+                             hashlib.sha256(
+                                 r["text"].encode("utf-8")).hexdigest()))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "title", "n_chars_out", "text_sha"])
+
+    from meza_spark.util import spread
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where((F.col("doc_id") % 10 == 2) & (F.col("doc_id") < 5000))
+            .select("doc_id", "text"))
+    return spread(docs).mapInPandas(run, schema=schema).orderBy("doc_id")
+
+
 def html_extract(spark, sf_dir):
     """Boilerplate-removing HTML→text extraction (llm/htmltext.py,
     jusText-lite): wrap each document in a synthetic page (title +
@@ -4942,6 +4996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dir_roundtrip": media_dir_roundtrip,
         "pdf_extract": pdf_extract,
         "office_extract": office_extract,
+        "rtf_extract": rtf_extract,
         "stream_tumble_static": stream_tumble_static,
         "stream_session_static": stream_session_static,
         "join_asof": join_asof,
@@ -5382,6 +5437,8 @@ _SNIFF_WHENS = """
                      WHEN substr(text, 1, 2) IN ('P5', 'P6')
                        THEN 'netpbm'
                      WHEN substr(text, 1, 5) = '%PDF-' THEN 'pdf'
+                     WHEN substr(text, 1, 5) = '{' || chr(92) || 'rtf'
+                       THEN 'rtf'
                      WHEN substr(text, 1, 4) = '<svg'
                        OR ((substr(text, 1, 5) = '<?xml'
                             OR substr(text, 1, 4) = '<!--'
@@ -6172,6 +6229,32 @@ def _oracle_sql_base() -> dict[str, str]:
                           || substr(text, n_chars // 2 + 1)) AS text_sha
             FROM documents
             WHERE doc_id % 10 = 6 AND doc_id < 5000
+            ORDER BY doc_id
+        """,
+        # rtf_extract: the RTF body IS the document text under five
+        # variants (plain / \par split / titled / a 'café — ' prefix
+        # exercising \'hh + \uN? escapes / \tab split); the oracle
+        # recomputes the sha256 from `documents` alone. The prefix
+        # literal below is UTF-8 in both engines.
+        "rtf_extract": """
+            SELECT doc_id,
+                   CASE WHEN (doc_id // 10) % 5 = 2
+                        THEN 'Doc ' || CAST(doc_id AS VARCHAR)
+                        END AS title,
+                   CAST(n_chars + CASE (doc_id // 10) % 5
+                        WHEN 1 THEN 1 WHEN 3 THEN 7 WHEN 4 THEN 1
+                        ELSE 0 END AS INTEGER) AS n_chars_out,
+                   sha256(CASE (doc_id // 10) % 5
+                          WHEN 1 THEN substr(text, 1, n_chars // 2)
+                               || chr(10)
+                               || substr(text, n_chars // 2 + 1)
+                          WHEN 3 THEN 'café — ' || text
+                          WHEN 4 THEN substr(text, 1, n_chars // 2)
+                               || chr(9)
+                               || substr(text, n_chars // 2 + 1)
+                          ELSE text END) AS text_sha
+            FROM documents
+            WHERE doc_id % 10 = 2 AND doc_id < 5000
             ORDER BY doc_id
         """,
         # The synthesized BMP's pixel bytes follow (doc_id*7 + j*11) %

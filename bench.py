@@ -140,6 +140,7 @@ HEADLINE = [
     "multimodal_flac",
     "pdf_extract",
     "office_extract",
+    "rtf_extract",
 ]
 
 # Self-adjudicating bench (r7 verdict #2). Three identical-code r7
@@ -239,9 +240,9 @@ SCALE_QUERIES = ["q1_pricing", "q3_shipping", "q5_local_supplier",
                  # the binaryFile media-directory scan (all row-local)
                  "multimodal_webp", "multimodal_webp_anim",
                  "multimodal_flac", "media_dir_roundtrip",
-                 # round-9: the PDF and zip-document (docx/pptx/odt/
-                 # epub) encode->extract pipelines
-                 "pdf_extract", "office_extract"]
+                 # round-9: the PDF, zip-document (docx/pptx/odt/
+                 # epub) and RTF encode->extract pipelines
+                 "pdf_extract", "office_extract", "rtf_extract"]
 
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

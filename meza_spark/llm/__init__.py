@@ -35,6 +35,7 @@ from .pca import pca_fit, pca_project
 from .office import (encode_docx, encode_epub, encode_odt, encode_pptx,
                      extract_office_bytes, office_text, sniff_zip_doc)
 from .pdf import encode_pdf, extract_pdf_bytes, pdf_text
+from .rtf import encode_rtf, extract_rtf_bytes, rtf_text
 from .sampling import budget_sample
 from .text import (
     chunk_documents, fingerprint, gopher_filter, lang_id,

@@ -112,6 +112,8 @@ def _sniff_format(b: bytes) -> str:
         return "netpbm"
     if b[:5] == b"%PDF-":
         return "pdf"
+    if b[:5] == b"{\\rtf":
+        return "rtf"
     if b[:4] == b"<svg" or (
             (b[:5] == b"<?xml" or b[:4] == b"<!--"
              or b[:13] == b"<!DOCTYPE svg")
@@ -186,6 +188,7 @@ def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             .when(F.substring(p, 1, 2).cast("string")
                   .isin("P5", "P6"), "netpbm")
             .when(F.substring(p, 1, 5).cast("string") == "%PDF-", "pdf")
+            .when(F.substring(p, 1, 5).cast("string") == "{\\rtf", "rtf")
             # SVG: bare <svg> root, or XML prolog / leading comment /
             # SVG doctype + <svg within the first 1 KiB (mirrors the
             # Python sniff window exactly)

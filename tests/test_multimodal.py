@@ -3031,6 +3031,9 @@ def test_sniffer_lockstep_over_every_container(spark):
     from meza_spark.llm.office import encode_docx
     payloads["zip"] = encode_docx(["lockstep"])       # real PK\x03\x04
     payloads["pk_text"] = b"PK archive (not zip magic)"
+    from meza_spark.llm.rtf import encode_rtf
+    payloads["rtf"] = encode_rtf(["lockstep rtf"])
+    payloads["rtf_text"] = b"{ \\rtf needs no space }"
     payloads["short"] = b"\xff\xfb"        # sub-3-byte: both unknown
     rows = [(i, bytearray(p))
             for i, p in enumerate(payloads.values())]
@@ -3059,6 +3062,7 @@ def test_media_sniff_twin_parity_on_adversarial_prefixes(spark, tmp_path):
              "OggS page here", "%PDF-1.7 fake doc", "%PDF no dash",
              "<svg width='1'/>", "<?xml version='1.0'?><svg/>",
              "<?xml version='1.0'?><rss/>", "PK text is not zip magic",
+             "{\\rtf1\\ansi fake rtf doc}", "{ \\rtf not at offset 1",
              "xxxxftypavifxxxx",
              "xxxxftypheicxxxx", "xxxxftypmif1xxxx", "xxxxftypheixwrong"]
     rows = [(i, t) for i, t in enumerate(texts)]

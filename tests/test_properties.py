@@ -1214,3 +1214,28 @@ def test_office_codec_roundtrip_property(data):
     assert r["n_parts"] == len(parts)
     assert r["title"] == "T"
     assert r["text"] == sep.join(parts)
+
+
+@given(data=st.data())
+@settings(**_SETTINGS)
+def test_rtf_codec_roundtrip_property(data):
+    """Property (r9): any paragraph list — printable ASCII, latin-1,
+    BMP and astral unicode, tabs, embedded newlines, brace/backslash
+    metachars — round-trips exactly through the RTF fixture encoder
+    (\\'hh + \\uN? escapes, \\line/\\tab controls, \\par joins)."""
+    from meza_spark.llm.rtf import encode_rtf, extract_rtf_bytes
+
+    line = st.text(
+        alphabet=st.one_of(
+            st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+            st.characters(min_codepoint=0xA0, max_codepoint=0x2FFF),
+            st.sampled_from("\t{}\\€中😀")),
+        min_size=1, max_size=60)
+    paras = data.draw(st.lists(
+        st.lists(line, min_size=1, max_size=2).map("\n".join),
+        min_size=1, max_size=3), label="paras")
+    titled = data.draw(st.booleans(), label="titled")
+    r = extract_rtf_bytes(encode_rtf(
+        paras, title="T" if titled else None))
+    assert r["text"] == "\n".join(paras)
+    assert r["title"] == ("T" if titled else None)

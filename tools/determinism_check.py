@@ -94,6 +94,7 @@ DEFAULT_QUERIES = [
     # + the zip-document (docx/pptx/odt/epub) pipeline
     "pdf_extract",
     "office_extract",
+    "rtf_extract",
     "multimodal_headers",
 ]
 
