@@ -2890,6 +2890,83 @@ def rtf_extract(spark, sf_dir):
     return spread(docs).mapInPandas(run, schema=schema).orderBy("doc_id")
 
 
+def doc_extract_mixed(spark, sf_dir):
+    """Unified content-dispatch driver gate (round 9): a MIXED binary
+    column — the (doc_id//10)%10 cycle builds PDF, DOCX, PPTX, ODT,
+    EPUB, RTF, an HTML page, gzip-wrapped plain text, gzip-wrapped
+    RTF (transparent decompress-then-redispatch), and bare UTF-8
+    text — routed through ONE operator, document_text
+    (meza_spark/llm/doctext.py), which sniffs magic bytes and
+    dispatches to the right extraction tier. Every variant's body IS
+    the document text, so the DuckDB oracle recomputes format, title
+    and the text sha256 from `documents` alone (the HTML variant
+    whitespace-collapses with the html_extract class). Row-local,
+    zero shuffle; doc_id<5000 keeps it O(1)-per-executor at any SF."""
+    import pandas as pd
+
+    from meza_spark.llm.doctext import extract_document_bytes
+
+    schema = ("doc_id long, format string, title string, "
+              "n_chars_out int, text_sha string")
+
+    def run(batches):
+        import gzip
+        import hashlib
+
+        from meza_spark.llm.office import (encode_docx, encode_epub,
+                                           encode_odt, encode_pptx)
+        from meza_spark.llm.pdf import encode_pdf
+        from meza_spark.llm.rtf import encode_rtf
+
+        for pdf_b in batches:
+            rows = []
+            for i, text in zip(pdf_b["doc_id"], pdf_b["text"]):
+                i = int(i)
+                v = (i // 10) % 10
+                t = "Doc %d" % i
+                if v == 0:
+                    b = encode_pdf([text], stream_filter="flate",
+                                   title=t)
+                elif v == 1:
+                    b = encode_docx([text], title=t)
+                elif v == 2:
+                    b = encode_pptx([text], title=t)
+                elif v == 3:
+                    b = encode_odt([text], title=t)
+                elif v == 4:
+                    b = encode_epub([text], title=t)
+                elif v == 5:
+                    b = encode_rtf([text], title=t)
+                elif v == 6:
+                    esc = (text.replace("&", "&amp;")
+                           .replace("<", "&lt;").replace(">", "&gt;"))
+                    b = ("<html><head><title>%s</title></head>"
+                         "<body><p>%s</p></body></html>"
+                         % (t, esc)).encode("utf-8")
+                elif v == 7:
+                    b = gzip.compress(text.encode("utf-8"), mtime=0)
+                elif v == 8:
+                    b = gzip.compress(encode_rtf([text], title=t),
+                                      mtime=0)
+                else:
+                    b = text.encode("utf-8")
+                r = extract_document_bytes(b)
+                rows.append((i, r["format"], r["title"],
+                             len(r["text"]),
+                             hashlib.sha256(
+                                 r["text"].encode("utf-8")).hexdigest()))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "format", "title", "n_chars_out",
+                "text_sha"])
+
+    from meza_spark.util import spread
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where((F.col("doc_id") % 10 == 8) & (F.col("doc_id") < 5000))
+            .select("doc_id", "text"))
+    return spread(docs).mapInPandas(run, schema=schema).orderBy("doc_id")
+
+
 def html_extract(spark, sf_dir):
     """Boilerplate-removing HTML→text extraction (llm/htmltext.py,
     jusText-lite): wrap each document in a synthetic page (title +
@@ -4997,6 +5074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract": pdf_extract,
         "office_extract": office_extract,
         "rtf_extract": rtf_extract,
+        "doc_extract_mixed": doc_extract_mixed,
         "stream_tumble_static": stream_tumble_static,
         "stream_session_static": stream_session_static,
         "join_asof": join_asof,
@@ -6255,6 +6333,33 @@ def _oracle_sql_base() -> dict[str, str]:
                           ELSE text END) AS text_sha
             FROM documents
             WHERE doc_id % 10 = 2 AND doc_id < 5000
+            ORDER BY doc_id
+        """,
+        # doc_extract_mixed: every variant's body IS the document
+        # text, so the oracle recomputes format (the dispatch
+        # result), title and the sha256 per variant; the HTML arm
+        # whitespace-collapses with html_extract's class.
+        "doc_extract_mixed": """
+            WITH v AS (
+              SELECT doc_id, text, n_chars, (doc_id // 10) % 10 AS k,
+                     trim(regexp_replace(text,
+                          '[ \\t\\r\\n\\f\\v]+', ' ', 'g')) AS ctext
+              FROM documents
+              WHERE doc_id % 10 = 8 AND doc_id < 5000)
+            SELECT doc_id,
+                   CASE k WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+                        WHEN 2 THEN 'pptx' WHEN 3 THEN 'odt'
+                        WHEN 4 THEN 'epub' WHEN 5 THEN 'rtf'
+                        WHEN 6 THEN 'html' WHEN 7 THEN 'txt'
+                        WHEN 8 THEN 'rtf' ELSE 'txt' END AS format,
+                   CASE WHEN k IN (7, 9) THEN NULL
+                        ELSE 'Doc ' || CAST(doc_id AS VARCHAR)
+                        END AS title,
+                   CAST(CASE WHEN k = 6 THEN length(ctext)
+                        ELSE n_chars END AS INTEGER) AS n_chars_out,
+                   CASE WHEN k = 6 THEN sha256(ctext)
+                        ELSE sha256(text) END AS text_sha
+            FROM v
             ORDER BY doc_id
         """,
         # The synthesized BMP's pixel bytes follow (doc_id*7 + j*11) %

@@ -141,6 +141,7 @@ HEADLINE = [
     "pdf_extract",
     "office_extract",
     "rtf_extract",
+    "doc_extract_mixed",
 ]
 
 # Self-adjudicating bench (r7 verdict #2). Three identical-code r7
@@ -241,8 +242,9 @@ SCALE_QUERIES = ["q1_pricing", "q3_shipping", "q5_local_supplier",
                  "multimodal_webp", "multimodal_webp_anim",
                  "multimodal_flac", "media_dir_roundtrip",
                  # round-9: the PDF, zip-document (docx/pptx/odt/
-                 # epub) and RTF encode->extract pipelines
-                 "pdf_extract", "office_extract", "rtf_extract"]
+                 # epub), RTF and mixed-dispatch extract pipelines
+                 "pdf_extract", "office_extract", "rtf_extract",
+                 "doc_extract_mixed"]
 
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

@@ -34,6 +34,7 @@ from .mixing import fit_domain_weights, mixture_sample
 from .pca import pca_fit, pca_project
 from .office import (encode_docx, encode_epub, encode_odt, encode_pptx,
                      extract_office_bytes, office_text, sniff_zip_doc)
+from .doctext import document_text, extract_document_bytes
 from .pdf import encode_pdf, extract_pdf_bytes, pdf_text
 from .rtf import encode_rtf, extract_rtf_bytes, rtf_text
 from .sampling import budget_sample

@@ -1,0 +1,145 @@
+"""Unified document-to-text dispatch — ONE operator a crawl/curation
+pipeline points at a mixed binary column, routing each payload to the
+right extraction tier by magic bytes (never by extension):
+
+=============  ====================================================
+magic          route
+=============  ====================================================
+``%PDF-``      :mod:`meza_spark.llm.pdf` (xref/filters/charmaps)
+``{\\rtf``     :mod:`meza_spark.llm.rtf` (group-stack machine)
+``PK\\x03\\x04``  :mod:`meza_spark.llm.office` (docx/pptx/odt/epub)
+``\\x1f\\x8b``   gzip: budget-gated gunzip, then ONE re-dispatch
+               (covers .txt.gz / .html.gz / .rtf.gz crawl payloads)
+HTML-ish       :mod:`meza_spark.llm.htmltext` (boilerplate-removing
+               jusText-lite; fires on <html / <!doctype html)
+UTF-8 text     passed through verbatim (format 'txt')
+=============  ====================================================
+
+Anything else — image/audio containers, undecodable bytes — yields an
+``error`` row (route media through decode_image/decode_audio
+instead). Row-local ``mapInPandas``, zero shuffle: the whole content
+tier keeps the scale shape where 100 TB is executor-count-bound.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import re
+import zlib
+
+MAX_GZIP_IN = 256 * 1024 * 1024
+MAX_GZIP_OUT = 512 * 1024 * 1024
+
+_HTML_RE = re.compile(
+    rb"^\s*(?:<!doctype\s+html|<html[\s>])", re.I)
+
+
+def _gunzip_capped(b: bytes) -> bytes:
+    """Decompress one gzip stream with the output budget enforced
+    DURING inflation (a 40-byte bomb can declare terabytes)."""
+    if len(b) > MAX_GZIP_IN:
+        raise ValueError("gzip payload exceeds the byte budget")
+    try:
+        with gzip.GzipFile(fileobj=io.BytesIO(b)) as f:
+            out = f.read(MAX_GZIP_OUT + 1)
+    except (OSError, EOFError, zlib.error) as e:
+        raise ValueError(f"bad gzip stream: {e}") from None
+    if len(out) > MAX_GZIP_OUT:
+        raise ValueError("gzip stream exceeds the decompressed budget")
+    return out
+
+
+def extract_document_bytes(b: bytes, _depth: int = 0) -> dict:
+    """Dispatch one payload → {format, text, title, n_parts}.
+    Raises ValueError for non-document payloads (honest gate)."""
+    if not b:
+        raise ValueError("empty payload")
+    if b[:5] == b"%PDF-":
+        from meza_spark.llm.pdf import extract_pdf_bytes
+
+        r = extract_pdf_bytes(b)
+        return {"format": "pdf", "text": r["text"],
+                "title": r["title"], "n_parts": r["n_pages"]}
+    if b[:5] == b"{\\rtf":
+        from meza_spark.llm.rtf import extract_rtf_bytes
+
+        r = extract_rtf_bytes(b)
+        return {"format": "rtf", "text": r["text"],
+                "title": r["title"], "n_parts": r["n_groups"]}
+    if b[:4] == b"PK\x03\x04":
+        from meza_spark.llm.office import extract_office_bytes
+
+        return extract_office_bytes(b)     # format/text/title/n_parts
+    if b[:2] == b"\x1f\x8b":
+        if _depth:
+            raise ValueError("nested gzip payload — one layer only")
+        return extract_document_bytes(_gunzip_capped(b), _depth + 1)
+    if _HTML_RE.match(b[:256]):
+        from meza_spark.llm.htmltext import extract_page
+
+        title, text, kept, dropped = extract_page(
+            b.decode("utf-8", "replace"), min_words=1)
+        return {"format": "html", "text": text,
+                "title": title or None, "n_parts": kept}
+    # plain text: must BE text (strict utf-8), not arbitrary bytes
+    try:
+        text = b.decode("utf-8")
+    except UnicodeDecodeError:
+        raise ValueError(
+            "unrecognized payload — not a known document container "
+            "and not utf-8 text (route media via decode_image/"
+            "decode_audio)") from None
+    if "\x00" in text:
+        raise ValueError("NUL bytes — binary, not a text document")
+    return {"format": "txt", "text": text, "title": None,
+            "n_parts": text.count("\n") + 1}
+
+
+def document_text(df, payload_col: str = "payload",
+                  id_col: str = "media_id"):
+    """The one-stop content operator: sniff-dispatch every payload
+    of a mixed binary column to its extraction tier. Arrow-batched
+    ``mapInPandas``, row-local, zero shuffle; hostile payloads become
+    ``error`` rows, never failed stages."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (IntegerType, LongType, StringType,
+                                   StructField, StructType)
+
+    out_schema = StructType([
+        StructField(id_col, LongType()),
+        StructField("format", StringType()),
+        StructField("n_parts", IntegerType()),
+        StructField("title", StringType()),
+        StructField("text", StringType()),
+        StructField("n_chars", IntegerType()),
+        StructField("error", StringType()),
+    ])
+    names = [f.name for f in out_schema]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_b in batches:
+            rows = []
+            for mid, payload in zip(pdf_b[id_col], pdf_b[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    r = extract_document_bytes(bytes(payload))
+                    rows.append((mid, r["format"], r["n_parts"],
+                                 r["title"], r["text"],
+                                 len(r["text"]), None))
+                except ValueError as e:
+                    rows.append((mid, None, None, None, None, None,
+                                 str(e)[:200]))
+                except Exception as e:   # noqa: BLE001 — last line of
+                    # defense; typed escapes are fuzz-pinned bugs
+                    rows.append((mid, None, None, None, None, None,
+                                 f"{type(e).__name__}: {e}"[:200]))
+            yield pd.DataFrame(rows, columns=names)
+
+    from meza_spark.util import spread
+
+    return spread(df.select(id_col, payload_col)) \
+        .mapInPandas(run, schema=out_schema)

@@ -144,6 +144,8 @@ def _sniff_format(b: bytes) -> str:
         return "zip"                 # docx/pptx/odt/epub refinement
         #                              is a member walk (office.py's
         #                              sniff_zip_doc), not a magic
+    if b[:2] == b"\x1f\x8b":
+        return "gzip"                # doctext.py gunzips + re-sniffs
     if b[:4] == b"\x1aE\xdf\xa3":
         return "ebml"                # mkv-vs-webm split is a header
         #                              parse (DocType), not a sniff
@@ -219,6 +221,8 @@ def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             # replaying DuckDB twins need no branch (same
             # char-vs-byte caveat as EBML at multimodal_meta).
             .when(F.hex(F.substring(p, 1, 4)) == "504B0304", "zip")
+            # gzip: 0x1F can't open ASCII text — no twin branch needed
+            .when(F.hex(F.substring(p, 1, 2)) == "1F8B", "gzip")
             # EBML (Matroska/WebM): the JVM side reports the container
             # family; the finer mkv-vs-webm DocType split needs the
             # Python-side EBML walk (_sniff_ebml). 0x1A can't open

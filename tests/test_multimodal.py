@@ -3034,6 +3034,8 @@ def test_sniffer_lockstep_over_every_container(spark):
     from meza_spark.llm.rtf import encode_rtf
     payloads["rtf"] = encode_rtf(["lockstep rtf"])
     payloads["rtf_text"] = b"{ \\rtf needs no space }"
+    import gzip as _gz
+    payloads["gzip"] = _gz.compress(b"gzipped text", mtime=0)
     payloads["short"] = b"\xff\xfb"        # sub-3-byte: both unknown
     rows = [(i, bytearray(p))
             for i, p in enumerate(payloads.values())]

@@ -95,6 +95,7 @@ DEFAULT_QUERIES = [
     "pdf_extract",
     "office_extract",
     "rtf_extract",
+    "doc_extract_mixed",
     "multimodal_headers",
 ]
 
