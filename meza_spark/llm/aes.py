@@ -228,7 +228,9 @@ def _decrypt_block_words(ik, s0, s1, s2, s3):
     return o0, o1, o2, o3
 
 
-_W4 = __import__("struct").Struct(">4I")
+import struct as _struct
+
+_W4 = _struct.Struct(">4I")
 
 
 # -------------------------------------------------------------- modes

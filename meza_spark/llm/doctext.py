@@ -32,7 +32,8 @@ MAX_GZIP_IN = 256 * 1024 * 1024
 MAX_GZIP_OUT = 512 * 1024 * 1024
 
 _HTML_RE = re.compile(
-    rb"^\s*(?:<!doctype\s+html|<html[\s>])", re.I)
+    rb"^\s*(?:<\?xml[^>]{0,120}\?>\s*)?"     # XHTML prolog
+    rb"(?:<!doctype\s+html|<html[\s>])", re.I)
 
 
 def _gunzip_capped(b: bytes) -> bytes:

@@ -213,6 +213,9 @@ def extract_rtf_bytes(b: bytes) -> dict:
                 drop = min(pend_skip, len(seg))
                 pend_skip -= drop
                 seg = seg[drop:]
+            if seg:
+                pend_hi = None   # real text between surrogate halves:
+                #                  the high half was unpaired — drop it
             emit(seg)
             i = j
     text = "".join(out)
