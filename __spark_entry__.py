@@ -2836,6 +2836,67 @@ def office_extract(spark, sf_dir):
     return spread(docs).mapInPandas(run, schema=schema).orderBy("doc_id")
 
 
+def doc_dir_e2e(spark, sf_dir):
+    """On-disk mixed-document corpus END-TO-END (round 9): write a
+    directory of real FILES — (doc_id//10)%5 cycles .pdf (Flate),
+    .docx, .rtf, .txt.gz and .epub, each body = the document text —
+    then run the actual user path: `read_media` (binaryFile scan +
+    JVM magic sniff) → `document_text` (magic dispatch to the
+    pdf/office/rtf/gzip/text tiers). Gates the whole chain: on-disk
+    bytes, the binaryFile plumbing, BOTH sniffers' agreement (the
+    JVM column is emitted next to the dispatcher's format), and the
+    extraction itself, sha-checked by the DuckDB twin. The fixture
+    collect is bounded by doc_id<5000 (≤500 rows at any SF) like
+    media_dir_roundtrip's."""
+    import gzip
+    import os
+    import shutil
+
+    from meza_spark.io.readers import read_media
+    from meza_spark.llm.doctext import document_text
+    from meza_spark.llm.office import encode_docx, encode_epub
+    from meza_spark.llm.pdf import encode_pdf
+    from meza_spark.llm.rtf import encode_rtf
+
+    root = _rt_path(sf_dir, "docdir")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    rows = (_t(spark, sf_dir, "documents")
+            .where((F.col("doc_id") % 10 == 1) & (F.col("doc_id") < 5000))
+            .select("doc_id", "text").collect())
+    for r in rows:
+        i, text = int(r["doc_id"]), r["text"]
+        v = (i // 10) % 5
+        if v == 0:
+            name, b = f"{i}.pdf", encode_pdf([text],
+                                             stream_filter="flate")
+        elif v == 1:
+            name, b = f"{i}.docx", encode_docx([text])
+        elif v == 2:
+            name, b = f"{i}.rtf", encode_rtf([text])
+        elif v == 3:
+            name, b = f"{i}.txt.gz", gzip.compress(
+                text.encode("utf-8"), mtime=0)
+        else:
+            name, b = f"{i}.epub", encode_epub([text])
+        with open(os.path.join(root, name), "wb") as f:
+            f.write(b)
+
+    media = (read_media(spark, root)
+             .withColumn("doc_id", F.regexp_extract(
+                 "path", r"/(\d+)\.", 1).cast("long"))
+             .select("doc_id", F.col("format").alias("sniff"),
+                     "payload"))
+    ext = document_text(media.select(
+        F.col("doc_id").alias("media_id"), "payload"))
+    return (media.join(ext, media["doc_id"] == ext["media_id"])
+            .select("doc_id", "sniff", "format",
+                    F.col("n_chars").cast("int").alias("n_chars_out"),
+                    F.sha2(F.encode("text", "UTF-8"), 256)
+                     .alias("text_sha"))
+            .orderBy("doc_id"))
+
+
 def rtf_extract(spark, sf_dir):
     """RTF text-extraction driver gate (round 9): per document,
     spec-build an RTF whose body IS the document text — the
@@ -5075,6 +5136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "office_extract": office_extract,
         "rtf_extract": rtf_extract,
         "doc_extract_mixed": doc_extract_mixed,
+        "doc_dir_e2e": doc_dir_e2e,
         "stream_tumble_static": stream_tumble_static,
         "stream_session_static": stream_session_static,
         "join_asof": join_asof,
@@ -6360,6 +6422,23 @@ def _oracle_sql_base() -> dict[str, str]:
                    CASE WHEN k = 6 THEN sha256(ctext)
                         ELSE sha256(text) END AS text_sha
             FROM v
+            ORDER BY doc_id
+        """,
+        # doc_dir_e2e: files on disk, so the oracle recomputes the JVM
+        # sniff (CASE on the extension we wrote), the dispatcher's
+        # format, and the extracted-text sha from `documents` alone.
+        "doc_dir_e2e": """
+            SELECT doc_id,
+                   CASE (doc_id // 10) % 5 WHEN 0 THEN 'pdf'
+                        WHEN 1 THEN 'zip' WHEN 2 THEN 'rtf'
+                        WHEN 3 THEN 'gzip' ELSE 'zip' END AS sniff,
+                   CASE (doc_id // 10) % 5 WHEN 0 THEN 'pdf'
+                        WHEN 1 THEN 'docx' WHEN 2 THEN 'rtf'
+                        WHEN 3 THEN 'txt' ELSE 'epub' END AS format,
+                   CAST(n_chars AS INTEGER) AS n_chars_out,
+                   sha256(text) AS text_sha
+            FROM documents
+            WHERE doc_id % 10 = 1 AND doc_id < 5000
             ORDER BY doc_id
         """,
         # The synthesized BMP's pixel bytes follow (doc_id*7 + j*11) %

@@ -142,6 +142,7 @@ HEADLINE = [
     "office_extract",
     "rtf_extract",
     "doc_extract_mixed",
+    "doc_dir_e2e",
 ]
 
 # Self-adjudicating bench (r7 verdict #2). Three identical-code r7
@@ -244,7 +245,7 @@ SCALE_QUERIES = ["q1_pricing", "q3_shipping", "q5_local_supplier",
                  # round-9: the PDF, zip-document (docx/pptx/odt/
                  # epub), RTF and mixed-dispatch extract pipelines
                  "pdf_extract", "office_extract", "rtf_extract",
-                 "doc_extract_mixed"]
+                 "doc_extract_mixed", "doc_dir_e2e"]
 
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

@@ -96,6 +96,7 @@ DEFAULT_QUERIES = [
     "office_extract",
     "rtf_extract",
     "doc_extract_mixed",
+    "doc_dir_e2e",
     "multimodal_headers",
 ]
 
