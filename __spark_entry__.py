@@ -2951,6 +2951,193 @@ def rtf_extract(spark, sf_dir):
     return spread(docs).mapInPandas(run, schema=schema).orderBy("doc_id")
 
 
+def markup_strip(spark, sf_dir):
+    """Markdown/LaTeX strip driver gate (round 9): per document,
+    build a markup fixture whose PLAIN TEXT is a deterministic
+    function of the document text — (doc_id//10)%2 alternates a
+    Markdown document (ATX heading, escaped body halves, a bullet
+    line exercising emphasis + inline link + code span) and a LaTeX
+    document (preamble drop, \\section, tex-escaped halves, an
+    inline-math + \\emph line) — then strip it back with the REAL
+    Spark operators (strip_markdown / strip_latex,
+    meza_spark/llm/markup.py: Arrow pandas_udf, row-local). The
+    md_escape/tex_escape round trip is exercised on every row; the
+    DuckDB oracle recomputes the expected text (and its sha256) from
+    `documents` alone. Zero shuffle before the orderBy;
+    doc_id<5000 keeps the gate O(1)-per-executor at any SF."""
+    import pandas as pd
+
+    from meza_spark.llm.markup import (md_escape, strip_latex,
+                                       strip_markdown, tex_escape)
+
+    def build(batches):
+        for pdf_b in batches:
+            rows = []
+            for i, text in zip(pdf_b["doc_id"], pdf_b["text"]):
+                i = int(i)
+                half = len(text) // 2
+                h1, h2 = text[:half], text[half:]
+                if (i // 10) % 2 == 0:
+                    kind = "markdown"
+                    markup = ("# Doc %d\n\n%s\n\n- **bold** "
+                              "[link](http://x/%d) `code`\n\n%s\n"
+                              % (i, md_escape(h1), i, md_escape(h2)))
+                else:
+                    kind = "latex"
+                    markup = (
+                        "\\documentclass{article}\n\\begin{document}\n"
+                        "\\section{Doc %d}\n%s\n\n"
+                        "Math $x^2$ drops. \\emph{kept}.\n\n%s\n"
+                        "\\end{document}\n"
+                        % (i, tex_escape(h1), tex_escape(h2)))
+                rows.append((i, kind, markup))
+            yield pd.DataFrame(rows, columns=["doc_id", "kind", "markup"])
+
+    from meza_spark.util import spread
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where((F.col("doc_id") % 10 == 9) & (F.col("doc_id") < 5000))
+            .select("doc_id", "text"))
+    built = spread(docs).mapInPandas(
+        build, schema="doc_id long, kind string, markup string")
+    md = strip_markdown(built.where(F.col("kind") == "markdown"),
+                        "markup", "text")
+    tx = strip_latex(built.where(F.col("kind") == "latex"),
+                     "markup", "text")
+    return (md.unionByName(tx)
+            .select("doc_id", "kind",
+                    F.length("text").cast("int").alias("n_chars_out"),
+                    F.sha2("text", 256).alias("text_sha"))
+            .orderBy("doc_id"))
+
+
+def archive_expand(spark, sf_dir):
+    """Archive-expansion driver gate (round 9): per document, build a
+    deterministic archive whose members ARE the document text halves
+    — the (doc_id//10)%4 cycle walks zip (central-directory budget
+    walk), tar (ustar), tar.gz (budget-gated gunzip → tar re-sniff)
+    and a bare FNAME'd gzip member — then explode it back through the
+    REAL Spark operator (expand_archive, meza_spark/io/archive.py:
+    row-local Arrow mapInPandas, one row per member, zero shuffle).
+    The DuckDB oracle recomputes member names, byte sizes and sha256
+    digests from `documents` alone. doc_id<5000 keeps the gate
+    O(1)-per-executor at any SF."""
+    import pandas as pd
+
+    from meza_spark.io.archive import (encode_gz, encode_tar,
+                                       encode_zip, expand_archive)
+
+    def build(batches):
+        for pdf_b in batches:
+            rows = []
+            for i, text in zip(pdf_b["doc_id"], pdf_b["text"]):
+                i = int(i)
+                k = (i // 10) % 4
+                half = len(text) // 2
+                members = [("doc/%d_0.txt" % i, text[:half].encode()),
+                           ("doc/%d_1.txt" % i, text[half:].encode())]
+                if k == 0:
+                    b = encode_zip(members)
+                elif k == 1:
+                    b = encode_tar(members)
+                elif k == 2:
+                    b = encode_tar(members, gz=True)
+                else:
+                    b = encode_gz("doc_%d.txt" % i, text.encode())
+                rows.append((i, b))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    from meza_spark.util import spread
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 5000))
+            .select("doc_id", "text"))
+    built = spread(docs).mapInPandas(
+        build, schema="doc_id long, payload binary")
+    return (expand_archive(built, id_col="doc_id")
+            .select("doc_id", "kind", "member_idx", "member_name",
+                    "member_size",
+                    F.sha2("member_bytes", 256).alias("member_sha"))
+            .orderBy("doc_id", "member_idx"))
+
+
+def eml_extract(spark, sf_dir):
+    """Email text-extraction driver gate (round 9): per document,
+    build a deterministic RFC 5322 fixture whose body IS the document
+    text — the (doc_id//10)%6 cycle forces the decoder paths: plain
+    7bit, base64 with a 'café — ' unicode prefix, quoted-printable
+    with an RFC 2047 encoded-word subject, multipart/alternative
+    (the text/plain candidate must win over the html), multipart/
+    mixed with two inline text parts + a binary attachment (counted,
+    never decoded into the body), and a two-message mboxo archive
+    (envelope split + >From unstuffing) — then extract it back with
+    the full parser (meza_spark/llm/eml.py) in the same Arrow batch.
+    The DuckDB oracle recomputes every column — including the
+    extracted-text sha256 — from `documents` alone. Row-local, zero
+    shuffle; doc_id<5000 keeps the gate O(1)-per-executor at any SF."""
+    import pandas as pd
+
+    from meza_spark.llm.eml import (encode_eml, encode_mbox,
+                                    extract_eml_bytes, split_mbox)
+
+    schema = ("doc_id long, subject string, n_parts int, "
+              "n_attachments int, n_chars_out int, text_sha string")
+
+    def run(batches):
+        import hashlib
+
+        for pdf_b in batches:
+            rows = []
+            for i, text in zip(pdf_b["doc_id"], pdf_b["text"]):
+                i = int(i)
+                k = (i // 10) % 6
+                half = len(text) // 2
+                subj = "Doc %d" % i
+                if k == 0:
+                    b = encode_eml([text], subject=subj)
+                elif k == 1:
+                    b = encode_eml(["café — " + text], subject=subj,
+                                   cte="base64")
+                elif k == 2:
+                    subj = "Doc %d — é" % i
+                    b = encode_eml([text], subject=subj,
+                                   cte="quoted-printable")
+                elif k == 3:
+                    b = encode_eml([text], subject=subj,
+                                   html_alt="<html><body><p>html loses"
+                                            "</p></body></html>")
+                elif k == 4:
+                    b = encode_eml([text[:half], text[half:]],
+                                   subject=subj,
+                                   attachments=[("blob.bin", b"\x00\x01")])
+                if k == 5:
+                    msgs = [encode_eml([text[:half]], subject=subj),
+                            encode_eml([text[half:]], subject=subj)]
+                    extracted = [extract_eml_bytes(m)
+                                 for m in split_mbox(encode_mbox(msgs))]
+                    out_subj = extracted[0]["subject"]
+                    n_parts = len(extracted)
+                    n_atts = sum(e["n_attachments"] for e in extracted)
+                    body = "\n\n".join(e["text"] for e in extracted)
+                else:
+                    r = extract_eml_bytes(b)
+                    out_subj, n_parts = r["subject"], r["n_parts"]
+                    n_atts, body = r["n_attachments"], r["text"]
+                rows.append((i, out_subj, n_parts, n_atts, len(body),
+                             hashlib.sha256(
+                                 body.encode("utf-8")).hexdigest()))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "subject", "n_parts", "n_attachments",
+                "n_chars_out", "text_sha"])
+
+    from meza_spark.util import spread
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where((F.col("doc_id") % 10 == 3) & (F.col("doc_id") < 5000))
+            .select("doc_id", "text"))
+    return spread(docs).mapInPandas(run, schema=schema).orderBy("doc_id")
+
+
 def doc_extract_mixed(spark, sf_dir):
     """Unified content-dispatch driver gate (round 9): a MIXED binary
     column — the (doc_id//10)%10 cycle builds PDF, DOCX, PPTX, ODT,
@@ -5135,6 +5322,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract": pdf_extract,
         "office_extract": office_extract,
         "rtf_extract": rtf_extract,
+        "markup_strip": markup_strip,
+        "eml_extract": eml_extract,
+        "archive_expand": archive_expand,
         "doc_extract_mixed": doc_extract_mixed,
         "doc_dir_e2e": doc_dir_e2e,
         "stream_tumble_static": stream_tumble_static,
@@ -6395,6 +6585,107 @@ def _oracle_sql_base() -> dict[str, str]:
                           ELSE text END) AS text_sha
             FROM documents
             WHERE doc_id % 10 = 2 AND doc_id < 5000
+            ORDER BY doc_id
+        """,
+        # markup_strip: the stripped plain text is a deterministic
+        # recombination of the document text (escapes are identity on
+        # this corpus — no markup-significant characters), so the
+        # oracle recomputes the expected text and its sha256 from
+        # `documents` alone. 'bold link code' is the markdown bullet
+        # line's stripped form; 'Math  drops. kept.' (two spaces —
+        # dropped inline math) is the LaTeX line's. The halves are
+        # rtrim'd because both strippers trim line-trailing
+        # whitespace (the n_chars//2 split can land on a space).
+        "markup_strip": """
+            WITH v AS (
+              SELECT doc_id, (doc_id // 10) % 2 AS k,
+                     'Doc ' || CAST(doc_id AS VARCHAR)
+                     || chr(10) || chr(10)
+                     || rtrim(substr(text, 1, n_chars // 2))
+                     || chr(10) || chr(10)
+                     || CASE (doc_id // 10) % 2
+                        WHEN 0 THEN 'bold link code'
+                        ELSE 'Math  drops. kept.' END
+                     || chr(10) || chr(10)
+                     || rtrim(substr(text, n_chars // 2 + 1)) AS expected
+              FROM documents
+              WHERE doc_id % 10 = 9 AND doc_id < 5000)
+            SELECT doc_id,
+                   CASE k WHEN 0 THEN 'markdown' ELSE 'latex'
+                        END AS kind,
+                   CAST(length(expected) AS INTEGER) AS n_chars_out,
+                   sha256(expected) AS text_sha
+            FROM v
+            ORDER BY doc_id
+        """,
+        # archive_expand: member bytes ARE the document text halves
+        # (utf-8), so the oracle recomputes kind, names, BYTE sizes
+        # (octet_length over the utf-8 encoding) and sha256 digests
+        # from `documents` alone. k<3 archives carry two members;
+        # the bare-gzip variant carries one whole-text member named
+        # from its FNAME field.
+        "archive_expand": """
+            WITH v AS (
+              SELECT doc_id, text, n_chars, (doc_id // 10) % 4 AS k
+              FROM documents
+              WHERE doc_id % 10 = 0 AND doc_id < 5000),
+            m AS (
+              SELECT doc_id, k, 0 AS member_idx,
+                     CASE WHEN k = 3
+                          THEN 'doc_' || CAST(doc_id AS VARCHAR) || '.txt'
+                          ELSE 'doc/' || CAST(doc_id AS VARCHAR) || '_0.txt'
+                          END AS member_name,
+                     CASE WHEN k = 3 THEN text
+                          ELSE substr(text, 1, n_chars // 2)
+                          END AS body
+              FROM v
+              UNION ALL
+              SELECT doc_id, k, 1,
+                     'doc/' || CAST(doc_id AS VARCHAR) || '_1.txt',
+                     substr(text, n_chars // 2 + 1)
+              FROM v WHERE k < 3)
+            SELECT doc_id,
+                   CASE k WHEN 0 THEN 'zip' WHEN 1 THEN 'tar'
+                        WHEN 2 THEN 'tgz' ELSE 'gz' END AS kind,
+                   CAST(member_idx AS INTEGER) AS member_idx,
+                   member_name,
+                   CAST(octet_length(encode(body)) AS BIGINT)
+                       AS member_size,
+                   sha256(body) AS member_sha
+            FROM m
+            ORDER BY doc_id, member_idx
+        """,
+        # eml_extract: every variant's body IS the document text
+        # (v1 adds a unicode prefix; v4/v5 split at n_chars//2 and
+        # re-join with a blank line — part texts are only
+        # newline-stripped, so a boundary space SURVIVES and no rtrim
+        # is applied), so the oracle recomputes subject (incl. the
+        # RFC 2047 variant), part/attachment counts and the sha256
+        # from `documents` alone.
+        "eml_extract": """
+            WITH v AS (
+              SELECT doc_id, (doc_id // 10) % 6 AS k,
+                     CASE (doc_id // 10) % 6
+                       WHEN 1 THEN 'café — ' || text
+                       WHEN 4 THEN substr(text, 1, n_chars // 2)
+                            || chr(10) || chr(10)
+                            || substr(text, n_chars // 2 + 1)
+                       WHEN 5 THEN substr(text, 1, n_chars // 2)
+                            || chr(10) || chr(10)
+                            || substr(text, n_chars // 2 + 1)
+                       ELSE text END AS expected
+              FROM documents
+              WHERE doc_id % 10 = 3 AND doc_id < 5000)
+            SELECT doc_id,
+                   'Doc ' || CAST(doc_id AS VARCHAR)
+                   || CASE WHEN k = 2 THEN ' — é' ELSE '' END AS subject,
+                   CAST(CASE k WHEN 4 THEN 4 WHEN 5 THEN 2
+                        ELSE 1 END AS INTEGER) AS n_parts,
+                   CAST(CASE WHEN k = 4 THEN 1 ELSE 0
+                        END AS INTEGER) AS n_attachments,
+                   CAST(length(expected) AS INTEGER) AS n_chars_out,
+                   sha256(expected) AS text_sha
+            FROM v
             ORDER BY doc_id
         """,
         # doc_extract_mixed: every variant's body IS the document

@@ -143,6 +143,9 @@ HEADLINE = [
     "rtf_extract",
     "doc_extract_mixed",
     "doc_dir_e2e",
+    "markup_strip",
+    "eml_extract",
+    "archive_expand",
 ]
 
 # Self-adjudicating bench (r7 verdict #2). Three identical-code r7
@@ -245,7 +248,9 @@ SCALE_QUERIES = ["q1_pricing", "q3_shipping", "q5_local_supplier",
                  # round-9: the PDF, zip-document (docx/pptx/odt/
                  # epub), RTF and mixed-dispatch extract pipelines
                  "pdf_extract", "office_extract", "rtf_extract",
-                 "doc_extract_mixed", "doc_dir_e2e"]
+                 "doc_extract_mixed", "doc_dir_e2e",
+                 # round-9: markdown/latex strip + email/mbox extraction
+                 "markup_strip", "eml_extract", "archive_expand"]
 
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

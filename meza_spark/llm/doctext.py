@@ -12,6 +12,13 @@ magic          route
                (covers .txt.gz / .html.gz / .rtf.gz crawl payloads)
 HTML-ish       :mod:`meza_spark.llm.htmltext` (boilerplate-removing
                jusText-lite; fires on <html / <!doctype html)
+RFC 5322       :mod:`meza_spark.llm.eml` — fires only on a
+               CONSERVATIVE header-block heuristic (first line is a
+               header, ≥3 header lines, ≥1 email-definitive name
+               like Message-ID/Received/MIME-Version); ``From ``
+               envelopes route the whole payload as an mbox. False
+               negatives fall through to 'txt' by design — prose
+               with a colon must never be eaten as email.
 UTF-8 text     passed through verbatim (format 'txt')
 =============  ====================================================
 
@@ -34,6 +41,38 @@ MAX_GZIP_OUT = 512 * 1024 * 1024
 _HTML_RE = re.compile(
     rb"^\s*(?:<\?xml[^>]{0,120}\?>\s*)?"     # XHTML prolog
     rb"(?:<!doctype\s+html|<html[\s>])", re.I)
+
+# RFC 5322 header line: field-name (printable, no colon) ':' then a
+# space or value; continuation lines start with whitespace
+_HDR_RE = re.compile(rb"^[\x21-\x39\x3b-\x7e]+:([ \t]|$)")
+_EML_DEFINITIVE = frozenset((
+    b"received", b"return-path", b"message-id", b"mime-version",
+    b"delivered-to", b"in-reply-to", b"x-mailer", b"dkim-signature",
+    b"content-transfer-encoding",
+))
+
+
+def _looks_like_eml(b: bytes) -> bool:
+    """Conservative RFC 5322 sniff: the payload must START with a
+    well-formed header block (first line a header, >=3 header lines
+    before the first blank line, and >=1 email-DEFINITIVE field name
+    among them). Prose containing 'word: text' lines never trips it;
+    false negatives fall through to 'txt' by design."""
+    head = b[:4096].split(b"\r\n\r\n", 1)[0].split(b"\n\n", 1)[0]
+    lines = head.replace(b"\r\n", b"\n").split(b"\n")
+    if not lines or not _HDR_RE.match(lines[0]):
+        return False
+    n_hdrs = 0
+    definitive = False
+    for ln in lines:
+        if ln[:1] in (b" ", b"\t"):      # folded continuation
+            continue
+        if not _HDR_RE.match(ln):
+            return False                 # junk INSIDE the block: not mail
+        n_hdrs += 1
+        if ln.split(b":", 1)[0].strip().lower() in _EML_DEFINITIVE:
+            definitive = True
+    return n_hdrs >= 3 and definitive
 
 
 def _gunzip_capped(b: bytes) -> bytes:
@@ -76,6 +115,24 @@ def extract_document_bytes(b: bytes, _depth: int = 0) -> dict:
         if _depth:
             raise ValueError("nested gzip payload — one layer only")
         return extract_document_bytes(_gunzip_capped(b), _depth + 1)
+    if b[:5] == b"From " and _looks_like_eml(
+            b.split(b"\n", 1)[1] if b"\n" in b else b""):
+        from meza_spark.llm.eml import extract_eml_bytes, split_mbox
+
+        texts, total_parts = [], 0
+        for raw in split_mbox(b):
+            r = extract_eml_bytes(raw)
+            total_parts += 1
+            if r["text"]:
+                texts.append(r["text"])
+        return {"format": "mbox", "text": "\n\n".join(texts),
+                "title": None, "n_parts": total_parts}
+    if _looks_like_eml(b):
+        from meza_spark.llm.eml import extract_eml_bytes
+
+        r = extract_eml_bytes(b)
+        return {"format": "eml", "text": r["text"],
+                "title": r["subject"], "n_parts": r["n_parts"]}
     if _HTML_RE.match(b[:256]):
         from meza_spark.llm.htmltext import extract_page
 

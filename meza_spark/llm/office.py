@@ -65,7 +65,9 @@ def _open_zip(b: bytes) -> zipfile.ZipFile:
     try:
         z = zipfile.ZipFile(io.BytesIO(b))
         infos = z.infolist()
-    except (zipfile.BadZipFile, OverflowError) as e:
+    except (zipfile.BadZipFile, OverflowError, NotImplementedError) as e:
+        # NotImplementedError: central-directory extract_version /
+        # compression fields a hostile mutation can inflate
         raise ValueError(f"bad zip container: {e}") from None
     if len(infos) > MAX_MEMBERS:
         raise ValueError("zip container declares too many members")

@@ -97,6 +97,9 @@ DEFAULT_QUERIES = [
     "rtf_extract",
     "doc_extract_mixed",
     "doc_dir_e2e",
+    "markup_strip",
+    "eml_extract",
+    "archive_expand",
     "multimodal_headers",
 ]
 
