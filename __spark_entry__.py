@@ -3011,6 +3011,48 @@ def markup_strip(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def subtitle_extract(spark, sf_dir):
+    """Subtitle-extraction driver gate (round 9): per document, build
+    a two-cue track whose cue texts ARE the document text halves —
+    (doc_id//10)%2 alternates SRT (counter blocks, comma separator)
+    and WebVTT (magic line + a NOTE block the parser must skip, dot
+    separator) — then explode it back through the REAL Spark operator
+    (subtitle_cues, meza_spark/llm/subtitles.py: row-local Arrow
+    mapInPandas, one row per cue, zero shuffle). Cue text lines are
+    whitespace-trimmed by the parser, so the oracle trims the halves;
+    timings are fixed (0–1500 / 2000–3500 ms). doc_id<5000 keeps the
+    gate O(1)-per-executor at any SF."""
+    import pandas as pd
+
+    from meza_spark.llm.subtitles import (encode_srt, encode_vtt,
+                                          subtitle_cues)
+
+    def build(batches):
+        for pdf_b in batches:
+            rows = []
+            for i, text in zip(pdf_b["doc_id"], pdf_b["text"]):
+                i = int(i)
+                half = len(text) // 2
+                cues = [(0, 1500, text[:half]), (2000, 3500, text[half:])]
+                b = (encode_srt(cues) if (i // 10) % 2 == 0
+                     else encode_vtt(cues, note="fixture"))
+                rows.append((i, b))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    from meza_spark.util import spread
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where((F.col("doc_id") % 10 == 5) & (F.col("doc_id") < 5000))
+            .select("doc_id", "text"))
+    built = spread(docs).mapInPandas(
+        build, schema="doc_id long, payload binary")
+    return (subtitle_cues(built, id_col="doc_id")
+            .select("doc_id", "format", "cue_idx", "start_ms", "end_ms",
+                    F.length("cue_text").cast("int").alias("n_chars_out"),
+                    F.sha2("cue_text", 256).alias("cue_sha"))
+            .orderBy("doc_id", "cue_idx"))
+
+
 def archive_expand(spark, sf_dir):
     """Archive-expansion driver gate (round 9): per document, build a
     deterministic archive whose members ARE the document text halves
@@ -5325,6 +5367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markup_strip": markup_strip,
         "eml_extract": eml_extract,
         "archive_expand": archive_expand,
+        "subtitle_extract": subtitle_extract,
         "doc_extract_mixed": doc_extract_mixed,
         "doc_dir_e2e": doc_dir_e2e,
         "stream_tumble_static": stream_tumble_static,
@@ -6617,6 +6660,34 @@ def _oracle_sql_base() -> dict[str, str]:
                    sha256(expected) AS text_sha
             FROM v
             ORDER BY doc_id
+        """,
+        # subtitle_extract: cue texts ARE the document text halves
+        # (whitespace-trimmed by the parser — the split can land on a
+        # space), timings fixed, so the oracle recomputes the cue
+        # rows from `documents` alone.
+        "subtitle_extract": """
+            WITH v AS (
+              SELECT doc_id, text, n_chars, (doc_id // 10) % 2 AS k
+              FROM documents
+              WHERE doc_id % 10 = 5 AND doc_id < 5000),
+            m AS (
+              SELECT doc_id, k, 1 AS cue_idx,
+                     CAST(0 AS BIGINT) AS start_ms,
+                     CAST(1500 AS BIGINT) AS end_ms,
+                     trim(substr(text, 1, n_chars // 2)) AS body
+              FROM v
+              UNION ALL
+              SELECT doc_id, k, 2, 2000, 3500,
+                     trim(substr(text, n_chars // 2 + 1))
+              FROM v)
+            SELECT doc_id,
+                   CASE k WHEN 0 THEN 'srt' ELSE 'vtt' END AS format,
+                   CAST(cue_idx AS INTEGER) AS cue_idx,
+                   start_ms, end_ms,
+                   CAST(length(body) AS INTEGER) AS n_chars_out,
+                   sha256(body) AS cue_sha
+            FROM m
+            ORDER BY doc_id, cue_idx
         """,
         # archive_expand: member bytes ARE the document text halves
         # (utf-8), so the oracle recomputes kind, names, BYTE sizes

@@ -146,6 +146,7 @@ HEADLINE = [
     "markup_strip",
     "eml_extract",
     "archive_expand",
+    "subtitle_extract",
 ]
 
 # Self-adjudicating bench (r7 verdict #2). Three identical-code r7
@@ -250,7 +251,8 @@ SCALE_QUERIES = ["q1_pricing", "q3_shipping", "q5_local_supplier",
                  "pdf_extract", "office_extract", "rtf_extract",
                  "doc_extract_mixed", "doc_dir_e2e",
                  # round-9: markdown/latex strip + email/mbox extraction
-                 "markup_strip", "eml_extract", "archive_expand"]
+                 "markup_strip", "eml_extract", "archive_expand",
+                 "subtitle_extract"]
 
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

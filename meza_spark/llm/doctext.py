@@ -12,6 +12,9 @@ magic          route
                (covers .txt.gz / .html.gz / .rtf.gz crawl payloads)
 HTML-ish       :mod:`meza_spark.llm.htmltext` (boilerplate-removing
                jusText-lite; fires on <html / <!doctype html)
+``WEBVTT`` /   :mod:`meza_spark.llm.subtitles` — VTT by magic, SRT
+SRT shape      by its counter+timestamp opening shape; cue text
+               flattens, cue-level rows via ``subtitle_cues``
 RFC 5322       :mod:`meza_spark.llm.eml` — fires only on a
                CONSERVATIVE header-block heuristic (first line is a
                header, ≥3 header lines, ≥1 email-definitive name
@@ -41,6 +44,12 @@ MAX_GZIP_OUT = 512 * 1024 * 1024
 _HTML_RE = re.compile(
     rb"^\s*(?:<\?xml[^>]{0,120}\?>\s*)?"     # XHTML prolog
     rb"(?:<!doctype\s+html|<html[\s>])", re.I)
+
+# SRT shape: optional BOM, cue counter line, then an HH:MM:SS,mmm
+# timestamp arrow (the WEBVTT magic handles the VTT side)
+_SRT_SHAPE = re.compile(
+    rb"^(?:\xef\xbb\xbf)?\s*\d{1,5}\s*\r?\n"
+    rb"\s*\d{1,2}:\d{2}:\d{2},\d{3}\s*-->")
 
 # RFC 5322 header line: field-name (printable, no colon) ':' then a
 # space or value; continuation lines start with whitespace
@@ -133,6 +142,13 @@ def extract_document_bytes(b: bytes, _depth: int = 0) -> dict:
         r = extract_eml_bytes(b)
         return {"format": "eml", "text": r["text"],
                 "title": r["subject"], "n_parts": r["n_parts"]}
+    bom_less = b[3:] if b[:3] == b"\xef\xbb\xbf" else b
+    if bom_less[:6] == b"WEBVTT" or _SRT_SHAPE.match(b):  # subtitles
+        from meza_spark.llm.subtitles import extract_subtitles_bytes
+
+        r = extract_subtitles_bytes(b)
+        return {"format": r["format"], "text": r["text"],
+                "title": None, "n_parts": r["n_parts"]}
     if _HTML_RE.match(b[:256]):
         from meza_spark.llm.htmltext import extract_page
 

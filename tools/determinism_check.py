@@ -100,6 +100,7 @@ DEFAULT_QUERIES = [
     "markup_strip",
     "eml_extract",
     "archive_expand",
+    "subtitle_extract",
     "multimodal_headers",
 ]
 
