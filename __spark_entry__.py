@@ -3011,6 +3011,66 @@ def markup_strip(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def ipynb_extract(spark, sf_dir):
+    """Jupyter-notebook extraction driver gate (round 9): per
+    document, build an nbformat-v4 fixture whose cells carry the
+    document text halves — (doc_id//10)%2 alternates (markdown
+    heading cell + verbatim code cell) and (code cell + raw cell +
+    markdown cell with an emphasis tail, plus a stream OUTPUT the
+    extractor must drop) — then extract with the full parser
+    (meza_spark/llm/notebook.py: markdown cells through the
+    CommonMark-core stripper, code verbatim, outputs never text).
+    The DuckDB oracle recomputes the expected text and sha256 from
+    `documents` alone. Row-local, zero shuffle; doc_id<5000 keeps
+    the gate O(1)-per-executor at any SF."""
+    import json
+
+    import pandas as pd
+
+    from meza_spark.llm.markup import md_escape
+    from meza_spark.llm.notebook import encode_ipynb, extract_ipynb_bytes
+
+    schema = ("doc_id long, n_cells int, n_code int, language string, "
+              "n_chars_out int, text_sha string")
+
+    def run(batches):
+        import hashlib
+
+        for pdf_b in batches:
+            rows = []
+            for i, text in zip(pdf_b["doc_id"], pdf_b["text"]):
+                i = int(i)
+                half = len(text) // 2
+                h1, h2 = text[:half], text[half:]
+                if (i // 10) % 2 == 0:
+                    b = encode_ipynb([
+                        ("markdown", "# Doc %d\n\n%s" % (i, md_escape(h1))),
+                        ("code", h2)])
+                else:
+                    doc = json.loads(encode_ipynb([
+                        ("code", h1), ("raw", "—raw—"),
+                        ("markdown", md_escape(h2) + " *end*")]))
+                    doc["cells"][0]["outputs"] = [
+                        {"output_type": "stream",
+                         "text": ["must never surface\n"]}]
+                    b = json.dumps(doc, sort_keys=True).encode("utf-8")
+                r = extract_ipynb_bytes(b)
+                rows.append((i, r["n_parts"], r["n_code_cells"],
+                             r["language"], len(r["text"]),
+                             hashlib.sha256(
+                                 r["text"].encode("utf-8")).hexdigest()))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_cells", "n_code", "language",
+                "n_chars_out", "text_sha"])
+
+    from meza_spark.util import spread
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where((F.col("doc_id") % 10 == 7) & (F.col("doc_id") < 5000))
+            .select("doc_id", "text"))
+    return spread(docs).mapInPandas(run, schema=schema).orderBy("doc_id")
+
+
 def subtitle_extract(spark, sf_dir):
     """Subtitle-extraction driver gate (round 9): per document, build
     a two-cue track whose cue texts ARE the document text halves —
@@ -5368,6 +5428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eml_extract": eml_extract,
         "archive_expand": archive_expand,
         "subtitle_extract": subtitle_extract,
+        "ipynb_extract": ipynb_extract,
         "doc_extract_mixed": doc_extract_mixed,
         "doc_dir_e2e": doc_dir_e2e,
         "stream_tumble_static": stream_tumble_static,
@@ -6656,6 +6717,37 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT doc_id,
                    CASE k WHEN 0 THEN 'markdown' ELSE 'latex'
                         END AS kind,
+                   CAST(length(expected) AS INTEGER) AS n_chars_out,
+                   sha256(expected) AS text_sha
+            FROM v
+            ORDER BY doc_id
+        """,
+        # ipynb_extract: markdown cells strip (heading unwraps,
+        # line-trailing whitespace trims — the half split can land on
+        # a space), code/raw cells pass verbatim, outputs never
+        # surface; so the oracle recomputes the cell-joined text and
+        # its sha256 from `documents` alone.
+        "ipynb_extract": """
+            WITH v AS (
+              SELECT doc_id, (doc_id // 10) % 2 AS k,
+                     CASE (doc_id // 10) % 2
+                       WHEN 0 THEN 'Doc ' || CAST(doc_id AS VARCHAR)
+                            || chr(10) || chr(10)
+                            || rtrim(substr(text, 1, n_chars // 2))
+                            || chr(10) || chr(10)
+                            || substr(text, n_chars // 2 + 1)
+                       ELSE substr(text, 1, n_chars // 2)
+                            || chr(10) || chr(10) || '—raw—'
+                            || chr(10) || chr(10)
+                            || substr(text, n_chars // 2 + 1) || ' end'
+                       END AS expected
+              FROM documents
+              WHERE doc_id % 10 = 7 AND doc_id < 5000)
+            SELECT doc_id,
+                   CAST(CASE k WHEN 0 THEN 2 ELSE 3 END
+                        AS INTEGER) AS n_cells,
+                   CAST(1 AS INTEGER) AS n_code,
+                   'python' AS language,
                    CAST(length(expected) AS INTEGER) AS n_chars_out,
                    sha256(expected) AS text_sha
             FROM v

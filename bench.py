@@ -147,6 +147,7 @@ HEADLINE = [
     "eml_extract",
     "archive_expand",
     "subtitle_extract",
+    "ipynb_extract",
 ]
 
 # Self-adjudicating bench (r7 verdict #2). Three identical-code r7
@@ -252,7 +253,7 @@ SCALE_QUERIES = ["q1_pricing", "q3_shipping", "q5_local_supplier",
                  "doc_extract_mixed", "doc_dir_e2e",
                  # round-9: markdown/latex strip + email/mbox extraction
                  "markup_strip", "eml_extract", "archive_expand",
-                 "subtitle_extract"]
+                 "subtitle_extract", "ipynb_extract"]
 
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

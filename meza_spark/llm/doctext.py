@@ -12,6 +12,11 @@ magic          route
                (covers .txt.gz / .html.gz / .rtf.gz crawl payloads)
 HTML-ish       :mod:`meza_spark.llm.htmltext` (boilerplate-removing
                jusText-lite; fires on <html / <!doctype html)
+``{``+keys     :mod:`meza_spark.llm.notebook` — JSON payloads
+               carrying ``"cells"`` + ``"nbformat"`` parse as
+               Jupyter notebooks (markdown cells stripped, code
+               verbatim, outputs dropped); JSON-but-not-a-notebook
+               falls through to 'txt'
 ``WEBVTT`` /   :mod:`meza_spark.llm.subtitles` — VTT by magic, SRT
 SRT shape      by its counter+timestamp opening shape; cue text
                flattens, cue-level rows via ``subtitle_cues``
@@ -156,6 +161,16 @@ def extract_document_bytes(b: bytes, _depth: int = 0) -> dict:
             b.decode("utf-8", "replace"), min_words=1)
         return {"format": "html", "text": text,
                 "title": title or None, "n_parts": kept}
+    if (b.lstrip()[:1] == b"{" and b'"cells"' in b
+            and b'"nbformat"' in b):     # Jupyter notebook (JSON)
+        from meza_spark.llm.notebook import extract_ipynb_bytes
+
+        try:
+            r = extract_ipynb_bytes(b)
+            return {"format": "ipynb", "text": r["text"],
+                    "title": None, "n_parts": r["n_parts"]}
+        except ValueError:
+            pass                         # JSON-but-not-a-notebook: txt
     # plain text: must BE text (strict utf-8), not arbitrary bytes
     try:
         text = b.decode("utf-8")

@@ -101,6 +101,7 @@ DEFAULT_QUERIES = [
     "eml_extract",
     "archive_expand",
     "subtitle_extract",
+    "ipynb_extract",
     "multimodal_headers",
 ]
 
