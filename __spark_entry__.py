@@ -3011,6 +3011,88 @@ def markup_strip(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def code_quality_docs(spark, sf_dir):
+    """Code-corpus quality filters driver gate (round 9): the
+    StarCoder/CodeParrot-style per-file rules (line stats,
+    alphanumeric fraction, generated-file markers, embedded
+    base64/hex blob detection) as pure Catalyst expressions
+    (meza_spark/llm/code.py code_quality — split/transform/regexp,
+    row-local codegen, zero Python). Every ratio is one IEEE
+    division of integer-valued doubles, so the DuckDB twin is exact
+    at every SF."""
+    from meza_spark.llm.code import code_quality
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 5000).select("doc_id", "text"))
+    return (code_quality(docs)
+            .select("doc_id",
+                    F.col("n_lines").cast("int").alias("n_lines"),
+                    F.col("max_line_len").cast("int")
+                     .alias("max_line_len"),
+                    "avg_line_len", "alnum_frac", "is_autogen",
+                    "has_long_b64", "has_long_hex")
+            .orderBy("doc_id"))
+
+
+def python_facts(spark, sf_dir):
+    """Python structural-facts driver gate (round 9): per document,
+    build a deterministic Python source embedding the text halves as
+    a docstring and a comment — (doc_id//10)%3 cycles a module-
+    docstring+def shape, a class+method-docstring shape, and a
+    SYNTAX-BROKEN file (parse_ok=false with null facts — broken
+    files are data in a code corpus, not errors) — then extract with
+    the full ast+tokenize walk (meza_spark/llm/code.py). norm_sha is
+    the identifier/string/number-masked token-stream fingerprint
+    (structural code dedup): constant per shape, pinned as literals
+    in the oracle. Row-local, zero shuffle; doc_id<5000 keeps the
+    gate O(1)-per-executor at any SF."""
+    import pandas as pd
+
+    from meza_spark.llm.code import python_facts_bytes
+
+    schema = ("doc_id long, parse_ok boolean, n_defs int, "
+              "n_classes int, ds_sha string, cm_sha string, "
+              "norm_sha string")
+
+    def run(batches):
+        import hashlib
+
+        def sha(s):
+            return (None if s is None
+                    else hashlib.sha256(s.encode("utf-8")).hexdigest())
+
+        for pdf_b in batches:
+            rows = []
+            for i, text in zip(pdf_b["doc_id"], pdf_b["text"]):
+                i = int(i)
+                k = (i // 10) % 3
+                half = len(text) // 2
+                h1, h2 = text[:half], text[half:]
+                if k == 0:
+                    src = ('"""%s"""\n\n# %s\ndef f(a):\n'
+                           '    return a + 1\n' % (h1, h2))
+                elif k == 1:
+                    src = ('# %s\nclass C:\n    """%s"""\n'
+                           '    def m(self):\n        return 42\n'
+                           % (h1, h2))
+                else:
+                    src = "def broken(:\n# %s\n" % text
+                r = python_facts_bytes(src)
+                rows.append((i, r["parse_ok"], r["n_defs"],
+                             r["n_classes"], sha(r["docstrings"]),
+                             sha(r["comments"]), r["norm_sha"]))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "parse_ok", "n_defs", "n_classes",
+                "ds_sha", "cm_sha", "norm_sha"])
+
+    from meza_spark.util import spread
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where((F.col("doc_id") % 10 == 8) & (F.col("doc_id") < 5000))
+            .select("doc_id", "text"))
+    return spread(docs).mapInPandas(run, schema=schema).orderBy("doc_id")
+
+
 def ipynb_extract(spark, sf_dir):
     """Jupyter-notebook extraction driver gate (round 9): per
     document, build an nbformat-v4 fixture whose cells carry the
@@ -5429,6 +5511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "archive_expand": archive_expand,
         "subtitle_extract": subtitle_extract,
         "ipynb_extract": ipynb_extract,
+        "code_quality_docs": code_quality_docs,
+        "python_facts": python_facts,
         "doc_extract_mixed": doc_extract_mixed,
         "doc_dir_e2e": doc_dir_e2e,
         "stream_tumble_static": stream_tumble_static,
@@ -6720,6 +6804,72 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(length(expected) AS INTEGER) AS n_chars_out,
                    sha256(expected) AS text_sha
             FROM v
+            ORDER BY doc_id
+        """,
+        # code_quality_docs: every column is arithmetic over the raw
+        # text (line splits, regexp strips, marker contains), so the
+        # oracle recomputes all of it; the two ratios are single IEEE
+        # divisions of integer-valued doubles — exact in both engines.
+        "code_quality_docs": """
+            SELECT doc_id,
+                   CAST(len(str_split(text, chr(10))) AS INTEGER)
+                       AS n_lines,
+                   CAST(list_max(list_transform(
+                        str_split(text, chr(10)),
+                        x -> length(x))) AS INTEGER) AS max_line_len,
+                   CAST(length(text)
+                        - (len(str_split(text, chr(10))) - 1) AS DOUBLE)
+                   / CAST(len(str_split(text, chr(10))) AS DOUBLE)
+                       AS avg_line_len,
+                   CAST(length(regexp_replace(text, '[^A-Za-z0-9]',
+                                              '', 'g')) AS DOUBLE)
+                   / CAST(greatest(length(text), 1) AS DOUBLE)
+                       AS alnum_frac,
+                   (contains(lower(text), 'auto-generated')
+                    OR contains(lower(text), 'autogenerated')
+                    OR contains(lower(text), 'do not edit')
+                    OR contains(lower(text), 'generated by'))
+                       AS is_autogen,
+                   regexp_matches(text, '[A-Za-z0-9+/=]{64,}')
+                       AS has_long_b64,
+                   regexp_matches(text, '[0-9a-fA-F]{128,}')
+                       AS has_long_hex
+            FROM documents
+            WHERE doc_id < 5000
+            ORDER BY doc_id
+        """,
+        # python_facts: docstring/comment contents are the text
+        # halves verbatim (ast.get_docstring(clean=False), tokenize
+        # COMMENT strings), so their sha256s recompute from
+        # `documents`; norm_sha is structural (identifiers/strings/
+        # numbers masked) and thus CONSTANT per shape — pinned as
+        # literals, regenerate via python_facts_bytes on the shape
+        # templates if the tokenizer policy ever changes.
+        "python_facts": """
+            SELECT doc_id,
+                   (doc_id // 10) % 3 < 2 AS parse_ok,
+                   CAST(CASE WHEN (doc_id // 10) % 3 < 2 THEN 1
+                        END AS INTEGER) AS n_defs,
+                   CAST(CASE (doc_id // 10) % 3 WHEN 0 THEN 0
+                        WHEN 1 THEN 1 END AS INTEGER) AS n_classes,
+                   CASE (doc_id // 10) % 3
+                     WHEN 0 THEN sha256(substr(text, 1, n_chars // 2))
+                     WHEN 1 THEN sha256(substr(text, n_chars // 2 + 1))
+                     END AS ds_sha,
+                   CASE (doc_id // 10) % 3
+                     WHEN 0 THEN sha256('# '
+                          || substr(text, n_chars // 2 + 1))
+                     WHEN 1 THEN sha256('# '
+                          || substr(text, 1, n_chars // 2))
+                     END AS cm_sha,
+                   CASE (doc_id // 10) % 3
+                     WHEN 0 THEN 'de5d4314e1d292e713cccf750659a572'
+                          || 'ec3d8807a73d2895e2e465da3dc1bc98'
+                     WHEN 1 THEN '913e1c59d2b4f01100d34ce4d8b3db9d'
+                          || 'b0b5472ea8f924442ee7b17e907f1f2d'
+                     END AS norm_sha
+            FROM documents
+            WHERE doc_id % 10 = 8 AND doc_id < 5000
             ORDER BY doc_id
         """,
         # ipynb_extract: markdown cells strip (heading unwraps,

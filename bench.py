@@ -148,6 +148,8 @@ HEADLINE = [
     "archive_expand",
     "subtitle_extract",
     "ipynb_extract",
+    "code_quality_docs",
+    "python_facts",
 ]
 
 # Self-adjudicating bench (r7 verdict #2). Three identical-code r7
@@ -253,7 +255,9 @@ SCALE_QUERIES = ["q1_pricing", "q3_shipping", "q5_local_supplier",
                  "doc_extract_mixed", "doc_dir_e2e",
                  # round-9: markdown/latex strip + email/mbox extraction
                  "markup_strip", "eml_extract", "archive_expand",
-                 "subtitle_extract", "ipynb_extract"]
+                 "subtitle_extract", "ipynb_extract",
+                 # round-9: code-corpus tier
+                 "code_quality_docs", "python_facts"]
 
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

@@ -102,6 +102,8 @@ DEFAULT_QUERIES = [
     "archive_expand",
     "subtitle_extract",
     "ipynb_extract",
+    "code_quality_docs",
+    "python_facts",
     "multimodal_headers",
 ]
 
