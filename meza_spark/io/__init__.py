@@ -8,6 +8,8 @@ driver-side schema union, matching SURVEY §4.2.3's "parallelize across
 files, not within".
 """
 
+from .archive import (encode_gz, encode_tar, encode_zip,
+                      expand_archive, expand_archive_bytes)
 from .readers import (
     detect_encoding, io_join, read, read_csv, read_dbf, read_fixed_fmt,
     read_geojson, read_html, read_json, read_mdb, read_media, read_ndjson,
@@ -24,4 +26,6 @@ __all__ = [
     "detect_encoding",
     "records2csv", "records2json", "records2geojson", "write",
     "hash_file",
+    "expand_archive", "expand_archive_bytes", "encode_zip",
+    "encode_tar", "encode_gz",
 ]

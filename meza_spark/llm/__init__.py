@@ -37,7 +37,15 @@ from .office import (encode_docx, encode_epub, encode_odt, encode_pptx,
 from .doctext import document_text, extract_document_bytes
 from .pdf import encode_pdf, extract_pdf_bytes, pdf_text
 from .rtf import encode_rtf, extract_rtf_bytes, rtf_text
+from .code import code_quality, python_facts_bytes, python_source_facts
+from .eml import (encode_eml, encode_mbox, eml_text, extract_eml_bytes,
+                  split_mbox)
+from .markup import (latex_to_text, markdown_to_text, md_escape,
+                     strip_latex, strip_markdown, tex_escape)
+from .notebook import encode_ipynb, extract_ipynb_bytes
 from .sampling import budget_sample
+from .subtitles import (encode_srt, encode_vtt, extract_subtitles_bytes,
+                        parse_srt, parse_vtt, subtitle_cues)
 from .text import (
     chunk_documents, fingerprint, gopher_filter, lang_id,
     perplexity_buckets, quality_score, shingles, token_count,
@@ -67,4 +75,12 @@ __all__ = [
     "extract_page", "extract_text",
     "extract_pdf_bytes", "encode_pdf", "pdf_text",
     "fit_domain_weights", "mixture_sample",
+    "markdown_to_text", "latex_to_text", "md_escape", "tex_escape",
+    "strip_markdown", "strip_latex",
+    "extract_eml_bytes", "split_mbox", "encode_eml", "encode_mbox",
+    "eml_text",
+    "parse_srt", "parse_vtt", "extract_subtitles_bytes", "encode_srt",
+    "encode_vtt", "subtitle_cues",
+    "extract_ipynb_bytes", "encode_ipynb",
+    "code_quality", "python_facts_bytes", "python_source_facts",
 ]

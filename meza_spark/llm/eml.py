@@ -175,8 +175,8 @@ def split_mbox(b: bytes) -> list[bytes]:
                     raise ValueError("mbox message count exceeds budget")
             cur = []
             continue                     # envelope line dropped
-        if line.startswith(b">From "):
-            line = line[1:]
+        if line[:1] == b">" and line.lstrip(b">").startswith(b"From "):
+            line = line[1:]              # one quoting level per pass
         cur.append(line)
     if cur:
         msgs.append(b"\n".join(cur).rstrip(b"\n") + b"\n")
@@ -231,13 +231,15 @@ def encode_eml(parts, subject: str = None, sender: str = "a@example.com",
 
 def encode_mbox(messages) -> bytes:
     """Join raw message blobs into an mboxo archive with ``From ``
-    envelopes and one level of ``>From `` body quoting."""
+    envelopes; body lines matching ``>*From `` gain one more ``>``
+    (quoting only bare ``From `` would corrupt an already-quoted
+    ``>From `` line on the round trip)."""
     out = []
     for m in messages:
         out.append(b"From fixture@example.com Mon Jan  1 00:00:00 2024")
         body = m.rstrip(b"\n")
         quoted = b"\n".join(
-            b">" + ln if ln.startswith(b"From ") else ln
+            b">" + ln if ln.lstrip(b">").startswith(b"From ") else ln
             for ln in body.split(b"\n"))
         out.append(quoted)
         out.append(b"")

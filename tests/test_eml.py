@@ -98,6 +98,15 @@ def test_mbox_split_and_unstuffing():
     assert texts == ["first\nFrom the start it was", "second"]
 
 
+def test_mbox_already_quoted_from_survives():
+    # a body line that ALREADY reads '>From ' must round-trip intact
+    # (mboxo adds one '>' on write, removes one on read)
+    m = encode_eml(["quoted:\n>From before\nFrom now on"], subject="Q")
+    texts = [extract_eml_bytes(x)["text"]
+             for x in split_mbox(encode_mbox([m]))]
+    assert texts == ["quoted:\n>From before\nFrom now on"]
+
+
 def test_mbox_requires_envelope():
     with pytest.raises(ValueError, match="missing 'From '"):
         split_mbox(b"Subject: S\r\n\r\nx")
@@ -132,6 +141,17 @@ def test_doctext_header_block_with_junk_line_is_txt():
     payload = (b"Message-ID: <x@y>\nReceived: from a\n"
                b"this line is not a header\nSubject: S\n\nbody")
     assert extract_document_bytes(payload)["format"] == "txt"
+
+
+def test_doctext_gzip_wrapped_eml_redispatches():
+    import gzip
+    import io
+
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
+        f.write(encode_eml(["gz body"], subject="Z"))
+    r = extract_document_bytes(buf.getvalue())
+    assert (r["format"], r["text"]) == ("eml", "gz body")
 
 
 def test_doctext_crlf_eml_detected():
