@@ -3011,6 +3011,64 @@ def markup_strip(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def wet_wat_roundtrip(spark, sf_dir):
+    """Common Crawl WET/WAT END-TO-END driver gate (round 9): write
+    the corpus out as BOTH derived formats — sharded WET (conversion
+    records, plain-text bodies, executor-parallel
+    records2wet_sharded) and sharded WAT (metadata records whose
+    Envelope JSON is built JVM-side with to_json: target URI,
+    Head.Title, Links[{url}]) — then read both back with the
+    distributed readers (read_wet decodes text; read_wat extracts
+    title/links via JVM JSON paths) and join per page. No driver
+    collect anywhere: the shard writers run in the executors and the
+    readers scan one task per shard. The DuckDB oracle recomputes
+    text sha, title and the deterministic link fan-out (doc_id%4+1)
+    from `documents` alone. doc_id<5000 bounds the corpus at any SF."""
+    import shutil
+
+    from meza_spark.io.warc import (read_wat, read_wet,
+                                    records2wat_sharded,
+                                    records2wet_sharded)
+
+    base = (_t(spark, sf_dir, "documents")
+            .where((F.col("doc_id") % 10 == 6) & (F.col("doc_id") < 5000))
+            .select(
+                "doc_id",
+                F.concat(F.lit("http://x/"), F.col("doc_id"))
+                 .alias("url"),
+                "text",
+                F.concat(F.lit("Doc "), F.col("doc_id")).alias("title"),
+                F.transform(
+                    F.sequence(F.lit(1),
+                               (F.col("doc_id") % 4 + 1).cast("int")),
+                    lambda j: F.concat(F.lit("http://x/"),
+                                       F.col("doc_id"), F.lit("/"),
+                                       j.cast("string"))).alias("links")))
+    wet_dir = _rt_path(sf_dir, "wet.dir")
+    wat_dir = _rt_path(sf_dir, "wat.dir")
+    shutil.rmtree(wet_dir, ignore_errors=True)
+    shutil.rmtree(wat_dir, ignore_errors=True)
+    records2wet_sharded(base, wet_dir, shards=8)
+    records2wat_sharded(base, wat_dir, shards=8)
+
+    wet = (read_wet(spark, wet_dir)
+           .select(F.regexp_extract("target_uri", r"/(\d+)$", 1)
+                    .cast("long").alias("doc_id"),
+                   F.col("n_chars").cast("int").alias("n_chars_out"),
+                   F.sha2(F.encode("text", "UTF-8"), 256)
+                    .alias("text_sha")))
+    wat = (read_wat(spark, wat_dir)
+           .select(F.regexp_extract("target_uri", r"/(\d+)$", 1)
+                    .cast("long").alias("wat_id"),
+                   "title", "n_links",
+                   F.element_at("links", -1).alias("last_link")))
+    return (wet.join(wat, wet["doc_id"] == wat["wat_id"])
+            .select("doc_id", "n_chars_out", "text_sha", "title",
+                    F.col("n_links").cast("int").alias("n_links"),
+                    "last_link")
+            .orderBy("doc_id"))
+
+
 def code_quality_docs(spark, sf_dir):
     """Code-corpus quality filters driver gate (round 9): the
     StarCoder/CodeParrot-style per-file rules (line stats,
@@ -5513,6 +5571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ipynb_extract": ipynb_extract,
         "code_quality_docs": code_quality_docs,
         "python_facts": python_facts,
+        "wet_wat_roundtrip": wet_wat_roundtrip,
         "doc_extract_mixed": doc_extract_mixed,
         "doc_dir_e2e": doc_dir_e2e,
         "stream_tumble_static": stream_tumble_static,
@@ -6804,6 +6863,22 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(length(expected) AS INTEGER) AS n_chars_out,
                    sha256(expected) AS text_sha
             FROM v
+            ORDER BY doc_id
+        """,
+        # wet_wat_roundtrip: files on disk, so the oracle recomputes
+        # what the WET/WAT writers serialized — text sha, title, the
+        # deterministic doc_id%4+1 link fan-out and its last URL —
+        # from `documents` alone.
+        "wet_wat_roundtrip": """
+            SELECT doc_id,
+                   CAST(n_chars AS INTEGER) AS n_chars_out,
+                   sha256(text) AS text_sha,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+                   CAST(doc_id % 4 + 1 AS INTEGER) AS n_links,
+                   'http://x/' || CAST(doc_id AS VARCHAR) || '/'
+                       || CAST(doc_id % 4 + 1 AS VARCHAR) AS last_link
+            FROM documents
+            WHERE doc_id % 10 = 6 AND doc_id < 5000
             ORDER BY doc_id
         """,
         # code_quality_docs: every column is arithmetic over the raw

@@ -150,6 +150,7 @@ HEADLINE = [
     "ipynb_extract",
     "code_quality_docs",
     "python_facts",
+    "wet_wat_roundtrip",
 ]
 
 # Self-adjudicating bench (r7 verdict #2). Three identical-code r7
@@ -257,7 +258,8 @@ SCALE_QUERIES = ["q1_pricing", "q3_shipping", "q5_local_supplier",
                  "markup_strip", "eml_extract", "archive_expand",
                  "subtitle_extract", "ipynb_extract",
                  # round-9: code-corpus tier
-                 "code_quality_docs", "python_facts"]
+                 "code_quality_docs", "python_facts",
+                 "wet_wat_roundtrip"]
 
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

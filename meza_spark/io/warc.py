@@ -203,28 +203,36 @@ def records2warc(df: DataFrame, path: str, url_col: str = "url",
 
 
 def _record_bytes(url: str, body: bytes, date: str, content_type: str,
-                  gz: bool) -> bytes:
-    """One serialized response record (shared by the single-artifact
-    and sharded sinks, so the two stay byte-identical per record).
+                  gz: bool, warc_type: str = "response") -> bytes:
+    """One serialized record (shared by the single-artifact and
+    sharded sinks, so the two stay byte-identical per record).
+    ``response`` records wrap an HTTP/1.1 envelope; other types
+    (``conversion`` = WET extracted text, ``metadata`` = WAT JSON,
+    ``resource``) carry the body directly with its own Content-Type.
     Record IDs are row-content sha1 URNs and gzip members use mtime=0
     — byte-stable across runs and cluster layouts."""
     import hashlib as _hashlib
 
-    http = (b"HTTP/1.1 200 OK\r\nContent-Type: "
-            + content_type.encode("ascii")
-            + b"\r\nContent-Length: "
-            + str(len(body)).encode("ascii")
-            + b"\r\n\r\n" + body)
+    if warc_type == "response":
+        payload = (b"HTTP/1.1 200 OK\r\nContent-Type: "
+                   + content_type.encode("ascii")
+                   + b"\r\nContent-Length: "
+                   + str(len(body)).encode("ascii")
+                   + b"\r\n\r\n" + body)
+        rec_ctype = b"application/http; msgtype=response"
+    else:
+        payload = body
+        rec_ctype = content_type.encode("ascii")
     rid = _hashlib.sha1(url.encode("utf-8") + b"\x00" + body).hexdigest()
     rec = (b"WARC/1.0\r\n"
-           b"WARC-Type: response\r\n"
-           b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF
+           b"WARC-Type: " + warc_type.encode("ascii") + _CRLF
+           + b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF
            + b"WARC-Date: " + date.encode("ascii") + _CRLF
            + b"WARC-Record-ID: <urn:sha1:" + rid.encode("ascii")
            + b">\r\n"
-           b"Content-Type: application/http; msgtype=response\r\n"
-           b"Content-Length: " + str(len(http)).encode("ascii")
-           + b"\r\n\r\n" + http + _CRLF + _CRLF)
+           b"Content-Type: " + rec_ctype + _CRLF
+           + b"Content-Length: " + str(len(payload)).encode("ascii")
+           + b"\r\n\r\n" + payload + _CRLF + _CRLF)
     return _gzip.compress(rec, 6, mtime=0) if gz else rec
 
 
@@ -234,7 +242,8 @@ def records2warc_sharded(df: DataFrame, dir_path: str,
                          date_col: str | None = None,
                          default_date: str = "2020-01-01T00:00:00Z",
                          content_type: str = "text/html",
-                         shards: int | None = None) -> int:
+                         shards: int | None = None,
+                         record_type: str = "response") -> int:
     """DataFrame → a DIRECTORY of ``part-NNNNN.warc.gz`` shards,
     written in parallel by the executors (one shard per partition) —
     Common Crawl's own segment layout, and the scale-correct inverse
@@ -281,7 +290,8 @@ def records2warc_sharded(df: DataFrame, dir_path: str,
                 date = (str(row[2]) if has_date and row[2] is not None
                         else default_date)
                 sink.write(_record_bytes(url, bytes(body), date,
-                                         content_type, True))
+                                         content_type, True,
+                                         record_type))
                 wrote += 1
         if not wrote:
             _os.remove(path)
@@ -289,3 +299,103 @@ def records2warc_sharded(df: DataFrame, dir_path: str,
 
     counts = part.rdd.mapPartitionsWithIndex(_write_part).collect()
     return sum(1 for c in counts if c)
+
+
+# ------------------------------------------------- WET / WAT (Common
+# Crawl's derived formats: WET = conversion records carrying the
+# extracted plain text, WAT = metadata records carrying a JSON
+# envelope of per-page metadata)
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed WET reader: ``conversion`` records → one row per
+    page with the extracted TEXT decoded — the standard entry point
+    when the corpus ships pre-extracted (Common Crawl *.warc.wet.gz).
+    Columns: ``file, target_uri, warc_date, text, n_chars``."""
+    from pyspark.sql import functions as F
+
+    df = read_warc(spark, path, record_types=("conversion",),
+                   strip_http=False)
+    text = F.decode(F.col("payload"), "UTF-8")
+    return df.select("file", "target_uri", "warc_date",
+                     text.alias("text"),
+                     F.length(text).alias("n_chars"))
+
+
+def records2wet_sharded(df: DataFrame, dir_path: str,
+                        url_col: str = "url", text_col: str = "text",
+                        date_col: str | None = None,
+                        default_date: str = "2020-01-01T00:00:00Z",
+                        shards: int | None = None) -> int:
+    """DataFrame → a directory of ``part-NNNNN.warc.gz`` WET shards
+    (``conversion`` records, ``text/plain`` bodies), written by the
+    executors — the inverse of ``read_wet`` at scale."""
+    return records2warc_sharded(
+        df, dir_path, url_col=url_col, payload_col=text_col,
+        date_col=date_col, default_date=default_date,
+        content_type="text/plain", shards=shards,
+        record_type="conversion")
+
+
+def wat_payload(url_col: str = "url", title_col: str = "title",
+                links_col: str = "links"):
+    """Column expression building a WAT ``Envelope`` JSON (the
+    Common Crawl field spine: WARC-Header-Metadata target URI,
+    HTML-Metadata Head.Title and Links[{url}]) — JVM-side
+    ``to_json``, no Python."""
+    from pyspark.sql import functions as F
+
+    return F.to_json(F.struct(F.struct(
+        F.struct(F.col(url_col).alias("WARC-Target-URI"))
+         .alias("WARC-Header-Metadata"),
+        F.struct(F.struct(F.struct(
+            F.struct(F.col(title_col).alias("Title")).alias("Head"),
+            F.transform(F.col(links_col),
+                        lambda u: F.struct(u.alias("url")))
+             .alias("Links")).alias("HTML-Metadata"))
+         .alias("HTTP-Response-Metadata")).alias("Payload-Metadata"))
+        .alias("Envelope")))
+
+
+def records2wat_sharded(df: DataFrame, dir_path: str,
+                        url_col: str = "url", title_col: str = "title",
+                        links_col: str = "links",
+                        date_col: str | None = None,
+                        default_date: str = "2020-01-01T00:00:00Z",
+                        shards: int | None = None) -> int:
+    """DataFrame (url, title, links array<string>) → WAT shards
+    (``metadata`` records, ``application/json`` envelopes)."""
+    from pyspark.sql import functions as F
+
+    cols = [F.col(url_col).alias("__u"),
+            wat_payload(url_col, title_col, links_col).alias("__j")]
+    if date_col:
+        cols.append(F.col(date_col))
+    return records2warc_sharded(
+        df.select(*cols), dir_path, url_col="__u", payload_col="__j",
+        date_col=date_col, default_date=default_date,
+        content_type="application/json", shards=shards,
+        record_type="metadata")
+
+
+def read_wat(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed WAT reader: ``metadata`` records → one row per
+    page with the envelope's headline fields surfaced (page title,
+    outlink URLs + count) — JVM-side JSON path extraction, no
+    Python beyond the record framing.
+    Columns: ``file, target_uri, warc_date, title, links, n_links``."""
+    from pyspark.sql import functions as F
+
+    df = read_warc(spark, path, record_types=("metadata",),
+                   strip_http=False)
+    js = F.decode(F.col("payload"), "UTF-8")
+    html_meta = ("$['Envelope']['Payload-Metadata']"
+                 "['HTTP-Response-Metadata']['HTML-Metadata']")
+    title = F.get_json_object(js, html_meta + "['Head']['Title']")
+    links_json = F.get_json_object(js, html_meta + "['Links']")
+    links = F.transform(
+        F.from_json(links_json, "array<struct<url:string>>"),
+        lambda s: s.getField("url"))
+    return df.select("file", "target_uri", "warc_date",
+                     title.alias("title"), links.alias("links"),
+                     F.coalesce(F.size(links),
+                                F.lit(0)).alias("n_links"))

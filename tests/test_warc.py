@@ -138,3 +138,68 @@ def test_sharded_writer_matches_single_artifact(spark, tmp_path):
     records2warc_sharded(sdf.limit(3), shard_dir, url_col="url",
                          payload_col="text", shards=2)
     assert len(read_warc(spark, shard_dir).collect()) == 3
+
+
+def test_wet_roundtrip(spark, tmp_path):
+    """WET = conversion records with plain-text bodies; read_wet
+    decodes them back exactly (unicode included)."""
+    from meza_spark.io.warc import read_wet, records2wet_sharded
+
+    rows = [("http://x/1", "text one"), ("http://x/2", "café — two")]
+    sdf = spark.createDataFrame(rows, "url string, text string")
+    d = str(tmp_path / "wet")
+    assert records2wet_sharded(sdf, d, shards=2) >= 1
+    got = {r["target_uri"]: (r["text"], r["n_chars"])
+           for r in read_wet(spark, d).collect()}
+    assert got == {"http://x/1": ("text one", 8),
+                   "http://x/2": ("café — two", 10)}
+
+
+def test_wet_records_invisible_to_response_reader(spark, tmp_path):
+    from meza_spark.io.warc import read_warc, records2wet_sharded
+
+    sdf = spark.createDataFrame([("http://x/1", "t")],
+                                "url string, text string")
+    d = str(tmp_path / "wet2")
+    records2wet_sharded(sdf, d, shards=1)
+    assert read_warc(spark, d).count() == 0          # default: response
+    recs = read_warc(spark, d, record_types=("conversion",),
+                     strip_http=False).collect()
+    assert recs[0]["content_type"] == "text/plain"
+
+
+def test_wat_roundtrip_and_null_fields(spark, tmp_path):
+    """WAT envelopes carry title + links; read_wat extracts them
+    JVM-side; empty link lists and null titles survive."""
+    from meza_spark.io.warc import read_wat, records2wat_sharded
+
+    rows = [("http://x/1", "T1", ["http://a", "http://b"]),
+            ("http://x/2", None, [])]
+    sdf = spark.createDataFrame(
+        rows, "url string, title string, links array<string>")
+    d = str(tmp_path / "wat")
+    assert records2wat_sharded(sdf, d, shards=2) >= 1
+    got = {r["target_uri"]: (r["title"], r["links"], r["n_links"])
+           for r in read_wat(spark, d).collect()}
+    assert got["http://x/1"] == ("T1", ["http://a", "http://b"], 2)
+    assert got["http://x/2"] == (None, [], 0)
+
+
+def test_wat_envelope_shape(spark, tmp_path):
+    """The serialized JSON follows Common Crawl's field spine."""
+    import json
+
+    from meza_spark.io.warc import read_warc, records2wat_sharded
+
+    sdf = spark.createDataFrame([("http://x/9", "T", ["http://l"])],
+                                "url string, title string, links array<string>")
+    d = str(tmp_path / "wat2")
+    records2wat_sharded(sdf, d, shards=1)
+    rec = read_warc(spark, d, record_types=("metadata",),
+                    strip_http=False).collect()[0]
+    assert rec["content_type"] == "application/json"
+    env = json.loads(bytes(rec["payload"]).decode("utf-8"))["Envelope"]
+    assert env["WARC-Header-Metadata"]["WARC-Target-URI"] == "http://x/9"
+    hm = env["Payload-Metadata"]["HTTP-Response-Metadata"]["HTML-Metadata"]
+    assert hm["Head"]["Title"] == "T"
+    assert hm["Links"] == [{"url": "http://l"}]

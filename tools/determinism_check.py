@@ -104,6 +104,7 @@ DEFAULT_QUERIES = [
     "ipynb_extract",
     "code_quality_docs",
     "python_facts",
+    "wet_wat_roundtrip",
     "multimodal_headers",
 ]
 
