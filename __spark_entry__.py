@@ -3011,6 +3011,89 @@ def markup_strip(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def robots_eval(spark, sf_dir):
+    """robots.txt evaluation driver gate (round 9): per document,
+    build a robots fixture from the (doc_id//10)%4 rule-set cycle —
+    plain disallow; longest-match Allow-over-Disallow; an agent-
+    specific group with a `/*/D$` wildcard+anchor rule (the path
+    digit comes from doc_id//100 so it is DECOUPLED from the variant
+    cycle — a //10-derived digit would make the anchor-hit branch
+    unreachable, the closed-form parity trap); and a group for a
+    DIFFERENT agent only (no match → default allow) — then evaluate
+    through the REAL Spark operator (robots_filter,
+    meza_spark/llm/crawl.py: RFC 9309 longest-match semantics in a
+    row-local Arrow pandas_udf with per-batch parse cache). The
+    DuckDB oracle replays each variant's decision arithmetically."""
+    from meza_spark.llm.crawl import robots_filter
+
+    digit = ((F.col("doc_id") / 100).cast("long") % 10).cast("string")
+    k = (F.col("doc_id") / 10).cast("long") % 4
+    robots = (F.when(k == 0, F.lit("User-agent: *\nDisallow: /p/\n"))
+              .when(k == 1, F.lit("User-agent: *\nDisallow: /\n"
+                                  "Allow: /p/\n"))
+              .when(k == 2, F.lit("User-agent: mezabot\n"
+                                  "Disallow: /*/3$\n\n"
+                                  "User-agent: *\nDisallow: /\n"))
+              .otherwise(F.lit("User-agent: otherbot\nDisallow: /\n")))
+    docs = (_t(spark, sf_dir, "documents")
+            .where((F.col("doc_id") % 10 == 1) & (F.col("doc_id") < 5000))
+            .select("doc_id",
+                    robots.alias("robots_txt"),
+                    F.concat(F.lit("/p/"), digit).alias("path")))
+    return (robots_filter(docs, agent="mezabot")
+            .select("doc_id", "path", "allowed")
+            .orderBy("doc_id"))
+
+
+def sitemap_extract(spark, sf_dir):
+    """Sitemap expansion driver gate (round 9): per document, build
+    a sitemap whose entry count is doc_id%3+1 — the (doc_id//10)%3
+    cycle walks plain urlset, gzipped urlset (the standard
+    sitemap.xml.gz) and a sitemapindex — then explode through the
+    REAL Spark operator (sitemap_urls, meza_spark/llm/crawl.py:
+    row-local Arrow mapInPandas, one row per entry). The DuckDB
+    oracle regenerates every entry (loc/lastmod/changefreq/priority
+    are arithmetic in doc_id and the entry ordinal) via
+    unnest(generate_series). doc_id<5000 bounds the gate at any SF."""
+    import pandas as pd
+
+    from meza_spark.llm.crawl import encode_sitemap, sitemap_urls
+
+    def build(batches):
+        for pdf_b in batches:
+            rows = []
+            for i in pdf_b["doc_id"]:
+                i = int(i)
+                k = (i // 10) % 3
+                n = i % 3 + 1
+                if k == 2:
+                    entries = [("http://x/%d/s%d.xml" % (i, j),
+                                None, None, None)
+                               for j in range(1, n + 1)]
+                    b = encode_sitemap(entries, index=True)
+                else:
+                    entries = [("http://x/%d/%d" % (i, j),
+                                "2024-01-0%d" % j,
+                                "daily" if j % 2 == 1 else None,
+                                "0.%d" % j)
+                               for j in range(1, n + 1)]
+                    b = encode_sitemap(entries, gz=(k == 1))
+                rows.append((i, b))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    from meza_spark.util import spread
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where((F.col("doc_id") % 10 == 2) & (F.col("doc_id") < 5000))
+            .select("doc_id"))
+    built = spread(docs).mapInPandas(
+        build, schema="doc_id long, payload binary")
+    return (sitemap_urls(built, id_col="doc_id")
+            .select("doc_id", "kind", "url_idx", "loc", "lastmod",
+                    "changefreq", "priority")
+            .orderBy("doc_id", "url_idx"))
+
+
 def wet_wat_roundtrip(spark, sf_dir):
     """Common Crawl WET/WAT END-TO-END driver gate (round 9): write
     the corpus out as BOTH derived formats — sharded WET (conversion
@@ -5572,6 +5655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_quality_docs": code_quality_docs,
         "python_facts": python_facts,
         "wet_wat_roundtrip": wet_wat_roundtrip,
+        "robots_eval": robots_eval,
+        "sitemap_extract": sitemap_extract,
         "doc_extract_mixed": doc_extract_mixed,
         "doc_dir_e2e": doc_dir_e2e,
         "stream_tumble_static": stream_tumble_static,
@@ -6864,6 +6949,57 @@ def _oracle_sql_base() -> dict[str, str]:
                    sha256(expected) AS text_sha
             FROM v
             ORDER BY doc_id
+        """,
+        # robots_eval: every variant's RFC 9309 decision is
+        # arithmetic in doc_id (the k=2 wildcard+anchor rule hits
+        # iff the //100 path digit is 3 — decoupled from the //10
+        # variant cycle on purpose).
+        "robots_eval": """
+            SELECT doc_id,
+                   '/p/' || CAST((doc_id // 100) % 10 AS VARCHAR)
+                       AS path,
+                   CASE (doc_id // 10) % 4
+                     WHEN 0 THEN false
+                     WHEN 1 THEN true
+                     WHEN 2 THEN (doc_id // 100) % 10 != 3
+                     ELSE true END AS allowed
+            FROM documents
+            WHERE doc_id % 10 = 1 AND doc_id < 5000
+            ORDER BY doc_id
+        """,
+        # sitemap_extract: loc/lastmod/changefreq/priority are
+        # arithmetic in (doc_id, entry ordinal), so the oracle
+        # regenerates every exploded row via generate_series.
+        "sitemap_extract": """
+            WITH v AS (
+              SELECT doc_id, (doc_id // 10) % 3 AS k,
+                     doc_id % 3 + 1 AS n
+              FROM documents
+              WHERE doc_id % 10 = 2 AND doc_id < 5000),
+            e AS (
+              SELECT doc_id, k,
+                     unnest(generate_series(1, n)) AS j
+              FROM v)
+            SELECT doc_id,
+                   CASE WHEN k = 2 THEN 'index'
+                        ELSE 'urlset' END AS kind,
+                   CAST(j - 1 AS INTEGER) AS url_idx,
+                   CASE WHEN k = 2
+                        THEN 'http://x/' || CAST(doc_id AS VARCHAR)
+                             || '/s' || CAST(j AS VARCHAR) || '.xml'
+                        ELSE 'http://x/' || CAST(doc_id AS VARCHAR)
+                             || '/' || CAST(j AS VARCHAR)
+                        END AS loc,
+                   CASE WHEN k = 2 THEN NULL
+                        ELSE '2024-01-0' || CAST(j AS VARCHAR)
+                        END AS lastmod,
+                   CASE WHEN k <> 2 AND j % 2 = 1 THEN 'daily'
+                        END AS changefreq,
+                   CASE WHEN k = 2 THEN NULL
+                        ELSE '0.' || CAST(j AS VARCHAR)
+                        END AS priority
+            FROM e
+            ORDER BY doc_id, url_idx
         """,
         # wet_wat_roundtrip: files on disk, so the oracle recomputes
         # what the WET/WAT writers serialized — text sha, title, the

@@ -151,6 +151,8 @@ HEADLINE = [
     "code_quality_docs",
     "python_facts",
     "wet_wat_roundtrip",
+    "robots_eval",
+    "sitemap_extract",
 ]
 
 # Self-adjudicating bench (r7 verdict #2). Three identical-code r7
@@ -259,7 +261,7 @@ SCALE_QUERIES = ["q1_pricing", "q3_shipping", "q5_local_supplier",
                  "subtitle_extract", "ipynb_extract",
                  # round-9: code-corpus tier
                  "code_quality_docs", "python_facts",
-                 "wet_wat_roundtrip"]
+                 "wet_wat_roundtrip", "robots_eval", "sitemap_extract"]
 
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

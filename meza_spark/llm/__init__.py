@@ -37,6 +37,9 @@ from .office import (encode_docx, encode_epub, encode_odt, encode_pptx,
 from .doctext import document_text, extract_document_bytes
 from .pdf import encode_pdf, extract_pdf_bytes, pdf_text
 from .rtf import encode_rtf, extract_rtf_bytes, rtf_text
+from .crawl import (encode_sitemap, parse_robots,
+                    parse_sitemap_bytes, robots_allowed,
+                    robots_filter, sitemap_urls)
 from .code import code_quality, python_facts_bytes, python_source_facts
 from .eml import (encode_eml, encode_mbox, eml_text, extract_eml_bytes,
                   split_mbox)
@@ -83,4 +86,6 @@ __all__ = [
     "encode_vtt", "subtitle_cues",
     "extract_ipynb_bytes", "encode_ipynb",
     "code_quality", "python_facts_bytes", "python_source_facts",
+    "parse_robots", "robots_allowed", "robots_filter",
+    "parse_sitemap_bytes", "encode_sitemap", "sitemap_urls",
 ]

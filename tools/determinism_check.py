@@ -105,6 +105,8 @@ DEFAULT_QUERIES = [
     "code_quality_docs",
     "python_facts",
     "wet_wat_roundtrip",
+    "robots_eval",
+    "sitemap_extract",
     "multimodal_headers",
 ]
 
