@@ -3094,6 +3094,62 @@ def sitemap_extract(spark, sf_dir):
             .orderBy("doc_id", "url_idx"))
 
 
+def frontier_e2e(spark, sf_dir):
+    """Crawl-frontier FLAGSHIP (round 9): compose the new tier the
+    way a polite crawler does — per-site sitemap payloads (plain and
+    gzipped, doc_id%3+1 entries) explode through sitemap_urls, every
+    URL is evaluated against robots.txt through robots_filter (the
+    `Disallow: /*/2$` wildcard+anchor rule kills exactly the j=2
+    entry), the surviving frontier aggregates per site (ONE shuffle,
+    by doc_id), and joins back to the fetched page text. The DuckDB
+    oracle replays the whole composition arithmetically. Plan shape:
+    two row-local Python stages → one hash aggregate → one join
+    against the bounded documents slice."""
+    import pandas as pd
+
+    from meza_spark.llm.crawl import (encode_sitemap, robots_filter,
+                                      sitemap_urls)
+
+    def build(batches):
+        for pdf_b in batches:
+            rows = []
+            for i in pdf_b["doc_id"]:
+                i = int(i)
+                n = i % 3 + 1
+                entries = [("http://x/%d/%d" % (i, j),
+                            None, None, None)
+                           for j in range(1, n + 1)]
+                rows.append((i, encode_sitemap(
+                    entries, gz=(i // 10) % 2 == 1)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    from meza_spark.util import spread
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where((F.col("doc_id") % 10 == 4) & (F.col("doc_id") < 5000))
+            .select("doc_id", "text"))
+    built = spread(docs.select("doc_id")).mapInPandas(
+        build, schema="doc_id long, payload binary")
+    urls = (sitemap_urls(built, id_col="doc_id")
+            .select("doc_id", "loc",
+                    F.regexp_replace("loc", r"^http://x", "")
+                     .alias("path"),
+                    F.lit("User-agent: *\nDisallow: /*/2$\n")
+                     .alias("robots_txt")))
+    frontier = (robots_filter(urls, agent="mezabot")
+                .groupBy("doc_id")
+                .agg(F.count("*").cast("int").alias("n_urls"),
+                     F.sum(F.when(F.col("allowed"), 1).otherwise(0))
+                      .cast("int").alias("n_allowed")))
+    return (frontier.join(F.broadcast(docs.withColumnRenamed(
+                "doc_id", "d2")), frontier["doc_id"] == F.col("d2"))
+            .select("doc_id", "n_urls", "n_allowed",
+                    F.length("text").cast("int").alias("n_chars_out"),
+                    F.sha2(F.encode("text", "UTF-8"), 256)
+                     .alias("text_sha"))
+            .orderBy("doc_id"))
+
+
 def wet_wat_roundtrip(spark, sf_dir):
     """Common Crawl WET/WAT END-TO-END driver gate (round 9): write
     the corpus out as BOTH derived formats — sharded WET (conversion
@@ -5657,6 +5713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_wat_roundtrip": wet_wat_roundtrip,
         "robots_eval": robots_eval,
         "sitemap_extract": sitemap_extract,
+        "frontier_e2e": frontier_e2e,
         "doc_extract_mixed": doc_extract_mixed,
         "doc_dir_e2e": doc_dir_e2e,
         "stream_tumble_static": stream_tumble_static,
@@ -6948,6 +7005,22 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(length(expected) AS INTEGER) AS n_chars_out,
                    sha256(expected) AS text_sha
             FROM v
+            ORDER BY doc_id
+        """,
+        # frontier_e2e: n_urls is doc_id%3+1; the /*/2$ rule kills
+        # exactly the j=2 entry (present iff n_urls >= 2), so the
+        # whole sitemap→robots→aggregate→join composition replays
+        # arithmetically from `documents`.
+        "frontier_e2e": """
+            SELECT doc_id,
+                   CAST(doc_id % 3 + 1 AS INTEGER) AS n_urls,
+                   CAST(doc_id % 3 + 1
+                        - CASE WHEN doc_id % 3 + 1 >= 2 THEN 1
+                          ELSE 0 END AS INTEGER) AS n_allowed,
+                   CAST(n_chars AS INTEGER) AS n_chars_out,
+                   sha256(text) AS text_sha
+            FROM documents
+            WHERE doc_id % 10 = 4 AND doc_id < 5000
             ORDER BY doc_id
         """,
         # robots_eval: every variant's RFC 9309 decision is

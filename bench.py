@@ -153,6 +153,7 @@ HEADLINE = [
     "wet_wat_roundtrip",
     "robots_eval",
     "sitemap_extract",
+    "frontier_e2e",
 ]
 
 # Self-adjudicating bench (r7 verdict #2). Three identical-code r7
@@ -261,7 +262,7 @@ SCALE_QUERIES = ["q1_pricing", "q3_shipping", "q5_local_supplier",
                  "subtitle_extract", "ipynb_extract",
                  # round-9: code-corpus tier
                  "code_quality_docs", "python_facts",
-                 "wet_wat_roundtrip", "robots_eval", "sitemap_extract"]
+                 "wet_wat_roundtrip", "robots_eval", "sitemap_extract", "frontier_e2e"]
 
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

@@ -107,6 +107,7 @@ DEFAULT_QUERIES = [
     "wet_wat_roundtrip",
     "robots_eval",
     "sitemap_extract",
+    "frontier_e2e",
     "multimodal_headers",
 ]
 
