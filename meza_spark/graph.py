@@ -159,8 +159,20 @@ def label_propagation(edges: DataFrame, src: str = "src",
     labels = (und.select(F.col("a").alias("v")).distinct()
               .withColumn("l", F.col("v")))
     for i in range(n_iter):
+        if i == 0:
+            # Round-1 algebraic fold (optimization r9, guide §2.4 —
+            # remove shuffles outright): with pristine labels l = v,
+            # every neighbor's label is the neighbor id itself, and
+            # ``und`` is distinct, so each candidate label has count
+            # exactly 1 — the most-frequent-with-smallest-tie-break
+            # pick degenerates to min(neighbor). Same result as the
+            # generic round, minus a join and an aggregation (the
+            # per-round 6-exchange pipeline becomes 2).
+            labels = und.groupBy(F.col("a").alias("v")) \
+                        .agg(F.min("b").alias("l"))
+            continue
         cut = (labels.localCheckpoint()
-               if checkpoint_every and i and i % checkpoint_every == 0
+               if checkpoint_every and i % checkpoint_every == 0
                else labels)
         counts = (und.join(cut.select(F.col("v").alias("b"),
                                       F.col("l").alias("nl")), on="b")
