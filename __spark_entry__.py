@@ -27,6 +27,7 @@ from meza_spark import process as pr
 from meza_spark.llm import dedup as du
 from meza_spark.llm import similarity as sim
 from meza_spark.llm import text as tx
+from meza_spark.util import spread
 
 SF001 = "/root/testdata/sf0.001"
 
@@ -694,7 +695,7 @@ def multimodal_decode(spark, sf_dir):
             out.append(_encode_bmp(px.reshape(h, w, 3)))
         return pd.Series(out)
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = spread(_t(spark, sf_dir, "documents")).select(
         F.col("doc_id").alias("media_id"),
         _bmp("doc_id", "n_chars").alias("payload"))
     out = decode_image(d)
@@ -732,7 +733,7 @@ def multimodal_png(spark, sf_dir):
                                    interlace=int(i) % 3 == 0))
         return pd.Series(out)
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = spread(_t(spark, sf_dir, "documents")).select(
         F.col("doc_id").alias("media_id"),
         _png("doc_id", "n_chars").alias("payload"))
     out = decode_image(d)
@@ -771,7 +772,7 @@ def multimodal_gif(spark, sf_dir):
             out.append(_encode_gif(px, interlace=int(i) % 3 == 0))
         return pd.Series(out)
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = spread(_t(spark, sf_dir, "documents")).select(
         F.col("doc_id").alias("media_id"),
         _gif("doc_id", "n_chars").alias("payload"))
     out = decode_image(d)
@@ -815,7 +816,7 @@ def multimodal_mixed(spark, sf_dir):
                 out.append((_encode_png, _encode_gif)[i % 3 - 1](px))
         return pd.Series(out)
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = spread(_t(spark, sf_dir, "documents")).select(
         F.col("doc_id").alias("media_id"),
         _mixed("doc_id", "n_chars").alias("payload"))
     out = decode_image(d)
@@ -858,7 +859,7 @@ def multimodal_jpeg(spark, sf_dir):
                 restart_interval=2 if i % 7 == 0 else 0))
         return pd.Series(out)
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = spread(_t(spark, sf_dir, "documents")).select(
         F.col("doc_id").alias("media_id"),
         _jpg("doc_id", "n_chars").alias("payload"))
     out = decode_image(d)
@@ -911,7 +912,7 @@ def multimodal_gif_anim(spark, sf_dir):
                 transparent=[None, None, idx255]))
         return pd.Series(out)
 
-    d = (_t(spark, sf_dir, "documents")
+    d = (spread(_t(spark, sf_dir, "documents"))
          .where(F.col("doc_id") % 5 == 2)
          .select(F.col("doc_id").alias("media_id"),
                  _gif("doc_id", "n_chars").alias("payload")))
@@ -958,7 +959,7 @@ def multimodal_avi(spark, sf_dir):
                 rec_groups=i % 3 == 0))
         return pd.Series(out)
 
-    d = (_t(spark, sf_dir, "documents")
+    d = (spread(_t(spark, sf_dir, "documents"))
          .where(F.col("doc_id") % 10 == 3)
          .select(F.col("doc_id").alias("media_id"),
                  _avi("doc_id", "n_chars").alias("payload")))
@@ -1001,7 +1002,7 @@ def multimodal_mp4v(spark, sf_dir):
                 quality=75 + (i % 3) * 10))
         return pd.Series(out)
 
-    d = (_t(spark, sf_dir, "documents")
+    d = (spread(_t(spark, sf_dir, "documents"))
          .where(F.col("doc_id") % 10 == 9)
          .select(F.col("doc_id").alias("media_id"),
                  _mp4("doc_id", "n_chars").alias("payload")))
@@ -1059,7 +1060,7 @@ def multimodal_apng(spark, sf_dir):
                 offsets=[(0, 0), (1, 1), (1, 1)]))
         return pd.Series(out)
 
-    d = (_t(spark, sf_dir, "documents")
+    d = (spread(_t(spark, sf_dir, "documents"))
          .where(F.col("doc_id") % 5 == 1)
          .select(F.col("doc_id").alias("media_id"),
                  _apng("doc_id", "n_chars").alias("payload")))
@@ -1110,7 +1111,7 @@ def multimodal_jpeg_prog(spark, sf_dir):
 
     # deterministic 1/4 subset: the gate checks the §G scan machinery
     # EXACTNESS; full-corpus decode rate is multimodal_jpeg's job
-    d = (_t(spark, sf_dir, "documents")
+    d = (spread(_t(spark, sf_dir, "documents"))
          .where(F.col("doc_id") % 4 == 1)
          .select(F.col("doc_id").alias("media_id"),
                  _jpg("doc_id", "n_chars").alias("payload")))
@@ -1158,7 +1159,7 @@ def multimodal_mp4(spark, sf_dir):
                        + box(b"moov", mvhd + box(b"trak", tkhd)))
         return pd.Series(out)
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = spread(_t(spark, sf_dir, "documents")).select(
         F.col("doc_id").alias("media_id"),
         _mp4("doc_id", "n_chars").alias("payload"))
     out = parse_media_headers(d)
@@ -1192,7 +1193,7 @@ def multimodal_e2e(spark, sf_dir):
             out.append(_encode_bmp(px.reshape(h, w, 3)))
         return pd.Series(out)
 
-    docs = (_t(spark, sf_dir, "documents")
+    docs = (spread(_t(spark, sf_dir, "documents"))
             .select(F.col("doc_id").cast("string").alias("key"),
                     _bmp("doc_id", "n_chars").alias("img"),
                     F.to_json(F.struct("lang", "source")).alias("meta")))
@@ -1247,7 +1248,7 @@ def image_features_docs(spark, sf_dir):
             out.append(_encode_bmp(px.reshape(h, w, 3)))
         return pd.Series(out)
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = spread(_t(spark, sf_dir, "documents")).select(
         F.col("doc_id").alias("media_id"),
         _bmp("doc_id", "n_chars").alias("payload"))
     out = image_features(d, resize_to=8)
@@ -1291,7 +1292,7 @@ def multimodal_audio(spark, sf_dir):
     # deterministic 1/10 subset: the gate checks decode EXACTNESS, not
     # synthesis throughput — full-corpus audio decode rate is covered
     # by multimodal_decode/headers in the bench
-    d = (_t(spark, sf_dir, "documents")
+    d = (spread(_t(spark, sf_dir, "documents"))
          .where(F.col("doc_id") % 10 == 0)
          .select(F.col("doc_id").alias("media_id"),
                  _wav("doc_id").alias("payload")))
@@ -1344,7 +1345,7 @@ def multimodal_tiff(spark, sf_dir):
                 planar=2 if i % 7 == 0 else 1))
         return pd.Series(out)
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = spread(_t(spark, sf_dir, "documents")).select(
         F.col("doc_id").alias("media_id"),
         _tif("doc_id", "n_chars").alias("payload"))
     out = decode_image(d)
@@ -1385,7 +1386,7 @@ def multimodal_g711(spark, sf_dir):
                 + b"data" + _struct.pack("<I", len(data)) + data)
         return pd.Series(out)
 
-    d = (_t(spark, sf_dir, "documents")
+    d = (spread(_t(spark, sf_dir, "documents"))
          .where(F.col("doc_id") % 10 == 5)
          .select(F.col("doc_id").alias("media_id"),
                  _wav("doc_id").alias("payload")))
@@ -1439,7 +1440,7 @@ def multimodal_aiff(spark, sf_dir):
             out.append(b"FORM" + _struct.pack(">I", len(form)) + form)
         return pd.Series(out)
 
-    d = (_t(spark, sf_dir, "documents")
+    d = (spread(_t(spark, sf_dir, "documents"))
          .where(F.col("doc_id") % 10 == 4)
          .select(F.col("doc_id").alias("media_id"),
                  _aiff("doc_id").alias("payload")))
@@ -1478,7 +1479,7 @@ def multimodal_au(spark, sf_dir):
                 ">IIIII", 24, len(data), 3, 8000, 1) + data)
         return pd.Series(out)
 
-    d = (_t(spark, sf_dir, "documents")
+    d = (spread(_t(spark, sf_dir, "documents"))
          .where(F.col("doc_id") % 10 == 6)
          .select(F.col("doc_id").alias("media_id"),
                  _au("doc_id").alias("payload")))
@@ -1536,7 +1537,7 @@ def multimodal_ima4(spark, sf_dir):
             out.append(b"FORM" + _struct.pack(">I", len(form)) + form)
         return pd.Series(out)
 
-    d = (_t(spark, sf_dir, "documents")
+    d = (spread(_t(spark, sf_dir, "documents"))
          .where(F.col("doc_id") % 10 == 8)
          .select(F.col("doc_id").alias("media_id"),
                  _aifc("doc_id").alias("payload")))
@@ -1582,7 +1583,7 @@ def multimodal_tiff_pal16(spark, sf_dir):
             out.append(head + idx.tobytes())
         return pd.Series(out)
 
-    d = (_t(spark, sf_dir, "documents")
+    d = (spread(_t(spark, sf_dir, "documents"))
          .where(F.col("doc_id") % 10 == 3)
          .select(F.col("doc_id").alias("media_id"),
                  _tif("doc_id").alias("payload")))
@@ -1628,7 +1629,7 @@ def multimodal_webp(spark, sf_dir):
             out.append(encode_webp_lossless(px, transform=variants[i % 5]))
         return pd.Series(out)
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = spread(_t(spark, sf_dir, "documents")).select(
         F.col("doc_id").alias("media_id"),
         _webp("doc_id", "n_chars").alias("payload"))
     out = decode_image(d)
@@ -1684,7 +1685,7 @@ def multimodal_webp_anim(spark, sf_dir):
                 offsets=[(0, 0), (2, 2), (2, 2)], canvas=(w, h)))
         return pd.Series(out)
 
-    d = (_t(spark, sf_dir, "documents")
+    d = (spread(_t(spark, sf_dir, "documents"))
          .where(F.col("doc_id") % 5 == 2)
          .select(F.col("doc_id").alias("media_id"),
                  _anim("doc_id", "n_chars").alias("payload")))
@@ -1730,7 +1731,7 @@ def multimodal_flac(spark, sf_dir):
                 stereo_mode=modes[(i // 10) % 4]))
         return pd.Series(out)
 
-    d = (_t(spark, sf_dir, "documents")
+    d = (spread(_t(spark, sf_dir, "documents"))
          .where(F.col("doc_id") % 10 == 6)
          .select(F.col("doc_id").alias("media_id"),
                  _flac("doc_id").alias("payload")))
@@ -1790,7 +1791,7 @@ def multimodal_pcm_deep(spark, sf_dir):
                     ">IIIII", 24, len(data), 5, 12000, 1) + data)
         return pd.Series(out)
 
-    d = (_t(spark, sf_dir, "documents")
+    d = (spread(_t(spark, sf_dir, "documents"))
          .where(F.col("doc_id") % 10 == 5)
          .select(F.col("doc_id").alias("media_id"),
                  _deep("doc_id").alias("payload")))
@@ -2127,7 +2128,7 @@ def multimodal_headers(spark, sf_dir):
                     + b"data" + struct.pack("<I", len(data)) + data)
         return pd.Series(out)
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = spread(_t(spark, sf_dir, "documents")).select(
         F.col("doc_id").alias("media_id"),
         _payload("doc_id", "n_chars").alias("payload"))
     return parse_media_headers(d)
