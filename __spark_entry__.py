@@ -5617,9 +5617,9 @@ def curation_e2e(spark, sf_dir):
     # re-read-the-corpus-4× tax)
     from meza_spark.llm.cluster import _stats_barrier
     clean = _stats_barrier(clean)
-    # fused fit+weights (r9): one gram explode instead of two, same
-    # numbers — see dsir.fit_and_weights
-    w = dsir.fit_and_weights(clean, F.col("lang") == "en")
+    ratios = dsir.fit_log_ratios(
+        None, clean, target_pred=F.col("lang") == "en")
+    w = dsir.dsir_weights(clean, ratios)
     topk = w.orderBy(F.desc("dsir_w"), "doc_id").limit(200)
     packed = pack_shards(
         topk.join(clean.select("doc_id", "n_chars"), on="doc_id"),

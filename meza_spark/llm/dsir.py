@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from .text import tokens
 
 __all__ = ["hashed_gram_buckets", "fit_log_ratios", "dsir_weights",
-           "dsir_sample", "fit_and_weights"]
+           "dsir_sample"]
 
 #: 2^52 — md5's first 13 hex digits map to [0, 2^52); +0.5 keeps the
 #: uniform strictly inside (0,1) so ln(u) and ln(-ln(u)) are finite.
@@ -193,58 +193,6 @@ def dsir_weights(df: DataFrame, ratios: DataFrame,
     return joined.groupBy(id_col).agg(w)
 
 
-def fit_and_weights(df: DataFrame, target_pred,
-                    text_col: str = "text", id_col: str = "doc_id",
-                    buckets: int = 1024,
-                    out: str = "dsir_w") -> DataFrame:
-    """``fit_log_ratios(target_pred=...)`` + ``dsir_weights`` from ONE
-    tokenize/explode pass (optimization r9, guide §1.2/§2.3).
-
-    The separate calls each re-tokenize and re-explode the corpus —
-    the single genuinely expensive stage of DSIR. But the fit's global
-    per-bucket counts are exactly the per-document counts summed:
-    aggregate ``(id, is_target, bucket, cnt)`` once, materialize it
-    (persist → count → localCheckpoint → unpersist, the established
-    stats barrier), derive the ≤B-row fit table from it on the driver,
-    and broadcast-join it back for the weights. Numbers are identical
-    to the two-pass form by construction (occurrence counts are summed
-    either way; same Laplace ratio expression on the same B-row local
-    frame); the r9 oracle differential re-proves it."""
-    base = df.select(F.col(id_col),
-                     tokens(F.lower(F.col(text_col))).alias("_t"),
-                     target_pred.alias("_is_t"))
-    per_bucket = (base.select(id_col, "_is_t",
-                              F.explode(_grams_of(F.col("_t")))
-                              .alias("_g"))
-                  .select(id_col, "_is_t",
-                          _bucket(F.col("_g"), buckets).alias("bucket"))
-                  .groupBy(id_col, "_is_t", "bucket")
-                  .agg(F.count("*").alias("cnt")))
-    from .cluster import _stats_barrier
-    per_bucket = _stats_barrier(per_bucket)
-    rows = (per_bucket.groupBy("bucket")
-            .agg(F.sum("cnt").alias("cr"),
-                 F.sum(F.when(F.col("_is_t"), F.col("cnt"))
-                       .otherwise(0)).alias("ct"))
-            .collect())                           # ≤ B rows
-    ct = {r["bucket"]: r["ct"] for r in rows}
-    cr = {r["bucket"]: r["cr"] for r in rows}
-    t_total = sum(ct.values())
-    r_total = sum(cr.values())
-    local = df.sparkSession.createDataFrame(
-        [(b, ct.get(b, 0), cr.get(b, 0)) for b in range(buckets)],
-        "bucket long, ct long, cr long")
-    p = (F.col("ct") + 1).cast("double") / F.lit(t_total + buckets)
-    q = (F.col("cr") + 1).cast("double") / F.lit(r_total + buckets)
-    ratio = F.floor(F.log(p / q) * F.lit(1e6) + F.lit(0.5)).cast("long")
-    ratios = local.select("bucket", ratio.alias("ratio_micro"))
-    joined = per_bucket.join(F.broadcast(ratios), on="bucket",
-                             how="left")
-    w = F.sum(F.col("cnt") *
-              F.coalesce("ratio_micro", F.lit(0))).alias(out)
-    return joined.groupBy(id_col).agg(w)
-
-
 def dsir_sample(df: DataFrame, target: DataFrame | None, k: int,
                 text_col: str = "text", id_col: str = "doc_id",
                 buckets: int = 1024, seed: int = 0, *,
@@ -261,14 +209,9 @@ def dsir_sample(df: DataFrame, target: DataFrame | None, k: int,
     ``sort + limit(k)`` gathers only k rows — the established
     ``sort_topk`` shape, never a full-corpus driver collect.
     """
-    if target_pred is not None:
-        # single-tokenize fused path (r9): identical numbers, one
-        # gram explode instead of two
-        w = fit_and_weights(df, target_pred, text_col, id_col, buckets)
-    else:
-        ratios = fit_log_ratios(target, df, text_col, buckets,
-                                target_pred=target_pred)
-        w = dsir_weights(df, ratios, text_col, id_col, buckets)
+    ratios = fit_log_ratios(target, df, text_col, buckets,
+                            target_pred=target_pred)
+    w = dsir_weights(df, ratios, text_col, id_col, buckets)
     u = (F.conv(F.substring(
         F.md5(F.concat(F.col(id_col).cast("string"),
                        F.lit(f"#{seed}"))), 1, 13), 16, 10)
