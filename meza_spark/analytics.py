@@ -46,7 +46,17 @@ def funnel(df: DataFrame, steps: Sequence[str],
     t1 = (df.where(F.col(type_col) == steps[0])
           .groupBy(user_col).agg(F.min(ts_col).alias("_t1")))
     times = t1
+    # Per-step lineage barrier (optimization r9, guide §2.4): each
+    # ``times`` frame is referenced TWICE by the next step (the step's
+    # qualifying join AND the left-join accumulation), so the lazy
+    # subtree DOUBLES per step — a 4-step funnel re-ran the step-1 agg
+    # 8× (46 Exchange nodes at sf0.1). ``localCheckpoint`` on every
+    # intermediate frame (per-user rows — the small decision table)
+    # makes each step compute once; the final frame is consumed once
+    # by the count and stays lazy. Purely physical: per-step min
+    # timestamps are unchanged.
     for i, step in enumerate(steps[1:], start=2):
+        times = times.localCheckpoint()
         prev = F.col(f"_t{i - 1}")
         cond = F.col(ts_col) > prev
         if within_seconds is not None:
@@ -127,7 +137,10 @@ def moving_zscore(df: DataFrame, partition_col: str, ts_col: str,
         var_q = (n*s2 - s1²) / (n*(n-1))      (sample variance, micro²)
         z     = (v - s1/n) / sqrt(var_q)
 
-    One shuffle on the series key, one window pass. sqrt is
+    One shuffle on the series key, one sorted window pipeline (running
+    sums + lags — see the in-body note; the trailing-frame sums are
+    recovered as running-sum differences, exact by integer
+    arithmetic). sqrt is
     correctly-rounded per IEEE-754, so it replays exactly. Pass
     ``tiebreak`` (a unique column) when ``ts_col`` can collide within
     a series — a row-frame over tied timestamps is otherwise
@@ -158,12 +171,46 @@ def moving_zscore(df: DataFrame, partition_col: str, ts_col: str,
             F.when(ok, F.floor(z * 1000000 + F.lit(0.5)).cast("long")))
             .drop("_n", "_m", "_sd"))
 
+    # Trailing-frame sums via running-sum differences (optimization r9,
+    # guide §1.2 per-task work): Spark evaluates a sliding frame
+    # ([-window,-1]) by re-accumulating all `window` frame rows for
+    # EVERY output row — O(window) BigDecimal adds per row per
+    # aggregate — while an unboundedPreceding frame is incremental
+    # (O(1)/row). The frame sum is recovered exactly from the running
+    # sums: sum[i-window..i-1] = C(i-1) − C(i-window-1), i.e.
+    # lag(C,1) − lag(C,window+1), with a missing lag meaning "before
+    # the partition start" (C = 0). Exact-integer decimal arithmetic
+    # makes the difference bit-identical to the direct frame sum; an
+    # empty/all-null frame yields 0 here where the frame sum yields
+    # NULL, but every consumer sits behind ``ok`` (_n >= min_points),
+    # which is false in exactly those rows for both forms. Same single
+    # exchange and sort; the lags ride the same Window spec. Overflow
+    # bound: the PARTITION-cumulative Σ_vq² must stay < 1e38 (|vq| ≤
+    # ~1e13 → ~1e12 rows per series), vs the old per-frame bound —
+    # still far past any real series length.
+    wcum = (Window.partitionBy(partition_col).orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wlag = Window.partitionBy(partition_col).orderBy(*order)
+
+    def _trail(c):
+        return (F.coalesce(F.lag(c, 1).over(wlag), F.lit(0)
+                           .cast("decimal(38,0)"))
+                - F.coalesce(F.lag(c, window + 1).over(wlag), F.lit(0)
+                             .cast("decimal(38,0)")))
+
     q = F.floor(F.col(value_col).cast("double") * 1000000 + F.lit(0.5)) \
         .cast("decimal(38,0)")
     step = (df.withColumn("_vq", q)
-            .withColumn("_n", F.count("_vq").over(w))
-            .withColumn("_s1", F.sum("_vq").over(w))
-            .withColumn("_s2", F.sum(F.col("_vq") * F.col("_vq")).over(w)))
+            .withColumn("_cn", F.count("_vq").over(wcum))
+            .withColumn("_c1", F.sum("_vq").over(wcum))
+            .withColumn("_c2", F.sum(F.col("_vq") * F.col("_vq"))
+                        .over(wcum))
+            .withColumn("_n", F.coalesce(F.lag("_cn", 1).over(wlag),
+                                         F.lit(0))
+                        - F.coalesce(F.lag("_cn", window + 1).over(wlag),
+                                     F.lit(0)))
+            .withColumn("_s1", _trail(F.col("_c1")))
+            .withColumn("_s2", _trail(F.col("_c2"))))
     n = F.col("_n").cast("double")
     # decimal→double via STRING: the direct cast differs from DuckDB
     # by 1 ulp at ~1e9+ magnitudes (memory: parity traps; same reason
@@ -177,7 +224,7 @@ def moving_zscore(df: DataFrame, partition_col: str, ts_col: str,
     return (step.withColumn(
         "z_micro",
         F.when(ok, F.floor(z * 1000000 + F.lit(0.5)).cast("long")))
-        .drop("_vq", "_n", "_s1", "_s2"))
+        .drop("_vq", "_cn", "_c1", "_c2", "_n", "_s1", "_s2"))
 
 
 def cusum(df: DataFrame, partition_col: str | Sequence[str], ts_col: str,
@@ -450,10 +497,16 @@ def attribution(df: DataFrame, conversion_type: str,
     j = conv.join(touch, on="_u").where(cond)
     w = Window.partitionBy("_u", "_cts")
     asc = w.orderBy(*order)
-    desc = w.orderBy(*[c.desc() for c in order])
+    # _rl (rank from the end) = _n + 1 - _rf instead of a second
+    # row_number over the reversed order (optimization r9, guide §2.4):
+    # the desc window forced a SECOND per-partition sort pass. With a
+    # total order (ts + tiebreak — the documented determinism contract)
+    # the reversed row_number is exactly n+1-rf; without a tiebreak and
+    # with tied timestamps both forms are equally partition-order-
+    # dependent (row_number over ties is arbitrary either way).
     j = (j.withColumn("_n", F.count(F.lit(1)).over(w))
          .withColumn("_rf", F.row_number().over(asc))
-         .withColumn("_rl", F.row_number().over(desc)))
+         .withColumn("_rl", F.col("_n") + 1 - F.col("_rf")))
     if model == "last_touch":
         credit = F.when(F.col("_rl") == 1, F.lit(1000000))
     elif model == "first_touch":

@@ -84,7 +84,11 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                         on="v", how="left")
              .select("v", F.coalesce("_dang", F.lit(True)).alias("_dang"))
              .localCheckpoint())
-    n = verts.count()
+    # one probe job for both static scalars (count + dangling-set
+    # emptiness) off the checkpointed verts — optimization r9
+    probe = verts.agg(F.count(F.lit(1)).alias("n"),
+                      F.max("_dang").alias("any_dang")).collect()[0]
+    n = probe["n"]
     if n == 0:
         return verts.select(F.col("v"),
                             F.lit(0.0).alias("pagerank")).limit(0)
@@ -93,23 +97,18 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
 
     dsum = F.sum(F.col("r").cast("decimal(38,18)")).cast("double")
     # dangling set is STATIC: when it's empty (checked once), D = 0
-    # every round and the per-round scalar aggregate — one driver job
-    # per iteration — disappears; the eager localCheckpoint is then
-    # the round's only materialization
-    any_dangling = bool(verts.where("_dang").head(1))
+    # every round; when not, the round's dangling mass D rides as a
+    # broadcast ONE-ROW aggregate of the checkpointed ranks instead of
+    # a per-round driver collect (optimization r9, guide §5: the
+    # driver needs no data work here — n_iter is fixed, there is no
+    # convergence decision, so nothing requires a scalar on the
+    # driver; D/N joins into the rank update lazily and the decimal
+    # accumulation keeps it exact). The per-round localCheckpoint cut
+    # stays: ranks are referenced twice (D aggregate + contributions),
+    # and the cut keeps Catalyst plans constant-size round over round.
+    any_dangling = bool(probe["any_dang"])
     for _ in range(n_iter):
-        if any_dangling:
-            # fused barrier: persist ranks, materialize via the
-            # dangling aggregate this round needs anyway, then cut
-            # lineage with a cache-read localCheckpoint
-            ranks = ranks.persist()
-            dang = (ranks.where("_dang").agg(dsum.alias("D"))
-                    .collect()[0]["D"]) or 0.0
-            cut = ranks.localCheckpoint()
-            ranks.unpersist()
-        else:
-            dang = 0.0
-            cut = ranks.localCheckpoint()
+        cut = ranks.localCheckpoint()
         contrib = (e.join(cut.select(F.col("v").alias("s"), "r"), on="s")
                    .join(outw, on="s")
                    .select("d", (F.col("r") * F.col("w") / F.col("ow"))
@@ -117,12 +116,18 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         agg = contrib.groupBy("d").agg(
             F.sum(F.col("c").cast("decimal(38,18)")).cast("double")
             .alias("cs"))
-        ranks = (verts.join(agg, verts["v"] == agg["d"], "left")
-                 .select("v", "_dang",
-                         F.round(F.lit(base) + F.lit(damping)
-                                 * (F.coalesce("cs", F.lit(0.0))
-                                    + F.lit(dang) / n),
-                                 round_digits).alias("r")))
+        ranks = verts.join(agg, verts["v"] == agg["d"], "left")
+        if any_dangling:
+            dang_df = (cut.where("_dang")
+                       .agg(F.coalesce(dsum, F.lit(0.0)).alias("_D")))
+            upd = (F.lit(base) + F.lit(damping)
+                   * (F.coalesce("cs", F.lit(0.0)) + F.col("_D") / n))
+            ranks = ranks.crossJoin(F.broadcast(dang_df))
+        else:
+            upd = (F.lit(base) + F.lit(damping)
+                   * (F.coalesce("cs", F.lit(0.0)) + F.lit(0.0) / n))
+        ranks = ranks.select("v", "_dang",
+                             F.round(upd, round_digits).alias("r"))
     return ranks.select("v", F.col("r").alias("pagerank"))
 
 

@@ -79,15 +79,29 @@ def pca_fit(df: DataFrame, vec_col: str = "embedding",
                 ss = np.zeros(dd * dd, dtype=object)
             cnt += len(arr)
             # row-local quantization, then int64 slab sums promoted to
-            # python ints (exact, no overflow across slabs)
-            qs = np.rint(arr * scale).astype(np.int64)
-            s += qs.sum(axis=0, dtype=object)
+            # python ints (exact, no overflow across slabs).
+            # Optimization r9 (guide §1.2 per-task work): sum each
+            # slab IN int64 first and promote only the d (resp. d²)
+            # partials to objects — `.sum(dtype=object)` boxed every
+            # element (rows × d² Python-int adds per slab, the
+            # dominant fit cost); integer addition is associative, so
+            # the int64-first total is bit-identical whenever it
+            # cannot overflow, which the max-magnitude guard proves
+            # per slab (falls back to the object path otherwise).
+            def _slab_sum(q):
+                m = int(np.abs(q).max(initial=0))
+                if m and m * len(q) >= (1 << 62):
+                    return q.sum(axis=0, dtype=object)
+                return q.sum(axis=0).astype(object)
+
             for lo in range(0, len(arr), 1024):
                 sl = arr[lo:lo + 1024]
+                qs = np.rint(sl * scale).astype(np.int64)
+                s += _slab_sum(qs)
                 qp = np.rint(
                     np.einsum("bi,bj->bij", sl, sl).reshape(len(sl), -1)
                     * scale).astype(np.int64)
-                ss += qp.sum(axis=0, dtype=object)
+                ss += _slab_sum(qp)
         if cnt:
             yield pd.DataFrame({
                 "cnt": [cnt],

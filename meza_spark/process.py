@@ -1217,9 +1217,20 @@ def co_occurrence(df: DataFrame, group_col: str, item_col: str,
     base = df.select(F.col(group_col).alias("_g"),
                      F.col(item_col).alias("_i")).distinct()
     if max_group is not None:
-        sizes = base.groupBy("_g").agg(F.count("*").alias("_n"))
-        base = (base.join(sizes.where(F.col("_n") <= max_group)
-                          .select("_g"), on="_g"))
+        # group-size cap via a window count instead of a groupBy +
+        # join-back (optimization r9, guide §2.4): the join form
+        # re-evaluated the distinct subtree for the sizes side — one
+        # extra scan + two-phase aggregation for a per-group count the
+        # window reads off the already-shuffled frame.
+        base = (base.withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("_g")))
+            .where(F.col("_n") <= max_group).drop("_n"))
+    # Materialize once (optimization r9, guide §2.4): both self-join
+    # sides reference ``base``; lazily that re-runs the scan + distinct
+    # (+ cap) subtree twice — with the sizes join, three times total.
+    # The checkpointed frame is ids-only (group key + item), the same
+    # lightweight-proxy shape every pair generator here stages.
+    base = base.localCheckpoint()
     a = base.select("_g", F.col("_i").alias("item_a"))
     b = base.select("_g", F.col("_i").alias("item_b"))
     pairs = (a.join(b, on="_g")

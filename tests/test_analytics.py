@@ -395,3 +395,39 @@ def test_ewma_fast_path_parity(spark):
              alpha_den=10, window=40)
     ewma(ev, "event_type", "ts", "value", alpha_num=3, alpha_den=10,
          window=40, exact=False).collect()
+
+
+def test_moving_zscore_running_sum_rewrite_with_nulls(spark):
+    """Pin the r9 running-sum-difference rewrite against a literal
+    python sliding-frame replica on a longer series with NULL values
+    interleaved: the trailing count/sums must skip nulls exactly as
+    the direct frame aggregation did, and short/zero-variance heads
+    must stay null."""
+    import math
+
+    from meza_spark.analytics import moving_zscore
+
+    vals = [5.0, None, 7.0, 11.0, None, 13.0, 2.0, 2.0, 9.0, None,
+            4.0, 17.0, 6.0, 6.0, 6.0, 8.0]
+    w, mp = 4, 3
+    df = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1, i % 24), "s", v)
+         for i, v in enumerate(vals)],
+        "event_id long, ts timestamp, user_id string, value double")
+    got = {r["event_id"]: r["z_micro"]
+           for r in moving_zscore(df.repartition(5), "user_id", "ts",
+                                  "value", window=w, min_points=mp,
+                                  tiebreak="event_id").collect()}
+    for i, v in enumerate(vals):
+        frame = [x for x in vals[max(0, i - w):i] if x is not None]
+        q = [math.floor(x * 1e6 + 0.5) for x in frame]
+        n = len(q)
+        exp = None
+        if n >= mp:
+            s1, s2 = float(sum(q)), float(sum(x * x for x in q))
+            var = (n * s2 - s1 * s1) / (n * (n - 1))
+            if var > 0 and v is not None:
+                z = (float(math.floor(v * 1e6 + 0.5)) - s1 / n) \
+                    / math.sqrt(var)
+                exp = math.floor(z * 1e6 + 0.5)
+        assert got[i] == exp, (i, got[i], exp)

@@ -76,3 +76,37 @@ def test_pca_fit_empty_raises(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError):
         pca_fit(empty)
+
+
+def test_pca_fit_large_magnitudes_use_overflow_fallback(spark):
+    """The int64 slab fast path (optimization r9) must hand off to the
+    object path when a slab's max |quantized| magnitude could overflow
+    a 64-bit sum. Values ~2e3 quantize products to ~2^54 — over the
+    2^62/len guard — so this fit exercises the fallback; the result
+    must still match the numpy reference."""
+    rng = np.random.RandomState(3)
+    data = rng.randn(64, 3) * 2000.0 + 1500.0
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(data)]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<double>")
+    mean, comps, expl = pca_fit(df, k=2)
+    mu, ncomps, nexpl = _np_pca(data, 2)
+    assert np.allclose(mean, mu, rtol=1e-12)
+    assert np.allclose(expl, nexpl, rtol=1e-9)
+    assert np.allclose(comps, ncomps, atol=1e-9)
+
+
+def test_pca_fit_partition_layout_invariance(spark):
+    """Slab-summed moments are exact integers, so the fitted basis is
+    bit-identical on any partition layout (the determinism contract
+    the VALUES-pinned oracle relies on)."""
+    rng = np.random.RandomState(11)
+    data = rng.randn(150, 4)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(data)]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<double>")
+    m1, c1, e1 = pca_fit(df.repartition(13), k=3)
+    m2, c2, e2 = pca_fit(df.coalesce(1), k=3)
+    assert np.array_equal(m1, m2)
+    assert np.array_equal(c1, c2)
+    assert np.array_equal(e1, e2)
