@@ -185,32 +185,43 @@ def moving_zscore(df: DataFrame, partition_col: str, ts_col: str,
     # NULL, but every consumer sits behind ``ok`` (_n >= min_points),
     # which is false in exactly those rows for both forms. Same single
     # exchange and sort; the lags ride the same Window spec. Overflow
-    # bound: the PARTITION-cumulative Σ_vq² must stay < 1e38 (|vq| ≤
-    # ~1e13 → ~1e12 rows per series), vs the old per-frame bound —
-    # still far past any real series length.
+    # bound: the PARTITION-cumulative Σ_vq² must stay < 1e38 — at
+    # |value| ≤ V the per-row vq² is ~V²·1e12, so a series survives
+    # ~1e26/V² rows (V=1e3 → 1e20 rows; V=1e9 → only 1e8). Because
+    # non-ANSI decimal overflow is a silent NULL that the coalesce
+    # below would turn into WRONG sums (not nulls), overflow is
+    # detected per row and raised loudly instead (review r9): a NULL
+    # cumulative sum where the matching cumulative count is positive
+    # can only be overflow.
     wcum = (Window.partitionBy(partition_col).orderBy(*order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     wlag = Window.partitionBy(partition_col).orderBy(*order)
 
-    def _trail(c):
-        return (F.coalesce(F.lag(c, 1).over(wlag), F.lit(0)
-                           .cast("decimal(38,0)"))
-                - F.coalesce(F.lag(c, window + 1).over(wlag), F.lit(0)
-                             .cast("decimal(38,0)")))
-
     q = F.floor(F.col(value_col).cast("double") * 1000000 + F.lit(0.5)) \
         .cast("decimal(38,0)")
+    lag_cols = {}
+    for src in ("_cn", "_c1", "_c2"):
+        for off, tag in ((1, "a"), (window + 1, "b")):
+            lag_cols[f"_g{tag}{src[1:]}"] = F.lag(src, off).over(wlag)
+    dz = F.lit(0).cast("decimal(38,0)")
+
+    def _diff(src, zero):
+        return (F.coalesce(F.col(f"_ga{src[1:]}"), zero)
+                - F.coalesce(F.col(f"_gb{src[1:]}"), zero))
+
+    bad = ((F.coalesce(F.col("_gacn"), F.lit(0)) > 0)
+           & (F.col("_gac1").isNull() | F.col("_gac2").isNull())) | \
+          ((F.coalesce(F.col("_gbcn"), F.lit(0)) > 0)
+           & (F.col("_gbc1").isNull() | F.col("_gbc2").isNull()))
     step = (df.withColumn("_vq", q)
             .withColumn("_cn", F.count("_vq").over(wcum))
             .withColumn("_c1", F.sum("_vq").over(wcum))
             .withColumn("_c2", F.sum(F.col("_vq") * F.col("_vq"))
                         .over(wcum))
-            .withColumn("_n", F.coalesce(F.lag("_cn", 1).over(wlag),
-                                         F.lit(0))
-                        - F.coalesce(F.lag("_cn", window + 1).over(wlag),
-                                     F.lit(0)))
-            .withColumn("_s1", _trail(F.col("_c1")))
-            .withColumn("_s2", _trail(F.col("_c2"))))
+            .withColumns(lag_cols)
+            .withColumn("_n", _diff("_cn", F.lit(0)))
+            .withColumn("_s1", _diff("_c1", dz))
+            .withColumn("_s2", _diff("_c2", dz)))
     n = F.col("_n").cast("double")
     # decimal→double via STRING: the direct cast differs from DuckDB
     # by 1 ulp at ~1e9+ magnitudes (memory: parity traps; same reason
@@ -223,8 +234,14 @@ def moving_zscore(df: DataFrame, partition_col: str, ts_col: str,
     ok = (F.col("_n") >= int(min_points)) & (var_q > 0)
     return (step.withColumn(
         "z_micro",
-        F.when(ok, F.floor(z * 1000000 + F.lit(0.5)).cast("long")))
-        .drop("_vq", "_cn", "_c1", "_c2", "_n", "_s1", "_s2"))
+        F.when(bad, F.raise_error(F.lit(
+            "moving_zscore: decimal(38,0) overflow in the cumulative "
+            "moment sums (series too long for the value magnitude); "
+            "split the series or rescale value_col")).cast("long"))
+        .otherwise(F.when(ok, F.floor(z * 1000000 + F.lit(0.5))
+                          .cast("long"))))
+        .drop("_vq", "_cn", "_c1", "_c2", "_n", "_s1", "_s2",
+              *lag_cols))
 
 
 def cusum(df: DataFrame, partition_col: str | Sequence[str], ts_col: str,

@@ -60,12 +60,14 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
 
     Scale shape: the static edge/out-weight frames are materialized
     once; each round is ONE shuffle (contributions aggregated on the
-    destination key) plus a scalar dangling-mass aggregate that doubles
-    as the round's materializing barrier (persist → agg → cache-read
-    localCheckpoint — the ``connected_components`` fused-barrier
-    pattern, see llm/cluster.py). Ranks ride every shuffle as
-    ``(id, double)`` — 16 B/row regardless of document size. Driver
-    round-trips: one scalar per iteration, O(n_iter) total.
+    destination key) plus a ``localCheckpoint`` lineage cut on the
+    ranks (referenced twice per round: dangling aggregate +
+    contributions). The dangling mass D rides as a broadcast ONE-ROW
+    decimal aggregate joined lazily into the rank update — n_iter is
+    fixed, so no per-round driver scalar exists (optimization r9,
+    guide §5); the only driver round-trip is the single up-front
+    count/any-dangling probe. Ranks ride every shuffle as
+    ``(id, double)`` — 16 B/row regardless of document size.
     """
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
     e = (edges.groupBy(F.col(src).alias("s"), F.col(dst).alias("d"))
@@ -78,7 +80,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              .unionByName(e.select(F.col("d").alias("v")))
              .distinct())
     # static dangling marker: no out-edges → rank mass has nowhere to
-    # go; its redistribution is the per-round scalar
+    # go; its redistribution is the per-round broadcast aggregate
     verts = (verts.join(outw.select(F.col("s").alias("v"),
                                     F.lit(False).alias("_dang")),
                         on="v", how="left")

@@ -63,6 +63,17 @@ def pca_fit(df: DataFrame, vec_col: str = "embedding",
                     .alias("_v")))
     scale = _PCA_SCALE
 
+    def _slab_sum(q):
+        # max |element| bounded via max/-min (review r9: np.abs built a
+        # full rows×d² temporary per slab just for this bound); the
+        # int64-first total is bit-identical whenever it cannot
+        # overflow, which the bound proves (object-path fallback
+        # otherwise).
+        m = max(int(q.max(initial=0)), -int(q.min(initial=0)))
+        if m and m * len(q) >= (1 << 62):
+            return q.sum(axis=0, dtype=object)
+        return q.sum(axis=0).astype(object)
+
     def _moments(it):
         cnt = 0
         s = None
@@ -84,16 +95,8 @@ def pca_fit(df: DataFrame, vec_col: str = "embedding",
             # slab IN int64 first and promote only the d (resp. d²)
             # partials to objects — `.sum(dtype=object)` boxed every
             # element (rows × d² Python-int adds per slab, the
-            # dominant fit cost); integer addition is associative, so
-            # the int64-first total is bit-identical whenever it
-            # cannot overflow, which the max-magnitude guard proves
-            # per slab (falls back to the object path otherwise).
-            def _slab_sum(q):
-                m = int(np.abs(q).max(initial=0))
-                if m and m * len(q) >= (1 << 62):
-                    return q.sum(axis=0, dtype=object)
-                return q.sum(axis=0).astype(object)
-
+            # dominant fit cost); see ``_slab_sum`` above for the
+            # exactness guard.
             for lo in range(0, len(arr), 1024):
                 sl = arr[lo:lo + 1024]
                 qs = np.rint(sl * scale).astype(np.int64)

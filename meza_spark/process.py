@@ -1214,25 +1214,32 @@ def co_occurrence(df: DataFrame, group_col: str, item_col: str,
     early without a second pass; at scale pre-thin items by frequency
     first).
     """
-    base = df.select(F.col(group_col).alias("_g"),
-                     F.col(item_col).alias("_i")).distinct()
-    if max_group is not None:
-        # group-size cap via a window count instead of a groupBy +
-        # join-back (optimization r9, guide §2.4): the join form
-        # re-evaluated the distinct subtree for the sizes side — one
-        # extra scan + two-phase aggregation for a per-group count the
-        # window reads off the already-shuffled frame.
-        base = (base.withColumn(
-            "_n", F.count(F.lit(1)).over(Window.partitionBy("_g")))
-            .where(F.col("_n") <= max_group).drop("_n"))
-    # Materialize once (optimization r9, guide §2.4): both self-join
-    # sides reference ``base``; lazily that re-runs the scan + distinct
-    # (+ cap) subtree twice — with the sizes join, three times total.
-    # The checkpointed frame is ids-only (group key + item), the same
+    # Materialize the distinct base ONCE (optimization r9, guide §2.4):
+    # the cap's sizes pass and both self-join sides reference ``base``;
+    # lazily that re-ran the scan + distinct subtree three times. The
+    # checkpointed frame is ids-only (group key + item), the same
     # lightweight-proxy shape every pair generator here stages.
-    base = base.localCheckpoint()
+    base = df.select(F.col(group_col).alias("_g"),
+                     F.col(item_col).alias("_i")).distinct() \
+        .localCheckpoint()
     a = base.select("_g", F.col("_i").alias("item_a"))
     b = base.select("_g", F.col("_i").alias("item_b"))
+    if max_group is not None:
+        # group-size cap as a partial-aggregated groupBy + semi-join
+        # over the CHECKPOINTED base (review r9): a window count would
+        # buffer every row of a pathological mega-group in a single
+        # WindowExec task before the filter could drop it — defeating
+        # the skew valve the cap exists to be. The groupBy collapses
+        # map-side; the join is AQE-skew-splittable; both read the
+        # checkpoint, so the distinct subtree still runs once. Capping
+        # ONE leg suffices: the inner self-join on ``_g`` emits zero
+        # pairs for any group absent from the capped side, so the
+        # quadratic explosion never forms — the uncapped leg's
+        # mega-group rows hash-probe and drop.
+        keep_g = (base.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+                  .where(F.col("_n") <= max_group).select("_g")
+                  .localCheckpoint())
+        a = a.join(keep_g, on="_g")
     pairs = (a.join(b, on="_g")
              .where(F.col("item_a") < F.col("item_b"))
              .groupBy("item_a", "item_b")

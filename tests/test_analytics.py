@@ -431,3 +431,35 @@ def test_moving_zscore_running_sum_rewrite_with_nulls(spark):
                     / math.sqrt(var)
                 exp = math.floor(z * 1e6 + 0.5)
         assert got[i] == exp, (i, got[i], exp)
+
+def test_moving_zscore_overflow_raises(spark):
+    """The r9 running-sum rewrite accumulates PARTITION-cumulative
+    decimal(38,0) moments. Overflow must be LOUD in every config:
+    under ANSI (Spark 4 default) the window sum itself throws; under
+    ansi=false it is a silent NULL that the trailing-difference
+    coalesce would otherwise turn into WRONG sums — the in-operator
+    guard raises instead. 150 rows at value=1e12 push the cumulative
+    Σvq² (1e36/row) past 1e38 mid-series."""
+    import pytest
+
+    from meza_spark.analytics import moving_zscore
+
+    df = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+          "s", 1.0e12 + i) for i in range(150)],
+        "event_id long, ts timestamp, user_id string, value double")
+    out = moving_zscore(df, "user_id", "ts", "value", window=24,
+                        min_points=3, tiebreak="event_id")
+    with pytest.raises(Exception,
+                       match="moving_zscore|NUMERIC_VALUE_OUT_OF_RANGE"):
+        out.collect()
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        # rebuild under ansi=false: the flag binds at plan-build time
+        out2 = moving_zscore(df, "user_id", "ts", "value", window=24,
+                             min_points=3, tiebreak="event_id")
+        with pytest.raises(Exception, match="moving_zscore"):
+            out2.collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
