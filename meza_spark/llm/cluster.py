@@ -124,7 +124,13 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         df.unpersist()
         return out, cnt
 
-    ce, n_ce = _barrier_count(ce)
+    # First quotient barrier, deferred (optimization r9 third pass):
+    # persist + count decides WHICH path runs; the fast path consumes
+    # ``ce`` exactly once (the toPandas below), so its lineage cut
+    # would be a pure waste — only the distributed loop, which
+    # re-references ``ce`` every round, pays the localCheckpoint job.
+    ce = ce.persist()
+    n_ce = ce.count()
 
     # Small-quotient fast path: after the init hop, duplicate clusters
     # have largely collapsed; when the REMAINING quotient graph fits
@@ -150,7 +156,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                 parent[x], x = r, parent[x]
             return r
 
-        pdf = ce.toPandas()  # one Arrow job; ids only, ≤16 MB
+        pdf = ce.toPandas()  # one Arrow job (cache read); ids only
+        ce.unpersist()
         for a_, b_ in zip(pdf["s"].to_numpy().tolist(),
                           pdf["d"].to_numpy().tolist()):
             ra, rb = _find(a_), _find(b_)
@@ -168,6 +175,19 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                 .select(F.col("v").alias("id"),
                         F.coalesce("_root", "label").alias("component")))
 
+    if n_ce == 0:
+        # no contraction round will run (quotient has no cross-label
+        # edges): the init labels are already the fixpoint — if any
+        # vertex had label(label(v)) < label(v), the edge between them
+        # would be a cross-label quotient edge (r2 verdict #5
+        # early-exit, hoisted above the loop's lineage cut).
+        ce.unpersist()
+        return labels.select(*out_cols)
+    # Distributed loop: NOW cut the first quotient's lineage (the loop
+    # re-references ``ce`` every round; cache-read checkpoint, cheap).
+    ce2 = ce.localCheckpoint()
+    ce.unpersist()
+    ce = ce2
     # Fused per-round barrier (r2 verdict #5: "one count job per
     # round, not two"): persist BOTH new frames, run ONE materializing
     # count (ce depends on the new labels, so counting ce fills both
@@ -175,11 +195,9 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     # cut lineage with two cache-read localCheckpoints (cheap jobs —
     # no recompute) and drop the caches. Previously each round paid
     # two full materializing counts (labels + edges barriers).
-    n_rounds = 0
     for _ in range(max_iter):
         if n_ce == 0:  # quotient has no edges → fully merged
             break
-        n_rounds += 1
         # 1) min neighbor label per label-node on the quotient graph
         m = ce.groupBy("s").agg(F.min("d").alias("nl"))
         # 2) vertex labels re-point: label := min(label, m[label])
@@ -201,13 +219,6 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         ce = new_ce.localCheckpoint()
         new_labels.unpersist()
         new_ce.unpersist()
-    if n_rounds == 0:
-        # no contraction round ran (quotient had no cross-label edges):
-        # the init labels are already the fixpoint — if any vertex had
-        # label(label(v)) < label(v), the edge between them would be a
-        # cross-label quotient edge. Skip the chase loop entirely
-        # (r2 verdict #5 early-exit).
-        return labels.select(*out_cols)
     # resolution: contraction leaves a union-find FOREST — a vertex may
     # point at a label-node that itself merged later. Chase
     # label(v) ← label(label(v)) to the fixpoint; fixpoints are exactly
