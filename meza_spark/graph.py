@@ -156,11 +156,29 @@ def label_propagation(edges: DataFrame, src: str = "src",
     oscillate on bipartite structures; the fixed round budget bounds
     that by construction (communities are a heuristic label, not a
     fixpoint claim).
+
+    Two per-round shuffles were removed in optimization r9 (fourth
+    pass, guide §2.4):
+
+    - the edge list is hash-repartitioned on the join key ``b`` ONCE
+      before its lineage cut — partitioning on ``b`` co-locates the
+      (a, b) duplicate groups too, so the ``distinct`` reuses that
+      single exchange and the checkpointed frame enters every round's
+      neighbor join already distributed (previously each round
+      re-shuffled the full edge list);
+    - the per-round join-back of the best label onto the previous
+      labels was REDUNDANT and is gone: edges are mirrored, so every
+      vertex (= every distinct ``a``) has at least one neighbor, every
+      neighbor's vertex is present in the current label map (label
+      vertex sets are invariant round over round), and therefore the
+      best-label aggregation already covers every vertex — the old
+      ``coalesce(bl, l)`` could never see a NULL.
     """
     und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .unionByName(edges.select(F.col(dst).alias("a"),
                                      F.col(src).alias("b")))
            .where(F.col("a") != F.col("b"))
+           .repartition("b")
            .distinct()
            .localCheckpoint())
     labels = (und.select(F.col("a").alias("v")).distinct()
@@ -185,10 +203,8 @@ def label_propagation(edges: DataFrame, src: str = "src",
                                       F.col("l").alias("nl")), on="b")
                   .groupBy(F.col("a").alias("v"), "nl")
                   .agg(F.count(F.lit(1)).alias("c")))
-        best = (counts.groupBy("v")
-                .agg(F.min(F.struct((-F.col("c")).alias("nc"),
-                                    F.col("nl").alias("nl"))).alias("m"))
-                .select("v", F.col("m.nl").alias("bl")))
-        labels = (cut.join(best, on="v", how="left")
-                  .select("v", F.coalesce("bl", "l").alias("l")))
+        labels = (counts.groupBy("v")
+                  .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                      F.col("nl").alias("nl"))).alias("m"))
+                  .select("v", F.col("m.nl").alias("l")))
     return labels.select("v", F.col("l").alias("community"))

@@ -429,9 +429,15 @@ def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
     group. Records in, records out.
 
     Scale shape — each stage is one already-scale-audited operator:
-      1. codebook fit on a bounded sample (``kmeans_clusters`` →
+      1. codebook fit on a bounded sample (``_fit_kmeans`` →
          ``limit(fit_sample)``, no full scan);
-      2. assignment = broadcast-argmax scan (no corpus shuffle);
+      2. assignment = row-local literal-array argmax
+         (``_argmax_assign``) computed INLINE on the corpus scan — no
+         corpus shuffle, and no join-back of vectors by id (the
+         previous ``kmeans_clusters`` + id-join composition shuffled
+         the full embedding payload twice before pairing;
+         optimization r9 fourth pass, guide §8: the vectors now move
+         exactly once, on the cell key);
       3. candidate pairs shuffle on the cell id and carry ids only
          (``embedding_near_dupes(block_on=...)``), so the quadratic
          term is bounded by cell size — pick ``k_clusters`` ≈ n/10⁴
@@ -443,13 +449,13 @@ def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
     design (the paper's trade). Approximate-by-nature (centroids), so
     rows-only at oracle time; deterministic for a fixed seed.
     """
-    from .similarity import embedding_near_dupes, kmeans_clusters
+    from .similarity import _argmax_assign, _fit_kmeans, \
+        embedding_near_dupes
 
-    assign = kmeans_clusters(df, k=k_clusters, vec_col=vec_col,
-                             id_col=id_col, seed=seed,
-                             fit_sample=fit_sample) \
-        .select(id_col, "centroid_id")
-    work = df.select(id_col, vec_col).join(assign, on=id_col)
+    cents_np = _fit_kmeans(df, vec_col, k_clusters, seed, fit_sample,
+                           id_col=id_col)
+    cid, _ = _argmax_assign(cents_np, vec_col)
+    work = df.select(id_col, vec_col, cid.alias("centroid_id"))
     pairs = embedding_near_dupes(work, vec_col=vec_col, id_col=id_col,
                                  threshold=threshold,
                                  block_on="centroid_id")

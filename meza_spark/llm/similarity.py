@@ -329,26 +329,55 @@ def nearest_centroid(df: DataFrame, centroids: DataFrame,
                        F.col("b.s").alias("cosine"))
 
 
+def _argmax_assign(cents_np, vec_col: str,
+                   round_digits: int | None = 6) -> tuple[Column, Column]:
+    """Row-local nearest-centroid assignment against a DRIVER-side
+    codebook: ``(centroid_id, cosine)`` column expressions computed as
+    a literal-array argmax — zero data movement, zero row inflation.
+
+    Replaces the ``nearest_centroid`` broadcast-crossJoin + groupBy
+    shape when the codebook already lives on the driver (the k-means
+    fit collects it anyway): the crossJoin inflated the corpus k× into
+    the partial aggregation and the groupBy re-shuffled the full
+    corpus by id (optimization r9 fourth pass, guide §2.4/§8 — decide
+    row-locally, never shuffle the payload). Bit-identical to the old
+    path: same ``cosine_sim`` fold over the same float64 literals,
+    same round, and ``array_position`` returns the FIRST index of the
+    max — exactly the old ``max(struct(sim, -cid))`` smallest-id
+    tie-break."""
+    sims = []
+    for c in cents_np:
+        s = cosine_sim(F.col(vec_col),
+                       F.array(*[F.lit(float(x)) for x in c]))
+        sims.append(F.round(s, round_digits)
+                    if round_digits is not None else s)
+    arr = F.array(*sims)
+    best = F.array_max(arr)
+    cid = (F.array_position(arr, best) - 1).cast("long")
+    return cid, best
+
+
 def kmeans_clusters(df: DataFrame, k: int = 8,
                     vec_col: str = "embedding", id_col: str = "vec_id",
                     seed: int = 42, fit_sample: int = 100_000,
                     max_iter: int = 10) -> DataFrame:
     """Full k-means topic clustering: fit on a bounded sample
     (``limit`` — no full scan, same policy as IVF), then assign the
-    whole corpus with ``nearest_centroid`` against the learned
-    codebook. Returns ``(id, centroid_id, cosine)``.
+    whole corpus row-locally against the learned codebook. Returns
+    ``(id, centroid_id, cosine)``.
 
-    The fit touches ≤ ``fit_sample`` rows; assignment is the
-    broadcast-argmax scan above. Deterministic end-to-end (r3):
-    hash-ordered sample + seeded numpy Lloyd, invariant to partition
-    layout and engine config."""
+    The fit touches ≤ ``fit_sample`` rows; assignment is a row-local
+    literal-array argmax (``_argmax_assign``) — the corpus is scanned
+    once with NO shuffle and NO k× row inflation (the previous
+    ``nearest_centroid`` composition crossJoined the broadcast
+    codebook and re-aggregated by id; optimization r9). Deterministic
+    end-to-end (r3): hash-ordered sample + seeded numpy Lloyd,
+    invariant to partition layout and engine config."""
     cents_np = _fit_kmeans(df, vec_col, k, seed, fit_sample,
                            id_col=id_col)
-    spark = df.sparkSession
-    cents = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(cents_np)],
-        f"centroid_id long, {vec_col} array<double>")
-    return nearest_centroid(df, cents, vec_col=vec_col, id_col=id_col)
+    cid, best = _argmax_assign(cents_np, vec_col)
+    return df.select(F.col(id_col), cid.alias("centroid_id"),
+                     best.alias("cosine"))
 
 
 def _dim_of(df: DataFrame, vec_col: str) -> int:
