@@ -94,19 +94,28 @@ def build_bloom(df: DataFrame, col: str,
         n_bits, k = BloomFilter.params(max(1, expected_items), fpr)
     nb, kk = n_bits, k
 
-    def _partition_bitmap(rows):
+    def _partition_bitmap(batches):
+        # one dense bitmap per PARTITION, fed whole Arrow batches —
+        # the .rdd.mapPartitions form this replaced pickled every key
+        # row JVM→Python one at a time (guide §4.1: the boundary
+        # crosses as columnar batches, the per-row tax disappears);
+        # the emitted row is the bitmap, so downstream still reduces
+        # one row per partition, not per key
         bits = np.zeros(nb // 8, dtype=np.uint8)
-        chunk = [r[0] for r in rows]
-        if chunk:
-            pos = _positions(pd.Series(chunk), nb, kk).ravel()
-            np.bitwise_or.at(bits, pos >> 3,
-                             np.uint8(1) << (pos & 7).astype(np.uint8))
-        yield bits
+        for pdf in batches:
+            s = pdf.iloc[:, 0]
+            if len(s):
+                pos = _positions(s, nb, kk).ravel()
+                np.bitwise_or.at(bits, pos >> 3,
+                                 np.uint8(1) << (pos & 7).astype(np.uint8))
+        yield pd.DataFrame({"bits": [bits.tobytes()]})
 
-    rdd = df.select(F.col(col).cast("string")).rdd.mapPartitions(
-        _partition_bitmap)
+    rows = df.select(F.col(col).cast("string")).mapInPandas(
+        _partition_bitmap, "bits binary")
+    rdd = rows.rdd.map(lambda r: np.frombuffer(r[0], dtype=np.uint8))
     bits = rdd.treeReduce(np.bitwise_or, depth=2)
-    return BloomFilter(bits, nb, kk)
+    # treeReduce hands back a read-only frombuffer view; own the bytes
+    return BloomFilter(np.array(bits, dtype=np.uint8), nb, kk)
 
 
 def might_contain(df: DataFrame, col: str, bloom: BloomFilter,
@@ -127,7 +136,19 @@ def might_contain(df: DataFrame, col: str, bloom: BloomFilter,
         hit = (bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8)))
         return pd.Series((hit != 0).all(axis=1))
 
-    return df.withColumn(out_col, _probe(F.col(col).cast("string")))
+    # Nondeterministic mark (guide §4.4): callers branch on this
+    # column (dedup_against filters `out_col` AND `NOT out_col`), and
+    # the optimizer both duplicated the probe below each pushed filter
+    # and — worse — INFERRED `probe(key)` onto the anti-join's seen
+    # side from the equi-join constraint, adding a full-corpus UDF
+    # pass that keeps 100% of seen rows (every seen key was inserted,
+    # a bloom has no false negatives on members — the inferred filter
+    # can never drop anything). The mark stops inference/duplication;
+    # the probe itself stays deterministic in fact, so results are
+    # unchanged. Plan: 6 ArrowEvalPython → 4 on dedup_incremental,
+    # and the seen corpus scan is UDF-free again.
+    probe = _probe.asNondeterministic()
+    return df.withColumn(out_col, probe(F.col(col).cast("string")))
 
 
 def dedup_against(new: DataFrame, seen: DataFrame, on: str | Column,
