@@ -27,6 +27,50 @@ __all__ = ["cosine_topk", "lsh_ann_topk", "ivf_ann_topk",
            "nearest_centroid", "kmeans_clusters"]
 
 
+def _lit_dvec_sql(vals) -> str:
+    """SQL text of a literal ``array<double>``.
+
+    ``F.array(*[F.lit(float(x)) for x in vals])`` creates one py4j
+    round-trip per element — a 64-dim codebook of 8-16 vectors costs
+    500-1000 driver→JVM calls PER QUERY BUILD, which profiling showed
+    was most of the ANN/k-means queries' construction time
+    (optimization r9 fourth pass; guide §7.3 — driver-side plan work
+    is real wall time). A rendered ``array(…D, …)`` string crosses
+    py4j once and parses to the SAME double literals (``repr`` emits
+    the shortest round-trip decimal; the SQL parser reads it back to
+    the identical IEEE double), so plans and results are unchanged.
+    """
+    return "array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")"
+
+
+def _cast_double_sql(vec_sql: str) -> str:
+    """SQL text of ``transform(vec, x -> cast double)`` — the element
+    cast ``cosine_sim`` applies to both of its sides."""
+    return f"transform({vec_sql}, x -> CAST(x AS DOUBLE))"
+
+
+def _cos_lit_sql(vec_sql: str, vals) -> str:
+    """SQL text of ``cosine_sim(vec, literal_vector)`` — the EXACT
+    expression shapes of :func:`cosine_sim` (same left-to-right fold,
+    same casts, same zero-denominator guard), rendered as one string
+    so the whole comparison crosses py4j once instead of once per
+    lambda/function node. Parsing yields the identical analyzed tree,
+    so results are bit-identical (optimization r9 fourth pass; the
+    per-node Column API build dominated ANN/k-means query
+    construction at ~0.1 s per cosine)."""
+    ad = _cast_double_sql(vec_sql)
+    bd = _cast_double_sql(_lit_dvec_sql(vals))
+
+    def _norm_sql(e: str) -> str:
+        return (f"sqrt(aggregate(transform({e}, x -> x * x), 0.0D, "
+                f"(acc, v) -> acc + v))")
+
+    dot = (f"aggregate(zip_with({ad}, {bd}, (x, y) -> x * y), 0.0D, "
+           f"(acc, v) -> acc + v)")
+    denom = f"({_norm_sql(ad)} * {_norm_sql(bd)})"
+    return f"CASE WHEN {denom} > 0 THEN {dot} / {denom} ELSE 0.0D END"
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, v: acc + v)
@@ -60,23 +104,34 @@ def cosine_topk(df: DataFrame, query: Sequence[float],
     ``round_digits`` quantizes the score for cross-engine determinism;
     ties break on ``id_col``.
     """
-    q = F.array(*[F.lit(float(x)) for x in query])
-    sim = cosine_sim(F.col(vec_col), q)
+    sim = F.expr(_cos_lit_sql(f"`{vec_col}`", query))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     scored = df.select(F.col(id_col), sim.alias("cosine"))
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
-def _bucket_key(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id from fixed pseudo-random hyperplanes."""
-    key = F.lit(0).cast("long")
+def _bucket_key(vec_sql: str, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from fixed pseudo-random hyperplanes.
+
+    ``vec_sql`` is the SQL text of the vector expression (usually a
+    backquoted column name). The whole key — one dot product, sign
+    test and shifted bit per plane, OR-folded — is rendered as a
+    single SQL string and parsed once: the Column-API build of the
+    same tree cost ~1 s of py4j round-trips per query at 8 planes ×
+    64 dims (optimization r9 fourth pass). The parsed expressions are
+    the identical shapes (same fold, same casts), so bucket ids are
+    unchanged."""
+    ad = _cast_double_sql(vec_sql)
+    key = "CAST(0 AS BIGINT)"
     for i, p in enumerate(planes):
-        pc = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(_dot(F.transform(vec, lambda x: x.cast("double")), pc) >= 0,
-                     F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
-        key = key.bitwiseOR(bit)
-    return key
+        dot = (f"aggregate(zip_with({ad}, {_lit_dvec_sql(p)}, "
+               f"(x, y) -> x * y), 0.0D, (acc, v) -> acc + v)")
+        bit = (f"CASE WHEN {dot} >= 0 THEN "
+               f"shiftleft(CAST(1 AS BIGINT), {i}) "
+               f"ELSE CAST(0 AS BIGINT) END")
+        key = f"({key} | {bit})"
+    return F.expr(key)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -115,7 +170,8 @@ def lsh_ann_topk(df: DataFrame, query: Sequence[float],
     if multiprobe >= 1:
         probe_keys += [qkey ^ (1 << b) for b in range(n_planes)]
 
-    bucketed = df.withColumn("_bucket", _bucket_key(F.col(vec_col), planes))
+    bucketed = df.withColumn("_bucket",
+                             _bucket_key(f"`{vec_col}`", planes))
     cand = bucketed.where(F.col("_bucket").isin(probe_keys))
     return cosine_topk(cand, query, vec_col, id_col, k)
 
@@ -139,7 +195,7 @@ def embedding_near_dupes(df: DataFrame, vec_col: str = "embedding",
         bucket = F.col(block_on)
     else:
         planes = _hyperplanes(_dim_of(df, vec_col), n_planes, seed)
-        bucket = _bucket_key(F.col(vec_col), planes)
+        bucket = _bucket_key(f"`{vec_col}`", planes)
     # rows with null/empty vectors can't pair — drop them JVM-side
     # before the kernel (a None would break np.stack's shape)
     b = (df.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
@@ -251,8 +307,8 @@ def cosine_join(left: DataFrame, right: DataFrame,
         rb = F.col(block_on)
     else:
         planes = _hyperplanes(_dim_of(left, vec_col), n_planes, seed)
-        lb = _bucket_key(F.col(vec_col), planes)
-        rb = _bucket_key(F.col(vec_col), planes)
+        lb = _bucket_key(f"`{vec_col}`", planes)
+        rb = _bucket_key(f"`{vec_col}`", planes)
     ok = F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
     left, right = left.where(ok), right.where(ok)
     lk = left.select(F.col(id_col).alias("id_a"), lb.alias("_bucket"))
@@ -347,11 +403,10 @@ def _argmax_assign(cents_np, vec_col: str,
     tie-break."""
     sims = []
     for c in cents_np:
-        s = cosine_sim(F.col(vec_col),
-                       F.array(*[F.lit(float(x)) for x in c]))
-        sims.append(F.round(s, round_digits)
+        s = _cos_lit_sql(f"`{vec_col}`", c)
+        sims.append(f"round({s}, {round_digits})"
                     if round_digits is not None else s)
-    arr = F.array(*sims)
+    arr = F.expr("array(" + ",".join(sims) + ")")
     best = F.array_max(arr)
     cid = (F.array_position(arr, best) - 1).cast("long")
     return cid, best
@@ -443,15 +498,15 @@ def ivf_ann_topk(df: DataFrame, query, k: int = 10,
                            id_col=id_col)
     centroids = [list(map(float, c)) for c in cents_np]
 
-    def _cell(vec: Column) -> Column:
-        # argmin over nlist squared distances, row-local
-        dists = F.array(*[
-            F.aggregate(
-                F.zip_with(vec, F.array(*[F.lit(x) for x in c]),
-                           lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0), lambda acc, v: acc + v)
-            for c in centroids])
-        return F.array_position(dists, F.array_min(dists))
+    def _cell(vec_sql: str) -> Column:
+        # argmin over nlist squared distances, row-local; rendered as
+        # ONE SQL string (same shapes, one py4j call — see _cos_lit_sql)
+        dists = ",".join(
+            f"aggregate(zip_with({vec_sql}, {_lit_dvec_sql(c)}, "
+            f"(x, y) -> (x - y) * (x - y)), 0.0D, (acc, v) -> acc + v)"
+            for c in centroids)
+        return F.expr(f"array_position(array({dists}), "
+                      f"array_min(array({dists})))")
 
     qd = [float(x) for x in query]
     qdist = [(sum((a - b) ** 2 for a, b in zip(qd, c)), i)
@@ -459,6 +514,6 @@ def ivf_ann_topk(df: DataFrame, query, k: int = 10,
     probes = [i + 1 for _, i in sorted(qdist)[:nprobe]]  # 1-based cells
 
     cand = df.withColumn(
-        "_cell", _cell(F.transform(vec_col, lambda x: x.cast("double")))) \
+        "_cell", _cell(_cast_double_sql(f"`{vec_col}`"))) \
         .where(F.col("_cell").isin(probes))
     return cosine_topk(cand, query, vec_col, id_col, k)
