@@ -243,6 +243,18 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         .select("_id", "b.band", "b.bh")
 
     banded, dropped = _cap_buckets(banded, ["band", "bh"], max_bucket)
+    # Materialize the capped band index before the self-join
+    # (optimization r9 fourth pass, guide §2.4/§5): _cap_buckets was
+    # designed so the two join legs share one exchange, but when the
+    # banded side's size estimate is broadcastable the planner picks
+    # BroadcastHashJoin — whose legs share NOTHING — and the Arrow
+    # signature kernel + window run TWICE (observed in the sf0.1
+    # plan). The band index is (id, band, hash) ≈ 24 B/row — tiny
+    # against the text it summarizes — so cutting lineage here makes
+    # kernel-once hold under EVERY join strategy, local or 100 TB.
+    # ``dropped`` stays lazy off the original subtree: callers that
+    # never evaluate it (the common case) pay nothing.
+    banded = banded.localCheckpoint()
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (left.join(right, on=["band", "bh"])
@@ -695,6 +707,10 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     banded = sigged.select("_id", "simhash", F.explode(chunk_arr).alias("c")) \
                    .select("_id", "simhash", "c.ci", "c.cv")
     banded, dropped = _cap_buckets(banded, ["ci", "cv"], max_bucket)
+    # kernel-once under every join strategy — same rationale as the
+    # minhash band-index checkpoint above (the chunk index is
+    # (id, sig, ci, cv) ≈ 32 B/row, tiny against the text)
+    banded = banded.localCheckpoint()
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (l.join(r, on=["ci", "cv"])
              .where(F.col("l._id") < F.col("r._id"))
