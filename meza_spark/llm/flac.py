@@ -533,9 +533,18 @@ def encode_flac(samples, rate: int = 44100, bps: int = 16,
 
     def encode_channel(bw, xs, eff_bps, mode):
         xs = [int(v) for v in xs]
+        # The predictor order must not exceed the block size (the
+        # decoder rightly rejects such subframes): a final short block
+        # with fewer samples than `order` clamps to its own length —
+        # for every block with bs >= order (i.e. every previously
+        # decodable stream) the emitted bytes are unchanged.
+        # Hypothesis-found: n=65, blocksize=64, fixed order 2 left a
+        # 1-sample last block carrying an order-2 subframe.
+        border = min(order, len(xs)) if mode in ("fixed", "lpc") \
+            else order
         bw.write(0, 1)                               # padding bit
         stype = {"constant": 0, "verbatim": 1,
-                 "fixed": 8 + order, "lpc": 32 + (order - 1)}[mode]
+                 "fixed": 8 + border, "lpc": 32 + (border - 1)}[mode]
         bw.write(stype, 6)
         if wasted:
             bw.write(1, 1)
@@ -553,17 +562,17 @@ def encode_flac(samples, rate: int = 44100, bps: int = 16,
                 bw.swrite(v, ebps)
             return
         if mode == "fixed":
-            coefs = _FIXED_COEFS[order]
+            coefs = _FIXED_COEFS[border]
             shift = 0
         else:
-            coefs = list(lpc_coefs or [1 << lpc_shift])[:order]
-            while len(coefs) < order:
+            coefs = list(lpc_coefs or [1 << lpc_shift])[:border]
+            while len(coefs) < border:
                 coefs.append(0)
             shift = lpc_shift
-        for v in xs[:order]:
+        for v in xs[:border]:
             bw.swrite(v, ebps)
         res = []
-        for i in range(order, len(xs)):
+        for i in range(border, len(xs)):
             pred = sum(c * xs[i - 1 - k] for k, c in enumerate(coefs))
             res.append(xs[i] - (pred >> shift if mode == "lpc"
                                 else pred))
@@ -575,7 +584,7 @@ def encode_flac(samples, rate: int = 44100, bps: int = 16,
             bw.swrite(shift, 5)
             for c in coefs:
                 bw.swrite(c, prec)
-        _write_residual(bw, res, order, len(xs), partition_order,
+        _write_residual(bw, res, border, len(xs), partition_order,
                         method=rice_method, escape_raw=escape_raw)
 
     fi = 0
