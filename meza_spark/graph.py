@@ -165,7 +165,10 @@ def label_propagation(edges: DataFrame, src: str = "src",
       (a, b) duplicate groups too, so the ``distinct`` reuses that
       single exchange and the checkpointed frame enters every round's
       neighbor join already distributed (previously each round
-      re-shuffled the full edge list);
+      re-shuffled the full edge list). A hot vertex concentrates its
+      rows in one ``b`` partition — the same concentration the
+      per-round join on ``b`` always had, and the distinct partial-
+      aggregates map-side first, so no new skew class is introduced;
     - the per-round join-back of the best label onto the previous
       labels was REDUNDANT and is gone: edges are mirrored, so every
       vertex (= every distinct ``a``) has at least one neighbor, every

@@ -110,6 +110,10 @@ def build_bloom(df: DataFrame, col: str,
                                  np.uint8(1) << (pos & 7).astype(np.uint8))
         yield pd.DataFrame({"bits": [bits.tobytes()]})
 
+    # NOTE: the bitmap rides as ONE binary cell per partition; Arrow
+    # caps a plain binary cell at 2 GiB, so n_bits/8 must stay under
+    # that — true for the documented design point (1e9 keys @1% fpr ≈
+    # 1.2 GiB) and for anything the driver could broadcast anyway.
     rows = df.select(F.col(col).cast("string")).mapInPandas(
         _partition_bitmap, "bits binary")
     rdd = rows.rdd.map(lambda r: np.frombuffer(r[0], dtype=np.uint8))
