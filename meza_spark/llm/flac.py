@@ -34,24 +34,40 @@ _FIXED_COEFS = {0: (), 1: (1,), 2: (2, -1), 3: (3, -3, 1),
                 4: (4, -6, 4, -1)}
 
 
-def _crc8(data: bytes) -> int:
-    """CRC-8 with polynomial x^8 + x^2 + x + 1 (0x07), init 0."""
-    crc = 0
-    for byte in data:
-        crc ^= byte
+def _crc_tables():
+    t8, t16 = [], []
+    for b in range(256):
+        c = b
         for _ in range(8):
-            crc = ((crc << 1) ^ 0x07 if crc & 0x80 else crc << 1) & 0xFF
+            c = ((c << 1) ^ 0x07 if c & 0x80 else c << 1) & 0xFF
+        t8.append(c)
+        c = b << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005 if c & 0x8000 else c << 1) & 0xFFFF
+        t16.append(c)
+    return tuple(t8), tuple(t16)
+
+
+_CRC8_TABLE, _CRC16_TABLE = _crc_tables()
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8 with polynomial x^8 + x^2 + x + 1 (0x07), init 0
+    (table-driven; check value crc8(b"123456789") == 0xF4)."""
+    crc = 0
+    t = _CRC8_TABLE
+    for byte in data:
+        crc = t[crc ^ byte]
     return crc
 
 
 def _crc16(data: bytes) -> int:
-    """CRC-16 with polynomial x^16 + x^15 + x^2 + 1 (0x8005), init 0."""
+    """CRC-16 with polynomial x^16 + x^15 + x^2 + 1 (0x8005), init 0
+    (table-driven; check value crc16(b"123456789") == 0xFEE8)."""
     crc = 0
+    t = _CRC16_TABLE
     for byte in data:
-        crc ^= byte << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005 if crc & 0x8000
-                   else crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFF00) ^ t[(crc >> 8) ^ byte]
     return crc
 
 
@@ -84,12 +100,32 @@ class _BrMSB:
         return v - (1 << k) if v >> (k - 1) else v
 
     def unary(self, limit: int = 1 << 20) -> int:
+        # Scan whole buffered chunks for the terminating 1-bit via
+        # bit_length instead of per-bit read(1) calls: the top valid
+        # bit of ``acc`` sits at position nbits-1, so the run of
+        # leading zeros is nbits - acc.bit_length().
         q = 0
-        while self.read(1) == 0:
-            q += 1
+        while True:
+            if self.nbits == 0:
+                if self.pos >= self.n:
+                    raise ValueError("truncated FLAC stream")
+                self.acc = self.d[self.pos]
+                self.pos += 1
+                self.nbits = 8
+            if self.acc == 0:
+                q += self.nbits
+                self.nbits = 0
+                if q > limit:
+                    raise ValueError(
+                        "FLAC unary run exceeds sanity bound")
+                continue
+            lead = self.nbits - self.acc.bit_length()
+            q += lead
             if q > limit:
                 raise ValueError("FLAC unary run exceeds sanity bound")
-        return q
+            self.nbits -= lead + 1
+            self.acc &= (1 << self.nbits) - 1
+            return q
 
     def align(self) -> None:
         self.nbits = 0
@@ -242,6 +278,39 @@ def _write_residual(bw: _BwMSB, res, order: int, blocksize: int,
             bw.write(v & ((1 << k) - 1), k)
 
 
+def _fixed_reconstruct(warm, res, order):
+    """Exact FIXED-predictor inversion as ``order`` cumulative sums.
+
+    A FIXED subframe's residual is the order-th difference of the
+    samples, so reconstruction is repeated prefix summation seeded by
+    the warm-up samples' difference ladder (np.diff(warm, n=j)[0] is
+    the j-th difference at position j). int64 numpy cumsums are exact
+    under the per-level magnitude bound checked below; a stream whose
+    residual magnitudes could overflow (only possible for invalid
+    streams — valid samples are bounded by bps+order bits) returns
+    None and the caller runs the arbitrary-precision Python loop, so
+    behavior is bit-identical for every input."""
+    if order == 0:
+        return list(res)
+    import numpy as np
+    n = len(res) + 1
+    try:
+        cur = np.asarray(res, dtype=np.int64)
+        w = np.asarray(warm, dtype=np.int64)
+    except OverflowError:
+        return None
+    for j in range(order - 1, -1, -1):
+        seed = int(np.diff(w, n=j)[0]) if j else int(w[0])
+        if cur.size:
+            mx = max(int(cur.max()), -int(cur.min()))
+        else:
+            mx = 0
+        if mx * n + abs(seed) >= (1 << 62):
+            return None
+        cur = np.concatenate(([seed], cur)).cumsum()
+    return cur.tolist()
+
+
 def _decode_subframe(br: _BrMSB, blocksize: int, bps: int):
     if br.read(1):
         raise ValueError("FLAC subframe padding bit set")
@@ -260,12 +329,15 @@ def _decode_subframe(br: _BrMSB, blocksize: int, bps: int):
         order = stype - 8
         if order > blocksize:
             raise ValueError("FLAC fixed order exceeds block size")
-        out = [br.sread(eff) for _ in range(order)]
+        warm = [br.sread(eff) for _ in range(order)]
         res = _read_residual(br, blocksize, order)
-        coefs = _FIXED_COEFS[order]
-        for r in res:
-            out.append(r + sum(c * out[-1 - i]
-                               for i, c in enumerate(coefs)))
+        out = _fixed_reconstruct(warm, res, order)
+        if out is None:                              # hostile magnitudes
+            out = list(warm)
+            coefs = _FIXED_COEFS[order]
+            for r in res:
+                out.append(r + sum(c * out[-1 - i]
+                                   for i, c in enumerate(coefs)))
     elif stype >= 32:                                # LPC
         order = (stype & 31) + 1
         if order > blocksize:

@@ -2147,16 +2147,24 @@ def _huff_codes(bits, vals):
 
 
 def _huff_decode_table(bits, vals):
-    """{(length, code): value} for the bit-by-bit decoder."""
+    """``(lut, map)`` decoder table: an 8-bit LUT of ``(value, len)``
+    for codes of ≤8 bits (MSB-first, so each code owns a contiguous
+    slot range) plus the ``{(length, code): value}`` map the bit-walk
+    fallback uses for the 9-16-bit tail."""
     out = {}
+    lut = [None] * 256
     code = k = 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
             out[(ln, code)] = vals[k]
+            if ln <= 8:
+                base = code << (8 - ln)
+                cnt = 1 << (8 - ln)
+                lut[base:base + cnt] = [(vals[k], ln)] * cnt
             code += 1
             k += 1
         code <<= 1
-    return out
+    return (lut, out)
 
 
 class _JpegBitReader:
@@ -2202,10 +2210,24 @@ class _JpegBitReader:
         return v
 
     def huff(self, table) -> int:
+        # Peek 8 bits and resolve ≤8-bit codes in one LUT hit; the
+        # peek consumes nothing, so a miss falls through to the exact
+        # bit-walk. _fill() tops up to ≥25 bits (1-padding at markers
+        # and EOF exactly as the per-bit reads would), so the peek
+        # sees the same bits sequential read(1) calls would return.
+        lut, tmap = table
+        if self.n < 8:
+            self._fill()
+        e = lut[(self.acc >> (self.n - 8)) & 0xFF]
+        if e is not None:
+            v, ln = e
+            self.n -= ln
+            self.acc &= (1 << self.n) - 1
+            return v
         code = 0
         for ln in range(1, 17):
             code = (code << 1) | self.read(1)
-            v = table.get((ln, code))
+            v = tmap.get((ln, code))
             if v is not None:
                 return v
         raise ValueError("invalid JPEG Huffman code")

@@ -115,14 +115,23 @@ class _Bw:
         return bytes(self.out)
 
 
+_REV8 = tuple(int(f"{i:08b}"[::-1], 2) for i in range(256))
+
+
 def _canonical(lengths):
     """Code lengths → decode table.
 
     Returns ``("const", sym)`` for a single-symbol code (0 bits read
     per symbol, libwebp's special case) or ``("map", maxlen, {(len,
-    code): sym})`` for a canonical prefix code, which must be exactly
-    complete (Kraft sum == 1) — libwebp rejects both over- and
-    under-subscribed multi-symbol codes and so do we.
+    code): sym}, lut)`` for a canonical prefix code, which must be
+    exactly complete (Kraft sum == 1) — libwebp rejects both over-
+    and under-subscribed multi-symbol codes and so do we. ``lut`` is
+    a 256-entry table over the next 8 stream bits: ``(sym, len)`` for
+    codes of ≤8 bits, ``None`` where the 8-bit window is a proper
+    prefix of a longer code (the bit-walk fallback handles those).
+    The stream is LSB-first per byte while codes assemble MSB-first,
+    so a code's LUT slots are the bit-reversal of its code value with
+    the 8-len slack bits free.
     """
     pairs = sorted((ln, s) for s, ln in enumerate(lengths) if ln)
     if not pairs:
@@ -135,20 +144,42 @@ def _canonical(lengths):
     if sum(1 << (maxlen - ln) for ln, _ in pairs) != (1 << maxlen):
         raise ValueError("incomplete VP8L prefix code")
     table = {}
+    lut = [None] * 256
     codev = 0
     prev = 0
     for ln, s in pairs:
         codev <<= (ln - prev)
         prev = ln
         table[(ln, codev)] = s
+        if ln <= 8:
+            base = _REV8[(codev << (8 - ln)) & 0xFF]
+            lut[base::1 << ln] = [(s, ln)] * (256 >> ln)
         codev += 1
-    return ("map", maxlen, table)
+    return ("map", maxlen, table, lut)
 
 
 def _read_sym(br: _Br, tab) -> int:
     if tab[0] == "const":
         return tab[1]
-    _, maxlen, table = tab
+    _, maxlen, table, lut = tab
+    # Fast path: peek 8 bits (zero-padded only at EOF) and resolve
+    # ≤8-bit codes in one LUT hit. Nothing is consumed on a miss, so
+    # the bit-walk below sees the identical stream; a LUT hit whose
+    # length exceeds the real bits left means the walk would have hit
+    # EOF mid-code — same truncation error, raised here.
+    if br.nbits < 8:
+        while br.nbits < 8 and br.pos < br.n:
+            br.acc |= br.d[br.pos] << br.nbits
+            br.pos += 1
+            br.nbits += 8
+    e = lut[br.acc & 0xFF]
+    if e is not None:
+        s, ln = e
+        if ln <= br.nbits:
+            br.acc >>= ln
+            br.nbits -= ln
+            return s
+        raise ValueError("truncated VP8L stream")
     codev = 0
     for ln in range(1, maxlen + 1):
         codev = (codev << 1) | br.read(1)
