@@ -103,9 +103,11 @@ class _Bw:
             self.n -= 8
 
     def code(self, c: int, length: int) -> None:
-        """Huffman codes are emitted MSB-of-code first (deflate rule)."""
-        for i in range(length - 1, -1, -1):
-            self.bits((c >> i) & 1, 1)
+        """Huffman codes are emitted MSB-of-code first (deflate rule):
+        in this LSB-first writer that is a single field write of the
+        code value bit-reversed over its length."""
+        self.bits((_REV8[c & 0xFF] << 8
+                   | _REV8[(c >> 8) & 0xFF]) >> (16 - length), length)
 
     def done(self) -> bytes:
         if self.n:
