@@ -1720,8 +1720,23 @@ def _decode_tiff_inner(b: bytes):
             raw = b[voff:voff + total]
         if len(raw) < total:
             raise ValueError("truncated TIFF tag data")
-        fmt = {1: "B", 2: "B", 3: "H", 4: "I"}[typ]
-        tags[tag] = list(struct.unpack(en + fmt * count, raw[:total]))
+        if count > 64:
+            # big vectors (a 16-bit ColorMap is 3*2^16 entries; long
+            # strip tables): np.frombuffer reads the same unsigned
+            # values without building a count-long format string.
+            # The ColorMap stays an ndarray — its only consumer
+            # (_tiff_finish) indexes it wholesale — while everything
+            # else converts back to the exact Python ints
+            # struct.unpack produced (offset arithmetic must not
+            # wrap like numpy scalars would).
+            dt_ = np.dtype(en + {1: "u1", 2: "u1", 3: "u2",
+                                 4: "u4"}[typ])
+            arr = np.frombuffer(raw, dt_, count)
+            tags[tag] = arr if tag == 320 else arr.tolist()
+        else:
+            fmt = {1: "B", 2: "B", 3: "H", 4: "I"}[typ]
+            tags[tag] = list(struct.unpack(en + fmt * count,
+                                           raw[:total]))
     try:
         w = tags[256][0]
         h = tags[257][0]
@@ -1866,9 +1881,9 @@ def _tiff_finish(px, photo: int, tags: dict, bits, en: str):
         # 2^16 entries)
         nent = 1 << bits[0]
         cmap = tags.get(320)
-        if not cmap or len(cmap) < 3 * nent or spp != 1:
+        if cmap is None or len(cmap) < 3 * nent or spp != 1:
             raise ValueError("palette TIFF without a usable ColorMap")
-        pal = (np.array(cmap[:3 * nent], np.uint16)
+        pal = (np.asarray(cmap[:3 * nent], np.uint16)
                .reshape(3, nent).T >> 8).astype(np.uint8)
         return pal[px[:, :, 0]].copy()
     if bits[0] == 16:
