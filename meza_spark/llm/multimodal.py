@@ -898,17 +898,31 @@ def _png_unfilter(raw: bytes, p: int, h: int, w: int, c: int):
                 out[y, ph::c] = np.cumsum(
                     row[ph::c].astype(np.int64)) & 0xFF
         elif ft == 3:                      # Average — sequential left dep
-            cur = out[y]
+            # plain-list arithmetic: the loop is inherently serial,
+            # and list indexing avoids boxing a numpy scalar per pixel
+            rl, pl = row.tolist(), prev.tolist()
+            cur = [0] * stride
             for x in range(stride):
-                left = int(cur[x - c]) if x >= c else 0
-                cur[x] = (row[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+                left = cur[x - c] if x >= c else 0
+                cur[x] = (rl[x] + ((left + pl[x]) >> 1)) & 0xFF
+            out[y] = cur
         elif ft == 4:                      # Paeth — sequential left dep
-            cur = out[y]
+            rl, pl = row.tolist(), prev.tolist()
+            cur = [0] * stride
             for x in range(stride):
-                a = int(cur[x - c]) if x >= c else 0
-                up = int(prev[x])
-                ul = int(prev[x - c]) if x >= c else 0
-                cur[x] = (row[x] + _png_paeth(a, up, ul)) & 0xFF
+                a = cur[x - c] if x >= c else 0
+                up = pl[x]
+                ul = pl[x - c] if x >= c else 0
+                p_ = a + up - ul
+                pa, pb, pc_ = abs(p_ - a), abs(p_ - up), abs(p_ - ul)
+                if pa <= pb and pa <= pc_:
+                    pred = a
+                elif pb <= pc_:
+                    pred = up
+                else:
+                    pred = ul
+                cur[x] = (rl[x] + pred) & 0xFF
+            out[y] = cur
         else:
             raise ValueError(f"unknown PNG filter type {ft}")
     return out.reshape(h, w, c), p
