@@ -179,3 +179,42 @@ def test_flac_fixed_reconstruct_guard_falls_back_on_hostile():
     assert _fixed_reconstruct([1], [1 << 63], 1) is None  # OverflowError path
     # empty residual block (blocksize == order) stays fine
     assert _fixed_reconstruct([5, 9], [], 2) == [5, 9]
+
+
+def test_tiff_large_tag_vectors_keep_exact_semantics():
+    # the >64-entry frombuffer path: a 16-bit palette TIFF round-trips
+    # bit-exactly in BOTH byte orders (the ColorMap rides the ndarray
+    # branch; strip tables stay Python ints), and a ColorMap that is
+    # too short still raises the usable-ColorMap error
+    from meza_spark.llm.multimodal import _decode_tiff, _encode_tiff
+
+    k = np.arange(65536, dtype=np.int64)
+    pal = np.stack([(k * 3 + 11) % 256, (k * 5 + 29) % 256,
+                    (k * 7 + 3) % 256], axis=1).astype(np.uint8)
+    idx = ((np.arange(16 * 8, dtype=np.int64) * 31 + 7) % 65536) \
+        .astype(np.uint16).reshape(8, 16, 1)
+    for be in (False, True):
+        b = _encode_tiff(idx, palette=pal, big_endian=be)
+        out = _decode_tiff(b)
+        expect = pal[idx[:, :, 0]]
+        assert out.shape == (8, 16, 3)
+        assert (out == expect).all()
+    # 8-bit palette (256-entry map = 768 values, still > 64)
+    pal8 = pal[:256]
+    idx8 = (np.arange(6 * 7) % 256).astype(np.uint8).reshape(6, 7, 1)
+    out8 = _decode_tiff(_encode_tiff(idx8, palette=pal8))
+    assert (out8 == pal8[idx8[:, :, 0]]).all()
+    # short ColorMap: truncate the encoded map by rewriting the count
+    b = bytearray(_encode_tiff(idx, palette=pal))
+    # find the ColorMap tag (320) in the IFD and halve its count
+    import struct as _s
+    ifd = _s.unpack("<I", b[4:8])[0]
+    n = _s.unpack("<H", b[ifd:ifd + 2])[0]
+    for i in range(n):
+        e0 = ifd + 2 + i * 12
+        if _s.unpack("<H", b[e0:e0 + 2])[0] == 320:
+            cnt = _s.unpack("<I", b[e0 + 4:e0 + 8])[0]
+            b[e0 + 4:e0 + 8] = _s.pack("<I", cnt // 2)
+            break
+    with pytest.raises(ValueError, match="ColorMap"):
+        _decode_tiff(bytes(b))
