@@ -23,6 +23,26 @@ Layout:
 
 __version__ = "0.1.0"
 
+# Pin BLAS pools to one thread per process (classic Spark+numpy fix;
+# optimization r10, guide §1.2/§4). Every numpy matmul otherwise spins
+# up the library-wide thread pool PER PYTHON WORKER: on a 32-core
+# executor that is 32 tasks × N BLAS threads fighting over the same
+# cores plus the pool's spin-wait tax — measured on this box at 40×
+# on the small driver-side fit matmuls (2000×8 @ 8×64: 55 ms → 1.4 ms
+# single-threaded) and it oversubscribes every Arrow-batch kernel the
+# same way. The engine's linear algebra is deliberately
+# many-small-ops inside already-parallel tasks, where a per-op thread
+# fan-out can only lose. ``setdefault`` so an operator deploying on a
+# one-task-per-many-cores topology can still override from the
+# environment. Must run before numpy first loads the BLAS, hence here
+# in the package root (imported ahead of any engine module).
+import os as _os
+
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+           "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+    _os.environ.setdefault(_v, "1")
+del _os, _v
+
 ENCODING = "utf-8"
 
 # Currency symbols stripped by the numeric casts (ref: meza/__init__.py:31)

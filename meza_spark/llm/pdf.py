@@ -642,8 +642,23 @@ def _base_table(kind: str) -> dict[int, str]:
     return t
 
 
+# ToUnicode CMaps repeat heavily across the documents of a corpus
+# (embedded-font CMaps are generated per FONT, not per document), and
+# materializing a full-width bfrange is ~65 K dict entries — profiled
+# at 97% of a Type0 page's extraction. The parse is a pure function of
+# the stream bytes and its result is never mutated (consumers only
+# read _FontDec.cmap/lengths), so memoize per worker process — the
+# same init-once-per-task class as the AES round-key cache
+# (optimization r10, guide §4.5). Bounded: only streams ≤1 MiB, at
+# most 32 distinct.
+_CMAP_CACHE: dict[bytes, tuple] = {}
+
+
 def _parse_cmap(data: bytes):
     """ToUnicode CMap → (code→str map, sorted code byte-lengths)."""
+    hit = _CMAP_CACHE.get(data)
+    if hit is not None:
+        return hit
     lex = _Lex(data)
     cmap: dict[int, str] = {}
     lengths: set[int] = set()
@@ -700,6 +715,18 @@ def _parse_cmap(data: bytes):
                     elif isinstance(dst, bytes):
                         base = int.from_bytes(dst, "big")
                         nb = max(len(dst), 2)
+                        if nb == 2 and base + (hi_i - lo_i) <= 0xFFFF:
+                            # fast path: every value is one 2-byte
+                            # UTF-16-BE unit — decode is chr(val),
+                            # except lone surrogates which
+                            # UnicodeDecodeError into the same "�"
+                            # (bit-identical to u16 below)
+                            for k in range(hi_i - lo_i + 1):
+                                val = base + k
+                                cmap[lo_i + k] = (
+                                    "�" if 0xD800 <= val <= 0xDFFF
+                                    else chr(val))
+                            continue
                         for k in range(hi_i - lo_i + 1):
                             val = base + k
                             # widen per value: a range like
@@ -713,7 +740,10 @@ def _parse_cmap(data: bytes):
             stack.clear()
         else:
             stack.append(tok)
-    return cmap, sorted(lengths) or [2]
+    out = (cmap, sorted(lengths) or [2])
+    if len(data) <= (1 << 20) and len(_CMAP_CACHE) < 32:
+        _CMAP_CACHE[data] = out
+    return out
 
 
 class _FontDec:

@@ -27,6 +27,15 @@ _DEFAULTS = {
     "spark.sql.parquet.aggregatePushdown": "true",
     # Keep timestamps physical-µs so DuckDB/Spark agree at oracle time.
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+    # One BLAS thread per Python worker (see meza_spark/__init__.py:
+    # N tasks × M BLAS threads oversubscribes every executor; the
+    # engine's numpy kernels run inside already-parallel tasks). In
+    # local mode workers inherit the driver env; these cover real
+    # clusters where executors are separate JVMs.
+    "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
+    "spark.executorEnv.OMP_NUM_THREADS": "1",
+    "spark.executorEnv.MKL_NUM_THREADS": "1",
+    "spark.executorEnv.NUMEXPR_NUM_THREADS": "1",
 }
 
 
