@@ -1966,7 +1966,7 @@ def json_normalize_lines(spark, sf_dir):
                  .alias("js")))
     # schema inference samples one document, which would re-run the
     # collect_list aggregation for the main pass — materialize once
-    docs = docs.localCheckpoint()
+    docs = docs.localCheckpoint(eager=False)
     return (normalize_json(docs, "js", "lines")
             )
 
@@ -4716,7 +4716,7 @@ def q11_value(spark, sf_dir):
     # whole join+agg subtree (Catalyst doesn't dedupe common
     # subplans); materialize the per-part frame once — it's one row
     # per part, orders of magnitude smaller than the fact
-    per_part = per_part.localCheckpoint()
+    per_part = per_part.localCheckpoint(eager=False)
     # threshold scales with SF: 1.5× the mean per-part value, not a
     # fixed fraction of the total (which would converge to zero rows
     # as the part count grows with the corpus)

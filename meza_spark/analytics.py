@@ -56,7 +56,7 @@ def funnel(df: DataFrame, steps: Sequence[str],
     # by the count and stays lazy. Purely physical: per-step min
     # timestamps are unchanged.
     for i, step in enumerate(steps[1:], start=2):
-        times = times.localCheckpoint()
+        times = times.localCheckpoint(eager=False)
         prev = F.col(f"_t{i - 1}")
         cond = F.col(ts_col) > prev
         if within_seconds is not None:

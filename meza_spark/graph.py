@@ -72,7 +72,13 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
     e = (edges.groupBy(F.col(src).alias("s"), F.col(dst).alias("d"))
          .agg(F.sum(w.cast("decimal(38,6)")).cast("double").alias("w")))
-    e = e.localCheckpoint()
+    # lazy cut (optimization r10, guide §5): the lineage/plan-size
+    # truncation happens at build either way (the frame becomes a
+    # LogicalRDD immediately), but eager=False defers materialization
+    # into the first job that touches it — here the verts barrier
+    # below — instead of paying a dedicated driver job round-trip per
+    # checkpoint. Same stats behavior, same computation, fewer jobs.
+    e = e.localCheckpoint(eager=False)
     outw = e.groupBy("s").agg(
         F.sum(F.col("w").cast("decimal(38,6)")).cast("double")
         .alias("ow"))
@@ -110,7 +116,15 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     # and the cut keeps Catalyst plans constant-size round over round.
     any_dangling = bool(probe["any_dang"])
     for _ in range(n_iter):
-        cut = ranks.localCheckpoint()
+        # eager=False: the cut still replaces the round's plan with a
+        # LogicalRDD (constant-size Catalyst plans round over round)
+        # but materializes inside the consuming job — n_iter fixed
+        # driver job round-trips removed from every pagerank build
+        # (optimization r10; the checkpointed RDD is persisted on
+        # first use, so the two per-round references — the dangling
+        # aggregate and the contributions join — still compute it
+        # exactly once)
+        cut = ranks.localCheckpoint(eager=False)
         contrib = (e.join(cut.select(F.col("v").alias("s"), "r"), on="s")
                    .join(outw, on="s")
                    .select("d", (F.col("r") * F.col("w") / F.col("ow"))
@@ -183,7 +197,7 @@ def label_propagation(edges: DataFrame, src: str = "src",
            .where(F.col("a") != F.col("b"))
            .repartition("b")
            .distinct()
-           .localCheckpoint())
+           .localCheckpoint(eager=False))
     labels = (und.select(F.col("a").alias("v")).distinct()
               .withColumn("l", F.col("v")))
     for i in range(n_iter):
@@ -199,7 +213,7 @@ def label_propagation(edges: DataFrame, src: str = "src",
             labels = und.groupBy(F.col("a").alias("v")) \
                         .agg(F.min("b").alias("l"))
             continue
-        cut = (labels.localCheckpoint()
+        cut = (labels.localCheckpoint(eager=False)
                if checkpoint_every and i % checkpoint_every == 0
                else labels)
         counts = (und.join(cut.select(F.col("v").alias("b"),

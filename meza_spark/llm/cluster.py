@@ -96,7 +96,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         F.struct(a.alias("s"), b.alias("d")),
         F.struct(b.alias("s"), a.alias("d")))).alias("e"))
         .select("e.s", "e.d").distinct())
-    edges = edges.localCheckpoint()
+    edges = edges.localCheckpoint(eager=False)
     # init folds the first propagation in: label₀(v) = min(v, min
     # neighbor) — the groupBy doubles as the distinct-vertices pass
     # (every vertex appears as `s` in the symmetrized edge list), and
@@ -104,7 +104,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     labels = (edges.groupBy("s").agg(F.min("d").alias("_nd"))
               .select(F.col("s").alias("v"),
                       F.least("s", "_nd").alias("label"))
-              .localCheckpoint())
+              .localCheckpoint(eager=False))
     out_cols = [F.col("v").alias("id"), F.col("label").alias("component")]
     if not labels.head(1):  # no edges → empty result
         return labels.select(*out_cols)
@@ -185,7 +185,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         return labels.select(*out_cols)
     # Distributed loop: NOW cut the first quotient's lineage (the loop
     # re-references ``ce`` every round; cache-read checkpoint, cheap).
-    ce2 = ce.localCheckpoint()
+    ce2 = ce.localCheckpoint(eager=False)
     ce.unpersist()
     ce = ce2
     # Fused per-round barrier (r2 verdict #5: "one count job per
@@ -372,13 +372,13 @@ def near_dedup_incremental(new: DataFrame, seen: DataFrame,
         from ..util import spread
 
         sh_new = _ngram_side(spread(new), text_col, id_col, "id_a",
-                             n, join_on).localCheckpoint()
+                             n, join_on).localCheckpoint(eager=False)
         sh_seen = _ngram_side(spread(seen), text_col, id_col, "id_b",
                               n, join_on)
         hits = _ngram_pairs(sh_new, sh_seen, self_join=False,
                             min_jaccard=min_jaccard, join_on=join_on)
         dup_new = (hits.select(F.col("id_a").alias(id_col)).distinct()
-                   .localCheckpoint())
+                   .localCheckpoint(eager=False))
         sh_fresh = sh_new.join(
             dup_new.select(F.col(id_col).alias("id_a")),
             on="id_a", how="left_anti")

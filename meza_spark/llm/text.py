@@ -464,7 +464,7 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     # would otherwise EACH re-run the tokenize+explode+agg subtree
     # (Catalyst has no common-subplan reuse); the vocab is Zipf-
     # bounded, so materializing it once is cheap at any corpus size
-    freq = freq.localCheckpoint()
+    freq = freq.localCheckpoint(eager=False)
     total = freq.agg(F.sum("_n").alias("_total"))
     if broadcast_vocab:
         freq = F.broadcast(freq)
@@ -788,7 +788,7 @@ def bm25_topk(df: DataFrame, query: str, text_col: str = "text",
           .alias(f"_tf_{i}") for i, t in enumerate(q_terms)])
     # one row per doc — cheap to materialize; feeds N/avgdl AND the
     # scoring path, so the corpus tokenize runs exactly once
-    per_doc = per_doc.localCheckpoint()
+    per_doc = per_doc.localCheckpoint(eager=False)
     stats = per_doc.agg(F.count(F.lit(1)).alias("_N"),
                         F.sum("_dl").alias("_tot"))
     # Column-API unpivot — interpolating user query terms into a

@@ -1058,7 +1058,7 @@ def resolve_entities(df: DataFrame, id_col: str, match_col: str,
                .withColumn("entity_id",
                            F.coalesce("_er_comp", F.col(id_col)))
                .drop("_er_id", "_er_comp"))
-    members = members.localCheckpoint()  # vote columns fan out below
+    members = members.localCheckpoint(eager=False)  # vote fan-out below
     base = members.groupBy("entity_id").agg(
         F.count(F.lit(1)).alias("n_members"))
     out = base
@@ -1221,7 +1221,7 @@ def co_occurrence(df: DataFrame, group_col: str, item_col: str,
     # lightweight-proxy shape every pair generator here stages.
     base = df.select(F.col(group_col).alias("_g"),
                      F.col(item_col).alias("_i")).distinct() \
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     a = base.select("_g", F.col("_i").alias("item_a"))
     b = base.select("_g", F.col("_i").alias("item_b"))
     if max_group is not None:
@@ -1238,7 +1238,7 @@ def co_occurrence(df: DataFrame, group_col: str, item_col: str,
         # mega-group rows hash-probe and drop.
         keep_g = (base.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
                   .where(F.col("_n") <= max_group).select("_g")
-                  .localCheckpoint())
+                  .localCheckpoint(eager=False))
         a = a.join(keep_g, on="_g")
     pairs = (a.join(b, on="_g")
              .where(F.col("item_a") < F.col("item_b"))

@@ -214,7 +214,7 @@ def psi_drift(df_a: DataFrame, df_b: DataFrame, col: str,
                   .groupBy("bucket").agg(F.count(F.lit(1)).alias("_n")))
         # nbins-row barrier: without it the totals branch re-runs the
         # whole scan+agg (no common-subplan reuse in Catalyst)
-        counts = counts.localCheckpoint()
+        counts = counts.localCheckpoint(eager=False)
         total = counts.agg(F.sum("_n").alias("_t"))
         return (counts.crossJoin(F.broadcast(total))
                 .select("bucket", (F.col("_n").cast("double")
