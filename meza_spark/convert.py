@@ -251,6 +251,17 @@ _CASTERS = {
 }
 
 
+# Built-cast memo (optimization r10, guide §7.3 driver-side work):
+# a tiered date caster is a 100+-node Column tree — one py4j
+# round-trip per node — measured at ~0.6 s of pure construction per
+# type_cast projection (rebuilt twice per bench timing). The tree is
+# a pure function of (type, column name, fuzzy) and Column expression
+# trees are immutable (Catalyst never mutates an unresolved
+# expression; they are not bound to a session), so cache them per
+# process. Plan metadata only — no data, no results.
+_CAST_MEMO: dict[tuple, Column] = {}
+
+
 def type_cast(df: DataFrame, types: Sequence[dict], fuzzy: bool = True) -> DataFrame:
     """Apply a meza type descriptor list ``[{'id': field, 'type': t}]``
     (ref: meza/process.py:97-115 dispatch table) as one projection.
@@ -262,9 +273,14 @@ def type_cast(df: DataFrame, types: Sequence[dict], fuzzy: bool = True) -> DataF
     cols = []
     for name in df.columns:
         t = by_field.get(name, "iden")
-        if not fuzzy and t in ("date", "datetime"):
-            cols.append((to_datetime(F.col(name)).cast(
-                "date" if t == "date" else "timestamp")).alias(name))
-        else:
-            cols.append(_CASTERS[t](F.col(name)).alias(name))
+        key = (t, name, bool(fuzzy))
+        col = _CAST_MEMO.get(key)
+        if col is None:
+            if not fuzzy and t in ("date", "datetime"):
+                col = (to_datetime(F.col(name)).cast(
+                    "date" if t == "date" else "timestamp")).alias(name)
+            else:
+                col = _CASTERS[t](F.col(name)).alias(name)
+            _CAST_MEMO[key] = col
+        cols.append(col)
     return df.select(*cols)

@@ -1198,6 +1198,31 @@ def _all_files(path: str) -> list[str]:
     return [path]
 
 
+def _sized_local_df(spark: SparkSession, data: list, schema) -> DataFrame:
+    """Driver rows → DataFrame with a DATA-SIZED partition count.
+
+    ``createDataFrame(list)`` always parallelizes into
+    defaultParallelism slices, so a 14-row golden fixture becomes 32
+    near-empty Python partitions: every downstream take/collect
+    (detect_types' sample head, the golden-gate renders) schedules a
+    job across all of them, and coalescing ABOVE the frame is worse —
+    the scan of a Python-parallelized relation is itself a Python
+    runner invocation PER PARENT PARTITION, so one coalesced task pays
+    32 sequential worker round-trips (measured 3.6 s on a 14-row
+    frame). Sizing ``numSlices`` at the parallelize is the fix
+    (optimization r10, guide §6 small-files analogue): one slice per
+    10 k rows, order-preserving, and ``spread()`` re-widens any
+    consumer that needs compute parallelism. The caller supplies the
+    schema inferred/validated by the list-path ``createDataFrame``,
+    so types and verification semantics are unchanged."""
+    n_parts = max(1, min(len(data) // 10_000 + 1,
+                         spark.sparkContext.defaultParallelism))
+    if n_parts >= spark.sparkContext.defaultParallelism:
+        return spark.createDataFrame(data, schema=schema)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(data, n_parts), schema=schema)
+
+
 def _records_df(spark: SparkSession, rows: list[dict],
                 names: Sequence[str]) -> DataFrame:
     """Ragged records → DataFrame: union of key sets, missing → null,
@@ -1216,7 +1241,8 @@ def _records_df(spark: SparkSession, rows: list[dict],
             [], StructType([StructField(c, StringType()) for c in cols]))
     norm = [tuple(r.get(c) for c in cols) for r in rows]
     try:
-        return spark.createDataFrame(norm, schema=cols)
+        return _sized_local_df(spark, norm, spark.createDataFrame(
+            norm, schema=cols).schema)
     except (ValueError, TypeError):
         # Two inference defeats: a column that is None in every row
         # (always-null GeoJSON property, empty DBF field) → "Some of
@@ -1281,7 +1307,7 @@ def _records_df(spark: SparkSession, rows: list[dict],
         fixed = [tuple(_coerce(v, f.dataType)
                        for v, f in zip(row, schema.fields))
                  for row in norm]
-        return spark.createDataFrame(fixed, schema=schema)
+        return _sized_local_df(spark, fixed, schema)
 
 
 def _per_file(spark: SparkSession, path: str, parse) -> DataFrame:
